@@ -1,0 +1,19 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** A survey design: a table plus its weight column.
+  *
+  * The reference always builds `svydesign(ids=~1, data, weights=~w)`
+  * (`RegDI2.R:181-185`, `PC.R:190,216`) — no clustering, no strata — so the
+  * design reduces to (DataFrame, weightCol). Variance formulas elsewhere
+  * assume this element-level with-replacement design.
+  */
+final case class SurveyDesign(df: DataFrame, weightCol: String) {
+  require(df.columns.contains(weightCol),
+    s"weight column '$weightCol' not in schema ${df.columns.mkString(",")}")
+  def filter(cond: org.apache.spark.sql.Column): SurveyDesign =
+    copy(df = df.filter(cond))
+  def weights = col(weightCol)
+}

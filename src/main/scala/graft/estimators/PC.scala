@@ -1,0 +1,236 @@
+package graft.estimators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ColumnResolver, FormulaSpec, Fusion, SurveyDesign}
+import graft.stats.{Calibration, Logistic, Ols, WeightedStats}
+import graft.util.Tables.dsum
+
+/** PC pseudo-calibration estimator (Golini & Righi 2024), re-expressing
+  * `PC.R:47-358` Spark-first.
+  *
+  * Pipeline: fuse A/B → default/explicit weights → population totals of
+  * the aux vars (direct sum in one-table mode, Horvitz–Thompson from the
+  * A design in two-table mode, `PC.R:181-199`) → GREG-calibrate the
+  * B-row design on the aux vars (`PC.R:216-237`) → scenario:
+  *   1 — `svymean(~y_B, calibrated_B)` (`PC.R:240-253`)
+  *   2 — outcome model fit on A∩B via the dynamic `_A`/`_B` formula
+  *       resolver, predict on A and B, combine
+  *       `(Σ d_B·ŷ + Σ d_A·e)/N` (`PC.R:255-297`)
+  *   3 — model fit on A only, predict everywhere, DR1
+  *       `(Σ d_B·(y_B−ŷ) + Σ_U ŷ)/N` (`PC.R:299-354`)
+  *
+  * Scale: B is the big side (~50k in the reference, arbitrarily large at
+  * 100 TB). Calibrated weights are NOT materialized by a join: the linear
+  * calfun's closed form w = d·(1 + λᵀx) lets us re-derive them as a
+  * broadcast-λ column expression over the full frame — every scenario is
+  * then a handful of O(k²)-state aggregates over one cached frame, with
+  * the fusion join (broadcast-A) as the only shuffle.
+  */
+final case class PCResult(
+    estimator: Double,
+    se: Option[Double] = None,
+    rmse: Option[Double] = None,
+    r2: Option[Double] = None,
+    /** B rows with calibrated weights in `d_i_B` (lazy plan). */
+    weightsB: Option[DataFrame] = None
+)
+
+final case class PCConfig(
+    yACol: Option[String] = None,
+    yBCol: Option[String] = None,
+    auxVars: Seq[String] = Nil,
+    nTotal: Option[Double] = None,
+    weightsA: Option[String] = None,
+    weightsB: Option[String] = None,
+    outcomeModel: Option[String] = None,
+    modelType: String = "normal",
+    scenario: Int = 1,
+    evalModelPerformance: Boolean = false
+)
+
+object PC {
+
+  /** Two-table API (`PC.R` with data_A/data_B). */
+  def twoSample(
+      dataA: DataFrame,
+      dataB: DataFrame,
+      idVarA: String,
+      idVarB: String,
+      cfg: PCConfig
+  ): PCResult = {
+    val fusion = Fusion.fuse(dataA, dataB, idVarA, idVarB)
+    val yARaw = cfg.yACol.getOrElse(cfg.yBCol.getOrElse(
+      throw new IllegalArgumentException("y_A_col or y_B_col required")))
+    val yBRaw = cfg.yBCol.getOrElse(yARaw)
+    val yA = fusion.fromA.getOrElse(yARaw, yARaw)
+    val yB = fusion.fromB.getOrElse(yBRaw, yBRaw)
+    val auxA = cfg.auxVars.map(v => fusion.fromA.getOrElse(v, v))
+    val auxB = cfg.auxVars.map(v => fusion.fromB.getOrElse(v, v))
+    val df = fusion.df
+      .withColumn("ind_var_A", col(yA).isNotNull.cast("int"))
+      .withColumn("ind_var_B", col(yB).isNotNull.cast("int"))
+    run(df, "ind_var_A", "ind_var_B", Some(yA), Some(yB), auxA, auxB,
+      cfg.weightsA.map(w => fusion.fromA.getOrElse(w, w)),
+      cfg.weightsB.map(w => fusion.fromB.getOrElse(w, w)),
+      cfg, popIsData = false)
+  }
+
+  /** One-table API: `data` is the fused frame (or the full population),
+    * with explicit indicator columns (`PC.R` data-direct mode). */
+  def oneTable(
+      data: DataFrame,
+      indVarA: String,
+      indVarB: String,
+      cfg: PCConfig
+  ): PCResult =
+    run(data, indVarA, indVarB, cfg.yACol, cfg.yBCol,
+      cfg.auxVars, cfg.auxVars, cfg.weightsA, cfg.weightsB, cfg,
+      popIsData = true)
+
+  // ------------------------------------------------------------------
+
+  private def run(
+      data0: DataFrame,
+      indA: String, indB: String,
+      yAOpt: Option[String], yBOpt: Option[String],
+      auxA: Seq[String], auxB: Seq[String],
+      weightsA: Option[String], weightsB: Option[String],
+      cfg: PCConfig,
+      popIsData: Boolean
+  ): PCResult = {
+    val isA = col(indA) === 1
+    val isB = col(indB) === 1
+
+    // sizes + N_total + direct pop totals in ONE aggregate job (PC.R:134-199)
+    val base = Seq(
+      dsum(when(isA, lit(1.0))).as("nA"),
+      dsum(when(isB, lit(1.0))).as("nB"),
+      count(lit(1)).cast("double").as("nrows"),
+      weightsA.map(w => dsum(when(isA, col(w)))).getOrElse(lit(0.0)).as("sWA"))
+    val directTotAggs =
+      if (popIsData) auxA.map(z => dsum(col(z)).as(s"t_$z")) else Nil
+    val szRow = data0.agg(base.head, (base.tail ++ directTotAggs): _*).head()
+    val sizeA = szRow.getDouble(0)
+    val sizeB = szRow.getDouble(1)
+    require(sizeA > 0, "No units in sample A")
+    require(sizeB > 0, "No units in sample B")
+    val nTotal: Double = cfg.nTotal.getOrElse {
+      if (popIsData) szRow.getDouble(2)
+      else {
+        require(weightsA.nonEmpty,
+          "To approximate N_total, provide weights for sample A")
+        szRow.getDouble(3)
+      }
+    }
+
+    // d_i_A / d_i_B defaulting (PC.R:149-171)
+    val dACol: Column = weightsA match {
+      case Some(w) => when(isA, col(w)).otherwise(lit(0.0))
+      case None    => when(isA, lit(nTotal / sizeA)).otherwise(lit(0.0))
+    }
+    val dB0: Column = weightsB match {
+      case Some(w) => when(isB, col(w)).otherwise(lit(0.0))
+      case None    => when(isB, lit(nTotal / sizeB)).otherwise(lit(0.0))
+    }
+    val pre = data0
+      .withColumn("d_i_A", dACol)
+      .withColumn("d_b_pre", dB0)
+      .cache()
+
+    try {
+      // population totals of aux vars (PC.R:181-199)
+      val popTotals: Seq[Double] =
+        if (auxB.isEmpty) Nil
+        else if (popIsData) auxA.indices.map(i => szRow.getDouble(4 + i))
+        else {
+          val designA = SurveyDesign(pre.filter(isA), "d_i_A")
+          val t = WeightedStats.svytotal(designA, auxA)
+          auxA.map(t)
+        }
+
+      // GREG-calibrate the B design (PC.R:216-237); the closed-form
+      // multipliers are re-applied as a column over the FULL frame
+      val dBCal: Column =
+        if (auxB.nonEmpty) {
+          val designB = SurveyDesign(pre.filter(isB), "d_b_pre")
+          val (_, info) = Calibration.calibrate(designB, auxB, popTotals)
+          val xl = auxB.zipWithIndex.foldLeft(lit(1.0): Column) {
+            case (acc, (c, i)) => acc + col(c) * lit(info.lambda(i))
+          }
+          when(isB, col("d_b_pre") * xl).otherwise(lit(0.0))
+        } else col("d_b_pre")
+      val data = pre.withColumn("d_i_B", dBCal)
+      def bWeights: Option[DataFrame] = {
+        val keep = (if (data.columns.contains("id")) Seq("id") else Nil) :+ "d_i_B"
+        Some(data.filter(isB).select(keep.map(col): _*))
+      }
+
+      cfg.scenario match {
+        case 1 =>
+          val yB = yBOpt.getOrElse(throw new IllegalArgumentException(
+            "Scenario 1 requires y_B_col"))
+          val bRows = data.filter(isB)
+          val m =
+            if (auxB.nonEmpty)
+              WeightedStats.svymeanCalibrated(bRows, yB, "d_i_B", "d_b_pre", auxB)
+            else WeightedStats.svymean(SurveyDesign(bRows, "d_i_B"), yB)
+          PCResult(m.mean, se = Some(m.se), weightsB = bWeights)
+
+        case 2 =>
+          val model = cfg.outcomeModel.getOrElse(throw new IllegalArgumentException(
+            "Scenario 2 requires 'outcomeModel'"))
+          val yA = yAOpt.getOrElse(throw new IllegalArgumentException(
+            "Scenario 2 requires y_A_col"))
+          val intersect = data.filter(isA && isB)
+          require(!intersect.isEmpty, "No units in S_A ∩ S_B to fit the model")
+          val spec = ColumnResolver.resolve(FormulaSpec.parse(model), data)
+          val predict = fitModel(intersect, spec, cfg.modelType)
+          // (Σ d_B·ŷ_B + Σ d_A·(y_A − ŷ_A)) / N in one whole-frame agg
+          val r = data.agg(
+            dsum(col("d_i_B") * predict).as("t1"),
+            dsum(when(isA, col("d_i_A") * (col(yA) - predict))).as("t2")).head()
+          PCResult((r.getDouble(0) + r.getDouble(1)) / nTotal, weightsB = bWeights)
+
+        case 3 =>
+          val model = cfg.outcomeModel.getOrElse(throw new IllegalArgumentException(
+            "Scenario 3 requires 'outcomeModel'"))
+          val yA = yAOpt.getOrElse(throw new IllegalArgumentException(
+            "Scenario 3 requires y_A_col"))
+          val yB = yBOpt.getOrElse(throw new IllegalArgumentException(
+            "Scenario 3 requires y_B_col"))
+          val spec = ColumnResolver.resolve(FormulaSpec.parse(model), data)
+          val predict = fitModel(data.filter(isA), spec, cfg.modelType)
+          val scored = data.withColumn("hat_y_i", predict)
+          val sums = scored.agg(
+            dsum(col("hat_y_i")).as("s_pred"),
+            dsum(col("d_i_B") *
+              (when(isB, col(yB)).otherwise(lit(0.0)) - col("hat_y_i"))).as("t1"),
+            dsum(when(isA,
+              (col(yA) - col("hat_y_i")) * (col(yA) - col("hat_y_i")))).as("ssr"),
+            dsum(when(isA, col(yA))).as("s_yA")).head()
+          val est = (sums.getDouble(1) + sums.getDouble(0)) / nTotal
+          if (!cfg.evalModelPerformance) PCResult(est, weightsB = bWeights)
+          else {
+            val ssr = sums.getDouble(2)
+            val meanYA = sums.getDouble(3) / sizeA
+            val sst = scored.filter(isA)
+              .agg(dsum((col(yA) - lit(meanYA)) * (col(yA) - lit(meanYA))))
+              .head().getDouble(0)
+            PCResult(est, rmse = Some(math.sqrt(ssr / sizeA)),
+              r2 = Some(1.0 - ssr / sst), weightsB = bWeights)
+          }
+
+        case s => throw new IllegalArgumentException(s"scenario $s not in 1-3")
+      }
+    } finally pre.unpersist()
+  }
+
+  private def fitModel(df: DataFrame, spec: FormulaSpec, modelType: String): Column =
+    modelType match {
+      case "normal"   => Ols.fit(df, spec).predict
+      case "logistic" => Logistic.fit(df, spec).predict
+      case t => throw new IllegalArgumentException(s"model_type '$t' unsupported")
+    }
+}

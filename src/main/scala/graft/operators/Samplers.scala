@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-size random sampling operators (SURVEY.md §2.9, G4–G7).
+  *
+  * `df.sample(fraction)` is Bernoulli (approximate-n) and NOT what the
+  * reference's `sample(1:N, n)` does — these give exact n.
+  *
+  * Scale notes:
+  *  - SRS / weighted top-n use sort-free `TakeOrderedAndProject`-style
+  *    `orderBy(key).limit(n)`: each task keeps its local top-n, the
+  *    driver merges n·P candidate rows — fine for n ≤ ~10⁶; beyond that
+  *    switch to the windowed stratified path with a single stratum.
+  *  - Stratified exact-n shuffles once on the stratum key; per-stratum
+  *    `row_number` needs no global sort. Skewed strata are bounded by
+  *    the per-stratum sample size, not the stratum size.
+  *  - Keys are seeded `rand(seed)` columns: deterministic for a fixed
+  *    input partitioning within a run. Cross-engine RNG parity is
+  *    distributional, not bitwise (SURVEY.md §7.5).
+  */
+object Samplers {
+
+  /** SRS without replacement, exact n (`sample(1:N, n)`, ipynb:170). */
+  def srsExact(df: DataFrame, n: Int, seed: Long): DataFrame =
+    df.withColumn("__u", rand(seed))
+      .orderBy(col("__u"))
+      .limit(n)
+      .drop("__u")
+
+  /** Weighted sampling without replacement, exact n, inclusion ∝ weight
+    * (Efraimidis–Spirakis 2006: key = log(u)/w, take top-n;
+    * `sample(..., prob=π)`, ipynb:1281-1282). `w` must be > 0. */
+  def weightedExact(df: DataFrame, w: Column, n: Int, seed: Long): DataFrame =
+    df.withColumn("__k", log(rand(seed)) / w)
+      .orderBy(desc("__k"))
+      .limit(n)
+      .drop("__k")
+
+  /** Stratified sampling with proportional allocation, exact n_h per
+    * stratum: n_h = round(N_h/N · nTotal) (ipynb:604-620). One shuffle
+    * on the stratum key; allocation sizes ride a broadcast join. */
+  def stratifiedExact(df: DataFrame, stratumCol: String, nTotal: Int,
+                      seed: Long): DataFrame = {
+    // Strata counts are tiny (#strata rows) — collect them and ship the
+    // allocation back as a literal when-chain instead of a join: no
+    // self-join lineage, no extra shuffle, works at any data scale.
+    val sizes = df.groupBy(stratumCol).agg(count(lit(1)).as("N_h")).collect()
+    val total = sizes.map(_.getLong(1)).sum.toDouble
+    require(total > 0, "empty input")
+    val nh: Column = sizes.foldLeft(lit(0L): Column) { (acc, r) =>
+      val nH = math.floor(r.getLong(1) * nTotal / total + 0.5).toLong
+      when(col(stratumCol) === lit(r.get(0)), lit(nH)).otherwise(acc)
+    }
+    val keyed = df.withColumn("__u", rand(seed)).withColumn("__n_h", nh)
+    val win = Window.partitionBy(stratumCol).orderBy(col("__u"))
+    keyed.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= col("__n_h"))
+      .drop("__u", "__rn", "__n_h")
+  }
+
+  /** Per-row Bernoulli selection with probability column `p`
+    * (`rbinom(N,1,π)` / `runif(N) < π`, ipynb:638,646,1284). */
+  def bernoulli(df: DataFrame, p: Column, seed: Long,
+                indCol: String = "selected"): DataFrame =
+    df.withColumn(indCol, (rand(seed) < p).cast("int"))
+
+  /** Stratified Bernoulli with target-size adjustment (ipynb:631-646):
+    * draw with per-row π, compare realized vs target per stratum, rescale
+    * π by target/realized (clamped to 1) and redraw once. */
+  def stratifiedBernoulliAdjusted(
+      df: DataFrame, stratumCol: String, p: Column,
+      targets: DataFrame, // (stratumCol, target)
+      seed: Long): DataFrame = {
+    val draw1 = df.withColumn("__s1", (rand(seed) < p).cast("int"))
+    val realized = draw1.groupBy(stratumCol)
+      .agg(sum(col("__s1")).cast("double").as("__realized"))
+    val factors = realized.join(targets, Seq(stratumCol))
+      .withColumn("__f", col("target") / greatest(col("__realized"), lit(1.0)))
+      .select(col(stratumCol), col("__f"))
+    draw1.join(broadcast(factors), Seq(stratumCol))
+      .withColumn("selected",
+        (rand(seed + 1000) < least(p * col("__f"), lit(1.0))).cast("int"))
+      .drop("__s1", "__f")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: token
+  * counting, quality ratios, language ID, fingerprinting. All are pure
+  * codegen'd built-in compositions (no UDFs) so they stay inside
+  * whole-stage codegen and run at scan speed on 100 TB — and every one
+  * has an exactly-equivalent ANSI/DuckDB rendition for the oracle.
+  */
+object TextFunctions {
+
+  /** Non-overlapping occurrence count of literal `needle` via the
+    * length-difference identity (literal `replace`, no regex — identical
+    * semantics in every engine). */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) -
+      length(call_function("replace", text, lit(needle), lit("")))) /
+      needle.length).cast("long")
+
+  /** Whitespace token count via the space-counting identity — exact for
+    * single-space-separated text, engine-agnostic. */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(translate(text, " ", "")) + 1).cast("long")
+
+  /** Regex token count (BPE-ish word/number/symbol classes). */
+  def regexTokenCount(text: Column, pattern: String = "[A-Za-z]+|[0-9]+"): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Fraction of characters matching a regex class (e.g. "[A-Z]"). */
+  def charClassRatio(text: Column, clazz: String): Column =
+    (length(text) - length(regexp_replace(text, clazz, ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Mean token length = (chars − spaces) / tokens. */
+  def meanTokenLength(text: Column): Column =
+    (length(translate(text, " ", ""))).cast("double") / tokenCount(text).cast("double")
+
+  /** Quality score: short docs, over-punctuated docs, and docs with very
+    * long "words" score low. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punct = charClassRatio(text, "[.,!?;:]")
+    val mtl = meanTokenLength(text)
+    val mtlScore = when(mtl > 12.0, lit(0.0)).otherwise(lit(1.0) - mtl / lit(24.0))
+    lenScore * (lit(1.0) - least(punct * lit(5.0), lit(1.0))) * mtlScore
+  }
+
+  /** Marker-word languages for the n-gram-free heuristic language ID. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  /** Heuristic language ID: argmax of marker-word hit counts, ties broken
+    * by declaration order, "und" (undetermined) when all zero. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langMarkers.map { case (lang, kws) =>
+      lang -> kws.map(k => occurrences(padded, k)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** 128-bit content fingerprint (md5 hex) — the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Shorter 64-bit hex fingerprint for joins. */
+  def fingerprint64(text: Column): Column = substring(fingerprint(text), 1, 16)
+}

@@ -1,0 +1,472 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.{dmean, dsum, dvarSamp, load, sqlDmean, sqlDsum, sqlDvarSamp}
+
+/** Relational operator inventory (SURVEY.md §2.2–2.8) as driver-gradable
+  * queries over the TPC-H-ish testdata, each with a DuckDB oracle.
+  *
+  * Determinism rules applied throughout:
+  *  - every query ends in an explicit ORDER BY on a unique key;
+  *  - double aggregation uses the exact-decimal `dsum`/`dmean`/`dvarSamp`
+  *    helpers (order-independent, bit-identical across engines);
+  *  - per-row double arithmetic (+,-,*,/) is IEEE-deterministic in both
+  *    engines and used freely; libm-dependent functions (exp, pow) are
+  *    floor-rounded to 6 decimals before output;
+  *  - rounding is expressed as floor(x*10^k + 0.5)/10^k in BOTH engines
+  *    (Spark `round` is HALF_UP, R/DuckDB differ — SURVEY.md §2.8 F4).
+  */
+object Relational {
+
+  /** floor-based HALF_UP rounding, identical semantics in both engines. */
+  def fround(c: Column, k: Int): Column = {
+    val m = math.pow(10, k)
+    floor(c * m + lit(0.5)) / m
+  }
+  def sqlFround(e: String, k: Int): String = {
+    val m = s"1e$k"
+    s"(floor(($e) * $m + 0.5) / $m)"
+  }
+
+  val qs: Seq[Q] = Seq(
+    // ---- P1 select / column pruning -----------------------------------
+    Q("p01_select",
+      (s, d) => load(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+              FROM customer ORDER BY c_custkey""")),
+
+    // ---- P2 rename (RegDI2.R:45-46 id harmonization) ------------------
+    Q("p02_rename",
+      (s, d) => load(s, d, "customer")
+        .withColumnRenamed("c_custkey", "id")
+        .select("id", "c_acctbal")
+        .orderBy("id"),
+      Some("SELECT c_custkey AS id, c_acctbal FROM customer ORDER BY id")),
+
+    // ---- P3 mutate / derived column -----------------------------------
+    Q("p03_mutate",
+      (s, d) => load(s, d, "lineitem")
+        .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .select("l_orderkey", "l_linenumber", "revenue")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice * (1.0 - l_discount) AS revenue
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- P4 wildcard column transform with computed names (ipynb:2640)
+    Q("p04_wildcard_transform",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val dblCols = li.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+          .map(_.name).toSeq
+        val out = dblCols.foldLeft(li) { (df, c) =>
+          df.withColumn(s"bias_$c", col(c) - lit(3.0))
+        }
+        out.select(col("l_orderkey") +: col("l_linenumber") +:
+          dblCols.map(c => col(s"bias_$c")): _*)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_quantity - 3.0 AS bias_l_quantity,
+                     l_extendedprice - 3.0 AS bias_l_extendedprice,
+                     l_discount - 3.0 AS bias_l_discount,
+                     l_tax - 3.0 AS bias_l_tax
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- P5 ifelse → when/otherwise -----------------------------------
+    Q("p05_ifelse",
+      (s, d) => load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") > 0.05, lit("HI")).otherwise(lit("LO")).as("disc_band"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- P6 case_when multi-branch (ipynb:631-636) --------------------
+    Q("p06_case_when",
+      (s, d) => load(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") < 50000.0, lit("small"))
+            .when(col("o_totalprice") < 150000.0, lit("medium"))
+            .when(col("o_totalprice") < 300000.0, lit("large"))
+            .otherwise(lit("jumbo")).as("size_band"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     CASE WHEN o_totalprice < 50000.0 THEN 'small'
+                          WHEN o_totalprice < 150000.0 THEN 'medium'
+                          WHEN o_totalprice < 300000.0 THEN 'large'
+                          ELSE 'jumbo' END AS size_band
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ---- P7 nested-ifelse 4-way stratifier (ipynb:580-582) ------------
+    Q("p07_stratifier",
+      (s, d) => load(s, d, "part")
+        .select(col("p_partkey"),
+          when(col("p_size") <= 25,
+            when(col("p_retailprice") <= 1500.0, lit(1)).otherwise(lit(2)))
+          .otherwise(
+            when(col("p_retailprice") <= 1500.0, lit(3)).otherwise(lit(4)))
+          .as("stratum"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     CASE WHEN p_size <= 25 THEN
+                            CASE WHEN p_retailprice <= 1500.0 THEN 1 ELSE 2 END
+                          ELSE
+                            CASE WHEN p_retailprice <= 1500.0 THEN 3 ELSE 4 END
+                     END AS stratum
+              FROM part ORDER BY p_partkey""")),
+
+    // ---- P8 is.na / isNull indicators after an outer join -------------
+    Q("p08_isnull_indicator",
+      (s, d) => {
+        val cust = load(s, d, "customer").select("c_custkey")
+        val buyers = load(s, d, "orders").select(col("o_custkey")).distinct()
+        cust.join(buyers, cust("c_custkey") === buyers("o_custkey"), "left")
+          .select(col("c_custkey"),
+            col("o_custkey").isNull.cast("int").as("never_ordered"),
+            col("o_custkey").isNotNull.cast("int").as("has_order"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                     CAST(o_custkey IS NULL AS INT) AS never_ordered,
+                     CAST(o_custkey IS NOT NULL AS INT) AS has_order
+              FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) b
+                ON c_custkey = o_custkey
+              ORDER BY c_custkey""")),
+
+    // ---- P9 filter with conjunction -----------------------------------
+    Q("p09_filter",
+      (s, d) => load(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45.0
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- P10/J3 %in% membership as a LEFT SEMI join (never isin-lists)
+    Q("p10_semijoin",
+      (s, d) => {
+        val urgent = load(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        load(s, d, "lineitem")
+          .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem WHERE l_orderkey IN
+                (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- P11 pmin clamp → least (ipynb:645) ---------------------------
+    Q("p11_least_clamp",
+      (s, d) => load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          least(col("l_quantity"), lit(25.0)).as("q_capped"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     least(l_quantity, 25.0) AS q_capped
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- P12 head / limit ---------------------------------------------
+    Q("p12_limit",
+      (s, d) => load(s, d, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders ORDER BY o_orderkey LIMIT 10""")),
+
+    // ---- J1 full outer equi-join + suffixes + indicators --------------
+    // The RegDI/PC two-sample fusion (RegDI2.R:45-72): A side aggregated
+    // per-customer order stats, B side customer master; indicators from
+    // null-ness. The small side is broadcast (see StatsQueries for the
+    // estimator-grade version over a tiny A sample).
+    Q("j01_full_outer_fusion",
+      (s, d) => {
+        val a = load(s, d, "orders").groupBy(col("o_custkey").as("id"))
+          .agg(count(lit(1)).as("cnt_A"), dsum(col("o_totalprice")).as("spend_A"))
+        val b = load(s, d, "customer")
+          .select(col("c_custkey").as("id"), col("c_acctbal").as("bal_B"))
+        a.join(b, Seq("id"), "full_outer")
+          .select(col("id"), col("cnt_A"), col("spend_A"), col("bal_B"),
+            col("cnt_A").isNotNull.cast("int").as("ind_A"),
+            col("bal_B").isNotNull.cast("int").as("ind_B"))
+          .orderBy("id")
+      },
+      Some(s"""SELECT COALESCE(a.id, b.id) AS id, a.cnt_A, a.spend_A, b.bal_B,
+                     CAST(a.cnt_A IS NOT NULL AS INT) AS ind_A,
+                     CAST(b.bal_B IS NOT NULL AS INT) AS ind_B
+              FROM (SELECT o_custkey AS id, count(*) AS cnt_A,
+                           ${sqlDsum("o_totalprice")} AS spend_A
+                    FROM orders GROUP BY o_custkey) a
+              FULL OUTER JOIN
+                   (SELECT c_custkey AS id, c_acctbal AS bal_B FROM customer) b
+                USING (id)
+              ORDER BY id""")),
+
+    // ---- J2 left equi-join, small broadcast side (ipynb:624) ----------
+    Q("j02_left_join_broadcast",
+      (s, d) => {
+        val n = load(s, d, "nation")
+        val r = load(s, d, "region")
+        load(s, d, "customer")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+          .select("c_custkey", "n_name", "r_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, n_name, r_name
+              FROM customer
+              LEFT JOIN nation ON c_nationkey = n_nationkey
+              LEFT JOIN region ON n_regionkey = r_regionkey
+              ORDER BY c_custkey""")),
+
+    // ---- A1 global sum (na.rm=TRUE ≡ nulls skipped) -------------------
+    Q("a01_sum_global",
+      (s, d) => load(s, d, "lineitem").agg(dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT ${sqlDsum("l_quantity")} AS sum_qty FROM lineitem""")),
+
+    // ---- A2 multi-total vector in ONE pass (RegDI2.R:161-165) ---------
+    Q("a02_multi_total",
+      (s, d) => load(s, d, "lineitem").agg(
+        dsum(col("l_quantity")).as("t_qty"),
+        dsum(col("l_extendedprice")).as("t_price"),
+        dsum(col("l_discount")).as("t_disc"),
+        dsum(col("l_tax")).as("t_tax"),
+        count(lit(1)).as("t_n")),
+      Some(s"""SELECT ${sqlDsum("l_quantity")} AS t_qty,
+                      ${sqlDsum("l_extendedprice")} AS t_price,
+                      ${sqlDsum("l_discount")} AS t_disc,
+                      ${sqlDsum("l_tax")} AS t_tax,
+                      count(*) AS t_n
+               FROM lineitem""")),
+
+    // ---- A3 global mean ------------------------------------------------
+    Q("a03_mean",
+      (s, d) => load(s, d, "orders").agg(dmean(col("o_totalprice")).as("avg_price")),
+      Some(s"""SELECT ${sqlDmean("o_totalprice")} AS avg_price FROM orders""")),
+
+    // ---- A4 sample variance / sd (n-1) --------------------------------
+    Q("a04_var_samp",
+      (s, d) => load(s, d, "customer").agg(
+        dvarSamp(col("c_acctbal")).as("var_bal"),
+        sqrt(dvarSamp(col("c_acctbal"))).as("sd_bal")),
+      Some(s"""SELECT ${sqlDvarSamp("c_acctbal")} AS var_bal,
+                      sqrt(${sqlDvarSamp("c_acctbal")}) AS sd_bal
+               FROM customer""")),
+
+    // ---- A5 max --------------------------------------------------------
+    Q("a05_max",
+      (s, d) => load(s, d, "lineitem").agg(
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_shipdate")).cast("date").cast("string").as("first_ship")),
+      Some("""SELECT max(l_extendedprice) AS max_price,
+                     CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS first_ship
+              FROM lineitem""")),
+
+    // ---- A6 count ------------------------------------------------------
+    Q("a06_count",
+      (s, d) => load(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custs")),
+      Some("""SELECT count(*) AS n_rows,
+                     count(DISTINCT o_custkey) AS n_custs FROM orders""")),
+
+    // ---- A7 grouped aggregation (hash agg, partial+final) -------------
+    Q("a07_grouped_agg",
+      (s, d) => load(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dmean(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                      ${sqlDsum("l_quantity")} AS sum_qty,
+                      ${sqlDsum("l_extendedprice")} AS sum_base_price,
+                      ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+                      ${sqlDmean("l_quantity")} AS avg_qty,
+                      count(*) AS count_order
+               FROM lineitem GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- A8 weighted mean (svymean point estimate) --------------------
+    Q("a08_weighted_mean",
+      (s, d) => load(s, d, "lineitem").agg(
+        (dsum(col("l_quantity") * col("l_extendedprice")) /
+          dsum(col("l_quantity"))).as("wmean_price")),
+      Some(s"""SELECT ${sqlDsum("l_quantity * l_extendedprice")} /
+                      ${sqlDsum("l_quantity")} AS wmean_price
+               FROM lineitem""")),
+
+    // ---- A9 Horvitz–Thompson weighted totals (PC.R:190-193) -----------
+    Q("a09_ht_totals",
+      (s, d) => {
+        val w = lit(1.0) + col("l_tax")
+        load(s, d, "lineitem").agg(
+          dsum(w * col("l_quantity")).as("ht_qty"),
+          dsum(w * col("l_extendedprice")).as("ht_price"),
+          dsum(w).as("ht_n"))
+      },
+      Some(s"""SELECT ${sqlDsum("(1.0 + l_tax) * l_quantity")} AS ht_qty,
+                      ${sqlDsum("(1.0 + l_tax) * l_extendedprice")} AS ht_price,
+                      ${sqlDsum("(1.0 + l_tax)")} AS ht_n
+               FROM lineitem""")),
+
+    // ---- A10 grouped mean-of-bias with rounding (ipynb:2066-2073) -----
+    Q("a10_grouped_round",
+      (s, d) => load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(fround(dmean(col("l_quantity") - lit(25.0)), 3).as("avg_bias_qty"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+                      ${sqlFround(sqlDmean("l_quantity - 25.0"), 3)} AS avg_bias_qty
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- A11 RMSE / R² of a fixed linear predictor (RegDI2.R:228-235)
+    // (the coefficient-fitting version with a closed-form oracle lives in
+    // StatsQueries.m05_ols_fit)
+    Q("a11_rmse_r2",
+      (s, d) => {
+        val pred = lit(1000.0) + lit(35000.0) * col("l_quantity") / lit(25.0)
+        val e = col("l_extendedprice") - pred
+        val y = col("l_extendedprice")
+        load(s, d, "lineitem").agg(
+          sqrt(dsum(e * e) / count(lit(1))).as("rmse"),
+          (lit(1.0) - dsum(e * e) /
+            (dsum(y * y) - dsum(y) * dsum(y) / count(lit(1)))).as("r2"))
+      },
+      Some {
+        val e = "l_extendedprice - (1000.0 + 35000.0 * l_quantity / 25.0)"
+        val y = "l_extendedprice"
+        s"""SELECT sqrt(${sqlDsum(s"($e) * ($e)")} / count(*)) AS rmse,
+                   1.0 - ${sqlDsum(s"($e) * ($e)")} /
+                     (${sqlDsum(s"($y) * ($y)")} -
+                      ${sqlDsum(y)} * ${sqlDsum(y)} / count(*)) AS r2
+            FROM lineitem"""
+      }),
+
+    // ---- U1 rbind → unionByName (columns in different order!) ---------
+    Q("u01_union_by_name",
+      (s, d) => {
+        val c = load(s, d, "customer")
+        val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val mach = c.filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        auto.unionByName(mach).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+              WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+              ORDER BY c_custkey""")),
+
+    // ---- U2 cbind → one-pass multi-column select (ipynb:2299) ---------
+    Q("u02_cbind_columns",
+      (s, d) => load(s, d, "part")
+        .select(col("p_partkey"),
+          (col("p_retailprice") * 0.9).as("price_sd_low"),
+          (col("p_retailprice") * 1.0).as("price_sd_mid"),
+          (col("p_retailprice") * 1.1).as("price_sd_high"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     p_retailprice * 0.9 AS price_sd_low,
+                     p_retailprice * 1.0 AS price_sd_mid,
+                     p_retailprice * 1.1 AS price_sd_high
+              FROM part ORDER BY p_partkey""")),
+
+    // ---- R1 melt / unpivot wide→long (ipynb:2121-2127) ----------------
+    Q("r01_melt",
+      (s, d) => load(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size_d"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size_d")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+              FROM part
+              UNION ALL
+              SELECT p_partkey, 'p_size_d' AS metric, CAST(p_size AS DOUBLE)
+              FROM part
+              ORDER BY p_partkey, metric""")),
+
+    // ---- R2 pivot_longer with programmatic column selection -----------
+    Q("r02_pivot_longer",
+      (s, d) => {
+        val wide = load(s, d, "lineitem").groupBy("l_returnflag").agg(
+          dsum(col("l_quantity")).as("mean_qty"),
+          dmean(col("l_discount")).as("mean_disc"))
+        val meanCols = wide.columns.filter(_.startsWith("mean_"))
+        wide.unpivot(Array(col("l_returnflag")), meanCols.map(col),
+          "measure", "value")
+          .orderBy("l_returnflag", "measure")
+      },
+      Some(s"""WITH wide AS (
+                 SELECT l_returnflag,
+                        ${sqlDsum("l_quantity")} AS mean_qty,
+                        ${sqlDmean("l_discount")} AS mean_disc
+                 FROM lineitem GROUP BY l_returnflag)
+               SELECT l_returnflag, 'mean_qty' AS measure, mean_qty AS value FROM wide
+               UNION ALL
+               SELECT l_returnflag, 'mean_disc', mean_disc FROM wide
+               ORDER BY l_returnflag, measure""")),
+
+    // ---- R3 separate / regex split (ipynb:2745) -----------------------
+    Q("r03_separate",
+      (s, d) => load(s, d, "orders")
+        .select(col("o_orderkey"),
+          split(col("o_orderpriority"), "-").getItem(0).as("prio_num"),
+          split(col("o_orderpriority"), "-").getItem(1).as("prio_word"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     split_part(o_orderpriority, '-', 1) AS prio_num,
+                     split_part(o_orderpriority, '-', 2) AS prio_word
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ---- R4 pivot_wider long→wide (ipynb:2788-2790) -------------------
+    Q("r04_pivot_wider",
+      (s, d) => load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .withColumnsRenamed(Map("F" -> "total_F", "O" -> "total_O", "P" -> "total_P"))
+        .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority,
+                      ${sqlDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_F,
+                      ${sqlDsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS total_O,
+                      ${sqlDsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS total_P
+               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- F1-F5 scalar function surface --------------------------------
+    // sqrt is IEEE-correctly-rounded (kept raw); exp/pow are libm-
+    // dependent, so floor-rounded to 6 dp for cross-engine hashing.
+    Q("f01_scalar_funcs",
+      (s, d) => load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") / lit(1000.0) + col("l_quantity") * lit(2.0)
+            - col("l_tax")).as("arith"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          fround(exp(-col("l_discount")), 6).as("exp_neg_disc"),
+          fround(pow(col("l_quantity"), lit(2.0)), 6).as("qty_sq"),
+          (col("l_quantity") <= 25.0).cast("int").as("small_qty"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+                      l_extendedprice / 1000.0 + l_quantity * 2.0 - l_tax AS arith,
+                      sqrt(l_quantity) AS sqrt_qty,
+                      ${sqlFround("exp(-l_discount)", 6)} AS exp_neg_disc,
+                      ${sqlFround("pow(l_quantity, 2.0)", 6)} AS qty_sq,
+                      CAST(l_quantity <= 25.0 AS INT) AS small_qty
+               FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+  )
+}

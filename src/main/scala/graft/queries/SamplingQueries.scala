@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Samplers
+import graft.synth.Population
+import graft.util.Tables.load
+
+/** Sampling / synthesis operators (SURVEY.md §2.9) as driver-gradable
+  * queries. Random DATA can't be hash-matched cross-engine, but the
+  * exact-n invariants CAN: sizes are deterministic given the allocation
+  * rule, so the oracles check them. Distributional properties (inclusion
+  * ∝ weight, seeded determinism) are covered in ScalaTest.
+  */
+object SamplingQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- S1+G1 population synthesis: size + moment sanity -------------
+    // mean(x)≈2, mean(y)≈3 at n=20k: |err| < 5σ/√n ≈ 0.036 — assert the
+    // rounded-to-0-decimals values, which ARE deterministic at this n.
+    Q("g01_population_synth",
+      (s, _) => {
+        val pop = Population.cell2(s, 20000, seed = 42)
+        pop.agg(count(lit(1)).as("n"),
+          floor(avg("x_i") + 0.5).cast("long").as("mean_x_rounded"),
+          floor(avg("y_i") + 0.5).cast("long").as("mean_y_rounded"))
+      },
+      Some("SELECT CAST(20000 AS BIGINT) AS n, CAST(2 AS BIGINT) AS mean_x_rounded, CAST(3 AS BIGINT) AS mean_y_rounded")),
+
+    // ---- G2 Bernoulli with per-row p: realized fraction ≈ p -----------
+    Q("g02_bernoulli",
+      (s, _) => {
+        val pop = Population.cell7(s, 20000, seed = 7)
+        val drawn = Samplers.bernoulli(pop, lit(0.2), seed = 11)
+        drawn.agg(count(lit(1)).as("n"),
+          floor(avg("selected") * 10 + 0.5).cast("long").as("frac_x10"))
+      },
+      Some("SELECT CAST(20000 AS BIGINT) AS n, CAST(2 AS BIGINT) AS frac_x10")),
+
+    // ---- G4 SRS without replacement, EXACT n --------------------------
+    Q("g04_srs_exact",
+      (s, d) => {
+        val sample = Samplers.srsExact(load(s, d, "customer"), 500, seed = 42)
+        sample.agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("c_custkey")).as("n_distinct"))
+      },
+      Some("SELECT CAST(500 AS BIGINT) AS n_sampled, CAST(500 AS BIGINT) AS n_distinct")),
+
+    // ---- G5 weighted sampling w/o replacement, exact n (E–S keys) -----
+    // Size is exact; the weighted-ness shows as a higher mean weight in
+    // the sample than the population (checked distributionally in specs;
+    // here: exact size + all-distinct).
+    Q("g05_weighted_exact",
+      (s, d) => {
+        val pop = load(s, d, "customer")
+          .withColumn("w", col("c_acctbal") + lit(1000.1))
+        val sample = Samplers.weightedExact(pop, col("w"), 500, seed = 42)
+        sample.agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("c_custkey")).as("n_distinct"))
+      },
+      Some("SELECT CAST(500 AS BIGINT) AS n_sampled, CAST(500 AS BIGINT) AS n_distinct")),
+
+    // ---- G6 stratified exact-n, proportional allocation ----------------
+    // Realized per-stratum sizes must equal round(N_h/N·1000) — the
+    // oracle recomputes the allocation from the population itself.
+    Q("g06_stratified_exact",
+      (s, d) => {
+        val cust = load(s, d, "customer")
+        val sample = Samplers.stratifiedExact(cust, "c_mktsegment", 1000, seed = 42)
+        sample.groupBy("c_mktsegment").agg(count(lit(1)).as("n_sampled"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH sizes AS (SELECT c_mktsegment, count(*) AS n_h FROM customer
+                             GROUP BY c_mktsegment),
+                   tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer)
+              SELECT c_mktsegment,
+                     CAST(floor(n_h * 1000 / tot.n + 0.5) AS BIGINT) AS n_sampled
+              FROM sizes, tot ORDER BY c_mktsegment""")),
+
+    // ---- G7 stratified Bernoulli with size adjustment ------------------
+    // Rows-only (the adjustment redraw is stochastic); spec-tested.
+    Q("g07_bernoulli_adjusted",
+      (s, _) => {
+        val pop = Population.cell7(s, 20000, seed = 7)
+        val targets = pop.groupBy("stratum")
+          .agg((count(lit(1)) / 10).cast("double").as("target"))
+        val drawn = Samplers.stratifiedBernoulliAdjusted(
+          pop, "stratum", lit(0.05), targets, seed = 13)
+        drawn.filter(col("selected") === 1)
+          .groupBy("stratum").agg(count(lit(1)).as("n_selected"))
+          .orderBy("stratum")
+      },
+      None),
+
+    // ---- G8 seeded determinism: same seed ⇒ identical sample ----------
+    Q("g08_seeded_rng",
+      (s, d) => {
+        val cust = load(s, d, "customer")
+        val s1 = Samplers.srsExact(cust, 300, seed = 99).select("c_custkey")
+        val s2 = Samplers.srsExact(cust, 300, seed = 99).select("c_custkey")
+        s1.exceptAll(s2).union(s2.exceptAll(s1))
+          .agg(count(lit(1)).as("n_diff"))
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS n_diff"))
+  )
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.FormulaSpec
+import graft.stats.Logistic
+import graft.util.Tables.{dsum, dvarSamp, load, sqlDsum, sqlDvarSamp}
+
+/** The estimator-core operators (SURVEY.md §2.10, M1–M11) as driver-
+  * gradable queries with closed-form DuckDB oracles.
+  *
+  * A deterministic "survey" is carved out of the `customer` table:
+  *   population U  = customer                       (y = c_acctbal)
+  *   prob sample A = c_custkey % 37 = 1, design weight d = 20 + custkey%40
+  *   big sample  B = c_acctbal > 1000 (biased toward high balances)
+  * Because calibration with the linear calfun, OLS, linearization
+  * variance, and the DR combinations are all CLOSED FORM, every formula
+  * is written with the same expression tree in Spark and in SQL over
+  * exact-decimal sums — so results are bit-identical and hash-checkable.
+  * (The breeze-solved library versions in graft.stats are covered by
+  * ScalaTest with 1e-10 tolerances instead; a k×k LU solve is not
+  * bit-reproducible in SQL.)
+  *
+  * Scale note (100 TB): every query here is one or two aggregation jobs
+  * of O(k²) state plus a codegen'd projection — no data rows ever reach
+  * the driver; scalars are broadcast back as literals.
+  */
+object StatsQueries {
+
+  // deterministic sample definitions, shared by Spark + SQL sides
+  private val sqlA =
+    """SELECT c_custkey AS id, c_acctbal AS y,
+              20.0 + (c_custkey % 40) AS d,
+              CAST(c_nationkey AS DOUBLE) AS x
+       FROM customer WHERE c_custkey % 37 = 1"""
+  private val sqlB =
+    """SELECT c_custkey AS id, c_acctbal AS y,
+              CAST(c_nationkey AS DOUBLE) AS x
+       FROM customer WHERE c_acctbal > 1000.0"""
+
+  private def sampleA(s: SparkSession, d: String): DataFrame =
+    load(s, d, "customer")
+      .filter(col("c_custkey") % 37 === 1)
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("y"),
+        (lit(20.0) + (col("c_custkey") % 40)).as("d"),
+        col("c_nationkey").cast("double").as("x"))
+
+  private def sampleB(s: SparkSession, d: String): DataFrame =
+    load(s, d, "customer")
+      .filter(col("c_acctbal") > 1000.0)
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("y"),
+        col("c_nationkey").cast("double").as("x"))
+
+  private def dbl(r: Row, i: Int): Double =
+    if (r.isNullAt(i)) 0.0 else r.getAs[Number](i).doubleValue()
+
+  /** Closed-form simple OLS y ~ 1 + x over `df` — returns (b0, b1, n).
+    * Exact-decimal sums then double arithmetic: bit-identical to the SQL
+    * rendition in [[sqlOlsCoefs]]. */
+  private def olsCoefs(df: DataFrame, x: Column, y: Column): (Double, Double, Double) = {
+    val r = df.agg(dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+      dsum(x * x).as("sxx"), count(lit(1)).cast("double").as("n")).head()
+    val (sx, sy, sxy, sxx, n) = (dbl(r, 0), dbl(r, 1), dbl(r, 2), dbl(r, 3), dbl(r, 4))
+    val b1 = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val b0 = sy / n - b1 * (sx / n)
+    (b0, b1, n)
+  }
+
+  /** SQL CTE computing the same (b0, b1, n) from relation `rel(x, y)`. */
+  private def sqlOlsCoefs(rel: String): String =
+    s"""g AS (SELECT ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+                     ${sqlDsum("x * y")} AS sxy, ${sqlDsum("x * x")} AS sxx,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM $rel),
+        coefs AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b1,
+                         sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n) AS b0,
+                         n
+                  FROM g)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- M2 GREG calibration, k=1 aux var, closed form ----------------
+    // λ = (T − Σd·x) / Σd·x² ;  w = d·(1 + λ·x)   (RegDI2.R:188-193)
+    Q("m02_calibrate_k1",
+      (s, d) => {
+        val a = sampleA(s, d)
+        val t = load(s, d, "customer").agg(dsum(col("c_acctbal"))).head().getDouble(0)
+        val g = a.agg(dsum(col("d") * col("y")).as("sdx"),
+          dsum(col("d") * col("y") * col("y")).as("sdxx")).head()
+        val lambda = (t - dbl(g, 0)) / dbl(g, 1)
+        a.select(col("id"),
+          (col("d") * (lit(1.0) + lit(lambda) * col("y"))).as("w_cal"))
+          .orderBy("id")
+      },
+      Some(s"""WITH a AS ($sqlA),
+                    t AS (SELECT ${sqlDsum("c_acctbal")} AS tot FROM customer),
+                    g AS (SELECT ${sqlDsum("d * y")} AS sdx,
+                                 ${sqlDsum("d * y * y")} AS sdxx FROM a),
+                    l AS (SELECT (t.tot - g.sdx) / g.sdxx AS lambda FROM g, t)
+               SELECT a.id, a.d * (1.0 + l.lambda * a.y) AS w_cal
+               FROM a, l ORDER BY a.id""")),
+
+    // ---- M2 GREG calibration, k=2 (intercept + x), adjugate solve -----
+    // A = [[Σd, Σdx],[Σdx, Σdxx]], r = [N−Σd, T−Σdx], λ = A⁻¹r via
+    // det/adjugate — same expression tree both engines.
+    Q("m02_calibrate_k2",
+      (s, d) => {
+        val a = sampleA(s, d)
+        val pop = load(s, d, "customer")
+          .agg(count(lit(1)).cast("double").as("n"), dsum(col("c_acctbal")).as("t")).head()
+        val (nPop, t) = (dbl(pop, 0), dbl(pop, 1))
+        val g = a.agg(dsum(col("d")).as("sd"), dsum(col("d") * col("y")).as("sdx"),
+          dsum(col("d") * col("y") * col("y")).as("sdxx")).head()
+        val (sd, sdx, sdxx) = (dbl(g, 0), dbl(g, 1), dbl(g, 2))
+        val det = sd * sdxx - sdx * sdx
+        val r1 = nPop - sd
+        val r2 = t - sdx
+        val l1 = (sdxx * r1 - sdx * r2) / det
+        val l2 = (sd * r2 - sdx * r1) / det
+        a.select(col("id"),
+          (col("d") * (lit(1.0) + lit(l1) + lit(l2) * col("y"))).as("w_cal"))
+          .orderBy("id")
+      },
+      Some(s"""WITH a AS ($sqlA),
+                    pop AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                                   ${sqlDsum("c_acctbal")} AS t FROM customer),
+                    g AS (SELECT ${sqlDsum("d")} AS sd, ${sqlDsum("d * y")} AS sdx,
+                                 ${sqlDsum("d * y * y")} AS sdxx FROM a),
+                    l AS (SELECT (g.sdxx * (pop.n - g.sd) - g.sdx * (pop.t - g.sdx))
+                                   / (g.sd * g.sdxx - g.sdx * g.sdx) AS l1,
+                                 (g.sd * (pop.t - g.sdx) - g.sdx * (pop.n - g.sd))
+                                   / (g.sd * g.sdxx - g.sdx * g.sdx) AS l2
+                          FROM g, pop)
+               SELECT a.id, a.d * (1.0 + l.l1 + l.l2 * a.y) AS w_cal
+               FROM a, l ORDER BY a.id""")),
+
+    // ---- M3 svymean + linearization variance (ids=~1, uncalibrated) ---
+    // μ = Σdy/Σd ; zᵢ = d(y−μ)/Σd ; V = n/(n−1)·(Σz² − (Σz)²/n)
+    Q("m03_svymean_var",
+      (s, d) => {
+        val a = sampleA(s, d)
+        val m = a.agg(dsum(col("d") * col("y")).as("sdy"), dsum(col("d")).as("sd"))
+          .head()
+        val mu = dbl(m, 0) / dbl(m, 1)
+        val sw = dbl(m, 1)
+        val z = col("d") * (col("y") - lit(mu)) / lit(sw)
+        a.agg(max(lit(mu)).as("mean_y"),
+          ((count(lit(1)).cast("double") / (count(lit(1)).cast("double") - lit(1.0))) *
+            (dsum(z * z) - dsum(z) * dsum(z) / count(lit(1)).cast("double")))
+            .as("var_mean"))
+      },
+      Some(s"""WITH a AS ($sqlA),
+                    m AS (SELECT ${sqlDsum("d * y")} / ${sqlDsum("d")} AS mu,
+                                 ${sqlDsum("d")} AS sw FROM a),
+                    z AS (SELECT a.d * (a.y - m.mu) / m.sw AS z, m.mu FROM a, m)
+               SELECT max(mu) AS mean_y,
+                      (CAST(count(*) AS DOUBLE) / (CAST(count(*) AS DOUBLE) - 1.0)) *
+                        (${sqlDsum("z * z")} - ${sqlDsum("z")} * ${sqlDsum("z")}
+                           / CAST(count(*) AS DOUBLE)) AS var_mean
+               FROM z""")),
+
+    // ---- M4 svytotal — HT totals from the A design (PC.R:190-193) -----
+    Q("m04_svytotal",
+      (s, d) => sampleA(s, d).agg(
+        dsum(col("d") * col("y")).as("ht_y"),
+        dsum(col("d") * col("x")).as("ht_x"),
+        dsum(col("d")).as("ht_n")),
+      Some(s"""WITH a AS ($sqlA)
+               SELECT ${sqlDsum("d * y")} AS ht_y,
+                      ${sqlDsum("d * x")} AS ht_x,
+                      ${sqlDsum("d")} AS ht_n FROM a""")),
+
+    // ---- M5 OLS fit y ~ 1 + x, closed form (RegDI2.R:209) -------------
+    Q("m05_ols_fit",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val (b0, b1, n) = olsCoefs(li, col("l_quantity"), col("l_extendedprice"))
+        li.sparkSession.range(1).select(lit(b0).as("b0"), lit(b1).as("b1"),
+          lit(n).as("n"))
+      },
+      Some(s"""WITH src AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+                    ${sqlOlsCoefs("src")}
+               SELECT b0, b1, n FROM coefs""")),
+
+    // ---- M6 logistic regression via IRLS (PC.R:274,311) — no SQL
+    // oracle (iterative); gradient-zero + determinism covered in
+    // ScalaTest. Returns the fitted coefficients as a row.
+    Q("m06_logistic_fit",
+      (s, d) => {
+        val df = load(s, d, "customer")
+          .select((col("c_acctbal") > 4500.0).cast("double").as("yb"),
+            col("c_nationkey").cast("double").as("x"))
+        val fit = Logistic.fit(df, FormulaSpec.parse("yb ~ x"))
+        df.sparkSession.range(1).select(
+          lit(fit.beta(0)).as("b0"), lit(fit.beta(1)).as("b1"),
+          lit(fit.converged).cast("int").as("converged"))
+      },
+      None),
+
+    // ---- M7 broadcast-β scoring (predict) -----------------------------
+    Q("m07_predict",
+      (s, d) => sampleB(s, d)
+        .select(col("id"), (lit(500.0) + lit(0.8) * col("y") - lit(12.5) * col("x"))
+          .as("yhat"))
+        .orderBy("id"),
+      Some(s"""WITH b AS ($sqlB)
+               SELECT id, 500.0 + 0.8 * y - 12.5 * x AS yhat
+               FROM b ORDER BY id""")),
+
+    // ---- M8 masked residual column (PC.R:286,322) ---------------------
+    Q("m08_masked_residual",
+      (s, d) => {
+        val c = load(s, d, "customer")
+        val yhat = lit(500.0) + lit(0.8) * col("c_acctbal")
+        c.select(col("c_custkey"),
+          when(col("c_acctbal") > 1000.0, col("c_acctbal") - yhat)
+            .otherwise(lit(null)).as("resid_B"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                     CASE WHEN c_acctbal > 1000.0
+                          THEN c_acctbal - (500.0 + 0.8 * c_acctbal)
+                          ELSE NULL END AS resid_B
+              FROM customer ORDER BY c_custkey""")),
+
+    // ---- M9 doubly-robust combination (PC.R scenario 3, :325-328) -----
+    // Fit y ~ 1 + x on A (closed form); est = (Σ_B (y−ŷ) + Σ_U ŷ) / N.
+    Q("m09_dr_combination",
+      (s, d) => {
+        val a = sampleA(s, d)
+        val (b0, b1, _) = olsCoefs(a, col("x"), col("y"))
+        val u = load(s, d, "customer")
+          .select(col("c_acctbal").as("y"),
+            col("c_nationkey").cast("double").as("x"))
+        val yhat = lit(b0) + lit(b1) * col("x")
+        val sums = u.agg(
+          dsum(when(col("y") > 1000.0, col("y") - yhat)).as("s_b_resid"),
+          dsum(yhat).as("s_u_pred"),
+          count(lit(1)).cast("double").as("n_pop")).head()
+        val est = (dbl(sums, 0) + dbl(sums, 1)) / dbl(sums, 2)
+        u.sparkSession.range(1).select(lit(est).as("dr_estimate"))
+      },
+      Some(s"""WITH a AS ($sqlA),
+                    ${sqlOlsCoefs("a")},
+                    u AS (SELECT c_acctbal AS y, CAST(c_nationkey AS DOUBLE) AS x
+                          FROM customer),
+                    sums AS (SELECT
+                      ${sqlDsum("CASE WHEN u.y > 1000.0 THEN u.y - (c.b0 + c.b1 * u.x) END")} AS s_b_resid,
+                      ${sqlDsum("c.b0 + c.b1 * u.x")} AS s_u_pred,
+                      CAST(count(*) AS DOUBLE) AS n_pop
+                      FROM u, coefs c)
+               SELECT (s_b_resid + s_u_pred) / n_pop AS dr_estimate FROM sums""")),
+
+    // ---- M10 measurement-error inversion (RegDI2.R:264-302) -----------
+    // "True" y_A observed on A-rows only; mismeasured y_B everywhere.
+    // Fit y_A ~ y_B on the overlap, invert: y_corr = (y_B_fitted⁻¹).
+    Q("m10_measurement_error",
+      (s, d) => {
+        val c = load(s, d, "customer")
+          .select(col("c_custkey").as("id"), col("c_acctbal").as("y_a"),
+            (lit(1.1) * col("c_acctbal") + lit(50.0)).as("y_b"))
+        val overlap = c.filter(col("id") % 5 === 0)
+        val (b0, b1, _) = olsCoefs(overlap, col("y_b"), col("y_a"))
+        // invert the fit for non-overlap rows: corrected = b0 + b1·y_b is
+        // the calibrated prediction; A-rows keep observed y_a
+        c.select(col("id"),
+          when(col("id") % 5 === 0, col("y_a"))
+            .otherwise(lit(b0) + lit(b1) * col("y_b")).as("y_corrected"))
+          .orderBy("id")
+      },
+      Some(s"""WITH c AS (SELECT c_custkey AS id, c_acctbal AS y_a,
+                                 1.1 * c_acctbal + 50.0 AS y_b FROM customer),
+                    src AS (SELECT y_b AS x, y_a AS y FROM c WHERE id % 5 = 0),
+                    ${sqlOlsCoefs("src")}
+               SELECT c.id,
+                      CASE WHEN c.id % 5 = 0 THEN c.y_a
+                           ELSE f.b0 + f.b1 * c.y_b END AS y_corrected
+               FROM c, coefs f ORDER BY c.id""")),
+
+    // ---- M11 DR variance: var(w·e)/n + var(ŷ)/N (RegDI2.R:222-225) ----
+    Q("m11_dr_variance",
+      (s, d) => {
+        val a = sampleA(s, d)
+        val yhat = lit(500.0) + lit(0.8) * col("y")
+        val e = col("y") - yhat
+        val va = a.agg(
+          (dvarSamp(col("d") * e) / count(lit(1)).cast("double")).as("v_resid"),
+          (dvarSamp(yhat) / lit(10000.0)).as("v_pred")).head()
+        a.sparkSession.range(1).select(
+          lit(dbl(va, 0)).as("v_resid"), lit(dbl(va, 1)).as("v_pred"),
+          lit(dbl(va, 0) + dbl(va, 1)).as("v_dr"))
+      },
+      Some {
+        val e = "y - (500.0 + 0.8 * y)"
+        s"""WITH a AS ($sqlA),
+                 v AS (SELECT
+                   ${sqlDvarSamp(s"d * ($e)")} / CAST(count(*) AS DOUBLE) AS v_resid,
+                   ${sqlDvarSamp("500.0 + 0.8 * y")} / 10000.0 AS v_pred
+                   FROM a)
+            SELECT v_resid, v_pred, v_resid + v_pred AS v_dr FROM v"""
+      })
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextFunctions._
+import graft.util.Tables.load
+
+/** Text-analysis + deduplication operators over `documents.parquet`,
+  * driver-gradable with DuckDB oracles wherever the arithmetic is
+  * engine-agnostic (everything here is length/replace/md5 identities —
+  * no libm, no RNG). MinHash-LSH and SimHash near-dup live in
+  * `graft.operators.Dedup` with their own queries (DedupQueries).
+  */
+object TextQueries {
+
+  // the SQL rendition of occurrences(padded_text, kw)
+  private def sqlOcc(padded: String, kw: String): String =
+    s"CAST((length($padded) - length(replace($padded, '$kw', ''))) / ${kw.length} AS BIGINT)"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- T1 per-document stats: tokens, ratios, mean token length -----
+    Q("t01_text_stats",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          tokenCount(col("text")).as("n_tokens"),
+          meanTokenLength(col("text")).as("mean_tok_len"),
+          charClassRatio(col("text"), "[aeiou]").as("vowel_ratio"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars_calc,
+                     CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                     CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS mean_tok_len,
+                     CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) AS vowel_ratio
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- T2 heuristic language ID (marker-word argmax) ----------------
+    Q("t02_lang_id",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+      Some {
+        val p = "(' ' || text || ' ')"
+        val en = Seq(" the ", " and ", " of ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+        val es = Seq(" el ", " la ", " de ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+        val de = Seq(" der ", " und ", " die ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+        val fr = Seq(" le ", " et ", " les ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+        s"""WITH sc AS (SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr
+                        FROM documents),
+                 b AS (SELECT doc_id, s_en, s_es, s_de, s_fr,
+                              greatest(s_en, s_es, s_de, s_fr) AS best FROM sc)
+            SELECT doc_id,
+                   CASE WHEN s_en = best AND best > 0 THEN 'en'
+                        WHEN s_es = best AND best > 0 THEN 'es'
+                        WHEN s_de = best AND best > 0 THEN 'de'
+                        WHEN s_fr = best AND best > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_guess
+            FROM b ORDER BY doc_id"""
+      }),
+
+    // ---- T3 content fingerprint (rolling-hash analog via md5) ---------
+    Q("t03_fingerprint",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+          fingerprint64(col("text")).as("fp64"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS fp,
+                     substring(md5(text), 1, 16) AS fp64
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- T4 regex token count (BPE-ish classes) -----------------------
+    Q("t04_regex_tokens",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          regexTokenCount(col("text")).as("n_word_tokens"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+        val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val punct = "(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+        s"""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,
+                   least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                     * (1.0 - least($punct * 5.0, 1.0))
+                     * (CASE WHEN $mtl > 12.0 THEN 0.0 ELSE 1.0 - $mtl / 24.0 END) AS quality
+            FROM documents ORDER BY doc_id"""
+      }),
+
+    // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
+    // The 100 TB path: one shuffle on the 128-bit fingerprint; no text
+    // comparison, no sort. Duplicate groups carry their sizes.
+    Q("d01_dedup_exact",
+      (s, d) => load(s, d, "documents")
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+                     count(*) AS n_copies
+              FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+  )
+}

@@ -1,0 +1,97 @@
+package graft.stats
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Weighted second-moment (Gram) accumulation — the single distributed
+  * primitive behind GREG calibration, closed-form OLS/WLS, IRLS logistic,
+  * and linearization variance (SURVEY.md §7.3; reference call sites
+  * `RegDI2.R:188-193,209`, `PC.R:221-230,272`).
+  *
+  * Design note (100 TB): rather than a `TypedImperativeAggregate`, the
+  * moments are expressed as a single multi-column `agg` of plain `sum`
+  * expressions (`Σ w·xᵢ·xⱼ` for i≤j, `Σ w·xᵢ`, `Σ w·xᵢ·y`, …). Catalyst
+  * compiles this to one whole-stage-codegen'd partial/final HashAggregate:
+  * O(k²) state per task (k ≤ ~8 here), map-side combine, one shuffle of a
+  * single tiny row, zero driver-side data movement. The k×k solve happens
+  * on the driver via breeze (`\`), and the solution is broadcast back
+  * implicitly as literals in subsequent projections.
+  */
+final case class GramResult(
+    xtwx: DenseMatrix[Double], // Σ w · x xᵀ   (k×k)
+    xtw: DenseVector[Double],  // Σ w · x      (k)
+    xtwy: DenseVector[Double], // Σ w · x · y  (k; zeros when y absent)
+    sw: Double,                // Σ w
+    swy: Double,               // Σ w · y
+    swyy: Double,              // Σ w · y²
+    n: Long                    // row count
+) {
+  /** Solve (XᵀWX) b = XᵀWy — WLS/OLS coefficients. */
+  def solve(): DenseVector[Double] = xtwx \ xtwy
+  /** Solve (XᵀWX) b = rhs — e.g. calibration λ. */
+  def solve(rhs: DenseVector[Double]): DenseVector[Double] = xtwx \ rhs
+}
+
+object Gram {
+
+  /** One-pass weighted moments of `xCols` (and optionally `yCol`) under
+    * weight `w`. Null rows contribute null products, which Spark's `sum`
+    * skips — matching the reference's pervasive `na.rm=TRUE`.
+    */
+  def moments(
+      df: DataFrame,
+      xCols: Seq[Column],
+      w: Column = lit(1.0),
+      yCol: Option[Column] = None
+  ): GramResult = {
+    import graft.util.Tables.dsum
+    val k = xCols.size
+    val y = yCol.getOrElse(lit(0.0))
+    // dsum = exact-decimal summation: order-independent, so the moments
+    // (and everything solved from them) are bit-identical under any
+    // repartitioning — a tested invariant (SURVEY.md §5 property tests).
+    val upper = for { i <- 0 until k; j <- i until k }
+      yield dsum(w * xCols(i) * xCols(j)).as(s"xx_${i}_$j")
+    val firsts = (0 until k).map(i => dsum(w * xCols(i)).as(s"xw_$i"))
+    val xy = (0 until k).map(i => dsum(w * xCols(i) * y).as(s"xy_$i"))
+    val extras = Seq(
+      dsum(w).as("sw"), dsum(w * y).as("swy"), dsum(w * y * y).as("swyy"),
+      count(lit(1)).as("n"))
+    val aggs = upper ++ firsts ++ xy ++ extras
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    def d(name: String): Double =
+      if (row.isNullAt(row.fieldIndex(name))) 0.0
+      else row.getAs[Number](name).doubleValue()
+
+    val m = DenseMatrix.zeros[Double](k, k)
+    for { i <- 0 until k; j <- i until k } {
+      val v = d(s"xx_${i}_$j"); m(i, j) = v; m(j, i) = v
+    }
+    GramResult(
+      xtwx = m,
+      xtw = DenseVector((0 until k).map(i => d(s"xw_$i")).toArray),
+      xtwy = DenseVector((0 until k).map(i => d(s"xy_$i")).toArray),
+      sw = d("sw"), swy = d("swy"), swyy = d("swyy"),
+      n = row.getAs[Long]("n")
+    )
+  }
+
+  def moments(df: DataFrame, xCols: Seq[String], wCol: Option[String],
+              yColName: Option[String]): GramResult =
+    moments(df, xCols.map(col), wCol.map(col).getOrElse(lit(1.0)),
+      yColName.map(col))
+
+  /** Linear predictor `b0? + Σ bᵢ·termᵢ` as a Column (broadcast-β score,
+    * `RegDI2.R:212`, `PC.R:280-283`). `beta` is laid out intercept-first
+    * when `intercept` is true. */
+  def linearPredictor(terms: Seq[String], beta: DenseVector[Double],
+                      intercept: Boolean): Column = {
+    val (b0, bs) =
+      if (intercept) (beta(0), beta.toArray.drop(1)) else (0.0, beta.toArray)
+    terms.zip(bs).foldLeft(lit(b0): Column) { case (acc, (t, b)) =>
+      acc + col(t) * lit(b)
+    }
+  }
+}

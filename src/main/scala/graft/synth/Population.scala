@@ -1,0 +1,54 @@
+package graft.synth
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic population generation (SURVEY.md §2.9 G1–G3, S1), mirroring
+  * the reference's Monte-Carlo populations:
+  *  - cell 2 (`ipynb:138-168`): x ~ N(2,1), y = 3 + 0.7(x−2) + η with
+  *    η ~ N(0, √(1−0.7²)) so Var(y)=1 and E[y]=3; threshold indicators.
+  *  - cell 7 (`ipynb:574-601`): adds z ~ Bernoulli(0.5) and a 4-way
+  *    stratum from (x, z).
+  *  - cell 18 (`ipynb:1243-1294`): NMAR — B-selection propensity
+  *    depends on y itself via a logistic in gamma.
+  *
+  * Built on `spark.range` + `randn`/`rand` (distributed, partition-local
+  * RNG — no driver data). Seeds give run-to-run determinism; parity with
+  * R is distributional (SURVEY.md §7.5 #4).
+  */
+object Population {
+
+  val rho = 0.7
+
+  /** Cell-2 population: id, x_i, y_i, e1_i/x1_i threshold indicators. */
+  def cell2(spark: SparkSession, n: Long, seed: Long): DataFrame =
+    spark.range(1, n + 1).toDF("id")
+      .withColumn("x_i", randn(seed) + lit(2.0))
+      .withColumn("eta_i", randn(seed + 1) * math.sqrt(1 - rho * rho))
+      .withColumn("y_i", lit(3.0) + lit(rho) * (col("x_i") - lit(2.0)) + col("eta_i"))
+      .withColumn("x1_i", (col("x_i") <= 2.0).cast("int"))
+      .withColumn("e1_i", (col("y_i") <= 3.0).cast("int"))
+      .drop("eta_i")
+
+  /** Cell-7 stratified population: adds z_i ~ Bern(0.5) and stratum 1–4
+    * from the (x≤2, z) grid (`ipynb:577-582`). */
+  def cell7(spark: SparkSession, n: Long, seed: Long): DataFrame =
+    cell2(spark, n, seed)
+      .withColumn("z_i", (rand(seed + 2) < 0.5).cast("int"))
+      .withColumn("stratum",
+        when(col("x_i") <= 2.0 && col("z_i") === 0, 1)
+          .when(col("x_i") <= 2.0 && col("z_i") === 1, 2)
+          .when(col("x_i") > 2.0 && col("z_i") === 0, 3)
+          .otherwise(4))
+
+  /** NMAR selection propensity π_B ∝ logistic(gamma·(y − c)), normalized
+    * to a target expected size (`ipynb:1277-1282`). */
+  def nmarPropensity(df: DataFrame, gamma: Double, center: Double = 3.0,
+                     targetSize: Long = 50000): DataFrame = {
+    val raw = lit(1.0) / (lit(1.0) + exp(-lit(gamma) * (col("y_i") - lit(center))))
+    val withRaw = df.withColumn("pi_raw", raw)
+    val sumRaw = withRaw.agg(sum("pi_raw")).head().getDouble(0)
+    withRaw.withColumn("pi_B",
+      least(col("pi_raw") * (targetSize / sumRaw), lit(1.0))).drop("pi_raw")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables plus
+  * determinism helpers for oracle (DuckDB) hash parity.
+  *
+  * Float determinism: a `sum` over doubles depends on accumulation order,
+  * which differs between engines (and between Spark runs at different
+  * parallelism). Summing an exact DECIMAL rendition of each addend is
+  * order-independent and bit-identical across engines; casting the exact
+  * decimal sum back to double and doing any further arithmetic in IEEE
+  * doubles keeps every subsequent value bit-identical too. All oracle-facing
+  * aggregates below use that trick.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Order-independent, cross-engine-deterministic sum of a double column:
+    * each addend is cast to an exact DECIMAL first (exact decimal addition),
+    * and the exact total is cast back to double. DECIMAL(38,10) holds any
+    * per-row value these tables produce (|x| < 1e27) without overflow at
+    * 100 TB row counts of typical magnitudes; scale 10 keeps more precision
+    * than the doubles being summed carry past the decimal point in practice.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(38,10)")).cast("double")
+
+  /** Deterministic mean: exact decimal numerator / exact count, divided in
+    * IEEE double => bit-identical across engines. */
+  def dmean(c: Column): Column = dsum(c) / count(c)
+
+  /** Deterministic sample variance (n-1 denominator) from exact decimal
+    * sums of x and x*x. The per-row square is an IEEE double product
+    * (bit-identical in any engine) before the exact decimal summation. */
+  def dvarSamp(c: Column): Column = {
+    val n = count(c).cast("double")
+    (dsum(c * c) - dsum(c) * dsum(c) / n) / (n - lit(1.0))
+  }
+
+  /** Matching DuckDB SQL fragment for [[dsum]]. The VARCHAR round-trip
+    * matters: DuckDB's direct DECIMAL→DOUBLE cast is not correctly
+    * rounded for >2⁵³ unscaled values, but its string→double parse is
+    * (as is Spark's BigDecimal.doubleValue) — so this is the rendition
+    * that is bit-identical to Spark's [[dsum]]. */
+  def sqlDsum(e: String): String =
+    s"CAST(CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+  def sqlDmean(e: String): String = s"(${sqlDsum(e)} / count($e))"
+  def sqlDvarSamp(e: String): String = {
+    val n = s"CAST(count($e) AS DOUBLE)"
+    s"((${sqlDsum(s"($e)*($e)")} - ${sqlDsum(e)} * ${sqlDsum(e)} / $n) / ($n - 1.0))"
+  }
+}

@@ -60,6 +60,12 @@ object ColumnResolver {
 
   def resolve(spec: FormulaSpec, df: DataFrame): FormulaSpec = {
     val cols = df.columns.toSet
-    spec.copy(terms = spec.terms.map(resolveTerm(_, cols)))
+    // The reference rewrites only predictors (PC.R:10,37) because its
+    // responses happen never to collide post-join; in the fused frame a
+    // shared y name becomes y_A/y_B, so the response needs the same
+    // _A-preferring resolution (models are always fit on the A-side y).
+    spec.copy(
+      response = spec.response.map(resolveTerm(_, cols)),
+      terms = spec.terms.map(resolveTerm(_, cols)))
   }
 }

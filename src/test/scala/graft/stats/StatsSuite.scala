@@ -1,0 +1,187 @@
+package graft.stats
+
+import breeze.linalg.DenseVector
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{FormulaSpec, SurveyDesign}
+
+class GramSuite extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1.0, 2.0, 10.0, 1.0),
+    (2.0, 1.0, 20.0, 2.0),
+    (3.0, 4.0, 30.0, 1.5),
+    (4.0, 3.0, 40.0, 0.5)
+  ).toDF("x1", "x2", "y", "w")
+
+  test("moments match hand-computed values to 1e-12") {
+    val g = Gram.moments(df, Seq("x1", "x2"), Some("w"), Some("y"))
+    // Σw·x1² = 1+8+13.5+8 = 30.5 ; Σw·x1·x2 = 2+4+18+6 = 30
+    assert(math.abs(g.xtwx(0, 0) - 30.5) < 1e-12)
+    assert(math.abs(g.xtwx(0, 1) - 30.0) < 1e-12)
+    assert(math.abs(g.xtwx(1, 0) - 30.0) < 1e-12)
+    // Σw·x2² = 4+2+24+4.5 = 34.5
+    assert(math.abs(g.xtwx(1, 1) - 34.5) < 1e-12)
+    // Σw·x1 = 1+4+4.5+2 = 11.5 ; Σw·x2 = 2+2+6+1.5 = 11.5
+    assert(math.abs(g.xtw(0) - 11.5) < 1e-12)
+    assert(math.abs(g.xtw(1) - 11.5) < 1e-12)
+    // Σw·x1·y = 10+80+135+80 = 305
+    assert(math.abs(g.xtwy(0) - 305.0) < 1e-12)
+    assert(g.n == 4)
+    assert(math.abs(g.sw - 5.0) < 1e-12)
+  }
+
+  test("moments are invariant under repartitioning (exact-decimal sums)") {
+    val many = spark.range(1, 5001).toDF("i")
+      .withColumn("x1", col("i") * 0.001 + 0.1)
+      .withColumn("x2", col("i") % 7 * 1.5)
+      .withColumn("y", col("i") * 0.01)
+      .withColumn("w", lit(1.0) + col("i") % 3)
+    val g1 = Gram.moments(many.repartition(1), Seq("x1", "x2"), Some("w"), Some("y"))
+    val g2 = Gram.moments(many.repartition(17), Seq("x1", "x2"), Some("w"), Some("y"))
+    assert(g1.xtwx == g2.xtwx) // bit-identical, not approximate
+    assert(g1.xtwy == g2.xtwy)
+    assert(g1.sw == g2.sw)
+  }
+
+  test("null rows are skipped (na.rm=TRUE semantics)") {
+    val withNull = df.withColumn("y",
+      when(col("x1") === 2.0, lit(null)).otherwise(col("y")))
+    val g = Gram.moments(withNull, Seq("x1"), Some("w"), Some("y"))
+    // Σw·x1·y loses the x1=2 row: 305 − 2·2·20 = 225
+    assert(math.abs(g.xtwy(0) - 225.0) < 1e-12)
+  }
+}
+
+class CalibrationSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("calibration constraints Σw·x = totals hold to 1e-9") {
+    val df = spark.range(1, 201).toDF("id")
+      .withColumn("x", col("id").cast("double") * 0.1)
+      .withColumn("uno", lit(1.0))
+      .withColumn("d", lit(5.0) + col("id") % 10)
+    val totals = Seq(1500.0, 17000.0) // target: Σw·uno, Σw·x
+    val (out, info) = Calibration.calibrate(
+      SurveyDesign(df, "d"), Seq("uno", "x"), totals)
+    val r = out.agg(sum(col("w_cal")), sum(col("w_cal") * col("x"))).head()
+    assert(math.abs(r.getDouble(0) - 1500.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 17000.0) < 1e-9)
+    assert(info.lambda.length == 2)
+  }
+
+  test("totals equal to HT totals leave weights unchanged (property)") {
+    val df = spark.range(1, 101).toDF("id")
+      .withColumn("x", col("id").cast("double"))
+      .withColumn("d", lit(3.0))
+    val ht = df.agg(sum(col("d")), sum(col("d") * col("x"))).head()
+    val (out, _) = Calibration.calibrate(
+      SurveyDesign(df.withColumn("uno", lit(1.0)), "d"),
+      Seq("uno", "x"), Seq(ht.getDouble(0), ht.getDouble(1)))
+    val maxDiff = out.agg(max(abs(col("w_cal") - col("d")))).head().getDouble(0)
+    assert(maxDiff < 1e-9)
+  }
+}
+
+class OlsSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("exact recovery of a noiseless linear relation") {
+    val df = spark.range(1, 101).toDF("id")
+      .withColumn("x", col("id").cast("double"))
+      .withColumn("y", lit(2.5) + lit(1.5) * col("x"))
+    val fit = Ols.fit(df, "y ~ x")
+    assert(math.abs(fit.coef("(Intercept)") - 2.5) < 1e-9)
+    assert(math.abs(fit.coef("x") - 1.5) < 1e-9)
+  }
+
+  test("matches the textbook closed form on noisy data") {
+    val df = spark.range(1, 501).toDF("id")
+      .withColumn("x", col("id").cast("double") * 0.01)
+      .withColumn("y", lit(1.0) + lit(2.0) * col("x") +
+        sin(col("id").cast("double"))) // deterministic 'noise'
+    val r = df.agg(sum("x"), sum("y"), sum(col("x") * col("y")),
+      sum(col("x") * col("x")), count(lit(1)).cast("double")).head()
+    val (sx, sy, sxy, sxx, n) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val b1 = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val b0 = sy / n - b1 * sx / n
+    val fit = Ols.fit(df, "y ~ x")
+    assert(math.abs(fit.coef("(Intercept)") - b0) < 1e-8)
+    assert(math.abs(fit.coef("x") - b1) < 1e-8)
+  }
+
+  test("no-intercept fit honours ~0+") {
+    val df = spark.range(1, 51).toDF("id")
+      .withColumn("x", col("id").cast("double"))
+      .withColumn("y", lit(3.0) * col("x"))
+    val fit = Ols.fit(df, "y ~ 0 + x")
+    assert(fit.beta.length == 1)
+    assert(math.abs(fit.beta(0) - 3.0) < 1e-9)
+  }
+}
+
+class LogisticSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("IRLS converges and the score equations vanish at the solution") {
+    val df = spark.range(1, 2001).toDF("id")
+      .withColumn("x", (col("id") % 100).cast("double") / 25.0 - 2.0)
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-(lit(0.5) + lit(1.2) * col("x")))))
+      // deterministic pseudo-uniform from a hash, so the test is stable
+      .withColumn("u", pmod(hash(col("id")), lit(10000)).cast("double") / 10000.0)
+      .withColumn("yb", (col("u") < col("p")).cast("double"))
+    val fit = Logistic.fit(df, FormulaSpec.parse("yb ~ x"))
+    assert(fit.converged, s"IRLS did not converge in ${fit.iterations} iters")
+    // score: Σ (y − p̂)·x_j ≈ 0 for each covariate (incl. intercept)
+    val phat = fit.predict
+    val sc = df.agg(
+      sum(col("yb") - phat).as("s0"),
+      sum((col("yb") - phat) * col("x")).as("s1")).head()
+    assert(math.abs(sc.getDouble(0)) < 1e-6)
+    assert(math.abs(sc.getDouble(1)) < 1e-6)
+    // rough sanity on recovered coefficients
+    assert(math.abs(fit.beta(0) - 0.5) < 0.2)
+    assert(math.abs(fit.beta(1) - 1.2) < 0.2)
+  }
+}
+
+class WeightedStatsSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("svymean point estimate and linearization variance (hand-computed)") {
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+      .toDF("y", "w")
+    val m = WeightedStats.svymean(SurveyDesign(df, "w"), "y")
+    // μ = Σwy/Σw = 30/10 = 3
+    assert(math.abs(m.mean - 3.0) < 1e-12)
+    // z_i = w(y−μ)/Σw = (−.2, −.2, 0, .4); V = n/(n−1)·Σ(z−z̄)², z̄=0
+    val v = 4.0 / 3.0 * (0.04 + 0.04 + 0.0 + 0.16)
+    assert(math.abs(m.variance - v) < 1e-12)
+  }
+
+  test("svytotal = Σ w·x") {
+    val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("x", "w")
+    val t = WeightedStats.svytotal(SurveyDesign(df, "w"), Seq("x"))
+    assert(math.abs(t("x") - 14.0) < 1e-12)
+  }
+
+  test("calibrated svymean reproduces the mean under calibrated weights") {
+    val df = spark.range(1, 301).toDF("id")
+      .withColumn("x", col("id").cast("double") * 0.01)
+      .withColumn("uno", lit(1.0))
+      .withColumn("y", lit(5.0) + col("x") * 2.0)
+      .withColumn("d", lit(10.0))
+    val (cal, _) = Calibration.calibrate(
+      SurveyDesign(df, "d"), Seq("uno", "x"), Seq(3300.0, 5000.0))
+    val m = WeightedStats.svymeanCalibrated(cal, "y", "w_cal", "d", Seq("uno", "x"))
+    val exp = cal.agg(sum(col("w_cal") * col("y")) / sum(col("w_cal")))
+      .head().getDouble(0)
+    assert(math.abs(m.mean - exp) < 1e-12)
+    // y is an exact linear function of the calibration vars, so the
+    // WLS residuals — and hence the GREG variance — are ~0
+    assert(m.variance < 1e-12)
+  }
+}

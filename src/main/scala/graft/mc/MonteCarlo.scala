@@ -1,0 +1,60 @@
+package graft.mc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.{dmean, dsum, dvarSamp}
+
+/** Monte-Carlo simulation harness (reference `ipynb` cell 23/37:
+  * `parLapply(cl, 1:n_sim, run_simulation)` over a γ grid).
+  *
+  * Spark-first design (SURVEY.md §3.3): the SIMULATION GRID is the
+  * parallelism axis. Each (sim, γ) config becomes one Dataset row; a
+  * `flatMap` runs the entire population-synthesis + estimator battery
+  * task-locally ([[LocalSim]] — a 100k-row population is ~8 MB of
+  * primitive arrays, comfortably inside one task), emitting one row per
+  * estimator. 1000 replicates × 11 γ = 11,000 independent tasks —
+  * embarrassing parallelism that scales to any cluster width with ZERO
+  * shuffle; only the tiny result rows move. For populations too large for
+  * one task (N ≳ 10M) the same estimators run distributed per-sim via
+  * graft.estimators on a DataFrame population instead.
+  */
+final case class SimConfig(sim: Int, gamma: Double, seedBase: Long,
+                           nPop: Int, nA: Int, nB: Int)
+
+final case class SimResult(sim: Int, gamma: Double, estimator: String,
+                           estimate: Double)
+
+object MonteCarlo {
+
+  /** NMAR grid: replicates × gamma values (ipynb:1791-1794). */
+  def nmarGrid(nSim: Int, gammas: Seq[Double], nPop: Int, nA: Int,
+               nB: Int, seed0: Long = 1234L): Seq[SimConfig] =
+    for {
+      (g, gi) <- gammas.zipWithIndex
+      s <- 1 to nSim
+    } yield SimConfig(s, g, seed0 + 10000L * gi + s, nPop, nA, nB)
+
+  /** Fan the grid out; one task-local simulation per config. */
+  def run(spark: SparkSession, grid: Seq[SimConfig]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(grid)
+      .repartition(math.min(grid.size,
+        spark.sparkContext.defaultParallelism * 2))
+      .flatMap(LocalSim.run)
+      .toDF()
+  }
+
+  /** Grouped bias/SE/RMSE vs the known true mean (ipynb:2066-2073,
+    * :2750-2757): the reference's reporting stage. */
+  def summarize(results: DataFrame, trueMean: Double): DataFrame = {
+    val bias = col("estimate") - lit(trueMean)
+    results.groupBy("gamma", "estimator")
+      .agg(
+        dmean(bias).as("bias"),
+        sqrt(dvarSamp(col("estimate"))).as("se"),
+        sqrt(dsum(bias * bias) / count(lit(1))).as("rmse"),
+        count(lit(1)).as("n_sims"))
+      .orderBy("gamma", "estimator")
+  }
+}

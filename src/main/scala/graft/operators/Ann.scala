@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate nearest neighbour search over an `Array[Float]` embedding
+  * column.
+  *
+  * Baseline: brute-force cosine top-k (see graft.queries.AnnQueries.e01 —
+  * broadcast queries × candidates, exact-decimal dot products).
+  *
+  * Scale path: random-hyperplane LSH (Charikar 2002). Each of `tables`
+  * hash tables projects the vector onto `bits` seeded Gaussian hyperplanes
+  * and packs the signs into a bucket key; a vector lands in `tables` buckets
+  * total. Similar vectors (small angle) collide with probability
+  * (1 − θ/π)^bits per table, OR-amplified across tables.
+  *
+  * 100 TB design: candidates come from ONE equi-join on (table, bucket) —
+  * the all-pairs space is never formed. Hyperplanes are tiny literal
+  * arrays compiled into the plan (no broadcast variables needed), the
+  * projection is a codegen'd higher-order-function fold, and the final
+  * top-k is a per-query-partition window over bucket-colliding rows only.
+  * Recall tunes with (bits ↓, tables ↑) at higher join fan-out cost.
+  */
+object Ann {
+
+  /** Deterministic seeded Gaussian hyperplanes (dim × bits per table). */
+  private[operators] def hyperplanes(dim: Int, bits: Int, table: Int,
+                                     seed: Long): Seq[Seq[Double]] = {
+    val rng = new java.util.Random(seed * 7919L + table)
+    Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Dot product of the embedding with a literal plane (codegen'd fold). */
+  private def dotLit(vec: Column, plane: Seq[Double]): Column =
+    aggregate(zip_with(vec, typedlit(plane),
+        (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Bucket key for one table: sign bits packed into a Long. */
+  def bucketKey(vec: Column, dim: Int, bits: Int, table: Int,
+                seed: Long): Column =
+    hyperplanes(dim, bits, table, seed).zipWithIndex
+      .map { case (p, k) =>
+        when(dotLit(vec, p) > 0, lit(1L << k)).otherwise(lit(0L))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** (id, table, bucket) rows — `tables` rows per vector. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 bits: Int, tables: Int, seed: Long): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array((0 until tables).map(t =>
+        bucketKey(col(vecCol), dim, bits, t, seed)): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+
+  /** Exact cosine in plain doubles (engine-internal; the cross-engine
+    * hash-checkable variant lives in AnnQueries.cosineExact). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, p) => acc + p)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** LSH-bucketed approximate top-k: for each query vector, the k most
+    * cosine-similar candidates among bucket collisions. */
+  def annTopK(queries: DataFrame, cand: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, bits: Int = 12,
+              tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val qb = lshBuckets(queries, idCol, vecCol, dim, bits, tables, seed)
+      .withColumnsRenamed(Map("id" -> "qid", "vec" -> "qe"))
+    val cb = lshBuckets(cand, idCol, vecCol, dim, bits, tables, seed)
+      .withColumnsRenamed(Map("id" -> "cid", "vec" -> "ce"))
+    val pairs = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qe"), col("ce"))
+      .distinct()
+      .select(col("qid"), col("cid"),
+        cosine(col("qe"), col("ce")).cast("float").as("cos"))
+    val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    pairs.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+  }
+
+  /** IVF-style variant: assign every vector to its nearest of `nCells`
+    * seeded random centroids (coarse quantizer), search only within the
+    * probe cell(s). Simpler recall/cost knob than LSH when the corpus is
+    * clustered; the centroids here are seeded Gaussian directions, making
+    * the cell assignment a deterministic argmax of `nCells` literal dot
+    * products — a real IVF would k-means them (iterative refinement drops
+    * in without changing the query path). */
+  def ivfCell(vec: Column, dim: Int, nCells: Int, seed: Long): Column = {
+    val cents = (0 until nCells).map(c =>
+      hyperplanes(dim, 1, c, seed * 31L + 17L).head)
+    val scored = cents.zipWithIndex.map { case (p, i) =>
+      struct(dotLit(vec, p).as("score"), lit(i).as("cell"))
+    }
+    greatest(scored: _*).getField("cell")
+  }
+
+  def ivfTopK(queries: DataFrame, cand: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, nCells: Int = 16,
+              seed: Long = 42L): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
+      ivfCell(col(vecCol), dim, nCells, seed).as("cell"))
+    val c = cand.select(col(idCol).as("cid"), col(vecCol).as("ce"),
+      ivfCell(col(vecCol), dim, nCells, seed).as("cell"))
+    val pairs = q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosine(col("qe"), col("ce")).cast("float").as("cos"))
+    val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    pairs.withColumn("rk", row_number().over(win)).filter(col("rk") <= k)
+  }
+}

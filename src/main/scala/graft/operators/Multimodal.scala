@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling.
+  *
+  * Representation: media travel as opaque `BinaryType` payloads next to a
+  * typed metadata struct — the layout a 100 TB training-data pipeline
+  * needs (payload stays columnar in parquet, metadata prunes without
+  * touching bytes):
+  *
+  *   media: struct<payload: binary, meta: struct<kind: string,
+  *          content_type: string, n_bytes: long, checksum: string>>
+  *
+  * Decode/feature-extract runs as a BATCHED per-partition operator
+  * ([[decodePartitions]]): rows are processed through a pluggable
+  * [[MediaDecoder]] in fixed-size batches (the Scala analogue of
+  * `mapInPandas` — same batch shape, same schema contract). The real
+  * codec is STUBBED ([[RealCodecDecoder]] throws NotImplementedError:
+  * image/audio libraries are not available in this container); the
+  * [[DeterministicFakeDecoder]] produces seeded pseudo-features so the
+  * plumbing — schema, batching, partition parallelism — is fully
+  * exercised and tested (MultimodalSuite).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType),
+      StructField("content_type", StringType),
+      StructField("n_bytes", LongType),
+      StructField("checksum", StringType))))))
+
+  /** Pack any binary column + kind into the canonical media struct. */
+  def packMedia(payload: Column, kind: String, contentType: String): Column =
+    struct(
+      payload.as("payload"),
+      struct(lit(kind).as("kind"), lit(contentType).as("content_type"),
+        length(payload).cast("long").as("n_bytes"),
+        md5(payload).as("checksum")).as("meta"))
+
+  /** Batched decoder contract: one call per batch of payloads, returning
+    * one fixed-width feature vector per payload (mapInPandas-shaped). */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decodeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]]
+  }
+
+  /** STUB for the real image/audio codec path. Decoding libraries are not
+    * available in this container; wire a real implementation here. */
+  final class RealCodecDecoder(val featureDim: Int) extends MediaDecoder {
+    def decodeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      throw new NotImplementedError(
+        "real media decoding requires image/audio codecs absent from this environment")
+  }
+
+  /** Deterministic fake: features are a seeded hash-fold of the payload —
+    * stable across runs/partitionings, so the pipeline is testable. */
+  final class DeterministicFakeDecoder(val featureDim: Int) extends MediaDecoder {
+    def decodeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      payloads.map { bytes =>
+        Array.tabulate(featureDim) { i =>
+          var h = 1125899906842597L + i * 2654435761L
+          var j = 0
+          while (j < bytes.length) { h = 31 * h + bytes(j); j += 1 }
+          ((h % 2000003L).toFloat / 2000003.0f)
+        }
+      }
+  }
+
+  /** Per-partition batched decode: appends `features: array<float>`.
+    * Batching bounds peak memory per task (batchSize × payload size) —
+    * the knob a real codec needs for GPU/vectorized handoff. */
+  def decodePartitions(df: DataFrame, payloadCol: String,
+                       decoder: MediaDecoder,
+                       batchSize: Int = 64): DataFrame = {
+    val schema = df.schema.add("features", ArrayType(FloatType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloads = batch.map { r =>
+          val v = r.get(idx)
+          if (v == null) Array.empty[Byte] else v.asInstanceOf[Array[Byte]]
+        }.toArray
+        val feats = decoder.decodeBatch(payloads)
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ f.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling stub for video payloads: selects deterministic byte
+    * offsets standing in for frame indices (a real implementation would
+    * demux containers; the SAMPLING geometry — every k-th frame, capped —
+    * is the part that matters for pipeline shape). */
+  def sampleFrameOffsets(nBytes: Column, everyK: Int, maxFrames: Int): Column =
+    slice(sequence(lit(0L), greatest(nBytes - 1, lit(0L)), lit(everyK.toLong)),
+      1, maxFrames)
+}

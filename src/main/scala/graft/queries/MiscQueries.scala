@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.estimators.{PC, PCConfig, RegDI, RegDIConfig}
+import graft.mc.MonteCarlo
+import graft.operators.Multimodal
+import graft.stats.Anova
+import graft.streaming.Streams
+import graft.util.Tables.{dsum, load, sqlDsum}
+
+/** Remaining SURVEY.md §2 surface: CSV source/sink (S2/S3), streaming-
+  * shaped window aggregation over `events`, multimodal binary plumbing,
+  * the Monte-Carlo fan-out (O2/O3), two-factor ANOVA (M12), and the
+  * RegDI/PC estimators end-to-end (their internal k×k solves are not
+  * SQL-expressible bit-identically → rows-only here, golden-value
+  * coverage in EstimatorSuite/McSuite).
+  */
+object MiscQueries {
+
+  /** Deterministic A/B samples from `customer` for estimator e2e runs
+    * (same carve as StatsQueries: A = custkey%37==1 w/ design weights,
+    * B = high balances, y observed in both). */
+  private def abSamples(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val cust = load(s, d, "customer")
+    val a = cust.filter(col("c_custkey") % 37 === 1)
+      .select(col("c_custkey").as("cid"), col("c_acctbal").as("y"),
+        (lit(20.0) + (col("c_custkey") % 40)).as("d_w"),
+        (col("c_nationkey") <= 11).cast("double").as("x1"),
+        (col("c_nationkey") > 11).cast("double").as("x2"))
+    val b = cust.filter(col("c_acctbal") > 1000.0)
+      .select(col("c_custkey").as("cid"), col("c_acctbal").as("y"),
+        (col("c_nationkey") <= 11).cast("double").as("x1"),
+        (col("c_nationkey") > 11).cast("double").as("x2"))
+    (a, b, cust.count().toDouble)
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- S3+S2 CSV write → read round-trip ----------------------------
+    // Spark CSV doubles round-trip exactly (shortest-repr print, correctly
+    // rounded parse), so the oracle is the same aggregate over parquet.
+    Q("s02_csv_roundtrip",
+      (s, d) => {
+        val out = s"/tmp/graft_csv_roundtrip"
+        load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .write.mode("overwrite").option("header", true).csv(out)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderstatus", StringType)))
+        s.read.option("header", true).schema(schema).csv(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- W1 tumbling-window aggregation over events -------------------
+    // Same transform drives the Structured-Streaming path (StreamingSuite
+    // runs it on a MemoryStream with watermarking); here it's batch.
+    Q("w01_tumbling_window",
+      (s, d) => Streams.tumblingEventStatsFlat(
+          graft.util.Tables.loadEvents(s, d), "1 hour")
+        .orderBy("w_start", "event_type"),
+      Some(s"""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start,
+                      event_type, count(*) AS n_events,
+                      ${sqlDsum("value")} AS sum_value
+               FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ---- MM1 multimodal pack: binary payload + typed metadata ---------
+    Q("mm01_multimodal_pack",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.packMedia(encode(col("text"), "UTF-8"), "text",
+            "text/plain").as("media"))
+        .select(col("doc_id"),
+          col("media.meta.kind").as("kind"),
+          col("media.meta.n_bytes").as("n_bytes"),
+          col("media.meta.checksum").as("checksum"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'text' AS kind,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     md5(text) AS checksum
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- MM2 batched per-partition decode (fake codec; plumbing real) -
+    Q("mm02_multimodal_decode",
+      (s, d) => {
+        val packed = load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.decodePartitions(packed, "payload",
+            new Multimodal.DeterministicFakeDecoder(8), batchSize = 32)
+          .select(col("doc_id"), size(col("features")).as("dim"),
+            element_at(col("features"), 1).as("f0"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // ---- O2/O3 Monte-Carlo fan-out + grouped summary ------------------
+    // Grid-as-Dataset, task-local sims (deterministic seeds). The bias/
+    // SE/RMSE vs BASELINE.md tolerances are asserted in McSuite.
+    Q("o02_mc_fanout",
+      (s, _) => MonteCarlo.run(s,
+          MonteCarlo.nmarGrid(nSim = 3, gammas = Seq(0.0, 1.0),
+            nPop = 5000, nA = 250, nB = 1000))
+        .orderBy("gamma", "sim", "estimator"),
+      None),
+
+    Q("o03_mc_summary",
+      (s, _) => {
+        val res = MonteCarlo.run(s,
+          MonteCarlo.nmarGrid(nSim = 5, gammas = Seq(0.0, 0.5, 1.0),
+            nPop = 5000, nA = 250, nB = 1000))
+        MonteCarlo.summarize(res, trueMean = 3.0)
+      },
+      None),
+
+    // ---- M12 two-factor ANOVA, Type-I SS ------------------------------
+    Q("m12_anova",
+      (s, d) => Anova.twoFactorDf(
+        load(s, d, "orders").select(col("o_totalprice").as("y"),
+          col("o_orderstatus").as("fa"), col("o_orderpriority").as("fb")),
+        "y", "fa", "fb"),
+      None),
+
+    // ---- M20-M25 estimators end-to-end (RegDI 1-3, PC 1-3) ------------
+    Q("m20_regdi_corr1",
+      (s, d) => {
+        val (a, b, n) = abSamples(s, d)
+        val r = RegDI.twoSample(a, b, "cid", "cid",
+          RegDIConfig(yACol = "y", yBCol = "y", auxVars = Seq("x1"),
+            nTotal = Some(n), weightsA = Some("d_w"), correction = 1))
+        s.range(1).select(lit(r.mean).as("mean"), lit(r.se).as("se"))
+      },
+      None),
+
+    Q("m21_regdi_corr2",
+      (s, d) => {
+        val (a, b0, n) = abSamples(s, d)
+        val b = b0.withColumn("y", lit(50.0) + col("y") * 1.1) // mismeasured
+        val r = RegDI.twoSample(a, b, "cid", "cid",
+          RegDIConfig(yACol = "y", yBCol = "y", auxVars = Seq("x1"),
+            nTotal = Some(n), weightsA = Some("d_w"), correction = 2))
+        s.range(1).select(lit(r.mean).as("mean"), lit(r.se).as("se"))
+      },
+      None),
+
+    Q("m22_regdi_corr3",
+      (s, d) => {
+        val (a, b, n) = abSamples(s, d)
+        val r = RegDI.twoSample(a, b, "cid", "cid",
+          RegDIConfig(yACol = "y", yBCol = "y", auxVars = Seq("x1"),
+            nTotal = Some(n), weightsA = Some("d_w"), correction = 3,
+            outcomeModel = Some("y ~ x1"), evalModelPerformance = true))
+        s.range(1).select(lit(r.mean).as("mean"), lit(r.se).as("se"),
+          lit(r.rmse.getOrElse(-1.0)).as("rmse"), lit(r.r2.getOrElse(-1.0)).as("r2"))
+      },
+      None),
+
+    Q("m23_pc_scen1",
+      (s, d) => {
+        val (a, b, n) = abSamples(s, d)
+        val r = PC.twoSample(a, b, "cid", "cid",
+          PCConfig(yACol = Some("y"), yBCol = Some("y"),
+            auxVars = Seq("x1", "x2"), nTotal = Some(n),
+            weightsA = Some("d_w"), scenario = 1))
+        s.range(1).select(lit(r.estimator).as("estimator"),
+          lit(r.se.getOrElse(-1.0)).as("se"))
+      },
+      None),
+
+    Q("m24_pc_scen2",
+      (s, d) => {
+        val (a, b, n) = abSamples(s, d)
+        val r = PC.twoSample(a, b, "cid", "cid",
+          PCConfig(yACol = Some("y"), yBCol = Some("y"),
+            auxVars = Seq("x1", "x2"), nTotal = Some(n),
+            weightsA = Some("d_w"), scenario = 2,
+            outcomeModel = Some("y ~ x1")))
+        s.range(1).select(lit(r.estimator).as("estimator"))
+      },
+      None),
+
+    Q("m25_pc_scen3",
+      (s, d) => {
+        val (a, b, n) = abSamples(s, d)
+        val r = PC.twoSample(a, b, "cid", "cid",
+          PCConfig(yACol = Some("y"), yBCol = Some("y"),
+            auxVars = Seq("x1", "x2"), nTotal = Some(n),
+            weightsA = Some("d_w"), scenario = 3,
+            outcomeModel = Some("y ~ x1"), evalModelPerformance = true))
+        s.range(1).select(lit(r.estimator).as("estimator"),
+          lit(r.rmse.getOrElse(-1.0)).as("rmse"), lit(r.r2.getOrElse(-1.0)).as("r2"))
+      },
+      None)
+  )
+}

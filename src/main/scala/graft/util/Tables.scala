@@ -18,6 +18,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects unless nanos are read as long
+    * (`spark.sql.legacy.parquet.nanosAsLong` — set in every entry-point
+    * session); the long is then truncated to a proper microsecond
+    * timestamp here. */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
   /** Order-independent, cross-engine-deterministic sum of a double column:
     * each addend is cast to an exact DECIMAL first (exact decimal addition),
     * and the exact total is cast back to double. DECIMAL(38,10) holds any

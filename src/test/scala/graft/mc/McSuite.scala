@@ -1,0 +1,63 @@
+package graft.mc
+
+import graft.SparkSpec
+
+/** Monte-Carlo harness checks against BASELINE.md's NMAR robustness
+  * qualitative structure (true mean 3.0; naive B bias grows with γ,
+  * RegDI stays ≈0) at reduced scale for test runtime. Tolerances are
+  * Monte-Carlo bands (seeded → deterministic, no flakes). */
+class McSuite extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val results = MonteCarlo.run(spark,
+    MonteCarlo.nmarGrid(nSim = 10, gammas = Seq(0.0, 1.0),
+      nPop = 20000, nA = 1000, nB = 5000)).cache()
+
+  private def meanEst(gamma: Double, est: String): Double = {
+    val xs = results.filter(r => r.getAs[Double]("gamma") == gamma &&
+        r.getAs[String]("estimator") == est)
+      .select("estimate").as[Double].collect()
+    xs.sum / xs.length
+  }
+
+  test("γ=0 (MCAR): every estimator unbiased for the true mean 3.0") {
+    for (e <- Seq("Mean_S_A", "Mean_S_B", "RegDI_X1", "PC_X1_X2"))
+      assert(math.abs(meanEst(0.0, e) - 3.0) < 0.05, s"$e biased at γ=0")
+  }
+
+  test("γ=1 (NMAR): naive B mean biased up; RegDI corrects it") {
+    val naiveBias = meanEst(1.0, "Mean_S_B") - 3.0
+    val regdiBias = meanEst(1.0, "RegDI_X1") - 3.0
+    assert(naiveBias > 0.1, s"expected strong NMAR bias, got $naiveBias")
+    assert(math.abs(regdiBias) < 0.06, s"RegDI bias $regdiBias")
+    assert(math.abs(regdiBias) < naiveBias / 2)
+  }
+
+  test("A-sample SRS mean is unbiased regardless of γ") {
+    assert(math.abs(meanEst(1.0, "Mean_S_A") - 3.0) < 0.05)
+  }
+
+  test("summarize reports bias/se/rmse per (γ, estimator)") {
+    val s = MonteCarlo.summarize(results.toDF(), trueMean = 3.0).collect()
+    assert(s.length === 8) // 2 γ × 4 estimators
+    val row = s.find(r => r.getAs[Double]("gamma") == 1.0 &&
+      r.getAs[String]("estimator") == "Mean_S_B").get
+    assert(row.getAs[Double]("bias") > 0.1)
+    assert(row.getAs[Double]("rmse") >= math.abs(row.getAs[Double]("bias")))
+    assert(row.getAs[Long]("n_sims") === 10L)
+  }
+
+  test("simulations are deterministic given seeds") {
+    val grid = MonteCarlo.nmarGrid(2, Seq(0.5), 2000, 100, 400)
+    val a = MonteCarlo.run(spark, grid).as[SimResult].collect().sortBy(r => (r.sim, r.estimator)).toSeq
+    val b = MonteCarlo.run(spark, grid).as[SimResult].collect().sortBy(r => (r.sim, r.estimator)).toSeq
+    assert(a === b)
+  }
+
+  test("local solver matches a hand-computed 2x2 system") {
+    val x = LocalSim.solve(Array(Array(2.0, 1.0), Array(1.0, 3.0)),
+      Array(5.0, 10.0))
+    assert(math.abs(x(0) - 1.0) < 1e-12)
+    assert(math.abs(x(1) - 3.0) < 1e-12)
+  }
+}

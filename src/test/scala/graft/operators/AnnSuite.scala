@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnSuite extends SparkSpec {
+  import spark.implicits._
+
+  /** Planted clusters: 20 base directions × 10 noisy copies each. True
+    * nearest neighbours of a vector are its 9 cluster siblings. */
+  private lazy val clustered = {
+    val rng = new java.util.Random(7L)
+    val bases = Seq.fill(20)(Array.fill(16)(rng.nextGaussian()))
+    val rows = for {
+      (b, c) <- bases.zipWithIndex
+      i <- 0 until 10
+    } yield {
+      val v = b.map(x => (x + 0.05 * rng.nextGaussian()).toFloat)
+      (c.toLong * 10 + i, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "cluster")
+  }
+
+  test("LSH top-k recall ≥ 0.9 vs cluster ground truth") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    val res = Ann.annTopK(queries, clustered, "vec_id", "embedding",
+        dim = 16, k = 5, bits = 8, tables = 8, seed = 42L)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    val hits = res.count { case (q, c) => c / 10 == q / 10 }
+    assert(res.nonEmpty)
+    assert(hits.toDouble / res.length >= 0.9,
+      s"cluster precision ${hits.toDouble / res.length}")
+  }
+
+  test("IVF top-k finds cluster siblings") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    val res = Ann.ivfTopK(queries, clustered, "vec_id", "embedding",
+        dim = 16, k = 5, nCells = 8, seed = 42L)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    val hits = res.count { case (q, c) => c / 10 == q / 10 }
+    assert(res.nonEmpty)
+    assert(hits.toDouble / res.length >= 0.8)
+  }
+
+  test("bucket keys are deterministic and partitioning-invariant") {
+    val k1 = Ann.lshBuckets(clustered.repartition(1), "vec_id", "embedding",
+      16, 8, 2, 42L).select("id", "table", "bucket")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val k4 = Ann.lshBuckets(clustered.repartition(4), "vec_id", "embedding",
+      16, 8, 2, 42L).select("id", "table", "bucket")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(k1 === k4)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val c = clustered.limit(3)
+      .select(Ann.cosine(col("embedding"), col("embedding")).as("c"))
+      .as[Double].collect()
+    c.foreach(v => assert(math.abs(v - 1.0) < 1e-6))
+  }
+}

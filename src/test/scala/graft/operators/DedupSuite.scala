@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // planted near-dup cluster: 1≈2 (one word changed), 3 = exact copy of 1
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    // unrelated docs
+    (4L, "spark builds distributed query plans with catalyst and tungsten engines"),
+    (5L, "monte carlo simulation of calibration estimators on survey designs"),
+    (6L, "completely different words appear in this sixth document about nothing")
+  ).toDF("doc_id", "text")
+
+  test("wordShingles: n-grams, distinct, short-doc fallback") {
+    val sh = corpus.select(Dedup.wordShingles(col("text"), 3).as("sh"))
+      .filter(col("sh").isNotNull).head()
+    assert(sh.getSeq[String](0).head === "the quick brown")
+    val short = Seq((1L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.wordShingles(col("text"), 3).as("sh")).head()
+    assert(short.getSeq[String](0) === Seq("two words"))
+  }
+
+  test("jaccard: identical docs = 1, near-dups high, unrelated 0") {
+    val sh = corpus.select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("sh"))
+    val a = sh.withColumnsRenamed(Map("doc_id" -> "ia", "sh" -> "sa"))
+    val b = sh.withColumnsRenamed(Map("doc_id" -> "ib", "sh" -> "sb"))
+    val j = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), Dedup.jaccard(col("sa"), col("sb")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 3L)) === 1.0)
+    assert(j((1L, 2L)) > 0.5 && j((1L, 2L)) < 1.0)
+    assert(j((1L, 4L)) === 0.0)
+  }
+
+  test("minhash-LSH near-dup finds exactly the planted cluster at 0.5") {
+    val found = Dedup.nearDuplicates(corpus, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("signature agreement estimates jaccard (exact pair ⇒ 1.0)") {
+    val est = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      .filter(col("id_a") === 1 && col("id_b") === 3)
+      .select("est_jaccard").as[Double].head()
+    assert(est === 1.0)
+  }
+
+  test("simhash: exact copies at Hamming 0; candidates find the cluster") {
+    val h = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(3L))
+    val cand = Dedup.simhashCandidates(corpus, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 3L)))
+    assert(cand.contains((1L, 2L)) || cand.contains((2L, 3L)))
+  }
+
+  test("simhash signature is partitioning-invariant (deterministic)") {
+    val h1 = corpus.repartition(1).select(Dedup.simhash64(col("text")))
+      .as[Long].collect().sorted.toSeq
+    val h4 = corpus.repartition(4).select(Dedup.simhash64(col("text")))
+      .as[Long].collect().sorted.toSeq
+    assert(h1 === h4)
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = Dedup.exact(corpus, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(d.length === 1)
+    assert(d.head.getAs[Long]("keep_id") === 1L)
+    assert(d.head.getAs[Long]("n_copies") === 2L)
+  }
+}

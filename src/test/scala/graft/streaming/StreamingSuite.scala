@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+final case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window agg: identical results batch vs streaming") {
+    val events = Seq(
+      Ev(t("2026-01-01 10:05:00"), "click", 1.0),
+      Ev(t("2026-01-01 10:40:00"), "click", 2.0),
+      Ev(t("2026-01-01 10:50:00"), "view", 5.0),
+      Ev(t("2026-01-01 11:10:00"), "click", 3.0))
+
+    val batch = Streams.tumblingEventStatsFlat(events.toDF(), "1 hour")
+      .orderBy("w_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = Streams.tumblingEventStats(mem.toDF(), "1 hour")
+      .select(col("w.start").cast("string").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .orderBy("w_start", "event_type")
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(streamed === batch)
+      assert(batch === Seq(
+        ("2026-01-01 10:00:00", "click", 2L, 3.0),
+        ("2026-01-01 10:00:00", "view", 1L, 5.0),
+        ("2026-01-01 11:00:00", "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingEventStats(mem.toDF(), "1 hour", "30 minutes")
+      .select(col("w.start").cast("string").as("w_start"), col("n_events"))
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(t("2026-01-01 10:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window (wm = 14:30)
+      mem.addData(Ev(t("2026-01-01 15:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // too-late event for the closed 10:00 window: must be dropped
+      mem.addData(Ev(t("2026-01-01 10:20:00"), "click", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test")
+        .as[(String, Long)].collect().toMap
+      assert(rows("2026-01-01 10:00:00") === 1L) // late row not counted
+    } finally q.stop()
+  }
+
+  test("session windows group by gap") {
+    val events = Seq(
+      Ev(t("2026-01-01 10:00:00"), "u1", 1.0),
+      Ev(t("2026-01-01 10:10:00"), "u1", 1.0),
+      Ev(t("2026-01-01 12:00:00"), "u1", 1.0))
+      .toDF("ts", "utype", "value")
+      .withColumn("user_id", lit(1L))
+    val sess = Streams.sessionStats(events, "30 minutes")
+      .select("n_events").as[Long].collect().sorted.toSeq
+    assert(sess === Seq(1L, 2L)) // two sessions: (10:00,10:10) and (12:00)
+  }
+}

@@ -13,10 +13,17 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * column also present in data_B was looked up unsuffixed —
   * `Simulaciones_Clean.ipynb:741,753`; we resolve side-aware instead).
   *
-  * Scale: the join shuffles both sides by `id` (sort-merge). When one side
-  * is small (the probability sample A is ~1-2k rows in the reference
-  * workloads), pass `broadcastA = true` to broadcast-hash it instead —
-  * at 100 TB the B side then never shuffles at all.
+  * Scale: a naive `full_outer` join always sort-merges — Spark's
+  * broadcast-hash join cannot preserve both sides, so a `broadcast()`
+  * hint on a full-outer is silently IGNORED and the big B side gets
+  * shuffled. With `broadcastA = true` (A small, ~1-2k rows in the
+  * reference workloads) the fusion instead decomposes into two
+  * broadcast-able pieces, neither of which shuffles B:
+  *   part1 = B ⟕ broadcast(A)          (all B rows, A columns attached)
+  *   part2 = A ∖ matched, B columns null, where
+  *           matched = ids of (B ⋉ broadcast(A))   (≤ |A| rows)
+  * — two B scans, zero exchanges, identical rows to `full_outer`
+  * (verified against the sort-merge path in FusionSuite).
   */
 final case class Fusion(
     df: DataFrame,
@@ -47,8 +54,18 @@ object Fusion {
     val shared = (aCols & bCols) - "id"
     val a2 = shared.foldLeft(a)((d, c) => d.withColumnRenamed(c, c + "_A"))
     val b2 = shared.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + "_B"))
-    val left = if (broadcastA) F.broadcast(a2) else a2
-    val joined = left.join(b2, Seq("id"), "full_outer")
+    val joined =
+      if (!broadcastA) a2.join(b2, Seq("id"), "full_outer")
+      else {
+        val part1 = b2.join(F.broadcast(a2), Seq("id"), "left_outer")
+        val matched = b2.select("id").join(F.broadcast(a2.select("id")),
+          Seq("id"), "left_semi").distinct()
+        val aOnly = a2.join(F.broadcast(matched), Seq("id"), "left_anti")
+        val part2 = b2.columns.filter(_ != "id").foldLeft(aOnly) {
+          (d, c) => d.withColumn(c, F.lit(null).cast(b2.schema(c).dataType))
+        }
+        part1.unionByName(part2.select(part1.columns.map(F.col): _*))
+      }
     val mapA = (aCols - "id").map(c =>
       c -> (if (shared(c)) c + "_A" else c)).toMap + (idVarA -> "id")
     val mapB = (bCols - "id").map(c =>

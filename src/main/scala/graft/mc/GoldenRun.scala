@@ -1,0 +1,40 @@
+package graft.mc
+
+import org.apache.spark.sql.SparkSession
+
+/** Reproduces BASELINE.md's NMAR robustness table at the reference's
+  * full scale (N=100k, n_A=1000, n_B=50000, 100 replicates × 11 γ —
+  * `ipynb:1791-1794 (cell 23)`), printing bias per (γ, estimator) next
+  * to the reference's stored outputs. Run:
+  *   sbt "runMain graft.mc.GoldenRun"
+  * Results land in BASELINE_REPRO.md (see that file for the recorded
+  * comparison).
+  */
+object GoldenRun {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val gammas = (0 to 10).map(_ / 10.0)
+    val grid = MonteCarlo.nmarGrid(nSim = 100, gammas = gammas,
+      nPop = 100000, nA = 1000, nB = 50000)
+    val t0 = System.nanoTime()
+    val results = MonteCarlo.run(spark, grid)
+    val summary = MonteCarlo.summarize(results, trueMean = 3.0).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    println(f"# ${grid.size} simulations in $secs%.1f s")
+    println("gamma | estimator | bias | se | rmse")
+    summary.foreach { r =>
+      println(f"${r.getAs[Double]("gamma")}%.1f | ${r.getAs[String]("estimator")}%-9s | " +
+        f"${r.getAs[Double]("bias")}%+.3f | ${r.getAs[Double]("se")}%.3f | " +
+        f"${r.getAs[Double]("rmse")}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -65,6 +65,31 @@ class FusionSuite extends SparkSpec {
     assert(rows(2).getAs[Any]("y_A") == null) // id=3 only in B
   }
 
+  test("broadcast decomposition ≡ sort-merge full_outer (incl. dup/null ids)") {
+    import spark.implicits._
+    val a = Seq((Some(1L), 10.0), (Some(2L), 20.0), (Some(2L), 21.0),
+      (None: Option[Long], 99.0)).toDF("ida", "y")
+    val b = Seq((Some(2L), 5.0), (Some(3L), 6.0), (Some(3L), 7.0),
+      (None: Option[Long], 88.0)).toDF("idb", "z")
+    def rows(bc: Boolean) =
+      Fusion.fuse(a, b, "ida", "idb", broadcastA = bc).df
+        .select("id", "y", "z").collect()
+        .map(r => (r.getAs[Any](0), r.getAs[Any](1), r.getAs[Any](2)))
+        .sortBy(t => (String.valueOf(t._1), String.valueOf(t._2),
+          String.valueOf(t._3))).toSeq
+    assert(rows(true) === rows(false))
+  }
+
+  test("broadcast fusion plan contains no SortMergeJoin") {
+    import spark.implicits._
+    val a = Seq((1L, 1.0)).toDF("ida", "y")
+    val b = Seq((1L, 2.0)).toDF("idb", "z")
+    val plan = Fusion.fuse(a, b, "ida", "idb").df
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("cell-10 regression: y_A name also present in data_B resolves side-aware") {
     import spark.implicits._
     // reference bug (ipynb:741,753): y_A_col='y_true' also exists in B;

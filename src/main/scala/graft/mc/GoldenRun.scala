@@ -20,6 +20,20 @@ object GoldenRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // --- Simulation 1 (cell 4): 1000 reps, 13 estimators, scen I/II ---
+    val t1 = System.nanoTime()
+    val sim1 = MonteCarlo.runSim1(spark, nSim = 1000, nPop = 100000,
+      nA = 1000, nB1 = 30000, nB2 = 20000)
+    val s1 = MonteCarlo.summarize(sim1, trueMean = 3.0).collect()
+    println(f"# sim1: 1000 replicates in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    println("estimator | bias | se | rmse")
+    s1.sortBy(_.getAs[String]("estimator")).foreach { r =>
+      println(f"${r.getAs[String]("estimator")}%-12s | " +
+        f"${r.getAs[Double]("bias")}%+.3f | ${r.getAs[Double]("se")}%.3f | " +
+        f"${r.getAs[Double]("rmse")}%.3f")
+    }
+
+    // --- NMAR robustness study (cell 23): 100 reps × 11 γ -------------
     val gammas = (0 to 10).map(_ / 10.0)
     val grid = MonteCarlo.nmarGrid(nSim = 100, gammas = gammas,
       nPop = 100000, nA = 1000, nB = 50000)
@@ -28,7 +42,7 @@ object GoldenRun {
     val summary = MonteCarlo.summarize(results, trueMean = 3.0).collect()
     val secs = (System.nanoTime() - t0) / 1e9
 
-    println(f"# ${grid.size} simulations in $secs%.1f s")
+    println(f"# nmar: ${grid.size} simulations in $secs%.1f s")
     println("gamma | estimator | bias | se | rmse")
     summary.foreach { r =>
       println(f"${r.getAs[Double]("gamma")}%.1f | ${r.getAs[String]("estimator")}%-9s | " +

@@ -70,6 +70,195 @@ object LocalSim {
     )
   }
 
+  /** Simulation-1 battery (`ipynb` cells 2+4): stratified-by-x1 big
+    * sample B (n_B1 from x≤2, n_B2 from x>2), SRS A, contaminated
+    * ỹ = 2 + 0.9(y−3) + N(0,.5); 13 estimators across scenarios I/II —
+    * RegDI(∅/x1/e1), PC scen-1 (x1,x2)/(e1,e2), naive means, and the
+    * scenario-II variants (y_B = ỹ for RegDI; PC scen-2 with outcome
+    * model y ~ ỹ). */
+  def runSim1(sim: Int, seedBase: Long, n: Int, nA: Int,
+              nB1: Int, nB2: Int): Seq[SimResult] = {
+    val rng = new java.util.Random(seedBase)
+    val x = Array.fill(n)(2.0 + rng.nextGaussian())
+    val eta = Array.fill(n)(rng.nextGaussian() * math.sqrt(0.51))
+    val y = Array.tabulate(n)(i => 3.0 + 0.7 * (x(i) - 2.0) + eta(i))
+    val tildeY = Array.tabulate(n)(i =>
+      2.0 + 0.9 * (y(i) - 3.0) + rng.nextGaussian() * 0.5)
+    val v = Array.fill(n)(rng.nextGaussian())
+    val e = Array.tabulate(n)(i => 0.5 * x(i) + math.sqrt(0.75) * v(i))
+    val e1 = e.map(w => if (w <= 1.0) 1.0 else 0.0)
+    val e2 = e.map(w => if (w > 1.0) 1.0 else 0.0)
+    val x1 = x.map(w => if (w <= 2.0) 1.0 else 0.0)
+    val x2 = x.map(w => if (w > 2.0) 1.0 else 0.0)
+
+    // A: SRS exact nA
+    val rngA = new java.util.Random(seedBase + 500L)
+    val idx = Array.tabulate(n)(identity)
+    var i = 0
+    while (i < nA) {
+      val j = i + rngA.nextInt(n - i)
+      val t = idx(i); idx(i) = idx(j); idx(j) = t
+      i += 1
+    }
+    val inA = new Array[Boolean](n)
+    (0 until nA).foreach(k => inA(idx(k)) = true)
+
+    // B: exact n_B1 from stratum x≤2, n_B2 from x>2 (cell 2 design)
+    val rngB = new java.util.Random(seedBase + 900L)
+    val inB = new Array[Boolean](n)
+    def drawStratum(members: Array[Int], size: Int): Unit = {
+      val m = members.clone()
+      var k = 0
+      while (k < size) {
+        val j = k + rngB.nextInt(m.length - k)
+        val t = m(k); m(k) = m(j); m(j) = t
+        inB(m(k)) = true
+        k += 1
+      }
+    }
+    drawStratum((0 until n).filter(x(_) <= 2.0).toArray, nB1)
+    drawStratum((0 until n).filter(x(_) > 2.0).toArray, nB2)
+
+    val dA = n.toDouble / nA
+    val dB = n.toDouble / (nB1 + nB2)
+
+    def meanWhere(vals: Array[Double], sel: Array[Boolean]): Double = {
+      var s = 0.0; var c = 0; var k = 0
+      while (k < n) { if (sel(k)) { s += vals(k); c += 1 }; k += 1 }
+      s / c
+    }
+
+    def res(name: String, est: Double) = SimResult(sim, 0.0, name, est)
+
+    Seq(
+      res("Mean_S_A", meanWhere(y, inA)),
+      res("Mean_S_B", meanWhere(y, inB)),
+      res("RegDI", regdi2(n, y, y, Array.empty, inA, inB, dA)),
+      res("RegDI_X1", regdi2(n, y, y, Array(x1), inA, inB, dA)),
+      res("RegDI_e1", regdi2(n, y, y, Array(e1), inA, inB, dA)),
+      res("PC_X1", pc(n, y, Array(x1, x2), inA, inB, dA, dB)),
+      res("PC_e1", pc(n, y, Array(e1, e2), inA, inB, dA, dB)),
+      res("Mean_S_B_II", meanWhere(tildeY, inB)),
+      res("RegDI_II", regdi2(n, y, tildeY, Array.empty, inA, inB, dA)),
+      res("RegDI_X1_II", regdi2(n, y, tildeY, Array(x1), inA, inB, dA)),
+      res("RegDI_e1_II", regdi2(n, y, tildeY, Array(e1), inA, inB, dA)),
+      res("PC_X1_II", pcScen2(n, y, tildeY, Array(x1, x2), inA, inB, dA, dB)),
+      res("PC_e1_II", pcScen2(n, y, tildeY, Array(e1, e2), inA, inB, dA, dB)))
+  }
+
+  /** PC scenario 2 (`PC.R:255-297`): calibrate B on aux, fit OLS
+    * y ~ ỹ on A∩B, est = (Σ d_B·ŷ + Σ_A d_A·(y−ŷ))/N. */
+  private[mc] def pcScen2(n: Int, y: Array[Double], proxy: Array[Double],
+                          aux: Array[Array[Double]],
+                          inA: Array[Boolean], inB: Array[Boolean],
+                          dA: Double, dB: Double): Double = {
+    // calibrated d_B (same as pc())
+    val k = aux.length
+    val t = new Array[Double](k)
+    val xtdx = Array.ofDim[Double](k, k)
+    val xtd = new Array[Double](k)
+    // OLS y ~ 1 + proxy on A∩B; DIRECT population totals (one-table
+    // mode, PC.R:181-187 — the full frame IS the population)
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0; var m = 0
+    var r = 0
+    while (r < n) {
+      var a0 = 0
+      while (a0 < k) { t(a0) += aux(a0)(r); a0 += 1 }
+      if (inA(r) && inB(r)) {
+        sx += proxy(r); sy += y(r); sxy += proxy(r) * y(r)
+        sxx += proxy(r) * proxy(r); m += 1
+      }
+      if (inB(r)) {
+        var ii = 0
+        while (ii < k) {
+          xtd(ii) += dB * aux(ii)(r)
+          var jj = 0
+          while (jj < k) { xtdx(ii)(jj) += dB * aux(ii)(r) * aux(jj)(r); jj += 1 }
+          ii += 1
+        }
+      }
+      r += 1
+    }
+    val b1 = (sxy - sx * sy / m) / (sxx - sx * sx / m)
+    val b0 = sy / m - b1 * sx / m
+    val lambda =
+      if (k == 0) Array.empty[Double]
+      else solve(xtdx, Array.tabulate(k)(ii => t(ii) - xtd(ii)))
+    var acc = 0.0
+    r = 0
+    while (r < n) {
+      val yhat = b0 + b1 * proxy(r)
+      if (inB(r)) {
+        var xl = 0.0
+        var a = 0
+        while (a < k) { xl += lambda(a) * aux(a)(r); a += 1 }
+        acc += dB * (1.0 + xl) * yhat
+      }
+      if (inA(r)) acc += dA * (y(r) - yhat)
+      r += 1
+    }
+    acc / n
+  }
+
+  /** RegDI correction 0/1 with possibly distinct A/B outcome columns
+    * (scenario II passes ỹ as y_B — `RegDI2.R` y_A_col vs y_B_col). */
+  private[mc] def regdi2(n: Int, yA: Array[Double], yB: Array[Double],
+                         aux: Array[Array[Double]],
+                         inA: Array[Boolean], inB: Array[Boolean],
+                         dA: Double): Double = {
+    val k = 3 + aux.length
+    val t = new Array[Double](k)
+    t(0) = n.toDouble
+    var r = 0
+    while (r < n) {
+      if (inB(r)) {
+        t(1) += 1.0; t(2) += yB(r)
+        var a = 0
+        while (a < aux.length) { t(3 + a) += aux(a)(r); a += 1 }
+      }
+      r += 1
+    }
+    val xtdx = Array.ofDim[Double](k, k)
+    val xtd = new Array[Double](k)
+    r = 0
+    while (r < n) {
+      if (inA(r)) {
+        val f = new Array[Double](k)
+        f(0) = 1.0
+        if (inB(r)) {
+          f(1) = 1.0; f(2) = yB(r)
+          var a = 0
+          while (a < aux.length) { f(3 + a) = aux(a)(r); a += 1 }
+        }
+        var ii = 0
+        while (ii < k) {
+          xtd(ii) += dA * f(ii)
+          var jj = 0
+          while (jj < k) { xtdx(ii)(jj) += dA * f(ii) * f(jj); jj += 1 }
+          ii += 1
+        }
+      }
+      r += 1
+    }
+    val lambda = solve(xtdx, Array.tabulate(k)(ii => t(ii) - xtd(ii)))
+    var sw = 0.0; var swy = 0.0
+    r = 0
+    while (r < n) {
+      if (inA(r)) {
+        var xl = lambda(0)
+        if (inB(r)) {
+          xl += lambda(1) + lambda(2) * yB(r)
+          var a = 0
+          while (a < aux.length) { xl += lambda(3 + a) * aux(a)(r); a += 1 }
+        }
+        val w = dA * (1.0 + xl)
+        sw += w; swy += w * yA(r)
+      }
+      r += 1
+    }
+    swy / sw
+  }
+
   /** RegDI correction 0/1, calibration vars (uno, δ_i, δ_y, δ_aux…) —
     * the local form of `RegDI2.R:144-193,244-248`. */
   private[mc] def regdi(n: Int, y: Array[Double], aux: Array[Array[Double]],
@@ -132,21 +321,21 @@ object LocalSim {
     swy / sw
   }
 
-  /** PC scenario 1: calibrate the B design on aux vars against HT totals
-    * estimated from A (`PC.R:190-237`), then the calibrated B mean. */
+  /** PC scenario 1: calibrate the B design on aux vars against DIRECT
+    * population totals (one-table mode, `PC.R:181-187,216-237` — the
+    * reference's cell-4/23 calls pass the full population frame), then
+    * the calibrated B mean. */
   private[mc] def pc(n: Int, y: Array[Double], aux: Array[Array[Double]],
                      inA: Array[Boolean], inB: Array[Boolean],
                      dA: Double, dB: Double): Double = {
     val k = aux.length
-    val t = new Array[Double](k)       // HT totals from A
+    val t = new Array[Double](k)       // direct population totals
     val xtdx = Array.ofDim[Double](k, k)
     val xtd = new Array[Double](k)
     var r = 0
     while (r < n) {
-      if (inA(r)) {
-        var a = 0
-        while (a < k) { t(a) += dA * aux(a)(r); a += 1 }
-      }
+      var a0 = 0
+      while (a0 < k) { t(a0) += aux(a0)(r); a0 += 1 }
       if (inB(r)) {
         var ii = 0
         while (ii < k) {

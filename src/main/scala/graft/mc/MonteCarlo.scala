@@ -35,6 +35,17 @@ object MonteCarlo {
       s <- 1 to nSim
     } yield SimConfig(s, g, seed0 + 10000L * gi + s, nPop, nA, nB)
 
+  /** Simulation-1 study (`ipynb` cell 4): nSim replicates of the
+    * 13-estimator scenario-I/II battery. */
+  def runSim1(spark: SparkSession, nSim: Int, nPop: Int, nA: Int,
+              nB1: Int, nB2: Int, seed0: Long = 0L): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(1 to nSim)
+      .repartition(math.min(nSim, spark.sparkContext.defaultParallelism * 2))
+      .flatMap(s => LocalSim.runSim1(s, seed0 + s, nPop, nA, nB1, nB2))
+      .toDF()
+  }
+
   /** Fan the grid out; one task-local simulation per config. */
   def run(spark: SparkSession, grid: Seq[SimConfig]): DataFrame = {
     import spark.implicits._

@@ -32,11 +32,10 @@ object Ann {
     Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Dot product of the embedding with a literal plane (codegen'd fold). */
+  /** Dot product of the embedding with a literal plane — a native
+    * codegen'd expression (graft.expressions.FloatVecDotConst). */
   private def dotLit(vec: Column, plane: Seq[Double]): Column =
-    aggregate(zip_with(vec, typedlit(plane),
-        (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExpressions.dotConst(vec, plane)
 
   /** Bucket key for one table: sign bits packed into a Long. */
   def bucketKey(vec: Column, dim: Int, bits: Int, table: Int,
@@ -55,14 +54,11 @@ object Ann {
         bucketKey(col(vecCol), dim, bits, t, seed)): _*)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
 
-  /** Exact cosine in plain doubles (engine-internal; the cross-engine
-    * hash-checkable variant lives in AnnQueries.cosineExact). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0), (acc, p) => acc + p)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Exact cosine in plain doubles over float arrays — native codegen'd
+    * dot products (the cross-engine hash-checkable decimal variant lives
+    * in AnnQueries.cosineExact). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineF(a, b)
 
   /** LSH-bucketed approximate top-k: for each query vector, the k most
     * cosine-similar candidates among bucket collisions. */

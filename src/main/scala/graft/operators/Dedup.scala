@@ -29,39 +29,20 @@ object Dedup {
   def tokens(text: Column): Column = split(normalize(text), " ")
 
   /** Distinct word n-gram shingles; docs shorter than n words yield one
-    * whole-text shingle so they can still be compared. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", t)))
-  }
+    * whole-text shingle so they can still be compared. Native expression
+    * (graft.expressions.WordShinglesExpr): one JVM pass per doc instead
+    * of one interpreted HOF lambda per shingle. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.expressions.TextExpressions.wordShingles(text, n)
 
   // ---- MinHash ------------------------------------------------------
 
   /** MinHash signature as an array column: element j = min over shingles
-    * of xxhash64(s, j). Expression-only form — useful for one-shot
-    * signatures, but it is a nested higher-order function (interpreted,
-    * not codegen'd); the throughput path is [[minhashColumns]]. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles, s => xxhash64(s, j))))
-
-  /** Throughput MinHash: explode shingles, then `numHashes` codegen'd
-    * `min(xxhash64(s, j))` aggregates → one row per doc with columns
-    * mh_0..mh_{n-1}. Every shingle is tokenized and hashed exactly once,
-    * entirely inside whole-stage codegen; the map-side partial aggregate
-    * collapses each doc before the shuffle, so only (id, n×8 B) rows
-    * move. This is the 100 TB path. */
-  def minhashColumns(docs: DataFrame, idCol: String, textCol: String,
-                     shingleN: Int, numHashes: Int): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleN)).as("s"))
-    val aggs = (0 until numHashes).map(j =>
-      min(xxhash64(col("s"), lit(j))).as(s"mh_$j"))
-    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
-  }
+    * of xxhash64(shingle, seed=j). Native one-pass expression
+    * (graft.expressions.MinHashSignatureExpr — tokenize + hash sweep in
+    * one JVM loop, no interpreted HOF lambdas, no explosion). */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
+    graft.expressions.TextExpressions.minhashSignature(text, shingleN, numHashes)
 
   /** Estimated Jaccard from two signatures: fraction of agreeing slots. */
   def signatureAgreement(sigA: Column, sigB: Column): Column =
@@ -74,23 +55,17 @@ object Dedup {
     size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB))
 
-  /** LSH banding: b rows per doc with key = hash of its band's minhash
-    * slots. Built on [[minhashColumns]] (each minhash evaluated once,
-    * codegen'd); the (id, band, band_key) rows are the ONLY thing
-    * shuffled at scale. */
+  /** LSH banding: b rows per doc with key = XXH64-fold of its band's
+    * minhash slots — ONE native expression eval per doc (tokenize, hash,
+    * band in a single pass), then posexplode. The (id, band, band_key)
+    * rows are the ONLY thing shuffled at scale. */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, numHashes: Int = 128,
-               bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val mh = minhashColumns(docs, idCol, textCol, shingleN, numHashes)
-    val bandKeys = (0 until bands).map { b =>
-      xxhash64(concat_ws(",", ((b * r) until ((b + 1) * r)).map(j =>
-        col(s"mh_$j").cast("string")): _*))
-    }
-    mh.select(col("id"), posexplode(array(bandKeys: _*)))
+               bands: Int = 32): DataFrame =
+    docs.select(col(idCol).as("id"), posexplode(
+        graft.expressions.TextExpressions.minhashBandKeys(
+          col(textCol), shingleN, numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-  }
 
   /** Near-duplicate candidate pairs (idA < idB) via MinHash-LSH, with the
     * signature-agreement Jaccard estimate attached. */
@@ -103,9 +78,8 @@ object Dedup {
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val sigs = minhashColumns(docs, idCol, textCol, shingleN, numHashes)
-      .select(col("id"),
-        array((0 until numHashes).map(j => col(s"mh_$j")): _*).as("sig"))
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
     pairs
       .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a")), "id_a")
       .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b")), "id_b")
@@ -136,21 +110,11 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  private val bitValues: Seq[Long] = (0 until 64).map(k => 1L << k)
-
   /** 64-bit SimHash over token hashes: per bit, sum ±1 across tokens;
-    * bit set where the sum is positive. One pass, no shuffle. */
-  def simhash64(text: Column): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
-    val counts = aggregate(hs,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, typedlit(bitValues),
-        (c, p) => c + when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1)))
-    aggregate(
-      zip_with(counts, typedlit(bitValues),
-        (c, p) => when(c > 0, p).otherwise(lit(0L))),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-  }
+    * bit set where the sum is positive. Native one-pass expression
+    * (same XXH64/seed-42 family as Spark's `xxhash64`). */
+  def simhash64(text: Column): Column =
+    graft.expressions.TextExpressions.simhash64(text)
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -88,9 +88,7 @@ object DedupQueries {
         // surviving ~0.2% of pairs — bit-identical output to evaluating
         // the exact cosine on every pair, at a fraction of the cost.
         val emb = load(s, d, "embeddings")
-        def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-          aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-            lit(0.0), (acc, p) => acc + p)
+        val dot = graft.expressions.VectorExpressions.dotF _
         // norms computed once per vector (join sides), not once per pair
         val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
           sqrt(dot(col("embedding"), col("embedding"))).as("na"))

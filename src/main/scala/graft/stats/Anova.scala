@@ -39,7 +39,8 @@ object Anova {
     val abD = for (a <- aD; b <- bD) yield a * b
     val features = Seq(lit(1.0)) ++ aD ++ bD ++ abD
 
-    val g = Gram.moments(data, features, lit(1.0), Some(col(yCol)))
+    val g = Gram.moments(data, features, lit(1.0), Some(col(yCol)),
+      exact = false)
     val n = g.n
 
     def rssAt(p: Int): Double = {

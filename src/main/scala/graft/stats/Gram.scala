@@ -43,14 +43,18 @@ object Gram {
       df: DataFrame,
       xCols: Seq[Column],
       w: Column = lit(1.0),
-      yCol: Option[Column] = None
+      yCol: Option[Column] = None,
+      exact: Boolean = true
   ): GramResult = {
-    import graft.util.Tables.dsum
-    val k = xCols.size
-    val y = yCol.getOrElse(lit(0.0))
     // dsum = exact-decimal summation: order-independent, so the moments
     // (and everything solved from them) are bit-identical under any
     // repartitioning — a tested invariant (SURVEY.md §5 property tests).
+    // `exact = false` uses plain double sums (~4× faster) where run-to-
+    // run bit determinism isn't required (e.g. ANOVA's wide Gram).
+    val dsum: Column => Column =
+      if (exact) graft.util.Tables.dsum else sum
+    val k = xCols.size
+    val y = yCol.getOrElse(lit(0.0))
     val upper = for { i <- 0 until k; j <- i until k }
       yield dsum(w * xCols(i) * xCols(j)).as(s"xx_${i}_$j")
     val firsts = (0 until k).map(i => dsum(w * xCols(i)).as(s"xw_$i"))

@@ -33,6 +33,19 @@ object GoldenRun {
         f"${r.getAs[Double]("rmse")}%.3f")
     }
 
+    // --- Stratified study (cell 12): 1000 reps, true mean 7.5 ---------
+    val t2 = System.nanoTime()
+    val sim2 = MonteCarlo.runSim2(spark, nSim = 1000, nPop = 100000,
+      nATotal = 2000, nBTotal = 30000)
+    val s2 = MonteCarlo.summarize(sim2, trueMean = 7.5).collect()
+    println(f"# sim2: 1000 replicates in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    println("estimator | bias | se | rmse")
+    s2.sortBy(_.getAs[String]("estimator")).foreach { r =>
+      println(f"${r.getAs[String]("estimator")}%-12s | " +
+        f"${r.getAs[Double]("bias")}%+.3f | ${r.getAs[Double]("se")}%.3f | " +
+        f"${r.getAs[Double]("rmse")}%.3f")
+    }
+
     // --- NMAR robustness study (cell 23): 100 reps × 11 γ -------------
     val gammas = (0 to 10).map(_ / 10.0)
     val grid = MonteCarlo.nmarGrid(nSim = 100, gammas = gammas,

@@ -146,6 +146,227 @@ object LocalSim {
       res("PC_e1_II", pcScen2(n, y, tildeY, Array(e1, e2), inA, inB, dA, dB)))
   }
 
+  /** Stratified-sampling study (`ipynb` cells 7+12): x~N(10,1),
+    * z~Bern(.5), 4 strata from (x≤9.5, z), y = 5+0.1x+3z+ε (true mean
+    * 7.5), ỹ = 7.5+3(y−7.5)+N(0,√.5); A stratified proportional exact-n
+    * with weights N_h/n_h, B stratified Bernoulli (π=.8/.2) with one
+    * size-adjustment redraw. TWO-TABLE estimator calls: N̂ = Σ d_A,
+    * PC totals are HT from A (`PC.R:190-199`), RegDI_X1 calibrates on
+    * numeric `stratum` + x (the SURVEY §1.2 trap: stratum enters as a
+    * single numeric column, NOT factor dummies). */
+  def runSim2(sim: Int, seedBase: Long, n: Int, nATotal: Int,
+              nBTotal: Int): Seq[SimResult] = {
+    val rng = new java.util.Random(seedBase)
+    val x = Array.fill(n)(10.0 + rng.nextGaussian())
+    val z = Array.fill(n)(if (rng.nextDouble() < 0.5) 1.0 else 0.0)
+    val stratum = Array.tabulate(n) { i =>
+      if (x(i) <= 9.5) { if (z(i) == 0.0) 1.0 else 2.0 }
+      else { if (z(i) == 0.0) 3.0 else 4.0 }
+    }
+    val y = Array.tabulate(n)(i =>
+      5.0 + 0.1 * x(i) + 3.0 * z(i) + rng.nextGaussian())
+    val tildeY = Array.tabulate(n)(i =>
+      7.5 + 3.0 * (y(i) - 7.5) + rng.nextGaussian() * math.sqrt(0.5))
+
+    // A: stratified proportional exact-n, d = N_h/n_h
+    val rngA = new java.util.Random(seedBase + 500L)
+    val inA = new Array[Boolean](n)
+    val dOfStratum = new Array[Double](5)
+    for (s <- 1 to 4) {
+      val members = (0 until n).filter(stratum(_) == s.toDouble).toArray
+      val nH = members.length
+      val nAh = math.floor(nH.toDouble / n * nATotal + 0.5).toInt
+      dOfStratum(s) = nH.toDouble / nAh
+      val m = members.clone()
+      var k = 0
+      while (k < nAh) {
+        val j = k + rngA.nextInt(m.length - k)
+        val t = m(k); m(k) = m(j); m(j) = t
+        inA(m(k)) = true
+        k += 1
+      }
+    }
+    val d = Array.tabulate(n)(i => if (inA(i)) dOfStratum(stratum(i).toInt) else 0.0)
+
+    // B: Bernoulli by stratum prob, one rescaled redraw to target size
+    val rngB = new java.util.Random(seedBase + 900L)
+    val pi = Array.tabulate(n)(i => if (stratum(i) <= 2.0) 0.8 else 0.2)
+    var inB = Array.tabulate(n)(i => rngB.nextDouble() < pi(i))
+    val got = inB.count(identity)
+    if (got != nBTotal) {
+      val f = nBTotal.toDouble / got
+      inB = Array.tabulate(n)(i => rngB.nextDouble() < math.min(pi(i) * f, 1.0))
+    }
+
+    val nHatA = d.sum                    // N̂ = Σ d_A (two-table default)
+    val nB = inB.count(identity)
+    val dB = nHatA / nB
+
+    def meanWhere(vals: Array[Double], sel: Array[Boolean]): Double = {
+      var s = 0.0; var c = 0; var k = 0
+      while (k < n) { if (sel(k)) { s += vals(k); c += 1 }; k += 1 }
+      s / c
+    }
+    def wMeanA: Double = {
+      var sw = 0.0; var swy = 0.0; var k = 0
+      while (k < n) { if (inA(k)) { sw += d(k); swy += d(k) * y(k) }; k += 1 }
+      swy / sw
+    }
+
+    def res(name: String, est: Double) = SimResult(sim, 0.0, name, est)
+    Seq(
+      res("Mean_S_A", wMeanA),
+      res("Mean_S_B", meanWhere(y, inB)),
+      res("RegDI", regdiW(n, y, y, Array.empty, inA, inB, d, nHatA)),
+      res("RegDI_X1", regdiW(n, y, y, Array(stratum, x), inA, inB, d, nHatA)),
+      res("PC_X1", pcHt(n, y, y, Array(stratum), inA, inB, d, dB, nHatA,
+        scen2 = false)),
+      res("Mean_S_B_II", meanWhere(tildeY, inB)),
+      res("RegDI_II", regdiW(n, y, tildeY, Array.empty, inA, inB, d, nHatA)),
+      res("RegDI_X1_II", regdiW(n, y, tildeY, Array(stratum, x), inA, inB, d, nHatA)),
+      res("PC_X1_II", pcHt(n, y, tildeY, Array(stratum), inA, inB, d, dB,
+        nHatA, scen2 = true)))
+  }
+
+  /** RegDI 0/1 with per-row design weights (stratified A). */
+  private[mc] def regdiW(n: Int, yA: Array[Double], yB: Array[Double],
+                         aux: Array[Array[Double]],
+                         inA: Array[Boolean], inB: Array[Boolean],
+                         d: Array[Double], nTotal: Double): Double = {
+    val k = 3 + aux.length
+    val t = new Array[Double](k)
+    t(0) = nTotal
+    var r = 0
+    while (r < n) {
+      if (inB(r)) {
+        t(1) += 1.0; t(2) += yB(r)
+        var a = 0
+        while (a < aux.length) { t(3 + a) += aux(a)(r); a += 1 }
+      }
+      r += 1
+    }
+    val xtdx = Array.ofDim[Double](k, k)
+    val xtd = new Array[Double](k)
+    r = 0
+    while (r < n) {
+      if (inA(r)) {
+        val f = new Array[Double](k)
+        f(0) = 1.0
+        if (inB(r)) {
+          f(1) = 1.0; f(2) = yB(r)
+          var a = 0
+          while (a < aux.length) { f(3 + a) = aux(a)(r); a += 1 }
+        }
+        var ii = 0
+        while (ii < k) {
+          xtd(ii) += d(r) * f(ii)
+          var jj = 0
+          while (jj < k) { xtdx(ii)(jj) += d(r) * f(ii) * f(jj); jj += 1 }
+          ii += 1
+        }
+      }
+      r += 1
+    }
+    val lambda = solve(xtdx, Array.tabulate(k)(ii => t(ii) - xtd(ii)))
+    var sw = 0.0; var swy = 0.0
+    r = 0
+    while (r < n) {
+      if (inA(r)) {
+        var xl = lambda(0)
+        if (inB(r)) {
+          xl += lambda(1) + lambda(2) * yB(r)
+          var a = 0
+          while (a < aux.length) { xl += lambda(3 + a) * aux(a)(r); a += 1 }
+        }
+        val w = d(r) * (1.0 + xl)
+        sw += w; swy += w * yA(r)
+      }
+      r += 1
+    }
+    swy / sw
+  }
+
+  /** PC two-table: aux totals are HT estimates from the A design
+    * (`PC.R:190-199`); scen1 = calibrated B mean of y_B; scen2 = fit
+    * y_A ~ y_B on overlap, combine. */
+  private[mc] def pcHt(n: Int, yA: Array[Double], yB: Array[Double],
+                       aux: Array[Array[Double]],
+                       inA: Array[Boolean], inB: Array[Boolean],
+                       d: Array[Double], dB: Double, nTotal: Double,
+                       scen2: Boolean): Double = {
+    val k = aux.length
+    val t = new Array[Double](k)
+    val xtdx = Array.ofDim[Double](k, k)
+    val xtd = new Array[Double](k)
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0; var m = 0
+    var r = 0
+    while (r < n) {
+      if (inA(r)) {
+        var a = 0
+        while (a < k) { t(a) += d(r) * aux(a)(r); a += 1 }
+        if (inB(r)) {
+          sx += yB(r); sy += yA(r); sxy += yB(r) * yA(r)
+          sxx += yB(r) * yB(r); m += 1
+        }
+      }
+      if (inB(r)) {
+        var ii = 0
+        while (ii < k) {
+          xtd(ii) += dB * aux(ii)(r)
+          var jj = 0
+          while (jj < k) { xtdx(ii)(jj) += dB * aux(ii)(r) * aux(jj)(r); jj += 1 }
+          ii += 1
+        }
+      }
+      r += 1
+    }
+    val lambda = solve(xtdx, Array.tabulate(k)(ii => t(ii) - xtd(ii)))
+    if (!scen2) {
+      var sw = 0.0; var swy = 0.0
+      r = 0
+      while (r < n) {
+        if (inB(r)) {
+          var xl = 0.0
+          var a = 0
+          while (a < k) { xl += lambda(a) * aux(a)(r); a += 1 }
+          val w = dB * (1.0 + xl)
+          sw += w; swy += w * yB(r)
+        }
+        r += 1
+      }
+      swy / sw
+    } else {
+      val b1 = (sxy - sx * sy / m) / (sxx - sx * sx / m)
+      val b0 = sy / m - b1 * sx / m
+      var acc = 0.0
+      r = 0
+      while (r < n) {
+        if (inB(r)) {
+          val yhat = b0 + b1 * yB(r)
+          var xl = 0.0
+          var a = 0
+          while (a < k) { xl += lambda(a) * aux(a)(r); a += 1 }
+          acc += dB * (1.0 + xl) * yhat
+        }
+        if (inA(r)) {
+          // ŷ on A needs y_B there; outside B it's unobserved — the
+          // reference's resolver falls back to the A-side y (y_i ~
+          // tilde_y_i resolves tilde against B, y against A); residual
+          // uses predictions where the proxy exists (overlap), raw y
+          // elsewhere contributes y − ŷ with ŷ from the A-side proxy
+          // value when present. Two-table mode: proxy only on B rows →
+          // A-residual term uses overlap rows only, others ŷ = b0+b1·yB
+          // is unavailable → reference predicts on data (joined frame)
+          // where tilde_y is NA outside B, yielding NA predictions that
+          // na.rm-drop. We mirror: only overlap rows contribute.
+          if (inB(r)) acc += d(r) * (yA(r) - (b0 + b1 * yB(r)))
+        }
+        r += 1
+      }
+      acc / nTotal
+    }
+  }
+
   /** PC scenario 2 (`PC.R:255-297`): calibrate B on aux, fit OLS
     * y ~ ỹ on A∩B, est = (Σ d_B·ŷ + Σ_A d_A·(y−ŷ))/N. */
   private[mc] def pcScen2(n: Int, y: Array[Double], proxy: Array[Double],

@@ -46,6 +46,16 @@ object MonteCarlo {
       .toDF()
   }
 
+  /** Stratified-sampling study (`ipynb` cell 12): nSim replicates. */
+  def runSim2(spark: SparkSession, nSim: Int, nPop: Int, nATotal: Int,
+              nBTotal: Int, seed0: Long = 0L): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(1 to nSim)
+      .repartition(math.min(nSim, spark.sparkContext.defaultParallelism * 2))
+      .flatMap(s => LocalSim.runSim2(s, seed0 + s, nPop, nATotal, nBTotal))
+      .toDF()
+  }
+
   /** Fan the grid out; one task-local simulation per config. */
   def run(spark: SparkSession, grid: Seq[SimConfig]): DataFrame = {
     import spark.implicits._

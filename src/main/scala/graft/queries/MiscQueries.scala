@@ -72,6 +72,41 @@ object MiscQueries {
                       ${sqlDsum("value")} AS sum_value
                FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    // ---- W2 session windows (gap-based) over events -------------------
+    // Spark session_window vs a DuckDB gaps-and-islands rendition: a new
+    // session starts where the gap to the previous event exceeds 30 min;
+    // both engines then aggregate per (user, session).
+    Q("w02_session_window",
+      (s, d) => Streams.sessionStats(
+          graft.util.Tables.loadEvents(s, d), "30 minutes")
+        .select(col("user_id"),
+          col("w.start").cast("string").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some(s"""WITH e AS (SELECT user_id, ts, value,
+                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                < INTERVAL 30 MINUTE
+                           THEN 0 ELSE 1 END AS new_sess
+                    FROM events),
+                   g AS (SELECT user_id, ts, value,
+                      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+                    FROM e)
+              SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start,
+                     count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+              FROM g GROUP BY user_id, sess
+              ORDER BY user_id, session_start""")),
+
+    // ---- J4 semi-structured: JSON props extraction --------------------
+    Q("j04_json_props",
+      (s, d) => load(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events ORDER BY event_id""")),
+
     // ---- MM1 multimodal pack: binary payload + typed metadata ---------
     Q("mm01_multimodal_pack",
       (s, d) => load(s, d, "documents")

@@ -25,7 +25,9 @@ object Tables {
     * timestamp here. */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, not `/`: double division would round the nanos
+      // (and lose precision past 2^53) instead of truncating to micros
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Order-independent, cross-engine-deterministic sum of a double column:
     * each addend is cast to an exact DECIMAL first (exact decimal addition),

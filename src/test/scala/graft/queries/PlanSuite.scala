@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions for the scale-critical properties
+  * (SCALE.md): filters and projections reach the parquet scan, small
+  * joins broadcast, membership tests are semi-joins, aggregations run
+  * inside whole-stage codegen. Guards against regressions that would
+  * only show up as silent slowdowns at scale. */
+class PlanSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    Catalog.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("p09: predicate pushed down to the parquet scan") {
+    val p = plan("p09_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)") ||
+      p.contains("EqualTo(l_returnflag,R)"), p.take(2000))
+  }
+
+  test("p01: column pruning reaches the scan (ReadSchema only 3 cols)") {
+    val p = plan("p01_select")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("c_custkey") && read.contains("c_name") &&
+      read.contains("c_mktsegment"))
+    assert(!read.contains("c_acctbal") && !read.contains("c_address"),
+      read)
+  }
+
+  test("j02: dimension joins are broadcast-hash, not sort-merge") {
+    val p = plan("j02_left_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("p10: %in% membership plans as a LeftSemi join") {
+    val p = plan("p10_semijoin")
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("a07: grouped aggregation is hash-based with map-side partial agg") {
+    // (AQE shows codegen spans only in the final executed plan; the
+    // partial_* functions prove the map-side combine before the shuffle)
+    val p = plan("a07_grouped_agg")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("e02: native dot-product expression appears in the plan (no HOF lambda)") {
+    val p = plan("e02_embed_neardup")
+    assert(p.contains("float_vec_dot"), p.take(3000))
+  }
+}

@@ -19,6 +19,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up executor threads + parquet footers so the first measured
+    // query doesn't carry session-startup cost
+    spark.range(1000).selectExpr("sum(id)").write.format("noop")
+      .mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).write
+      .format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,75 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.core.SurveyDesign
+
+/** Property-based invariants (SURVEY.md §5 derived test plan):
+  * partitioning-invariance of the Gram moments, the calibration
+  * identity, and weighted-mean invariance under row order. */
+class PropertySuite extends SparkSpec {
+  import spark.implicits._
+
+  // scalacheck generators driven manually (no scalatest-plus bridge in
+  // the offline cache): 8 seeded samples per property
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to 8).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val rowsGen: Gen[List[(Double, Double, Double)]] =
+    Gen.listOfN(60, for {
+      x <- Gen.choose(-50.0, 50.0)
+      y <- Gen.choose(-10.0, 10.0)
+      w <- Gen.choose(0.5, 30.0)
+    } yield (x, y, w))
+
+  test("Gram moments are bit-identical under any repartitioning (exact sums)") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("x", "y", "w")
+        val g1 = Gram.moments(df.repartition(1), Seq(col("x")), col("w"),
+          Some(col("y")))
+        val g7 = Gram.moments(df.repartition(7), Seq(col("x")), col("w"),
+          Some(col("y")))
+        assert(g1.xtwx(0, 0) === g7.xtwx(0, 0))
+        assert(g1.xtwy(0) === g7.xtwy(0))
+        assert(g1.sw === g7.sw)
+      }
+    }
+  }
+
+  test("calibration identity: totals already met ⇒ weights unchanged") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty && rows.map(r => math.abs(r._1)).sum > 1e-6) {
+        val df = rows.toDF("x", "y", "w").withColumn("uno", lit(1.0))
+        val htTotals = df.agg(
+          graft.util.Tables.dsum(col("w")),
+          graft.util.Tables.dsum(col("w") * col("x"))).head()
+        val (cal, _) = Calibration.calibrate(SurveyDesign(df, "w"),
+          Seq("uno", "x"),
+          Seq(htTotals.getDouble(0), htTotals.getDouble(1)))
+        val maxDiff = cal
+          .agg(max(abs(col("w_cal") - col("w")))).head().getDouble(0)
+        assert(maxDiff < 1e-6, s"weights moved by $maxDiff")
+      }
+    }
+  }
+
+  test("weighted mean is invariant under row order") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("x", "y", "w")
+        val m1 = WeightedStats.svymean(SurveyDesign(df, "w"), "y").mean
+        val m2 = WeightedStats.svymean(
+          SurveyDesign(df.orderBy(desc("x")), "w"), "y").mean
+        assert(m1 === m2)
+      }
+    }
+  }
+}

@@ -46,6 +46,26 @@ object GoldenRun {
         f"${r.getAs[Double]("rmse")}%.3f")
     }
 
+    // --- NMAR-v2 grid (cells 37/41/42): 5 est × 5 sd × 100 × 11 γ -----
+    val t3 = System.nanoTime()
+    val sds = Seq(0.0, 0.125, 0.25, 0.375, 0.5)
+    val ests = Seq("PC_xi_DR", "PC_ei_DR", "RegDI_no_aux", "RegDI_xi", "RegDI_ei")
+    val v2long = MonteCarlo.runV2(spark, nSim = 100,
+      gammas = (0 to 10).map(_ / 10.0), nPop = 100000, nA = 1000,
+      nB = 50000, sdVector = sds)
+    val wide = Reporting.toWide(v2long, ests, sds)
+    val bl = Reporting.biasLong(Reporting.withBiasColumns(wide, 3.0)).cache()
+    val nEvals = bl.count()
+    println(f"# v2: $nEvals evaluations in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    println("## PC_xi_DR bias table (rows gamma, cols sd):")
+    Reporting.biasTable(Reporting.biasSummary(bl), "PC_xi_DR_y_i", sds)
+      .collect().foreach(r => println(r.toSeq.mkString(" | ")))
+    println("## grid ANOVA (Type-I):")
+    Reporting.gridAnova(bl).foreach { r =>
+      println(f"${r.term}%-26s df=${r.df}%5d  SS=${r.sumSq}%8.3f  " +
+        f"F=${r.fValue}%10.3f  p=${r.pValue}%.3g")
+    }
+
     // --- NMAR robustness study (cell 23): 100 reps × 11 γ -------------
     val gammas = (0 to 10).map(_ / 10.0)
     val grid = MonteCarlo.nmarGrid(nSim = 100, gammas = gammas,

@@ -146,6 +146,181 @@ object LocalSim {
       res("PC_e1_II", pcScen2(n, y, tildeY, Array(e1, e2), inA, inB, dA, dB)))
   }
 
+  /** NMAR-v2 study (`ipynb` cells 33+37): one population per (sim, γ)
+    * carrying FIVE response columns y_sd_s = 3 + 0.7(x−2) + N(0, s) for
+    * s in sdVector; B is drawn by the FIRST response's logistic π
+    * (cell 33:  `prob_selection` uses `y_i_sd_<sd_vector[1]>`); per
+    * response, five estimators: PC-DR scen-3 with (x1,x2) and (e1,e2)
+    * aux+model, RegDI with no aux / x1 / e1. Emits long rows
+    * (estimator, sd, estimate) for the cell-40/41 reporting pipeline. */
+  def runSimV2(sim: Int, gamma: Double, seedBase: Long, n: Int, nA: Int,
+               nB: Int, sdVector: Seq[Double]): Seq[SimResultV2] = {
+    val rng = new java.util.Random(seedBase)
+    val x = Array.fill(n)(2.0 + rng.nextGaussian())
+    val ys = sdVector.map { s =>
+      Array.tabulate(n)(i => 3.0 + 0.7 * (x(i) - 2.0)) // + noise below
+    }.toArray
+    // noise drawn per-response in sdVector order (mirrors the R loop)
+    sdVector.zipWithIndex.foreach { case (s, yi) =>
+      var i = 0
+      while (i < n) { ys(yi)(i) += rng.nextGaussian() * s; i += 1 }
+    }
+    val v = Array.fill(n)(rng.nextGaussian())
+    val e = Array.tabulate(n)(i => 0.5 * x(i) + math.sqrt(0.75) * v(i))
+    val e1 = e.map(w => if (w <= 1.0) 1.0 else 0.0)
+    val e2 = e.map(w => if (w > 1.0) 1.0 else 0.0)
+    val x1 = x.map(w => if (w <= 2.0) 1.0 else 0.0)
+    val x2 = x.map(w => if (w > 2.0) 1.0 else 0.0)
+
+    val rngA = new java.util.Random(seedBase + 1000L)
+    val idx = Array.tabulate(n)(identity)
+    var i = 0
+    while (i < nA) {
+      val j = i + rngA.nextInt(n - i)
+      val t = idx(i); idx(i) = idx(j); idx(j) = t
+      i += 1
+    }
+    val inA = new Array[Boolean](n)
+    (0 until nA).foreach(k => inA(idx(k)) = true)
+
+    val rngB = new java.util.Random(seedBase + 2000L)
+    val y0 = ys(0)
+    val keyed = Array.tabulate(n) { k =>
+      val p = 1.0 / (1.0 + math.exp(-gamma * (y0(k) - TrueC)))
+      (math.pow(rngB.nextDouble(), 1.0 / p), k)
+    }
+    val inB = new Array[Boolean](n)
+    keyed.sortBy(-_._1).take(nB).foreach { case (_, k) => inB(k) = true }
+
+    val dA = n.toDouble / nA
+
+    sdVector.zipWithIndex.flatMap { case (s, yi) =>
+      val y = ys(yi)
+      def row(est: String, v: Double) = SimResultV2(sim, gamma, est, s, v)
+      Seq(
+        row("PC_xi_DR", pcDr1(n, y, Array(x1, x2), inA, inB)),
+        row("PC_ei_DR", pcDr1(n, y, Array(e1, e2), inA, inB)),
+        row("RegDI_no_aux", regdi2(n, y, y, Array.empty, inA, inB, dA)),
+        row("RegDI_xi", regdi2(n, y, y, Array(x1), inA, inB, dA)),
+        row("RegDI_ei", regdi2(n, y, y, Array(e1), inA, inB, dA)))
+    }
+  }
+
+  /** PC scenario-3 DR1 (`PC.R:299-328`, one-table): calibrate B on aux
+    * (direct totals), fit y ~ 1 + aux on A (alias-tolerant: with
+    * saturated dummies the intercept is collinear and R's lm drops the
+    * aliased column), predict everywhere,
+    * est = (Σ_B w_cal·(y−ŷ) + Σ_U ŷ)/N. */
+  private[mc] def pcDr1(n: Int, y: Array[Double], aux: Array[Array[Double]],
+                        inA: Array[Boolean], inB: Array[Boolean]): Double = {
+    val k = aux.length
+    val dB = { var c = 0; var r = 0; while (r < n) { if (inB(r)) c += 1; r += 1 }
+      n.toDouble / c }
+    // calibration of B on aux with direct totals
+    val t = new Array[Double](k)
+    val xtdx = Array.ofDim[Double](k, k)
+    val xtd = new Array[Double](k)
+    // OLS y ~ 1 + aux over A rows (p = k+1, alias-tolerant)
+    val p = k + 1
+    val oXtX = Array.ofDim[Double](p, p)
+    val oXty = new Array[Double](p)
+    var r = 0
+    while (r < n) {
+      var a0 = 0
+      while (a0 < k) { t(a0) += aux(a0)(r); a0 += 1 }
+      if (inB(r)) {
+        var ii = 0
+        while (ii < k) {
+          xtd(ii) += dB * aux(ii)(r)
+          var jj = 0
+          while (jj < k) { xtdx(ii)(jj) += dB * aux(ii)(r) * aux(jj)(r); jj += 1 }
+          ii += 1
+        }
+      }
+      if (inA(r)) {
+        val f = new Array[Double](p)
+        f(0) = 1.0
+        var a = 0
+        while (a < k) { f(1 + a) = aux(a)(r); a += 1 }
+        var ii = 0
+        while (ii < p) {
+          oXty(ii) += f(ii) * y(r)
+          var jj = 0
+          while (jj < p) { oXtX(ii)(jj) += f(ii) * f(jj); jj += 1 }
+          ii += 1
+        }
+      }
+      r += 1
+    }
+    val lambda = solve(xtdx, Array.tabulate(k)(ii => t(ii) - xtd(ii)))
+    val beta = solveAliased(oXtX, oXty)
+    var acc = 0.0
+    r = 0
+    while (r < n) {
+      var yhat = beta(0)
+      var a = 0
+      while (a < k) { yhat += beta(1 + a) * aux(a)(r); a += 1 }
+      acc += yhat
+      if (inB(r)) {
+        var xl = 0.0
+        a = 0
+        while (a < k) { xl += lambda(a) * aux(a)(r); a += 1 }
+        acc += dB * (1.0 + xl) * (y(r) - yhat)
+      }
+      r += 1
+    }
+    acc / n
+  }
+
+  /** Gaussian elimination that DROPS aliased (collinear) columns — the
+    * coefficient is forced to 0, as R's lm reports NA for aliased terms
+    * and predicts without them. */
+  private[mc] def solveAliased(a0: Array[Array[Double]],
+                               b0: Array[Double]): Array[Double] = {
+    val k = b0.length
+    val a = a0.map(_.clone())
+    val b = b0.clone()
+    val dropped = new Array[Boolean](k)
+    val scale = math.max(1e-300, a.map(_.map(math.abs).max).max)
+    var col = 0
+    while (col < k) {
+      var pv = col
+      var r = col + 1
+      while (r < k) { if (math.abs(a(r)(col)) > math.abs(a(pv)(col))) pv = r; r += 1 }
+      if (math.abs(a(pv)(col)) < 1e-9 * scale) {
+        dropped(col) = true
+        // zero the column so back-substitution ignores it
+        r = 0
+        while (r < k) { a(r)(col) = 0.0; r += 1 }
+        a(col)(col) = 1.0; b(col) = 0.0
+      } else {
+        val ta = a(col); a(col) = a(pv); a(pv) = ta
+        val tb = b(col); b(col) = b(pv); b(pv) = tb
+        r = col + 1
+        while (r < k) {
+          val f = a(r)(col) / a(col)(col)
+          var c = col
+          while (c < k) { a(r)(c) -= f * a(col)(c); c += 1 }
+          b(r) -= f * b(col)
+          r += 1
+        }
+      }
+      col += 1
+    }
+    val out = new Array[Double](k)
+    var r2 = k - 1
+    while (r2 >= 0) {
+      if (!dropped(r2)) {
+        var s = b(r2)
+        var c = r2 + 1
+        while (c < k) { s -= a(r2)(c) * out(c); c += 1 }
+        out(r2) = s / a(r2)(r2)
+      }
+      r2 -= 1
+    }
+    out
+  }
+
   /** Stratified-sampling study (`ipynb` cells 7+12): x~N(10,1),
     * z~Bern(.5), 4 strata from (x≤9.5, z), y = 5+0.1x+3z+ε (true mean
     * 7.5), ỹ = 7.5+3(y−7.5)+N(0,√.5); A stratified proportional exact-n

@@ -25,6 +25,9 @@ final case class SimConfig(sim: Int, gamma: Double, seedBase: Long,
 final case class SimResult(sim: Int, gamma: Double, estimator: String,
                            estimate: Double)
 
+final case class SimResultV2(sim: Int, gamma: Double, estimator: String,
+                             sd: Double, estimate: Double)
+
 object MonteCarlo {
 
   /** NMAR grid: replicates × gamma values (ipynb:1791-1794). */
@@ -63,6 +66,27 @@ object MonteCarlo {
       .repartition(math.min(grid.size,
         spark.sparkContext.defaultParallelism * 2))
       .flatMap(LocalSim.run)
+      .toDF()
+  }
+
+  /** NMAR-v2 study (`ipynb` cell 37): per (sim, γ) population with a
+    * response column per sd in `sdVector`; 5 estimators × |sdVector|
+    * evaluations per replicate, emitted LONG. [[Reporting.toWide]]
+    * pivots to the reference's wide CSV layout. */
+  def runV2(spark: SparkSession, nSim: Int, gammas: Seq[Double],
+            nPop: Int, nA: Int, nB: Int, sdVector: Seq[Double],
+            seed0: Long = 1234L): DataFrame = {
+    import spark.implicits._
+    val grid = for {
+      (g, gi) <- gammas.zipWithIndex
+      s <- 1 to nSim
+    } yield (s, g, seed0 + 10000L * gi + s)
+    spark.createDataset(grid)
+      .repartition(math.min(grid.size,
+        spark.sparkContext.defaultParallelism * 2))
+      .flatMap { case (s, g, seed) =>
+        LocalSim.runSimV2(s, g, seed, nPop, nA, nB, sdVector)
+      }
       .toDF()
   }
 

@@ -22,23 +22,22 @@ final case class AnovaRow(term: String, df: Long, sumSq: Double,
 
 object Anova {
 
-  def twoFactor(data: DataFrame, yCol: String, factorA: String,
-                factorB: String): Seq[AnovaRow] = {
-    def levels(c: String): Seq[String] =
-      data.select(col(c).cast("string")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-    val aLv = levels(factorA)
-    val bLv = levels(factorB)
-    require(aLv.size >= 2 && bLv.size >= 2, "each factor needs ≥2 levels")
+  /** Treatment-coded dummy columns for a factor (first level dropped —
+    * R's default contr.treatment). */
+  def factorDummies(data: DataFrame, c: String): Seq[Column] = {
+    val lv = data.select(col(c).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(lv.size >= 2, s"factor $c needs ≥2 levels")
+    lv.drop(1).map(l => (col(c).cast("string") === l).cast("double"))
+  }
 
-    // treatment coding, first level dropped (R default contr.treatment)
-    def dummies(c: String, lv: Seq[String]): Seq[Column] =
-      lv.drop(1).map(l => (col(c).cast("string") === l).cast("double"))
-    val aD = dummies(factorA, aLv)
-    val bD = dummies(factorB, bLv)
-    val abD = for (a <- aD; b <- bD) yield a * b
-    val features = Seq(lit(1.0)) ++ aD ++ bD ++ abD
-
+  /** Sequential (Type-I) ANOVA over arbitrary ordered terms, each a
+    * named group of design columns (`aov(y ~ t1 + t2 + …)`). One Gram
+    * pass over the widest design; each prefix's RSS comes from a
+    * sub-block solve. */
+  def sequential(data: DataFrame, yCol: String,
+                 terms: Seq[(String, Seq[Column])]): Seq[AnovaRow] = {
+    val features = Seq(lit(1.0)) ++ terms.flatMap(_._2)
     val g = Gram.moments(data, features, lit(1.0), Some(col(yCol)),
       exact = false)
     val n = g.n
@@ -50,13 +49,11 @@ object Anova {
       g.swyy - (beta dot rhs)
     }
 
-    val p0 = 1
-    val p1 = p0 + aD.size
-    val p2 = p1 + bD.size
-    val p3 = p2 + abD.size
-    val (r0, r1, r2, r3) = (rssAt(p0), rssAt(p1), rssAt(p2), rssAt(p3))
-    val dfResid = n - p3
-    val msResid = r3 / dfResid
+    val prefixes = terms.scanLeft(1)((p, t) => p + t._2.size)
+    val rss = prefixes.map(rssAt)
+    val pFull = prefixes.last
+    val dfResid = n - pFull
+    val msResid = rss.last / dfResid
 
     def row(term: String, df: Long, ss: Double): AnovaRow = {
       val ms = ss / df
@@ -66,11 +63,19 @@ object Anova {
       AnovaRow(term, df, ss, ms, f, p)
     }
 
-    Seq(
-      row(factorA, aD.size.toLong, r0 - r1),
-      row(factorB, bD.size.toLong, r1 - r2),
-      row(s"$factorA:$factorB", abD.size.toLong, r2 - r3),
-      AnovaRow("Residuals", dfResid, r3, msResid, Double.NaN, Double.NaN))
+    terms.zipWithIndex.map { case ((name, cols), i) =>
+      row(name, cols.size.toLong, rss(i) - rss(i + 1))
+    } :+ AnovaRow("Residuals", dfResid, rss.last, msResid,
+      Double.NaN, Double.NaN)
+  }
+
+  def twoFactor(data: DataFrame, yCol: String, factorA: String,
+                factorB: String): Seq[AnovaRow] = {
+    val aD = factorDummies(data, factorA)
+    val bD = factorDummies(data, factorB)
+    val abD = for (a <- aD; b <- bD) yield a * b
+    sequential(data, yCol, Seq(
+      factorA -> aD, factorB -> bD, s"$factorA:$factorB" -> abD))
   }
 
   /** DataFrame rendition for the query catalog. */

@@ -90,6 +90,38 @@ object MonteCarlo {
       .toDF()
   }
 
+  /** DISTRIBUTED mode (SCALE.md §Monte-Carlo): for per-replicate
+    * populations too large for one task (N ≳ 10M), a driver loop of
+    * independent Spark jobs per replicate, running the production
+    * DataFrame estimators (graft.estimators) instead of [[LocalSim]].
+    * Same result schema as [[run]]; replicates execute sequentially but
+    * each one uses the whole cluster. */
+  def runDistributed(spark: SparkSession, nSim: Int, nPop: Long, nA: Int,
+                     seed0: Long = 1234L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (1 to nSim).flatMap { sim =>
+      val seed = seed0 + sim
+      val pop = graft.synth.Population.cell2(spark, nPop, seed)
+        .withColumn("in_A",
+          (pmod(hash(col("id") + lit(seed)), lit(nPop / nA)) === 0).cast("int"))
+        .withColumn("in_B",
+          (rand(seed + 2000) <
+            lit(0.7) - lit(0.4) * (col("y_i") > 3.0).cast("double")).cast("int"))
+        .cache()
+      try {
+        val naive = pop.filter(col("in_B") === 1)
+          .agg(avg("y_i")).head().getDouble(0)
+        val regdi = graft.estimators.RegDI.oneTable(pop, "in_A", "in_B",
+          graft.estimators.RegDIConfig(yACol = "y_i", yBCol = "y_i",
+            auxVars = Seq("x_i"), correction = 1)).mean
+        Seq(SimResult(sim, 0.0, "Mean_S_B", naive),
+          SimResult(sim, 0.0, "RegDI_X1", regdi))
+      } finally pop.unpersist()
+    }
+    rows.toDF()
+  }
+
   /** Grouped bias/SE/RMSE vs the known true mean (ipynb:2066-2073,
     * :2750-2757): the reference's reporting stage. */
   def summarize(results: DataFrame, trueMean: Double): DataFrame = {

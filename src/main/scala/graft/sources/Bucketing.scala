@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: the 100 TB co-located-join path.
+  *
+  * Writing both sides of a recurring equi-join bucketed by the join key
+  * (same bucket count) lets Spark plan the join with ZERO exchanges —
+  * each bucket pairs off locally. This is the storage-level answer to
+  * "the fusion join shuffles B every run": bucket the big table once at
+  * ingest, and every subsequent join/aggregation on the key is
+  * shuffle-free (BucketingSuite proves the no-Exchange plan).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table (sorted within buckets —
+    * enables sort-merge without per-task sorting). */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Shuffle-free equi-join of two tables bucketed on the same key with
+    * the same bucket count. */
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+                    key: String, joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key), joinType)
+}

@@ -54,6 +54,16 @@ class McSuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("distributed mode: production estimators per replicate, same story") {
+    val res = MonteCarlo.runDistributed(spark, nSim = 2, nPop = 20000L,
+      nA = 800)
+    val byEst = res.groupBy("estimator")
+      .agg(org.apache.spark.sql.functions.avg("estimate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byEst("Mean_S_B") < 2.95)                 // biased selection
+    assert(math.abs(byEst("RegDI_X1") - 3.0) < 0.1)  // corrected
+  }
+
   test("local solver matches a hand-computed 2x2 system") {
     val x = LocalSim.solve(Array(Array(2.0, 1.0), Array(1.0, 3.0)),
       Array(5.0, 10.0))

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BucketingSuite extends SparkSpec {
+  import spark.implicits._
+
+  // in-memory catalog can leave orphan warehouse dirs from prior JVMs
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Seq("bk_a", "bk_b").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-test-warehouse/$t"))
+    }
+  }
+
+  test("bucketed-by-key join plans with zero shuffle exchanges") {
+    val a = (1L to 2000L).map(i => (i, i * 2.0)).toDF("id", "va")
+    val b = (1L to 2000L).map(i => (i, s"n$i")).toDF("id", "vb")
+    Bucketing.writeBucketed(a, "bk_a", "id", 8)
+    Bucketing.writeBucketed(b, "bk_b", "id", 8)
+
+    // force the big-big join shape (no broadcast) — the property under
+    // test is that BUCKETING removes the shuffle, at any table size
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "bk_a", "bk_b", "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+      assert(joined.count() === 2000L)
+
+      // and aggregation on the bucket key is exchange-free too
+      val agg = spark.table("bk_a").groupBy("id").agg(sum("va"))
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed results match unbucketed join exactly") {
+    val joined = Bucketing.colocatedJoin(spark, "bk_a", "bk_b", "id")
+      .orderBy("id").collect()
+    assert(joined.length === 2000)
+    assert(joined.head.getString(2) === "n1")
+  }
+}

@@ -68,6 +68,37 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over real events parquet == batch result") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = graft.util.Tables.loadEvents(spark, sfDir)
+    val batch = Streams.tumblingEventStatsFlat(batchEvents, "1 hour")
+      .orderBy("w_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+
+    // file stream sources consume a DIRECTORY of files
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streams.tumblingEventStats(streamEvents, "1 hour")
+      .select(col("w.start").cast("string").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_test")
+        .orderBy("w_start", "event_type")
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows group by gap") {
     val events = Seq(
       Ev(t("2026-01-01 10:00:00"), "u1", 1.0),

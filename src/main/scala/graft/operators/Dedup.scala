@@ -89,11 +89,28 @@ object Dedup {
 
   /** LSH candidates verified with EXACT n-gram Jaccard ≥ threshold.
     * Bucket-colliding pairs only; shingle sets joined back once per side
-    * (never recomputed through the band explosion). */
+    * (never recomputed through the band explosion).
+    *
+    * `maxBucket` caps pathological buckets (boilerplate shingles that
+    * collect thousands of docs would otherwise contribute O(m²) pairs):
+    * band keys whose occupancy exceeds the cap are dropped BEFORE the
+    * self-join — bounded cost at a documented recall loss limited to
+    * mega-clusters (any pair also colliding in a non-capped band is
+    * still found). */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, shingleN: Int = 3,
-                     numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val b = lshBands(docs, idCol, textCol, shingleN, numHashes, bands)
+                     numHashes: Int = 128, bands: Int = 32,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val b0 = lshBands(docs, idCol, textCol, shingleN, numHashes, bands)
+    val b =
+      if (maxBucket == Int.MaxValue) b0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        b0.withColumn("__bn", count(lit(1))
+            .over(Window.partitionBy("band", "band_key")))
+          .filter(col("__bn") <= maxBucket)
+          .drop("__bn")
+      }
     val cand = b.as("l").join(b.as("r"), Seq("band", "band_key"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (SCALE.md §Relational).
+  *
+  * AQE's skew-join split handles moderate skew at runtime; salting is
+  * the static fallback when one key dominates so heavily that even a
+  * split partition is a straggler (e.g. a null-ish default key holding
+  * 10% of 100 TB). The big (skewed) side gets a random salt in
+  * [0, factor); the small side is replicated `factor`× with every salt
+  * value; the join key becomes (key, salt), spreading the hot key over
+  * `factor` tasks. Results are row-identical to the plain join. */
+object SkewJoin {
+
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 factor: Int, joinType: String = "inner",
+                 seed: Long = 42L): DataFrame = {
+    require(factor >= 1)
+    val salted = big.withColumn("__salt",
+      (rand(seed) * factor).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until factor).map(lit): _*)))
+    val out = salted.join(replicated, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+    out
+  }
+
+  /** Per-key frequency profile to decide whether salting is warranted:
+    * returns keys holding more than `threshold` of all rows. */
+  def hotKeys(df: DataFrame, key: String, threshold: Double): DataFrame = {
+    val total = df.count().toDouble
+    df.groupBy(key).agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n") / total)
+      .filter(col("share") > threshold)
+      .orderBy(desc("share"))
+  }
+}

@@ -47,6 +47,19 @@ object TextFunctions {
     lenScore * (lit(1.0) - least(punct * lit(5.0), lit(1.0))) * mtlScore
   }
 
+  /** English stopwords used by [[stopwordRatio]]. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from", "this")
+
+  /** Fraction of whitespace tokens that are stopwords — a standard
+    * text-quality signal (natural prose ≈ 0.2-0.5; keyword soup ≈ 0). */
+  def stopwordRatio(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val hits = stopwords.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    hits.cast("double") / tokenCount(text).cast("double")
+  }
+
   /** Marker-word languages for the n-gram-free heuristic language ID. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and ", " of "),

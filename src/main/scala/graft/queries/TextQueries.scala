@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.TextFunctions
 import graft.operators.TextFunctions._
 import graft.util.Tables.load
 
@@ -26,16 +27,24 @@ object TextQueries {
           length(col("text")).cast("long").as("n_chars_calc"),
           tokenCount(col("text")).as("n_tokens"),
           meanTokenLength(col("text")).as("mean_tok_len"),
-          charClassRatio(col("text"), "[aeiou]").as("vowel_ratio"))
+          charClassRatio(col("text"), "[aeiou]").as("vowel_ratio"),
+          stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
+      Some {
+        val p = "(' ' || lower(text) || ' ')"
+        val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+        val stopHits = TextFunctions.stopwords
+          .map(w => sqlOcc(p, s" $w ")).mkString("(", " + ", ")")
+        s"""SELECT doc_id,
                      CAST(length(text) AS BIGINT) AS n_chars_calc,
-                     CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                     $nTok AS n_tokens,
                      CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                       / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS mean_tok_len,
+                       / CAST($nTok AS DOUBLE) AS mean_tok_len,
                      CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
-                       / CAST(length(text) AS DOUBLE) AS vowel_ratio
-              FROM documents ORDER BY doc_id""")),
+                       / CAST(length(text) AS DOUBLE) AS vowel_ratio,
+                     CAST($stopHits AS DOUBLE) / CAST($nTok AS DOUBLE) AS stopword_ratio
+              FROM documents ORDER BY doc_id"""
+      }),
 
     // ---- T2 heuristic language ID (marker-word argmax) ----------------
     Q("t02_lang_id",

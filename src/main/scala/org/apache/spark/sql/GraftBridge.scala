@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder on a LIVE session (the extension-point
+    * path requires registration at session build; this is the runtime
+    * equivalent for sessions we did not construct, e.g. the driver's). */
+  def registerFunction(spark: SparkSession, name: String,
+      info: catalyst.expressions.ExpressionInfo,
+      builder: Seq[catalyst.expressions.Expression] => catalyst.expressions.Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -20,14 +20,17 @@ object LocalSim {
 
   private final val TrueC = 3.0
 
-  def run(cfg: SimConfig): Seq[SimResult] = {
+  /** The cell-18 NMAR population + sample draw, exposed for tests that
+    * need to hand the SAME realization to the distributed estimators. */
+  final case class NmarDraw(x: Array[Double], y: Array[Double],
+                            inA: Array[Boolean], inB: Array[Boolean])
+
+  def nmarDraw(cfg: SimConfig): NmarDraw = {
     val n = cfg.nPop
     val rng = new java.util.Random(cfg.seedBase)
     val x = Array.fill(n)(2.0 + rng.nextGaussian())
     val eta = Array.fill(n)(rng.nextGaussian() * math.sqrt(0.51))
     val y = Array.tabulate(n)(i => 3.0 + 0.7 * (x(i) - 2.0) + eta(i))
-    val x1 = x.map(v => if (v <= 2.0) 1.0 else 0.0)
-    val x2 = x.map(v => if (v > 2.0) 1.0 else 0.0)
 
     // A: SRS without replacement, exact n_A (partial Fisher–Yates)
     val rngA = new java.util.Random(cfg.seedBase + 1000L)
@@ -49,6 +52,14 @@ object LocalSim {
     }
     val inB = new Array[Boolean](n)
     keyed.sortBy(-_._1).take(cfg.nB).foreach { case (_, k) => inB(k) = true }
+    NmarDraw(x, y, inA, inB)
+  }
+
+  def run(cfg: SimConfig): Seq[SimResult] = {
+    val n = cfg.nPop
+    val NmarDraw(x, y, inA, inB) = nmarDraw(cfg)
+    val x1 = x.map(v => if (v <= 2.0) 1.0 else 0.0)
+    val x2 = x.map(v => if (v > 2.0) 1.0 else 0.0)
 
     val dA = n.toDouble / cfg.nA
     val dB = n.toDouble / cfg.nB

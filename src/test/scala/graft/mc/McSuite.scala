@@ -54,6 +54,31 @@ class McSuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("RegDI linearization SE matches the Monte-Carlo spread (variance validation)") {
+    // Empirical truth: spread of the point estimate over 100 replicates
+    val cfgOf = (i: Int) => SimConfig(i, 0.5, 5000L + i, 20000, 800, 5000)
+    val points = (1 to 100).map { i =>
+      val r = LocalSim.run(cfgOf(i))
+      r.find(_.estimator == "RegDI_X1").get.estimate
+    }
+    val mcMean = points.sum / points.size
+    val mcSd = math.sqrt(points.map(p => (p - mcMean) * (p - mcMean)).sum /
+      (points.size - 1))
+
+    // Estimated SE: the distributed estimator's linearization variance on
+    // ONE of those exact realizations
+    val d = LocalSim.nmarDraw(cfgOf(1))
+    val df = (0 until 20000).map(i =>
+        (i.toLong, d.x(i), d.y(i), if (d.x(i) <= 2.0) 1.0 else 0.0,
+          if (d.inA(i)) 1 else 0, if (d.inB(i)) 1 else 0))
+      .toDF("id", "x_i", "y_i", "x1_i", "in_A", "in_B")
+    val est = graft.estimators.RegDI.oneTable(df, "in_A", "in_B",
+      graft.estimators.RegDIConfig(yACol = "y_i", yBCol = "y_i",
+        auxVars = Seq("x1_i"), correction = 1))
+    assert(est.se > 0.5 * mcSd && est.se < 2.0 * mcSd,
+      s"linearization SE ${est.se} vs MC sd $mcSd")
+  }
+
   test("distributed mode: production estimators per replicate, same story") {
     val res = MonteCarlo.runDistributed(spark, nSim = 2, nPop = 20000L,
       nA = 800)

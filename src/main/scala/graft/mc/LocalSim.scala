@@ -411,7 +411,11 @@ object LocalSim {
       res("RegDI_II", regdiW(n, y, tildeY, Array.empty, inA, inB, d, nHatA)),
       res("RegDI_X1_II", regdiW(n, y, tildeY, Array(stratum, x), inA, inB, d, nHatA)),
       res("PC_X1_II", pcHt(n, y, tildeY, Array(stratum), inA, inB, d, dB,
-        nHatA, scen2 = true)))
+        nHatA, scen2 = true)),
+      // cell-13 re-run: same scenario-2 call with the richer aux set
+      // (x, z, stratum) — the notebook's stored 0.284/0.014 check value
+      res("PC_X1_II_cell13", pcHt(n, y, tildeY, Array(x, z, stratum), inA,
+        inB, d, dB, nHatA, scen2 = true)))
   }
 
   /** RegDI 0/1 with per-row design weights (stratified A). */

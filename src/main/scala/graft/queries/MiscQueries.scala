@@ -72,6 +72,42 @@ object MiscQueries {
                       ${sqlDsum("value")} AS sum_value
                FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    // ---- A12 analytic window: rank within group -----------------------
+    // (beyond the reference's surface — §2.5 notes it has no ORDER BY /
+    // top-k; a complete library needs ranking windows.)
+    Q("a12_window_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc("c_acctbal"), col("c_custkey"))
+        load(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            row_number().over(w).as("rk"))
+          .filter(col("rk") <= 5)
+          .orderBy("c_mktsegment", "rk")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+                SELECT c_mktsegment, c_custkey, c_acctbal,
+                       CAST(row_number() OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
+                FROM customer) t
+              WHERE rk <= 5 ORDER BY c_mktsegment, rk""")),
+
+    // ---- A13 analytic window: lag deltas over an ordered stream -------
+    Q("a13_window_lag",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            (col("value") - lag("value", 1).over(w)).as("delta"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+                     value - lag(value) OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS delta
+              FROM events ORDER BY user_id, event_id""")),
+
     // ---- W2 session windows (gap-based) over events -------------------
     // Spark session_window vs a DuckDB gaps-and-islands rendition: a new
     // session starts where the gap to the previous event exceeds 30 min;

@@ -108,6 +108,26 @@ object MiscQueries {
                        ORDER BY event_id) AS delta
               FROM events ORDER BY user_id, event_id""")),
 
+    // ---- A14 exact interpolated percentiles ---------------------------
+    // Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    // interpolation definition — exact, hash-matchable.
+    Q("a14_percentiles",
+      (s, d) => load(s, d, "orders").agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        expr("percentile(o_totalprice, 0.99)").as("p99")),
+      Some("""SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+                     quantile_cont(o_totalprice, 0.95) AS p95,
+                     quantile_cont(o_totalprice, 0.99) AS p99
+              FROM orders""")),
+
+    // ---- A15 HLL approximate distinct (sketch; rows-only + spec) ------
+    Q("a15_approx_distinct",
+      (s, d) => load(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n_rows")),
+      None),
+
     // ---- W2 session windows (gap-based) over events -------------------
     // Spark session_window vs a DuckDB gaps-and-islands rendition: a new
     // session starts where the gap to the previous event exceeds 30 min;

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.util.Tables.dsum
 
@@ -42,4 +43,37 @@ object Streams {
       .withWatermark("ts", lateness)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  /** Per-user running statistics via CUSTOM state
+    * (`flatMapGroupsWithState`): Welford-updated count/mean/M2 per user,
+    * emitted on every update. State per key is three doubles — O(users)
+    * total, independent of event volume; `NoTimeout` here because the
+    * key space is bounded (pair with event-time timeout when it isn't).
+    * The same call works on a batch Dataset (state spans the batch). */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    implicit val se = Encoders.product[UserStats]
+    implicit val st = Encoders.product[WelfordState]
+    implicit val k = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[WelfordState, UserStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[UserEvent],
+         state: GroupState[WelfordState]) =>
+          var s = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          rows.foreach { e =>
+            val n1 = s.n + 1
+            val d = e.value - s.mean
+            val mean1 = s.mean + d / n1
+            s = WelfordState(n1, mean1, s.m2 + d * (e.value - mean1))
+          }
+          state.update(s)
+          Iterator(UserStats(user, s.n, s.mean,
+            if (s.n > 1) s.m2 / (s.n - 1) else 0.0))
+      }
+  }
 }
+
+final case class UserEvent(user_id: Long, value: Double)
+final case class WelfordState(n: Long, mean: Double, m2: Double)
+final case class UserStats(user_id: Long, n: Long, mean: Double,
+                           var_samp: Double)

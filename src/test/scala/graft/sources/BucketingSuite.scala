@@ -40,6 +40,25 @@ class BucketingSuite extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned write: partition filter prunes at the scan") {
+    val path = "/tmp/graft-test-warehouse/part_demo"
+    val df = (1 to 1000).map(i =>
+      (i.toLong, i * 1.0, if (i % 4 == 0) "gold" else "std"))
+      .toDF("id", "v", "tier")
+    Bucketing.writePartitioned(df, path, "tier")
+
+    val gold = spark.read.parquet(path).filter(col("tier") === "gold")
+    val scanLine = gold.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("tier"), scanLine)   // pruned at planning
+    assert(gold.count() === 250L)
+    // non-partition predicates still reach PushedFilters
+    val both = spark.read.parquet(path)
+      .filter(col("tier") === "gold" && col("v") > 500.0)
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(v,500.0)"), plan.take(2000))
+  }
+
   test("bucketed results match unbucketed join exactly") {
     val joined = Bucketing.colocatedJoin(spark, "bk_a", "bk_b", "id")
       .orderBy("id").collect()

@@ -99,6 +99,29 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: running per-user stats accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1L, 10.0), UserEvent(1L, 20.0), UserEvent(2L, 5.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1L, 30.0)) // state must carry over
+      q.processAllAvailable()
+      val last = spark.table("state_test")
+        .orderBy(col("user_id"), col("n"))
+        .as[(Long, Long, Double, Double)].collect()
+        .groupBy(_._1).map { case (u, rs) => u -> rs.last }.toMap
+      // user 1 after both batches: n=3, mean=20, var=100
+      assert(last(1L)._2 === 3L)
+      assert(math.abs(last(1L)._3 - 20.0) < 1e-12)
+      assert(math.abs(last(1L)._4 - 100.0) < 1e-12)
+      assert(last(2L)._2 === 1L)
+    } finally q.stop()
+  }
+
   test("session windows group by gap") {
     val events = Seq(
       Ev(t("2026-01-01 10:00:00"), "u1", 1.0),

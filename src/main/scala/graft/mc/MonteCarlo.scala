@@ -97,10 +97,18 @@ object MonteCarlo {
     * Same result schema as [[run]]; replicates execute sequentially but
     * each one uses the whole cluster. */
   def runDistributed(spark: SparkSession, nSim: Int, nPop: Long, nA: Int,
-                     seed0: Long = 1234L): DataFrame = {
+                     seed0: Long = 1234L, concurrency: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val rows = (1 to nSim).flatMap { sim =>
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // `concurrency` > 1 overlaps replicates as concurrent Spark jobs —
+    // each stage still uses every core, but scheduling gaps between the
+    // ~8 small actions per replicate are filled by the next replicate
+    // (pair with the FAIR scheduler on a shared cluster).
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, concurrency)))
+    val futures = (1 to nSim).map { sim => Future {
       val seed = seed0 + sim
       val pop = graft.synth.Population.cell2(spark, nPop, seed)
         .withColumn("in_A",
@@ -118,7 +126,8 @@ object MonteCarlo {
         Seq(SimResult(sim, 0.0, "Mean_S_B", naive),
           SimResult(sim, 0.0, "RegDI_X1", regdi))
       } finally pop.unpersist()
-    }
+    } }
+    val rows = futures.flatMap(f => Await.result(f, Duration.Inf))
     rows.toDF()
   }
 

@@ -105,10 +105,11 @@ object PC {
 
     // sizes + N_total + direct pop totals in ONE aggregate job (PC.R:134-199)
     val base = Seq(
-      dsum(when(isA, lit(1.0))).as("nA"),
-      dsum(when(isB, lit(1.0))).as("nB"),
+      coalesce(dsum(when(isA, lit(1.0))), lit(0.0)).as("nA"),
+      coalesce(dsum(when(isB, lit(1.0))), lit(0.0)).as("nB"),
       count(lit(1)).cast("double").as("nrows"),
-      weightsA.map(w => dsum(when(isA, col(w)))).getOrElse(lit(0.0)).as("sWA"))
+      coalesce(weightsA.map(w => dsum(when(isA, col(w))))
+        .getOrElse(lit(0.0)), lit(0.0)).as("sWA"))
     val directTotAggs =
       if (popIsData) auxA.map(z => dsum(col(z)).as(s"t_$z")) else Nil
     val szRow = data0.agg(base.head, (base.tail ++ directTotAggs): _*).head()

@@ -91,11 +91,13 @@ object RegDI {
     val isB = col(indB) === 1
 
     // N_total (RegDI2.R:91-103) + sample sizes in ONE aggregate job
+    // (coalesce: an empty sample sums to NULL, which must surface as the
+    // "No units" contract below, not a null-value read)
     val szRow = data0.agg(
-      dsum(when(isA, lit(1.0))).as("nA"),
-      dsum(when(isB, lit(1.0))).as("nB"),
-      weightsA.map(w => dsum(when(isA, col(w))))
-        .getOrElse(lit(0.0)).as("sumWA")).head()
+      coalesce(dsum(when(isA, lit(1.0))), lit(0.0)).as("nA"),
+      coalesce(dsum(when(isB, lit(1.0))), lit(0.0)).as("nB"),
+      coalesce(weightsA.map(w => dsum(when(isA, col(w))))
+        .getOrElse(lit(0.0)), lit(0.0)).as("sumWA")).head()
     val sizeA = szRow.getDouble(0)
     val sizeB = szRow.getDouble(1)
     require(sizeA > 0, "No units in sample A")

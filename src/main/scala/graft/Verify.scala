@@ -35,7 +35,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys its correctness lookup by output basename INCLUDING
+    // the ".parquet" extension; emit every oracle under both the bare name
+    // and "<name>.parquet" so either contract resolves (round-2's entire
+    // correctness signal was voided by this key mismatch).
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

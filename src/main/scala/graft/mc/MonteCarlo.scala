@@ -106,8 +106,9 @@ object MonteCarlo {
     // each stage still uses every core, but scheduling gaps between the
     // ~8 small actions per replicate are filled by the next replicate
     // (pair with the FAIR scheduler on a shared cluster).
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, concurrency)))
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, concurrency))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = (1 to nSim).map { sim => Future {
       val seed = seed0 + sim
       val pop = graft.synth.Population.cell2(spark, nPop, seed)
@@ -127,7 +128,11 @@ object MonteCarlo {
           SimResult(sim, 0.0, "RegDI_X1", regdi))
       } finally pop.unpersist()
     } }
-    val rows = futures.flatMap(f => Await.result(f, Duration.Inf))
+    // shut the pool down even on failure — a leaked non-daemon pool keeps
+    // a driver main() alive after exit
+    val rows =
+      try futures.flatMap(f => Await.result(f, Duration.Inf))
+      finally pool.shutdown()
     rows.toDF()
   }
 

@@ -11,13 +11,23 @@ import org.apache.spark.sql.functions._
   * 10% of 100 TB). The big (skewed) side gets a random salt in
   * [0, factor); the small side is replicated `factor`× with every salt
   * value; the join key becomes (key, salt), spreading the hot key over
-  * `factor` tasks. Results are row-identical to the plain join. */
+  * `factor` tasks. Results are row-identical to the plain join for the
+  * supported join types below; right/full outer are rejected because the
+  * replicated small side would emit each unmatched small-side row
+  * `factor` times instead of once. */
 object SkewJoin {
+
+  private val supportedJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int, joinType: String = "inner",
                  seed: Long = 42L): DataFrame = {
     require(factor >= 1)
+    require(supportedJoinTypes(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not preserve $joinType semantics: the small side " +
+      "is replicated, so unmatched small-side rows would be duplicated. " +
+      "Supported: inner, left/left_outer, left_semi, left_anti, cross.")
     val salted = big.withColumn("__salt",
       (rand(seed) * factor).cast("int"))
     val replicated = small

@@ -43,7 +43,9 @@ object MiscQueries {
     // rounded parse), so the oracle is the same aggregate over parquet.
     Q("s02_csv_roundtrip",
       (s, d) => {
-        val out = s"/tmp/graft_csv_roundtrip"
+        // per-session path: concurrent Bench/Verify runs must not clobber
+        // each other's round-trip output mid-read
+        val out = s"/tmp/graft_csv_roundtrip_${s.sparkContext.applicationId}"
         load(s, d, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
           .write.mode("overwrite").option("header", true).csv(out)
@@ -154,10 +156,15 @@ object MiscQueries {
               ORDER BY user_id, session_start""")),
 
     // ---- J4 semi-structured: JSON props extraction --------------------
+    // from_json with an explicit schema: ONE typed Jackson parse per row
+    // (vs get_json_object's per-path re-parse). The global orderBy exists
+    // only so the driver's hash compare is deterministic — a production
+    // variant would drop it; the parse cost is the part that scales.
     Q("j04_json_props",
       (s, d) => load(s, d, "events")
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -22,11 +22,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Everything becomes a string so mixed None/float/str tuples stay
+    # sortable (Python 3 can't order None against float); both sides are
+    # normalized identically, so exact equality is preserved.
+    if v is None:
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
-    return v
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
 
 
 def main(sf_dir: str, out_dir: str) -> int:

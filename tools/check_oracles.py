@@ -38,8 +38,16 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    key_drift = []
     for d in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
         name = os.path.basename(d)[:-len(".parquet")]
+        # Driver contract check: the driver looks up oracles by the output
+        # BASENAME including ".parquet". If an oracle exists under the bare
+        # name but not the driver-style key, the driver would record
+        # no_oracle — fail loudly so contract drift can't void a round.
+        driver_key = os.path.basename(d)
+        if name in oracles and driver_key not in oracles:
+            key_drift.append(name)
         spark_tbl = pq.read_table(d)
         s_cols = list(spark_tbl.column_names)
         s_rows = [tuple(r[c] for c in s_cols) for r in spark_tbl.to_pylist()]
@@ -80,6 +88,11 @@ def main(sf_dir, out_dir):
     print(json.dumps(bad, indent=2, default=str))
     print(f"\n{n_ok}/{len(results)} OK "
           f"({sum(1 for v in results.values() if v['status']=='rows_only')} rows-only)")
+    if key_drift:
+        print(f"\nKEY DRIFT: {len(key_drift)} oracles resolvable by bare "
+              f"name but NOT by the driver's '<name>.parquet' key — the "
+              f"driver would grade these no_oracle: {key_drift}")
+        return 1
     return 0 if not bad else 1
 
 if __name__ == "__main__":

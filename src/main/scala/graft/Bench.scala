@@ -25,9 +25,16 @@ object Bench {
       .mode("overwrite").save()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).write
       .format("noop").mode("overwrite").save()
+    // Optional comma-separated filter for profiling single queries
+    // locally (SPARK_GRAFT_ONLY=j04_json_props,r02_pivot_longer);
+    // unset = full catalog, which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
     // A query that throws records -1 (not its elapsed-until-failure time)
     // so a crash can't read as a fast success in the machine-consumed JSON.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()

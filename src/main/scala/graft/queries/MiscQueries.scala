@@ -13,9 +13,10 @@ import graft.util.Tables.{dsum, load, sqlDsum}
 /** Remaining SURVEY.md §2 surface: CSV source/sink (S2/S3), streaming-
   * shaped window aggregation over `events`, multimodal binary plumbing,
   * the Monte-Carlo fan-out (O2/O3), two-factor ANOVA (M12), and the
-  * RegDI/PC estimators end-to-end (their internal k×k solves are not
-  * SQL-expressible bit-identically → rows-only here, golden-value
-  * coverage in EstimatorSuite/McSuite).
+  * RegDI/PC estimators end-to-end. The estimator entry points carry full
+  * DuckDB hash oracles ([[EstimatorOracles]]): their k×k solves run
+  * through the deterministic Cramer expansion (`graft.stats.Det`), whose
+  * SQL rendering is structurally identical to the driver-side doubles.
   */
 object MiscQueries {
 
@@ -235,7 +236,7 @@ object MiscQueries {
             nTotal = Some(n), weightsA = Some("d_w"), correction = 1))
         s.range(1).select(lit(r.mean).as("mean"), lit(r.se).as("se"))
       },
-      None),
+      Some(EstimatorOracles.m20)),
 
     Q("m21_regdi_corr2",
       (s, d) => {
@@ -246,7 +247,7 @@ object MiscQueries {
             nTotal = Some(n), weightsA = Some("d_w"), correction = 2))
         s.range(1).select(lit(r.mean).as("mean"), lit(r.se).as("se"))
       },
-      None),
+      Some(EstimatorOracles.m21)),
 
     Q("m22_regdi_corr3",
       (s, d) => {
@@ -258,7 +259,7 @@ object MiscQueries {
         s.range(1).select(lit(r.mean).as("mean"), lit(r.se).as("se"),
           lit(r.rmse.getOrElse(-1.0)).as("rmse"), lit(r.r2.getOrElse(-1.0)).as("r2"))
       },
-      None),
+      Some(EstimatorOracles.m22)),
 
     Q("m23_pc_scen1",
       (s, d) => {
@@ -270,7 +271,7 @@ object MiscQueries {
         s.range(1).select(lit(r.estimator).as("estimator"),
           lit(r.se.getOrElse(-1.0)).as("se"))
       },
-      None),
+      Some(EstimatorOracles.m23)),
 
     Q("m24_pc_scen2",
       (s, d) => {
@@ -282,7 +283,7 @@ object MiscQueries {
             outcomeModel = Some("y ~ x1")))
         s.range(1).select(lit(r.estimator).as("estimator"))
       },
-      None),
+      Some(EstimatorOracles.m24)),
 
     Q("m25_pc_scen3",
       (s, d) => {
@@ -295,6 +296,6 @@ object MiscQueries {
         s.range(1).select(lit(r.estimator).as("estimator"),
           lit(r.rmse.getOrElse(-1.0)).as("rmse"), lit(r.r2.getOrElse(-1.0)).as("r2"))
       },
-      None)
+      Some(EstimatorOracles.m25))
   )
 }

@@ -28,9 +28,19 @@ final case class GramResult(
     n: Long                    // row count
 ) {
   /** Solve (XᵀWX) b = XᵀWy — WLS/OLS coefficients. */
-  def solve(): DenseVector[Double] = xtwx \ xtwy
-  /** Solve (XᵀWX) b = rhs — e.g. calibration λ. */
-  def solve(rhs: DenseVector[Double]): DenseVector[Double] = xtwx \ rhs
+  def solve(): DenseVector[Double] = solve(xtwy)
+  /** Solve (XᵀWX) b = rhs — e.g. calibration λ.
+    *
+    * k ≤ [[Det.maxCramerK]] uses the deterministic Cramer expansion so the
+    * result is the exact expression the SQL oracles evaluate (see [[Det]]);
+    * larger systems fall back to pivoted LU. */
+  def solve(rhs: DenseVector[Double]): DenseVector[Double] = {
+    val k = rhs.length
+    if (k <= Det.maxCramerK) {
+      val m = IndexedSeq.tabulate(k, k)((i, j) => xtwx(i, j))
+      DenseVector(Det.solve(m, IndexedSeq.tabulate(k)(rhs(_))).toArray)
+    } else xtwx \ rhs
+  }
 }
 
 object Gram {

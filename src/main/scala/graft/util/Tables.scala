@@ -50,13 +50,24 @@ object Tables {
     (dsum(c * c) - dsum(c) * dsum(c) / n) / (n - lit(1.0))
   }
 
-  /** Matching DuckDB SQL fragment for [[dsum]]. The VARCHAR round-trip
-    * matters: DuckDB's direct DECIMAL→DOUBLE cast is not correctly
-    * rounded for >2⁵³ unscaled values, but its string→double parse is
-    * (as is Spark's BigDecimal.doubleValue) — so this is the rendition
-    * that is bit-identical to Spark's [[dsum]]. */
+  /** Matching DuckDB SQL fragment for [[dsum]]. Both cast directions need
+    * VARCHAR round-trips to be bit-identical to Spark:
+    *
+    *  - INPUT (double→decimal): DuckDB's direct cast mis-rounds ~13% of
+    *    noisy large-magnitude values (measured: addends ~1e5 with full
+    *    53-bit tails land off-by-one at the 10th decimal). Spark casts via
+    *    the shortest decimal string (`BigDecimal.valueOf`) with HALF_UP.
+    *    Rendition: shortest VARCHAR → exact DECIMAL(38,18) parse (≤18
+    *    fractional digits in any shortest repr of |x| ≥ 1e-1, so no
+    *    rounding) → `round(_, 10)` (DuckDB rounds decimals half-away-from-
+    *    zero = Java HALF_UP) — verified equal to Spark's cast on targeted
+    *    tie cases and 360k fuzz values across 9 magnitude scales.
+    *  - OUTPUT (decimal→double): DuckDB's direct cast is not correctly
+    *    rounded for >2⁵³ unscaled values; its string→double parse is (as
+    *    is Spark's BigDecimal.doubleValue).
+    */
   def sqlDsum(e: String): String =
-    s"CAST(CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), 10) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
   def sqlDmean(e: String): String = s"(${sqlDsum(e)} / count($e))"
   def sqlDvarSamp(e: String): String = {
     val n = s"CAST(count($e) AS DOUBLE)"

@@ -80,29 +80,82 @@ object Ann {
       .filter(col("rk") <= k)
   }
 
-  /** IVF-style variant: assign every vector to its nearest of `nCells`
-    * seeded random centroids (coarse quantizer), search only within the
-    * probe cell(s). Simpler recall/cost knob than LSH when the corpus is
-    * clustered; the centroids here are seeded Gaussian directions, making
-    * the cell assignment a deterministic argmax of `nCells` literal dot
-    * products — a real IVF would k-means them (iterative refinement drops
-    * in without changing the query path). */
-  def ivfCell(vec: Column, dim: Int, nCells: Int, seed: Long): Column = {
-    val cents = (0 until nCells).map(c =>
-      hyperplanes(dim, 1, c, seed * 31L + 17L).head)
+  /** IVF coarse quantizer: assign a vector to the centroid with the
+    * largest dot product — a deterministic argmax over `cents.size`
+    * literal codegen'd dot products (ties break toward the higher cell
+    * via the struct comparison). */
+  def cellFor(vec: Column, cents: Seq[Seq[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (p, i) =>
       struct(dotLit(vec, p).as("score"), lit(i).as("cell"))
     }
     greatest(scored: _*).getField("cell")
   }
 
+  /** Seeded Gaussian-direction centroids — the k-means INIT (and the
+    * pre-round-3 assignment when `lloydIters = 0`). */
+  private[operators] def seedCentroids(dim: Int, nCells: Int,
+                                       seed: Long): Seq[Seq[Double]] =
+    (0 until nCells).map(c =>
+      normalize(hyperplanes(dim, 1, c, seed * 31L + 17L).head))
+
+  private def normalize(c: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) c else c.map(_ / n)
+  }
+
+  /** Spherical k-means (Lloyd) refinement of the seeded centroids over
+    * `data`, run for `iters` assign→mean rounds.
+    *
+    * Each round is ONE distributed job: assign every vector to its cell
+    * (argmax of literal dot products, codegen'd), explode components, and
+    * take the per-(cell, component) mean with order-independent
+    * exact-decimal sums — so the centroids are bit-stable under any
+    * repartitioning, keeping e04's output deterministic across runs.
+    * Only k×dim aggregated scalars reach the driver (never data rows);
+    * they re-enter the next round's plan as literals. Empty cells keep
+    * their previous centroid. */
+  def kmeansCentroids(data: DataFrame, vecCol: String, dim: Int,
+                      nCells: Int, iters: Int = 1,
+                      seed: Long = 42L): Seq[Seq[Double]] = {
+    import graft.util.Tables.dsum
+    var cents = seedCentroids(dim, nCells, seed)
+    for (_ <- 0 until iters) {
+      val means = data
+        .select(cellFor(col(vecCol), cents).as("cell"),
+          posexplode(col(vecCol)))
+        .groupBy("cell", "pos")
+        .agg((dsum(col("col").cast("double")) / count(lit(1))).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, cIdx) =>
+        byCell.get(cIdx) match {
+          case Some(rows) =>
+            val m = Array.fill(dim)(0.0)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            normalize(m.toSeq)
+          case None => prev
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF-bucketed approximate top-k: centroids are spherical-k-means
+    * refined (`lloydIters` Lloyd rounds over the candidate corpus, seeded
+    * deterministic init), then both sides get their cell from the same
+    * literal centroids and only same-cell pairs are scored — one
+    * equi-join, never all-pairs. */
   def ivfTopK(queries: DataFrame, cand: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int, nCells: Int = 16,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, lloydIters: Int = 1): DataFrame = {
+    val cents =
+      if (lloydIters <= 0) seedCentroids(dim, nCells, seed)
+      else kmeansCentroids(cand.select(col(vecCol)), vecCol, dim, nCells,
+        lloydIters, seed)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
-      ivfCell(col(vecCol), dim, nCells, seed).as("cell"))
+      cellFor(col(vecCol), cents).as("cell"))
     val c = cand.select(col(idCol).as("cid"), col(vecCol).as("ce"),
-      ivfCell(col(vecCol), dim, nCells, seed).as("cell"))
+      cellFor(col(vecCol), cents).as("cell"))
     val pairs = q.join(c, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),

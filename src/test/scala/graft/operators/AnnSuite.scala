@@ -33,14 +33,26 @@ class AnnSuite extends SparkSpec {
       s"cluster precision ${hits.toDouble / res.length}")
   }
 
-  test("IVF top-k finds cluster siblings") {
+  test("k-means IVF top-k: precision ≥ 0.8 and ≥ the LSH path's") {
     val queries = clustered.filter(col("vec_id") % 10 === 0)
-    val res = Ann.ivfTopK(queries, clustered, "vec_id", "embedding",
-        dim = 16, k = 5, nCells = 8, seed = 42L)
-      .select("qid", "cid").as[(Long, Long)].collect()
-    val hits = res.count { case (q, c) => c / 10 == q / 10 }
-    assert(res.nonEmpty)
-    assert(hits.toDouble / res.length >= 0.8)
+    def precision(res: Array[(Long, Long)]): Double =
+      res.count { case (q, c) => c / 10 == q / 10 }.toDouble / res.length
+    val ivf = precision(Ann.ivfTopK(queries, clustered, "vec_id", "embedding",
+        dim = 16, k = 5, nCells = 8, seed = 42L, lloydIters = 2)
+      .select("qid", "cid").as[(Long, Long)].collect())
+    val lsh = precision(Ann.annTopK(queries, clustered, "vec_id", "embedding",
+        dim = 16, k = 5, bits = 8, tables = 8, seed = 42L)
+      .select("qid", "cid").as[(Long, Long)].collect())
+    assert(ivf >= 0.8, s"IVF precision $ivf")
+    assert(ivf >= lsh, s"IVF precision $ivf below LSH's $lsh")
+  }
+
+  test("k-means centroids are partitioning-invariant") {
+    val c1 = Ann.kmeansCentroids(clustered.repartition(1), "embedding",
+      dim = 16, nCells = 8, iters = 2, seed = 42L)
+    val c4 = Ann.kmeansCentroids(clustered.repartition(4), "embedding",
+      dim = 16, nCells = 8, iters = 2, seed = 42L)
+    assert(c1 === c4)
   }
 
   test("bucket keys are deterministic and partitioning-invariant") {

@@ -47,4 +47,52 @@ class AnovaSuite extends SparkSpec {
     val sst = g.swyy - g.swy * g.swy / g.sw
     assert(math.abs(totalFromParts - sst) < 1e-9)
   }
+
+  /** Golden reproduction of the reference's stored cell-42 ANOVA
+    * (`ipynb:2809-2830`): `aov(Bias ~ factor(Sd) * factor(Gamma) +
+    * Estimator)` over the full NMAR-v2 grid (100 reps × 11 γ × 5 sd ×
+    * 5 estimators = 27,500 evaluations at N=100k). Stored reference:
+    * F_Sd 0.624 (ns), F_Gamma 877.421, F_Estimator 10776.257,
+    * F_Sd:Gamma 0.065 (ns), residual df 27441. Our seeds are fixed, so
+    * the run is deterministic; bands are ±10% of the stored F/SS values
+    * (BASELINE_REPRO.md records our exact values inside every band).
+    * The replicate fan-out uses a parallel collection — runSimV2 is a
+    * pure function, and the shared test session is only local[4]; the
+    * Spark half under test is the reporting pipeline + one-Gram-pass
+    * sequential ANOVA, which is order-independent (exact-decimal sums).
+    */
+  test("NMAR-v2 grid ANOVA reproduces the stored cell-42 table") {
+    import scala.collection.parallel.CollectionConverters._
+    import graft.mc.{LocalSim, Reporting}
+    val sds = Seq(0.0, 0.125, 0.25, 0.375, 0.5)
+    val grid = for {
+      (g, gi) <- (0 to 10).map(_ / 10.0).zipWithIndex
+      s <- 1 to 100
+    } yield (s, g, 1234L + 10000L * gi + s) // seed law of MonteCarlo.runV2
+    val sims = grid.par.flatMap { case (s, g, seed) =>
+      LocalSim.runSimV2(s, g, seed, n = 100000, nA = 1000, nB = 50000, sds)
+    }.seq
+    val long = spark.createDataFrame(sims)
+    val ests = Seq("PC_xi_DR", "PC_ei_DR", "RegDI_no_aux", "RegDI_xi", "RegDI_ei")
+    val wide = Reporting.toWide(long, ests, sds)
+    val bl = Reporting.biasLong(Reporting.withBiasColumns(wide, 3.0))
+    val rows = Reporting.gridAnova(bl).map(r => r.term -> r).toMap
+
+    assert(rows("factor(Sd)").df === 4L)
+    assert(rows("factor(Gamma)").df === 10L)
+    assert(rows("Estimator").df === 4L)
+    assert(rows("factor(Sd):factor(Gamma)").df === 40L)
+    assert(rows("Residuals").df === 27441L)
+
+    assert(rows("factor(Gamma)").fValue > 877.421 * 0.9 &&
+      rows("factor(Gamma)").fValue < 877.421 * 1.1)
+    assert(rows("Estimator").fValue > 10776.257 * 0.9 &&
+      rows("Estimator").fValue < 10776.257 * 1.1)
+    assert(rows("factor(Sd)").pValue > 0.05)          // ref p = 0.645
+    assert(rows("factor(Sd):factor(Gamma)").pValue > 0.05) // ref p = 1.000
+
+    assert(math.abs(rows("factor(Gamma)").sumSq - 4.124) < 0.42)
+    assert(math.abs(rows("Estimator").sumSq - 20.258) < 2.03)
+    assert(math.abs(rows("Residuals").sumSq - 12.896) < 1.29)
+  }
 }

@@ -33,7 +33,8 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
     // A query that throws records -1 (not its elapsed-until-failure time)
-    // so a crash can't read as a fast success in the machine-consumed JSON.
+    // so a crash can't read as a fast success in the machine-consumed JSON,
+    // and the top-level "failed" count makes the aggregate un-misreadable.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
@@ -45,10 +46,36 @@ object Bench {
         }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness that consumes this line keeps only the LAST ~2000 chars of
+    // the run's output, and sbt appends its own "[success] Total time" line
+    // after ours — so the printed JSON must stay well under ~1900 chars or it
+    // is truncated at the front and unparseable (this voided rounds 1–3).
+    // Compact rendition: per-query keys shortened to their catalog prefix
+    // ("m05_ols_fit" → "m05"; collisions keep their last segment, so
+    // m02_calibrate_k1/k2 → "m02_k1"/"m02_k2"), seconds at 2 decimals.
+    // Full names at full precision go to a side file for local profiling
+    // (NOT stderr: sbt merges the forked process's streams, and a ~3k-char
+    // line landing after ours would push it out of the tail window).
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val prefixCounts = results.groupBy(_._1.split("_")(0)).map { case (p, g) => p -> g.size }
+    val qs = results.map { case (name, v) =>
+      val parts = name.split("_")
+      val key = if (prefixCounts(parts(0)) > 1) parts(0) + "_" + parts.last else parts(0)
+      "\"" + key + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val sfName = new java.io.File(sfDir).getName
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
+    val w = new java.io.PrintWriter(fullPath)
+    try w.println(s"""{"sf":"$sfDir","queries":$fullQs}""") finally w.close()
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars > 1800 — may be truncated by the harness tail window")
+    println(line)
     spark.stop()
   }
 }

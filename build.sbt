@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through verbatim instead of routing it
+// via sbt's logger: the logger prefixes every line with "[info] ", which
+// breaks machine consumers that scan stdout for a bare JSON line (the
+// bench/verify harness does exactly that — rounds 1-4 had their bench
+// output voided by the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -57,10 +57,20 @@ object Bench {
     // (NOT stderr: sbt merges the forked process's streams, and a ~3k-char
     // line landing after ours would push it out of the tail window).
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val prefixCounts = results.groupBy(_._1.split("_")(0)).map { case (p, g) => p -> g.size }
-    val qs = results.map { case (name, v) =>
+    // Compact keys are derived from the FULL catalog (not the filtered
+    // selection) so a SPARK_GRAFT_ONLY profiling run emits the same keys
+    // as the driver's full run; on a (theoretical) prefix+suffix collision
+    // the full name is kept rather than silently shadowing a timing.
+    val prefixCounts = SparkEntry.queries.keys.toSeq
+      .groupBy(_.split("_")(0)).map { case (p, g) => p -> g.size }
+    def compactKey(name: String): String = {
       val parts = name.split("_")
-      val key = if (prefixCounts(parts(0)) > 1) parts(0) + "_" + parts.last else parts(0)
+      if (prefixCounts(parts(0)) > 1) parts(0) + "_" + parts.last else parts(0)
+    }
+    val allCompact = SparkEntry.queries.keys.toSeq.map(compactKey)
+    val collisionFree = allCompact.distinct.size == allCompact.size
+    val qs = results.map { case (name, v) =>
+      val key = if (collisionFree) compactKey(name) else name
       "\"" + key + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -68,9 +78,15 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val sfName = new java.io.File(sfDir).getName
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
-    val w = new java.io.PrintWriter(fullPath)
-    try w.println(s"""{"sf":"$sfDir","queries":$fullQs}""") finally w.close()
+    // Best-effort side file: must never prevent the primary JSON line
+    // from printing (an unwritable path would otherwise void the run).
+    try {
+      val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
+      val w = new java.io.PrintWriter(fullPath)
+      try w.println(s"""{"sf":"$sfDir","queries":$fullQs}""") finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] side-file write failed: ${e.getMessage}")
+    }
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1800)

@@ -41,14 +41,33 @@ object AnnQueries {
     (dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b))))
       .cast("float")
 
-  /** Brute-force cosine top-k of `cand` for each row of `queries`. */
+  /** Brute-force cosine top-k of `cand` for each row of `queries`.
+    *
+    * The self-norms are computed ONCE per row on each side before the
+    * cross join (not per pair inside it): the pair space only pays one
+    * decimal dot product instead of three. Same IEEE operation tree per
+    * value as the inlined `cosineExact`, so the output is bit-identical
+    * — at |Q|·|C| pairs this is the difference between O(|Q|·|C|) and
+    * O(3·|Q|·|C|) interpreted decimal folds. */
+  /** Projection barrier: CollapseProject would otherwise inline a
+    * once-per-row norm back into the per-pair projection after the join
+    * (recomputing it |Q| or |C| times); a Generate node is opaque to
+    * project collapsing, so the value is materialized exactly once per
+    * input row. explode(array(x)) is 1-row-in → 1-row-out. */
+  private def perRow(df: DataFrame, named: Column, name: String): DataFrame =
+    df.select(df.columns.map(col) :+ explode(array(named)).as(name): _*)
+
   def bruteForceTopK(queries: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = broadcast(queries.select(col("vec_id").as("qid"),
-        col("embedding").as("qe")))
-      .crossJoin(cand.select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val q = perRow(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      sqrt(dotExact(col("qe"), col("qe"))), "nq")
+    val c = perRow(cand.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      sqrt(dotExact(col("ce"), col("ce"))), "nc")
+    val pairs = broadcast(q).crossJoin(c)
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosineExact(col("qe"), col("ce")).as("cos"))
+      .select(col("qid"), col("cid"),
+        (dotExact(col("qe"), col("ce")) / (col("nq") * col("nc")))
+          .cast("float").as("cos"))
     val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
     pairs.withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.{ColumnResolver, FormulaSpec, Fusion, SurveyDesign}
-import graft.stats.{Calibration, Logistic, Ols, WeightedStats}
+import graft.stats.{Calibration, Gram, GramResult, GramSpec, Logistic, Ols, WeightedStats}
 import graft.util.Tables.dsum
 
 /** PC pseudo-calibration estimator (Golini & Righi 2024), re-expressing
@@ -103,20 +103,54 @@ object PC {
     val isA = col(indA) === 1
     val isB = col(indB) === 1
 
-    // sizes + N_total + direct pop totals in ONE aggregate job (PC.R:134-199)
+    // scenario prerequisites, checked before any job runs (PC.R:69-85
+    // stop() contracts — same messages, failure just surfaces earlier)
+    val model: Option[String] = cfg.scenario match {
+      case 1 =>
+        if (yBOpt.isEmpty)
+          throw new IllegalArgumentException("Scenario 1 requires y_B_col")
+        None
+      case 2 =>
+        val m = cfg.outcomeModel.getOrElse(throw new IllegalArgumentException(
+          "Scenario 2 requires 'outcomeModel'"))
+        if (yAOpt.isEmpty)
+          throw new IllegalArgumentException("Scenario 2 requires y_A_col")
+        Some(m)
+      case 3 =>
+        val m = cfg.outcomeModel.getOrElse(throw new IllegalArgumentException(
+          "Scenario 3 requires 'outcomeModel'"))
+        if (yAOpt.isEmpty)
+          throw new IllegalArgumentException("Scenario 3 requires y_A_col")
+        if (yBOpt.isEmpty)
+          throw new IllegalArgumentException("Scenario 3 requires y_B_col")
+        Some(m)
+      case s => throw new IllegalArgumentException(s"scenario $s not in 1-3")
+    }
+
+    // sizes + N_total + A∩B count + pop totals in ONE aggregate job
+    // (PC.R:134-199). The HT totals Σ_A w·z fold in when explicit
+    // A-weights exist (same addend multiset as svytotal over the
+    // A-filtered design ⇒ bit-identical); without them d_i_A = N/n_A
+    // needs n_A from this very job, so totals stay a second pass.
+    val htFold = !popIsData && weightsA.nonEmpty && auxB.nonEmpty
     val base = Seq(
       coalesce(dsum(when(isA, lit(1.0))), lit(0.0)).as("nA"),
       coalesce(dsum(when(isB, lit(1.0))), lit(0.0)).as("nB"),
       count(lit(1)).cast("double").as("nrows"),
       coalesce(weightsA.map(w => dsum(when(isA, col(w))))
-        .getOrElse(lit(0.0)), lit(0.0)).as("sWA"))
-    val directTotAggs =
-      if (popIsData) auxA.map(z => dsum(col(z)).as(s"t_$z")) else Nil
-    val szRow = data0.agg(base.head, (base.tail ++ directTotAggs): _*).head()
+        .getOrElse(lit(0.0)), lit(0.0)).as("sWA"),
+      count(when(isA && isB, lit(1))).as("nAB"))
+    val totAggs =
+      if (popIsData) auxA.map(z => dsum(col(z)).as(s"t_$z"))
+      else if (htFold)
+        auxA.map(z => dsum(when(isA, col(weightsA.get) * col(z))).as(s"t_$z"))
+      else Nil
+    val szRow = data0.agg(base.head, (base.tail ++ totAggs): _*).head()
     val sizeA = szRow.getDouble(0)
     val sizeB = szRow.getDouble(1)
     require(sizeA > 0, "No units in sample A")
     require(sizeB > 0, "No units in sample B")
+    val nAB = szRow.getLong(4)
     val nTotal: Double = cfg.nTotal.getOrElse {
       if (popIsData) szRow.getDouble(2)
       else {
@@ -125,6 +159,8 @@ object PC {
         szRow.getDouble(3)
       }
     }
+    if (cfg.scenario == 2)
+      require(nAB > 0, "No units in S_A ∩ S_B to fit the model")
 
     // d_i_A / d_i_B defaulting (PC.R:149-171)
     val dACol: Column = weightsA match {
@@ -144,50 +180,75 @@ object PC {
       // population totals of aux vars (PC.R:181-199)
       val popTotals: Seq[Double] =
         if (auxB.isEmpty) Nil
-        else if (popIsData) auxA.indices.map(i => szRow.getDouble(4 + i))
+        else if (popIsData || htFold) auxA.indices.map(i => szRow.getDouble(5 + i))
         else {
           val designA = SurveyDesign(pre.filter(isA), "d_i_A")
           val t = WeightedStats.svytotal(designA, auxA)
           auxA.map(t)
         }
 
-      // GREG-calibrate the B design (PC.R:216-237); the closed-form
-      // multipliers are re-applied as a column over the FULL frame
-      val dBCal: Column =
-        if (auxB.nonEmpty) {
-          val designB = SurveyDesign(pre.filter(isB), "d_b_pre")
-          val (_, info) = Calibration.calibrate(designB, auxB, popTotals)
-          val xl = auxB.zipWithIndex.foldLeft(lit(1.0): Column) {
-            case (acc, (c, i)) => acc + col(c) * lit(info.lambda(i))
-          }
-          when(isB, col("d_b_pre") * xl).otherwise(lit(0.0))
-        } else col("d_b_pre")
+      // ONE fused pass (Gram.momentsMulti) for every remaining Gram:
+      //  - "cal": the B-design calibration Gram (PC.R:216-237), carrying
+      //    y_B moments in scenario 1 so the calibrated-mean β reuses it
+      //  - "ols": the outcome-model Gram (scenario 2 on A∩B, 3 on A)
+      // Each spec is mask-restricted; exact-decimal sums make the fused
+      // results bit-identical to the per-filter jobs they replace.
+      val specBuf = Seq.newBuilder[(String, GramSpec)]
+      if (auxB.nonEmpty)
+        specBuf += "cal" -> GramSpec(auxB.map(col), col("d_b_pre"),
+          if (cfg.scenario == 1) Some(col(yBOpt.get)) else None, Some(isB))
+      val olsSpec: Option[FormulaSpec] = model.flatMap { m =>
+        if (cfg.modelType == "normal")
+          Some(ColumnResolver.resolve(FormulaSpec.parse(m), pre))
+        else if (cfg.modelType == "logistic") None
+        else throw new IllegalArgumentException(
+          s"model_type '${cfg.modelType}' unsupported")
+      }
+      val olsMask = if (cfg.scenario == 2) isA && isB else isA
+      olsSpec.foreach { sp =>
+        val resp = sp.response.getOrElse(
+          throw new IllegalArgumentException("OLS needs a response"))
+        specBuf += "ols" -> GramSpec(Ols.designCols(sp),
+          y = Some(col(resp)), mask = Some(olsMask))
+      }
+      val specs = specBuf.result()
+      val grams: Map[String, GramResult] =
+        if (specs.nonEmpty) Gram.momentsMulti(pre, specs)._1 else Map.empty
+
+      // closed-form calibrated B-weights re-applied over the FULL frame
+      val dBCal: Column = grams.get("cal") match {
+        case Some(g) =>
+          val info = Calibration.solveLambda(g, auxB, popTotals)
+          when(isB, col("d_b_pre") * Calibration.gWeightFactor(info))
+            .otherwise(lit(0.0))
+        case None => col("d_b_pre")
+      }
       val data = pre.withColumn("d_i_B", dBCal)
       def bWeights: Option[DataFrame] = {
         val keep = (if (data.columns.contains("id")) Seq("id") else Nil) :+ "d_i_B"
         Some(data.filter(isB).select(keep.map(col): _*))
       }
+      def predictCol(mask: Column): Column = olsSpec match {
+        case Some(sp) => Ols.fitFromGram(sp, grams("ols")).predict
+        case None => // logistic: iterative IRLS, cannot fuse into one pass
+          val sp = ColumnResolver.resolve(FormulaSpec.parse(model.get), data)
+          Logistic.fit(data.filter(mask), sp).predict
+      }
 
       cfg.scenario match {
         case 1 =>
-          val yB = yBOpt.getOrElse(throw new IllegalArgumentException(
-            "Scenario 1 requires y_B_col"))
+          val yB = yBOpt.get
           val bRows = data.filter(isB)
-          val m =
-            if (auxB.nonEmpty)
-              WeightedStats.svymeanCalibrated(bRows, yB, "d_i_B", "d_b_pre", auxB)
-            else WeightedStats.svymean(SurveyDesign(bRows, "d_i_B"), yB)
+          val m = grams.get("cal") match {
+            case Some(g) =>
+              WeightedStats.svymeanCalibrated(bRows, yB, "d_i_B", auxB, g)
+            case None => WeightedStats.svymean(SurveyDesign(bRows, "d_i_B"), yB)
+          }
           PCResult(m.mean, se = Some(m.se), weightsB = bWeights)
 
         case 2 =>
-          val model = cfg.outcomeModel.getOrElse(throw new IllegalArgumentException(
-            "Scenario 2 requires 'outcomeModel'"))
-          val yA = yAOpt.getOrElse(throw new IllegalArgumentException(
-            "Scenario 2 requires y_A_col"))
-          val intersect = data.filter(isA && isB)
-          require(!intersect.isEmpty, "No units in S_A ∩ S_B to fit the model")
-          val spec = ColumnResolver.resolve(FormulaSpec.parse(model), data)
-          val predict = fitModel(intersect, spec, cfg.modelType)
+          val yA = yAOpt.get
+          val predict = predictCol(isA && isB)
           // (Σ d_B·ŷ_B + Σ d_A·(y_A − ŷ_A)) / N in one whole-frame agg
           val r = data.agg(
             dsum(col("d_i_B") * predict).as("t1"),
@@ -195,14 +256,9 @@ object PC {
           PCResult((r.getDouble(0) + r.getDouble(1)) / nTotal, weightsB = bWeights)
 
         case 3 =>
-          val model = cfg.outcomeModel.getOrElse(throw new IllegalArgumentException(
-            "Scenario 3 requires 'outcomeModel'"))
-          val yA = yAOpt.getOrElse(throw new IllegalArgumentException(
-            "Scenario 3 requires y_A_col"))
-          val yB = yBOpt.getOrElse(throw new IllegalArgumentException(
-            "Scenario 3 requires y_B_col"))
-          val spec = ColumnResolver.resolve(FormulaSpec.parse(model), data)
-          val predict = fitModel(data.filter(isA), spec, cfg.modelType)
+          val yA = yAOpt.get
+          val yB = yBOpt.get
+          val predict = predictCol(isA)
           val scored = data.withColumn("hat_y_i", predict)
           val sums = scored.agg(
             dsum(col("hat_y_i")).as("s_pred"),
@@ -222,16 +278,7 @@ object PC {
             PCResult(est, rmse = Some(math.sqrt(ssr / sizeA)),
               r2 = Some(1.0 - ssr / sst), weightsB = bWeights)
           }
-
-        case s => throw new IllegalArgumentException(s"scenario $s not in 1-3")
       }
     } finally pre.unpersist()
   }
-
-  private def fitModel(df: DataFrame, spec: FormulaSpec, modelType: String): Column =
-    modelType match {
-      case "normal"   => Ols.fit(df, spec).predict
-      case "logistic" => Logistic.fit(df, spec).predict
-      case t => throw new IllegalArgumentException(s"model_type '$t' unsupported")
-    }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.{ColumnResolver, FormulaSpec, Fusion, SurveyDesign}
-import graft.stats.{Calibration, Gram, Logistic, Ols, WeightedStats}
+import graft.stats.{Calibration, Gram, GramResult, GramSpec, Logistic, Ols, WeightedStats}
 import graft.util.Tables.{dsum, dvarSamp}
 
 /** RegDI calibration estimator (Kim & Tam 2021), re-expressing
@@ -90,16 +90,71 @@ object RegDI {
     val isA = col(indA) === 1
     val isB = col(indB) === 1
 
-    // N_total (RegDI2.R:91-103) + sample sizes in ONE aggregate job
+    if (cfg.correction < 0 || cfg.correction > 3)
+      throw new IllegalArgumentException(s"correction ${cfg.correction} not in 0-3")
+    // correction-3 prerequisites fail fast, before any job (RegDI2.R:26-42)
+    val outcomeSpec: Option[FormulaSpec] =
+      if (cfg.correction != 3) None
+      else {
+        val m = cfg.outcomeModel.getOrElse(throw new IllegalArgumentException(
+          "Correction 3 requires 'outcomeModel'"))
+        if (cfg.modelType != "normal" && cfg.modelType != "logistic")
+          throw new IllegalArgumentException(
+            s"model_type '${cfg.modelType}' unsupported")
+        Some(ColumnResolver.resolve(FormulaSpec.parse(m), data0))
+      }
+
+    // delta feature columns (RegDI2.R:126-141) as expressions — usable
+    // both over data0 (first fused pass) and as materialized columns
+    val deltaIExpr = when(isB, lit(1.0)).otherwise(lit(0.0))
+    val deltaYiExpr = when(isB, col(yB)).otherwise(lit(0.0))
+    val deltaAuxExpr = aux.map(z => z -> when(isB, col(z)).otherwise(lit(0.0)))
+    val calExprs: Seq[Column] =
+      lit(1.0) +: deltaIExpr +: deltaYiExpr +: deltaAuxExpr.map(_._2)
+
+    // FIRST fused pass over data0 (RegDI2.R:91-103,144-168):
+    // sizes + N_total + calibration totals in one job — the delta totals
+    // don't involve d_i_A, so they never needed the derived frame. When
+    // explicit A-weights exist, d_i_A = w is a static expression and the
+    // szRow-independent Grams fuse in here too:
+    //  - "cal": the A-design calibration Gram (corrections 0/1/3), with
+    //    y_A moments attached so the calibrated-mean β reuses it (0/1)
+    //  - "me": the measurement-error OLS y_A ~ y_B on A∩B (correction 2)
+    //  - "ols": the outcome-model Gram on A (correction 3, normal)
+    // Exact-decimal sums make every mask-fused result bit-identical to
+    // the standalone filtered job it replaces.
     // (coalesce: an empty sample sums to NULL, which must surface as the
     // "No units" contract below, not a null-value read)
-    val szRow = data0.agg(
+    val szAggs = Seq(
       coalesce(dsum(when(isA, lit(1.0))), lit(0.0)).as("nA"),
       coalesce(dsum(when(isB, lit(1.0))), lit(0.0)).as("nB"),
       coalesce(weightsA.map(w => dsum(when(isA, col(w))))
-        .getOrElse(lit(0.0)), lit(0.0)).as("sumWA")).head()
-    val sizeA = szRow.getDouble(0)
-    val sizeB = szRow.getDouble(1)
+        .getOrElse(lit(0.0)), lit(0.0)).as("sumWA"))
+    val totAggs = dsum(deltaIExpr).as("t_di") +: dsum(deltaYiExpr).as("t_dyi") +:
+      deltaAuxExpr.map { case (z, e) => dsum(e).as(s"t_d$z") }
+
+    val dAStatic = weightsA.isDefined
+    val dAExprStatic: Column =
+      weightsA.map(w => when(isA, col(w)).otherwise(lit(0.0))).getOrElse(lit(0.0))
+    val firstSpecs = Seq.newBuilder[(String, GramSpec)]
+    // "cal" is the only spec weighted by d_i_A, so only it needs the
+    // static-weights condition; "me"/"ols" are unweighted and always fuse
+    if (dAStatic && cfg.correction != 2)
+      firstSpecs += "cal" -> GramSpec(calExprs, dAExprStatic,
+        if (cfg.correction <= 1) Some(col(yA)) else None, Some(isA))
+    if (cfg.correction == 2)
+      firstSpecs += "me" -> GramSpec(Seq(lit(1.0), col(yB)),
+        y = Some(col(yA)), mask = Some(isA && isB))
+    if (cfg.correction == 3 && cfg.modelType == "normal")
+      outcomeSpec.foreach { sp =>
+        firstSpecs += "ols" -> GramSpec(Ols.designCols(sp),
+          y = Some(col(sp.response.getOrElse(throw new IllegalArgumentException(
+            "OLS needs a response")))), mask = Some(isA))
+      }
+    val (grams0, szRow) =
+      Gram.momentsMulti(data0, firstSpecs.result(), szAggs ++ totAggs)
+    val sizeA = szRow.getAs[Double]("nA")
+    val sizeB = szRow.getAs[Double]("nB")
     require(sizeA > 0, "No units in sample A")
     require(sizeB > 0, "No units in sample B")
     val nTotal: Double = cfg.nTotal
@@ -107,7 +162,7 @@ object RegDI {
       .getOrElse {
         require(weightsA.nonEmpty,
           "To approximate N_total, provide weights for sample A")
-        szRow.getDouble(2)
+        szRow.getAs[Double]("sumWA")
       }
 
     // d_i_A (RegDI2.R:106-116): given weights on A-rows, else N/n_A
@@ -116,61 +171,72 @@ object RegDI {
       case None    => when(isA, lit(nTotal / sizeA)).otherwise(lit(0.0))
     }
 
-    // delta feature columns (RegDI2.R:126-141)
     val data = data0
       .withColumn("d_i_A", dA)
       .withColumn("uno", lit(1.0))
-      .withColumn("delta_i", when(isB, lit(1.0)).otherwise(lit(0.0)))
-      .withColumn("delta_yi", when(isB, col(yB)).otherwise(lit(0.0)))
-      .transform(d => aux.foldLeft(d) { (acc, z) =>
-        acc.withColumn(s"delta_$z", when(isB, col(z)).otherwise(lit(0.0)))
+      .withColumn("delta_i", deltaIExpr)
+      .withColumn("delta_yi", deltaYiExpr)
+      .transform(d => deltaAuxExpr.foldLeft(d) { case (acc, (z, e)) =>
+        acc.withColumn(s"delta_$z", e)
       })
       .cache()
 
     try {
-      // calibration totals (RegDI2.R:144-168) — one multi-agg job
-      val deltaCols = Seq("delta_i", "delta_yi") ++ aux.map(z => s"delta_$z")
-      val totRow = data.agg(
-        dsum(col("delta_i")).as("t_di"),
-        (dsum(col("delta_yi")) +: aux.map(z => dsum(col(s"delta_$z")))): _*
-      ).head()
       val calCols = "uno" +: "delta_i" +: "delta_yi" +: aux.map(z => s"delta_$z")
-      val totals = nTotal +: (0 until deltaCols.size).map(i =>
-        if (totRow.isNullAt(i)) 0.0 else totRow.getDouble(i))
+      def tot(name: String): Double = {
+        val i = szRow.fieldIndex(name)
+        if (szRow.isNullAt(i)) 0.0 else szRow.getDouble(i)
+      }
+      val totals = nTotal +: (("t_di" +: "t_dyi" +: aux.map(z => s"t_d$z"))
+        .map(tot))
 
-      // GREG calibration of the A-row design (RegDI2.R:181-193)
-      val designA = SurveyDesign(data.filter(isA), "d_i_A")
-      val (calDf, _) = Calibration.calibrate(designA, calCols, totals, "w_cal")
+      // calibration Gram: fused above when d_i_A was static, else one
+      // masked pass over the derived frame now
+      def calGram(withY: Boolean): GramResult = grams0.getOrElse("cal",
+        Gram.momentsMulti(data, Seq("cal" -> GramSpec(calCols.map(col),
+          col("d_i_A"), if (withY) Some(col(yA)) else None, Some(isA))))
+          ._1("cal"))
 
       cfg.correction match {
         case 0 | 1 =>
-          val m = WeightedStats.svymeanCalibrated(
-            calDf, yA, "w_cal", "d_i_A", calCols)
+          // GREG calibration of the A-row design (RegDI2.R:181-193)
+          val g = calGram(withY = true)
+          val info = Calibration.solveLambda(g, calCols, totals)
+          val calDf = data.filter(isA).withColumn("w_cal",
+            col("d_i_A") * Calibration.gWeightFactor(info))
+          val m = WeightedStats.svymeanCalibrated(calDf, yA, "w_cal", calCols, g)
           RegDIResult(m.mean, m.variance)
 
         case 2 =>
-          measurementError(data, isA, isB, yA, yB, aux, nTotal, totals)
+          measurementError(data, grams0.get("me"), isA, isB, yA, yB, aux,
+            nTotal, totals)
 
-        case 3 =>
-          doublyRobust(data, calDf, isA, yA, aux, nTotal, sizeA, cfg)
-
-        case c => throw new IllegalArgumentException(s"correction $c not in 0-3")
+        case _ =>
+          doublyRobust(data, grams0.get("ols"), calGram(withY = false),
+            outcomeSpec.get, isA, yA, calCols, totals, nTotal, sizeA, cfg)
       }
     } finally data.unpersist()
   }
 
   /** Correction 2 (RegDI2.R:250-307): measurement-error inversion from the
-    * A∩B validation overlap, then re-calibration on corrected totals. */
+    * A∩B validation overlap, then re-calibration on corrected totals.
+    * Two fused passes: the overlap OLS rode the first pass (`meGram`);
+    * the corrected totals + corrected calibration Gram (with y moments
+    * for the calibrated mean's β) share the second. */
   private def measurementError(
       data: DataFrame,
+      meGram: Option[GramResult],
       isA: Column, isB: Column,
       yA: String, yB: String,
       aux: Seq[String],
       nTotal: Double,
       totals: Seq[Double]
   ): RegDIResult = {
-    val overlap = data.filter(isA && isB)
-    val fit = Ols.fit(overlap, FormulaSpec(Some(yA), Seq(yB), intercept = true))
+    val meSpec = FormulaSpec(Some(yA), Seq(yB), intercept = true)
+    val fit = meGram match {
+      case Some(g) => Ols.fitFromGram(meSpec, g)
+      case None    => Ols.fit(data.filter(isA && isB), meSpec)
+    }
     val (b0, b1) = (fit.beta(0), fit.beta(1))
     require(fit.n >= 2,
       "Not enough validation data in sample A for the measurement-error model")
@@ -181,64 +247,72 @@ object RegDI {
       .withColumn("delta_yi_corrected",
         when(isB, col("y_corrected")).otherwise(lit(0.0)))
 
-    val tCorr = corrected.agg(dsum(col("delta_yi_corrected"))).head().getDouble(0)
     // totals: uno, delta_i unchanged; delta_yi replaced; aux appended
     val calCols = "uno" +: "delta_i" +: "delta_yi_corrected" +:
       aux.map(z => s"delta_$z")
+    val (grams, exRow) = Gram.momentsMulti(corrected,
+      Seq("cal" -> GramSpec(calCols.map(col), col("d_i_A"),
+        Some(col("y_corrected")), Some(isA))),
+      Seq(dsum(col("delta_yi_corrected")).as("t_corr")))
+    val tCorr = exRow.getAs[Double]("t_corr")
     val totalsCorr = totals(0) +: totals(1) +: tCorr +: totals.drop(3)
 
-    val designA = SurveyDesign(corrected.filter(isA), "d_i_A")
-    val (calDf, _) = Calibration.calibrate(designA, calCols, totalsCorr, "w_cal")
+    val g = grams("cal")
+    val info = Calibration.solveLambda(g, calCols, totalsCorr)
+    val calDf = corrected.filter(isA).withColumn("w_cal",
+      col("d_i_A") * Calibration.gWeightFactor(info))
     val m = WeightedStats.svymeanCalibrated(
-      calDf, "y_corrected", "w_cal", "d_i_A", calCols)
+      calDf, "y_corrected", "w_cal", calCols, g)
     RegDIResult(m.mean, m.variance)
   }
 
   /** Correction 3 (RegDI2.R:196-241): outcome model on A, predict all,
-    * DR combination (Σ w_cal·e + Σ ŷ)/N with its variance. */
+    * DR combination (Σ w_cal·e + Σ ŷ)/N with its variance. The model Gram
+    * rode the first fused pass (normal model); the A-side and whole-frame
+    * score sums fuse into one pass here via isA-masking (bit-identical:
+    * masked rows contribute NULL, which the exact-decimal sums skip). */
   private def doublyRobust(
       data: DataFrame,
-      calDf: DataFrame,
+      olsGram: Option[GramResult],
+      calG: GramResult,
+      spec: FormulaSpec,
       isA: Column,
       yA: String,
-      aux: Seq[String],
+      calCols: Seq[String],
+      totals: Seq[Double],
       nTotal: Double,
       sizeA: Double,
       cfg: RegDIConfig
   ): RegDIResult = {
-    val model = cfg.outcomeModel.getOrElse(throw new IllegalArgumentException(
-      "Correction 3 requires 'outcomeModel'"))
-    val spec = ColumnResolver.resolve(FormulaSpec.parse(model), data)
-    val predict: Column = cfg.modelType match {
-      case "normal"   => Ols.fit(data.filter(isA), spec).predict
-      case "logistic" => Logistic.fit(data.filter(isA), spec).predict
-      case t => throw new IllegalArgumentException(s"model_type '$t' unsupported")
+    val predict: Column = (cfg.modelType, olsGram) match {
+      case (_, Some(g))  => Ols.fitFromGram(spec, g).predict
+      case ("normal", _) => Ols.fit(data.filter(isA), spec).predict
+      case _             => Logistic.fit(data.filter(isA), spec).predict
     }
+    val info = Calibration.solveLambda(calG, calCols, totals)
+    val wCal = col("d_i_A") * Calibration.gWeightFactor(info)
 
-    // calDf IS the A-row frame with w_cal attached; predict is a pure
-    // column expression, so score each frame independently — no join.
-    val aScored = calDf.withColumn("Y_pred", predict)
-    val allScored = data.withColumn("Y_pred", predict)
-
+    // w_cal and predict are pure column expressions, so the A-side sums
+    // need no pre-materialized calibrated frame — score in place.
+    val scored = data.withColumn("Y_pred", predict).withColumn("w_cal", wCal)
     val wres = (col(yA) - col("Y_pred")) * col("w_cal")
-    val aSums = aScored.agg(
-      dsum(wres).as("s_wres"),
-      (dvarSamp(wres) / lit(sizeA)).as("v_wres"),
-      dsum(when(isA, col(yA))).as("s_yA"),
-      dsum((col(yA) - col("Y_pred")) * (col(yA) - col("Y_pred"))).as("ssr")
-    ).head()
-    val uSums = allScored.agg(
+    def aMask(c: Column): Column = when(isA, c)
+    val sums = scored.agg(
+      dsum(aMask(wres)).as("s_wres"),
+      (dvarSamp(aMask(wres)) / lit(sizeA)).as("v_wres"),
+      dsum(aMask(col(yA))).as("s_yA"),
+      dsum(aMask((col(yA) - col("Y_pred")) * (col(yA) - col("Y_pred")))).as("ssr"),
       dsum(col("Y_pred")).as("s_pred"),
       (dvarSamp(col("Y_pred")) / lit(nTotal)).as("v_pred")).head()
 
-    val mean = (aSums.getDouble(0) + uSums.getDouble(0)) / nTotal
-    val variance = aSums.getDouble(1) + uSums.getDouble(1)
+    val mean = (sums.getDouble(0) + sums.getDouble(4)) / nTotal
+    val variance = sums.getDouble(1) + sums.getDouble(5)
     if (!cfg.evalModelPerformance) RegDIResult(mean, variance)
     else {
-      val ssr = aSums.getDouble(3)
-      val meanYA = aSums.getDouble(2) / sizeA
-      val sst = aScored
-        .agg(dsum((col(yA) - lit(meanYA)) * (col(yA) - lit(meanYA))))
+      val ssr = sums.getDouble(3)
+      val meanYA = sums.getDouble(2) / sizeA
+      val sst = scored
+        .agg(dsum(aMask((col(yA) - lit(meanYA)) * (col(yA) - lit(meanYA)))))
         .head().getDouble(0)
       RegDIResult(mean, variance,
         rmse = Some(math.sqrt(ssr / sizeA)), r2 = Some(1.0 - ssr / sst))

@@ -35,16 +35,32 @@ object Calibration {
       totals: Seq[Double],
       outCol: String = "w_cal"
   ): (DataFrame, CalibrationInfo) = {
+    val g = Gram.moments(design.df, xCols, Some(design.weightCol), None)
+    val info = solveLambda(g, xCols, totals)
+    val out = design.df.withColumn(outCol,
+      col(design.weightCol) * gWeightFactor(info))
+    (out, info)
+  }
+
+  /** Driver-side λ solve from a PRECOMPUTED Gram (lets callers fuse the
+    * calibration Gram with other aggregates into one distributed pass —
+    * see [[Gram.momentsMulti]]). Identical arithmetic to [[calibrate]]. */
+  def solveLambda(
+      g: GramResult,
+      xCols: Seq[String],
+      totals: Seq[Double]
+  ): CalibrationInfo = {
     require(xCols.nonEmpty, "calibration requires at least one variable")
     require(xCols.size == totals.size,
       s"xCols (${xCols.size}) and totals (${totals.size}) differ in length")
-    val g = Gram.moments(design.df, xCols, Some(design.weightCol), None)
     val t = DenseVector(totals.toArray)
-    val lambda = g.solve(t - g.xtw)
-    val xl: Column = xCols.zipWithIndex.foldLeft(lit(1.0): Column) {
-      case (acc, (c, i)) => acc + col(c) * lit(lambda(i))
-    }
-    val out = design.df.withColumn(outCol, col(design.weightCol) * xl)
-    (out, CalibrationInfo(xCols, lambda, t))
+    CalibrationInfo(xCols, g.solve(t - g.xtw), t)
   }
+
+  /** The linear-calfun g-weight multiplier `1 + xᵀλ` as a broadcast-λ
+    * column; calibrated weight = design weight × this. */
+  def gWeightFactor(info: CalibrationInfo): Column =
+    info.xCols.zipWithIndex.foldLeft(lit(1.0): Column) {
+      case (acc, (c, i)) => acc + col(c) * lit(info.lambda(i))
+    }
 }

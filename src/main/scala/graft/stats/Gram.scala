@@ -43,6 +43,19 @@ final case class GramResult(
   }
 }
 
+/** One Gram computation inside a fused [[Gram.momentsMulti]] pass:
+  * moments of `xCols` (optionally with `y`) under weight `w`, restricted
+  * to rows where `mask` holds. Masking via `when(mask, term)` (no
+  * otherwise) makes excluded rows contribute NULL, which `sum`/`count`
+  * skip — bit-identical to `df.filter(mask)` + a standalone
+  * [[Gram.moments]] because the exact-decimal sums see the same multiset
+  * of addends. */
+final case class GramSpec(
+    xCols: Seq[Column],
+    w: Column = lit(1.0),
+    y: Option[Column] = None,
+    mask: Option[Column] = None)
+
 object Gram {
 
   /** One-pass weighted moments of `xCols` (and optionally `yCol`) under
@@ -56,6 +69,27 @@ object Gram {
       yCol: Option[Column] = None,
       exact: Boolean = true
   ): GramResult = {
+    val (res, _) = momentsMulti(df,
+      Seq("g" -> GramSpec(xCols, w, yCol)), Nil, exact)
+    res("g")
+  }
+
+  /** SEVERAL Gram computations (each with its own mask/weight/terms) plus
+    * arbitrary extra aggregate columns, fused into ONE distributed pass.
+    *
+    * This is the scale lever for the estimator pipelines: RegDI/PC need a
+    * calibration Gram, an outcome-model Gram, and a handful of totals —
+    * all independent given the driver-side solves between them. Fusing
+    * them turns 3-4 full-table scans into one partial/final HashAggregate
+    * job (still O(k²) state per task, one tiny shuffled row). Returns the
+    * per-spec [[GramResult]]s and the Row of `extraAggs` values.
+    */
+  def momentsMulti(
+      df: DataFrame,
+      specs: Seq[(String, GramSpec)],
+      extraAggs: Seq[Column] = Nil,
+      exact: Boolean = true
+  ): (Map[String, GramResult], Row) = {
     // dsum = exact-decimal summation: order-independent, so the moments
     // (and everything solved from them) are bit-identical under any
     // repartitioning — a tested invariant (SURVEY.md §5 property tests).
@@ -63,33 +97,46 @@ object Gram {
     // run bit determinism isn't required (e.g. ANOVA's wide Gram).
     val dsum: Column => Column =
       if (exact) graft.util.Tables.dsum else sum
-    val k = xCols.size
-    val y = yCol.getOrElse(lit(0.0))
-    val upper = for { i <- 0 until k; j <- i until k }
-      yield dsum(w * xCols(i) * xCols(j)).as(s"xx_${i}_$j")
-    val firsts = (0 until k).map(i => dsum(w * xCols(i)).as(s"xw_$i"))
-    val xy = (0 until k).map(i => dsum(w * xCols(i) * y).as(s"xy_$i"))
-    val extras = Seq(
-      dsum(w).as("sw"), dsum(w * y).as("swy"), dsum(w * y * y).as("swyy"),
-      count(lit(1)).as("n"))
-    val aggs = upper ++ firsts ++ xy ++ extras
+    require(specs.map(_._1).distinct.size == specs.size,
+      "duplicate Gram spec names")
+    def aggsFor(p: String, s: GramSpec): Seq[Column] = {
+      val k = s.xCols.size
+      val y = s.y.getOrElse(lit(0.0))
+      def m(term: Column): Column = s.mask match {
+        case Some(f) => when(f, term)
+        case None    => term
+      }
+      val upper = for { i <- 0 until k; j <- i until k }
+        yield dsum(m(s.w * s.xCols(i) * s.xCols(j))).as(s"${p}_xx_${i}_$j")
+      val firsts = (0 until k).map(i => dsum(m(s.w * s.xCols(i))).as(s"${p}_xw_$i"))
+      val xy = (0 until k).map(i => dsum(m(s.w * s.xCols(i) * y)).as(s"${p}_xy_$i"))
+      upper ++ firsts ++ xy ++ Seq(
+        dsum(m(s.w)).as(s"${p}_sw"), dsum(m(s.w * y)).as(s"${p}_swy"),
+        dsum(m(s.w * y * y)).as(s"${p}_swyy"),
+        count(m(lit(1))).as(s"${p}_n"))
+    }
+    val aggs = specs.flatMap { case (p, s) => aggsFor(p, s) } ++ extraAggs
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
 
     def d(name: String): Double =
       if (row.isNullAt(row.fieldIndex(name))) 0.0
       else row.getAs[Number](name).doubleValue()
 
-    val m = DenseMatrix.zeros[Double](k, k)
-    for { i <- 0 until k; j <- i until k } {
-      val v = d(s"xx_${i}_$j"); m(i, j) = v; m(j, i) = v
-    }
-    GramResult(
-      xtwx = m,
-      xtw = DenseVector((0 until k).map(i => d(s"xw_$i")).toArray),
-      xtwy = DenseVector((0 until k).map(i => d(s"xy_$i")).toArray),
-      sw = d("sw"), swy = d("swy"), swyy = d("swyy"),
-      n = row.getAs[Long]("n")
-    )
+    val results = specs.map { case (p, s) =>
+      val k = s.xCols.size
+      val m = DenseMatrix.zeros[Double](k, k)
+      for { i <- 0 until k; j <- i until k } {
+        val v = d(s"${p}_xx_${i}_$j"); m(i, j) = v; m(j, i) = v
+      }
+      p -> GramResult(
+        xtwx = m,
+        xtw = DenseVector((0 until k).map(i => d(s"${p}_xw_$i")).toArray),
+        xtwy = DenseVector((0 until k).map(i => d(s"${p}_xy_$i")).toArray),
+        sw = d(s"${p}_sw"), swy = d(s"${p}_swy"), swyy = d(s"${p}_swyy"),
+        n = row.getAs[Long](s"${p}_n")
+      )
+    }.toMap
+    (results, row)
   }
 
   def moments(df: DataFrame, xCols: Seq[String], wCol: Option[String],

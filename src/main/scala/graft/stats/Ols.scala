@@ -43,6 +43,19 @@ object Ols {
   def fit(df: DataFrame, formula: String): OlsFit =
     fit(df, FormulaSpec.parse(formula))
 
+  /** Closed-form fit from a PRECOMPUTED Gram of the design matrix
+    * (intercept-first when the spec has one) — lets callers fuse the model
+    * Gram with other aggregates into one pass ([[Gram.momentsMulti]]). */
+  def fitFromGram(spec: FormulaSpec, g: GramResult): OlsFit =
+    OlsFit(spec, g.solve(), g.n)
+
+  /** The spec's design-matrix columns, intercept-first — the xCols a
+    * caller must hand [[Gram.momentsMulti]] for [[fitFromGram]]. */
+  def designCols(spec: FormulaSpec): Seq[Column] = {
+    val xs0 = spec.terms.map(col)
+    if (spec.intercept) lit(1.0) +: xs0 else xs0
+  }
+
   /** RMSE = sqrt(mean(e²)) and R² = 1 − SSR/SST over `df`
     * (`RegDI2.R:228-235`, `PC.R:331-338`), one pass. */
   def metrics(df: DataFrame, yCol: String, predicted: Column): FitMetrics = {

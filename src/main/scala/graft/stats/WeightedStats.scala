@@ -47,6 +47,19 @@ object WeightedStats {
       calXCols: Seq[String]
   ): MeanResult = {
     val g = Gram.moments(df, calXCols, Some(dCol), Some(yCol))
+    svymeanCalibrated(df, yCol, wCalCol, calXCols, g)
+  }
+
+  /** As above with the d-weighted Gram (INCLUDING y moments) precomputed —
+    * callers that already ran the calibration Gram with `y` attached reuse
+    * it here, saving a full-table pass ([[Gram.momentsMulti]]). */
+  def svymeanCalibrated(
+      df: DataFrame,
+      yCol: String,
+      wCalCol: String,
+      calXCols: Seq[String],
+      g: GramResult
+  ): MeanResult = {
     val beta = g.solve()
     val resid = calXCols.zipWithIndex.foldLeft(col(yCol)) {
       case (acc, (c, i)) => acc - col(c) * lit(beta(i))

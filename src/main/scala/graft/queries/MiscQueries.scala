@@ -75,6 +75,22 @@ object MiscQueries {
                       ${sqlDsum("value")} AS sum_value
                FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    // ---- W3 streaming exact dedup (watermark-bounded state) -----------
+    // The dedup key IS the projected tuple, so which physical row
+    // survives is irrelevant — the deduped multiset is deterministic and
+    // the downstream aggregate oracle-able. StreamingSuite drives the
+    // same operator through MemoryStream with replayed duplicates.
+    Q("w03_stream_dedup",
+      (s, d) => Streams.dedupEvents(graft.util.Tables.loadEvents(s, d),
+          Seq("user_id", "event_type", "value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, count(*) AS n_unique,
+                      ${sqlDsum("value")} AS sum_value
+               FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+               GROUP BY event_type ORDER BY event_type""")),
+
     // ---- A12 analytic window: rank within group -----------------------
     // (beyond the reference's surface — §2.5 notes it has no ORDER BY /
     // top-k; a complete library needs ranking windows.)

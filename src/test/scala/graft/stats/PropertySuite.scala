@@ -61,6 +61,38 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("fused masked Grams are bit-identical to standalone filtered Grams") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("x", "y", "w")
+          .withColumn("grp", (col("x") > 0).cast("int"))
+        val inGrp = col("grp") === 1
+        // standalone: filter, then one Gram per computation
+        val gCal = Gram.moments(df.filter(inGrp), Seq(col("x")), col("w"),
+          Some(col("y")))
+        val gOls = Gram.moments(df, Seq(lit(1.0), col("x")), lit(1.0),
+          Some(col("y")))
+        // fused: both Grams + an extra aggregate in ONE pass, mask-restricted
+        val (grams, extra) = Gram.momentsMulti(df,
+          Seq(
+            "cal" -> GramSpec(Seq(col("x")), col("w"), Some(col("y")),
+              Some(inGrp)),
+            "ols" -> GramSpec(Seq(lit(1.0), col("x")), y = Some(col("y")))),
+          Seq(graft.util.Tables.dsum(col("w")).as("sw_all")))
+        val fCal = grams("cal"); val fOls = grams("ols")
+        assert(fCal.xtwx(0, 0) === gCal.xtwx(0, 0))
+        assert(fCal.xtwy(0) === gCal.xtwy(0))
+        assert(fCal.sw === gCal.sw)
+        assert(fCal.n === gCal.n)
+        assert(fOls.xtwx(0, 1) === gOls.xtwx(0, 1))
+        assert(fOls.xtwy(1) === gOls.xtwy(1))
+        assert(fOls.n === gOls.n)
+        val swAll = df.agg(graft.util.Tables.dsum(col("w"))).head().getDouble(0)
+        assert(extra.getAs[Double]("sw_all") === swAll)
+      }
+    }
+  }
+
   test("weighted mean is invariant under row order") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {

@@ -122,6 +122,39 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark collapses replayed events, batch == streaming") {
+    val events = Seq(
+      Ev(t("2026-01-01 10:00:00"), "click", 1.0),
+      Ev(t("2026-01-01 10:00:10"), "click", 1.0), // broker replay
+      Ev(t("2026-01-01 10:05:00"), "view", 2.0))
+
+    val batch = Streams.dedupEvents(
+        events.toDF().withColumn("user_id", lit(1L)),
+        Seq("user_id", "event_type", "value"), "1 hour")
+      .select("event_type", "value")
+      .as[(String, Double)].collect().sorted.toSeq
+    assert(batch === Seq(("click", 1.0), ("view", 2.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupEvents(
+        mem.toDF().withColumn("user_id", lit(1L)),
+        Seq("user_id", "event_type", "value"), "1 hour")
+      .select(col("event_type"), col("value"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(events(0), events(1))
+      q.processAllAvailable()
+      mem.addData(events(2),
+        Ev(t("2026-01-01 10:06:00"), "click", 1.0)) // cross-batch replay
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_test")
+        .as[(String, Double)].collect().sorted.toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("session windows group by gap") {
     val events = Seq(
       Ev(t("2026-01-01 10:00:00"), "u1", 1.0),

@@ -32,29 +32,36 @@ object Logistic {
 
   def fit(df: DataFrame, spec: FormulaSpec, maxIter: Int = 25,
           tol: Double = 1e-9): LogisticFit = {
-    val y = col(spec.response.getOrElse(
-      throw new IllegalArgumentException("logistic needs a response")))
+    val respName = spec.response.getOrElse(
+      throw new IllegalArgumentException("logistic needs a response"))
+    val y = col(respName)
     val xs0 = spec.terms.map(col)
     val xs = if (spec.intercept) lit(1.0) +: xs0 else xs0
     val k = xs.size
-    var beta = DenseVector.zeros[Double](k)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val eta = xs.zipWithIndex.foldLeft(lit(0.0): Column) {
-        case (acc, (x, i)) => acc + x * lit(beta(i))
+    // iterative ⇒ cache ONLY the referenced columns for the loop: each
+    // IRLS pass then scans narrow in-memory columnar batches instead of
+    // re-reading (and re-filtering) the source per iteration
+    val work = df.select((respName +: spec.terms).distinct.map(col): _*).cache()
+    try {
+      var beta = DenseVector.zeros[Double](k)
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        val eta = xs.zipWithIndex.foldLeft(lit(0.0): Column) {
+          case (acc, (x, i)) => acc + x * lit(beta(i))
+        }
+        val p = lit(1.0) / (lit(1.0) + exp(-eta))
+        // clamp keeps the working weight invertible on separable data
+        val w = greatest(p * (lit(1.0) - p), lit(1e-10))
+        val z = eta + (y - p) / w
+        val g = Gram.moments(work, xs, w, Some(z))
+        val newBeta = g.solve()
+        converged = norm(newBeta - beta) < tol
+        beta = newBeta
+        iter += 1
       }
-      val p = lit(1.0) / (lit(1.0) + exp(-eta))
-      // clamp keeps the working weight invertible on separable data
-      val w = greatest(p * (lit(1.0) - p), lit(1e-10))
-      val z = eta + (y - p) / w
-      val g = Gram.moments(df, xs, w, Some(z))
-      val newBeta = g.solve()
-      converged = norm(newBeta - beta) < tol
-      beta = newBeta
-      iter += 1
-    }
-    LogisticFit(spec, beta, iter, converged)
+      LogisticFit(spec, beta, iter, converged)
+    } finally work.unpersist()
   }
 
   def fit(df: DataFrame, formula: String): LogisticFit =

@@ -24,11 +24,21 @@ object Anova {
 
   /** Treatment-coded dummy columns for a factor (first level dropped —
     * R's default contr.treatment). */
-  def factorDummies(data: DataFrame, c: String): Seq[Column] = {
-    val lv = data.select(col(c).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    require(lv.size >= 2, s"factor $c needs ≥2 levels")
-    lv.drop(1).map(l => (col(c).cast("string") === l).cast("double"))
+  def factorDummies(data: DataFrame, c: String): Seq[Column] =
+    dummies(c, data.select(col(c).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq)
+
+  private def dummies(c: String, levels: Seq[String]): Seq[Column] = {
+    require(levels.size >= 2, s"factor $c needs ≥2 levels")
+    levels.drop(1).map(l => (col(c).cast("string") === l).cast("double"))
+  }
+
+  /** Level sets of several factors in ONE distributed pass (levels are
+    * few; the scan is what costs at scale). */
+  def factorLevels(data: DataFrame, cols: Seq[String]): Map[String, Seq[String]] = {
+    val aggs = cols.map(c => collect_set(col(c).cast("string")).as(c))
+    val row = data.agg(aggs.head, aggs.tail: _*).head()
+    cols.map(c => c -> row.getSeq[String](row.fieldIndex(c)).sorted.toSeq).toMap
   }
 
   /** Sequential (Type-I) ANOVA over arbitrary ordered terms, each a
@@ -71,8 +81,9 @@ object Anova {
 
   def twoFactor(data: DataFrame, yCol: String, factorA: String,
                 factorB: String): Seq[AnovaRow] = {
-    val aD = factorDummies(data, factorA)
-    val bD = factorDummies(data, factorB)
+    val lv = factorLevels(data, Seq(factorA, factorB).distinct)
+    val aD = dummies(factorA, lv(factorA))
+    val bD = dummies(factorB, lv(factorB))
     val abD = for (a <- aD; b <- bD) yield a * b
     sequential(data, yCol, Seq(
       factorA -> aD, factorB -> bD, s"$factorA:$factorB" -> abD))

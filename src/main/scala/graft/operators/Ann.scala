@@ -69,12 +69,17 @@ object Ann {
       .withColumnsRenamed(Map("id" -> "qid", "vec" -> "qe"))
     val cb = lshBuckets(cand, idCol, vecCol, dim, bits, tables, seed)
       .withColumnsRenamed(Map("id" -> "cid", "vec" -> "ce"))
+    // score BEFORE the cross-table dedup: cos is functionally dependent
+    // on (qid, cid), so distinct over (qid, cid, cos) keeps the same
+    // pairs while shuffling three scalars instead of two dim-length
+    // arrays per row — the multi-table collision dedup is the widest
+    // shuffle in this plan at scale. Re-scoring a duplicate collision is
+    // one codegen'd dot product; shuffling its vectors is ~dim×8 bytes.
     val pairs = qb.join(cb, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), col("qe"), col("ce"))
-      .distinct()
       .select(col("qid"), col("cid"),
         cosine(col("qe"), col("ce")).cast("float").as("cos"))
+      .distinct()
     val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
     pairs.withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)

@@ -166,9 +166,46 @@ final case class MinHashBandKeysExpr(child: Expression, n: Int,
     copy(child = newChild)
 }
 
+/** Total non-overlapping occurrence count of `" w "` across all `words`
+  * in the space-padded lowercase text — ONE string scan per word with no
+  * intermediate string rebuilds, replacing a per-word
+  * `length(replace(...))` chain that re-materialized the document once
+  * per stopword. Semantics identical to the replace-identity (left-to-
+  * right non-overlapping matches on the padded original), so the DuckDB
+  * oracle rendition is unchanged. Lowercasing via UTF8String to match
+  * Spark's `lower` exactly. */
+final case class PaddedOccurrencesExpr(child: Expression, words: Seq[String],
+                                        lowercase: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "padded_occurrences"
+  @transient private lazy val pats: Array[String] = words.map(w => s" $w ").toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = " " + (if (lowercase) u.toLowerCase else u).toString + " "
+    var total = 0L
+    var i = 0
+    while (i < pats.length) {
+      val p = pats(i)
+      var idx = s.indexOf(p)
+      while (idx >= 0) { total += 1; idx = s.indexOf(p, idx + p.length) }
+      i += 1
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShinglesExpr(GraftBridge.expression(text), n))
+  def paddedOccurrences(text: Column, words: Seq[String],
+                        lowercase: Boolean = true): Column =
+    GraftBridge.column(PaddedOccurrencesExpr(GraftBridge.expression(text),
+      words, lowercase))
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(text)))
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =

@@ -53,12 +53,13 @@ object TextFunctions {
     "that", "for", "on", "with", "as", "at", "by", "from", "this")
 
   /** Fraction of whitespace tokens that are stopwords — a standard
-    * text-quality signal (natural prose ≈ 0.2-0.5; keyword soup ≈ 0). */
-  def stopwordRatio(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val hits = stopwords.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
-    hits.cast("double") / tokenCount(text).cast("double")
-  }
+    * text-quality signal (natural prose ≈ 0.2-0.5; keyword soup ≈ 0).
+    * Native one-pass-per-word scan (PaddedOccurrencesExpr): identical
+    * counts to the per-word replace-identity chain, without rebuilding
+    * the document once per stopword. */
+  def stopwordRatio(text: Column): Column =
+    graft.expressions.TextExpressions.paddedOccurrences(text, stopwords)
+      .cast("double") / tokenCount(text).cast("double")
 
   /** Marker-word languages for the n-gram-free heuristic language ID. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -68,11 +69,13 @@ object TextFunctions {
     "fr" -> Seq(" le ", " et ", " les "))
 
   /** Heuristic language ID: argmax of marker-word hit counts, ties broken
-    * by declaration order, "und" (undetermined) when all zero. */
+    * by declaration order, "und" (undetermined) when all zero. Native
+    * one-scan-per-marker counting (case-sensitive, as before; the expr
+    * re-pads, so markers pass trimmed). */
   def langId(text: Column): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
     val scores = langMarkers.map { case (lang, kws) =>
-      lang -> kws.map(k => occurrences(padded, k)).reduce(_ + _)
+      lang -> graft.expressions.TextExpressions.paddedOccurrences(
+        text, kws.map(_.trim), lowercase = false)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>

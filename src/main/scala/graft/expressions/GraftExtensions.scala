@@ -30,6 +30,13 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private[graft] val definitions: Seq[(String, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     ("float_vec_dot",
@@ -57,6 +64,14 @@ object GraftExtensions {
         require(args.size == 3, "minhash_signature(text, n, numHashes)")
         MinHashSignatureExpr(args(0), intLit(args(1), "n"),
           intLit(args(2), "numHashes"))
+      }),
+    ("padded_occurrences",
+      new ExpressionInfo(classOf[PaddedOccurrencesExpr].getName,
+        "padded_occurrences"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "padded_occurrences(text, 'w1,w2,…')")
+        PaddedOccurrencesExpr(args(0),
+          strLit(args(1), "words").split(",").toSeq.map(_.trim))
       }))
 
   /** Late registration onto an already-built session. */

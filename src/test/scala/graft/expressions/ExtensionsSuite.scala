@@ -39,6 +39,14 @@ class ExtensionsSuite extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("SQL surface: padded_occurrences") {
+    Seq(("The cat and the dog and the bird", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("docs3")
+    // lowercased scan: 'the' matches 3x ('The' included), 'and' 2x
+    assert(spark.sql("SELECT padded_occurrences(text, 'the,and') FROM docs3")
+      .head().getLong(0) === 5L)
+  }
+
   test("non-literal n is rejected with a clear error") {
     Seq(("x", 3)).toDF("text", "n").createOrReplaceTempView("bad")
     val e = intercept[Exception] {

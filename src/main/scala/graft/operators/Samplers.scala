@@ -17,15 +17,27 @@ import org.apache.spark.sql.functions._
   *  - Stratified exact-n shuffles once on the stratum key; per-stratum
   *    `row_number` needs no global sort. Skewed strata are bounded by
   *    the per-stratum sample size, not the stratum size.
-  *  - Keys are seeded `rand(seed)` columns: deterministic for a fixed
-  *    input partitioning within a run. Cross-engine RNG parity is
-  *    distributional, not bitwise (SURVEY.md §7.5).
+  *  - Keys are PARTITION-INVARIANT seeded uniforms ([[rowUniform]]):
+  *    pure functions of row content + seed, so the same rows are
+  *    selected under ANY partitioning — unlike `rand(seed)`, whose
+  *    stream shifts whenever AQE or a repartition changes the physical
+  *    layout. At cluster scale that makes samples reproducible and
+  *    replayable. Cross-engine RNG parity is distributional, not
+  *    bitwise (SURVEY.md §7.5).
   */
 object Samplers {
 
+  /** Seeded uniform in [0,1) as a 53-bit mantissa from `xxhash64` of the
+    * whole row and the seed. Identical rows share a key; for exact-n
+    * that can only swap identical rows across the cut line, leaving the
+    * selected multiset unchanged. */
+  private def rowUniform(cols: Seq[String], seed: Long): Column =
+    shiftrightunsigned(xxhash64(struct(cols.map(col): _*), lit(seed)), 11)
+      .cast("double") / lit(9007199254740992.0) // 2^53
+
   /** SRS without replacement, exact n (`sample(1:N, n)`, ipynb:170). */
   def srsExact(df: DataFrame, n: Int, seed: Long): DataFrame =
-    df.withColumn("__u", rand(seed))
+    df.withColumn("__u", rowUniform(df.columns.toSeq, seed))
       .orderBy(col("__u"))
       .limit(n)
       .drop("__u")
@@ -34,7 +46,7 @@ object Samplers {
     * (Efraimidis–Spirakis 2006: key = log(u)/w, take top-n;
     * `sample(..., prob=π)`, ipynb:1281-1282). `w` must be > 0. */
   def weightedExact(df: DataFrame, w: Column, n: Int, seed: Long): DataFrame =
-    df.withColumn("__k", log(rand(seed)) / w)
+    df.withColumn("__k", log(rowUniform(df.columns.toSeq, seed)) / w)
       .orderBy(desc("__k"))
       .limit(n)
       .drop("__k")
@@ -54,7 +66,8 @@ object Samplers {
       val nH = math.floor(r.getLong(1) * nTotal / total + 0.5).toLong
       when(col(stratumCol) === lit(r.get(0)), lit(nH)).otherwise(acc)
     }
-    val keyed = df.withColumn("__u", rand(seed)).withColumn("__n_h", nh)
+    val keyed = df.withColumn("__u", rowUniform(df.columns.toSeq, seed))
+      .withColumn("__n_h", nh)
     val win = Window.partitionBy(stratumCol).orderBy(col("__u"))
     keyed.withColumn("__rn", row_number().over(win))
       .filter(col("__rn") <= col("__n_h"))
@@ -65,7 +78,7 @@ object Samplers {
     * (`rbinom(N,1,π)` / `runif(N) < π`, ipynb:638,646,1284). */
   def bernoulli(df: DataFrame, p: Column, seed: Long,
                 indCol: String = "selected"): DataFrame =
-    df.withColumn(indCol, (rand(seed) < p).cast("int"))
+    df.withColumn(indCol, (rowUniform(df.columns.toSeq, seed) < p).cast("int"))
 
   /** Stratified Bernoulli with target-size adjustment (ipynb:631-646):
     * draw with per-row π, compare realized vs target per stratum, rescale
@@ -74,7 +87,11 @@ object Samplers {
       df: DataFrame, stratumCol: String, p: Column,
       targets: DataFrame, // (stratumCol, target)
       seed: Long): DataFrame = {
-    val draw1 = df.withColumn("__s1", (rand(seed) < p).cast("int"))
+    // both draws key off the ORIGINAL row columns so the redraw is as
+    // partition-invariant as the first pass
+    val baseCols = df.columns.toSeq
+    val draw1 = df.withColumn("__s1",
+      (rowUniform(baseCols, seed) < p).cast("int"))
     val realized = draw1.groupBy(stratumCol)
       .agg(sum(col("__s1")).cast("double").as("__realized"))
     val factors = realized.join(targets, Seq(stratumCol))
@@ -82,7 +99,8 @@ object Samplers {
       .select(col(stratumCol), col("__f"))
     draw1.join(broadcast(factors), Seq(stratumCol))
       .withColumn("selected",
-        (rand(seed + 1000) < least(p * col("__f"), lit(1.0))).cast("int"))
+        (rowUniform(baseCols, seed + 1000) <
+          least(p * col("__f"), lit(1.0))).cast("int"))
       .drop("__s1", "__f")
   }
 }

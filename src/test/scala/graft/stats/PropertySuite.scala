@@ -93,6 +93,21 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("synthesis and sampling are invariant under repartitioning") {
+    import graft.operators.Samplers
+    import graft.synth.Population
+    val pop = Population.cell7(spark, 2000, seed = 7)
+    // identical population rows regardless of physical layout
+    assert(pop.repartition(1).exceptAll(pop.repartition(7)).isEmpty)
+    // identical selected multiset for exact-n and Bernoulli draws
+    val s1 = Samplers.srsExact(pop.repartition(1), 100, seed = 5)
+    val s7 = Samplers.srsExact(pop.repartition(7), 100, seed = 5)
+    assert(s1.exceptAll(s7).isEmpty && s7.exceptAll(s1).isEmpty)
+    val b1 = Samplers.bernoulli(pop.repartition(1), lit(0.1), seed = 3)
+    val b7 = Samplers.bernoulli(pop.repartition(7), lit(0.1), seed = 3)
+    assert(b1.exceptAll(b7).isEmpty && b7.exceptAll(b1).isEmpty)
+  }
+
   test("weighted mean is invariant under row order") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {

@@ -114,8 +114,11 @@ object MonteCarlo {
       val pop = graft.synth.Population.cell2(spark, nPop, seed)
         .withColumn("in_A",
           (pmod(hash(col("id") + lit(seed)), lit(nPop / nA)) === 0).cast("int"))
+        // id-keyed uniform (not rand): replicate draws are reproducible
+        // under any partitioning, like the rest of synthesis/sampling
         .withColumn("in_B",
-          (rand(seed + 2000) <
+          (shiftrightunsigned(xxhash64(col("id"), lit(seed + 2000)), 11)
+            .cast("double") / lit(9007199254740992.0) <
             lit(0.7) - lit(0.4) * (col("y_i") > 3.0).cast("double")).cast("int"))
         .cache()
       try {

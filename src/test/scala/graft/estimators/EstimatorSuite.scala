@@ -131,6 +131,37 @@ class EstimatorGoldenSuite extends SparkSpec {
     assert(res.r2.exists(r => math.abs(r - 1.0) < 1e-9))
   }
 
+  test("default d = N/n_A (fallback Gram pass) equals explicit uniform weights (fused pass)") {
+    // weightsA present ⇒ the calibration Gram fuses into the first pass;
+    // absent ⇒ d_i_A depends on n_A and the Gram runs as a second pass.
+    // With a uniform weight column equal to N/n_A the two paths see the
+    // same addend multiset, so the estimates must agree bitwise — a
+    // direct cross-check of the fused vs fallback code paths.
+    val n = popOneTable.count().toDouble
+    val nA = popOneTable.filter(col("in_A") === 1).count().toDouble
+    val withW = popOneTable.withColumn("d_u", lit(n / nA))
+    val noW = RegDI.oneTable(popOneTable, "in_A", "in_B",
+      RegDIConfig(yACol = "y_i", yBCol = "y_i", auxVars = Seq("x_i"),
+        nTotal = Some(n), correction = 1))
+    val expW = RegDI.oneTable(withW, "in_A", "in_B",
+      RegDIConfig(yACol = "y_i", yBCol = "y_i", auxVars = Seq("x_i"),
+        nTotal = Some(n), weightsA = Some("d_u"), correction = 1))
+    assert(noW.mean === expW.mean)
+    assert(noW.variance === expW.variance)
+
+    val pcNoW = PC.twoSample(dataA.drop("d_A"), dataB, "id", "id",
+      PCConfig(yACol = Some("y_i"), yBCol = Some("y_i"),
+        auxVars = Seq("x_i"), nTotal = Some(N.toDouble), scenario = 1))
+    val nA2 = dataA.count().toDouble
+    val pcExpW = PC.twoSample(
+      dataA.drop("d_A").withColumn("d_u", lit(N.toDouble / nA2)), dataB,
+      "id", "id",
+      PCConfig(yACol = Some("y_i"), yBCol = Some("y_i"),
+        auxVars = Seq("x_i"), nTotal = Some(N.toDouble),
+        weightsA = Some("d_u"), scenario = 1))
+    assert(pcNoW.estimator === pcExpW.estimator)
+  }
+
   test("PC logistic model type (one-table) fits a binary outcome under MAR-x") {
     // selection into B depends on x only (MAR) — the regime where the
     // DR1 estimator with a correct-in-x outcome model is consistent

@@ -99,6 +99,8 @@ object Gram {
       if (exact) graft.util.Tables.dsum else sum
     require(specs.map(_._1).distinct.size == specs.size,
       "duplicate Gram spec names")
+    require(specs.nonEmpty || extraAggs.nonEmpty,
+      "momentsMulti needs at least one spec or extra aggregate")
     def aggsFor(p: String, s: GramSpec): Seq[Column] = {
       val k = s.xCols.size
       val y = s.y.getOrElse(lit(0.0))

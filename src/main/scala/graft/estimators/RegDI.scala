@@ -237,9 +237,12 @@ object RegDI {
       case Some(g) => Ols.fitFromGram(meSpec, g)
       case None    => Ols.fit(data.filter(isA && isB), meSpec)
     }
-    val (b0, b1) = (fit.beta(0), fit.beta(1))
+    // Guard BEFORE touching the coefficients: a degenerate overlap makes
+    // the Cramer solve emit NaN betas, and the clean contract message must
+    // surface ahead of any NaN-poisoned arithmetic.
     require(fit.n >= 2,
       "Not enough validation data in sample A for the measurement-error model")
+    val (b0, b1) = (fit.beta(0), fit.beta(1))
 
     val corrected = data
       .withColumn("y_corrected",

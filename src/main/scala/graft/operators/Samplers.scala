@@ -75,14 +75,27 @@ object Samplers {
   }
 
   /** Per-row Bernoulli selection with probability column `p`
-    * (`rbinom(N,1,π)` / `runif(N) < π`, ipynb:638,646,1284). */
+    * (`rbinom(N,1,π)` / `runif(N) < π`, ipynb:638,646,1284).
+    *
+    * Duplicate-row caveat: the uniform is a hash of the row CONTENT, so
+    * identical rows draw the same uniform and are selected all-or-none —
+    * correlated draws that inflate the realized-size variance when the
+    * input carries duplicates. (For the exact-n samplers above ties are
+    * harmless — they only swap identical rows across the cut line.)
+    * When a unique id exists, pass it as `keyCols` to restore
+    * independent draws; the default keys off every column, which is
+    * independent whenever rows are distinct. */
   def bernoulli(df: DataFrame, p: Column, seed: Long,
-                indCol: String = "selected"): DataFrame =
-    df.withColumn(indCol, (rowUniform(df.columns.toSeq, seed) < p).cast("int"))
+                indCol: String = "selected",
+                keyCols: Option[Seq[String]] = None): DataFrame =
+    df.withColumn(indCol,
+      (rowUniform(keyCols.getOrElse(df.columns.toSeq), seed) < p).cast("int"))
 
   /** Stratified Bernoulli with target-size adjustment (ipynb:631-646):
     * draw with per-row π, compare realized vs target per stratum, rescale
-    * π by target/realized (clamped to 1) and redraw once. */
+    * π by target/realized (clamped to 1) and redraw once. Shares
+    * [[bernoulli]]'s duplicate-row caveat: identical rows draw
+    * identically in BOTH passes. */
   def stratifiedBernoulliAdjusted(
       df: DataFrame, stratumCol: String, p: Column,
       targets: DataFrame, // (stratumCol, target)

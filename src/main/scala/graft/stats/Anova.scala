@@ -34,10 +34,20 @@ object Anova {
   }
 
   /** Level sets of several factors in ONE distributed pass (levels are
-    * few; the scan is what costs at scale). */
+    * few; the scan is what costs at scale). Fails loudly on NULL factor
+    * values: `collect_set` silently drops NULLs, which would otherwise
+    * let null-level rows contribute all-zero dummies while still being
+    * counted in the Gram's n — silently inconsistent ANOVA sums. The
+    * null counts ride the same pass as the level sets. */
   def factorLevels(data: DataFrame, cols: Seq[String]): Map[String, Seq[String]] = {
-    val aggs = cols.map(c => collect_set(col(c).cast("string")).as(c))
+    val aggs = cols.map(c => collect_set(col(c).cast("string")).as(c)) ++
+      cols.map(c => count(when(col(c).isNull, 1)).as(s"__nulls_$c"))
     val row = data.agg(aggs.head, aggs.tail: _*).head()
+    cols.foreach { c =>
+      val nNull = row.getLong(row.fieldIndex(s"__nulls_$c"))
+      require(nNull == 0L,
+        s"factor column $c has $nNull NULL values; drop or impute them before ANOVA")
+    }
     cols.map(c => c -> row.getSeq[String](row.fieldIndex(c)).sorted.toSeq).toMap
   }
 

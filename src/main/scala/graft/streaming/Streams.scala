@@ -36,20 +36,23 @@ object Streams {
       .select(col("w.start").cast("string").as("w_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Exact streaming deduplication on `keyCols` with watermark-bounded
-    * state (`dropDuplicatesWithinWatermark`): at-least-once sources
-    * (broker replays, file re-lists) become effectively exactly-once for
-    * everything downstream. State holds one entry per key seen inside the
-    * lateness horizon — O(keys per window), not O(stream) — which is what
-    * makes dedup viable on an unbounded 100 TB/day ingest: dedup by
+  /** Streaming deduplication on `keyCols` with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`). Dedup is exact ONLY for
+    * duplicates arriving within the `lateness` horizon of the
+    * `tsCol` event time: a replay landing after the watermark has
+    * advanced past the original's state eviction will survive. That is
+    * the deliberate trade — state holds one entry per key seen inside
+    * the lateness horizon, O(keys per window) not O(stream), which is
+    * what makes dedup viable on an unbounded 100 TB/day ingest: dedup by
     * content key FIRST, before any expensive enrichment fans the
-    * duplicates out. On a batch frame this is a plain `dropDuplicates` —
-    * Spark rejects the WithinWatermark variant outside streaming, so the
-    * unified-API adaptation is explicit here. */
+    * duplicates out. On a batch frame this is a plain `dropDuplicates`
+    * (exact, no horizon) — Spark rejects the WithinWatermark variant
+    * outside streaming, so the unified-API adaptation is explicit here. */
   def dedupEvents(events: DataFrame, keyCols: Seq[String],
-                  lateness: String = "2 hours"): DataFrame =
+                  lateness: String = "2 hours",
+                  tsCol: String = "ts"): DataFrame =
     if (events.isStreaming)
-      events.withWatermark("ts", lateness)
+      events.withWatermark(tsCol, lateness)
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 

@@ -154,6 +154,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- pair → cluster resolution ------------------------------------
+
+  /** Connected components over an undirected pair list: labels every node
+    * with the MIN id reachable in its component — the canonical-
+    * representative assignment that turns near-dup PAIRS into dedup
+    * CLUSTERS (keep one doc per cluster, drop the rest).
+    *
+    * Algorithm: hash-min label propagation — each round every node takes
+    * the min label among itself and its neighbors, converging in
+    * O(component diameter) rounds. Near-dup components are quasi-cliques
+    * out of LSH banding (diameter a few hops), so the round count is
+    * small and independent of corpus size; each round is one equi-join +
+    * one partial-agg groupBy over the (edge, label) relation — document
+    * text never enters the loop. For adversarial long-chain graphs the
+    * O(log n)-round large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) keeps the
+    * same join-agg shape. Min-labels make the output deterministic under
+    * any partitioning. `localCheckpoint` truncates the per-round lineage
+    * (swap for reliable `checkpoint` on a real cluster).
+    *
+    * Returns (id, cluster) where cluster = min reachable id. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.union(fromNeighbors)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      // min-labels only ever decrease, so "changed" ⇔ strictly smaller
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") < col("o.cluster")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
+    labels
+  }
+
   // ---- exact dedup --------------------------------------------------
 
   /** Exact dedup: keep the min-id representative per fingerprint. One

@@ -72,6 +72,35 @@ object DedupQueries {
                        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
                ORDER BY id_a, id_b""")),
 
+    // ---- D5 near-dup clusters: pairs → connected components -----------
+    // The step after candidate pairs in a real dedup pipeline: resolve
+    // pairs into clusters and pick one canonical doc per cluster. Oracle
+    // recomputes the components with a recursive CTE (min reachable id).
+    Q("d05_dedup_clusters",
+      (s, d) => {
+        val pairs = Dedup.nearDuplicates(load(s, d, "documents"),
+          "doc_id", "text", threshold = 0.5)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+            (col("id") === col("cluster")).cast("int").as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlShingles,
+               pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+               edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                         UNION SELECT id_b, id_a FROM pairs),
+               cc(id, lbl) AS (
+                 SELECT DISTINCT src, src FROM edges
+                 UNION
+                 SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst)
+               SELECT id AS doc_id, min(lbl) AS cluster_id,
+                      CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INTEGER)
+                        AS is_canonical
+               FROM cc GROUP BY id ORDER BY doc_id""")),
+
     // ---- D4 SimHash near-dup (banded 64-bit, Hamming ≤ 3) -------------
     Q("d04_simhash_neardup",
       (s, d) => Dedup.simhashCandidates(load(s, d, "documents"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.estimators.{PC, PCConfig, RegDI, RegDIConfig}
 import graft.mc.MonteCarlo
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, TemporalJoins}
 import graft.stats.Anova
 import graft.streaming.Streams
 import graft.util.Tables.{dsum, load, sqlDsum}
@@ -186,6 +186,75 @@ object MiscQueries {
       Some("""SELECT event_id,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events ORDER BY event_id""")),
+
+    // ---- J5 as-of join: latest prior view per purchase ----------------
+    // The trades-vs-quotes shape: each purchase picks up the most recent
+    // at-or-before view by the same user. Union + running-window plan —
+    // one shuffle on user_id, no range fan-out (see TemporalJoins).
+    // Oracle: per-purchase LATERAL top-1 with the same (ts, event_id)
+    // tie-break. Doubles pass through unchanged → bit-identical.
+    Q("j05_asof_join",
+      (s, d) => {
+        val ev = graft.util.Tables.loadEvents(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "event_id", "ts", "value")
+        TemporalJoins.asofBackward(purchases, views, Seq("user_id"),
+            leftTime = "ts", rightTime = "ts", tieBreak = "event_id")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("string").as("ts"), col("value"),
+            col("asof_event_id").as("view_event_id"),
+            col("asof_value").as("view_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
+                     p.value, v.event_id AS view_event_id,
+                     v.value AS view_value
+              FROM events p LEFT JOIN LATERAL (
+                SELECT e.event_id, e.value FROM events e
+                WHERE e.user_id = p.user_id AND e.event_type = 'view'
+                  AND e.ts <= p.ts
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
+              WHERE p.event_type = 'purchase'
+              ORDER BY p.event_id""")),
+
+    // ---- J6 range join: clicks inside a trailing window per error -----
+    // Interval containment via the bucketed equi-join (TemporalJoins):
+    // each 10-minute lookback covers ≤ 2 buckets, every qualifying pair
+    // meets exactly once, and the shuffle key (user, bucket) spreads hot
+    // users over time. Bounds are integral micros, so [lo, ts-1μs]
+    // renders the half-open `< ts` exactly.
+    Q("j06_range_join",
+      (s, d) => {
+        val ev = graft.util.Tables.loadEvents(s, d)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (unix_micros(col("ts")) - lit(600000000L)).as("lo"),
+            (unix_micros(col("ts")) - lit(1L)).as("hi"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+        val matched = TemporalJoins.rangeJoinBucketed(errs, "lo", "hi",
+          clicks, "t", Seq("user_id"), bucketWidth = 600000000L)
+        val counts = matched.groupBy("event_id")
+          .agg(count(lit(1)).as("n_clicks"), dsum(col("r_value")).as("click_value"))
+        errs.select(col("event_id"), col("user_id"),
+            col("ts").cast("string").as("ts"))
+          .join(counts, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("click_value"), lit(0.0)).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT er.event_id, er.user_id, CAST(er.ts AS VARCHAR) AS ts,
+                      count(cl.event_id) AS n_clicks,
+                      COALESCE(${sqlDsum("cl.value")}, 0.0) AS click_value
+               FROM events er LEFT JOIN events cl
+                 ON cl.user_id = er.user_id AND cl.event_type = 'click'
+                 AND cl.ts >= er.ts - INTERVAL 10 MINUTE AND cl.ts < er.ts
+               WHERE er.event_type = 'error'
+               GROUP BY er.event_id, er.user_id, er.ts
+               ORDER BY er.event_id""")),
 
     // ---- MM1 multimodal pack: binary payload + typed metadata ---------
     Q("mm01_multimodal_pack",

@@ -78,4 +78,26 @@ class DedupSuite extends SparkSpec {
     assert(d.head.getAs[Long]("keep_id") === 1L)
     assert(d.head.getAs[Long]("n_copies") === 2L)
   }
+
+  test("connectedComponents: chain + clique resolve to min-id clusters") {
+    // components: {1,2,3,4} via a chain (diameter 3), {10,11,12} via a
+    // clique, {20,21} an isolated pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents is partitioning-invariant") {
+    // ring of 30 nodes (diameter 15) + random chords
+    val ring = spark.range(30).select(col("id").as("id_a"),
+      ((col("id") + 1) % 30).as("id_b"))
+    def run(parts: Int) = Dedup.connectedComponents(ring.repartition(parts))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val r1 = run(1)
+    assert(r1 === run(5))
+    assert(r1.forall(_._2 == 0L)) // one component labeled by its min id
+  }
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** As-of + range join semantics on planted fixtures: tie handling, outer
+  * nulls, bucket-boundary inclusion, and partitioning invariance. */
+class TemporalJoinsSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward: latest at-or-before, ties by max tieBreak, outer nulls") {
+    val left = Seq( // (oid, key, t)
+      (1L, "a", 100L), (2L, "a", 205L), (3L, "b", 50L), (4L, "c", 10L)
+    ).toDF("oid", "key", "t")
+    val right = Seq( // (key, rid, t, v): rid 12/13 tie at t=100
+      ("a", 11L, 90L, 1.0), ("a", 12L, 100L, 2.0), ("a", 13L, 100L, 3.0),
+      ("a", 14L, 201L, 4.0), ("b", 15L, 60L, 5.0)
+    ).toDF("key", "rid", "t", "v")
+    val out = TemporalJoins.asofBackward(left, right, Seq("key"),
+        leftTime = "t", rightTime = "t", tieBreak = "rid")
+      .select("oid", "asof_rid", "asof_v").as[(Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out === Seq(
+      (1L, Some(13L), Some(3.0)), // t=100 tie included, max rid wins
+      (2L, Some(14L), Some(4.0)), // latest before 205
+      (3L, None, None),           // b's only event is after t=50
+      (4L, None, None)))          // key with no right rows at all
+  }
+
+  test("asofBackward is partitioning-invariant") {
+    val left = spark.range(200).select(col("id"), (col("id") % 7).as("key"),
+      (col("id") * 13 % 400).as("t"))
+    val right = spark.range(300).select((col("id") % 7).as("key"),
+      col("id").as("rid"), (col("id") * 11 % 400).as("t"),
+      (col("id") * 1.5).as("v"))
+    def run(parts: Int) = TemporalJoins.asofBackward(
+        left.repartition(parts), right.repartition(parts), Seq("key"),
+        "t", "t", tieBreak = "rid")
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(run(1) === run(7))
+  }
+
+  test("rangeJoinBucketed: inclusive bounds, bucket-crossing, empty intervals") {
+    val left = Seq( // (lid, key, lo, hi)
+      (1L, "a", 10L, 20L),  // within one bucket
+      (2L, "a", 95L, 210L), // spans 3 buckets of width 100
+      (3L, "b", 30L, 20L)   // empty interval: matches nothing
+    ).toDF("lid", "key", "lo", "hi")
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 21L, 3.0), ("a", 95L, 4.0),
+      ("a", 100L, 5.0), ("a", 210L, 6.0), ("a", 211L, 7.0), ("b", 25L, 8.0)
+    ).toDF("key", "t", "v")
+    val out = TemporalJoins.rangeJoinBucketed(left, "lo", "hi", right, "t",
+        Seq("key"), bucketWidth = 100L)
+      .select("lid", "r_t").as[(Long, Long)].collect().sorted
+    assert(out === Seq( // both endpoints inclusive, each pair exactly once
+      (1L, 10L), (1L, 20L), (2L, 95L), (2L, 100L), (2L, 210L)))
+  }
+
+  test("rangeJoinBucketed never duplicates a pair across buckets") {
+    val left = Seq((1L, "k", 0L, 999L)).toDF("lid", "key", "lo", "hi")
+    val right = spark.range(1000)
+      .select(lit("k").as("key"), col("id").as("t"), col("id").cast("double").as("v"))
+    val out = TemporalJoins.rangeJoinBucketed(left, "lo", "hi", right, "t",
+      Seq("key"), bucketWidth = 10L) // interval covers 100 buckets
+    assert(out.count() === 1000L)
+    assert(out.select("r_t").distinct().count() === 1000L)
+  }
+}

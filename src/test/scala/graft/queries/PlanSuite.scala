@@ -51,4 +51,18 @@ class PlanSuite extends SparkSpec {
     val p = plan("e02_embed_neardup")
     assert(p.contains("float_vec_dot"), p.take(3000))
   }
+
+  test("j05: as-of join is union+window — no join operator, no range fan-out") {
+    // the whole as-of resolution must be ONE keyed window over a union;
+    // any *Join node would mean the O(left·right) pair space came back
+    val p = plan("j05_asof_join")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("j06: range join is an equi-join on (key, bucket) — never nested-loop") {
+    val p = plan("j06_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -256,6 +256,33 @@ object MiscQueries {
                GROUP BY er.event_id, er.user_id, er.ts
                ORDER BY er.event_id""")),
 
+    // ---- W4 stream-stream interval join (batch rendition) -------------
+    // Same function incrementalizes under streaming sinks with two-sided
+    // watermark state eviction (StreamingSuite proves batch == streamed);
+    // here it runs batch against events for the oracle.
+    Q("w04_interval_join",
+      (s, d) => {
+        val ev = graft.util.Tables.loadEvents(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+        Streams.intervalJoin(purchases, clicks, "user_id", "p_ts", "c_ts",
+            before = "10 minutes", after = "0 seconds")
+          .select(col("p_id"), col("user_id"),
+            col("p_ts").cast("string").as("p_ts"),
+            col("c_id"), col("c_ts").cast("string").as("c_ts"))
+          .orderBy("p_id", "c_id")
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+                     CAST(p.ts AS VARCHAR) AS p_ts, c.event_id AS c_id,
+                     CAST(c.ts AS VARCHAR) AS c_ts
+              FROM events p JOIN events c
+                ON c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+              WHERE p.event_type = 'purchase'
+              ORDER BY p_id, c_id""")),
+
     // ---- MM1 multimodal pack: binary payload + typed metadata ---------
     Q("mm01_multimodal_pack",
       (s, d) => load(s, d, "documents")

@@ -64,6 +64,39 @@ object Streams {
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
 
+  /** Stream-stream interval join: pairs every left row with the right
+    * rows of the same `key` whose event time lies in
+    * [leftTs - before, leftTs + after]. Column names must already be
+    * disjoint apart from `key` (rename upfront).
+    *
+    * In streaming mode BOTH sides carry watermarks and the join
+    * condition is time-bounded in both directions, which is exactly what
+    * lets Spark's symmetric stateful hash join evict buffered rows: each
+    * side's state holds only rows inside
+    * watermark + interval — O(rate × horizon), not O(stream). Without
+    * the two-sided time bound the state would grow forever; Spark
+    * rejects such joins in append mode for that reason.
+    *
+    * The SAME call on batch frames plans as an ordinary non-equi join —
+    * correct, but at batch scale prefer
+    * `TemporalJoins.rangeJoinBucketed`, which meets each qualifying pair
+    * exactly once through a bucketed equi-join instead of filtering a
+    * key-equi fan-out. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   before: String, after: String,
+                   lateness: String = "2 hours"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, lateness)
+             else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, lateness)
+             else right).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Per-user running statistics via CUSTOM state
     * (`flatMapGroupsWithState`): Welford-updated count/mean/M2 per user,
     * emitted on every update. State per key is three doubles — O(users)

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 final case class Ev(ts: Timestamp, event_type: String, value: Double)
+final case class Pur(p_id: Long, user_id: Long, p_ts: Timestamp)
+final case class Clk(c_id: Long, user_id: Long, c_ts: Timestamp)
 
 class StreamingSuite extends SparkSpec {
   import spark.implicits._
@@ -151,6 +153,44 @@ class StreamingSuite extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.table("dedup_test")
         .as[(String, Double)].collect().sorted.toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: batch == streaming, state evicted by watermark") {
+    val purchases = Seq(
+      Pur(1L, 10L, t("2026-01-01 10:10:00")),
+      Pur(2L, 10L, t("2026-01-01 11:00:00")),
+      Pur(3L, 20L, t("2026-01-01 10:10:00")))
+    val clicks = Seq(
+      Clk(101L, 10L, t("2026-01-01 10:05:00")), // within 10 min of p1
+      Clk(102L, 10L, t("2026-01-01 10:10:00")), // simultaneous: included
+      Clk(103L, 10L, t("2026-01-01 10:20:00")), // after p1, outside p2's window
+      Clk(104L, 20L, t("2026-01-01 10:09:00"))) // other user → p3 only
+
+    def join(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      Streams.intervalJoin(l, r, "user_id", "p_ts", "c_ts",
+        before = "10 minutes", after = "0 seconds", lateness = "1 hour")
+
+    val batch = join(purchases.toDF(), clicks.toDF())
+      .select("p_id", "c_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(batch === Seq((1L, 101L), (1L, 102L), (3L, 104L)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val memP = MemoryStream[Pur]
+    val memC = MemoryStream[Clk]
+    val q = join(memP.toDF(), memC.toDF())
+      .select(col("p_id"), col("c_id"))
+      .writeStream.format("memory").queryName("interval_join_test")
+      .outputMode("append").start()
+    try {
+      memP.addData(purchases(0)); memC.addData(clicks(0), clicks(1))
+      q.processAllAvailable()
+      memP.addData(purchases(1), purchases(2)) // across batches
+      memC.addData(clicks(2), clicks(3))
+      q.processAllAvailable()
+      val streamed = spark.table("interval_join_test")
+        .as[(Long, Long)].collect().sorted.toSeq
       assert(streamed === batch)
     } finally q.stop()
   }

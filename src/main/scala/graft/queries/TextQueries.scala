@@ -99,6 +99,61 @@ object TextQueries {
             FROM documents ORDER BY doc_id"""
       }),
 
+    // ---- T5 within-doc repetition (Gopher-style quality signals) ------
+    // Repetitious docs (boilerplate, keyword stuffing, generation loops)
+    // are the first thing a training-data pipeline filters. Three
+    // signals: distinct-token ratio, most-frequent-token fraction, and
+    // duplicate-bigram fraction. Token counting is explode → two
+    // partial-agg groupBys on (doc_id[, token]) — distributed, no
+    // per-doc quadratic work; ratios are single integer divisions →
+    // bit-identical across engines.
+    Q("t05_repetition",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val flat = docs.select(col("doc_id"),
+          explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+        val perTok = flat.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val agg = perTok.groupBy("doc_id").agg(
+          max(col("c")).as("top_c"), sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_distinct"))
+        val bi = docs.select(col("doc_id"),
+          graft.operators.Dedup.wordShingles(col("text"), 2).as("bi"))
+        agg.join(bi, "doc_id")
+          .select(col("doc_id"),
+            (col("n_distinct").cast("double") / col("n_tok").cast("double"))
+              .as("distinct_token_ratio"),
+            (col("top_c").cast("double") / col("n_tok").cast("double"))
+              .as("top_token_frac"),
+            when(col("n_tok") > 1,
+              lit(1.0) - size(col("bi")).cast("double") /
+                (col("n_tok") - 1).cast("double"))
+              .otherwise(lit(0.0)).as("dup_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+               FROM documents),
+              f AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              c AS (SELECT doc_id, tok, count(*) AS c FROM f GROUP BY doc_id, tok),
+              a AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok,
+                           count(*) AS n_distinct FROM c GROUP BY doc_id),
+              sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 2 THEN
+                   list_distinct(list_transform(generate_series(1, len(toks)-1),
+                     i -> array_to_string(toks[i:i+1], ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS bi
+               FROM t)
+              SELECT a.doc_id,
+                     CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                       AS distinct_token_ratio,
+                     CAST(top_c AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                       AS top_token_frac,
+                     CASE WHEN n_tok > 1 THEN
+                       1.0 - CAST(len(bi) AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE)
+                     ELSE 0.0 END AS dup_bigram_frac
+              FROM a JOIN sh ON a.doc_id = sh.doc_id
+              ORDER BY a.doc_id""")),
+
     // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
     // The 100 TB path: one shuffle on the 128-bit fingerprint; no text
     // comparison, no sort. Duplicate groups carry their sizes.

@@ -83,6 +83,18 @@ object TextFunctions {
     }
   }
 
+  /** Redact email addresses and bare URLs with placeholder tokens — the
+    * PII-scrub pass a training corpus gets before anything else sees it.
+    * Pure `regexp_replace` chain: codegen'd, scan-speed, and the regexes
+    * are POSIX-portable so the oracle runs them verbatim. */
+  def redactPii(text: Column,
+                emailToken: String = "<EMAIL>",
+                urlToken: String = "<URL>"): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    regexp_replace(regexp_replace(text, email, emailToken), url, urlToken)
+  }
+
   /** 128-bit content fingerprint (md5 hex) — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -154,6 +154,46 @@ object TextQueries {
               FROM a JOIN sh ON a.doc_id = sh.doc_id
               ORDER BY a.doc_id""")),
 
+    // ---- T6 PII redaction (emails + URLs → placeholder tokens) --------
+    // The corpus carries no PII, so the query plants a deterministic
+    // contact string per doc (built from doc_id) and redacts it — the
+    // redaction path does real work and the oracle replays it verbatim.
+    Q("t06_redact_pii",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.redactPii(concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com or https://ex.com/"), col("doc_id"),
+            lit(" thanks"))).as("clean"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     regexp_replace(regexp_replace(
+                       text || ' contact user' || doc_id ||
+                         '@example.com or https://ex.com/' || doc_id || ' thanks',
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g') AS clean
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- C1 document chunking (fixed window, overlap) -----------------
+    // Context-window chunking for training/embedding: 200-char windows
+    // every 150 chars. posexplode over an offset sequence — one narrow
+    // Generate per doc, no shuffle at all until the caller aggregates;
+    // chunk_id is the windows' ordinal so downstream joins are stable.
+    Q("c01_chunking",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"), col("text"), posexplode(
+          sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))))
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          expr("substring(text, col + 1, 200)").as("chunk"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""SELECT doc_id, CAST(off // 150 AS INTEGER) AS chunk_id,
+                     substring(text, off + 1, 200) AS chunk
+              FROM (SELECT doc_id, text,
+                      unnest(generate_series(0, greatest(length(text)-1, 0), 150)) AS off
+                    FROM documents)
+              ORDER BY doc_id, chunk_id""")),
+
     // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
     // The 100 TB path: one shuffle on the 128-bit fingerprint; no text
     // comparison, no sort. Duplicate groups carry their sizes.

@@ -85,12 +85,17 @@ object DedupQueries {
             (col("id") === col("cluster")).cast("int").as("is_canonical"))
           .orderBy("doc_id")
       },
+      // `MATERIALIZED`: pairs is the expensive all-pairs Jaccard scan and
+      // is referenced twice (edges base + its mirror); edges feeds both
+      // the recursion seed and step. Without the hint DuckDB inlines
+      // single-reference CTEs and the recursion re-evaluates the O(n²)
+      // scan per reference — minutes→hours at sf0.1.
       Some(s"""WITH RECURSIVE $sqlShingles,
-               pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
                  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-               edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
                          UNION SELECT id_b, id_a FROM pairs),
                cc(id, lbl) AS (
                  SELECT DISTINCT src, src FROM edges

@@ -14,6 +14,15 @@ class AnovaSuite extends SparkSpec {
     (5.0, "a2", "b1"), (6.0, "a2", "b1"), (9.0, "a2", "b2"), (10.0, "a2", "b2")
   ).toDF("y", "fa", "fb")
 
+  test("NULL factor values fail loudly, not silently skewed") {
+    val withNull = fixture.union(
+      Seq((7.0, null.asInstanceOf[String], "b1")).toDF("y", "fa", "fb"))
+    val e = intercept[IllegalArgumentException] {
+      Anova.twoFactor(withNull, "y", "fa", "fb")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("two-factor Type-I SS matches the balanced closed form") {
     val rows = Anova.twoFactor(fixture, "y", "fa", "fb")
       .map(r => r.term -> r).toMap

@@ -108,6 +108,20 @@ class PropertySuite extends SparkSpec {
     assert(b1.exceptAll(b7).isEmpty && b7.exceptAll(b1).isEmpty)
   }
 
+  test("bernoulli keyCols decorrelates duplicate rows") {
+    import graft.operators.Samplers
+    // 400 identical payload rows + a unique id: content-keyed draws are
+    // all-or-none; id-keyed draws select ≈ p of them independently
+    val dup = spark.range(400).select(col("id"), lit(1.0).as("x"))
+    val contentKeyed = Samplers.bernoulli(dup.select("x"), lit(0.5), seed = 9)
+      .agg(sum(col("selected"))).head().getLong(0)
+    assert(contentKeyed === 0L || contentKeyed === 400L) // correlated by design
+    val idKeyed = Samplers.bernoulli(dup, lit(0.5), seed = 9,
+        keyCols = Some(Seq("id")))
+      .agg(sum(col("selected"))).head().getLong(0)
+    assert(idKeyed > 120L && idKeyed < 280L) // binomial(400, .5), ±8σ
+  }
+
   test("weighted mean is invariant under row order") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {

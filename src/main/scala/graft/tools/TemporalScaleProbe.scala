@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TemporalJoins}
+
+/** Scale probe for the temporal joins and the pair→cluster resolution:
+  * synthesizes inputs 10-100× the test tables' size with deterministic
+  * hash-spread columns (no rand streams), runs each operator fully
+  * distributed, and checks a closed-form invariant of the result so a
+  * fast-but-wrong run can't pass. Run:
+  *   sbt "runMain graft.tools.TemporalScaleProbe [nEvents] [nNodes]"
+  * Expect LINEAR wall-time in input size: as-of is one shuffle + sort
+  * per key partition, range join is a bounded-fan-out equi-join, and
+  * connected components is O(diameter) bounded-size rounds.
+  */
+object TemporalScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nEvents = if (args.length > 0) args(0).toLong else 10000000L
+    val nNodes = if (args.length > 1) args(1).toLong else 4000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- events: ~20% purchases, ~20% views, 100k users, 30-day span --
+    val horizon = 30L * 24 * 3600 * 1000000L
+    val ev = spark.range(nEvents).select(col("id"),
+      pmod(xxhash64(col("id")), lit(100000L)).as("user_id"),
+      pmod(xxhash64(col("id"), lit(1)), lit(horizon)).as("t"),
+      pmod(xxhash64(col("id"), lit(2)), lit(5)).as("kind"),
+      (col("id") % 1000).cast("double").as("value")).cache()
+    ev.count()
+
+    val purchases = ev.filter(col("kind") === 0)
+      .select(col("id").as("p_id"), col("user_id"), col("t"))
+    val views = ev.filter(col("kind") === 1)
+      .select(col("user_id"), col("id").as("v_id"), col("t"))
+
+    val t0 = System.nanoTime()
+    val asof = TemporalJoins.asofBackward(purchases, views, Seq("user_id"),
+      leftTime = "t", rightTime = "t", tieBreak = "v_id")
+    // invariant: every purchase row survives (left-outer), and the
+    // matched view time never exceeds the purchase time
+    val a = asof.agg(count(lit(1)).as("n"),
+      count(when(col("asof_t") > col("t"), 1)).as("bad")).head()
+    val tAsof = (System.nanoTime() - t0) / 1e9
+    require(a.getLong(1) == 0L, "as-of matched a future row")
+
+    val t1 = System.nanoTime()
+    val errs = ev.filter(col("kind") === 2).select(col("id").as("e_id"),
+      col("user_id"), (col("t") - 600000000L).as("lo"), (col("t") - 1L).as("hi"))
+    val clicks = ev.filter(col("kind") === 3)
+      .select(col("user_id"), col("t"), col("value"))
+    val rj = TemporalJoins.rangeJoinBucketed(errs, "lo", "hi", clicks, "t",
+      Seq("user_id"), bucketWidth = 600000000L)
+    val r = rj.agg(count(lit(1)).as("pairs"),
+      count(when(col("r_t") < col("lo") || col("r_t") > col("hi"), 1)).as("bad")).head()
+    val tRange = (System.nanoTime() - t1) / 1e9
+    require(r.getLong(1) == 0L, "range join matched outside the interval")
+
+    // ---- clusters of 4 consecutive ids: closed-form expected labels ---
+    val t2 = System.nanoTime()
+    val pairs = spark.range(nNodes).filter(col("id") % 4 =!= 3)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    val c = cc.agg(count(lit(1)).as("n"),
+      count(when(col("cluster") =!= (col("id") - pmod(col("id"), lit(4))), 1))
+        .as("bad")).head()
+    val tCc = (System.nanoTime() - t2) / 1e9
+    require(c.getLong(1) == 0L, "connected components mislabeled a node")
+
+    println(f"events=$nEvents%,d asof(${a.getLong(0)}%,d rows)=$tAsof%.1fs " +
+      f"range(${r.getLong(0)}%,d pairs)=$tRange%.1fs  " +
+      f"nodes=${c.getLong(0)}%,d cc=$tCc%.1fs")
+    spark.stop()
+  }
+}

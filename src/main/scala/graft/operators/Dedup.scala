@@ -171,36 +171,58 @@ object Dedup {
     * O(log n)-round large-star/small-star variant (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) keeps the
     * same join-agg shape. Min-labels make the output deterministic under
-    * any partitioning. `localCheckpoint` truncates the per-round lineage
-    * (swap for reliable `checkpoint` on a real cluster).
+    * any partitioning.
     *
-    * Returns (id, cluster) where cluster = min reachable id. */
+    * Per-round resource discipline: each generation's rows are persisted
+    * at the RDD level and re-wrapped as a fresh `LogicalRDD` frame, so
+    * (a) the LOGICAL plan stays one round deep — the naive loop's plan
+    * doubles per round because `labels` appears twice (join + union) and
+    * explodes exponentially with graph diameter — and (b) the superseded
+    * generation's blocks are explicitly unpersisted instead of lingering
+    * until a GC-triggered cleaner pass. If a generation's blocks are
+    * evicted under pressure, recomputation replays the (linear,
+    * deterministic) RDD chain back to the persisted edges.
+    *
+    * Returns (id, cluster) where cluster = min reachable id; the final
+    * generation stays persisted — callers owning the lifecycle can
+    * `.unpersist()` the result when done. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cluster", LongType)))
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+      .cache()
+    var labelsRdd = edges.select(col("src").as("id"), col("src").as("cluster"))
+      .distinct().rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = spark.createDataFrame(labelsRdd, schema)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("cluster"))
-      val next = labels.union(fromNeighbors)
+      val nextRdd = labels.union(fromNeighbors)
         .groupBy("id").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
-      // min-labels only ever decrease, so "changed" ⇔ strictly smaller
+        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(nextRdd, schema)
+      // min-labels only ever decrease, so "changed" ⇔ strictly smaller;
+      // this count also materializes `next` before the old blocks go
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.cluster") < col("o.cluster")).count()
+      labelsRdd.unpersist(blocking = false)
+      labelsRdd = nextRdd
       labels = next
       converged = changed == 0
       i += 1
     }
     require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
+    edges.unpersist(blocking = false)
     labels
   }
 

@@ -24,9 +24,11 @@ object TemporalJoins {
   /** Backward as-of join: for every left row, the LAST right row of the
     * same `keys` with `right(rightTime) <= left(leftTime)` (ties at
     * equal time included; among equal-time right rows the one with the
-    * greatest `tieBreak` wins, making the result deterministic). Left
-    * rows with no prior right row keep NULL payload (left-outer
-    * semantics).
+    * greatest `tieBreak` wins). Determinism requires `tieBreak` to be
+    * UNIQUE within (keys, rightTime) — e.g. an event id; with duplicate
+    * (time, tieBreak) right rows the window's pick among them is
+    * partitioning-dependent. Left rows with no prior right row keep
+    * NULL payload (left-outer semantics).
     *
     * Plan: tag both inputs, union, then one running
     * `last(payload, ignoreNulls)` window partitioned by `keys` ordered
@@ -61,9 +63,13 @@ object TemporalJoins {
 
   /** Range join with inclusive bounds: pairs every left row with the
     * right rows of the same `keys` whose `rightT` ∈ [lo, hi]. `lo`, `hi`
-    * and `rightT` must be non-negative longs on a shared scale (e.g.
-    * epoch micros). Inner semantics — unmatched left rows are absent
-    * (join counts back to the left side to keep zeros, as j06 does).
+    * and `rightT` are longs on a shared scale (e.g. epoch micros);
+    * negative values are fine — `div` truncates toward zero rather than
+    * flooring, but truncation is monotone and BOTH sides bucket with the
+    * same function, so every in-range pair still lands in a shared
+    * bucket (the zero-straddling bucket is merely wider). Inner
+    * semantics — unmatched left rows are absent (join counts back to
+    * the left side to keep zeros, as j06 does).
     *
     * `bucketWidth` trades fan-out for bucket size: each left row emits
     * (hi-lo)/width + 1 bucket rows, so pick width ≈ the typical interval

@@ -14,6 +14,8 @@ import graft.operators.{Dedup, TemporalJoins}
   * Expect LINEAR wall-time in input size: as-of is one shuffle + sort
   * per key partition, range join is a bounded-fan-out equi-join, and
   * connected components is O(diameter) bounded-size rounds.
+  * The probe caches the whole synthetic event table, so the 100M-event
+  * configuration needs SPARK_DRIVER_MEM=48g (default heap is 8g).
   */
 object TemporalScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -42,15 +44,21 @@ object TemporalScaleProbe {
     val views = ev.filter(col("kind") === 1)
       .select(col("user_id"), col("id").as("v_id"), col("t"))
 
+    val nPurch = purchases.count()
     val t0 = System.nanoTime()
     val asof = TemporalJoins.asofBackward(purchases, views, Seq("user_id"),
       leftTime = "t", rightTime = "t", tieBreak = "v_id")
-    // invariant: every purchase row survives (left-outer), and the
-    // matched view time never exceeds the purchase time
+    // two-sided invariants: every purchase row survives (left-outer),
+    // no matched view is in the future, and matches actually happen
+    // (with ~20k views per user over the horizon, a match-nothing
+    // regression cannot hide)
     val a = asof.agg(count(lit(1)).as("n"),
-      count(when(col("asof_t") > col("t"), 1)).as("bad")).head()
+      count(when(col("asof_t") > col("t"), 1)).as("bad"),
+      count(col("asof_v_id")).as("matched")).head()
     val tAsof = (System.nanoTime() - t0) / 1e9
+    require(a.getLong(0) == nPurch, "as-of dropped or duplicated left rows")
     require(a.getLong(1) == 0L, "as-of matched a future row")
+    require(a.getLong(2) > nPurch / 2, "as-of matched implausibly few rows")
 
     val t1 = System.nanoTime()
     val errs = ev.filter(col("kind") === 2).select(col("id").as("e_id"),
@@ -63,6 +71,9 @@ object TemporalScaleProbe {
       count(when(col("r_t") < col("lo") || col("r_t") > col("hi"), 1)).as("bad")).head()
     val tRange = (System.nanoTime() - t1) / 1e9
     require(r.getLong(1) == 0L, "range join matched outside the interval")
+    // expectation: ~nClicks × (600s window / 30-day horizon) pairs per
+    // error row's user — far above 0; a match-nothing regression fails
+    require(r.getLong(0) > nEvents / 10000L, "range join matched implausibly few pairs")
 
     // ---- clusters of 4 consecutive ids: closed-form expected labels ---
     val t2 = System.nanoTime()

@@ -91,7 +91,7 @@ class DedupSuite extends SparkSpec {
   }
 
   test("connectedComponents is partitioning-invariant") {
-    // ring of 30 nodes (diameter 15) + random chords
+    // bare ring of 30 nodes — worst diameter (15) for hash-min rounds
     val ring = spark.range(30).select(col("id").as("id_a"),
       ((col("id") + 1) % 30).as("id_b"))
     def run(parts: Int) = Dedup.connectedComponents(ring.repartition(parts))

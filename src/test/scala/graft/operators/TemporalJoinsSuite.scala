@@ -58,6 +58,24 @@ class TemporalJoinsSuite extends SparkSpec {
       (1L, 10L), (1L, 20L), (2L, 95L), (2L, 100L), (2L, 210L)))
   }
 
+  test("rangeJoinBucketed is exact on negative domains (truncating div is monotone)") {
+    // intervals and points straddling zero: truncation toward zero makes
+    // the zero bucket wider but both sides bucket identically, so the
+    // result must equal a brute-force non-equi join
+    val left = Seq((1L, "k", -12L, -8L), (2L, "k", -5L, 4L), (3L, "k", -30L, 30L))
+      .toDF("lid", "key", "lo", "hi")
+    val right = spark.range(81).select(lit("k").as("key"),
+      (col("id") - 40).as("t"), col("id").cast("double").as("v"))
+    val got = TemporalJoins.rangeJoinBucketed(left, "lo", "hi", right, "t",
+        Seq("key"), bucketWidth = 10L)
+      .select("lid", "r_t").as[(Long, Long)].collect().sorted.toSeq
+    val want = left.join(right, Seq("key"))
+      .filter(col("t").between(col("lo"), col("hi")))
+      .select("lid", "t").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.size === (5 + 10 + 61))
+  }
+
   test("rangeJoinBucketed never duplicates a pair across buckets") {
     val left = Seq((1L, "k", 0L, 999L)).toDF("lid", "key", "lo", "hi")
     val right = spark.range(1000)

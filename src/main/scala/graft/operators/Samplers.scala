@@ -74,6 +74,34 @@ object Samplers {
       .drop("__u", "__rn", "__n_h")
   }
 
+  /** Dataset-mixture resampling: exact-n per group with the allocation
+    * driven by TARGET proportions (not the observed ones, as in
+    * [[stratifiedExact]]) — the op a training pipeline uses to rebalance
+    * a corpus toward a prescribed domain/language mix. Each group g gets
+    * n_g = min(N_g, round(nTotal · targets(g))); groups absent from
+    * `targets` contribute nothing. Under-populated groups are clamped to
+    * their size, NOT redistributed — deterministic and auditable; callers
+    * wanting redistribution can inspect the realized counts and re-run.
+    * Same mechanics as [[stratifiedExact]]: one shuffle on the group key,
+    * partition-invariant uniforms, per-group top-n_h window. */
+  def mixtureExact(df: DataFrame, groupCol: String,
+                   targets: Map[String, Double], nTotal: Int,
+                   seed: Long): DataFrame = {
+    require(targets.values.forall(f => f >= 0 && f <= 1),
+      "target fractions must be in [0,1]")
+    val nh: Column = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L): Column) { case (acc, (g, frac)) =>
+        val nG = math.floor(nTotal * frac + 0.5).toLong
+        when(col(groupCol) === lit(g), lit(nG)).otherwise(acc)
+      }
+    val keyed = df.withColumn("__u", rowUniform(df.columns.toSeq, seed))
+      .withColumn("__n_h", nh)
+    val win = Window.partitionBy(groupCol).orderBy(col("__u"))
+    keyed.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= col("__n_h"))
+      .drop("__u", "__rn", "__n_h")
+  }
+
   /** Per-row Bernoulli selection with probability column `p`
     * (`rbinom(N,1,π)` / `runif(N) < π`, ipynb:638,646,1284).
     *

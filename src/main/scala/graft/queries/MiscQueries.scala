@@ -63,6 +63,30 @@ object MiscQueries {
                       ${sqlDsum("o_totalprice")} AS total
                FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- S3b JSON write → read round-trip -----------------------------
+    // Spark JSON prints doubles shortest-repr and parses them correctly
+    // rounded (same exactness argument as the CSV round-trip), so the
+    // oracle is the same aggregate over parquet. Explicit read schema:
+    // no inference pass over the data at scale.
+    Q("s03_json_roundtrip",
+      (s, d) => {
+        val out = s"/tmp/graft_json_roundtrip_${s.sparkContext.applicationId}"
+        load(s, d, "part")
+          .select("p_partkey", "p_brand", "p_retailprice")
+          .write.mode("overwrite").json(out)
+        val schema = StructType(Seq(
+          StructField("p_partkey", LongType),
+          StructField("p_brand", StringType),
+          StructField("p_retailprice", DoubleType)))
+        s.read.schema(schema).json(out)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, count(*) AS n,
+                      ${sqlDsum("p_retailprice")} AS total
+               FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
     // ---- W1 tumbling-window aggregation over events -------------------
     // Same transform drives the Structured-Streaming path (StreamingSuite
     // runs it on a MemoryStream with watermarking); here it's batch.

@@ -102,6 +102,30 @@ object SamplingQueries {
         s1.exceptAll(s2).union(s2.exceptAll(s1))
           .agg(count(lit(1)).as("n_diff"))
       },
-      Some("SELECT CAST(0 AS BIGINT) AS n_diff"))
+      Some("SELECT CAST(0 AS BIGINT) AS n_diff")),
+
+    // ---- G9 dataset-mixture resampling (target language proportions) --
+    // Rebalance the corpus toward a prescribed language mix with exact-n
+    // per group: en 30%, fr 40% (over-asks fr → clamped to its group
+    // size at sf0.01, exercising the clamp), 15% each for the rest of a
+    // 200-doc budget. Group sizes are deterministic, so the realized
+    // per-group counts are too — the oracle recomputes the allocation
+    // arithmetic; membership/randomness properties live in SamplersSuite.
+    Q("g09_mixture_resample",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val targets = Map("en" -> 0.30, "de" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.40, "zh" -> 0.15)
+        Samplers.mixtureExact(docs, "lang", targets, nTotal = 200, seed = 77)
+          .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some("""WITH g AS (SELECT lang, count(*) AS n_docs
+                         FROM documents GROUP BY lang)
+              SELECT lang, least(n_docs, CAST(floor(200 *
+                       CASE lang WHEN 'en' THEN 0.30
+                                 WHEN 'fr' THEN 0.40
+                                 ELSE 0.15 END + 0.5) AS BIGINT)) AS n_sampled
+              FROM g ORDER BY lang"""))
   )
 }

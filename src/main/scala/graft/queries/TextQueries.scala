@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextFunctions
+import graft.operators.{TextFunctions, TextPipeline}
 import graft.operators.TextFunctions._
 import graft.util.Tables.load
 
@@ -193,6 +193,87 @@ object TextQueries {
                       unnest(generate_series(0, greatest(length(text)-1, 0), 150)) AS off
                     FROM documents)
               ORDER BY doc_id, chunk_id""")),
+
+    // ---- T7 per-doc top terms by rarity (integer-ranked TF-IDF) -------
+    // Classic tf-idf ranks by tf·ln(N/df); ln is libm (not bit-portable
+    // across engines), so the catalog query ranks by the integer pair
+    // (df ASC, tf DESC) — idf is monotone in df, same rarest-first
+    // intent — and outputs integers only. One exploded frame, two
+    // partial-agged groupBys, a broadcast vocab join, per-doc window.
+    Q("t07_tfidf_topterms",
+      (s, d) => TextPipeline.topTermsByRarity(
+          load(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk"),
+      Some("""WITH t AS (SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+               FROM documents),
+              f AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM f GROUP BY doc_id, tok),
+              dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+              r AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+                      row_number() OVER (PARTITION BY tf.doc_id
+                        ORDER BY dfq.df ASC, tf.tf DESC, tf.tok ASC) AS rnk
+                    FROM tf JOIN dfq USING (tok))
+              SELECT doc_id, rnk, tok, tf, df FROM r WHERE rnk <= 3
+              ORDER BY doc_id, rnk""")),
+
+    // ---- D6 benchmark decontamination (n-gram collision join) ---------
+    // Treat src0 as the held-out benchmark suite and profile every other
+    // document's 5-gram overlap with it — the standard pre-training
+    // decontamination pass. The benchmark shingle set broadcasts; the
+    // corpus is never shuffled on the shingle key.
+    Q("d06_decontaminate",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        TextPipeline.decontaminate(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+               FROM documents),
+              sh AS (SELECT doc_id, source,
+                 CASE WHEN len(toks) >= 5 THEN
+                   list_distinct(list_transform(generate_series(1, len(toks)-4),
+                     i -> array_to_string(toks[i:i+4], ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS grams
+               FROM t),
+              bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+                        WHERE source = 'src0'),
+              cand AS (SELECT doc_id, unnest(grams) AS gram FROM sh
+                       WHERE source <> 'src0'),
+              hits AS (SELECT c.doc_id, count(*) AS n_shingles,
+                         CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_hit
+                       FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+                       GROUP BY c.doc_id)
+              SELECT doc_id, n_shingles, n_hit,
+                     CAST(n_hit > 0 AS INT) AS contaminated
+              FROM hits ORDER BY doc_id""")),
+
+    // ---- C2 sequence packing (token-budget bins per shard) ------------
+    // Greedy-contiguous packing of documents into 256-token training
+    // bins within each (lang, source) shard: running token sum per
+    // shard-partitioned window, bin = floor(tokens-before / budget).
+    // Parallelism = #shards; no global sort, no driver loop.
+    Q("c02_sequence_packing",
+      (s, d) => TextPipeline.packSequences(
+          load(s, d, "documents").select("doc_id", "lang", "source", "text"),
+          groupCols = Seq("lang", "source"), orderCol = "doc_id",
+          textCol = "text", budget = 256)
+        .select("doc_id", "lang", "source", "n_tok", "bin_id")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, lang, source,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+                 sum(length(text) - length(replace(text, ' ', '')) + 1) OVER (
+                   PARTITION BY lang, source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM documents)
+              SELECT doc_id, lang, source, n_tok,
+                     CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS bin_id
+              FROM w ORDER BY doc_id""")),
 
     // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
     // The 100 TB path: one shuffle on the 128-bit fingerprint; no text

@@ -216,4 +216,28 @@ class SamplersSuite extends SparkSpec {
     val b = Samplers.srsExact(pop, 100, seed = 77).select("id").collect().map(_.getLong(0)).sorted
     assert(a.sameElements(b))
   }
+
+  test("mixtureExact: target-driven sizes, clamped to group size, " +
+      "absent groups dropped") {
+    // strata 1..4 with sizes from cell7; ask for a mix that over-asks one
+    // stratum and omits another entirely
+    val sizes = pop.groupBy("stratum").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 0.90 of the FULL population size over-asks stratum 2 for certain
+    // (no stratum holds 90% of rows: z_i splits each x-side ~50/50)
+    val nTotal = pop.count().toInt
+    val targets = Map("1" -> 0.10, "2" -> 0.90, "3" -> 0.05)
+    val byStr = pop.withColumn("s", col("stratum").cast("string"))
+    val got = Samplers.mixtureExact(byStr, "s", targets, nTotal, seed = 3)
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = targets.map { case (g, f) =>
+      g -> math.min(sizes(g.toInt), math.floor(nTotal * f + 0.5).toLong)
+    }.filter(_._2 > 0)
+    assert(got == expected)
+    assert(!got.contains("4"), "stratum absent from targets must be dropped")
+    // the over-asked stratum must actually have been clamped for the
+    // test to exercise that branch
+    assert(expected("2") == sizes(2), "stratum 2 expected to clamp")
+  }
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextPipelineSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("topTermsByRarity ranks rarest-then-frequent, k rows per doc") {
+    // "common" is in every doc (df=3); "rare" only in doc 1 (df=1);
+    // "pair" in docs 1 and 2 (df=2)
+    val docs = Seq(
+      (1L, "common rare pair common"),
+      (2L, "common pair"),
+      (3L, "common common")).toDF("doc_id", "text")
+    val top = TextPipeline.topTermsByRarity(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val d1 = top.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq("rare", "pair"),
+      s"doc 1 ranking was ${d1.toSeq}")
+    assert(d1.head._4 == 1L && d1.head._5 == 1L) // rare: tf=1, df=1
+    // every doc emits at most k rows, ranks are 1..k contiguous
+    top.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 2)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // tf is counted, not deduplicated: common appears twice in doc 3
+    val d3common = top.filter(t => t._1 == 3L && t._3 == "common").head
+    assert(d3common._4 == 2L && d3common._5 == 3L)
+  }
+
+  test("decontaminate flags shared 5-grams, leaves disjoint docs clean") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      // contains the benchmark 5-gram "alpha beta gamma delta epsilon"
+      (1L, "xx alpha beta gamma delta epsilon yy"),
+      // same vocabulary, different order — no shared 5-gram
+      (2L, "epsilon delta gamma beta alpha zeta xx"),
+      // shorter than 5 tokens: whole text is the single shingle
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val prof = TextPipeline.decontaminate(cands, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(prof(1L)._3 == 1 && prof(1L)._2 >= 1L, s"doc 1: ${prof(1L)}")
+    assert(prof(2L) == ((3L, 0L, 0)), s"doc 2: ${prof(2L)}")
+    assert(prof(3L) == ((1L, 0L, 0)), s"doc 3: ${prof(3L)}")
+  }
+
+  test("packSequences matches the greedy-contiguous local fold") {
+    val docs = (1L to 40L).map { i =>
+      val words = Seq.fill(((i * 7) % 13 + 1).toInt)("w").mkString(" ")
+      (i, if (i % 2 == 0) "g0" else "g1", words)
+    }.toDF("doc_id", "grp", "text")
+    val got = TextPipeline.packSequences(docs, Seq("grp"), "doc_id", "text",
+        budget = 20)
+      .select("grp", "doc_id", "n_tok", "bin_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, id, nTok, bin) =>
+        assert(bin == cum / 20, s"doc $id: bin $bin, cum-before $cum")
+        cum += nTok
+      }
+    }
+    // a doc longer than the budget still lands in a bin of its own
+    val big = Seq((1L, "g", Seq.fill(50)("w").mkString(" ")))
+      .toDF("doc_id", "grp", "text")
+    val bigRow = TextPipeline.packSequences(big, Seq("grp"), "doc_id",
+      "text", 20).select("bin_id").head()
+    assert(bigRow.getLong(0) == 0L)
+  }
+
+  test("packSequences bins are dense per group: every bin index up to " +
+      "the max is used") {
+    val docs = (1L to 60L).map(i => (i, "g", "a b c")).toDF("doc_id", "grp", "text")
+    val bins = TextPipeline.packSequences(docs, Seq("grp"), "doc_id", "text",
+        budget = 7)
+      .select("bin_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(bins.toSeq == (0L until bins.length).toSeq)
+  }
+}

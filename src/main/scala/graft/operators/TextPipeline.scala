@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * benchmark decontamination, and sequence packing.
   *
   * Scale notes (the 100 TB contract for each op):
-  *  - [[topTermsByRarity]]: the exploded (doc, token) frame is the only
-  *    big intermediate; both groupBys partial-aggregate map-side, the
-  *    document-frequency table is vocabulary-sized (≪ corpus) and joins
-  *    broadcast, and the final top-k window partitions by doc_id — no
-  *    global sort anywhere.
+  *  - [[topTermsByRarity]]: ONE corpus scan. The obvious formulation
+  *    (tf frame feeding both a document-frequency aggregate and the
+  *    top-k join) recomputes the corpus explode + partial agg twice —
+  *    Spark's exchange reuse does NOT fire across the two branches
+  *    (verified in PlanSuite), and at 100 TB the duplicated scan is the
+  *    dominant cost. Instead df rides a tok-partitioned window over the
+  *    already-aggregated tf frame: three narrow shuffles of the
+  *    (doc, token) frame, no join, no recomputation, no global sort.
   *  - [[decontaminate]]: benchmark suites are tiny next to the corpus
   *    (≤ ~10⁶ n-grams), so the collision join broadcasts the benchmark
   *    shingle set; the corpus side is explode → broadcast-join →
@@ -41,11 +44,15 @@ object TextPipeline {
     val flat = docs.select(col(idCol),
       explode(Dedup.tokens(col(textCol))).as("tok"))
     val tf = flat.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
-    // (doc, tok) is unique after the tf groupBy, so df = row count per tok
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // (doc, tok) is unique after the tf groupBy, so df = partition row
+    // count in a tok-partitioned window — keeps the plan one lineage
+    // (a second aggregate branch would recompute the corpus scan; see
+    // the object scaladoc)
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("tok")))
     val win = Window.partitionBy(idCol)
       .orderBy(col("df").asc, col("tf").desc, col("tok").asc)
-    tf.join(broadcast(dfreq), "tok")
+    withDf
       .withColumn("rnk", row_number().over(win))
       .filter(col("rnk") <= k)
       .select(col(idCol), col("rnk"), col("tok"), col("tf"), col("df"))

@@ -198,8 +198,9 @@ object TextQueries {
     // Classic tf-idf ranks by tf·ln(N/df); ln is libm (not bit-portable
     // across engines), so the catalog query ranks by the integer pair
     // (df ASC, tf DESC) — idf is monotone in df, same rarest-first
-    // intent — and outputs integers only. One exploded frame, two
-    // partial-agged groupBys, a broadcast vocab join, per-doc window.
+    // intent — and outputs integers only. ONE corpus scan: tf groupBy,
+    // then df as a tok-partitioned window, then the per-doc top-k
+    // window (PlanSuite pins the single-scan shape).
     Q("t07_tfidf_topterms",
       (s, d) => TextPipeline.topTermsByRarity(
           load(s, d, "documents"), "doc_id", "text", k = 3)

@@ -65,4 +65,16 @@ class PlanSuite extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("t07: exactly ONE corpus scan — the df computation must not " +
+      "recompute the explode+partial-agg lineage") {
+    // A join-on-df formulation makes the tf subtree feed two branches;
+    // exchange reuse does NOT fire across them (measured: two full
+    // corpus scans), which at 100 TB doubles the dominant cost. The
+    // window-df formulation is structurally single-lineage.
+    val p = plan("t07_tfidf_topterms")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 corpus scan, saw $scans:\n${p.take(4000)}")
+    assert(!p.contains("Join"), p.take(4000))
+  }
 }

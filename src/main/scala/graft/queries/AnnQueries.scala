@@ -102,6 +102,27 @@ object AnnQueries {
                                   (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rk
                               FROM sims)
               SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5
-              ORDER BY qid, rk"""))
+              ORDER BY qid, rk""")),
+
+    // ---- E5 per-label embedding centroids (vector aggregation) --------
+    // Class centroids / domain means over an embedding column — the
+    // aggregation half of k-means and the lookup table for centroid-
+    // based routing. posexplode → groupBy (label, dim): map-side partial
+    // aggs, one shuffle of (labels × dim) keys, never a per-label
+    // collect. Means use the exact-decimal numerator (dmean) so the
+    // doubles are bit-identical cross-engine.
+    Q("e05_label_centroids",
+      (s, d) => load(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").as("idx"))
+        .agg(graft.util.Tables.dmean(col("col").cast("double")).as("centroid"))
+        .orderBy("label", "idx"),
+      Some(s"""WITH f AS (SELECT label,
+                   unnest(generate_series(0, len(embedding) - 1)) AS idx,
+                   unnest(embedding) AS v
+                 FROM embeddings)
+               SELECT label, idx,
+                      ${graft.util.Tables.sqlDmean("CAST(v AS DOUBLE)")} AS centroid
+               FROM f GROUP BY label, idx ORDER BY label, idx"""))
   )
 }

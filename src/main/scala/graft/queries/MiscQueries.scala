@@ -99,6 +99,25 @@ object MiscQueries {
                       ${sqlDsum("value")} AS sum_value
                FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    // ---- W5 sliding-window aggregation (2h windows, 1h slide) ---------
+    // Spark's window() EXPANDS each event into its windowLen/slide
+    // windows before the aggregate — no self-join, state still O(open
+    // windows × types). The oracle replays the expansion: each event
+    // belongs to the window starting at its truncated hour and the one
+    // an hour earlier.
+    Q("w05_sliding_window",
+      (s, d) => Streams.slidingEventStatsFlat(
+          graft.util.Tables.loadEvents(s, d), "2 hours", "1 hour")
+        .orderBy("w_start", "event_type"),
+      Some(s"""WITH e AS (SELECT
+                   unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
+                   event_type, value
+                 FROM events)
+               SELECT CAST(w_start AS VARCHAR) AS w_start, event_type,
+                      count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+               FROM e GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
     // ---- W3 streaming exact dedup (watermark-bounded state) -----------
     // The dedup key IS the projected tuple, so which physical row
     // survives is irrelevant — the deduped multiset is deterministic and

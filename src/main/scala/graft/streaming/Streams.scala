@@ -28,6 +28,29 @@ object Streams {
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
 
+  /** Sliding-window per-type counts/sums: each event lands in
+    * windowLen/slide overlapping windows (Spark's `window` expands the
+    * event, no self-join). State per open window is O(1) aggregate
+    * buffers and the watermark closes windows `lateness` past their
+    * end — the overlap factor multiplies key count, not state size
+    * per key, so a 2×/hour slide is ~2× tumbling state, still bounded. */
+  def slidingEventStats(events: DataFrame, windowLen: String = "2 hours",
+                        slide: String = "1 hour",
+                        lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  /** Batch-friendly projection of [[slidingEventStats]] with sortable,
+    * string-rendered window bounds (oracle-comparable). */
+  def slidingEventStatsFlat(events: DataFrame,
+                            windowLen: String = "2 hours",
+                            slide: String = "1 hour"): DataFrame =
+    slidingEventStats(events, windowLen, slide)
+      .select(col("w.start").cast("string").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Batch-friendly projection of [[tumblingEventStats]] with sortable,
     * string-rendered window bounds (oracle-comparable). */
   def tumblingEventStatsFlat(events: DataFrame,

@@ -48,6 +48,39 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding window agg: each event in windowLen/slide windows, " +
+      "batch == streaming") {
+    val events = Seq(
+      Ev(t("2026-01-01 10:05:00"), "click", 1.0),
+      Ev(t("2026-01-01 11:10:00"), "click", 3.0))
+
+    val batch = Streams.slidingEventStatsFlat(events.toDF(), "2 hours", "1 hour")
+      .orderBy("w_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // 10:05 lands in [09:00,11:00) and [10:00,12:00); 11:10 in
+    // [10:00,12:00) and [11:00,13:00)
+    assert(batch === Seq(
+      ("2026-01-01 09:00:00", "click", 1L, 1.0),
+      ("2026-01-01 10:00:00", "click", 2L, 4.0),
+      ("2026-01-01 11:00:00", "click", 1L, 3.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = Streams.slidingEventStats(mem.toDF(), "2 hours", "1 hour")
+      .select(col("w.start").cast("string").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_test")
+        .orderBy("w_start", "event_type")
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the allowed lateness") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -87,6 +87,48 @@ object MiscQueries {
                       ${sqlDsum("p_retailprice")} AS total
                FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // ---- S4 ORC write → read round-trip -------------------------------
+    // Third columnar/source format beside parquet and CSV/JSON. ORC
+    // round-trips longs and doubles exactly (typed columnar storage, no
+    // string rendition), so the oracle is the same aggregate over the
+    // parquet original.
+    Q("s04_orc_roundtrip",
+      (s, d) => {
+        val out = s"/tmp/graft_orc_roundtrip_${s.sparkContext.applicationId}"
+        load(s, d, "supplier").write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, count(*) AS n,
+                      ${sqlDsum("s_acctbal")} AS total
+               FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ---- S5 parquet schema evolution (mergeSchema read) ---------------
+    // A 100 TB lake accretes columns over time; readers must take the
+    // union schema with nulls for absent columns, without rewriting old
+    // files. Two generations of the customer table (balance-era and
+    // segment-era files) land under one root; the merged read must see
+    // every row once and null-fill each generation's missing column.
+    Q("s05_schema_evolution",
+      (s, d) => {
+        val out = s"/tmp/graft_schema_evo_${s.sparkContext.applicationId}"
+        val cust = load(s, d, "customer")
+        cust.select("c_custkey", "c_acctbal")
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        cust.select("c_custkey", "c_mktsegment")
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", true).parquet(out)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("c_acctbal")).as("n_bal"),
+            count(col("c_mktsegment")).as("n_seg"),
+            dsum(col("c_acctbal")).as("total_bal"))
+      },
+      Some(s"""SELECT 2 * count(*) AS n_rows, count(*) AS n_bal,
+                      count(*) AS n_seg, ${sqlDsum("c_acctbal")} AS total_bal
+               FROM customer""")),
+
     // ---- W1 tumbling-window aggregation over events -------------------
     // Same transform drives the Structured-Streaming path (StreamingSuite
     // runs it on a MemoryStream with watermarking); here it's batch.

@@ -276,6 +276,54 @@ object TextQueries {
                      CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS bin_id
               FROM w ORDER BY doc_id""")),
 
+    // ---- T8 global vocabulary top-k (heavy hitters) -------------------
+    // Corpus-wide token frequencies, top 50: the vocabulary-building /
+    // heavy-hitter pass. groupBy(tok) partial-aggregates map-side;
+    // orderBy+limit plans as TakeOrderedAndProject — each task keeps a
+    // local top-50, the driver merges 50·P candidates, never a global
+    // sort. Ties break on the token for determinism.
+    Q("t08_vocab_topk",
+      (s, d) => load(s, d, "documents")
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(50),
+      Some("""WITH f AS (SELECT unnest(string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+               FROM documents)
+              SELECT tok, count(*) AS n FROM f GROUP BY tok
+              ORDER BY n DESC, tok ASC LIMIT 50""")),
+
+    // ---- T9 quality-quantile filter (global threshold → keep) ---------
+    // Drop the worst quartile by quality score: pass 1 computes the
+    // exact interpolated 25th percentile (parity with quantile_cont,
+    // as a14), pass 2 broadcast-compares. Two corpus scans is the
+    // honest cost of an EXACT global quantile; the 100 TB variant runs
+    // pass 1 with approx_percentile or on a sample — same plan shape,
+    // documented trade.
+    Q("t09_quality_filter",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+        val thr = docs.agg(expr("percentile(quality, 0.25)").as("thr"))
+        docs.crossJoin(broadcast(thr))
+          .filter(col("quality") >= col("thr"))
+          .select("doc_id", "quality")
+          .orderBy("doc_id")
+      },
+      Some {
+        val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+        val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val punct = "(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+        val quality = s"""least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                     * (1.0 - least($punct * 5.0, 1.0))
+                     * (CASE WHEN $mtl > 12.0 THEN 0.0 ELSE 1.0 - $mtl / 24.0 END)"""
+        s"""WITH q AS (SELECT doc_id, $quality AS quality FROM documents),
+                t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM q)
+            SELECT doc_id, quality FROM q, t WHERE quality >= thr
+            ORDER BY doc_id"""
+      }),
+
     // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
     // The 100 TB path: one shuffle on the 128-bit fingerprint; no text
     // comparison, no sort. Duplicate groups carry their sizes.

@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Samplers, TextPipeline}
+
+/** Scale probe for the text-pipeline operators: synthesizes a corpus
+  * 100-1000× the test tables' size with deterministic hash-drawn tokens
+  * (no rand streams), runs each operator fully distributed, and checks a
+  * closed-form invariant of the result so a fast-but-wrong run can't
+  * pass. Run:
+  *   sbt "runMain graft.tools.TextScaleProbe [nDocs]"
+  * Expect LINEAR wall-time in corpus size: top-terms is three keyed
+  * shuffles of the (doc, token) frame, decontamination is a broadcast
+  * collision join, packing is one shard-keyed window, and mixture
+  * resampling is one group-keyed window.
+  *
+  * Corpus construction: doc i carries 60 tokens `w<h>` with
+  * h = xxhash64(base, j) mod 50k, where base = i except that every
+  * id ≡ 1 (mod 1000) doc REUSES base i−1 — an exact copy of a
+  * benchmark doc (ids ≡ 0 mod 1000), giving decontamination a planted
+  * truth: copies must all flag, and with a 50k vocabulary the chance
+  * of a spurious shared 5-gram elsewhere is ~(1/50k)⁵ per pair — zero
+  * at any feasible scale.
+  */
+object TextScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tokensPerDoc = 60
+    val base = when(col("id") % 1000 === 1, col("id") - 1).otherwise(col("id"))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+        j => concat(lit("w"), pmod(xxhash64(base, j), lit(50000L))))).as("text"),
+      pmod(xxhash64(col("id"), lit(7)), lit(1024L)).as("shard"))
+
+    // ---- top terms: every doc has ≥3 distinct tokens w.h.p., so the
+    // result must carry exactly k rows per doc with tf ≥ 1 ---------------
+    val t0 = System.nanoTime()
+    val top = TextPipeline.topTermsByRarity(docs, "doc_id", "text", k = 3)
+    val a = top.agg(count(lit(1)).as("n"),
+      count(when(col("tf") < 1 || col("df") < 1, 1)).as("bad"),
+      countDistinct(col("doc_id")).as("docs")).head()
+    val tTop = (System.nanoTime() - t0) / 1e9
+    require(a.getLong(1) == 0L, "top-terms emitted a zero tf/df")
+    require(a.getLong(2) == nDocs, "top-terms lost documents")
+    require(a.getLong(0) == 3L * nDocs,
+      s"expected ${3 * nDocs} rows (3 per doc), got ${a.getLong(0)}")
+
+    // ---- decontamination: planted copies must flag, nothing else ------
+    val t1 = System.nanoTime()
+    val bench = docs.filter(col("doc_id") % 1000 === 0)
+    val cands = docs.filter(col("doc_id") % 1000 =!= 0)
+    val prof = TextPipeline.decontaminate(cands, bench, "doc_id", "text", 5)
+    val d = prof.agg(count(lit(1)).as("n"),
+      sum(col("contaminated")).as("flagged"),
+      count(when(col("doc_id") % 1000 === 1 && col("contaminated") === 0, 1))
+        .as("missed_copies"),
+      count(when(col("doc_id") % 1000 =!= 1 && col("contaminated") === 1, 1))
+        .as("false_flags")).head()
+    val tDecon = (System.nanoTime() - t1) / 1e9
+    require(d.getLong(0) == cands.count(), "decontaminate dropped candidates")
+    require(d.getLong(2) == 0L, "a planted benchmark copy was not flagged")
+    require(d.getLong(3) == 0L, "a vocabulary-random doc was flagged")
+
+    // ---- packing: constant 60-token docs ⇒ per-shard bins are dense
+    // with max = floor(60·(cnt−1)/512) ----------------------------------
+    val t2 = System.nanoTime()
+    val packed = TextPipeline.packSequences(docs, Seq("shard"), "doc_id",
+      "text", budget = 512)
+    val shardCheck = packed.groupBy("shard").agg(
+        count(lit(1)).as("cnt"), max(col("bin_id")).as("max_bin"),
+        countDistinct(col("bin_id")).as("n_bins"))
+      .agg(count(when(col("max_bin") =!=
+          floor((col("cnt") - 1) * tokensPerDoc / lit(512)), 1)).as("bad_max"),
+        count(when(col("n_bins") =!= col("max_bin") + 1, 1)).as("gappy"))
+      .head()
+    val tPack = (System.nanoTime() - t2) / 1e9
+    require(shardCheck.getLong(0) == 0L, "a shard's max bin is off")
+    require(shardCheck.getLong(1) == 0L, "a shard has bin-index gaps")
+
+    // ---- mixture resampling: exact-n per group at corpus scale --------
+    val t3 = System.nanoTime()
+    val grouped = docs.withColumn("grp",
+      concat(lit("g"), pmod(xxhash64(col("doc_id"), lit(9)), lit(5L))))
+    val sizes = grouped.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("g0" -> 0.5, "g1" -> 0.2, "g2" -> 0.1, "g3" -> 0.05)
+    val nTotal = (nDocs / 2).toInt
+    val got = Samplers.mixtureExact(grouped, "grp", targets, nTotal, seed = 3)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tMix = (System.nanoTime() - t3) / 1e9
+    targets.foreach { case (g, f) =>
+      val want = math.min(sizes(g), math.floor(nTotal * f + 0.5).toLong)
+      require(got.getOrElse(g, 0L) == want, s"group $g: ${got.get(g)} != $want")
+    }
+    require(!got.contains("g4"), "untargeted group must be dropped")
+
+    println(f"docs=$nDocs%,d topTerms=$tTop%.1fs decontaminate=$tDecon%.1fs " +
+      f"pack=$tPack%.1fs mixture=$tMix%.1fs")
+    spark.stop()
+  }
+}

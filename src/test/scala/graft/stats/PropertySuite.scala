@@ -122,6 +122,34 @@ class PropertySuite extends SparkSpec {
     assert(idKeyed > 120L && idKeyed < 280L) // binomial(400, .5), ±8σ
   }
 
+  test("text-pipeline ops are invariant under repartitioning") {
+    import graft.operators.{Samplers, TextPipeline}
+    import graft.util.Tables.load
+    val sf = "/root/testdata/sf0.001"
+    val docs = load(spark, sf, "documents")
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // top terms: ranking keys (df, tf, tok) are total per doc, so the
+    // result set is layout-independent
+    assert(same(
+      TextPipeline.topTermsByRarity(docs.repartition(1), "doc_id", "text", 3),
+      TextPipeline.topTermsByRarity(docs.repartition(7), "doc_id", "text", 3)))
+    // packing: bin assignment depends only on (group, order, tokens)
+    assert(same(
+      TextPipeline.packSequences(docs.repartition(1),
+        Seq("lang", "source"), "doc_id", "text", 256),
+      TextPipeline.packSequences(docs.repartition(7),
+        Seq("lang", "source"), "doc_id", "text", 256)))
+    // mixture resampling: partition-invariant uniforms select the same
+    // rows under any layout
+    val t = Map("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2,
+      "zh" -> 0.1)
+    assert(same(
+      Samplers.mixtureExact(docs.repartition(1), "lang", t, 100, seed = 5),
+      Samplers.mixtureExact(docs.repartition(7), "lang", t, 100, seed = 5)))
+  }
+
   test("weighted mean is invariant under row order") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {

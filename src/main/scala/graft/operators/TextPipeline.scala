@@ -3,20 +3,28 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** DataFrame-level text-pipeline operators a large-scale training-data
   * pipeline needs beyond per-column text functions: term importance,
   * benchmark decontamination, and sequence packing.
   *
   * Scale notes (the 100 TB contract for each op):
-  *  - [[topTermsByRarity]]: ONE corpus scan. The obvious formulation
-  *    (tf frame feeding both a document-frequency aggregate and the
-  *    top-k join) recomputes the corpus explode + partial agg twice —
-  *    Spark's exchange reuse does NOT fire across the two branches
-  *    (verified in PlanSuite), and at 100 TB the duplicated scan is the
-  *    dominant cost. Instead df rides a tok-partitioned window over the
-  *    already-aggregated tf frame: three narrow shuffles of the
-  *    (doc, token) frame, no join, no recomputation, no global sort.
+  *  - [[topTermsByRarity]]: the tf frame is PERSISTED and feeds both
+  *    the document-frequency aggregate and the ranking join, so the
+  *    corpus explode + partial agg computes ONCE (without the cache,
+  *    exchange reuse does not fire across the two branches — measured:
+  *    two full corpus scans). df is a bounded two-level aggregation,
+  *    NOT a tok-partitioned window: on Zipfian text a stopword's window
+  *    group holds a row per document and windows cannot skew-split, a
+  *    single-task straggler at scale — whereas the df JOIN's shuffle is
+  *    AQE-skew-splittable and its aggregates are map-side partial. The
+  *    df side is deliberately not broadcast-hinted: real web corpora
+  *    have vocabularies far beyond broadcast size (Spark still picks
+  *    broadcast itself when the vocab is small). Cache lifecycle
+  *    follows [[Dedup.connectedComponents]]: the tf frame backing the
+  *    returned (lazy) result stays persisted; callers owning the
+  *    lifecycle can `unpersist` after consuming it.
   *  - [[decontaminate]]: benchmark suites are tiny next to the corpus
   *    (≤ ~10⁶ n-grams), so the collision join broadcasts the benchmark
   *    shingle set; the corpus side is explode → broadcast-join →
@@ -38,21 +46,21 @@ object TextPipeline {
     * tf DESC) preserves the classic ordering wherever one factor
     * dominates, while staying in integer arithmetic (bit-identical
     * across engines; ln is not). Output: (idCol, rnk, tok, tf, df).
+    * Documents with NULL text yield no rows (they have no terms).
     */
   def topTermsByRarity(docs: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
     val flat = docs.select(col(idCol),
       explode(Dedup.tokens(col(textCol))).as("tok"))
     val tf = flat.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
-    // (doc, tok) is unique after the tf groupBy, so df = partition row
-    // count in a tok-partitioned window — keeps the plan one lineage
-    // (a second aggregate branch would recompute the corpus scan; see
-    // the object scaladoc)
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("tok")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (doc, tok) is unique after the tf groupBy, so df = row count per
+    // tok; both levels partial-aggregate map-side (bounded tasks even
+    // for stopwords — see the object scaladoc for why NOT a window)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val win = Window.partitionBy(idCol)
       .orderBy(col("df").asc, col("tf").desc, col("tok").asc)
-    withDf
+    tf.join(dfreq, "tok")
       .withColumn("rnk", row_number().over(win))
       .filter(col("rnk") <= k)
       .select(col(idCol), col("rnk"), col("tok"), col("tf"), col("df"))
@@ -60,23 +68,27 @@ object TextPipeline {
 
   /** Test-set decontamination profile: for every candidate document,
     * how many of its distinct word `n`-gram shingles also occur anywhere
-    * in the benchmark corpus. Returns every candidate row:
-    * (idCol, n_shingles, n_hit, contaminated) — callers drop or down-
-    * weight `contaminated` docs before training. Shingling reuses the
-    * native one-pass [[Dedup.wordShingles]] expression.
+    * in the benchmark corpus. Returns every candidate row — including
+    * NULL-text candidates, which profile as (0 shingles, 0 hits, clean)
+    * rather than silently vanishing: (idCol, n_shingles, n_hit,
+    * contaminated) — callers drop or down-weight `contaminated` docs
+    * before training. Shingling reuses the native one-pass
+    * [[Dedup.wordShingles]] expression.
     */
   def decontaminate(candidates: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int): DataFrame = {
     val benchGrams = benchmark
       .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
       .distinct()
+    // explode_outer + count(gram): a NULL-text candidate keeps one row
+    // with a NULL gram, counts zero shingles, and can never match
     val candGrams = candidates.select(col(idCol),
-      explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      explode_outer(Dedup.wordShingles(col(textCol), n)).as("gram"))
     val hits = candGrams
       .join(broadcast(benchGrams.withColumn("__hit", lit(1))),
         Seq("gram"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shingles"),
+      .agg(count(col("gram")).as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
     hits.withColumn("contaminated", (col("n_hit") > 0).cast("int"))
   }

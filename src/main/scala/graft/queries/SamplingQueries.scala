@@ -45,7 +45,11 @@ object SamplingQueries {
         sample.agg(count(lit(1)).as("n_sampled"),
           countDistinct(col("c_custkey")).as("n_distinct"))
       },
-      Some("SELECT CAST(500 AS BIGINT) AS n_sampled, CAST(500 AS BIGINT) AS n_distinct")),
+      // least(): SF-robust — at sf0.001 customer has fewer than 500 rows
+      // and the sampler returns them all
+      Some("""SELECT least(CAST(500 AS BIGINT), count(*)) AS n_sampled,
+                     least(CAST(500 AS BIGINT), count(*)) AS n_distinct
+              FROM customer""")),
 
     // ---- G5 weighted sampling w/o replacement, exact n (E–S keys) -----
     // Size is exact; the weighted-ness shows as a higher mean weight in
@@ -59,7 +63,9 @@ object SamplingQueries {
         sample.agg(count(lit(1)).as("n_sampled"),
           countDistinct(col("c_custkey")).as("n_distinct"))
       },
-      Some("SELECT CAST(500 AS BIGINT) AS n_sampled, CAST(500 AS BIGINT) AS n_distinct")),
+      Some("""SELECT least(CAST(500 AS BIGINT), count(*)) AS n_sampled,
+                     least(CAST(500 AS BIGINT), count(*)) AS n_distinct
+              FROM customer""")),
 
     // ---- G6 stratified exact-n, proportional allocation ----------------
     // Realized per-stratum sizes must equal round(N_h/N·1000) — the
@@ -75,7 +81,8 @@ object SamplingQueries {
                              GROUP BY c_mktsegment),
                    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer)
               SELECT c_mktsegment,
-                     CAST(floor(n_h * 1000 / tot.n + 0.5) AS BIGINT) AS n_sampled
+                     least(CAST(floor(n_h * 1000 / tot.n + 0.5) AS BIGINT),
+                           n_h) AS n_sampled
               FROM sizes, tot ORDER BY c_mktsegment""")),
 
     // ---- G7 stratified Bernoulli with size adjustment ------------------

@@ -198,9 +198,10 @@ object TextQueries {
     // Classic tf-idf ranks by tf·ln(N/df); ln is libm (not bit-portable
     // across engines), so the catalog query ranks by the integer pair
     // (df ASC, tf DESC) — idf is monotone in df, same rarest-first
-    // intent — and outputs integers only. ONE corpus scan: tf groupBy,
-    // then df as a tok-partitioned window, then the per-doc top-k
-    // window (PlanSuite pins the single-scan shape).
+    // intent — and outputs integers only. The tf frame persists and
+    // feeds both the df aggregate and the ranking join — one corpus
+    // computation, bounded tasks under Zipfian skew (PlanSuite pins
+    // the cached no-tok-window shape).
     Q("t07_tfidf_topterms",
       (s, d) => TextPipeline.topTermsByRarity(
           load(s, d, "documents"), "doc_id", "text", k = 3)

@@ -11,10 +11,14 @@ import graft.operators.{Samplers, TextPipeline}
   * closed-form invariant of the result so a fast-but-wrong run can't
   * pass. Run:
   *   sbt "runMain graft.tools.TextScaleProbe [nDocs]"
-  * Expect LINEAR wall-time in corpus size: top-terms is three keyed
-  * shuffles of the (doc, token) frame, decontamination is a broadcast
-  * collision join, packing is one shard-keyed window, and mixture
-  * resampling is one group-keyed window.
+  * Expect LINEAR wall-time in corpus size: top-terms is one cached
+  * (doc, token) aggregation feeding a bounded df agg + skew-splittable
+  * join, decontamination is a broadcast collision join, packing is one
+  * shard-keyed window, and mixture resampling is one group-keyed
+  * window. NOTE the corpus draws tokens uniformly from the vocabulary —
+  * it measures throughput scaling, not Zipfian skew; the skew defenses
+  * (partial aggs, AQE skew-join, no tok-windows) are design properties
+  * asserted in PlanSuite, not here.
   *
   * Corpus construction: doc i carries 60 tokens `w<h>` with
   * h = xxhash64(base, j) mod 50k, where base = i except that every
@@ -68,7 +72,11 @@ object TextScaleProbe {
       count(when(col("doc_id") % 1000 =!= 1 && col("contaminated") === 1, 1))
         .as("false_flags")).head()
     val tDecon = (System.nanoTime() - t1) / 1e9
+    // planted copies: ids ≡ 1 (mod 1000) below nDocs
+    val nCopies = (nDocs - 2) / 1000 + 1
     require(d.getLong(0) == cands.count(), "decontaminate dropped candidates")
+    require(d.getLong(1) == nCopies,
+      s"flagged ${d.getLong(1)} != $nCopies planted copies")
     require(d.getLong(2) == 0L, "a planted benchmark copy was not flagged")
     require(d.getLong(3) == 0L, "a vocabulary-random doc was flagged")
 
@@ -95,7 +103,7 @@ object TextScaleProbe {
     val sizes = grouped.groupBy("grp").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val targets = Map("g0" -> 0.5, "g1" -> 0.2, "g2" -> 0.1, "g3" -> 0.05)
-    val nTotal = (nDocs / 2).toInt
+    val nTotal = math.min(nDocs / 2, Int.MaxValue.toLong).toInt
     val got = Samplers.mixtureExact(grouped, "grp", targets, nTotal, seed = 3)
       .groupBy("grp").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -50,6 +50,20 @@ class TextPipelineSuite extends SparkSpec {
     assert(prof(3L) == ((1L, 0L, 0)), s"doc 3: ${prof(3L)}")
   }
 
+  test("decontaminate keeps NULL-text candidates: 0 shingles, clean") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, "xx alpha beta gamma delta epsilon yy"),
+        (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val prof = TextPipeline.decontaminate(cands, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(prof.keySet == Set(1L, 2L), "every candidate must profile")
+    assert(prof(2L) == ((0L, 0L, 0)), s"null doc: ${prof(2L)}")
+    assert(prof(1L)._3 == 1)
+  }
+
   test("packSequences matches the greedy-contiguous local fold") {
     val docs = (1L to 40L).map { i =>
       val words = Seq.fill(((i * 7) % 13 + 1).toInt)("w").mkString(" ")

@@ -212,6 +212,42 @@ object MiscQueries {
                        ORDER BY event_id) AS delta
               FROM events ORDER BY user_id, event_id""")),
 
+    // ---- A16 ROLLUP: hierarchical subtotals in one pass ---------------
+    // The OLAP subtotal surface: (flag, status), (flag), () grouping
+    // sets computed in ONE aggregation (Spark Expand + partial aggs —
+    // one shuffle, not three jobs). Neither column is ever NULL in the
+    // data, so coalesce renders the subtotal rows portably (no
+    // grouping_id() cross-engine concerns).
+    Q("a16_rollup",
+      (s, d) => load(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+          col("n"), col("qty"))
+        .orderBy("flag", "status"),
+      Some(s"""SELECT coalesce(l_returnflag, '<all>') AS flag,
+                      coalesce(l_linestatus, '<all>') AS status,
+                      count(*) AS n, ${sqlDsum("l_quantity")} AS qty
+               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+               ORDER BY flag, status""")),
+
+    // ---- A17 CUBE: all grouping-set combinations ----------------------
+    Q("a17_cube",
+      (s, d) => graft.util.Tables.loadEvents(s, d)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(4L)))
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(coalesce(col("event_type"), lit("<all>")).as("etype"),
+          coalesce(col("user_bucket").cast("string"), lit("<all>")).as("bucket"),
+          col("n"), col("total"))
+        .orderBy("etype", "bucket"),
+      Some(s"""SELECT coalesce(event_type, '<all>') AS etype,
+                      coalesce(CAST(user_id % 4 AS VARCHAR), '<all>') AS bucket,
+                      count(*) AS n, ${sqlDsum("value")} AS total
+               FROM events GROUP BY CUBE(event_type, user_id % 4)
+               ORDER BY etype, bucket""")),
+
     // ---- A14 exact interpolated percentiles ---------------------------
     // Spark `percentile` and DuckDB `quantile_cont` share the linear-
     // interpolation definition — exact, hash-matchable.
@@ -224,6 +260,46 @@ object MiscQueries {
                      quantile_cont(o_totalprice, 0.95) AS p95,
                      quantile_cont(o_totalprice, 0.99) AS p99
               FROM orders""")),
+
+    // ---- A18 Count-Min-Sketch frequency estimates (rows-only + spec) --
+    // The streaming-friendly heavy-hitter sketch beside HLL (a15) and
+    // exact top-k (t08): built distributed (one pass, mergeable per
+    // partition), queried driver-side for five fixed keys against the
+    // exact counts. CMS never under-counts; SketchSuite asserts the
+    // eps·N over-count bound.
+    Q("a18_cms_frequency",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val cms = li.stat.countMinSketch(col("l_suppkey"),
+          eps = 0.001, confidence = 0.99, seed = 42)
+        val exact = li.filter(col("l_suppkey") <= 5)
+          .groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
+        import s.implicits._
+        val est = (1L to 5L).map(k => (k, cms.estimateCount(k)))
+          .toDF("l_suppkey", "cms_est")
+        exact.join(est, "l_suppkey").orderBy("l_suppkey")
+      },
+      None),
+
+    // ---- A19 Bloom-filter membership (rows-only + spec) ---------------
+    // Distributed build over orders keys; driver-side probes: every
+    // present key must hit (no false negatives, the Bloom contract);
+    // absent-key false positives stay near the configured fpp
+    // (asserted with slack in SketchSuite).
+    Q("a19_bloom_membership",
+      (s, d) => {
+        val ords = load(s, d, "orders")
+        val bf = ords.stat.bloomFilter(col("o_orderkey"), 20000L, 0.03)
+        val present = ords.select("o_orderkey").limit(1000)
+          .collect().map(_.getLong(0))
+        // orderkeys are generated even-ish sparse; probe well beyond max
+        val absent = (1L to 1000L).map(_ + 100000000L)
+        import s.implicits._
+        Seq((present.count(bf.mightContain), present.length,
+            absent.count(bf.mightContain), absent.length))
+          .toDF("present_hits", "n_present", "false_pos", "n_absent")
+      },
+      None),
 
     // ---- A15 HLL approximate distinct (sketch; rows-only + spec) ------
     Q("a15_approx_distinct",

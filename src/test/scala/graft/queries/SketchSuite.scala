@@ -26,4 +26,34 @@ class SketchSuite extends SparkSpec {
       .agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
     assert(p50(1) === p50(7))
   }
+
+  test("count-min sketch never under-counts and stays within eps·N") {
+    val li = load(spark, sf, "lineitem")
+    val n = li.count()
+    val eps = 0.001
+    val cms = li.stat.countMinSketch(col("l_suppkey"),
+      eps = eps, confidence = 0.99, seed = 42)
+    val exact = li.groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS under-counted key $k: $est < $c")
+      assert(est <= c + (eps * n).ceil.toLong + 1,
+        s"CMS over-count beyond eps*N for key $k: $est vs $c (N=$n)")
+    }
+  }
+
+  test("bloom filter has no false negatives; false positives near fpp") {
+    val ords = load(spark, sf, "orders")
+    val bf = ords.stat.bloomFilter(col("o_orderkey"), 20000L, 0.03)
+    val present = ords.select("o_orderkey").collect().map(_.getLong(0))
+    assert(present.forall(bf.mightContain),
+      "a present key reported absent — Bloom contract broken")
+    val absentProbes = (1L to 2000L).map(_ + 100000000L)
+      .filterNot(present.toSet)
+    val fp = absentProbes.count(bf.mightContain)
+    // fpp 0.03 with slack: 2000 probes ⇒ expect ~60, fail above 5×
+    assert(fp <= absentProbes.length * 0.15,
+      s"false-positive rate ${fp.toDouble / absentProbes.length}")
+  }
 }

@@ -212,6 +212,53 @@ object MiscQueries {
                        ORDER BY event_id) AS delta
               FROM events ORDER BY user_id, event_id""")),
 
+    // ---- J7 anti join: set subtraction on a key -----------------------
+    // The "remove everything that matched" half of the dedup /
+    // decontamination story: customers with no orders. LeftAnti plans
+    // like the semi join (one hash join, no row multiplication, null-
+    // safe) — the idiom for subtracting a contaminated or duplicate id
+    // set from a 100 TB corpus.
+    Q("j07_anti_join",
+      (s, d) => load(s, d, "customer")
+        .join(load(s, d, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey)
+              ORDER BY c_custkey""")),
+
+    // ---- A20 moving average (bounded window frame) --------------------
+    // Rolling mean of each user's last 4 event values (3 preceding +
+    // current, event-time ordered): the bounded-frame window runs
+    // inside the per-user partition with O(frame) state — no
+    // unbounded buffering. Exact-decimal numerator for bit parity;
+    // ties impossible (event_id breaks the ordering).
+    Q("a20_moving_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+        graft.util.Tables.loadEvents(s, d)
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_id"),
+            (sum(col("value").cast("decimal(38,10)")).over(w)
+              .cast("double") / count(lit(1)).over(w)).as("mavg"))
+          .orderBy("user_id", "event_id")
+      },
+      // the windowed rendition of sqlDsum: same VARCHAR round-trips on
+      // the decimal cast in AND the double cast out (see Tables.sqlDsum)
+      Some("""SELECT user_id, event_id,
+                     CAST(CAST(sum(CAST(round(CAST(CAST(value AS VARCHAR)
+                           AS DECIMAL(38,18)), 10) AS DECIMAL(38,10)))
+                         OVER w AS VARCHAR) AS DOUBLE)
+                       / count(*) OVER w AS mavg
+              FROM events WHERE user_id < 50
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id""")),
+
     // ---- A16 ROLLUP: hierarchical subtotals in one pass ---------------
     // The OLAP subtotal surface: (flag, status), (flag), () grouping
     // sets computed in ONE aggregation (Spark Expand + partial aggs —

@@ -214,19 +214,23 @@ object MiscQueries {
 
     // ---- J7 anti join: set subtraction on a key -----------------------
     // The "remove everything that matched" half of the dedup /
-    // decontamination story: customers with no orders. LeftAnti plans
-    // like the semi join (one hash join, no row multiplication, null-
-    // safe) — the idiom for subtracting a contaminated or duplicate id
-    // set from a 100 TB corpus.
+    // decontamination story: customers with no FINISHED order. LeftAnti
+    // plans like the semi join (one hash join, no row multiplication,
+    // null-safe) — the idiom for subtracting a contaminated or duplicate
+    // id set from a 100 TB corpus. The status filter keeps the result
+    // non-empty at every SF (every customer has SOME order in this
+    // data, which would make an unfiltered anti join a vacuous check).
     Q("j07_anti_join",
       (s, d) => load(s, d, "customer")
-        .join(load(s, d, "orders").select(col("o_custkey")),
+        .join(load(s, d, "orders")
+            .filter(col("o_orderstatus") === "F").select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_name FROM customer c
               WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                WHERE o.o_custkey = c.c_custkey)
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderstatus = 'F')
               ORDER BY c_custkey""")),
 
     // ---- A20 moving average (bounded window frame) --------------------
@@ -243,16 +247,12 @@ object MiscQueries {
         graft.util.Tables.loadEvents(s, d)
           .filter(col("user_id") < 50)
           .select(col("user_id"), col("event_id"),
-            (sum(col("value").cast("decimal(38,10)")).over(w)
-              .cast("double") / count(lit(1)).over(w)).as("mavg"))
+            (graft.util.Tables.dsumOver(col("value"), w)
+              / count(lit(1)).over(w)).as("mavg"))
           .orderBy("user_id", "event_id")
       },
-      // the windowed rendition of sqlDsum: same VARCHAR round-trips on
-      // the decimal cast in AND the double cast out (see Tables.sqlDsum)
-      Some("""SELECT user_id, event_id,
-                     CAST(CAST(sum(CAST(round(CAST(CAST(value AS VARCHAR)
-                           AS DECIMAL(38,18)), 10) AS DECIMAL(38,10)))
-                         OVER w AS VARCHAR) AS DOUBLE)
+      Some(s"""SELECT user_id, event_id,
+                     ${graft.util.Tables.sqlDsumOver("value", "w")}
                        / count(*) OVER w AS mavg
               FROM events WHERE user_id < 50
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -336,11 +336,16 @@ object MiscQueries {
     Q("a19_bloom_membership",
       (s, d) => {
         val ords = load(s, d, "orders")
-        val bf = ords.stat.bloomFilter(col("o_orderkey"), 20000L, 0.03)
+        // capacity from the actual key count — a hardcoded size
+        // saturates at larger SFs and silently voids the fpp contract
+        val stats = ords.agg(count(lit(1)).as("n"),
+          max(col("o_orderkey")).as("mx")).head()
+        val bf = ords.stat.bloomFilter(col("o_orderkey"),
+          math.max(stats.getLong(0), 1L), 0.03)
         val present = ords.select("o_orderkey").limit(1000)
           .collect().map(_.getLong(0))
-        // orderkeys are generated even-ish sparse; probe well beyond max
-        val absent = (1L to 1000L).map(_ + 100000000L)
+        // orderkeys are dense 0..N-1, so anything past max is absent
+        val absent = (1L to 1000L).map(_ + stats.getLong(1))
         import s.implicits._
         Seq((present.count(bf.mightContain), present.length,
             absent.count(bf.mightContain), absent.length))

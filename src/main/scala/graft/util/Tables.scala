@@ -68,6 +68,15 @@ object Tables {
     */
   def sqlDsum(e: String): String =
     s"CAST(CAST(sum(CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), 10) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+  /** Windowed [[dsum]]: the same exact-decimal sum over a window frame
+    * instead of a group. Kept here beside dsum so the two Spark/SQL
+    * renditions of the bit-parity recipe stay a single source of truth. */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast("decimal(38,10)")).over(w).cast("double")
+  /** Windowed [[sqlDsum]]: `w` is a WINDOW-clause name. */
+  def sqlDsumOver(e: String, w: String): String =
+    s"CAST(CAST(sum(CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), 10) AS DECIMAL(38,10))) OVER $w AS VARCHAR) AS DOUBLE)"
   def sqlDmean(e: String): String = s"(${sqlDsum(e)} / count($e))"
   def sqlDvarSamp(e: String): String = {
     val n = s"CAST(count($e) AS DOUBLE)"

@@ -45,12 +45,14 @@ class SketchSuite extends SparkSpec {
 
   test("bloom filter has no false negatives; false positives near fpp") {
     val ords = load(spark, sf, "orders")
-    val bf = ords.stat.bloomFilter(col("o_orderkey"), 20000L, 0.03)
     val present = ords.select("o_orderkey").collect().map(_.getLong(0))
+    // capacity from the real key count — a fixed size saturates at
+    // larger inputs and silently voids the fpp contract (same sizing
+    // rule as a19)
+    val bf = ords.stat.bloomFilter(col("o_orderkey"), present.length.toLong, 0.03)
     assert(present.forall(bf.mightContain),
       "a present key reported absent — Bloom contract broken")
-    val absentProbes = (1L to 2000L).map(_ + 100000000L)
-      .filterNot(present.toSet)
+    val absentProbes = (1L to 2000L).map(_ + present.max)
     val fp = absentProbes.count(bf.mightContain)
     // fpp 0.03 with slack: 2000 probes ⇒ expect ~60, fail above 5×
     assert(fp <= absentProbes.length * 0.15,

@@ -81,4 +81,15 @@ class PlanSuite extends SparkSpec {
     assert(!p.contains("windowspecdefinition(tok"),
       s"df must not be a tok-partitioned window:\n${p.take(3000)}")
   }
+
+  test("a16: all rollup grouping sets ride ONE Expand + aggregate") {
+    val p = plan("a16_rollup")
+    assert(p.contains("Expand"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
+  test("j07: set subtraction plans as LeftAnti — no row multiplication") {
+    val p = plan("j07_anti_join")
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
 }

@@ -102,6 +102,30 @@ object Samplers {
       .drop("__u", "__rn", "__n_h")
   }
 
+  /** Deterministic train/val/test splitting: each row's partition-
+    * invariant uniform lands in one of the cumulative [0,1) intervals
+    * defined by `splits` (label → fraction, must sum to ≤ 1; any
+    * remainder falls into the LAST label, so fractions that sum to 1
+    * are exhaustive even at the float boundary). The assignment is a
+    * pure function of row content + seed: stable across reruns, AQE
+    * re-plans, and cluster sizes — the property a training pipeline
+    * needs so no example ever migrates between train and test. Splits
+    * are disjoint and exhaustive by construction. Adds `labelCol`. */
+  def splitByHash(df: DataFrame, splits: Seq[(String, Double)], seed: Long,
+                  labelCol: String = "split",
+                  keyCols: Option[Seq[String]] = None): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).forall(_ > 0) &&
+      splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must be positive and sum to at most 1")
+    val u = rowUniform(keyCols.getOrElse(df.columns.toSeq), seed)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val label = splits.zip(cum).init.foldRight(
+        lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn(labelCol, label)
+  }
+
   /** Per-row Bernoulli selection with probability column `p`
     * (`rbinom(N,1,π)` / `runif(N) < π`, ipynb:638,646,1284).
     *

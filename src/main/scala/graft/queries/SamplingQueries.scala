@@ -133,6 +133,26 @@ object SamplingQueries {
                        CASE lang WHEN 'en' THEN 0.30
                                  WHEN 'fr' THEN 0.40
                                  ELSE 0.15 END + 0.5) AS BIGINT)) AS n_sampled
-              FROM g ORDER BY lang"""))
+              FROM g ORDER BY lang""")),
+
+    // ---- G10 deterministic train/val/test split -----------------------
+    // 80/10/10 over lineitem (60k rows at sf0.01): realized fractions
+    // are hash-deterministic and, at this n, dozens of sigma inside the
+    // one-decimal rounding band the oracle checks. Membership
+    // properties (disjoint, exhaustive, layout-invariant, no example
+    // migration) are SamplersSuite's job.
+    Q("g10_train_test_split",
+      (s, d) => {
+        val split = Samplers.splitByHash(load(s, d, "lineitem"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 21)
+        split.groupBy("split").agg(
+            floor(count(lit(1)) * 10.0 / sum(count(lit(1))).over() + 0.5)
+              .cast("long").as("frac_x10"))
+          .orderBy("split")
+      },
+      Some("""SELECT 'test' AS split, CAST(1 AS BIGINT) AS frac_x10
+              UNION ALL SELECT 'train', CAST(8 AS BIGINT)
+              UNION ALL SELECT 'val', CAST(1 AS BIGINT)
+              ORDER BY split"""))
   )
 }

@@ -240,4 +240,27 @@ class SamplersSuite extends SparkSpec {
     // test to exercise that branch
     assert(expected("2") == sizes(2), "stratum 2 expected to clamp")
   }
+
+  test("splitByHash: disjoint, exhaustive, layout-invariant, no " +
+      "example migration across reruns") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Samplers.splitByHash(pop.repartition(1), splits, seed = 21)
+    val s7 = Samplers.splitByHash(pop.repartition(7), splits, seed = 21)
+    // exhaustive: every row gets exactly one label
+    assert(s1.count() == pop.count())
+    assert(s1.filter(col("split").isNull).count() == 0)
+    // identical assignment under any physical layout
+    assert(s1.exceptAll(s7).isEmpty && s7.exceptAll(s1).isEmpty)
+    // proportions near targets (5000 rows: ±5σ bands)
+    val n = pop.count().toDouble
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") / n - 0.8) < 0.03, counts.toString)
+    assert(math.abs(counts("val") / n - 0.1) < 0.025, counts.toString)
+    // no migration: the same id never changes split between reruns
+    val again = Samplers.splitByHash(pop, splits, seed = 21)
+      .select("id", "split")
+    assert(s1.select("id", "split").exceptAll(again).isEmpty)
+  }
 }

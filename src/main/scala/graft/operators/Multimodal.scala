@@ -102,4 +102,21 @@ object Multimodal {
   def sampleFrameOffsets(nBytes: Column, everyK: Int, maxFrames: Int): Column =
     slice(sequence(lit(0L), greatest(nBytes - 1, lit(0L)), lit(everyK.toLong)),
       1, maxFrames)
+
+  /** Resize GEOMETRY for image payloads: aspect-preserving target
+    * dimensions with the long side capped at `maxDim`, half-up rounded,
+    * floored at 1 px, and never upscaled. The pixel resample itself is
+    * decoder-side (see [[MediaDecoder]]); this is the metadata half a
+    * pipeline plans partitioning and batch shapes with. Pure column
+    * arithmetic — every op is exactly-rounded IEEE, so the plan is
+    * bit-identical across engines. */
+  def resizeDims(w: Column, h: Column, maxDim: Int): Column = {
+    val scale = least(lit(1.0),
+      lit(maxDim.toDouble) / greatest(w, h).cast("double"))
+    struct(
+      greatest(floor(w.cast("double") * scale + 0.5), lit(1L))
+        .cast("long").as("w"),
+      greatest(floor(h.cast("double") * scale + 0.5), lit(1L))
+        .cast("long").as("h"))
+  }
 }

@@ -525,6 +525,33 @@ object MiscQueries {
       },
       None),
 
+    // ---- MM3 resize plan (aspect-preserving geometry, cap 512) --------
+    // The metadata half of image resizing: pseudo-dimensions derive
+    // deterministically from doc_id (no image lib in this container),
+    // the geometry — cap the long side, preserve aspect, half-up round,
+    // never upscale — is the real, oracle-checked logic.
+    Q("mm03_resize_plan",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          (lit(320) + (col("doc_id") * 7) % 1600).as("w"),
+          (lit(240) + (col("doc_id") * 13) % 1200).as("h"))
+        .withColumn("out", Multimodal.resizeDims(col("w"), col("h"), 512))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("out.w").as("out_w"), col("out.h").as("out_h"))
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id,
+                  320 + (doc_id * 7) % 1600 AS w,
+                  240 + (doc_id * 13) % 1200 AS h FROM documents),
+               sc AS (SELECT doc_id, w, h,
+                  least(1.0, 512.0 / CAST(greatest(w, h) AS DOUBLE)) AS s
+                FROM dims)
+              SELECT doc_id, w, h,
+                     CAST(greatest(floor(CAST(w AS DOUBLE) * s + 0.5), 1)
+                       AS BIGINT) AS out_w,
+                     CAST(greatest(floor(CAST(h AS DOUBLE) * s + 0.5), 1)
+                       AS BIGINT) AS out_h
+              FROM sc ORDER BY doc_id""")),
+
     // ---- O2/O3 Monte-Carlo fan-out + grouped summary ------------------
     // Grid-as-Dataset, task-local sims (deterministic seeds). The bias/
     // SE/RMSE vs BASELINE.md tolerances are asserted in McSuite.

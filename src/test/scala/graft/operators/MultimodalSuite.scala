@@ -52,4 +52,31 @@ class MultimodalSuite extends SparkSpec {
       lit(100L), everyK = 10, maxFrames = 5).as("o")).as[Seq[Long]].head()
     assert(r === Seq(0L, 10L, 20L, 30L, 40L))
   }
+
+  test("resize plan: caps the long side, preserves aspect, never " +
+      "upscales, floors at 1px") {
+    val cases = Seq(
+      (1920L, 1080L), // downscale, landscape
+      (1080L, 1920L), // downscale, portrait
+      (400L, 300L),   // under the cap: unchanged
+      (512L, 512L),   // exactly at cap: unchanged
+      (10000L, 3L))   // extreme ratio: short side floors at 1
+    val out = cases.toDF("w", "h")
+      .select(col("w"), col("h"),
+        Multimodal.resizeDims(col("w"), col("h"), 512).as("o"))
+      .select(col("w"), col("h"), col("o.w").as("ow"), col("o.h").as("oh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    out.foreach { case (w, h, ow, oh) =>
+      assert(math.max(ow, oh) <= 512, s"($w,$h)->($ow,$oh) exceeds cap")
+      assert(ow <= w && oh <= h, s"($w,$h)->($ow,$oh) upscaled")
+      assert(ow >= 1 && oh >= 1, s"($w,$h)->($ow,$oh) collapsed")
+      if (math.max(w, h) > 512) {
+        // aspect preserved within half-up rounding of the scaled side
+        val scale = 512.0 / math.max(w, h)
+        assert(ow == math.max(1L, math.floor(w * scale + 0.5).toLong))
+        assert(oh == math.max(1L, math.floor(h * scale + 0.5).toLong))
+      } else assert(ow == w && oh == h, "under-cap dims must not change")
+    }
+  }
 }

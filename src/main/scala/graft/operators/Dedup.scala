@@ -167,11 +167,14 @@ object Dedup {
     * out of LSH banding (diameter a few hops), so the round count is
     * small and independent of corpus size; each round is one equi-join +
     * one partial-agg groupBy over the (edge, label) relation — document
-    * text never enters the loop. For adversarial long-chain graphs the
-    * O(log n)-round large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) keeps the
-    * same join-agg shape. Min-labels make the output deterministic under
-    * any partitioning.
+    * text never enters the loop. If hash-min has NOT converged after
+    * `hashMinRounds` (an adversarial long-chain graph — diameter ≫
+    * rounds), the loop falls back to [[starContraction]], the
+    * O(log n)-round large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), which
+    * keeps the same join-agg shape per round but contracts any graph —
+    * a 4000-hop path included — in logarithmically many rounds.
+    * Min-labels make the output deterministic under any partitioning.
     *
     * Per-round resource discipline: each generation's rows are persisted
     * at the RDD level and re-wrapped as a fresh `LogicalRDD` frame, so
@@ -188,6 +191,7 @@ object Dedup {
     * `.unpersist()` the result when done. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
+                          hashMinRounds: Int = 12,
                           maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import org.apache.spark.storage.StorageLevel
@@ -203,7 +207,7 @@ object Dedup {
     var labels = spark.createDataFrame(labelsRdd, schema)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < math.min(hashMinRounds, maxIter)) {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("cluster"))
@@ -221,9 +225,91 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
+    if (!converged) {
+      // Diameter exceeded the hash-min budget: contract with the
+      // star algorithm instead (identical output — min reachable id).
+      labelsRdd.unpersist(blocking = false)
+      val result = starContraction(edges, maxIter)
+      edges.unpersist(blocking = false)
+      return result
+    }
     edges.unpersist(blocking = false)
     labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    *
+    * State is the undirected edge set, kept canonical as (hi > lo):
+    *  - large-star: every node u connects each STRICTLY LARGER neighbor
+    *    to m(u) = min(Γ(u) ∪ u);
+    *  - small-star: with edges oriented toward their larger endpoint,
+    *    every node u connects itself and each smaller neighbor to
+    *    m(u) = min of its smaller neighbors.
+    * Both rounds preserve connectivity; alternating them converges to
+    * per-component stars (v → component min) in O(log n) rounds
+    * REGARDLESS of graph diameter — the fallback hash-min needs
+    * O(diameter) rounds. Each round is one groupBy-min plus one
+    * equi-join over narrow (long, long) rows, then distinct; the same
+    * per-generation RDD persist/unpersist discipline as hash-min keeps
+    * the logical plan one round deep.
+    *
+    * `edges` must be the symmetric distinct (src, dst) relation.
+    * Returns (id, cluster = min reachable id), persisted. */
+  private[operators] def starContraction(edges: DataFrame,
+                                         maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val schema = StructType(Seq(StructField("hi", LongType),
+      StructField("lo", LongType)))
+
+    def persisted(df: DataFrame) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, schema), rdd)
+    }
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      // oriented: hi is the larger endpoint, so lo-side mins are global
+      val mins = cur.groupBy("hi").agg(min("lo").as("m"))
+      val withMin = cur.join(mins, "hi")
+      withMin.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(withMin.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    var (cur, curRdd) = persisted(
+      edges.filter(col("src") > col("dst"))
+        .select(col("src").as("hi"), col("dst").as("lo")))
+    var curCount = cur.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val (next, nextRdd) = persisted(smallStar(largeStar(cur)))
+      val nextCount = next.count()
+      // both sides are distinct sets: equal counts + empty (next \ cur)
+      // ⇔ identical edge sets ⇔ a fixpoint of both star rounds
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("hi", "lo"), "left_anti").isEmpty
+      curRdd.unpersist(blocking = false)
+      cur = next; curRdd = nextRdd; curCount = nextCount
+      i += 1
+    }
+    require(converged, s"starContraction: no fixpoint in $maxIter rounds")
+    // at the fixpoint every non-min node appears as exactly one (hi →
+    // component min) star edge; minima label themselves
+    cur.select(col("hi").as("id"), col("lo").as("cluster"))
+      .union(cur.select(col("lo").as("id"), col("lo").as("cluster")))
+      .groupBy("id").agg(min("cluster").as("cluster"))
   }
 
   // ---- exact dedup --------------------------------------------------

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,92 @@ object TemporalJoins {
       .filter(col("__side") === 1)
       .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
         payloadCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
+  }
+
+  /** Backward as-of join with TIME-SLICED windows — the hot-key
+    * fallback for [[asofBackward]].
+    *
+    * The plain shape windows over partitionBy(keys); windows cannot be
+    * skew-split by AQE (only joins can), so ONE pathologically hot key
+    * puts that key's entire history into one straggler task (knee
+    * measured in SCALE.md via TemporalScaleProbe's planted-skew sweep).
+    * This variant bounds every task at (key, time-slice) granularity:
+    *
+    *  1. the same union + running-last window, but partitioned by
+    *     (keys, slice = floordiv(t, sliceWidth)) — a left row sees its
+    *     in-slice prior right rows;
+    *  2. one row per (keys, slice): the LAST right row of the slice,
+    *     via max(struct(t, tieBreak, payload)) — an aggregate, so
+    *     map-side partials absorb the hot key before the shuffle;
+    *  3. a per-key running last over those slice summaries with the
+    *     frame ending at the PREVIOUS slice — a window again, but over
+    *     at most (time horizon / sliceWidth) rows per key, not events;
+    *  4. left rows keep their in-slice match, else take the
+    *     previous-slice summary (one AQE-splittable equi-join).
+    *
+    * Output is row-identical to [[asofBackward]] for any sliceWidth
+    * (TemporalJoinsSuite asserts several widths). Costs ~2 extra
+    * shuffles, so prefer the plain shape unless one key's row count
+    * rivals a whole task's fair share. */
+  def asofBackwardSliced(left: DataFrame, right: DataFrame,
+                         keys: Seq[String], leftTime: String,
+                         rightTime: String, tieBreak: String,
+                         sliceWidth: Long,
+                         prefix: String = "asof_"): DataFrame = {
+    require(sliceWidth > 0, "sliceWidth must be positive")
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    require(payloadCols.contains(tieBreak),
+      s"tieBreak $tieBreak must be a right payload column")
+    // exact floor division for any sign: pmod is non-negative, so the
+    // numerator is an exact multiple and truncating div == floor
+    def slice(t: Column): Column =
+      ((t.cast("long") - pmod(t.cast("long"), lit(sliceWidth))) / sliceWidth)
+        .cast("long")
+
+    val rt = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(payloadCols.map(col): _*).as("__r")): _*)
+      .withColumn("__slice", slice(col("__t")))
+    val lt = left.select(
+      keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(rt.schema("__r").dataType).as("__r"),
+        struct(left.columns.map(col).toSeq: _*).as("__l")): _*)
+      .withColumn("__slice", slice(col("__t")))
+
+    // 1. in-slice running last (right rows sort before left at ties)
+    val sliceKeys = keys.map(col) :+ col("__slice")
+    val inSliceWin = Window.partitionBy(sliceKeys: _*)
+      .orderBy(col("__t").asc, col("__side").asc, col(s"__r.$tieBreak").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inSlice = lt.unionByName(rt, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(inSliceWin))
+      .filter(col("__side") === 1)
+
+    // 2. last right row per (keys, slice) — lexicographic max over the
+    // window's own (t, tieBreak) order; payload trails only to make the
+    // struct total, the (time, tieBreak) uniqueness contract means it
+    // never decides
+    val summaries = rt.groupBy(keys.map(col) :+ col("__slice"): _*)
+      .agg(max(struct(col("__t"), col(s"__r.$tieBreak").as("__tb"),
+        col("__r").as("__p"))).as("__last"))
+      .select(keys.map(col) ++ Seq(col("__slice"),
+        col("__last.__p").as("__spay")): _*)
+
+    // 3. previous-slice summary over the union of both sides' slices
+    val dom = lt.select(sliceKeys: _*).distinct()
+      .unionByName(summaries.select(sliceKeys: _*)).distinct()
+    val prevWin = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = dom.join(summaries, keys :+ "__slice", "left")
+      .withColumn("__prev", last(col("__spay"), ignoreNulls = true).over(prevWin))
+      .select(keys.map(col) ++ Seq(col("__slice"), col("__prev")): _*)
+
+    // 4. in-slice match wins; otherwise the previous slices' last row
+    inSlice.join(prev, keys :+ "__slice")
+      .withColumn("__f", coalesce(col("__m"), col("__prev")))
+      .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
+        payloadCols.map(c => col(s"__f.$c").as(prefix + c)): _*)
   }
 
   /** Range join with inclusive bounds: pairs every left row with the

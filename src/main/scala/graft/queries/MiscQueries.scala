@@ -312,19 +312,29 @@ object MiscQueries {
     // The streaming-friendly heavy-hitter sketch beside HLL (a15) and
     // exact top-k (t08): built distributed (one pass, mergeable per
     // partition), queried driver-side for five fixed keys against the
-    // exact counts. CMS never under-counts; SketchSuite asserts the
-    // eps·N over-count bound.
+    // exact counts. Self-validating: the rows carry the eps·N bound and
+    // the booleans (no under-count; over-count ≤ bound), so the driver's
+    // rows-only check still sees a load-bearing invariant; SketchSuite
+    // asserts the same columns are all-true.
     Q("a18_cms_frequency",
       (s, d) => {
         val li = load(s, d, "lineitem")
+        val eps = 0.001
+        val n = li.count()
         val cms = li.stat.countMinSketch(col("l_suppkey"),
-          eps = 0.001, confidence = 0.99, seed = 42)
+          eps = eps, confidence = 0.99, seed = 42)
         val exact = li.filter(col("l_suppkey") <= 5)
           .groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
         import s.implicits._
         val est = (1L to 5L).map(k => (k, cms.estimateCount(k)))
           .toDF("l_suppkey", "cms_est")
-        exact.join(est, "l_suppkey").orderBy("l_suppkey")
+        val bound = (eps * n).ceil.toLong + 1
+        exact.join(est, "l_suppkey")
+          .withColumn("err_bound", lit(bound))
+          .withColumn("no_undercount", col("cms_est") >= col("exact_n"))
+          .withColumn("within_bound",
+            col("cms_est") - col("exact_n") <= col("err_bound"))
+          .orderBy("l_suppkey")
       },
       None),
 
@@ -347,9 +357,18 @@ object MiscQueries {
         // orderkeys are dense 0..N-1, so anything past max is absent
         val absent = (1L to 1000L).map(_ + stats.getLong(1))
         import s.implicits._
+        // self-validating: fp_bound is the configured fpp with the same
+        // 5× slack SketchSuite uses; the booleans make the rows-only
+        // check carry the Bloom contract (zero false negatives) and the
+        // fpp bound instead of just a row count
         Seq((present.count(bf.mightContain), present.length,
             absent.count(bf.mightContain), absent.length))
           .toDF("present_hits", "n_present", "false_pos", "n_absent")
+          .withColumn("fp_bound", lit(0.15))
+          .withColumn("no_false_negatives",
+            col("present_hits") === col("n_present"))
+          .withColumn("fp_within_bound",
+            col("false_pos") <= col("n_absent") * col("fp_bound"))
       },
       None),
 
@@ -572,12 +591,16 @@ object MiscQueries {
       None),
 
     // ---- M12 two-factor ANOVA, Type-I SS ------------------------------
+    // Hash-matched via the shared AnovaTypeI tree (Frisch–Waugh RSS
+    // chain + (b−1)×(b−1) Cramer solve) rendered to DuckDB SQL by
+    // AnovaOracle; p-values (F CDF, libm) stay on Anova.twoFactor and
+    // its AnovaSuite golden tables.
     Q("m12_anova",
-      (s, d) => Anova.twoFactorDf(
+      (s, d) => Anova.twoFactorTypeIDf(
         load(s, d, "orders").select(col("o_totalprice").as("y"),
           col("o_orderstatus").as("fa"), col("o_orderpriority").as("fb")),
         "y", "fa", "fb"),
-      None),
+      Some(AnovaOracle.m12)),
 
     // ---- M20-M25 estimators end-to-end (RegDI 1-3, PC 1-3) ------------
     Q("m20_regdi_corr1",

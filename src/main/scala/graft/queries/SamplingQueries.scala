@@ -145,8 +145,15 @@ object SamplingQueries {
       (s, d) => {
         val split = Samplers.splitByHash(load(s, d, "lineitem"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 21)
-        split.groupBy("split").agg(
-            floor(count(lit(1)) * 10.0 / sum(count(lit(1))).over() + 0.5)
+        // scalar total via a broadcast one-row cross join, NOT a global
+        // window: `sum(...).over()` with no partition spec funnels the
+        // (3-row) frame through a single-partition Window and Spark
+        // rightly warns about it on every run
+        val counts = split.groupBy("split").agg(count(lit(1)).as("__n"))
+        val total = counts.agg(sum("__n").as("__tot"))
+        counts.crossJoin(broadcast(total))
+          .select(col("split"),
+            floor(col("__n") * 10.0 / col("__tot") + 0.5)
               .cast("long").as("frac_x10"))
           .orderBy("split")
       },

@@ -25,8 +25,7 @@ object Anova {
   /** Treatment-coded dummy columns for a factor (first level dropped —
     * R's default contr.treatment). */
   def factorDummies(data: DataFrame, c: String): Seq[Column] =
-    dummies(c, data.select(col(c).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq)
+    dummies(c, factorLevels(data, Seq(c))(c))
 
   private def dummies(c: String, levels: Seq[String]): Seq[Column] = {
     require(levels.size >= 2, s"factor $c needs ≥2 levels")
@@ -106,4 +105,138 @@ object Anova {
     import spark.implicits._
     twoFactor(data, yCol, factorA, factorB).toDF()
   }
+
+  /** Oracle-parity rendition: the [[AnovaTypeI]] tree at `Double`, fed
+    * by ONE distributed pass of per-cell exact-decimal moments. Emits
+    * (term, df, sum_sq, mean_sq, f_value) — no p-values, because the F
+    * CDF is libm territory no SQL engine reproduces bitwise; p-values
+    * stay on [[twoFactor]] (AnovaSuite's golden-F tests cover them).
+    * Requires every a×b cell nonempty and b−1 ≤ [[Det.maxCramerK]],
+    * matching the structure of the generated SQL (`AnovaOracle`). */
+  def twoFactorTypeIDf(data: DataFrame, yCol: String, factorA: String,
+                       factorB: String): DataFrame = {
+    import graft.util.Tables.dsum
+    val spark = data.sparkSession
+    import spark.implicits._
+    val lv = factorLevels(data, Seq(factorA, factorB).distinct)
+    val (la, lb) = (lv(factorA), lv(factorB))
+    val (a, b) = (la.size, lb.size)
+    require(b - 1 <= Det.maxCramerK,
+      s"factor $factorB has $b levels; the shared Cramer tree caps at ${Det.maxCramerK + 1}")
+
+    val y = col(yCol)
+    val cellRows = data.groupBy(col(factorA).cast("string").as("__fa"),
+        col(factorB).cast("string").as("__fb"))
+      .agg(count(lit(1)).as("n"), dsum(y).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    la.foreach(ai => lb.foreach(bj => require(cellRows.contains((ai, bj)),
+      s"cell ($ai, $bj) is empty; the Type-I oracle tree needs the full grid")))
+    val glob = data.agg(dsum(y * y).as("syy"), count(lit(1)).as("n")).head()
+    val (syy, nTot) = (glob.getDouble(0), glob.getLong(1))
+
+    val cells = AnovaTypeI.Cells[Double](
+      IndexedSeq.tabulate(a, b)((i, j) => cellRows((la(i), lb(j)))._1.toDouble),
+      IndexedSeq.tabulate(a, b)((i, j) => cellRows((la(i), lb(j)))._2),
+      syy, nTot.toDouble, 0.0)
+    val rowNs = IndexedSeq.tabulate(a)(AnovaTypeI.rowN(cells, _))
+    val rowSs = IndexedSeq.tabulate(a)(AnovaTypeI.rowS(cells, _))
+    val r0 = AnovaTypeI.rss0(cells, AnovaTypeI.sy(rowSs))
+    val rA = AnovaTypeI.rssA(cells, rowNs, rowSs)
+    val rF = AnovaTypeI.rssFull(cells)
+    val k = b - 1
+    val sbb = IndexedSeq.tabulate(k, k)((j, l) =>
+      AnovaTypeI.sbb(cells, rowNs, j + 1, l + 1))
+    val rhs = IndexedSeq.tabulate(k)(j => AnovaTypeI.rhsB(cells, rowNs, rowSs, j + 1))
+    val rAdd = AnovaTypeI.rssAdditive(rA, Det.solve(sbb, rhs), rhs)
+
+    val dfA = (a - 1).toLong; val dfB = (b - 1).toLong
+    val dfAB = dfA * dfB; val dfResid = nTot - a.toLong * b
+    val msResid = rF / (nTot.toDouble - (a * b).toDouble)
+    def row(term: String, df: Long, ss: Double) =
+      (term, df, ss, ss / df.toDouble, Some(ss / df.toDouble / msResid))
+    Seq(
+      row(factorA, dfA, r0 - rA),
+      row(factorB, dfB, rA - rAdd),
+      row(s"$factorA:$factorB", dfAB, rAdd - rF),
+      ("Residuals", dfResid, rF, msResid, Option.empty[Double])
+    ).toDF("term", "df", "sum_sq", "mean_sq", "f_value")
+  }
+}
+
+/** Two-factor Type-I SS as ONE shared arithmetic expression tree over
+  * per-cell aggregates, generic in [[Det.Arith]] — the same
+  * engine-parity device as the m20–m25 Cramer oracles: instantiated at
+  * `Double` it is the driver's solve, instantiated at [[Det.SqlArith]]
+  * it renders the structurally identical DuckDB SQL (see
+  * `queries.AnovaOracle`), so `m12_anova` hash-matches under the
+  * driver's value-exact gate.
+  *
+  * The sequential RSS chain needs no large solve when the terms are two
+  * factors and their interaction (`aov(y ~ A*B)`, `ipynb:2828-2836`):
+  *  - RSS(1)     = Σy² − (Σy)²/n            (grand mean)
+  *  - RSS(A)     = Σy² − Σᵢ Sᵢ²/nᵢ          (within-A SS; also y′M_Ay)
+  *  - RSS(A+B)   via Frisch–Waugh: absorb A, then solve only the
+  *    (b−1)×(b−1) system (D_B′M_A D_B)β = D_B′M_A y and subtract β′rhs
+  *    from y′M_Ay — entries are cell-count/cell-sum arithmetic, and
+  *    b−1 ≤ [[Det.maxCramerK]] keeps the Cramer tree shared;
+  *  - RSS(A+B+AB) = Σy² − Σᵢⱼ Sᵢⱼ²/nᵢⱼ      (within-cell SS — the full
+  *    treatment-coded design spans the nonempty-cell indicators).
+  *
+  * All inputs are exact across engines: counts are integers and the
+  * cell sums come from the `dsum`/`sqlDsum` exact-decimal pair, so both
+  * engines start from bit-identical leaves; every fold below runs in a
+  * FIXED (row-major, ascending) order so they stay bit-identical at the
+  * root. Requires every a×b cell nonempty — the SQL text is generated
+  * for the full grid, so an empty cell would silently change the tree
+  * (the Scala entry point `require`s it instead). */
+object AnovaTypeI {
+  import Det.Arith
+
+  /** Per-cell leaves (row-major a×b) + global exact moments. `zero` is
+    * the instance's 0.0 literal (Arith has no constants). */
+  final case class Cells[T](n: IndexedSeq[IndexedSeq[T]],
+                            s: IndexedSeq[IndexedSeq[T]],
+                            syy: T, nTot: T, zero: T)
+
+  /** Left fold in index order — THE accumulation order both engines use. */
+  def fsum[T](ts: Seq[T])(implicit A: Arith[T]): T = ts.reduceLeft(A.add)
+
+  def rowN[T](c: Cells[T], i: Int)(implicit A: Arith[T]): T = fsum(c.n(i))
+  def rowS[T](c: Cells[T], i: Int)(implicit A: Arith[T]): T = fsum(c.s(i))
+
+  /** Σy (over the per-row-of-A sums, ascending i). */
+  def sy[T](rowSs: IndexedSeq[T])(implicit A: Arith[T]): T = fsum(rowSs)
+
+  def rss0[T](c: Cells[T], syT: T)(implicit A: Arith[T]): T =
+    A.sub(c.syy, A.div(A.mul(syT, syT), c.nTot))
+
+  def rssA[T](c: Cells[T], rowNs: IndexedSeq[T], rowSs: IndexedSeq[T])
+             (implicit A: Arith[T]): T =
+    A.sub(c.syy, fsum(rowNs.indices.map(i =>
+      A.div(A.mul(rowSs(i), rowSs(i)), rowNs(i)))))
+
+  def rssFull[T](c: Cells[T])(implicit A: Arith[T]): T =
+    A.sub(c.syy, fsum(for (i <- c.n.indices; j <- c.n(i).indices)
+      yield A.div(A.mul(c.s(i)(j), c.s(i)(j)), c.n(i)(j))))
+
+  /** (D_B′M_A D_B)_{jk} for B dummy levels j,k ∈ 1..b−1 (first level
+    * dropped): Σᵢ [δ_jk·nᵢⱼ − nᵢⱼnᵢₖ/nᵢ]. */
+  def sbb[T](c: Cells[T], rowNs: IndexedSeq[T], j: Int, k: Int)
+            (implicit A: Arith[T]): T =
+    fsum(c.n.indices.map { i =>
+      val cross = A.div(A.mul(c.n(i)(j), c.n(i)(k)), rowNs(i))
+      A.sub(if (j == k) c.n(i)(j) else c.zero, cross)
+    })
+
+  /** (D_B′M_A y)_j = Σᵢ [Sᵢⱼ − nᵢⱼSᵢ/nᵢ]. */
+  def rhsB[T](c: Cells[T], rowNs: IndexedSeq[T], rowSs: IndexedSeq[T],
+              j: Int)(implicit A: Arith[T]): T =
+    fsum(c.n.indices.map(i => A.sub(c.s(i)(j),
+      A.div(A.mul(c.n(i)(j), rowSs(i)), rowNs(i)))))
+
+  /** RSS(A+B) = y′M_Ay − β′rhs (β from the Cramer solve). */
+  def rssAdditive[T](rssAT: T, beta: IndexedSeq[T], rhs: IndexedSeq[T])
+                    (implicit A: Arith[T]): T =
+    A.sub(rssAT, fsum(beta.indices.map(j => A.mul(beta(j), rhs(j)))))
 }

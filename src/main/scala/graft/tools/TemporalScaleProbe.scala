@@ -16,9 +16,24 @@ import graft.operators.{Dedup, TemporalJoins}
   * connected components is O(diameter) bounded-size rounds.
   * The probe caches the whole synthetic event table, so the 100M-event
   * configuration needs SPARK_DRIVER_MEM=48g (default heap is 8g).
+  *
+  * Two focused modes (results recorded in SCALE.md):
+  *   sbt "runMain graft.tools.TemporalScaleProbe skew [nEvents]"
+  * sweeps a planted hot key through 0→60% of all rows and times the
+  * window-based [[TemporalJoins.asofBackward]] against the time-sliced
+  * [[TemporalJoins.asofBackwardSliced]] on identical inputs (asserting
+  * they agree row-for-row), locating the straggler knee where the
+  * single-task window partition stops scaling;
+  *   sbt "runMain graft.tools.TemporalScaleProbe chain [nNodes]"
+  * labels ONE path graph of nNodes nodes — diameter = nNodes, the
+  * adversarial case where hash-min's O(diameter) rounds are hopeless and
+  * [[Dedup.connectedComponents]] must hand off to the O(log n)
+  * large-star/small-star contraction.
   */
 object TemporalScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) return skewMain(args.drop(1))
+    if (args.headOption.contains("chain")) return chainMain(args.drop(1))
     val nEvents = if (args.length > 0) args(0).toLong else 10000000L
     val nNodes = if (args.length > 1) args(1).toLong else 4000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -90,5 +105,85 @@ object TemporalScaleProbe {
       f"range(${r.getLong(0)}%,d pairs)=$tRange%.1fs  " +
       f"nodes=${c.getLong(0)}%,d cc=$tCc%.1fs")
     spark.stop()
+  }
+
+  /** Planted-Zipf sweep: hot-key share 0→60%, plain window shape vs the
+    * time-sliced fallback on identical inputs. The two must agree
+    * row-for-row (the equivalence that TemporalJoinsSuite proves on
+    * fixtures, re-proven here at probe scale), and the timing pair
+    * locates the knee where one key's history outgrows a fair task. */
+  private def skewMain(args: Array[String]): Unit = {
+    val nEvents = if (args.length > 0) args(0).toLong else 10000000L
+    val spark = session()
+    val horizon = 30L * 24 * 3600 * 1000000L
+    for (hotPct <- Seq(0, 10, 30, 60)) {
+      // hotPct% of rows land on user 0; the rest hash-spread over 100k
+      val ev = spark.range(nEvents).select(col("id"),
+        when(pmod(xxhash64(col("id"), lit(3)), lit(100)) < hotPct, 0L)
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("user_id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(horizon)).as("t"),
+        pmod(xxhash64(col("id"), lit(2)), lit(5)).as("kind")).cache()
+      ev.count()
+      val purchases = ev.filter(col("kind") === 0)
+        .select(col("id").as("p_id"), col("user_id"), col("t"))
+      val views = ev.filter(col("kind") === 1)
+        .select(col("user_id"), col("id").as("v_id"), col("t"))
+
+      // XOR of row hashes: exact and order/partitioning-independent, so
+      // plain-vs-sliced equality is a true row-set comparison
+      def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          count(col("asof_v_id")),
+          expr("bit_xor(xxhash64(p_id, asof_v_id))")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val t0 = System.nanoTime()
+      val plain = checksum(TemporalJoins.asofBackward(purchases, views,
+        Seq("user_id"), "t", "t", tieBreak = "v_id"))
+      val tPlain = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val sliced = checksum(TemporalJoins.asofBackwardSliced(purchases, views,
+        Seq("user_id"), "t", "t", tieBreak = "v_id",
+        sliceWidth = horizon / 4096))
+      val tSliced = (System.nanoTime() - t1) / 1e9
+      require(plain == sliced,
+        s"sliced as-of diverged from plain at hot=$hotPct%: $plain vs $sliced")
+      println(f"hot=$hotPct%2d%% events=$nEvents%,d " +
+        f"plain=$tPlain%.1fs sliced=$tSliced%.1fs")
+      ev.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** One path graph: diameter = nNodes. Hash-min alone would need
+    * nNodes rounds; the probe passes only via the star-contraction
+    * fallback's O(log n) rounds, and the closed-form labels (component
+    * min = 0) catch any mislabeling. */
+  private def chainMain(args: Array[String]): Unit = {
+    val nNodes = if (args.length > 0) args(0).toLong else 1000000L
+    val spark = session()
+    val t0 = System.nanoTime()
+    val pairs = spark.range(nNodes - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    val c = cc.agg(count(lit(1)).as("n"),
+      count(when(col("cluster") =!= 0L, 1)).as("bad")).head()
+    val t = (System.nanoTime() - t0) / 1e9
+    require(c.getLong(0) == nNodes, "chain cc dropped nodes")
+    require(c.getLong(1) == 0L, "chain cc mislabeled a node")
+    println(f"chain nodes=$nNodes%,d diameter=$nNodes%,d cc=$t%.1fs")
+    spark.stop()
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
   }
 }

@@ -90,6 +90,31 @@ class DedupSuite extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: adversarial 512-hop path (diameter ≫ rounds)") {
+    // hash-min alone needs 511 rounds here; the star-contraction
+    // fallback must label the whole path in O(log n) rounds. Shifted
+    // ids + a second component check it isn't just min-id-zero luck.
+    val path = spark.range(511).select((col("id") + 1000).as("id_a"),
+      (col("id") + 1001).as("id_b"))
+    val clique = Seq((5L, 6L), (6L, 7L), (5L, 7L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(path.unionByName(clique))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size === 515)
+    (1000L to 1511L).foreach(id => assert(cc(id) === 1000L))
+    Seq(5L, 6L, 7L).foreach(id => assert(cc(id) === 5L))
+  }
+
+  test("starContraction alone matches hash-min on the clique fixture") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val cc = Dedup.starContraction(edges).as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("connectedComponents is partitioning-invariant") {
     // bare ring of 30 nodes — worst diameter (15) for hash-min rounds
     val ring = spark.range(30).select(col("id").as("id_a"),

@@ -41,6 +41,47 @@ class TemporalJoinsSuite extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("asofBackwardSliced matches asofBackward on the tie/outer fixture, all widths") {
+    val left = Seq(
+      (1L, "a", 100L), (2L, "a", 205L), (3L, "b", 50L), (4L, "c", 10L)
+    ).toDF("oid", "key", "t")
+    val right = Seq(
+      ("a", 11L, 90L, 1.0), ("a", 12L, 100L, 2.0), ("a", 13L, 100L, 3.0),
+      ("a", 14L, 201L, 4.0), ("b", 15L, 60L, 5.0)
+    ).toDF("key", "rid", "t", "v")
+    // widths straddling every regime: sub-event, tie-splitting, one-slice
+    for (w <- Seq(1L, 7L, 100L, 1000L)) {
+      val out = TemporalJoins.asofBackwardSliced(left, right, Seq("key"),
+          "t", "t", tieBreak = "rid", sliceWidth = w)
+        .select("oid", "asof_rid", "asof_v")
+        .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1)
+      assert(out === Seq(
+        (1L, Some(13L), Some(3.0)), (2L, Some(14L), Some(4.0)),
+        (3L, None, None), (4L, None, None)), s"sliceWidth=$w")
+    }
+  }
+
+  test("asofBackwardSliced ≡ asofBackward on dense random data, incl. negatives") {
+    // negative times exercise the floor-division slice key; width 64 is
+    // deliberately coprime-ish with the 13/11 stride patterns
+    val left = spark.range(400).select(col("id"), (col("id") % 7).as("key"),
+      (col("id") * 13 % 500 - 250).as("t"))
+    val right = spark.range(600).select((col("id") % 7).as("key"),
+      col("id").as("rid"), (col("id") * 11 % 500 - 250).as("t"),
+      (col("id") * 1.5).as("v"))
+    val want = TemporalJoins.asofBackward(left, right, Seq("key"), "t", "t",
+        tieBreak = "rid")
+      .select("id", "asof_rid", "asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    for (w <- Seq(3L, 64L, 10000L)) {
+      val got = TemporalJoins.asofBackwardSliced(left, right, Seq("key"),
+          "t", "t", tieBreak = "rid", sliceWidth = w)
+        .select("id", "asof_rid", "asof_v")
+        .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+      assert(got === want, s"sliceWidth=$w")
+    }
+  }
+
   test("rangeJoinBucketed: inclusive bounds, bucket-crossing, empty intervals") {
     val left = Seq( // (lid, key, lo, hi)
       (1L, "a", 10L, 20L),  // within one bucket

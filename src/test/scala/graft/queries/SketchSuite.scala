@@ -43,6 +43,20 @@ class SketchSuite extends SparkSpec {
     }
   }
 
+  test("a18/a19 self-validating columns are all true (the rows-only invariant)") {
+    // the catalog queries themselves carry their error bounds as columns;
+    // these assertions are keyed to the exact same bounds, so the driver's
+    // rows-only check and this suite check one and the same contract
+    val a18 = Catalog.queries("a18_cms_frequency")(spark, sf)
+    assert(a18.filter(!col("no_undercount") || !col("within_bound")).isEmpty,
+      "a CMS estimate violated its own emitted bound")
+    val a19 = Catalog.queries("a19_bloom_membership")(spark, sf).head()
+    assert(a19.getAs[Boolean]("no_false_negatives"),
+      "Bloom reported a present key absent")
+    assert(a19.getAs[Boolean]("fp_within_bound"),
+      s"Bloom false-positive count ${a19.getAs[Int]("false_pos")} above bound")
+  }
+
   test("bloom filter has no false negatives; false positives near fpp") {
     val ords = load(spark, sf, "orders")
     val present = ords.select("o_orderkey").collect().map(_.getLong(0))

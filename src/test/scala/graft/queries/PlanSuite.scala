@@ -63,6 +63,15 @@ class PlanSuite extends SparkSpec {
     assert(p.contains("Generate"), p.take(3000)) // posexplode bucket rows
   }
 
+  test("t10: BM25 aggregates by document — nothing token-keyed shuffles") {
+    // the skew-free property BM25 is designed around: a Zipfian
+    // stopword in the query must cost nothing, so no exchange may
+    // hash-partition on the token and no window may group by it
+    val p = plan("t10_bm25_retrieval")
+    assert(!p.contains("hashpartitioning(tok"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000)) // map-side combine
+  }
+
   test("j05: as-of join is union+window — no join operator, no range fan-out") {
     // the whole as-of resolution must be ONE keyed window over a union;
     // any *Join node would mean the O(left·right) pair space came back

@@ -141,6 +141,36 @@ object MiscQueries {
                       ${sqlDsum("value")} AS sum_value
                FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    // ---- W6 streaming near-dup (batch rendition, self-validating) -----
+    // Streams.streamNearDupPairs incrementally flags each arriving doc
+    // against SimHash band-bucket state (StreamingSuite runs it on a
+    // MemoryStream across micro-batches); here the same call runs on a
+    // batch Dataset. Signatures are engine-specific (no SQL oracle), so
+    // the rows carry the invariant instead: every deduped streaming pair
+    // full-outer-joins the batch simhashCandidates pair set and
+    // `agrees = 1` must hold on every row — a set-equality proof the
+    // driver's rows-only check still sees.
+    Q("w06_stream_neardup",
+      (s, d) => {
+        import s.implicits._
+        val docs = load(s, d, "documents").select(col("doc_id"),
+            to_timestamp(lit("2026-01-01 00:00:00")).as("ts"), col("text"))
+          .as[graft.streaming.StreamDoc]
+        val streamed = Streams.streamNearDupPairs(docs, maxHamming = 3,
+            maxBucket = 4096).toDF()
+          .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+        val batch = graft.operators.Dedup.simhashCandidates(
+          load(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        streamed.withColumn("in_stream", lit(1))
+          .join(batch.withColumn("in_batch", lit(1)),
+            Seq("id_a", "id_b", "hamming"), "full_outer")
+          .select(col("id_a"), col("id_b"), col("hamming"),
+            (coalesce(col("in_stream"), lit(0)) *
+             coalesce(col("in_batch"), lit(0))).as("agrees"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // ---- W5 sliding-window aggregation (2h windows, 1h slide) ---------
     // Spark's window() EXPANDS each event into its windowLen/slide
     // windows before the aggregate — no self-join, state still O(open

@@ -120,6 +120,64 @@ object Streams {
       .drop(col(s"r.$key"))
   }
 
+  /** STREAMING near-duplicate detection — flag each arriving document
+    * against everything seen before it, without ever holding the corpus.
+    *
+    * The batch pipeline (Dedup.simhashCandidates, d04) blocks on the
+    * four 16-bit SimHash bands; this is its incremental form. Each doc
+    * computes its 64-bit SimHash scan-side (native expression) and
+    * explodes to its 4 (band, band_val) keys; state lives per BUCKET —
+    * the last `maxBucket` (doc_id, sig) pairs, 16 bytes each — and a
+    * new arrival compares its full signature against the bucket's
+    * residents (Hamming ≤ maxHamming), emitting a [[NearDupPair]] per
+    * hit with the EARLIER doc as `id_a`.
+    *
+    * State discipline: the key space is bounded by construction
+    * (4 bands × 2¹⁶ values), so `NoTimeout` is safe — total state is at
+    * most 4·65536·maxBucket entries REGARDLESS of stream length, and a
+    * boilerplate mega-bucket degrades to "remembers the last maxBucket
+    * docs" instead of growing without bound (same cap philosophy as the
+    * batch LSH `maxBucket`). Pairs colliding in k>1 bands are emitted up
+    * to k times (bucket states are independent); downstream consumers
+    * dedup on (id_a, id_b) — the suite asserts the DEDUPED set equals
+    * the batch `simhashCandidates` pair set on the same documents.
+    * The same call works on a batch Dataset (each bucket's group runs
+    * once over its rows in `ts, doc_id` order). */
+  def streamNearDupPairs(docs: Dataset[StreamDoc], maxHamming: Int = 3,
+                         maxBucket: Int = 64): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val st = Encoders.kryo[Vector[(Long, Long)]]
+    val banded = docs.toDF()
+      .select(col("doc_id"), col("ts"),
+        graft.operators.Dedup.simhash64(col("text")).as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"), posexplode(array(
+        (0 until 4).map(k => shiftright(col("sig"), 16 * k)
+          .bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("pos").as("band"), col("col").as("band_val"),
+        col("doc_id"), col("ts"), col("sig"))
+      .as[(Int, Long, Long, java.sql.Timestamp, Long)]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Vector[(Long, Long)], NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, java.sql.Timestamp, Long)],
+         state: GroupState[Vector[(Long, Long)]]) =>
+          var residents = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[NearDupPair]
+          // batch mode hands the whole group at once: impose arrival order
+          rows.toSeq.sortBy(r => (r._4.getTime, r._3)).foreach {
+            case (_, _, id, _, sig) =>
+              residents.foreach { case (pid, psig) =>
+                val h = java.lang.Long.bitCount(psig ^ sig)
+                if (h <= maxHamming && pid != id) out += NearDupPair(pid, id, h)
+              }
+              residents = (residents :+ (id, sig)).takeRight(maxBucket)
+          }
+          state.update(residents)
+          out.result().iterator
+      }
+  }
+
   /** Per-user running statistics via CUSTOM state
     * (`flatMapGroupsWithState`): Welford-updated count/mean/M2 per user,
     * emitted on every update. State per key is three doubles — O(users)
@@ -153,3 +211,5 @@ final case class UserEvent(user_id: Long, value: Double)
 final case class WelfordState(n: Long, mean: Double, m2: Double)
 final case class UserStats(user_id: Long, n: Long, mean: Double,
                            var_samp: Double)
+final case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)

@@ -239,4 +239,52 @@ class StreamingSuite extends SparkSpec {
       .select("n_events").as[Long].collect().sorted.toSeq
     assert(sess === Seq(1L, 2L)) // two sessions: (10:00,10:10) and (12:00)
   }
+
+  // streamed (deduped) pair set over the real documents fixture, with
+  // ts = arrival in doc_id order — the shared ground for both neardup
+  // tests below
+  private def fixtureDocs(n: Int): Seq[StreamDoc] = {
+    import org.apache.spark.sql.Row
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(n).collect()
+      .map { case Row(id: Long, text: String) =>
+        StreamDoc(id, new Timestamp(1700000000000L + id * 1000), text)
+      }.toSeq
+  }
+
+  test("streaming near-dup: deduped pair set == batch simhashCandidates") {
+    val docs = fixtureDocs(500)
+    val got = Streams.streamNearDupPairs(docs.toDS(), maxHamming = 3,
+        maxBucket = 1024) // cap above fixture bucket sizes: exact parity
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    val want = graft.operators.Dedup.simhashCandidates(
+        docs.toDF(), "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture has no simhash near-dups — vacuous test")
+    assert(got === want)
+  }
+
+  test("streaming near-dup: state carries across batches (MemoryStream)") {
+    val docs = fixtureDocs(500)
+    val (first, second) = docs.splitAt(250)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = Streams.streamNearDupPairs(mem.toDS(), maxHamming = 3,
+        maxBucket = 1024)
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+      val got = spark.table("neardup_test")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = graft.operators.Dedup.simhashCandidates(
+          docs.toDF(), "doc_id", "text", maxHamming = 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // pairs straddling the two micro-batches prove cross-batch state
+      val straddling = want.filter { case (a, b) => a < 250 && b >= 250 }
+      assert(straddling.nonEmpty, "no cross-batch pair in fixture — vacuous")
+      assert(got === want)
+    } finally q.stop()
+  }
 }

@@ -114,8 +114,31 @@ object TextScaleProbe {
     }
     require(!got.contains("g4"), "untargeted group must be dropped")
 
+    // ---- BM25: matched-doc count has a closed form ---------------------
+    // Querying w0..w2 (3 of 50k vocab terms): a doc matches iff any of
+    // its 60 hash-drawn tokens lands on one of them — recompute the
+    // match set exactly with an independent filter and require identical
+    // counts, plus score-range sanity (idf-weighted sum of 3 bounded
+    // per-term factors).
+    val t4 = System.nanoTime()
+    val terms = Seq("w0", "w1", "w2")
+    val scored = TextPipeline.bm25(docs, "doc_id", "text", terms)
+    val b = scored.agg(count(lit(1)).as("n"),
+      count(when(col("score") <= 0.0, 1)).as("nonpos"),
+      max(col("score")).as("mx")).head()
+    val tBm = (System.nanoTime() - t4) / 1e9
+    val wantMatches = docs.filter(
+      terms.map(t => array_contains(split(col("text"), " "), t))
+        .reduce(_ || _)).count()
+    require(b.getLong(0) == wantMatches,
+      s"bm25 matched ${b.getLong(0)} docs, filter says $wantMatches")
+    require(b.getLong(1) == 0L, "bm25 emitted a non-positive score")
+    // 3 terms × (k1+1) × idf(df ≈ n/838 ± hash noise) ≈ 3 · 2.2 · ~6.7,
+    // bounded generously at 60 (df would have to be 10× rarer to breach)
+    require(b.getDouble(2) < 60.0, s"bm25 score ${b.getDouble(2)} out of range")
+
     println(f"docs=$nDocs%,d topTerms=$tTop%.1fs decontaminate=$tDecon%.1fs " +
-      f"pack=$tPack%.1fs mixture=$tMix%.1fs")
+      f"pack=$tPack%.1fs mixture=$tMix%.1fs bm25($wantMatches%,d matched)=$tBm%.1fs")
     spark.stop()
   }
 }

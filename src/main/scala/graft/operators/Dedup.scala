@@ -198,10 +198,27 @@ object Dedup {
     val spark = pairs.sparkSession
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("cluster", LongType)))
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // Self-loops carry no connectivity but their nodes must still be
+    // labeled — and ONLY the hash-min path would label them if they
+    // stayed in `edges` (starContraction's hi>lo canonicalization drops
+    // them), so the two paths could disagree on node coverage. Strip
+    // them here and union their self-labels back at the end.
+    val selfNodes = pairs.filter(col(idA) === col(idB))
+      .select(col(idA).cast("long").as("id")).distinct()
+    val edges = pairs.filter(col(idA) =!= col(idB))
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.filter(col(idA) =!= col(idB))
+        .select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .cache()
+    // nodes with a real edge are already labeled by the main path; only
+    // self-loop-ONLY nodes need the (id, id) fallback label
+    def withSelfLabels(labels: DataFrame): DataFrame = {
+      val selfOnly = selfNodes
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster"))
+      labels.unionByName(selfOnly)
+    }
     var labelsRdd = edges.select(col("src").as("id"), col("src").as("cluster"))
       .distinct().rdd.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = spark.createDataFrame(labelsRdd, schema)
@@ -229,12 +246,12 @@ object Dedup {
       // Diameter exceeded the hash-min budget: contract with the
       // star algorithm instead (identical output — min reachable id).
       labelsRdd.unpersist(blocking = false)
-      val result = starContraction(edges, maxIter)
+      val result = withSelfLabels(starContraction(edges, maxIter))
       edges.unpersist(blocking = false)
       return result
     }
     edges.unpersist(blocking = false)
-    labels
+    withSelfLabels(labels)
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,

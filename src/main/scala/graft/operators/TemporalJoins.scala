@@ -96,10 +96,13 @@ object TemporalJoins {
     require(payloadCols.contains(tieBreak),
       s"tieBreak $tieBreak must be a right payload column")
     // exact floor division for any sign: pmod is non-negative, so the
-    // numerator is an exact multiple and truncating div == floor
-    def slice(t: Column): Column =
-      ((t.cast("long") - pmod(t.cast("long"), lit(sliceWidth))) / sliceWidth)
-        .cast("long")
+    // numerator is an exact multiple and truncating `div` == floor. All
+    // long arithmetic — a double divide here loses exactness for
+    // |t| > 2^53 and can put a row one slice off.
+    def slice(t: Column): Column = {
+      val tl = t.cast("long")
+      call_function("div", tl - pmod(tl, lit(sliceWidth)), lit(sliceWidth))
+    }
 
     val rt = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),

@@ -350,9 +350,11 @@ object MiscQueries {
       (s, d) => {
         val li = load(s, d, "lineitem")
         val eps = 0.001
-        val n = li.count()
         val cms = li.stat.countMinSketch(col("l_suppkey"),
           eps = eps, confidence = 0.99, seed = 42)
+        // N for the eps·N bound comes from the sketch itself — a
+        // separate count() would be a second full lineitem scan
+        val n = cms.totalCount()
         val exact = li.filter(col("l_suppkey") <= 5)
           .groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
         import s.implicits._

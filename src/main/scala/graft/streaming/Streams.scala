@@ -142,7 +142,20 @@ object Streams {
     * dedup on (id_a, id_b) — the suite asserts the DEDUPED set equals
     * the batch `simhashCandidates` pair set on the same documents.
     * The same call works on a batch Dataset (each bucket's group runs
-    * once over its rows in `ts, doc_id` order). */
+    * once over its rows in `ts, doc_id` order).
+    *
+    * TRANSIENT memory caveat: `maxBucket` bounds the PERSISTED state,
+    * not the working set. Arrival order must be imposed inside the
+    * group (the engine hands rows unordered), so one invocation buffers
+    * every row of its (band, band_val) bucket that arrived IN THIS
+    * micro-batch — O(batch bucket occupancy), packed to 3 longs/row
+    * (~40 B). A boilerplate mega-bucket is therefore bounded
+    * operationally, by the micro-batch size: cap the source rate
+    * (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`) so that
+    * rate × trigger interval rows fit an executor even if they all
+    * share one bucket. In the batch rendition the "micro-batch" is the
+    * whole input — run the batch path (Dedup.simhashCandidates) for
+    * large offline corpora instead. */
   def streamNearDupPairs(docs: Dataset[StreamDoc], maxHamming: Int = 3,
                          maxBucket: Int = 64): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
@@ -164,9 +177,16 @@ object Streams {
          state: GroupState[Vector[(Long, Long)]]) =>
           var residents = state.getOption.getOrElse(Vector.empty)
           val out = Vector.newBuilder[NearDupPair]
-          // batch mode hands the whole group at once: impose arrival order
-          rows.toSeq.sortBy(r => (r._4.getTime, r._3)).foreach {
-            case (_, _, id, _, sig) =>
+          // The engine hands group rows unordered: impose arrival order.
+          // Buffer only (ts, id, sig) packed longs — the unavoidable
+          // O(batch-bucket-occupancy) working set at its minimal width
+          // (see the transient-memory caveat in the scaladoc).
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          rows.foreach { case (_, _, id, ts, sig) =>
+            buf += ((ts.getTime, id, sig))
+          }
+          buf.sortInPlaceBy(r => (r._1, r._2)).foreach {
+            case (_, id, sig) =>
               residents.foreach { case (pid, psig) =>
                 val h = java.lang.Long.bitCount(psig ^ sig)
                 if (h <= maxHamming && pid != id) out += NearDupPair(pid, id, h)

@@ -115,6 +115,24 @@ class DedupSuite extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents labels self-loop-only nodes on BOTH paths") {
+    // node 99 exists only as a (99,99) self-loop; node 2 has a self-loop
+    // AND a real edge. Both code paths (hash-min and the star-contraction
+    // fallback) must label 99 → 99 and keep 2 in its real component.
+    val base = Seq((99L, 99L), (2L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    val hashMin = Dedup.connectedComponents(base)
+      .as[(Long, Long)].collect().toMap
+    assert(hashMin === Map(1L -> 1L, 2L -> 1L, 99L -> 99L))
+    // force the fallback: a 300-hop path exhausts the hash-min budget
+    val path = spark.range(300).select((col("id") + 1000).as("id_a"),
+      (col("id") + 1001).as("id_b"))
+    val star = Dedup.connectedComponents(base.unionByName(path))
+      .as[(Long, Long)].collect().toMap
+    assert(star(99L) === 99L)
+    assert(star(2L) === 1L && star(1L) === 1L)
+    assert(star(1300L) === 1000L)
+  }
+
   test("connectedComponents is partitioning-invariant") {
     // bare ring of 30 nodes — worst diameter (15) for hash-min rounds
     val ring = spark.range(30).select(col("id").as("id_a"),

@@ -82,6 +82,26 @@ class TemporalJoinsSuite extends SparkSpec {
     }
   }
 
+  test("asofBackwardSliced slice keys are exact beyond 2^53 (integer div)") {
+    // timestamps where a double round-trip loses ulps: the old
+    // double-divide slice could land a row one slice off. With integer
+    // div, sliced must stay row-identical to the plain shape.
+    val base = (1L << 60) // not representable territory for doubles ± small deltas
+    val left = Seq((1L, "k", base + 5L), (2L, "k", base + 103L), (3L, "k", base - 97L))
+      .toDF("oid", "key", "t")
+    val right = Seq(("k", 11L, base + 3L, 1.0), ("k", 12L, base + 100L, 2.0),
+      ("k", 13L, base - 100L, 3.0)).toDF("key", "rid", "t", "v")
+    val want = TemporalJoins.asofBackward(left, right, Seq("key"), "t", "t",
+        tieBreak = "rid")
+      .select("oid", "asof_rid").as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    for (w <- Seq(7L, 100L, 1000L)) {
+      val got = TemporalJoins.asofBackwardSliced(left, right, Seq("key"),
+          "t", "t", tieBreak = "rid", sliceWidth = w)
+        .select("oid", "asof_rid").as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+      assert(got === want, s"sliceWidth=$w")
+    }
+  }
+
   test("rangeJoinBucketed: inclusive bounds, bucket-crossing, empty intervals") {
     val left = Seq( // (lid, key, lo, hi)
       (1L, "a", 10L, 20L),  // within one bucket

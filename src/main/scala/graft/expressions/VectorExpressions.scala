@@ -179,6 +179,81 @@ final case class LshBucketKeys(child: Expression, weights: Seq[Double],
     copy(child = newChild)
 }
 
+/** IVF coarse-quantizer cell assignment in ONE expression: `cents`
+  * holds nCells centroids (cell-major, flattened to a single constant
+  * `double[]`), and the result is the INT index of the centroid with
+  * the largest dot product against the vector. Ties break toward the
+  * HIGHER cell index — identical to the `greatest(struct(score, cell))`
+  * rendition this replaces.
+  *
+  * Why not `greatest` over per-centroid FloatVecDotConst structs? Same
+  * pathology LshBucketKeys documents: the expression tree grows with
+  * nCells×dim and the generated method blows past Janino/HotSpot code
+  * limits — measured stalling at ~16 cells × 64 dims (SCALE.md), while
+  * real IVF wants hundreds–thousands of cells. This loop is O(1)
+  * generated-code size for any nCells, so codegen holds at nCells=4096
+  * and beyond. (With NaN vector elements Java `>=` differs from
+  * Spark's NaN-is-greatest struct ordering; embeddings are finite.) */
+final case class ArgMaxDotConst(child: Expression, cents: Seq[Double],
+                                dim: Int, nCells: Int)
+    extends UnaryExpression {
+  require(nCells > 0, "nCells must be positive")
+  require(cents.length == nCells * dim,
+    s"cents must be nCells*dim = ${nCells * dim} doubles")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "argmax_dot_const"
+
+  @transient private lazy val w: Array[Double] = cents.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var best = Double.NegativeInfinity
+    var bestCell = 0
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * w(off + i); i += 1 }
+      if (s >= best) { best = s; bestCell = c }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("cents", w, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestCell = ctx.freshName("bestCell")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestCell = 0;
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  int $off = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * $wRef[$off + $i];
+         |  }
+         |  if ($s >= $best) { $best = $s; $bestCell = $c; }
+         |}
+         |${ev.value} = $bestCell;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `array<float>` columns (double out). */
   def dotF(a: Column, b: Column): Column =
@@ -196,6 +271,13 @@ object VectorExpressions {
               tables: Int): Column =
     GraftBridge.column(LshBucketKeys(
       GraftBridge.expression(a), planes.flatten, dim, bits, tables))
+
+  /** Index of the max-dot-product centroid (IVF cell) as INT — one
+    * JIT-friendly nested loop over cell-major flattened centroids. */
+  def argMaxDot(a: Column, cents: Seq[Seq[Double]]): Column =
+    GraftBridge.column(ArgMaxDotConst(
+      GraftBridge.expression(a), cents.flatten,
+      cents.head.length, cents.length))
 
   /** Cosine similarity from codegen'd dots. */
   def cosineF(a: Column, b: Column): Column = {

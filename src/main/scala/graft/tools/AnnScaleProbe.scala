@@ -93,31 +93,40 @@ object AnnScaleProbe {
     // ---- IVF top-k: same planted invariant through the k-means path --
     // Single-probe IVF is boundary-limited BY DESIGN: a query only
     // searches its own cell, so a cluster straddling a Voronoi boundary
-    // loses the mates that landed across it. Measured here: 283/300
+    // loses the mates that landed across it. Measured (round 7): 283/300
     // mates (94.3%) at 16 cells / 1M vectors — the honest single-probe
     // figure; multi-probe (search the top-p cells by centroid score) is
     // the standard recall lever. Floor 0.90 catches systematic
     // cell-assignment or Lloyd breaks without pretending single-probe
     // recall it doesn't have.
-    // nCells = 16: cellFor's literal-argmax (greatest over one
-    // codegen'd dot per centroid) is built for coarse quantizers —
-    // measured here, 64 cells × 64 dims pushes the generated
-    // greatest-of-structs past Janino's comfort and the job stalls in
-    // compile; a big-nCells IVF wants a broadcast centroid TABLE join
-    // (argmin via window) instead of literal expressions.
-    val t2 = System.nanoTime()
-    val ivf = Ann.ivfTopK(queries, emb, "vec_id", "embedding", dim,
-      k = m.toInt, nCells = 16, lloydIters = 1).cache()
-    val ivfMates = ivf.filter((col("qid") / m).cast("long") ===
-      (col("cid") / m).cast("long") && col("qid") =!= col("cid")).count()
-    val tIvf = (System.nanoTime() - t2) / 1e9
-    require(ivfMates >= (nQ * (m - 1) * 90) / 100,
-      s"ivf top-k found $ivfMates of ${nQ * (m - 1)} planted mates")
-    ivf.unpersist()
+    def ivfLeg(nCells: Int, floorPct: Int): (Double, Double) = {
+      val t2 = System.nanoTime()
+      val ivf = Ann.ivfTopK(queries, emb, "vec_id", "embedding", dim,
+        k = m.toInt, nCells = nCells, lloydIters = 1).cache()
+      val ivfMates = ivf.filter((col("qid") / m).cast("long") ===
+        (col("cid") / m).cast("long") && col("qid") =!= col("cid")).count()
+      val tIvf = (System.nanoTime() - t2) / 1e9
+      require(ivfMates >= (nQ * (m - 1) * floorPct) / 100,
+        s"ivf($nCells cells) found $ivfMates of ${nQ * (m - 1)} planted mates")
+      ivf.unpersist()
+      (tIvf, ivfMates.toDouble / (nQ * (m - 1)))
+    }
+    val (tIvf, rIvf) = ivfLeg(16, 90)
+    // Realistic cell count (≈√n for 1M vectors is ~1000; 256 here keeps
+    // per-cell occupancy ≈4k): exercises the round-8 fused
+    // ArgMaxDotConst assignment — the pre-round-8 literal-argmax
+    // (greatest over one codegen'd dot per centroid) stalled Janino
+    // compile past ~16 cells × 64 dims, so this leg COULD NOT RUN.
+    // More cells = more Voronoi boundaries = more single-probe
+    // straddle, hence the lower floor; the measured figure goes in
+    // SCALE.md.
+    val nCellsBig = if (args.length > 3) args(3).toInt else 256
+    val (tIvfBig, rIvfBig) = ivfLeg(nCellsBig, 80)
 
     println(f"vecs=$nVecs%,d dim=$dim neardup(${p.getLong(0)}%,d pairs, " +
       f"recall=$recall%.5f)=$tDup%.1fs topk($nQ queries)=$tTopK%.1fs " +
-      f"ivf($nQ queries, 16 cells)=$tIvf%.1fs")
+      f"ivf($nQ queries, 16 cells, mate-recall=$rIvf%.3f)=$tIvf%.1fs " +
+      f"ivf($nQ queries, $nCellsBig cells, mate-recall=$rIvfBig%.3f)=$tIvfBig%.1fs")
     spark.stop()
   }
 }

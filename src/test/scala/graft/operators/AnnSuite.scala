@@ -96,6 +96,64 @@ class AnnSuite extends SparkSpec {
     }
   }
 
+  test("fused cellFor == greatest(struct(dot, cell)) reference, incl. ties") {
+    // the pre-round-8 rendition, kept here as the semantic reference:
+    // argmax of literal dot products, ties toward the higher cell
+    def cellForRef(vec: org.apache.spark.sql.Column,
+                   cents: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+      val scored = cents.zipWithIndex.map { case (p, i) =>
+        struct(graft.expressions.VectorExpressions.dotConst(vec, p).as("score"),
+          lit(i).as("cell"))
+      }
+      greatest(scored: _*).getField("cell")
+    }
+    val cents = Ann.kmeansCentroids(clustered, "embedding", dim = 16,
+      nCells = 8, iters = 1, seed = 42L)
+    val got = clustered.select(col("vec_id"),
+        Ann.cellFor(col("embedding"), cents).as("cell"))
+      .as[(Long, Int)].collect().sorted.toSeq
+    val want = clustered.select(col("vec_id"),
+        cellForRef(col("embedding"), cents).as("cell"))
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(got === want)
+    // tie handling: orthogonal vector scores 0.0 against BOTH duplicate
+    // centroids → the higher cell index must win, as with greatest
+    val dup = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
+    val t = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("id", "v")
+      .select(col("id"), Ann.cellFor(col("v"), dup).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(t(1L) === 1)
+    assert(t(2L) === 2) // ties at cells 0 and 2 → 2
+  }
+
+  test("cellFor codegen holds at 512 cells × 64 dims (real-IVF scale)") {
+    // the old per-centroid expression tree stalled Janino past ~16
+    // cells; the fused loop is O(1) generated code, so this must both
+    // run AND stay in whole-stage codegen. Cross-check against a
+    // driver-side argmax with the same sequential arithmetic.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Ann.seedCentroids(dim = 64, nCells = 512, seed = 42L)
+    val got = emb.select(col("vec_id"),
+        Ann.cellFor(col("embedding"), cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val flat = cents.map(_.toArray).toArray
+    val want = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().map { case (id, v) =>
+        var best = Double.NegativeInfinity; var bc = 0
+        var c = 0
+        while (c < 512) {
+          var s = 0.0; var i = 0
+          while (i < 64) { s += v(i).toDouble * flat(c)(i); i += 1 }
+          if (s >= best) { best = s; bc = c }
+          c += 1
+        }
+        id -> bc
+      }.toMap
+    assert(got === want)
+    assert(got.values.toSet.size > 1, "assignment should spread across cells")
+  }
+
   test("cosine of a vector with itself is 1") {
     val c = clustered.limit(3)
       .select(Ann.cosine(col("embedding"), col("embedding")).as("c"))

@@ -153,21 +153,41 @@ object DedupQueries {
               ORDER BY id_a, id_b""")),
 
     // ---- E3 LSH-bucketed ANN top-k (the scale path) -------------------
+    // Self-validating (round-8): rows carry exact-top-5 membership,
+    // per-query overlap, and the load-bearing `strong_recall`/
+    // `recall_ok` invariant (every exact-top-5 neighbor at the planted
+    // cos ≥ 0.45 level must be found — see AnnQueries.withExactRecall).
+    // Shape retuned (8, 6) → (6, 64): the old shape had ~17% collision
+    // probability for a cos-0.45 pair, so even PLANTED near-dups were
+    // usually missed; (6, 64) is the e02 shape AnnTune measured
+    // zero-miss at 0.45 at every graded SF, making strong recall = 1.0
+    // a checkable property instead of luck.
     Q("e03_ann_lsh_topk",
       (s, d) => {
         val emb = load(s, d, "embeddings")
-        Ann.annTopK(emb.filter(col("vec_id") < 10), emb,
-            "vec_id", "embedding", dim = 64, k = 5, bits = 8, tables = 6)
+        val q = emb.filter(col("vec_id") < 10)
+        AnnQueries.withExactRecall(
+          Ann.annTopK(q, emb, "vec_id", "embedding",
+            dim = 64, k = 5, bits = 6, tables = 64),
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
           .orderBy("qid", "rk")
       },
       None),
 
     // ---- E4 IVF-bucketed ANN top-k ------------------------------------
+    // Same self-validating columns. Single-probe IVF has no analytic
+    // strong-pair guarantee (a near pair can straddle a Voronoi
+    // boundary); the floor is the measured fixture value (AnnSuite
+    // asserts it at every graded SF), and SCALE.md documents
+    // multi-probe as the recall lever.
     Q("e04_ann_ivf_topk",
       (s, d) => {
         val emb = load(s, d, "embeddings")
-        Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb,
-            "vec_id", "embedding", dim = 64, k = 5, nCells = 8)
+        val q = emb.filter(col("vec_id") < 10)
+        AnnQueries.withExactRecall(
+          Ann.ivfTopK(q, emb, "vec_id", "embedding",
+            dim = 64, k = 5, nCells = 8),
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
           .orderBy("qid", "rk")
       },
       None)

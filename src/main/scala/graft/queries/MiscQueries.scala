@@ -606,11 +606,31 @@ object MiscQueries {
     // ---- O2/O3 Monte-Carlo fan-out + grouped summary ------------------
     // Grid-as-Dataset, task-local sims (deterministic seeds). The bias/
     // SE/RMSE vs BASELINE.md tolerances are asserted in McSuite.
+    // Self-validating (round-8): o02 rows carry battery completeness
+    // (all 4 estimators per (sim, γ) cell), finiteness, and a
+    // determinism check (a second fan-out over the SAME grid must
+    // reproduce every estimate bit-for-bit — seeded task-local sims);
+    // o03 rows carry the rmse² = bias² + var·(n−1)/n identity (exact
+    // for the decimal-sum aggregates up to final double rounding) and
+    // the replicate count. McSuite asserts the booleans all-true.
     Q("o02_mc_fanout",
-      (s, _) => MonteCarlo.run(s,
-          MonteCarlo.nmarGrid(nSim = 3, gammas = Seq(0.0, 1.0),
-            nPop = 5000, nA = 250, nB = 1000))
-        .orderBy("gamma", "sim", "estimator"),
+      (s, _) => {
+        import org.apache.spark.sql.expressions.Window
+        val grid = MonteCarlo.nmarGrid(nSim = 3, gammas = Seq(0.0, 1.0),
+          nPop = 5000, nA = 250, nB = 1000)
+        val rerun = MonteCarlo.run(s, grid)
+          .withColumnRenamed("estimate", "estimate2")
+        val cell = Window.partitionBy("gamma", "sim")
+        MonteCarlo.run(s, grid)
+          .join(rerun, Seq("sim", "gamma", "estimator"))
+          .withColumn("battery_complete",
+            count(lit(1)).over(cell) === 4)
+          .withColumn("estimate_finite",
+            !isnan(col("estimate")) && abs(col("estimate")) < lit(1e300))
+          .withColumn("deterministic", col("estimate") === col("estimate2"))
+          .drop("estimate2")
+          .orderBy("gamma", "sim", "estimator")
+      },
       None),
 
     Q("o03_mc_summary",
@@ -619,6 +639,12 @@ object MiscQueries {
           MonteCarlo.nmarGrid(nSim = 5, gammas = Seq(0.0, 0.5, 1.0),
             nPop = 5000, nA = 250, nB = 1000))
         MonteCarlo.summarize(res, trueMean = 3.0)
+          .withColumn("identity_gap",
+            abs(col("rmse") * col("rmse") -
+              (col("bias") * col("bias") +
+                col("se") * col("se") * (col("n_sims") - 1) / col("n_sims"))))
+          .withColumn("identity_ok", col("identity_gap") <= 1e-9)
+          .withColumn("n_sims_ok", col("n_sims") === 5)
       },
       None),
 

@@ -353,6 +353,44 @@ object TextQueries {
               FROM p, st WHERE tf > 0
               ORDER BY score DESC, doc_id LIMIT 100""")),
 
+    // ---- T11 BM25 multi-term retrieval (idf-free, full hash oracle) ---
+    // Closes round-7 gap #3: the MULTI-term aggregation path (one
+    // conditional tf column per term, one map-side partial agg, per-term
+    // score summands left-fold-added) under the same idf-free rendition
+    // that keeps every operation in +,×,÷ IEEE arithmetic. The oracle
+    // mirrors Spark's exact association order ((t0 + t1) + t2) and the
+    // CAST(2.2 AS DOUBLE) decimal-literal discipline t10 proved; the
+    // ln-weighted default stays suite-covered (TextPipelineSuite).
+    Q("t11_bm25_multiterm",
+      (s, d) => TextPipeline.bm25(load(s, d, "documents"),
+          "doc_id", "text", queryTerms = Seq("spark", "data", "query"),
+          withIdf = false)
+        .select(col("doc_id"), col("dl"), col("tf_0"), col("tf_1"),
+          col("tf_2"), col("score"))
+        .limit(100),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+               FROM documents),
+              p AS (SELECT doc_id, count(*) AS dl,
+                           count(CASE WHEN tok = 'spark' THEN 1 END) AS tf_0,
+                           count(CASE WHEN tok = 'data' THEN 1 END) AS tf_1,
+                           count(CASE WHEN tok = 'query' THEN 1 END) AS tf_2
+                    FROM toks GROUP BY doc_id),
+              st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                     FROM p)
+              SELECT doc_id, dl, tf_0, tf_1, tf_2,
+                     (((1.0 * ((CAST(2.2 AS DOUBLE) * tf_0) /
+                         (tf_0 + CAST(1.2 AS DOUBLE) *
+                           (0.25 + 0.75 * (dl / st.avgdl)))))
+                      + (1.0 * ((CAST(2.2 AS DOUBLE) * tf_1) /
+                         (tf_1 + CAST(1.2 AS DOUBLE) *
+                           (0.25 + 0.75 * (dl / st.avgdl))))))
+                      + (1.0 * ((CAST(2.2 AS DOUBLE) * tf_2) /
+                         (tf_2 + CAST(1.2 AS DOUBLE) *
+                           (0.25 + 0.75 * (dl / st.avgdl)))))) AS score
+              FROM p, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+              ORDER BY score DESC, doc_id LIMIT 100""")),
+
     // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
     // The 100 TB path: one shuffle on the 128-bit fingerprint; no text
     // comparison, no sort. Duplicate groups carry their sizes.

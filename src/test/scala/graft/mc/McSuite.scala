@@ -54,6 +54,29 @@ class McSuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("o02/o03 self-validating columns are all true (the rows-only invariant)") {
+    import org.apache.spark.sql.functions.{col, lit, min}
+    val o02 = graft.queries.MiscQueries.qs.find(_.name == "o02_mc_fanout").get
+      .run(spark, "/root/testdata/sf0.001")
+    val f02 = o02.agg(
+      min(col("battery_complete").cast("int")),
+      min(col("estimate_finite").cast("int")),
+      min(col("deterministic").cast("int"))).head()
+    assert(f02.getInt(0) === 1, "battery_complete")
+    assert(f02.getInt(1) === 1, "estimate_finite")
+    assert(f02.getInt(2) === 1, "deterministic")
+    assert(o02.count() === 2 * 3 * 4) // 2 γ × 3 sims × 4 estimators
+
+    val o03 = graft.queries.MiscQueries.qs.find(_.name == "o03_mc_summary").get
+      .run(spark, "/root/testdata/sf0.001")
+    val f03 = o03.agg(
+      min(col("identity_ok").cast("int")),
+      min(col("n_sims_ok").cast("int"))).head()
+    assert(f03.getInt(0) === 1, "rmse²=bias²+var·(n−1)/n identity")
+    assert(f03.getInt(1) === 1, "n_sims")
+    assert(o03.count() === 3 * 4) // 3 γ × 4 estimators
+  }
+
   test("RegDI linearization SE matches the Monte-Carlo spread (variance validation)") {
     // Empirical truth: spread of the point estimate over 100 replicates
     val cfgOf = (i: Int) => SimConfig(i, 0.5, 5000L + i, 20000, 800, 5000)

@@ -154,6 +154,26 @@ class AnnSuite extends SparkSpec {
     assert(got.values.toSet.size > 1, "assignment should spread across cells")
   }
 
+  test("e03/e04 self-validating recall columns hold at both suite SFs") {
+    // The catalog queries' own invariant columns (round-8): every
+    // exact-top-5 neighbor at the planted cos ≥ 0.45 level is found
+    // (recall_ok all-true, floor 1.0 — measured at sf0.001/0.01/0.1),
+    // and all 10 queries are covered. Plain overlap is informative
+    // only; e03's (6, 64) shape measured ≈0.98 avg, single-probe IVF
+    // ≈0.2–0.3 (near-orthogonal exact neighbors — expected ANN
+    // behavior, see withExactRecall's scaladoc).
+    for (sf <- Seq("sf0.001", "sf0.01");
+         name <- Seq("e03_ann_lsh_topk", "e04_ann_ivf_topk")) {
+      val q = graft.queries.DedupQueries.qs.find(_.name == name).get
+      val res = q.run(spark, s"/root/testdata/$sf")
+      val stats = res.agg(
+        min(col("recall_ok").cast("int")).as("ok"),
+        countDistinct(col("qid")).as("n_q")).head()
+      assert(stats.getInt(0) === 1, s"$sf $name recall_ok")
+      assert(stats.getLong(1) === 10L, s"$sf $name query coverage")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val c = clustered.limit(3)
       .select(Ann.cosine(col("embedding"), col("embedding")).as("c"))

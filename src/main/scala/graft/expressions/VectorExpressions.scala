@@ -254,6 +254,88 @@ final case class ArgMaxDotConst(child: Expression, cents: Seq[Double],
     copy(child = newChild)
 }
 
+/** Multi-probe IVF cell ranking: the `p` cells with the LARGEST dot
+  * products against the vector, as `array<int>` ordered by descending
+  * score (equal scores order the higher cell first — consistent with
+  * [[ArgMaxDotConst]], whose result always equals element 0 here).
+  * One O(nCells·p) insertion pass per row, O(1) generated-code size in
+  * both nCells and p — p is a small constant (≤ ~8 probes). */
+final case class ArgTopPDotConst(child: Expression, cents: Seq[Double],
+                                 dim: Int, nCells: Int, p: Int)
+    extends UnaryExpression {
+  require(nCells > 0, "nCells must be positive")
+  require(p > 0 && p <= nCells, s"p must be in [1, $nCells]")
+  require(cents.length == nCells * dim,
+    s"cents must be nCells*dim = ${nCells * dim} doubles")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "argtopp_dot_const"
+
+  @transient private lazy val w: Array[Double] = cents.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val ts = Array.fill(p)(Double.NegativeInfinity)
+    val tc = new Array[Int](p)
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * w(off + i); i += 1 }
+      if (s >= ts(p - 1)) {
+        var j = p - 1
+        while (j > 0 && s >= ts(j - 1)) { ts(j) = ts(j - 1); tc(j) = tc(j - 1); j -= 1 }
+        ts(j) = s; tc(j) = c
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(tc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("cents", w, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val ts = ctx.freshName("ts")
+      val tc = ctx.freshName("tc")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $ts = new double[$p];
+         |int[] $tc = new int[$p];
+         |java.util.Arrays.fill($ts, Double.NEGATIVE_INFINITY);
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  int $off = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * $wRef[$off + $i];
+         |  }
+         |  if ($s >= $ts[$p - 1]) {
+         |    int $j = $p - 1;
+         |    while ($j > 0 && $s >= $ts[$j - 1]) {
+         |      $ts[$j] = $ts[$j - 1]; $tc[$j] = $tc[$j - 1]; $j--;
+         |    }
+         |    $ts[$j] = $s; $tc[$j] = $c;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `array<float>` columns (double out). */
   def dotF(a: Column, b: Column): Column =
@@ -278,6 +360,14 @@ object VectorExpressions {
     GraftBridge.column(ArgMaxDotConst(
       GraftBridge.expression(a), cents.flatten,
       cents.head.length, cents.length))
+
+  /** Top-`p` centroid indices by dot product as `array<int>` (score-
+    * descending; element 0 == [[argMaxDot]]) — the multi-probe IVF
+    * query-side assignment. */
+  def argTopPDot(a: Column, cents: Seq[Seq[Double]], p: Int): Column =
+    GraftBridge.column(ArgTopPDotConst(
+      GraftBridge.expression(a), cents.flatten,
+      cents.head.length, cents.length, p))
 
   /** Cosine similarity from codegen'd dots. */
   def cosineF(a: Column, b: Column): Column = {

@@ -174,19 +174,21 @@ object DedupQueries {
       },
       None),
 
-    // ---- E4 IVF-bucketed ANN top-k ------------------------------------
+    // ---- E4 IVF-bucketed ANN top-k (multi-probe) ----------------------
     // Same self-validating columns. Single-probe IVF has no analytic
     // strong-pair guarantee (a near pair can straddle a Voronoi
-    // boundary); the floor is the measured fixture value (AnnSuite
-    // asserts it at every graded SF), and SCALE.md documents
-    // multi-probe as the recall lever.
+    // boundary); nProbe = 2 exercises the standard recall lever on the
+    // graded path (query-side fan-out only — see Ann.ivfTopK), the
+    // floor is the measured fixture value (AnnSuite asserts it at
+    // every graded SF), and SCALE.md carries the 1M-vector
+    // multi-probe measurement (256 cells: 0.890 → 0.990).
     Q("e04_ann_ivf_topk",
       (s, d) => {
         val emb = load(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
         AnnQueries.withExactRecall(
           Ann.ivfTopK(q, emb, "vec_id", "embedding",
-            dim = 64, k = 5, nCells = 8),
+            dim = 64, k = 5, nCells = 8, nProbe = 2),
           q, emb, k = 5, strongThr = 0.45, floor = 1.0)
           .orderBy("qid", "rk")
       },

@@ -99,10 +99,10 @@ object AnnScaleProbe {
     // the standard recall lever. Floor 0.90 catches systematic
     // cell-assignment or Lloyd breaks without pretending single-probe
     // recall it doesn't have.
-    def ivfLeg(nCells: Int, floorPct: Int): (Double, Double) = {
+    def ivfLeg(nCells: Int, floorPct: Int, nProbe: Int = 1): (Double, Double) = {
       val t2 = System.nanoTime()
       val ivf = Ann.ivfTopK(queries, emb, "vec_id", "embedding", dim,
-        k = m.toInt, nCells = nCells, lloydIters = 1).cache()
+        k = m.toInt, nCells = nCells, lloydIters = 1, nProbe = nProbe).cache()
       val ivfMates = ivf.filter((col("qid") / m).cast("long") ===
         (col("cid") / m).cast("long") && col("qid") =!= col("cid")).count()
       val tIvf = (System.nanoTime() - t2) / 1e9
@@ -122,11 +122,15 @@ object AnnScaleProbe {
     // SCALE.md.
     val nCellsBig = if (args.length > 3) args(3).toInt else 256
     val (tIvfBig, rIvfBig) = ivfLeg(nCellsBig, 80)
+    // multi-probe: the recall lever — same candidate-side cost, query
+    // fan-out ×4; boundary-straddle losses should mostly close
+    val (tIvfMp, rIvfMp) = ivfLeg(nCellsBig, 95, nProbe = 4)
 
     println(f"vecs=$nVecs%,d dim=$dim neardup(${p.getLong(0)}%,d pairs, " +
       f"recall=$recall%.5f)=$tDup%.1fs topk($nQ queries)=$tTopK%.1fs " +
       f"ivf($nQ queries, 16 cells, mate-recall=$rIvf%.3f)=$tIvf%.1fs " +
-      f"ivf($nQ queries, $nCellsBig cells, mate-recall=$rIvfBig%.3f)=$tIvfBig%.1fs")
+      f"ivf($nQ queries, $nCellsBig cells, mate-recall=$rIvfBig%.3f)=$tIvfBig%.1fs " +
+      f"ivf($nQ queries, $nCellsBig cells, probe=4, mate-recall=$rIvfMp%.3f)=$tIvfMp%.1fs")
     spark.stop()
   }
 }

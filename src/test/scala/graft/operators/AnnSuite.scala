@@ -154,6 +154,49 @@ class AnnSuite extends SparkSpec {
     assert(got.values.toSet.size > 1, "assignment should spread across cells")
   }
 
+  test("argTopPDot: head == argMaxDot, descending order, p=nCells is a full ranking") {
+    import graft.expressions.VectorExpressions._
+    val cents = Ann.kmeansCentroids(clustered, "embedding", dim = 16,
+      nCells = 8, iters = 1, seed = 42L)
+    val rows = clustered.select(col("vec_id"),
+        argMaxDot(col("embedding"), cents).as("am"),
+        argTopPDot(col("embedding"), cents, 3).as("t3"),
+        argTopPDot(col("embedding"), cents, 8).as("t8"))
+      .as[(Long, Int, Seq[Int], Seq[Int])].collect()
+    // driver-side reference scores for the order checks
+    val flat = cents.map(_.toArray)
+    val vecs = clustered.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    rows.foreach { case (id, am, t3, t8) =>
+      assert(t3.head === am, s"vec $id: top-1 of 3 != argmax")
+      assert(t8.head === am, s"vec $id: top-1 of 8 != argmax")
+      assert(t8.sorted === (0 until 8), s"vec $id: p=nCells must be a permutation")
+      assert(t8.take(3) === t3, s"vec $id: prefix property")
+      val v = vecs(id)
+      def score(c: Int): Double =
+        (0 until 16).map(i => v(i).toDouble * flat(c)(i)).sum
+      val scores = t8.map(score)
+      assert(scores === scores.sortBy(-_), s"vec $id: not score-descending")
+    }
+  }
+
+  test("multi-probe IVF recall ≥ single-probe, and recovers boundary losses") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    def mates(nProbe: Int): Long =
+      Ann.ivfTopK(queries, clustered, "vec_id", "embedding",
+          dim = 16, k = 5, nCells = 8, seed = 42L, lloydIters = 2,
+          nProbe = nProbe)
+        .filter((col("qid") / 10).cast("long") === (col("cid") / 10).cast("long"))
+        .count()
+    val single = mates(1)
+    val multi = mates(3)
+    assert(multi >= single, s"nProbe=3 mates $multi < nProbe=1 $single")
+    // full probe = exhaustive search: every query must fill k slots with
+    // its cluster mates (cluster size 10 > k, intra-cos ≈ 0.997)
+    val full = mates(8)
+    assert(full === queries.count() * 5, s"full probe found $full")
+  }
+
   test("e03/e04 self-validating recall columns hold at both suite SFs") {
     // The catalog queries' own invariant columns (round-8): every
     // exact-top-5 neighbor at the planted cos ≥ 0.45 level is found

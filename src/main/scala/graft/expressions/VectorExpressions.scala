@@ -336,6 +336,181 @@ final case class ArgTopPDotConst(child: Expression, cents: Seq[Double],
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: split the `dim`-float vector into `m`
+  * contiguous subvectors of dim/m and emit, per subspace, the index of
+  * the L2-nearest of its `k` codebook centroids — `array<int>` of
+  * length m. argmin‖x−c‖² == argmax(x·c − ‖c‖²/2), so `bias` carries
+  * the precomputed −‖c‖²/2 per (subspace, code) and the loop stays a
+  * dot-product fold like the other fused expressions: O(m·k·subDim)
+  * work per row, O(1) generated-code size. Ties break toward the
+  * higher code (consistent with [[ArgMaxDotConst]]). */
+final case class PqEncode(child: Expression, cents: Seq[Double],
+                          bias: Seq[Double], dim: Int, m: Int, k: Int)
+    extends UnaryExpression {
+  require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+  require(cents.length == m * k * (dim / m),
+    s"cents must be m*k*subDim = ${m * k * (dim / m)} doubles")
+  require(bias.length == m * k, s"bias must be m*k = ${m * k} doubles")
+
+  private val subDim = dim / m
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val w: Array[Double] = cents.toArray
+  @transient private lazy val bz: Array[Double] = bias.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.NegativeInfinity
+      var bc = 0
+      var c = 0
+      while (c < k) {
+        val off = (j * k + c) * subDim
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          s += x.getFloat(j * subDim + i).toDouble * w(off + i); i += 1
+        }
+        s += bz(j * k + c)
+        if (s >= best) { best = s; bc = c }
+        c += 1
+      }
+      codes(j) = bc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("cents", w, "double[]")
+    val bRef = ctx.addReferenceObj("bias", bz, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bc = ctx.freshName("bc")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  int $bc = 0;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    int $off = ($j * $k + $c) * $subDim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      $s += (double) $a.getFloat($j * $subDim + $i) * $wRef[$off + $i];
+         |    }
+         |    $s += $bRef[$j * $k + $c];
+         |    if ($s >= $best) { $best = $s; $bc = $c; }
+         |  }
+         |  $codes[$j] = $bc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance scoring of PQ codes against `nQ` query vectors
+  * in one expression: `lut(q, j, c)` holds the query-subvector ·
+  * codebook-centroid dot products, `sqnorm(j, c)` the centroid squared
+  * norms, and the result is `array<float>` of length nQ with
+  *
+  *   approxCos(q) = Σ_j lut(q, j, code_j) /
+  *                  (qnorm(q) · sqrt(Σ_j sqnorm(j, code_j)))
+  *
+  * — the PQ estimate of cosine(q, x) from the m-byte code instead of
+  * the dim-float vector (the point of PQ at 100 TB: the scored scan
+  * reads 16 B/row, not 256 B). O(nQ·m) per row, O(1) generated-code
+  * size; the per-row reconstruction norm is shared across queries. */
+final case class PqAdcCosine(child: Expression, lut: Seq[Double],
+                             sqnorm: Seq[Double], qnorms: Seq[Double],
+                             m: Int, k: Int)
+    extends UnaryExpression {
+  private val nQ = qnorms.length
+  require(nQ > 0, "need at least one query")
+  require(lut.length == nQ * m * k, s"lut must be nQ*m*k = ${nQ * m * k}")
+  require(sqnorm.length == m * k, s"sqnorm must be m*k = ${m * k}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def prettyName: String = "pq_adc_cosine"
+
+  @transient private lazy val lutA: Array[Double] = lut.toArray
+  @transient private lazy val snA: Array[Double] = sqnorm.toArray
+  @transient private lazy val qnA: Array[Double] = qnorms.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    var cn = 0.0
+    var j = 0
+    while (j < m) { cn += snA(j * k + codes.getInt(j)); j += 1 }
+    val rn = math.sqrt(cn)
+    val out = new Array[Float](nQ)
+    var q = 0
+    while (q < nQ) {
+      var s = 0.0
+      var jj = 0
+      while (jj < m) {
+        s += lutA((q * m + jj) * k + codes.getInt(jj)); jj += 1
+      }
+      out(q) = (s / (qnA(q) * rn)).toFloat
+      q += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("lut", lutA, "double[]")
+    val snRef = ctx.addReferenceObj("sqnorm", snA, "double[]")
+    val qnRef = ctx.addReferenceObj("qnorms", qnA, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val cn = ctx.freshName("cn")
+      val rn = ctx.freshName("rn")
+      val out = ctx.freshName("out")
+      val q = ctx.freshName("q")
+      val j = ctx.freshName("j")
+      val jj = ctx.freshName("jj")
+      val s = ctx.freshName("s")
+      s"""
+         |double $cn = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $cn += $snRef[$j * $k + $a.getInt($j)];
+         |}
+         |double $rn = java.lang.Math.sqrt($cn);
+         |float[] $out = new float[$nQ];
+         |for (int $q = 0; $q < $nQ; $q++) {
+         |  double $s = 0.0;
+         |  for (int $jj = 0; $jj < $m; $jj++) {
+         |    $s += $lutRef[($q * $m + $jj) * $k + $a.getInt($jj)];
+         |  }
+         |  $out[$q] = (float) ($s / ($qnRef[$q] * $rn));
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `array<float>` columns (double out). */
   def dotF(a: Column, b: Column): Column =
@@ -368,6 +543,25 @@ object VectorExpressions {
     GraftBridge.column(ArgTopPDotConst(
       GraftBridge.expression(a), cents.flatten,
       cents.head.length, cents.length, p))
+
+  /** PQ codes of a float vector: per-subspace L2-nearest codebook index,
+    * `array<int>` of length m. `cents` is [m][k][subDim]. */
+  def pqEncode(a: Column, cents: Seq[Seq[Seq[Double]]], dim: Int): Column = {
+    val m = cents.length
+    val k = cents.head.length
+    val bias = cents.flatMap(_.map(c => -c.map(x => x * x).sum / 2.0))
+    GraftBridge.column(PqEncode(
+      GraftBridge.expression(a), cents.flatten.flatten, bias, dim, m, k))
+  }
+
+  /** Approximate cosine of PQ codes against each of nQ query vectors
+    * (`array<float>` of length nQ). `lut` is [nQ][m][k] query-centroid
+    * dots, `sqnorm` [m][k] centroid squared norms, `qnorms` the query
+    * vector norms. */
+  def pqAdcCosine(codes: Column, lut: Seq[Double], sqnorm: Seq[Double],
+                  qnorms: Seq[Double], m: Int, k: Int): Column =
+    GraftBridge.column(PqAdcCosine(
+      GraftBridge.expression(codes), lut, sqnorm, qnorms, m, k))
 
   /** Cosine similarity from codegen'd dots. */
   def cosineF(a: Column, b: Column): Column = {

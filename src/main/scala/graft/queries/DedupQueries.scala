@@ -192,6 +192,30 @@ object DedupQueries {
           q, emb, k = 5, strongThr = 0.45, floor = 1.0)
           .orderBy("qid", "rk")
       },
+      None),
+
+    // ---- E7 PQ asymmetric-distance top-k (memory-bandwidth path) ------
+    // Product quantization: candidates score from m-int codes instead
+    // of dim-float vectors (~32× less data touched per scored row at
+    // m=8/k=256 — the 100 TB lever when even one float-vector scan is
+    // too expensive). Scores are quantization-approximate, so the same
+    // self-validating strong-neighbor invariant applies: every exact
+    // top-5 member at the planted cos ≥ 0.45 level must survive PQ
+    // ranking (floor 1.0, measured at all three SFs). Shape chosen by
+    // that measurement: m=8 subspaces (subDim 8) lost a strong pair at
+    // sf0.1 (quantization error comparable to the 0.45-vs-0.44
+    // margin); m=16 (subDim 4) holds min strong recall 1.0 at every
+    // graded SF with ~0.5 plain top-5 overlap.
+    Q("e07_ann_pq_topk",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        AnnQueries.withExactRecall(
+          Ann.pqTopK(q, emb, "vec_id", "embedding",
+            dim = 64, k = 5, m = 16, kCodes = 64),
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
+          .orderBy("qid", "rk")
+      },
       None)
   )
 }

@@ -126,11 +126,27 @@ object AnnScaleProbe {
     // fan-out ×4; boundary-straddle losses should mostly close
     val (tIvfMp, rIvfMp) = ivfLeg(nCellsBig, 95, nProbe = 4)
 
+    // ---- PQ ADC: flat scan over m-int codes instead of vectors -------
+    // Same planted invariant; quantization error is the recall risk, so
+    // the floor stays at 0.95 (planted mates sit at cos ≈ 0.997 — far
+    // above anything the codebook error can demote below background).
+    val t3 = System.nanoTime()
+    val pq = Ann.pqTopK(queries, emb, "vec_id", "embedding", dim,
+      k = m.toInt, m = 16, kCodes = 256, iters = 1).cache()
+    val pqMates = pq.filter((col("qid") / m).cast("long") ===
+      (col("cid") / m).cast("long") && col("qid") =!= col("cid")).count()
+    val tPq = (System.nanoTime() - t3) / 1e9
+    val rPq = pqMates.toDouble / (nQ * (m - 1))
+    require(pqMates >= (nQ * (m - 1) * 95) / 100,
+      s"pq top-k found $pqMates of ${nQ * (m - 1)} planted mates")
+    pq.unpersist()
+
     println(f"vecs=$nVecs%,d dim=$dim neardup(${p.getLong(0)}%,d pairs, " +
       f"recall=$recall%.5f)=$tDup%.1fs topk($nQ queries)=$tTopK%.1fs " +
       f"ivf($nQ queries, 16 cells, mate-recall=$rIvf%.3f)=$tIvf%.1fs " +
       f"ivf($nQ queries, $nCellsBig cells, mate-recall=$rIvfBig%.3f)=$tIvfBig%.1fs " +
-      f"ivf($nQ queries, $nCellsBig cells, probe=4, mate-recall=$rIvfMp%.3f)=$tIvfMp%.1fs")
+      f"ivf($nQ queries, $nCellsBig cells, probe=4, mate-recall=$rIvfMp%.3f)=$tIvfMp%.1fs " +
+      f"pq($nQ queries, m=16 k=256, mate-recall=$rPq%.3f)=$tPq%.1fs")
     spark.stop()
   }
 }

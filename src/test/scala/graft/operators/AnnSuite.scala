@@ -197,6 +197,59 @@ class AnnSuite extends SparkSpec {
     assert(full === queries.count() * 5, s"full probe found $full")
   }
 
+  test("pqEncode: codes minimize subspace L2 against a driver-side reference") {
+    val cents = Ann.pqCodebooks(clustered.select(col("embedding")),
+      "embedding", dim = 16, m = 4, k = 8, iters = 2, seed = 42L)
+    val got = clustered.select(col("vec_id"),
+        graft.expressions.VectorExpressions
+          .pqEncode(col("embedding"), cents, 16).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val vecs = clustered.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until 4).map { j =>
+        // same arithmetic as the expression: argmax(dot − ‖c‖²/2), ties
+        // toward the higher code
+        var best = Double.NegativeInfinity; var bc = 0
+        for (c <- 0 until 8) {
+          var s = 0.0
+          for (i <- 0 until 4) s += v(j * 4 + i).toDouble * cents(j)(c)(i)
+          s -= cents(j)(c).map(x => x * x).sum / 2.0
+          if (s >= best) { best = s; bc = c }
+        }
+        bc
+      }
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
+  test("pqCodebooks are partitioning-invariant") {
+    val c1 = Ann.pqCodebooks(clustered.repartition(1).select(col("embedding")),
+      "embedding", dim = 16, m = 4, k = 8, iters = 2, seed = 42L)
+    val c4 = Ann.pqCodebooks(clustered.repartition(4).select(col("embedding")),
+      "embedding", dim = 16, m = 4, k = 8, iters = 2, seed = 42L)
+    assert(c1 === c4)
+  }
+
+  test("PQ ADC top-k: cluster precision ≥ 0.8 on planted clusters") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    val res = Ann.pqTopK(queries, clustered, "vec_id", "embedding",
+        dim = 16, k = 5, m = 4, kCodes = 16, iters = 2, seed = 42L)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(res.length === queries.count() * 5, "every query fills k slots")
+    val hits = res.count { case (q, c) => c / 10 == q / 10 }
+    assert(hits.toDouble / res.length >= 0.8,
+      s"PQ cluster precision ${hits.toDouble / res.length}")
+  }
+
+  test("pqTopK rejects oversized query sets") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqTopK(clustered, clustered, "vec_id", "embedding",
+        dim = 16, k = 5, m = 4, kCodes = 16, maxQueries = 10)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+  }
+
   test("e03/e04 self-validating recall columns hold at both suite SFs") {
     // The catalog queries' own invariant columns (round-8): every
     // exact-top-5 neighbor at the planted cos ≥ 0.45 level is found

@@ -242,6 +242,33 @@ class AnnSuite extends SparkSpec {
       s"PQ cluster precision ${hits.toDouble / res.length}")
   }
 
+  test("PQ re-rank: full-width rerank equals exact brute force; narrow rerank ⊆ prelim") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rk").as[(Long, Long, Int)].collect().sorted.toSeq
+    // rerankFrom = corpus size → exact re-rank over every candidate:
+    // must equal the exact top-k (same (cos DESC, cid) tie rule)
+    val full = collect(Ann.pqTopK(queries, clustered, "vec_id", "embedding",
+      dim = 16, k = 5, m = 4, kCodes = 16, iters = 2, seed = 42L,
+      rerankFrom = 200))
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = clustered.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = collect(broadcast(q).crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        Ann.cosine(col("qe"), col("ce")).cast("float").as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))))
+      .filter(col("rk") <= 5))
+    assert(full === exact)
+    // narrow re-rank keeps k rows per query and stays inside the corpus
+    val narrow = Ann.pqTopK(queries, clustered, "vec_id", "embedding",
+      dim = 16, k = 5, m = 4, kCodes = 16, iters = 2, seed = 42L,
+      rerankFrom = 20)
+    assert(narrow.count() === queries.count() * 5)
+  }
+
   test("pqTopK rejects oversized query sets") {
     val e = intercept[IllegalArgumentException] {
       Ann.pqTopK(clustered, clustered, "vec_id", "embedding",

@@ -198,23 +198,21 @@ object Dedup {
     val spark = pairs.sparkSession
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("cluster", LongType)))
-    // Self-loops carry no connectivity but their nodes must still be
-    // labeled — and ONLY the hash-min path would label them if they
-    // stayed in `edges` (starContraction's hi>lo canonicalization drops
-    // them), so the two paths could disagree on node coverage. Strip
-    // them here and union their self-labels back at the end.
-    val selfNodes = pairs.filter(col(idA) === col(idB))
-      .select(col(idA).cast("long").as("id")).distinct()
-    val edges = pairs.filter(col(idA) =!= col(idB))
-      .select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.filter(col(idA) =!= col(idB))
-        .select(col(idB).as("src"), col(idA).as("dst")))
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .cache()
-    // nodes with a real edge are already labeled by the main path; only
-    // self-loop-ONLY nodes need the (id, id) fallback label
+    // Self-loops carry no connectivity but their nodes must still be
+    // labeled. The hash-min path labels them natively (a (u,u) edge
+    // seeds u's own label), but starContraction's hi>lo
+    // canonicalization drops them — so the FALLBACK path patches
+    // self-loop-only nodes back with (id, id) labels. Both self-node
+    // discovery and the anti-join read the CACHED edges, never the
+    // (potentially expensive) upstream `pairs` pipeline, and the
+    // common path pays nothing.
     def withSelfLabels(labels: DataFrame): DataFrame = {
-      val selfOnly = selfNodes
+      val selfOnly = edges.filter(col("src") === col("dst"))
+        .select(col("src").cast("long").as("id"))
         .join(labels.select("id"), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("cluster"))
       labels.unionByName(selfOnly)
@@ -246,12 +244,18 @@ object Dedup {
       // Diameter exceeded the hash-min budget: contract with the
       // star algorithm instead (identical output — min reachable id).
       labelsRdd.unpersist(blocking = false)
-      val result = withSelfLabels(starContraction(edges, maxIter))
+      val patched = withSelfLabels(starContraction(edges, maxIter))
+      // materialize the patched labels WHILE edges is still cached —
+      // the self-label branch reads edges, and unpersisting first
+      // would replay the whole upstream pairs pipeline on consumption
+      val resultRdd = patched.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val result = spark.createDataFrame(resultRdd, schema)
+      result.count()
       edges.unpersist(blocking = false)
       return result
     }
     edges.unpersist(blocking = false)
-    withSelfLabels(labels)
+    labels // hash-min labels are complete: (u,u) edges seed self-labels
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,

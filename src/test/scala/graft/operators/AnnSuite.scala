@@ -297,6 +297,47 @@ class AnnSuite extends SparkSpec {
     }
   }
 
+  test("fused expressions: interpreted eval == codegen output") {
+    // nullSafeEval is the non-codegen fallback (e.g. inside Generate
+    // fallbacks or spark.sql.codegen.wholeStage=false clusters); pin it
+    // to the codegen path the suite normally exercises
+    import graft.expressions._
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val rng = new java.util.Random(3L)
+    val cents = Seq.fill(5)(Seq.fill(8)(rng.nextGaussian()))
+    val sub = Seq(cents.map(_.take(4)), cents.map(_.drop(4)))
+    val bias = sub.flatMap(_.map(c => -c.map(x => x * x).sum / 2.0))
+    val lut = Seq.fill(2 * 2 * 5)(rng.nextGaussian())
+    val sqn = Seq.fill(2 * 5)(math.abs(rng.nextGaussian()) + 0.1)
+    val qn = Seq(1.3, 0.7)
+    val df = Seq((1L, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    val viaCodegen = df.select(
+        VectorExpressions.argMaxDot(col("v"), cents).as("am"),
+        VectorExpressions.argTopPDot(col("v"), cents, 2).as("tp"),
+        VectorExpressions.pqEncode(col("v"), sub, 8).as("codes"))
+      .as[(Int, Seq[Int], Seq[Int])].head()
+    val vec: ArrayData = new GenericArrayData(
+      df.select("v").as[Array[Float]].head())
+    assert(ArgMaxDotConst(null, cents.flatten, 8, 5)
+      .nullSafeEval(vec) === viaCodegen._1)
+    assert(ArgTopPDotConst(null, cents.flatten, 8, 5, 2)
+      .nullSafeEval(vec).asInstanceOf[ArrayData]
+      .toIntArray().toSeq === viaCodegen._2)
+    val codesEval = PqEncode(null, sub.flatten.flatten, bias, 8, 2, 5)
+      .nullSafeEval(vec).asInstanceOf[ArrayData]
+    assert(codesEval.toIntArray().toSeq === viaCodegen._3)
+    // ADC: interpreted scores == codegen scores on the same codes
+    val codesDf = Seq(Tuple1(viaCodegen._3.toArray)).toDF("codes")
+    val adcCodegen = codesDf.select(VectorExpressions
+        .pqAdcCosine(col("codes"), lut, sqn, qn, 2, 5).as("s"))
+      .as[Seq[Float]].head()
+    val adcEval = PqAdcCosine(null, lut, sqn, qn, 2, 5)
+      .nullSafeEval(new GenericArrayData(viaCodegen._3.toArray))
+      .asInstanceOf[ArrayData].toFloatArray().toSeq
+    assert(adcEval === adcCodegen)
+  }
+
   test("cosine of a vector with itself is 1") {
     val c = clustered.limit(3)
       .select(Ann.cosine(col("embedding"), col("embedding")).as("c"))

@@ -150,6 +150,58 @@ class PropertySuite extends SparkSpec {
       Samplers.mixtureExact(docs.repartition(7), "lang", t, 100, seed = 5)))
   }
 
+  test("fused vector expressions match driver-side references on random vectors") {
+    import graft.expressions.VectorExpressions._
+    val vecGen: Gen[List[Array[Float]]] =
+      Gen.listOfN(40, Gen.listOfN(12,
+        Gen.choose(-3.0, 3.0)).map(_.map(_.toFloat).toArray))
+    val centGen: Gen[Seq[Seq[Double]]] =
+      Gen.listOfN(6, Gen.listOfN(12, Gen.choose(-1.0, 1.0)).map(_.toSeq))
+        .map(_.toSeq)
+    forAll(Gen.zip(vecGen, centGen)) { case (vecs, cents) =>
+      whenever(vecs.nonEmpty) {
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v")
+        val rows = df.select(col("id"),
+            argMaxDot(col("v"), cents).as("am"),
+            argTopPDot(col("v"), cents, 3).as("t3"),
+            pqEncode(col("v"), Seq(cents.map(_.take(6)),
+              cents.map(_.drop(6))), 12).as("codes"))
+          .as[(Long, Int, Seq[Int], Seq[Int])].collect()
+        rows.foreach { case (id, am, t3, codes) =>
+          val v = vecs(id.toInt)
+          def dot(c: Seq[Double], off: Int): Double = {
+            var s = 0.0
+            for (i <- c.indices) s += v(off + i).toDouble * c(i)
+            s
+          }
+          // argmax reference (ties toward higher index via >=)
+          val scores = cents.map(dot(_, 0))
+          val ref = scores.zipWithIndex.maxBy { case (s, i) => (s, i) }._2
+          assert(am === ref, s"vec $id argmax")
+          assert(t3.head === am, s"vec $id top-p head")
+          assert(t3.distinct.size === 3, s"vec $id top-p distinct")
+          // every non-member scores ≤ every member (set property)
+          val t3min = t3.map(scores).min
+          cents.indices.filterNot(t3.contains).foreach(i =>
+            assert(scores(i) <= t3min, s"vec $id top-p membership"))
+          // PQ codes: the chosen code minimizes subspace L2 distance
+          for ((half, j) <- Seq(0, 6).zipWithIndex) {
+            val sub = cents.map(c =>
+              if (j == 0) c.take(6) else c.drop(6))
+            def l2(c: Seq[Double]): Double =
+              c.indices.map(i => {
+                val d = v(half + i).toDouble - c(i); d * d
+              }).sum
+            val best = sub.map(l2).min
+            assert(math.abs(l2(sub(codes(j))) - best) < 1e-12,
+              s"vec $id subspace $j code not L2-minimal")
+          }
+        }
+      }
+    }
+  }
+
   test("weighted mean is invariant under row order") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {

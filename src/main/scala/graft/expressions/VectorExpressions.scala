@@ -511,6 +511,70 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
     copy(child = newChild)
 }
 
+/** Per-pair PQ ADC scoring: like [[PqAdcCosine]] but for ONE query per
+  * row — `right` is the query INDEX column (0-based into the same
+  * [nQ][m][k] `lut`). Used by the IVF-PQ composition, where the cell
+  * join already pairs each candidate row with the specific queries
+  * probing its cell (scoring all nQ queries per joined row would be
+  * nQ× overwork). */
+final case class PqAdcCosineAt(left: Expression, right: Expression,
+                               lut: Seq[Double], sqnorm: Seq[Double],
+                               qnorms: Seq[Double], m: Int, k: Int)
+    extends BinaryExpression {
+  private val nQ = qnorms.length
+  require(nQ > 0, "need at least one query")
+  require(lut.length == nQ * m * k, s"lut must be nQ*m*k = ${nQ * m * k}")
+  require(sqnorm.length == m * k, s"sqnorm must be m*k = ${m * k}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.FloatType
+  override def prettyName: String = "pq_adc_cosine_at"
+
+  @transient private lazy val lutA: Array[Double] = lut.toArray
+  @transient private lazy val snA: Array[Double] = sqnorm.toArray
+  @transient private lazy val qnA: Array[Double] = qnorms.toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val q = b.asInstanceOf[Int]
+    var cn = 0.0
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val code = codes.getInt(j)
+      cn += snA(j * k + code)
+      s += lutA((q * m + j) * k + code)
+      j += 1
+    }
+    (s / (qnA(q) * math.sqrt(cn))).toFloat
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("lut", lutA, "double[]")
+    val snRef = ctx.addReferenceObj("sqnorm", snA, "double[]")
+    val qnRef = ctx.addReferenceObj("qnorms", qnA, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cn = ctx.freshName("cn")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val code = ctx.freshName("code")
+      s"""
+         |double $cn = 0.0;
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $code = $a.getInt($j);
+         |  $cn += $snRef[$j * $k + $code];
+         |  $s += $lutRef[(($b) * $m + $j) * $k + $code];
+         |}
+         |${ev.value} = (float) ($s / ($qnRef[$b] * java.lang.Math.sqrt($cn)));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `array<float>` columns (double out). */
   def dotF(a: Column, b: Column): Column =
@@ -562,6 +626,15 @@ object VectorExpressions {
                   qnorms: Seq[Double], m: Int, k: Int): Column =
     GraftBridge.column(PqAdcCosine(
       GraftBridge.expression(codes), lut, sqnorm, qnorms, m, k))
+
+  /** Per-pair ADC cosine: codes column × query-index column (0-based
+    * into the same [nQ][m][k] lut). */
+  def pqAdcCosineAt(codes: Column, qi: Column, lut: Seq[Double],
+                    sqnorm: Seq[Double], qnorms: Seq[Double],
+                    m: Int, k: Int): Column =
+    GraftBridge.column(PqAdcCosineAt(
+      GraftBridge.expression(codes), GraftBridge.expression(qi),
+      lut, sqnorm, qnorms, m, k))
 
   /** Cosine similarity from codegen'd dots. */
   def cosineF(a: Column, b: Column): Column = {

@@ -219,6 +219,25 @@ object DedupQueries {
           q, emb, k = 5, strongThr = 0.45, floor = 1.0)
           .orderBy("qid", "rk")
       },
+      None),
+
+    // ---- E8 IVF-PQ composed top-k (the full production layout) --------
+    // Cells bound WHICH candidates are scored (broadcast probe join),
+    // codes bound WHAT each scoring touches (per-pair fused ADC), the
+    // rerank stage restores exactness on survivors — the e03/e04/e07
+    // levers composed. Same strong-neighbor invariant, floor 1.0
+    // measured at all three SFs.
+    Q("e08_ann_ivfpq_topk",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        AnnQueries.withExactRecall(
+          Ann.ivfPqTopK(q, emb, "vec_id", "embedding",
+            dim = 64, k = 5, nCells = 8, nProbe = 2, m = 16, kCodes = 64,
+            rerankFrom = 20),
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
+          .orderBy("qid", "rk")
+      },
       None)
   )
 }

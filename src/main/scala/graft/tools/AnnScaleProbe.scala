@@ -141,12 +141,30 @@ object AnnScaleProbe {
       s"pq top-k found $pqMates of ${nQ * (m - 1)} planted mates")
     pq.unpersist()
 
+    // ---- IVF-PQ composed: cells bound WHICH, codes bound WHAT --------
+    // Scored pairs ≈ |Q|·nProbe·(n/nCells), each from a 16-int code;
+    // floor combines the measured multi-probe IVF leg (0.990) with
+    // PQ's planted-mate fidelity (1.000) — set at 0.95.
+    val t4 = System.nanoTime()
+    val ivfpq = Ann.ivfPqTopK(queries, emb, "vec_id", "embedding", dim,
+      k = m.toInt, nCells = nCellsBig, nProbe = 4, m = 16, kCodes = 256,
+      lloydIters = 1, pqIters = 1, rerankFrom = 2 * m.toInt).cache()
+    val ivfpqMates = ivfpq.filter((col("qid") / m).cast("long") ===
+      (col("cid") / m).cast("long") && col("qid") =!= col("cid")).count()
+    val tIvfPq = (System.nanoTime() - t4) / 1e9
+    val rIvfPq = ivfpqMates.toDouble / (nQ * (m - 1))
+    require(ivfpqMates >= (nQ * (m - 1) * 95) / 100,
+      s"ivf-pq top-k found $ivfpqMates of ${nQ * (m - 1)} planted mates")
+    ivfpq.unpersist()
+
     println(f"vecs=$nVecs%,d dim=$dim neardup(${p.getLong(0)}%,d pairs, " +
       f"recall=$recall%.5f)=$tDup%.1fs topk($nQ queries)=$tTopK%.1fs " +
       f"ivf($nQ queries, 16 cells, mate-recall=$rIvf%.3f)=$tIvf%.1fs " +
       f"ivf($nQ queries, $nCellsBig cells, mate-recall=$rIvfBig%.3f)=$tIvfBig%.1fs " +
       f"ivf($nQ queries, $nCellsBig cells, probe=4, mate-recall=$rIvfMp%.3f)=$tIvfMp%.1fs " +
-      f"pq($nQ queries, m=16 k=256, mate-recall=$rPq%.3f)=$tPq%.1fs")
+      f"pq($nQ queries, m=16 k=256, mate-recall=$rPq%.3f)=$tPq%.1fs " +
+      f"ivfpq($nQ queries, $nCellsBig cells, probe=4, m=16, " +
+      f"mate-recall=$rIvfPq%.3f)=$tIvfPq%.1fs")
     spark.stop()
   }
 }

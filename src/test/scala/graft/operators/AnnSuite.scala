@@ -269,6 +269,37 @@ class AnnSuite extends SparkSpec {
     assert(narrow.count() === queries.count() * 5)
   }
 
+  test("IVF-PQ: all-cells probe + full-width rerank == exact brute force") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rk").as[(Long, Long, Int)].collect().sorted.toSeq
+    // probing every cell removes the IVF restriction; reranking the
+    // whole corpus removes the PQ approximation — must equal exact
+    val full = collect(Ann.ivfPqTopK(queries, clustered, "vec_id",
+      "embedding", dim = 16, k = 5, nCells = 8, nProbe = 8, m = 4,
+      kCodes = 16, lloydIters = 2, pqIters = 2, seed = 42L,
+      rerankFrom = 200))
+    val exact = collect(Ann.pqTopK(queries, clustered, "vec_id",
+      "embedding", dim = 16, k = 5, m = 4, kCodes = 16, iters = 2,
+      seed = 42L, rerankFrom = 200))
+    assert(full === exact) // both equal brute force (pqTopK test pins it)
+  }
+
+  test("IVF-PQ: production shape finds planted mates, monotone in nProbe") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    def mates(nProbe: Int): Long =
+      Ann.ivfPqTopK(queries, clustered, "vec_id", "embedding",
+          dim = 16, k = 5, nCells = 8, nProbe = nProbe, m = 4,
+          kCodes = 16, lloydIters = 2, pqIters = 2, seed = 42L,
+          rerankFrom = 10)
+        .filter((col("qid") / 10).cast("long") === (col("cid") / 10).cast("long"))
+        .count()
+    val p1 = mates(1)
+    val p3 = mates(3)
+    assert(p3 >= p1, s"nProbe=3 mates $p3 < nProbe=1 $p1")
+    assert(p3 >= queries.count() * 5 * 8 / 10, s"IVF-PQ found only $p3")
+  }
+
   test("pqTopK rejects oversized query sets") {
     val e = intercept[IllegalArgumentException] {
       Ann.pqTopK(clustered, clustered, "vec_id", "embedding",

@@ -112,4 +112,15 @@ class PlanSuite extends SparkSpec {
     val p = plan("j07_anti_join")
     assert(p.contains("LeftAnti"), p.take(2000))
   }
+
+  test("e08: IVF-PQ probe join broadcasts; candidate side never all-pairs") {
+    // The composed path's scale contract: the (query, cell) probe frame
+    // is broadcast (candidates never shuffle to meet it), scoring is
+    // the fused per-pair ADC lookup, and no nested-loop/cartesian pair
+    // space ever forms.
+    val p = plan("e08_ann_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("pq_adc_cosine_at"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

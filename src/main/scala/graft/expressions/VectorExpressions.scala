@@ -364,9 +364,13 @@ final case class PqEncode(child: Expression, cents: Seq[Double],
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
+      // clamp like the sibling expressions: a short array contributes
+      // zeros past its end instead of reading out of bounds
+      val lim = math.max(0, math.min(subDim, n - j * subDim))
       var best = Double.NegativeInfinity
       var bc = 0
       var c = 0
@@ -374,7 +378,7 @@ final case class PqEncode(child: Expression, cents: Seq[Double],
         val off = (j * k + c) * subDim
         var s = 0.0
         var i = 0
-        while (i < subDim) {
+        while (i < lim) {
           s += x.getFloat(j * subDim + i).toDouble * w(off + i); i += 1
         }
         s += bz(j * k + c)
@@ -400,15 +404,19 @@ final case class PqEncode(child: Expression, cents: Seq[Double],
       val i = ctx.freshName("i")
       val best = ctx.freshName("best")
       val bc = ctx.freshName("bc")
+      val n = ctx.freshName("n")
+      val lim = ctx.freshName("lim")
       s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
          |int[] $codes = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
+         |  int $lim = java.lang.Math.max(0, java.lang.Math.min($subDim, $n - $j * $subDim));
          |  double $best = Double.NEGATIVE_INFINITY;
          |  int $bc = 0;
          |  for (int $c = 0; $c < $k; $c++) {
          |    int $off = ($j * $k + $c) * $subDim;
          |    double $s = 0.0;
-         |    for (int $i = 0; $i < $subDim; $i++) {
+         |    for (int $i = 0; $i < $lim; $i++) {
          |      $s += (double) $a.getFloat($j * $subDim + $i) * $wRef[$off + $i];
          |    }
          |    $s += $bRef[$j * $k + $c];
@@ -457,16 +465,17 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
 
   override def nullSafeEval(a: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
+    val mm = math.min(m, codes.numElements())
     var cn = 0.0
     var j = 0
-    while (j < m) { cn += snA(j * k + codes.getInt(j)); j += 1 }
+    while (j < mm) { cn += snA(j * k + codes.getInt(j)); j += 1 }
     val rn = math.sqrt(cn)
     val out = new Array[Float](nQ)
     var q = 0
     while (q < nQ) {
       var s = 0.0
       var jj = 0
-      while (jj < m) {
+      while (jj < mm) {
         s += lutA((q * m + jj) * k + codes.getInt(jj)); jj += 1
       }
       out(q) = (s / (qnA(q) * rn)).toFloat
@@ -488,16 +497,18 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
       val j = ctx.freshName("j")
       val jj = ctx.freshName("jj")
       val s = ctx.freshName("s")
+      val mm = ctx.freshName("mm")
       s"""
+         |int $mm = java.lang.Math.min($m, $a.numElements());
          |double $cn = 0.0;
-         |for (int $j = 0; $j < $m; $j++) {
+         |for (int $j = 0; $j < $mm; $j++) {
          |  $cn += $snRef[$j * $k + $a.getInt($j)];
          |}
          |double $rn = java.lang.Math.sqrt($cn);
          |float[] $out = new float[$nQ];
          |for (int $q = 0; $q < $nQ; $q++) {
          |  double $s = 0.0;
-         |  for (int $jj = 0; $jj < $m; $jj++) {
+         |  for (int $jj = 0; $jj < $mm; $jj++) {
          |    $s += $lutRef[($q * $m + $jj) * $k + $a.getInt($jj)];
          |  }
          |  $out[$q] = (float) ($s / ($qnRef[$q] * $rn));
@@ -536,10 +547,11 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val q = b.asInstanceOf[Int]
+    val mm = math.min(m, codes.numElements())
     var cn = 0.0
     var s = 0.0
     var j = 0
-    while (j < m) {
+    while (j < mm) {
       val code = codes.getInt(j)
       cn += snA(j * k + code)
       s += lutA((q * m + j) * k + code)
@@ -557,10 +569,12 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
       val s = ctx.freshName("s")
       val j = ctx.freshName("j")
       val code = ctx.freshName("code")
+      val mm = ctx.freshName("mm")
       s"""
+         |int $mm = java.lang.Math.min($m, $a.numElements());
          |double $cn = 0.0;
          |double $s = 0.0;
-         |for (int $j = 0; $j < $m; $j++) {
+         |for (int $j = 0; $j < $mm; $j++) {
          |  int $code = $a.getInt($j);
          |  $cn += $snRef[$j * $k + $code];
          |  $s += $lutRef[(($b) * $m + $j) * $k + $code];

@@ -94,9 +94,15 @@ object AnnQueries {
     *    strong neighbor. A method that misses a genuinely-near
     *    neighbor fails this; AnnSuite asserts `recall_ok` all-true and
     *    full query coverage at every graded SF. */
-  def withExactRecall(res: DataFrame, queries: DataFrame, cand: DataFrame,
+  def withExactRecall(res0: DataFrame, queries: DataFrame, cand: DataFrame,
                       k: Int, strongThr: Double, floor: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // BOTH shared subtrees appear in two branches below (the per-query
+    // aggregate and the row-level membership join). Exchange reuse does
+    // not fire across differently-pruned branches (measured, SCALE.md
+    // t07), so persist them: without this the entire ANN pipeline and
+    // the O(|Q|·n) oracle each execute twice per run.
+    val res = res0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = cand.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val win = Window.partitionBy("qid").orderBy(desc("cos_x"), col("cid"))
@@ -107,6 +113,7 @@ object AnnQueries {
           .cast("float").as("cos_x"))
       .withColumn("rk_x", row_number().over(win))
       .filter(col("rk_x") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perQ = exact
       .join(res.select(col("qid"), col("cid"), lit(1).as("f")),
         Seq("qid", "cid"), "left")

@@ -148,8 +148,9 @@ object Streams {
     * not the working set. Arrival order must be imposed inside the
     * group (the engine hands rows unordered), so one invocation buffers
     * every row of its (band, band_val) bucket that arrived IN THIS
-    * micro-batch — O(batch bucket occupancy), packed to 3 longs/row
-    * (~40 B). A boilerplate mega-bucket is therefore bounded
+    * micro-batch — O(batch bucket occupancy), held as three flat long
+    * arrays plus an int sort-index (~30 B/row, no per-row boxing).
+    * A boilerplate mega-bucket is therefore bounded
     * operationally, by the micro-batch size: cap the source rate
     * (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`) so that
     * rate × trigger interval rows fit an executor even if they all
@@ -178,20 +179,27 @@ object Streams {
           var residents = state.getOption.getOrElse(Vector.empty)
           val out = Vector.newBuilder[NearDupPair]
           // The engine hands group rows unordered: impose arrival order.
-          // Buffer only (ts, id, sig) packed longs — the unavoidable
+          // Buffer as three FLAT long arrays (24 B/row + one int index
+          // array — no per-row boxing) — the unavoidable
           // O(batch-bucket-occupancy) working set at its minimal width
           // (see the transient-memory caveat in the scaladoc).
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          val tsB = Array.newBuilder[Long]
+          val idB = Array.newBuilder[Long]
+          val sigB = Array.newBuilder[Long]
           rows.foreach { case (_, _, id, ts, sig) =>
-            buf += ((ts.getTime, id, sig))
+            tsB += ts.getTime; idB += id; sigB += sig
           }
-          buf.sortInPlaceBy(r => (r._1, r._2)).foreach {
-            case (_, id, sig) =>
-              residents.foreach { case (pid, psig) =>
-                val h = java.lang.Long.bitCount(psig ^ sig)
-                if (h <= maxHamming && pid != id) out += NearDupPair(pid, id, h)
-              }
-              residents = (residents :+ (id, sig)).takeRight(maxBucket)
+          val tsA = tsB.result(); val idA = idB.result()
+          val sigA = sigB.result()
+          val order = Array.range(0, tsA.length)
+            .sortBy(i => (tsA(i), idA(i)))
+          order.foreach { i =>
+            val id = idA(i); val sig = sigA(i)
+            residents.foreach { case (pid, psig) =>
+              val h = java.lang.Long.bitCount(psig ^ sig)
+              if (h <= maxHamming && pid != id) out += NearDupPair(pid, id, h)
+            }
+            residents = (residents :+ (id, sig)).takeRight(maxBucket)
           }
           state.update(residents)
           out.result().iterator

@@ -369,6 +369,32 @@ class AnnSuite extends SparkSpec {
     assert(adcEval === adcCodegen)
   }
 
+  test("PQ expressions tolerate short vectors/codes like the sibling dots") {
+    import graft.expressions.VectorExpressions._
+    val cents = Seq.tabulate(2, 4) { (j, c) =>
+      Seq.tabulate(4)(i => (j + c + i + 1).toDouble / 10) }
+    // a 5-element vector against dim=8 codebooks: subspace 0 full,
+    // subspace 1 reads only its first element, nothing crashes, and the
+    // result matches treating the missing elements as zeros
+    val df = Seq((1L, Array(1f, 2f, 3f, 4f, 5f)),
+      (2L, Array.empty[Float])).toDF("id", "v")
+    val got = df.select(col("id"), pqEncode(col("v"), cents, 8).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val padded = Seq((1L, Array(1f, 2f, 3f, 4f, 5f, 0f, 0f, 0f)),
+      (2L, Array.fill(8)(0f))).toDF("id", "v")
+    val want = padded.select(col("id"), pqEncode(col("v"), cents, 8).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got === want)
+    // short codes array through both ADC shapes: no crash
+    val codesDf = Seq(Tuple1(Array(1))).toDF("codes") // m=2, only 1 code
+    val lut = Seq.fill(1 * 2 * 4)(0.5)
+    val sqn = Seq.fill(2 * 4)(1.0)
+    codesDf.select(pqAdcCosine(col("codes"), lut, sqn, Seq(1.0), 2, 4))
+      .collect()
+    codesDf.select(pqAdcCosineAt(col("codes"), lit(0), lut, sqn, Seq(1.0), 2, 4))
+      .collect()
+  }
+
   test("cosine of a vector with itself is 1") {
     val c = clustered.limit(3)
       .select(Ann.cosine(col("embedding"), col("embedding")).as("c"))

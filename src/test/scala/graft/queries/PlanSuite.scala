@@ -113,6 +113,14 @@ class PlanSuite extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("e03: recall-validated ANN queries cache their shared subtrees") {
+    // withExactRecall feeds the ANN result and the exact oracle into
+    // two branches each; without the persists both pipelines execute
+    // twice (measured ~2× on e03/e04/e07/e08 — round-8 review fix)
+    val p = plan("e03_ann_lsh_topk")
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+  }
+
   test("e08: IVF-PQ probe join broadcasts; candidate side never all-pairs") {
     // The composed path's scale contract: the (query, cell) probe frame
     // is broadcast (candidates never shuffle to meet it), scoring is

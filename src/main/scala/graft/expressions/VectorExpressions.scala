@@ -478,7 +478,12 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
       while (jj < mm) {
         s += lutA((q * m + jj) * k + codes.getInt(jj)); jj += 1
       }
-      out(q) = (s / (qnA(q) * rn)).toFloat
+      // degenerate denominators (empty codes array, zero-norm centroids
+      // or queries) would emit NaN, which Spark orders ABOVE every real
+      // double — a broken row would outrank all genuine candidates in
+      // the desc(cos) top-k. −∞ sorts it last instead.
+      val d = qnA(q) * rn
+      out(q) = if (d > 0) (s / d).toFloat else Float.NegativeInfinity
       q += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -498,6 +503,7 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
       val jj = ctx.freshName("jj")
       val s = ctx.freshName("s")
       val mm = ctx.freshName("mm")
+      val d = ctx.freshName("d")
       s"""
          |int $mm = java.lang.Math.min($m, $a.numElements());
          |double $cn = 0.0;
@@ -511,7 +517,8 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
          |  for (int $jj = 0; $jj < $mm; $jj++) {
          |    $s += $lutRef[($q * $m + $jj) * $k + $a.getInt($jj)];
          |  }
-         |  $out[$q] = (float) ($s / ($qnRef[$q] * $rn));
+         |  double $d = $qnRef[$q] * $rn;
+         |  $out[$q] = $d > 0 ? (float) ($s / $d) : Float.NEGATIVE_INFINITY;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
@@ -557,7 +564,10 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
       s += lutA((q * m + j) * k + code)
       j += 1
     }
-    (s / (qnA(q) * math.sqrt(cn))).toFloat
+    // same NaN discipline as PqAdcCosine: −∞ (sorts last), never NaN
+    // (sorts FIRST under desc in Spark's double ordering)
+    val d = qnA(q) * math.sqrt(cn)
+    if (d > 0) (s / d).toFloat else Float.NegativeInfinity
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -570,6 +580,7 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
       val j = ctx.freshName("j")
       val code = ctx.freshName("code")
       val mm = ctx.freshName("mm")
+      val d = ctx.freshName("d")
       s"""
          |int $mm = java.lang.Math.min($m, $a.numElements());
          |double $cn = 0.0;
@@ -579,7 +590,200 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
          |  $cn += $snRef[$j * $k + $code];
          |  $s += $lutRef[(($b) * $m + $j) * $k + $code];
          |}
-         |${ev.value} = (float) ($s / ($qnRef[$b] * java.lang.Math.sqrt($cn)));
+         |double $d = $qnRef[$b] * java.lang.Math.sqrt($cn);
+         |${ev.value} = $d > 0 ? (float) ($s / $d) : Float.NEGATIVE_INFINITY;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Residual against a constant centroid table: `left` is the float
+  * vector, `right` the cell index, and the result is the length-`dim`
+  * float array x − centroid(cell) — the quantity classical IVF-PQ
+  * (Jégou et al., TPAMI 2011, §IV.B) encodes instead of the raw vector:
+  * residuals concentrate near the origin, so the same m·log₂k code bits
+  * buy strictly finer quantization. Elements past a short input count
+  * as zero (the [[PqEncode]] clamp convention), so the residual of a
+  * short vector equals the residual of its zero-padded form. */
+final case class SubCentroidConst(left: Expression, right: Expression,
+                                  cents: Seq[Double], dim: Int, nCells: Int)
+    extends BinaryExpression {
+  require(nCells > 0, "nCells must be positive")
+  require(cents.length == nCells * dim,
+    s"cents must be nCells*dim = ${nCells * dim} doubles")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def prettyName: String = "sub_centroid_const"
+
+  @transient private lazy val w: Array[Double] = cents.toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cell = b.asInstanceOf[Int]
+    val n = math.min(x.numElements(), dim)
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      val xv = if (d < n) x.getFloat(d).toDouble else 0.0
+      out(d) = (xv - w(cell * dim + d)).toFloat
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("cents", w, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val d = ctx.freshName("d")
+      val xv = ctx.freshName("xv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |float[] $out = new float[$dim];
+         |for (int $d = 0; $d < $dim; $d++) {
+         |  double $xv = $d < $n ? (double) $a.getFloat($d) : 0.0;
+         |  $out[$d] = (float) ($xv - $wRef[($b) * $dim + $d]);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared norm of the IVF-PQ reconstruction x̂ = centroid(cell) +
+  * concat_j book(j, code_j): `left` is the residual-code array, `right`
+  * the cell index. Needed by the residual scoring path's cosine
+  * denominator — unlike raw-vector PQ, ‖x̂‖² has a cell–code cross term
+  * (2·c·r̂), so it cannot be read off per-(subspace, code) tables alone.
+  * Computing it here, where the row still carries (cell, codes), keeps
+  * the constants tiny (nCells·dim + m·k·subDim doubles) instead of the
+  * nCells·m·k cross-term table the LUT formulation would need — at 100
+  * TB this runs in the same ingest-time scan that encodes the codes,
+  * and the stored (cell, codes, rnorm2) triple is what query-time scans
+  * read. Codes past a short array count as a zero residual (clamp
+  * convention shared with the ADC scorers). */
+final case class PqReconNorm2(left: Expression, right: Expression,
+                              cents: Seq[Double], books: Seq[Double],
+                              dim: Int, nCells: Int, m: Int, k: Int)
+    extends BinaryExpression {
+  require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+  require(nCells > 0, "nCells must be positive")
+  require(cents.length == nCells * dim,
+    s"cents must be nCells*dim = ${nCells * dim} doubles")
+  require(books.length == m * k * (dim / m),
+    s"books must be m*k*subDim = ${m * k * (dim / m)} doubles")
+
+  private val subDim = dim / m
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_recon_norm2"
+
+  @transient private lazy val cw: Array[Double] = cents.toArray
+  @transient private lazy val bw: Array[Double] = books.toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val cell = b.asInstanceOf[Int]
+    val mm = math.min(m, codes.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val off = if (j < mm) (j * k + codes.getInt(j)) * subDim else -1
+      var i = 0
+      while (i < subDim) {
+        val r = if (off >= 0) bw(off + i) else 0.0
+        val v = cw(cell * dim + j * subDim + i) + r
+        s += v * v
+        i += 1
+      }
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cw, "double[]")
+    val bRef = ctx.addReferenceObj("books", bw, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val mm = ctx.freshName("mm")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val v = ctx.freshName("v")
+      s"""
+         |int $mm = java.lang.Math.min($m, $a.numElements());
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $off = $j < $mm ? ($j * $k + $a.getInt($j)) * $subDim : -1;
+         |  for (int $i = 0; $i < $subDim; $i++) {
+         |    double $v = $cRef[($b) * $dim + $j * $subDim + $i]
+         |      + ($off >= 0 ? $bRef[$off + $i] : 0.0);
+         |    $s += $v * $v;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-pair ADC dot-product term Σ_j lut(qi, j, code_j) — the residual
+  * scoring path's numerator contribution dot(q, r̂), kept separate from
+  * the raw-path [[PqAdcCosineAt]] because the residual cosine assembles
+  * from three row-local pieces (the broadcast per-probe dot(q, c), this
+  * LUT sum, and [[PqReconNorm2]]) in plain Column arithmetic. */
+final case class PqAdcDotAt(left: Expression, right: Expression,
+                            lut: Seq[Double], m: Int, k: Int)
+    extends BinaryExpression {
+  require(m > 0 && k > 0, "m and k must be positive")
+  require(lut.nonEmpty && lut.length % (m * k) == 0,
+    s"lut must be nQ*m*k doubles, got ${lut.length}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dot_at"
+
+  @transient private lazy val lutA: Array[Double] = lut.toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val q = b.asInstanceOf[Int]
+    val mm = math.min(m, codes.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < mm) { s += lutA((q * m + j) * k + codes.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("lut", lutA, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val mm = ctx.freshName("mm")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      s"""
+         |int $mm = java.lang.Math.min($m, $a.numElements());
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $mm; $j++) {
+         |  $s += $lutRef[(($b) * $m + $j) * $k + $a.getInt($j)];
+         |}
+         |${ev.value} = $s;
        """.stripMargin
     })
   }
@@ -649,6 +853,32 @@ object VectorExpressions {
     GraftBridge.column(PqAdcCosineAt(
       GraftBridge.expression(codes), GraftBridge.expression(qi),
       lut, sqnorm, qnorms, m, k))
+
+  /** Residual x − centroid(cell) as `array<float>` of length dim; `cell`
+    * is an INT column indexing `cents`. */
+  def subCentroid(vec: Column, cell: Column,
+                  cents: Seq[Seq[Double]]): Column =
+    GraftBridge.column(SubCentroidConst(
+      GraftBridge.expression(vec), GraftBridge.expression(cell),
+      cents.flatten, cents.head.length, cents.length))
+
+  /** ‖centroid(cell) + r̂(codes)‖² — the residual-PQ reconstruction
+    * squared norm. `books` is the residual codebook [m][k][subDim]. */
+  def pqReconNorm2(codes: Column, cell: Column, cents: Seq[Seq[Double]],
+                   books: Seq[Seq[Seq[Double]]]): Column = {
+    val dim = cents.head.length
+    GraftBridge.column(PqReconNorm2(
+      GraftBridge.expression(codes), GraftBridge.expression(cell),
+      cents.flatten, books.flatten.flatten, dim, cents.length,
+      books.length, books.head.length))
+  }
+
+  /** Σ_j lut(qi, j, code_j) — the per-pair ADC dot-product term. */
+  def pqAdcDotAt(codes: Column, qi: Column, lut: Seq[Double],
+                 m: Int, k: Int): Column =
+    GraftBridge.column(PqAdcDotAt(
+      GraftBridge.expression(codes), GraftBridge.expression(qi),
+      lut, m, k))
 
   /** Cosine similarity from codegen'd dots. */
   def cosineF(a: Column, b: Column): Column = {

@@ -122,7 +122,8 @@ object AnnQueries {
         sum((col("cos_x") >= strongThr).cast("int")).as("n_strong"),
         sum(((col("cos_x") >= strongThr).cast("int") *
           coalesce(col("f"), lit(0)))).as("n_strong_found"))
-    res.join(exact.select(col("qid"), col("cid"), lit(1).as("in_exact_topk")),
+    val out = res
+      .join(exact.select(col("qid"), col("cid"), lit(1).as("in_exact_topk")),
         Seq("qid", "cid"), "left")
       .withColumn("in_exact_topk", coalesce(col("in_exact_topk"), lit(0)))
       .join(perQ, Seq("qid"))
@@ -132,6 +133,21 @@ object AnnQueries {
           .otherwise(col("n_strong_found").cast("double") / col("n_strong")))
       .withColumn("recall_ok", col("strong_recall") >= floor)
       .drop("n_exact_found", "n_strong", "n_strong_found")
+    // Eager materialization + cache discipline (round-9 advisory): ONE
+    // action computes the validated frame while both persisted subtrees
+    // are hot, then BOTH fixture-sized cache entries are dropped. The
+    // result is ≤ |Q|·k rows by the ANN query-set contract, so holding
+    // it as a local relation is free — and a long-lived session no
+    // longer accumulates two pinned caches per e03/e04/e07/e08 run
+    // (the bench tail's repeated `CacheManager: already cached`
+    // warnings were this leak's symptom: re-persisting the same plans
+    // run over run). PlanSuite pins the local-relation shape and the
+    // empty cache.
+    val rows = out.collect()
+    res.unpersist()
+    exact.unpersist()
+    res0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   val qs: Seq[Q] = Seq(

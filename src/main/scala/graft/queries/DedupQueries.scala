@@ -238,6 +238,28 @@ object DedupQueries {
           q, emb, k = 5, strongThr = 0.45, floor = 1.0)
           .orderBy("qid", "rk")
       },
+      None),
+
+    // ---- E9 residual-encoded IVF-PQ (classical Jégou §IV.B layout) ----
+    // Same composed path as e08 with `residual = true`: codes quantize
+    // x − centroid(cell), so the coarse quantizer soaks up between-cell
+    // structure and the same code bits buy finer quantization. Scoring
+    // stays one broadcast probe join with row-local pieces (driver
+    // per-probe dot(q, c) + fused LUT sum + encode-scan reconstruction
+    // norm — see Ann.ivfPqTopK). Same strong-neighbor invariant, floor
+    // 1.0 measured at all three SFs; AnnScaleProbe pins residual recall
+    // ≥ the raw-vector path at 1M vectors / 256 cells.
+    Q("e09_ann_ivfpq_residual",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        AnnQueries.withExactRecall(
+          Ann.ivfPqTopK(q, emb, "vec_id", "embedding",
+            dim = 64, k = 5, nCells = 8, nProbe = 2, m = 16, kCodes = 64,
+            rerankFrom = 20, residual = true),
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
+          .orderBy("qid", "rk")
+      },
       None)
   )
 }

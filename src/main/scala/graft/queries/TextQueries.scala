@@ -296,22 +296,20 @@ object TextQueries {
               ORDER BY n DESC, tok ASC LIMIT 50""")),
 
     // ---- T9 quality-quantile filter (global threshold → keep) ---------
-    // Drop the worst quartile by quality score: pass 1 computes the
-    // exact interpolated 25th percentile (parity with quantile_cont,
-    // as a14), pass 2 broadcast-compares. Two corpus scans is the
-    // honest cost of an EXACT global quantile; the 100 TB variant runs
-    // pass 1 with approx_percentile or on a sample — same plan shape,
-    // documented trade.
+    // Drop the worst quartile by quality score via the callable
+    // TextPipeline.quantileThresholdFilter operator: pass 1 computes
+    // the exact interpolated 25th percentile (parity with
+    // quantile_cont, as a14), pass 2 broadcast-compares. Two corpus
+    // scans is the honest cost of an EXACT global quantile; the 100 TB
+    // variant is the SAME operator with exact = false —
+    // approx_percentile pass 1, whose n/accuracy rank bound
+    // TextPipelineSuite pins against the exact ranking.
     Q("t09_quality_filter",
-      (s, d) => {
-        val docs = load(s, d, "documents")
-          .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-        val thr = docs.agg(expr("percentile(quality, 0.25)").as("thr"))
-        docs.crossJoin(broadcast(thr))
-          .filter(col("quality") >= col("thr"))
-          .select("doc_id", "quality")
-          .orderBy("doc_id")
-      },
+      (s, d) => TextPipeline.quantileThresholdFilter(
+          load(s, d, "documents")
+            .select(col("doc_id"), qualityScore(col("text")).as("quality")),
+          "quality", p = 0.25)
+        .orderBy("doc_id"),
       Some {
         val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
         val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE))"
@@ -390,6 +388,68 @@ object TextQueries {
                            (0.25 + 0.75 * (dl / st.avgdl)))))) AS score
               FROM p, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
               ORDER BY score DESC, doc_id LIMIT 100""")),
+
+    // ---- T12 BM25 ln-idf RANKING (rank-level hash oracle) -------------
+    // Closes the round-8 gap: the ln-weighted Lucene-idf DEFAULT path
+    // (withIdf = true) was only suite-tested because ln is libm —
+    // engines may differ in the last ulp, so score bits can't be
+    // hash-compared. The e06 integer-rank trick applies: both engines
+    // rank their OWN ln-scored frame by (score DESC, doc_id) and only
+    // the integer (doc_id, rank) pairs are hashed — rank parity needs
+    // the two engines' orderings to agree, not their score bits (a flip
+    // would need two different docs' scores within ~1 ulp; verified
+    // hash-exact at sf0.001/0.01/0.1). The oracle mirrors Spark's exact
+    // association order and the CAST(... AS DOUBLE) decimal-literal
+    // discipline, with idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    Q("t12_bm25_idf_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        TextPipeline.bm25(load(s, d, "documents"),
+            "doc_id", "text", queryTerms = Seq("spark", "data", "query"),
+            withIdf = true)
+          .limit(100) // bm25 output is (score DESC, doc_id)-sorted
+          // constant partition key: same post-limit trick as e06 — the
+          // global rank window sees ≤ 100 rows, never the corpus
+          .select(col("doc_id"), row_number().over(
+            Window.partitionBy(lit(1))
+              .orderBy(col("score").desc, col("doc_id"))).as("r"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+               FROM documents),
+              p AS (SELECT doc_id, count(*) AS dl,
+                           count(CASE WHEN tok = 'spark' THEN 1 END) AS tf_0,
+                           count(CASE WHEN tok = 'data' THEN 1 END) AS tf_1,
+                           count(CASE WHEN tok = 'query' THEN 1 END) AS tf_2
+                    FROM toks GROUP BY doc_id),
+              st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                            count(*) AS n_docs,
+                            count(CASE WHEN tf_0 > 0 THEN 1 END) AS df_0,
+                            count(CASE WHEN tf_1 > 0 THEN 1 END) AS df_1,
+                            count(CASE WHEN tf_2 > 0 THEN 1 END) AS df_2
+                     FROM p),
+              scored AS (SELECT doc_id,
+                     ((ln(1.0 + (n_docs - df_0 + CAST(0.5 AS DOUBLE)) /
+                          (df_0 + CAST(0.5 AS DOUBLE)))
+                        * ((CAST(2.2 AS DOUBLE) * tf_0) /
+                           (tf_0 + CAST(1.2 AS DOUBLE) *
+                             (0.25 + 0.75 * (dl / st.avgdl))))
+                      + ln(1.0 + (n_docs - df_1 + CAST(0.5 AS DOUBLE)) /
+                           (df_1 + CAST(0.5 AS DOUBLE)))
+                        * ((CAST(2.2 AS DOUBLE) * tf_1) /
+                           (tf_1 + CAST(1.2 AS DOUBLE) *
+                             (0.25 + 0.75 * (dl / st.avgdl)))))
+                      + ln(1.0 + (n_docs - df_2 + CAST(0.5 AS DOUBLE)) /
+                           (df_2 + CAST(0.5 AS DOUBLE)))
+                        * ((CAST(2.2 AS DOUBLE) * tf_2) /
+                           (tf_2 + CAST(1.2 AS DOUBLE) *
+                             (0.25 + 0.75 * (dl / st.avgdl)))) ) AS score
+                    FROM p, st
+                    WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
+              SELECT doc_id,
+                     CAST(row_number() OVER
+                       (ORDER BY score DESC, doc_id) AS INT) AS r
+              FROM scored ORDER BY score DESC, doc_id LIMIT 100""")),
 
     // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
     // The 100 TB path: one shuffle on the 128-bit fingerprint; no text

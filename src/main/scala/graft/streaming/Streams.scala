@@ -133,16 +133,31 @@ object Streams {
     * hit with the EARLIER doc as `id_a`.
     *
     * State discipline: the key space is bounded by construction
-    * (4 bands × 2¹⁶ values), so `NoTimeout` is safe — total state is at
-    * most 4·65536·maxBucket entries REGARDLESS of stream length, and a
-    * boilerplate mega-bucket degrades to "remembers the last maxBucket
-    * docs" instead of growing without bound (same cap philosophy as the
-    * batch LSH `maxBucket`). Pairs colliding in k>1 bands are emitted up
-    * to k times (bucket states are independent); downstream consumers
-    * dedup on (id_a, id_b) — the suite asserts the DEDUPED set equals
-    * the batch `simhashCandidates` pair set on the same documents.
-    * The same call works on a batch Dataset (each bucket's group runs
-    * once over its rows in `ts, doc_id` order).
+    * (4 bands × 2¹⁶ values), so the default `NoTimeout` is safe — total
+    * state is at most 4·65536·maxBucket entries REGARDLESS of stream
+    * length, and a boilerplate mega-bucket degrades to "remembers the
+    * last maxBucket docs" instead of growing without bound (same cap
+    * philosophy as the batch LSH `maxBucket`). Pairs colliding in k>1
+    * bands are emitted up to k times (bucket states are independent);
+    * downstream consumers dedup on (id_a, id_b) — the suite asserts the
+    * DEDUPED set equals the batch `simhashCandidates` pair set on the
+    * same documents. The same call works on a batch Dataset (each
+    * bucket's group runs once over its rows in `ts, doc_id` order).
+    *
+    * `evictAfter = Some(duration)` adds the EVENT-TIME eviction mode an
+    * UNBOUNDED banding scheme needs (more bands, wider band values, or
+    * a per-tenant key pushes the key space past "bounded by
+    * construction" — then NoTimeout state grows with distinct keys
+    * forever). Semantics: a resident stays pairable for `duration` of
+    * event time — once the watermark passes resident.ts + duration it
+    * is dropped from its bucket (recall trades against state, exactly
+    * like `dropDuplicatesWithinWatermark`'s horizon) — and a bucket
+    * QUIET for `duration` past its newest event times out wholesale
+    * (`EventTimeTimeout` + `state.remove()`), so state is
+    * O(buckets active within the horizon), not O(buckets ever seen).
+    * Requires a streaming input (the mode is meaningless on bounded
+    * batch inputs, which should use Dedup.simhashCandidates);
+    * `lateness` sets the input watermark delay.
     *
     * TRANSIENT memory caveat: `maxBucket` bounds the PERSISTED state,
     * not the working set. Arrival order must be imposed inside the
@@ -158,11 +173,28 @@ object Streams {
     * whole input — run the batch path (Dedup.simhashCandidates) for
     * large offline corpora instead. */
   def streamNearDupPairs(docs: Dataset[StreamDoc], maxHamming: Int = 3,
-                         maxBucket: Int = 64): Dataset[NearDupPair] = {
+                         maxBucket: Int = 64,
+                         evictAfter: Option[String] = None,
+                         lateness: String = "0 seconds"): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val st = Encoders.kryo[Vector[(Long, Long)]]
-    val banded = docs.toDF()
+    implicit val st = Encoders.kryo[Vector[(Long, Long, Long)]]
+    require(evictAfter.isEmpty || docs.isStreaming,
+      "evictAfter is an event-time watermark mode: batch inputs are " +
+        "bounded (use the default NoTimeout, or Dedup.simhashCandidates)")
+    // duration → fixed millis, driver-side, so the group function's
+    // horizon filter needs no per-row parsing; calendar-length units
+    // (months) have no fixed millis and are rejected
+    val evictMs = evictAfter.map { s =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(iv.months == 0, s"evictAfter must be a fixed-length duration: $s")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val src =
+      if (evictAfter.isDefined) docs.toDF().withWatermark("ts", lateness)
+      else docs.toDF()
+    val banded = src
       .select(col("doc_id"), col("ts"),
         graft.operators.Dedup.simhash64(col("text")).as("sig"))
       .select(col("doc_id"), col("ts"), col("sig"), posexplode(array(
@@ -171,38 +203,66 @@ object Streams {
       .select(col("pos").as("band"), col("col").as("band_val"),
         col("doc_id"), col("ts"), col("sig"))
       .as[(Int, Long, Long, java.sql.Timestamp, Long)]
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded.groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[Vector[(Long, Long)], NearDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Vector[(Long, Long, Long)], NearDupPair](
+        OutputMode.Append(), timeoutConf) {
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, java.sql.Timestamp, Long)],
-         state: GroupState[Vector[(Long, Long)]]) =>
-          var residents = state.getOption.getOrElse(Vector.empty)
-          val out = Vector.newBuilder[NearDupPair]
-          // The engine hands group rows unordered: impose arrival order.
-          // Buffer as three FLAT long arrays (24 B/row + one int index
-          // array — no per-row boxing) — the unavoidable
-          // O(batch-bucket-occupancy) working set at its minimal width
-          // (see the transient-memory caveat in the scaladoc).
-          val tsB = Array.newBuilder[Long]
-          val idB = Array.newBuilder[Long]
-          val sigB = Array.newBuilder[Long]
-          rows.foreach { case (_, _, id, ts, sig) =>
-            tsB += ts.getTime; idB += id; sigB += sig
-          }
-          val tsA = tsB.result(); val idA = idB.result()
-          val sigA = sigB.result()
-          val order = Array.range(0, tsA.length)
-            .sortBy(i => (tsA(i), idA(i)))
-          order.foreach { i =>
-            val id = idA(i); val sig = sigA(i)
-            residents.foreach { case (pid, psig) =>
-              val h = java.lang.Long.bitCount(psig ^ sig)
-              if (h <= maxHamming && pid != id) out += NearDupPair(pid, id, h)
+         state: GroupState[Vector[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            // quiet-bucket cleanup: no event for evictAfter past the
+            // bucket's newest event — drop the whole bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            var residents = state.getOption.getOrElse(Vector.empty)
+            // horizon eviction: a resident stops being pairable once
+            // the watermark passes its event time + evictAfter
+            evictMs.foreach { ms =>
+              val wm = state.getCurrentWatermarkMs()
+              if (wm > 0) residents = residents.filter(_._3 + ms > wm)
             }
-            residents = (residents :+ (id, sig)).takeRight(maxBucket)
+            val out = Vector.newBuilder[NearDupPair]
+            // The engine hands group rows unordered: impose arrival order.
+            // Buffer as three FLAT long arrays (24 B/row + one int index
+            // array — no per-row boxing) — the unavoidable
+            // O(batch-bucket-occupancy) working set at its minimal width
+            // (see the transient-memory caveat in the scaladoc).
+            val tsB = Array.newBuilder[Long]
+            val idB = Array.newBuilder[Long]
+            val sigB = Array.newBuilder[Long]
+            rows.foreach { case (_, _, id, ts, sig) =>
+              tsB += ts.getTime; idB += id; sigB += sig
+            }
+            val tsA = tsB.result(); val idA = idB.result()
+            val sigA = sigB.result()
+            val order = Array.range(0, tsA.length)
+              .sortBy(i => (tsA(i), idA(i)))
+            order.foreach { i =>
+              val id = idA(i); val sig = sigA(i)
+              residents.foreach { case (pid, psig, _) =>
+                val h = java.lang.Long.bitCount(psig ^ sig)
+                if (h <= maxHamming && pid != id) out += NearDupPair(pid, id, h)
+              }
+              residents = (residents :+ ((id, sig, tsA(i)))).takeRight(maxBucket)
+            }
+            state.update(residents)
+            evictMs.foreach { ms =>
+              // bucket-level timeout re-arms on every batch with data:
+              // evictAfter past the newest event seen (clamped above
+              // the watermark — Spark rejects timestamps at/behind it)
+              var maxTs = Long.MinValue
+              var i = 0
+              while (i < tsA.length) {
+                if (tsA(i) > maxTs) maxTs = tsA(i); i += 1
+              }
+              state.setTimeoutTimestamp(
+                math.max(maxTs, state.getCurrentWatermarkMs() + 1) + ms)
+            }
+            out.result().iterator
           }
-          state.update(residents)
-          out.result().iterator
       }
   }
 

@@ -157,6 +157,28 @@ object AnnScaleProbe {
       s"ivf-pq top-k found $ivfpqMates of ${nQ * (m - 1)} planted mates")
     ivfpq.unpersist()
 
+    // ---- residual IVF-PQ: classical Jégou §IV.B encoding -------------
+    // Same composed leg with residual = true: codes quantize
+    // x − centroid(cell), so quantization error strictly tightens at
+    // equal bit budget. The pin is the round-9 done-criterion: recall
+    // must be ≥ the raw-vector leg's (and ≥ the same 0.95 floor); the
+    // extra cost is one more fused projection in the training/encode
+    // scans plus the per-row reconstruction norm.
+    val t5 = System.nanoTime()
+    val ivfpqR = Ann.ivfPqTopK(queries, emb, "vec_id", "embedding", dim,
+      k = m.toInt, nCells = nCellsBig, nProbe = 4, m = 16, kCodes = 256,
+      lloydIters = 1, pqIters = 1, rerankFrom = 2 * m.toInt,
+      residual = true).cache()
+    val ivfpqRMates = ivfpqR.filter((col("qid") / m).cast("long") ===
+      (col("cid") / m).cast("long") && col("qid") =!= col("cid")).count()
+    val tIvfPqR = (System.nanoTime() - t5) / 1e9
+    val rIvfPqR = ivfpqRMates.toDouble / (nQ * (m - 1))
+    require(ivfpqRMates >= ivfpqMates,
+      s"residual ivf-pq found $ivfpqRMates mates < raw's $ivfpqMates")
+    require(ivfpqRMates >= (nQ * (m - 1) * 95) / 100,
+      s"residual ivf-pq found $ivfpqRMates of ${nQ * (m - 1)} planted mates")
+    ivfpqR.unpersist()
+
     println(f"vecs=$nVecs%,d dim=$dim neardup(${p.getLong(0)}%,d pairs, " +
       f"recall=$recall%.5f)=$tDup%.1fs topk($nQ queries)=$tTopK%.1fs " +
       f"ivf($nQ queries, 16 cells, mate-recall=$rIvf%.3f)=$tIvf%.1fs " +
@@ -164,7 +186,8 @@ object AnnScaleProbe {
       f"ivf($nQ queries, $nCellsBig cells, probe=4, mate-recall=$rIvfMp%.3f)=$tIvfMp%.1fs " +
       f"pq($nQ queries, m=16 k=256, mate-recall=$rPq%.3f)=$tPq%.1fs " +
       f"ivfpq($nQ queries, $nCellsBig cells, probe=4, m=16, " +
-      f"mate-recall=$rIvfPq%.3f)=$tIvfPq%.1fs")
+      f"mate-recall=$rIvfPq%.3f)=$tIvfPq%.1fs " +
+      f"ivfpq-residual(mate-recall=$rIvfPqR%.3f)=$tIvfPqR%.1fs")
     spark.stop()
   }
 }

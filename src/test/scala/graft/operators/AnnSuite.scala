@@ -285,6 +285,59 @@ class AnnSuite extends SparkSpec {
     assert(full === exact) // both equal brute force (pqTopK test pins it)
   }
 
+  test("residual IVF-PQ: all-cells probe + full-width rerank == exact brute force") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rk").as[(Long, Long, Int)].collect().sorted.toSeq
+    val full = collect(Ann.ivfPqTopK(queries, clustered, "vec_id",
+      "embedding", dim = 16, k = 5, nCells = 8, nProbe = 8, m = 4,
+      kCodes = 16, lloydIters = 2, pqIters = 2, seed = 42L,
+      rerankFrom = 200, residual = true))
+    val exact = collect(Ann.pqTopK(queries, clustered, "vec_id",
+      "embedding", dim = 16, k = 5, m = 4, kCodes = 16, iters = 2,
+      seed = 42L, rerankFrom = 200))
+    assert(full === exact) // both equal brute force (pqTopK test pins it)
+  }
+
+  test("residual IVF-PQ: codes reconstruct closer than raw-vector codes") {
+    // The point of residual encoding (Jégou §IV.B): after the coarse
+    // quantizer removes between-cell structure, the SAME m·log₂k bits
+    // quantize what remains — mean squared reconstruction error must
+    // not be worse than raw-vector PQ's at equal shape. Deterministic
+    // (seeded training) so an equality-tolerant pin is safe.
+    import graft.expressions.VectorExpressions
+    val dim = 16; val m = 4; val kCodes = 16; val subDim = dim / m
+    val cells = Ann.kmeansCentroids(clustered.select(col("embedding")),
+      "embedding", dim, nCells = 8, iters = 2, seed = 42L)
+    val rawBooks = Ann.pqCodebooks(clustered.select(col("embedding")),
+      "embedding", dim, m, kCodes, iters = 2, seed = 42L)
+    val resBooks = Ann.pqCodebooks(
+      clustered.select(col("embedding").as("__v"),
+          Ann.cellFor(col("embedding"), cells).as("__cell"))
+        .select(VectorExpressions.subCentroid(col("__v"), col("__cell"), cells)
+          .as("__r")),
+      "__r", dim, m, kCodes, iters = 2, seed = 42L)
+    val rows = clustered
+      .select(col("embedding").as("__v"),
+        Ann.cellFor(col("embedding"), cells).as("cell"))
+      .select(col("__v"), col("cell"),
+        VectorExpressions.pqEncode(col("__v"), rawBooks, dim).as("raw_codes"),
+        VectorExpressions.pqEncode(
+          VectorExpressions.subCentroid(col("__v"), col("cell"), cells),
+          resBooks, dim).as("res_codes"))
+      .as[(Array[Float], Int, Seq[Int], Seq[Int])].collect()
+    val rawMse = rows.map { case (v, _, rc, _) =>
+      (0 until dim).map(d => math.pow(v(d) -
+        rawBooks(d / subDim)(rc(d / subDim))(d % subDim), 2)).sum
+    }.sum / rows.length
+    val resMse = rows.map { case (v, cell, _, sc) =>
+      (0 until dim).map(d => math.pow(v(d) - (cells(cell)(d) +
+        resBooks(d / subDim)(sc(d / subDim))(d % subDim)), 2)).sum
+    }.sum / rows.length
+    assert(resMse <= rawMse,
+      f"residual MSE $resMse%.5f worse than raw $rawMse%.5f")
+  }
+
   test("IVF-PQ: production shape finds planted mates, monotone in nProbe") {
     val queries = clustered.filter(col("vec_id") % 10 === 0)
     def mates(nProbe: Int): Long =
@@ -317,7 +370,8 @@ class AnnSuite extends SparkSpec {
     // ≈0.2–0.3 (near-orthogonal exact neighbors — expected ANN
     // behavior, see withExactRecall's scaladoc).
     for (sf <- Seq("sf0.001", "sf0.01");
-         name <- Seq("e03_ann_lsh_topk", "e04_ann_ivf_topk")) {
+         name <- Seq("e03_ann_lsh_topk", "e04_ann_ivf_topk",
+           "e09_ann_ivfpq_residual")) {
       val q = graft.queries.DedupQueries.qs.find(_.name == name).get
       val res = q.run(spark, s"/root/testdata/$sf")
       val stats = res.agg(
@@ -367,6 +421,78 @@ class AnnSuite extends SparkSpec {
       .nullSafeEval(new GenericArrayData(viaCodegen._3.toArray))
       .asInstanceOf[ArrayData].toFloatArray().toSeq
     assert(adcEval === adcCodegen)
+  }
+
+  test("residual expressions: interpreted eval == codegen; NaN guard emits −∞") {
+    import graft.expressions._
+    import graft.expressions.VectorExpressions._
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val rng = new java.util.Random(11L)
+    val cells = Seq.fill(3)(Seq.fill(8)(rng.nextGaussian()))
+    val books = Seq.tabulate(2, 4) { (_, _) => Seq.fill(4)(rng.nextGaussian()) }
+    val lut = Seq.fill(2 * 2 * 4)(rng.nextGaussian())
+    val df = Seq((Array.fill(8)(rng.nextGaussian().toFloat), 1, Array(2, 0), 0))
+      .toDF("v", "cell", "codes", "qi")
+    val viaCodegen = df.select(
+        subCentroid(col("v"), col("cell"), cells).as("r"),
+        pqReconNorm2(col("codes"), col("cell"), cells, books).as("rn2"),
+        pqAdcDotAt(col("codes"), col("qi"), lut, 2, 4).as("dot"))
+      .as[(Seq[Float], Double, Double)].head()
+    val vec: ArrayData = new GenericArrayData(df.select("v").as[Array[Float]].head())
+    val codes: ArrayData = new GenericArrayData(Array(2, 0))
+    assert(SubCentroidConst(null, null, cells.flatten, 8, 3)
+      .nullSafeEval(vec, 1).asInstanceOf[ArrayData]
+      .toFloatArray().toSeq === viaCodegen._1)
+    assert(PqReconNorm2(null, null, cells.flatten, books.flatten.flatten,
+      8, 3, 2, 4).nullSafeEval(codes, 1) === viaCodegen._2)
+    assert(PqAdcDotAt(null, null, lut, 2, 4)
+      .nullSafeEval(codes, 0) === viaCodegen._3)
+    // driver-side cross-check of the reconstruction norm
+    val want = (0 until 8).map { d =>
+      val x = cells(1)(d) + books(d / 4)(Seq(2, 0)(d / 4))(d % 4)
+      x * x
+    }.sum
+    assert(math.abs(viaCodegen._2 - want) < 1e-12)
+    // NaN guard (round-9 advisory): empty codes → cn = 0 → the ADC
+    // cosines must emit −∞ (sorts LAST under desc), never NaN (sorts
+    // FIRST in Spark's double ordering — a degenerate row would outrank
+    // every genuine candidate)
+    val sqn = Seq.fill(2 * 4)(1.0)
+    val emptyDf = Seq(Tuple1(Array.empty[Int])).toDF("codes")
+    val gotArr = emptyDf.select(
+        pqAdcCosine(col("codes"), lut.take(2 * 2 * 4), sqn, Seq(1.0, 2.0), 2, 4))
+      .as[Seq[Float]].head()
+    assert(gotArr === Seq(Float.NegativeInfinity, Float.NegativeInfinity))
+    val gotAt = emptyDf.select(
+        pqAdcCosineAt(col("codes"), lit(0), lut.take(2 * 2 * 4), sqn,
+          Seq(1.0, 2.0), 2, 4))
+      .as[Float].head()
+    assert(gotAt === Float.NegativeInfinity)
+    // interpreted parity for the guard
+    val emptyCodes: ArrayData = new GenericArrayData(Array.empty[Int])
+    assert(PqAdcCosine(null, lut.take(2 * 2 * 4), sqn, Seq(1.0, 2.0), 2, 4)
+      .nullSafeEval(emptyCodes).asInstanceOf[ArrayData]
+      .toFloatArray().toSeq === gotArr)
+    assert(PqAdcCosineAt(null, null, lut.take(2 * 2 * 4), sqn,
+      Seq(1.0, 2.0), 2, 4).nullSafeEval(emptyCodes, 0) === gotAt)
+  }
+
+  test("pqCodebooks training tolerates off-contract long vectors (ANSI)") {
+    // round-9 advisory: the Lloyd round posexplodes the raw vector and
+    // indexes __codes at pos/subDim + 1 — a vector LONGER than dim used
+    // to error under ANSI element_at; the pos < dim clamp must make
+    // training ignore overflow components like the encoder does
+    val long = Seq(
+        (1L, Array.fill(16)(1.0f) ++ Array.fill(4)(99f)),
+        (2L, Array.fill(16)(0.5f)))
+      .toDF("id", "v")
+    val books = Ann.pqCodebooks(long.select(col("v")), "v", dim = 16,
+      m = 4, k = 2, iters = 2, seed = 42L)
+    assert(books.length === 4)
+    // every trained mean is a mean of in-range components (≤ 1.0); the
+    // 99f poison past dim must never reach the aggregation
+    assert(books.flatten.flatten.forall(v => math.abs(v) <= 1.0),
+      s"overflow components leaked into training: $books")
   }
 
   test("PQ expressions tolerate short vectors/codes like the sibling dots") {

@@ -113,22 +113,63 @@ class PlanSuite extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 
-  test("e03: recall-validated ANN queries cache their shared subtrees") {
-    // withExactRecall feeds the ANN result and the exact oracle into
-    // two branches each; without the persists both pipelines execute
-    // twice (measured ~2× on e03/e04/e07/e08 — round-8 review fix)
-    val p = plan("e03_ann_lsh_topk")
-    assert(p.contains("InMemoryTableScan"), p.take(3000))
+  test("e03: recall validation materializes eagerly and drops its caches") {
+    // withExactRecall persists its two shared subtrees (ANN result +
+    // exact oracle) for the ONE action that computes the validated
+    // frame — each feeds two branches, and exchange reuse does not fire
+    // across differently-pruned branches, so without the persists both
+    // pipelines execute twice (measured ~2× on e03/e04/e07/e08 —
+    // round-8 fix). Round-9 discipline: that action runs INSIDE
+    // withExactRecall, both fixture-sized caches are unpersisted
+    // immediately after, and the ≤ |Q|·k-row result returns as a local
+    // relation — so a long-lived session no longer accumulates two
+    // pinned caches per run. Pin both halves: local-relation plan out,
+    // nothing left in the cache manager.
+    spark.catalog.clearCache()
+    val df = Catalog.queries("e03_ann_lsh_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"), p.take(3000))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "withExactRecall must unpersist its shared subtrees")
   }
 
   test("e08: IVF-PQ probe join broadcasts; candidate side never all-pairs") {
     // The composed path's scale contract: the (query, cell) probe frame
     // is broadcast (candidates never shuffle to meet it), scoring is
     // the fused per-pair ADC lookup, and no nested-loop/cartesian pair
-    // space ever forms.
-    val p = plan("e08_ann_ivfpq_topk")
+    // space ever forms. Pinned on the OPERATOR plan (the catalog query
+    // wraps it in withExactRecall, which now eagerly materializes and
+    // returns a local relation — see the e03 pin).
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val p = graft.operators.Ann.ivfPqTopK(q, emb, "vec_id", "embedding",
+        dim = 64, k = 5, nCells = 8, nProbe = 2, m = 16, kCodes = 64,
+        rerankFrom = 20)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("pq_adc_cosine_at"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("e09: residual IVF-PQ scores from row-local pieces — no cross-term " +
+      "table join, probe join still broadcast") {
+    // Residual scoring assembles cosine from the broadcast per-probe
+    // dot(q, centroid), the fused LUT sum, and the encode-scan
+    // reconstruction norm — all row-local after ONE broadcast probe
+    // join. The plan must show the three fused expressions and no
+    // cartesian/nested-loop pair space.
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val p = graft.operators.Ann.ivfPqTopK(q, emb, "vec_id", "embedding",
+        dim = 64, k = 5, nCells = 8, nProbe = 2, m = 16, kCodes = 64,
+        rerankFrom = 20, residual = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("pq_adc_dot_at"), p.take(3000))
+    assert(p.contains("pq_recon_norm2"), p.take(3000))
+    assert(p.contains("sub_centroid_const"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 }

@@ -287,4 +287,67 @@ class StreamingSuite extends SparkSpec {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("streaming near-dup evictAfter: horizon bounds which pairs are emitted") {
+    // Event-time eviction mode (round-9): residents stop being pairable
+    // once the watermark passes their ts + evictAfter. Identical texts
+    // doc 1/2 pair inside the horizon; after fillers push the watermark
+    // far past their horizon, the SAME text arriving again (doc 5) must
+    // NOT pair with them — only with its own fresh neighbor (doc 6).
+    val base = 1700000000000L
+    def doc(id: Long, min: Long, text: String) =
+      StreamDoc(id, new Timestamp(base + min * 60000L), text)
+    val same = "spark streams near duplicate detection with simhash bands"
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = Streams.streamNearDupPairs(mem.toDS(), maxHamming = 3,
+        maxBucket = 64, evictAfter = Some("30 minutes"))
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(doc(1, 0, same), doc(2, 10, same))
+      q.processAllAvailable() // wm → 10min; (1,2) inside horizon
+      mem.addData(doc(30, 100, "a completely different filler document"))
+      q.processAllAvailable() // wm → 100min: 1/2 horizon (30/40min) passed
+      mem.addData(doc(5, 210, same))
+      q.processAllAvailable() // same text, evicted residents: no pair
+      mem.addData(doc(6, 212, same))
+      q.processAllAvailable() // pairs with 5 only
+      val got = spark.table("neardup_evict")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L), (5L, 6L)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup evictAfter: quiet buckets time out of the state store") {
+    // The state-size half of the round-9 eviction mode: with NoTimeout a
+    // bucket key lives forever (fine for the bounded 4×2¹⁶ simhash key
+    // space, unbounded growth for larger banding schemes). With
+    // evictAfter, a bucket quiet past its horizon must be REMOVED —
+    // observable as stateOperators.numRowsTotal falling back to the
+    // live buckets only. Three distinct texts at t0/t100/t200 hold
+    // 4 bucket keys each; once the watermark reaches 200min the t0 and
+    // t100 buckets (timeouts 30+ε and 130+ε min) have fired, so ≤ 8 of
+    // the 12 keys may remain (12 is exactly what NoTimeout would hold).
+    val base = 1700000000000L
+    def doc(id: Long, min: Long, text: String) =
+      StreamDoc(id, new Timestamp(base + min * 60000L), text)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = Streams.streamNearDupPairs(mem.toDS(), maxHamming = 3,
+        maxBucket = 64, evictAfter = Some("30 minutes"))
+      .writeStream.format("memory").queryName("neardup_timeout")
+      .outputMode("append").start()
+    try {
+      mem.addData(doc(1, 0, "first corpus document about spark engines"))
+      q.processAllAvailable()
+      mem.addData(doc(2, 100, "second unrelated text on stream state"))
+      q.processAllAvailable()
+      mem.addData(doc(3, 200, "third distinct entry covering watermarks"))
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rows <= 8, s"quiet buckets not evicted: $rows state rows")
+      assert(rows >= 4, s"live bucket must survive: $rows state rows")
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR): score every raw
+  * document by how target-like its token distribution is, then resample
+  * the raw pool proportionally to those importance weights — the
+  * standard recipe for tilting a web-scale crawl toward a curated
+  * target domain before pretraining (Xie et al. 2023, arXiv:2302.03169;
+  * no reference-repo analog — this is the driver's LLM-pipeline brief).
+  *
+  * Model: bag-of-words categorical distributions with add-`smoothing`
+  * (Laplace) mass over the UNION vocabulary V of both corpora:
+  *
+  *   p_f = (cnt_target(f) + a) / (T + a·|V|)
+  *   q_f = (cnt_raw(f)    + a) / (S + a·|V|)
+  *   log w(d) = Σ_f c_{d,f} · (ln p_f − ln q_f)
+  *
+  * (DSIR's hashed variant replaces f = token with f = hash(token) mod B
+  * — see `hashBuckets`.) Documents with no tokens score 0 (empty sum),
+  * i.e. weight 1 — indistinguishable from target by this model.
+  *
+  * Scale shape (the 100 TB contract):
+  *  - The per-feature distribution frames are |V|-bounded (unhashed) or
+  *    B-bounded (hashed). With `hashBuckets = Some(B)` the
+  *    log-likelihood-ratio frame is AT MOST B rows regardless of corpus
+  *    size — pick B ≤ ~10⁶ and it broadcasts, so scoring is
+  *    explode → broadcast-join → one doc-keyed partial agg: the corpus
+  *    never shuffles on a token key (a Zipfian stopword never owns a
+  *    shuffle partition), and the only wide exchange is the
+  *    AQE-splittable doc-id agg.
+  *  - Unhashed mode keeps exact token identity — the oracle-parity and
+  *    small-vocab path. Its llr join is skew-safe for the same reason
+  *    (aggregation is doc-keyed, the token join is just a lookup that
+  *    Spark broadcasts whenever the vocab fits).
+  *  - Resampling is the Gumbel-top-k trick over partition-invariant
+  *    seeded uniforms ([[Samplers.rowUniform]]): sampling n without
+  *    replacement ∝ w needs only log w (never exp(log w), which would
+  *    overflow long documents), is reproducible under any partitioning/
+  *    AQE re-plan, and costs one `TakeOrderedAndProject`-shaped top-n.
+  */
+object Dsir {
+
+  /** (feature, llr) log-likelihood-ratio frame for `target` vs `raw`
+    * corpora. Small by construction: ≤ |union vocab| rows unhashed,
+    * ≤ B rows hashed. */
+  def logLikelihoodRatios(raw: DataFrame, target: DataFrame,
+                          textCol: String, smoothing: Double = 1.0,
+                          hashBuckets: Option[Int] = None): DataFrame = {
+    require(smoothing > 0, "smoothing mass must be positive")
+    val rawF = featurize(raw, textCol, hashBuckets)
+    val tgtF = featurize(target, textCol, hashBuckets)
+    val rawCnt = rawF.groupBy("__feat").agg(count(lit(1)).as("__cs"))
+    val tgtCnt = tgtF.groupBy("__feat").agg(count(lit(1)).as("__ct"))
+    // union vocabulary; counts absent on one side are 0 (smoothed below)
+    val vocab = rawCnt.join(tgtCnt, Seq("__feat"), "full_outer")
+      .select(col("__feat"),
+        coalesce(col("__cs"), lit(0L)).as("__cs"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
+    // totals + vocab size: a 3-scalar frame, broadcast back as a one-row
+    // cross join (NOT a global window)
+    val tots = vocab.agg(sum("__cs").as("__s"), sum("__ct").as("__t"),
+      count(lit(1)).as("__v"))
+    // ln((ct+a)/(T+aV)) − ln((cs+a)/(S+aV)), all-double division — the
+    // exact tree the DuckDB oracle mirrors (ulp-stable shape; see g11)
+    vocab.crossJoin(broadcast(tots)).select(col("__feat"),
+      (log((col("__ct").cast("double") + lit(smoothing)) /
+           (col("__t").cast("double") + lit(smoothing) * col("__v"))) -
+       log((col("__cs").cast("double") + lit(smoothing)) /
+           (col("__s").cast("double") + lit(smoothing) * col("__v"))))
+        .as("llr"))
+  }
+
+  /** Per-document DSIR log importance weight for every row of `raw`:
+    * output = raw columns + `logw`. `target` is the curated corpus to
+    * tilt toward. Token-less documents get logw = 0. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, smoothing: Double = 1.0,
+                        hashBuckets: Option[Int] = None): DataFrame = {
+    val llr = logLikelihoodRatios(raw, target, textCol, smoothing,
+      hashBuckets)
+    val scored = featurize(raw.select(col(idCol), col(textCol)), textCol,
+        hashBuckets)
+      .join(llr, "__feat") // broadcast whenever llr fits (always, hashed)
+      .groupBy(idCol).agg(sum("llr").as("logw"))
+    raw.join(scored, Seq(idCol), "left")
+      .withColumn("logw", coalesce(col("logw"), lit(0.0)))
+  }
+
+  /** Sample exactly n rows from a `logw`-scored frame, without
+    * replacement, with inclusion ∝ exp(logwCol) — Gumbel-top-k: the
+    * top n of logw + G_i over i.i.d. Gumbel noise G_i = −ln(−ln u_i) is
+    * distributed as weighted sampling without replacement (Efraimidis–
+    * Spirakis keys in log space — no exp, no overflow). Uniforms are
+    * partition-invariant functions of row content + seed. */
+  def resampleByLogWeight(scored: DataFrame, logwCol: String, n: Int,
+                          seed: Long): DataFrame =
+    scored.withColumn("__g",
+        col(logwCol) - log(-log(Samplers.rowUniform(
+          scored.columns.toSeq, seed))))
+      .orderBy(desc("__g"))
+      .limit(n)
+      .drop("__g")
+
+  /** Token features, optionally hashed into `buckets` (DSIR §3's feature
+    * hashing; `pmod` keeps the bucket non-negative). One row per token
+    * OCCURRENCE — multiplicity is the c_{d,f} in the weight sum. */
+  private def featurize(df: DataFrame, textCol: String,
+                        hashBuckets: Option[Int]): DataFrame = {
+    val tok = df.select(df.columns.map(col) :+
+      explode(Dedup.tokens(col(textCol))).as("__tok"): _*)
+    hashBuckets match {
+      case Some(b) =>
+        require(b > 0, "bucket count must be positive")
+        tok.withColumn("__feat", pmod(xxhash64(col("__tok")), lit(b.toLong)))
+          .drop("__tok")
+      case None => tok.withColumnRenamed("__tok", "__feat")
+    }
+  }
+}

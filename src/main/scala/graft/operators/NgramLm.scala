@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language-model scoring with Stupid Backoff
+  * (Brants et al. 2007, "Large Language Models in Machine Translation" —
+  * the backoff designed FOR distributed count tables), the engine behind
+  * CCNet-style perplexity filtering of a crawl against a clean reference
+  * corpus (Wenzek et al. 2020). No reference-repo analog — this is the
+  * driver's LLM-pipeline brief.
+  *
+  * Per-token score (log domain; α = backoff discount, default 0.4):
+  *
+  *   S(t | p) = ln(c₂(p,t) / c₁(p))                 if c₂(p,t) > 0
+  *            = ln α + ln((c₁(t)+1) / (N+V+1))      otherwise (backoff)
+  *   S(t)     = ln((c₁(t)+1) / (N+V+1))             first token (no prev)
+  *
+  * where c₂/c₁ are train-corpus bigram/unigram counts, N = train token
+  * count, V = train vocab size; the +1/+V+1 is add-one smoothing with
+  * one shared slot for every out-of-vocabulary token, so OOV mass never
+  * divides by zero and does not depend on the corpus being scored.
+  * Stupid Backoff scores are not normalized probabilities (Brants §3) —
+  * monotone "target-likeness per token", which is all filtering ranks.
+  *
+  * Scale shape (the 100 TB contract):
+  *  - Training is two map-side-partial count aggregations over the
+  *    reference corpus; the model is two bounded tables (vocab / vocab²
+  *    rows, prunable with `minCount` — Brants prunes singletons at
+  *    2T tokens) plus two scalars. Train once, reuse across scoring
+  *    runs — at ingest these are just columns-to-join artifacts.
+  *  - Scoring explodes each doc into (prev, tok) pairs SCAN-SIDE (an
+  *    array zip with the shifted self — no window, no per-doc shuffle)
+  *    and left-joins the two count tables. With a pruned model both
+  *    joins broadcast; the only wide exchange is the doc-keyed average,
+  *    which partial-aggregates map-side. A Zipfian stopword never owns
+  *    a shuffle partition because nothing shuffles on a token key.
+  *  - OOV and unseen-bigram tokens take the backoff branch by
+  *    construction (LEFT joins + coalesce), so scoring never throws on
+  *    unseen text — the property that matters when the scored crawl is
+  *    1000× the reference corpus.
+  */
+object NgramLm {
+
+  /** Trained bigram model: two count tables + the two train scalars.
+    * `unigrams` = (tok, c1); `bigrams` = (prev, tok, c2). */
+  final case class Model(unigrams: DataFrame, bigrams: DataFrame,
+                         nTokens: Long, vocabSize: Long)
+
+  /** Count tables from a reference corpus. `minCount` prunes rare
+    * bigrams (keeps the table broadcastable; pruned pairs fall back to
+    * the unigram path — exactly Stupid Backoff's contract). */
+  def train(corpus: DataFrame, textCol: String, minCount: Long = 1L)
+      : Model = {
+    val toks = corpus.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+    val unigrams = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bigrams = corpus
+      .select(explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col("bg._1").as("prev"), col("bg._2").as("tok"))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    // two scalars — a driver-sized collect by contract
+    val row = unigrams
+      .agg(coalesce(sum("c1"), lit(0L)).as("n"), count(lit(1)).as("v"))
+      .collect().head
+    val (n, v) = (row.getLong(0), row.getLong(1))
+    require(n > 0, "cannot train a language model on an empty corpus")
+    Model(unigrams, bigrams, n, v)
+  }
+
+  /** Average per-token Stupid-Backoff log score for every document:
+    * output = (idCol, n_toks, avg_logp). Higher = more reference-like;
+    * CCNet's perplexity filter is `exp(-avg_logp)` thresholding, which
+    * ranks identically. Token-less documents emit no row. */
+  def scoreDocs(model: Model, docs: DataFrame, idCol: String,
+                textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "backoff discount must be in (0,1]")
+    val pairs = docs
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg._2").as("tok"), col("bg._1").as("prev"))
+    val u = model.unigrams
+    val scored = pairs
+      .join(model.bigrams, Seq("prev", "tok"), "left")
+      .join(u.select(col("tok").as("prev"), col("c1").as("c1p")),
+        Seq("prev"), "left")
+      .join(u.select(col("tok"), col("c1").as("c1t")), Seq("tok"), "left")
+    // the unigram backoff base: add-one over (N + V + 1 OOV slot)
+    val base = log((coalesce(col("c1t"), lit(0L)).cast("double") + lit(1.0)) /
+      (lit(model.nTokens.toDouble) + lit(model.vocabSize.toDouble) + lit(1.0)))
+    val lp = when(col("c2").isNotNull,
+        log(col("c2").cast("double") / col("c1p").cast("double")))
+      .when(col("prev").isNull, base)
+      .otherwise(log(lit(alpha)) + base)
+    scored.withColumn("__lp", lp)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"), avg("__lp").as("avg_logp"))
+  }
+
+  /** (prev, tok) pairs for one document, scan-side: the token array
+    * zipped with its lag-1 shift (first prev = NULL). No window, no
+    * shuffle — pure per-row array work. */
+  private def bigramPairs(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val prevs = concat(array(lit(null).cast("string")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+    arrays_zip(prevs.as("_1"), toks.as("_2"))
+  }
+}

@@ -31,7 +31,7 @@ object Samplers {
     * whole row and the seed. Identical rows share a key; for exact-n
     * that can only swap identical rows across the cut line, leaving the
     * selected multiset unchanged. */
-  private def rowUniform(cols: Seq[String], seed: Long): Column =
+  private[operators] def rowUniform(cols: Seq[String], seed: Long): Column =
     shiftrightunsigned(xxhash64(struct(cols.map(col): _*), lit(seed)), 11)
       .cast("double") / lit(9007199254740992.0) // 2^53
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Samplers
+import graft.operators.{Dsir, Samplers}
 import graft.synth.Population
 import graft.util.Tables.load
 
@@ -160,6 +160,108 @@ object SamplingQueries {
       Some("""SELECT 'test' AS split, CAST(1 AS BIGINT) AS frac_x10
               UNION ALL SELECT 'train', CAST(8 AS BIGINT)
               UNION ALL SELECT 'val', CAST(1 AS BIGINT)
-              ORDER BY split"""))
+              ORDER BY split""")),
+
+    // ---- G11 DSIR importance weights (Xie et al. 2023), rank oracle ---
+    // Target = the English sub-corpus; every document scored by
+    // Σ c_f·(ln p_f − ln q_f) over the add-1-smoothed unigram models.
+    // Hash-compare strategy: ln is libm, and the per-doc double sum is
+    // merge-order-nondeterministic at the ulp level, so the graded
+    // output carries the weight QUANTIZED to 2⁻²⁰ (≈1e-6 — far above
+    // ulp noise, far below the ~1e-2 gaps between distinct docs) and
+    // the rank ordered by that integer: bit-exact across engines and
+    // runs unless a true weight straddles a quantization boundary
+    // (verified hash-exact at sf0.001/0.01/0.1). Unhashed features for
+    // SQL parity; the hashed scale path is g12's job + DsirSuite.
+    Q("g11_dsir_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = load(s, d, "documents")
+        val target = docs.filter(col("lang") === "en")
+        Dsir.importanceWeights(docs, target, "doc_id", "text")
+          .select(col("doc_id"),
+            floor(col("logw") * lit(1048576.0) + lit(0.5))
+              .cast("long").as("qlogw"))
+          .orderBy(desc("qlogw"), col("doc_id"))
+          .limit(50)
+          // constant partition key: post-limit the window sees ≤ 50 rows
+          .select(col("doc_id"), col("qlogw"), row_number().over(
+            Window.partitionBy(lit(1))
+              .orderBy(desc("qlogw"), col("doc_id"))).as("r"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+               FROM documents),
+              cnt AS (SELECT tok, count(*) AS cs,
+                             count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+                      FROM toks GROUP BY tok),
+              tot AS (SELECT sum(cs) AS s, sum(ct) AS t, count(*) AS v
+                      FROM cnt),
+              llr AS (SELECT tok,
+                        ln((CAST(ct AS DOUBLE) + 1.0) /
+                           (CAST(t AS DOUBLE) + 1.0 * v))
+                      - ln((CAST(cs AS DOUBLE) + 1.0) /
+                           (CAST(s AS DOUBLE) + 1.0 * v)) AS llr
+                      FROM cnt, tot),
+              w AS (SELECT doc_id, CAST(floor(sum(llr) * 1048576.0 + 0.5)
+                                        AS BIGINT) AS qlogw
+                    FROM toks JOIN llr USING (tok) GROUP BY doc_id),
+              top AS (SELECT doc_id, qlogw FROM w
+                      ORDER BY qlogw DESC, doc_id LIMIT 50)
+              SELECT doc_id, qlogw,
+                     CAST(row_number() OVER (ORDER BY qlogw DESC, doc_id)
+                          AS INT) AS r
+              FROM top ORDER BY r""")),
+
+    // ---- G12 DSIR resampling on the hashed-feature scale path --------
+    // Gumbel-top-k over log weights (never exp — no overflow), hashed
+    // features (2¹⁶ buckets: the B-bounded llr frame broadcasts at any
+    // corpus size). Randomized selection can't hash-match an oracle;
+    // the graded row carries the invariants instead, each recomputed
+    // from the data in-query: exact n, bit-identical rerun, identical
+    // selection under a different partitioning (the rowUniform
+    // partition-invariance claim, proven in the graded output), and
+    // the distribution ACTUALLY tilts (sampled mean logw > corpus mean,
+    // en share strictly up). DsirSuite asserts all-true at test time;
+    // the driver's rows-check sees the booleans.
+    Q("g12_dsir_resample",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val target = docs.filter(col("lang") === "en")
+        val scored = Dsir.importanceWeights(docs, target, "doc_id", "text",
+            hashBuckets = Some(1 << 16))
+          .select(col("doc_id"), col("lang"), col("logw"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val s1 = Dsir.resampleByLogWeight(scored, "logw", 100, seed = 31)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val s2 = Dsir.resampleByLogWeight(scored, "logw", 100, seed = 31)
+        val s3 = Dsir.resampleByLogWeight(scored.repartition(7), "logw",
+          100, seed = 31)
+        val stats = scored.agg(
+          avg("logw").as("mean_all"),
+          avg(when(col("lang") === "en", 1.0).otherwise(0.0)).as("en_all"))
+        val out = s1.agg(
+            count(lit(1)).as("n_sampled"),
+            avg("logw").as("mean_sampled"),
+            avg(when(col("lang") === "en", 1.0).otherwise(0.0))
+              .as("en_sampled"))
+          .crossJoin(broadcast(stats))
+          .crossJoin(broadcast(s1.exceptAll(s2).union(s2.exceptAll(s1))
+            .agg(count(lit(1)).as("n_diff_rerun"))))
+          .crossJoin(broadcast(s1.exceptAll(s3).union(s3.exceptAll(s1))
+            .agg(count(lit(1)).as("n_diff_repart"))))
+          .select(col("n_sampled"), col("n_diff_rerun"),
+            col("n_diff_repart"),
+            (col("mean_sampled") > col("mean_all")).as("shift_ok"),
+            (col("en_sampled") > col("en_all")).as("en_boost_ok"))
+        // eager materialization + unpersist (round-9 cache discipline,
+        // same shape as AnnQueries.withExactRecall): the result is ONE
+        // row; holding it as a local relation frees both cache entries
+        val rows = out.collect()
+        scored.unpersist()
+        s1.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      None)
   )
 }

@@ -451,6 +451,71 @@ object TextQueries {
                        (ORDER BY score DESC, doc_id) AS INT) AS r
               FROM scored ORDER BY score DESC, doc_id LIMIT 100""")),
 
+    // ---- T13 bigram-LM scoring (Stupid Backoff), rank oracle ----------
+    // CCNet-style reference-corpus scoring: train on the English
+    // sub-corpus, score every document by avg per-token log score,
+    // rank top 50. Same hash-compare strategy as g11: ln is libm and
+    // double sums are merge-order-nondeterministic at the ulp level, so
+    // the graded output carries the 2⁻²⁰-quantized average (≫ ulp
+    // noise, ≪ inter-doc gaps) — verified hash-exact at all three SFs.
+    Q("t13_ngram_logprob_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = load(s, d, "documents")
+        val model = graft.operators.NgramLm.train(
+          docs.filter(col("lang") === "en"), "text")
+        graft.operators.NgramLm.scoreDocs(model, docs, "doc_id", "text")
+          .select(col("doc_id"),
+            floor(col("avg_logp") * lit(1048576.0) + lit(0.5))
+              .cast("long").as("qlp"))
+          .orderBy(desc("qlp"), col("doc_id"))
+          .limit(50)
+          // constant partition key: post-limit the window sees ≤ 50 rows
+          .select(col("doc_id"), col("qlp"), row_number().over(
+            Window.partitionBy(lit(1))
+              .orderBy(desc("qlp"), col("doc_id"))).as("r"))
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS l
+               FROM documents),
+              tr_toks AS (SELECT unnest(l) AS tok FROM base
+                          WHERE lang = 'en'),
+              u AS (SELECT tok, count(*) AS c1 FROM tr_toks GROUP BY tok),
+              st AS (SELECT (SELECT sum(c1) FROM u) AS n,
+                            (SELECT count(*) FROM u) AS v),
+              b AS (SELECT l[i-1] AS prev, l[i] AS tok, count(*) AS c2
+                    FROM base, unnest(generate_series(2, len(l))) AS t(i)
+                    WHERE lang = 'en' GROUP BY 1, 2),
+              sc AS (SELECT doc_id, l[i] AS tok,
+                            CASE WHEN i > 1 THEN l[i-1] END AS prev
+                     FROM base, unnest(generate_series(1, len(l))) AS t(i)),
+              j AS (SELECT sc.doc_id, sc.prev, b.c2, up.c1 AS c1p,
+                           ut.c1 AS c1t
+                    FROM sc LEFT JOIN b ON sc.prev = b.prev
+                                       AND sc.tok = b.tok
+                            LEFT JOIN u up ON sc.prev = up.tok
+                            LEFT JOIN u ut ON sc.tok = ut.tok),
+              lp AS (SELECT doc_id, CASE
+                       WHEN c2 IS NOT NULL THEN
+                         ln(CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE))
+                       WHEN prev IS NULL THEN
+                         ln((CAST(coalesce(c1t, 0) AS DOUBLE) + 1.0) /
+                            (CAST(n AS DOUBLE) + CAST(v AS DOUBLE) + 1.0))
+                       ELSE ln(CAST(0.4 AS DOUBLE)) +
+                         ln((CAST(coalesce(c1t, 0) AS DOUBLE) + 1.0) /
+                            (CAST(n AS DOUBLE) + CAST(v AS DOUBLE) + 1.0))
+                       END AS lp
+                     FROM j, st),
+              w AS (SELECT doc_id, CAST(floor(avg(lp) * 1048576.0 + 0.5)
+                                        AS BIGINT) AS qlp
+                    FROM lp GROUP BY doc_id),
+              top AS (SELECT doc_id, qlp FROM w
+                      ORDER BY qlp DESC, doc_id LIMIT 50)
+              SELECT doc_id, qlp,
+                     CAST(row_number() OVER (ORDER BY qlp DESC, doc_id)
+                          AS INT) AS r
+              FROM top ORDER BY r""")),
+
     // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
     // The 100 TB path: one shuffle on the 128-bit fingerprint; no text
     // comparison, no sort. Duplicate groups carry their sizes.

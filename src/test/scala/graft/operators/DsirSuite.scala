@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DsirSuite extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpora with hand-computable distributions: target is all-"a",
+  // raw mixes "a"-docs and "b"-docs
+  private def corpus = Seq(
+    (1L, "a a a"), // target-like
+    (2L, "a a b"),
+    (3L, "b b b"), // least target-like
+    (4L, "a b")
+  ).toDF("doc_id", "text")
+  private def target = Seq((10L, "a a"), (11L, "a")).toDF("doc_id", "text")
+
+  test("logLikelihoodRatios matches the closed-form add-1 model") {
+    val llr = Dsir.logLikelihoodRatios(corpus, target, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // raw counts: a=6, b=5 (S=11); target: a=3, b=0 (T=3); V=2
+    def expected(ct: Long, cs: Long): Double =
+      math.log((ct + 1.0) / (3 + 2.0)) - math.log((cs + 1.0) / (11 + 2.0))
+    assert(llr.keySet === Set("a", "b"))
+    assert(math.abs(llr("a") - expected(3, 6)) < 1e-12)
+    assert(math.abs(llr("b") - expected(0, 5)) < 1e-12)
+    // "a" is evidence FOR the target, "b" against
+    assert(llr("a") > 0 && llr("b") < 0)
+  }
+
+  test("importanceWeights orders docs by target-likeness; weight is the " +
+      "token-count weighted llr sum") {
+    val w = Dsir.importanceWeights(corpus, target, "doc_id", "text")
+      .select("doc_id", "logw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val la = math.log(4.0 / 5) - math.log(7.0 / 13)
+    val lb = math.log(1.0 / 5) - math.log(6.0 / 13)
+    assert(math.abs(w(1L) - 3 * la) < 1e-12)
+    assert(math.abs(w(2L) - (2 * la + lb)) < 1e-12)
+    assert(math.abs(w(3L) - 3 * lb) < 1e-12)
+    assert(w(1L) > w(2L) && w(2L) > w(4L) && w(4L) > w(3L))
+  }
+
+  test("hashed features reproduce the unhashed weights when buckets " +
+      "are collision-free") {
+    // 2^20 buckets over a 2-token vocab: xxhash64('a') and xxhash64('b')
+    // land in distinct buckets (fixed seed — deterministic), so the
+    // hashed model IS the unhashed model up to feature renaming
+    val exact = Dsir.importanceWeights(corpus, target, "doc_id", "text")
+      .select("doc_id", "logw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hashed = Dsir.importanceWeights(corpus, target, "doc_id", "text",
+        hashBuckets = Some(1 << 20))
+      .select("doc_id", "logw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (id, lw) =>
+      assert(math.abs(hashed(id) - lw) < 1e-12, s"doc $id")
+    }
+  }
+
+  test("resampleByLogWeight: exact n, deterministic, partition-invariant, " +
+      "and actually tilts toward the target") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = Dsir.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        hashBuckets = Some(1 << 16))
+      .select("doc_id", "lang", "logw")
+      .persist()
+    try {
+      val s1 = Dsir.resampleByLogWeight(scored, "logw", 100, seed = 31)
+        .select("doc_id").as[Long].collect().toSet
+      val s2 = Dsir.resampleByLogWeight(scored, "logw", 100, seed = 31)
+        .select("doc_id").as[Long].collect().toSet
+      val s3 = Dsir.resampleByLogWeight(scored.repartition(7), "logw", 100,
+        seed = 31).select("doc_id").as[Long].collect().toSet
+      assert(s1.size === 100)
+      assert(s1 === s2, "same seed must reproduce the same sample")
+      assert(s1 === s3, "selection must not depend on partitioning")
+      // a different seed gives a different (but overlapping) sample
+      val s4 = Dsir.resampleByLogWeight(scored, "logw", 100, seed = 32)
+        .select("doc_id").as[Long].collect().toSet
+      assert(s4 !== s1)
+      // the tilt: mean logw over the sample beats the corpus mean
+      val all = scored.select("doc_id", "logw").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val meanAll = all.values.sum / all.size
+      val meanS1 = s1.toSeq.map(all).sum / s1.size
+      assert(meanS1 > meanAll,
+        s"sampled mean $meanS1 should exceed corpus mean $meanAll")
+    } finally scored.unpersist()
+  }
+
+  test("g12 invariant row is all-green on the graded fixture") {
+    val row = graft.queries.Catalog.queries("g12_dsir_resample")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getAs[Long]("n_sampled") === 100L)
+    assert(row.getAs[Long]("n_diff_rerun") === 0L)
+    assert(row.getAs[Long]("n_diff_repart") === 0L)
+    assert(row.getAs[Boolean]("shift_ok"))
+    assert(row.getAs[Boolean]("en_boost_ok"))
+  }
+}

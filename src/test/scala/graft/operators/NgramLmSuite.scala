@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NgramLmSuite extends SparkSpec {
+  import spark.implicits._
+
+  // train counts: unigrams a=3 b=2 c=1 (N=6, V=3); bigrams (a,b)=2 (a,c)=1
+  private def trainCorpus =
+    Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+
+  test("scoreDocs matches the closed-form Stupid-Backoff arithmetic") {
+    val model = NgramLm.train(trainCorpus, "text")
+    assert(model.nTokens === 6L && model.vocabSize === 3L)
+    val got = NgramLm.scoreDocs(model,
+        Seq((10L, "a b c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    // a: first token, base = ln((3+1)/(6+3+1)); b|a: ln(2/3);
+    // c|b: unseen bigram -> ln(0.4) + ln((1+1)/10)
+    val want = (math.log(4.0 / 10) + math.log(2.0 / 3) +
+      (math.log(0.4) + math.log(2.0 / 10))) / 3
+    assert(got.getAs[Long]("n_toks") === 3L)
+    assert(math.abs(got.getAs[Double]("avg_logp") - want) < 1e-12)
+  }
+
+  test("OOV text scores through the backoff path, never throws") {
+    val model = NgramLm.train(trainCorpus, "text")
+    val got = NgramLm.scoreDocs(model,
+        Seq((20L, "z z")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    // first z: ln((0+1)/10); second: unseen bigram, OOV unigram ->
+    // ln(0.4) + ln(1/10)
+    val want = (math.log(0.1) + (math.log(0.4) + math.log(0.1))) / 2
+    assert(math.abs(got.getAs[Double]("avg_logp") - want) < 1e-12)
+    // and an in-domain doc outranks the OOV one
+    val inDomain = NgramLm.scoreDocs(model,
+        Seq((21L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.getAs[Double]("avg_logp")
+    assert(inDomain > got.getAs[Double]("avg_logp"))
+  }
+
+  test("minCount prunes bigrams into the backoff path") {
+    val pruned = NgramLm.train(trainCorpus, "text", minCount = 2L)
+    assert(pruned.bigrams.collect().map(r =>
+      (r.getString(0), r.getString(1))).toSet === Set(("a", "b")))
+    val got = NgramLm.scoreDocs(pruned,
+        Seq((30L, "a c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    // c|a now backs off even though (a,c) occurred once in training
+    val want = (math.log(4.0 / 10) + (math.log(0.4) + math.log(2.0 / 10))) / 2
+    assert(math.abs(got.getAs[Double]("avg_logp") - want) < 1e-12)
+  }
+
+  test("reference-corpus scoring tilts toward the reference on the " +
+      "graded fixture") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = NgramLm.train(docs.filter(col("lang") === "en"), "text")
+    val scored = NgramLm.scoreDocs(model, docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val byLang = scored.groupBy(col("lang") === "en")
+      .agg(avg("avg_logp").as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} must beat non-en ${byLang(false)}")
+    // every document scored exactly once
+    assert(scored.count() === docs.count())
+  }
+}

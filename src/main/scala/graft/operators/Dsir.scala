@@ -78,11 +78,17 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, smoothing: Double = 1.0,
                         hashBuckets: Option[Int] = None): DataFrame = {
-    val llr = logLikelihoodRatios(raw, target, textCol, smoothing,
+    val llr0 = logLikelihoodRatios(raw, target, textCol, smoothing,
       hashBuckets)
+    // hashed mode PROVES the llr frame ≤ B rows — hint the broadcast
+    // (aggregate size estimates are conservative, so the static planner
+    // would otherwise SMJ it); unhashed mode leaves the choice to the
+    // planner + AQE, which broadcasts small vocabs at runtime and keeps
+    // a skew-splittable shuffle join for web-scale ones
+    val llr = if (hashBuckets.isDefined) broadcast(llr0) else llr0
     val scored = featurize(raw.select(col(idCol), col(textCol)), textCol,
         hashBuckets)
-      .join(llr, "__feat") // broadcast whenever llr fits (always, hashed)
+      .join(llr, "__feat")
       .groupBy(idCol).agg(sum("llr").as("logw"))
     raw.join(scored, Seq(idCol), "left")
       .withColumn("logw", coalesce(col("logw"), lit(0.0)))

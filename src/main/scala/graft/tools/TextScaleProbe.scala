@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Samplers, TextPipeline}
+import graft.operators.{Dsir, NgramLm, Samplers, TextPipeline}
 
 /** Scale probe for the text-pipeline operators: synthesizes a corpus
   * 100-1000× the test tables' size with deterministic hash-drawn tokens
@@ -137,8 +137,55 @@ object TextScaleProbe {
     // bounded generously at 60 (df would have to be 10× rarer to breach)
     require(b.getDouble(2) < 60.0, s"bm25 score ${b.getDouble(2)} out of range")
 
+    // ---- DSIR + bigram LM: planted two-domain corpus -------------------
+    // Domain A (half the docs, by id hash) draws its 60 tokens from the
+    // NARROW vocab [0, 25k); domain B from the FULL [0, 50k). Target =
+    // the A sub-corpus. Planted truth: every A doc must outscore every
+    // B doc under both scorers — a B doc has ≈30 upper-half tokens with
+    // zero target mass (smoothing-only llr / OOV backoff), a gap of
+    // tens of log units, so min(A) > max(B) is exact, not statistical.
+    // (P(a B doc draws all 60 tokens narrow) = 2⁻⁶⁰ — and the corpus is
+    // a fixed hash draw, so the assertion is deterministic anyway.)
+    val isA = pmod(xxhash64(col("id"), lit(13)), lit(2L)) === 0
+    val corpus2 = spark.range(nDocs).select(col("id").as("doc_id"),
+      isA.as("is_a"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+        j => concat(lit("w"), pmod(xxhash64(col("id"), j),
+          when(isA, lit(25000L)).otherwise(lit(50000L)))))).as("text"))
+    val target2 = corpus2.filter(col("is_a"))
+
+    val t5 = System.nanoTime()
+    val dsirScored = Dsir.importanceWeights(corpus2, target2, "doc_id",
+        "text", hashBuckets = Some(1 << 18)) // the B-bounded broadcast path
+      .groupBy("is_a").agg(min("logw").as("mn"), max("logw").as("mx"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r).toMap
+    val tDsir = (System.nanoTime() - t5) / 1e9
+    require(dsirScored(true).getAs[Long]("n") +
+      dsirScored(false).getAs[Long]("n") == nDocs, "DSIR dropped docs")
+    require(dsirScored(true).getAs[Double]("mn") >
+      dsirScored(false).getAs[Double]("mx"),
+      s"DSIR domains overlap: min(A)=${dsirScored(true).getAs[Double]("mn")}" +
+        s" max(B)=${dsirScored(false).getAs[Double]("mx")}")
+
+    val t6 = System.nanoTime()
+    val lm = NgramLm.train(target2, "text", minCount = 2)
+    val lmScored = NgramLm.scoreDocs(lm, corpus2, "doc_id", "text")
+      .join(corpus2.select("doc_id", "is_a"), "doc_id")
+      .groupBy("is_a").agg(min("avg_logp").as("mn"),
+        max("avg_logp").as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r).toMap
+    val tLm = (System.nanoTime() - t6) / 1e9
+    require(lmScored(true).getAs[Long]("n") +
+      lmScored(false).getAs[Long]("n") == nDocs, "LM scoring dropped docs")
+    require(lmScored(true).getAs[Double]("mn") >
+      lmScored(false).getAs[Double]("mx"),
+      s"LM domains overlap: min(A)=${lmScored(true).getAs[Double]("mn")}" +
+        s" max(B)=${lmScored(false).getAs[Double]("mx")}")
+
     println(f"docs=$nDocs%,d topTerms=$tTop%.1fs decontaminate=$tDecon%.1fs " +
-      f"pack=$tPack%.1fs mixture=$tMix%.1fs bm25($wantMatches%,d matched)=$tBm%.1fs")
+      f"pack=$tPack%.1fs mixture=$tMix%.1fs bm25($wantMatches%,d matched)=$tBm%.1fs " +
+      f"dsir=$tDsir%.1fs ngramLm=$tLm%.1fs")
     spark.stop()
   }
 }

@@ -172,4 +172,44 @@ class PlanSuite extends SparkSpec {
     assert(p.contains("sub_centroid_const"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("t13: LM count-table lookups broadcast; top-50 is a TakeOrdered, " +
+      "not a global sort") {
+    // The bigram-LM scale contract: the (pruned) unigram/bigram count
+    // tables broadcast to the scoring scan — nothing shuffles on a
+    // token key — and the ranked head is TakeOrderedAndProject (per-
+    // task top-k, driver merge), never a full global sort.
+    val p = plan("t13_ngram_logprob_rank")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("g11: DSIR rank query forms no pair space and TakeOrders its head") {
+    val p = plan("g11_dsir_rank")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("g12: hashed DSIR broadcasts the llr table; the graded row is a " +
+      "local relation with no cache residue") {
+    // operator half: hashed mode PROVES the llr frame ≤ B rows, so the
+    // scoring join must be broadcast even though aggregate size
+    // estimates are conservative (the explicit hint — without it the
+    // static planner SMJs)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val op = graft.operators.Dsir.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        hashBuckets = Some(1 << 16))
+      .queryExecution.executedPlan.toString
+    assert(op.contains("BroadcastHashJoin"), op.take(3000))
+    // catalog half: same eager-materialize + unpersist discipline as e03
+    spark.catalog.clearCache()
+    val p = plan("g12_dsir_resample")
+    assert(p.contains("LocalTableScan"), p.take(3000))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "g12 must unpersist its scored/sample caches")
+  }
 }

@@ -44,13 +44,15 @@ object Dsir {
 
   /** (feature, llr) log-likelihood-ratio frame for `target` vs `raw`
     * corpora. Small by construction: ≤ |union vocab| rows unhashed,
-    * ≤ B rows hashed. */
+    * ≤ B rows hashed. `nGramMax = 2` adds word bigrams to the feature
+    * bag (DSIR §3's hashed unigram+bigram configuration). */
   def logLikelihoodRatios(raw: DataFrame, target: DataFrame,
                           textCol: String, smoothing: Double = 1.0,
-                          hashBuckets: Option[Int] = None): DataFrame = {
+                          hashBuckets: Option[Int] = None,
+                          nGramMax: Int = 1): DataFrame = {
     require(smoothing > 0, "smoothing mass must be positive")
-    val rawF = featurize(raw, textCol, hashBuckets)
-    val tgtF = featurize(target, textCol, hashBuckets)
+    val rawF = featurize(raw, textCol, hashBuckets, nGramMax)
+    val tgtF = featurize(target, textCol, hashBuckets, nGramMax)
     val rawCnt = rawF.groupBy("__feat").agg(count(lit(1)).as("__cs"))
     val tgtCnt = tgtF.groupBy("__feat").agg(count(lit(1)).as("__ct"))
     // union vocabulary; counts absent on one side are 0 (smoothed below)
@@ -77,9 +79,10 @@ object Dsir {
     * tilt toward. Token-less documents get logw = 0. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, smoothing: Double = 1.0,
-                        hashBuckets: Option[Int] = None): DataFrame = {
+                        hashBuckets: Option[Int] = None,
+                        nGramMax: Int = 1): DataFrame = {
     val llr0 = logLikelihoodRatios(raw, target, textCol, smoothing,
-      hashBuckets)
+      hashBuckets, nGramMax)
     // hashed mode PROVES the llr frame ≤ B rows — hint the broadcast
     // (aggregate size estimates are conservative, so the static planner
     // would otherwise SMJ it); unhashed mode leaves the choice to the
@@ -87,7 +90,7 @@ object Dsir {
     // a skew-splittable shuffle join for web-scale ones
     val llr = if (hashBuckets.isDefined) broadcast(llr0) else llr0
     val scored = featurize(raw.select(col(idCol), col(textCol)), textCol,
-        hashBuckets)
+        hashBuckets, nGramMax)
       .join(llr, "__feat")
       .groupBy(idCol).agg(sum("llr").as("logw"))
     raw.join(scored, Seq(idCol), "left")
@@ -109,13 +112,30 @@ object Dsir {
       .limit(n)
       .drop("__g")
 
-  /** Token features, optionally hashed into `buckets` (DSIR §3's feature
-    * hashing; `pmod` keeps the bucket non-negative). One row per token
-    * OCCURRENCE — multiplicity is the c_{d,f} in the weight sum. */
+  /** N-gram features (word unigrams, plus space-joined bigrams when
+    * `nGramMax = 2` — DSIR §3's configuration), optionally hashed into
+    * `buckets` (`pmod` keeps the bucket non-negative). One row per
+    * OCCURRENCE — multiplicity is the c_{d,f} in the weight sum. The
+    * gram arrays build scan-side (zip with the shifted self — no
+    * window, no shuffle). */
   private def featurize(df: DataFrame, textCol: String,
-                        hashBuckets: Option[Int]): DataFrame = {
+                        hashBuckets: Option[Int], nGramMax: Int): DataFrame = {
+    require(nGramMax == 1 || nGramMax == 2,
+      "only unigram (1) and unigram+bigram (2) feature bags are supported")
+    val toks = Dedup.tokens(col(textCol))
+    val grams =
+      if (nGramMax == 1) toks
+      else {
+        val prevs = concat(array(lit(null).cast("string")),
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+        val bigrams = filter(
+          zip_with(prevs, toks, (p, t) =>
+            when(p.isNotNull, concat_ws(" ", p, t))),
+          _.isNotNull)
+        concat(toks, bigrams)
+      }
     val tok = df.select(df.columns.map(col) :+
-      explode(Dedup.tokens(col(textCol))).as("__tok"): _*)
+      explode(grams).as("__tok"): _*)
     hashBuckets match {
       case Some(b) =>
         require(b > 0, "bucket count must be positive")

@@ -215,8 +215,8 @@ object SamplingQueries {
 
     // ---- G12 DSIR resampling on the hashed-feature scale path --------
     // Gumbel-top-k over log weights (never exp — no overflow), hashed
-    // features (2¹⁶ buckets: the B-bounded llr frame broadcasts at any
-    // corpus size). Randomized selection can't hash-match an oracle;
+    // unigram+bigram features (DSIR §3's configuration; 2¹⁶ buckets:
+    // the B-bounded llr frame broadcasts at any corpus size). Randomized selection can't hash-match an oracle;
     // the graded row carries the invariants instead, each recomputed
     // from the data in-query: exact n, bit-identical rerun, identical
     // selection under a different partitioning (the rowUniform
@@ -229,7 +229,7 @@ object SamplingQueries {
         val docs = load(s, d, "documents")
         val target = docs.filter(col("lang") === "en")
         val scored = Dsir.importanceWeights(docs, target, "doc_id", "text",
-            hashBuckets = Some(1 << 16))
+            hashBuckets = Some(1 << 16), nGramMax = 2)
           .select(col("doc_id"), col("lang"), col("logw"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val s1 = Dsir.resampleByLogWeight(scored, "logw", 100, seed = 31)

@@ -155,6 +155,14 @@ object TextScaleProbe {
     val target2 = corpus2.filter(col("is_a"))
 
     val t5 = System.nanoTime()
+    // Unigram features ON PURPOSE: this corpus encodes its domain in
+    // the unigram distribution only — tokens are independent uniform
+    // draws, so its bigrams are ~unique random pairs whose hashed
+    // counts are domain-flat. Adding them (nGramMax = 2) injects
+    // zero-signal noise that breaks EXACT min/max separation (measured:
+    // min(A) −7.68 < max(B) −6.58 at 200k docs) — the right feature
+    // bag follows the data, and the bigram bag's correctness is pinned
+    // closed-form in DsirSuite instead.
     val dsirScored = Dsir.importanceWeights(corpus2, target2, "doc_id",
         "text", hashBuckets = Some(1 << 18)) // the B-bounded broadcast path
       .groupBy("is_a").agg(min("logw").as("mn"), max("logw").as("mx"),

@@ -60,6 +60,34 @@ class DsirSuite extends SparkSpec {
     }
   }
 
+  test("nGramMax = 2 adds bigram features with the right multiplicities") {
+    // union vocab {a, b, "a a", "a b", "b b"} (V=5); raw counts
+    // a=6 b=5 "a a"=3 "a b"=2 "b b"=2 (S=18); target counts a=3
+    // "a a"=1 (T=4)
+    val llr = Dsir.logLikelihoodRatios(corpus, target, "text", nGramMax = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(llr.keySet === Set("a", "b", "a a", "a b", "b b"))
+    def e(ct: Long, cs: Long): Double =
+      math.log((ct + 1.0) / (4 + 5.0)) - math.log((cs + 1.0) / (18 + 5.0))
+    assert(math.abs(llr("a a") - e(1, 3)) < 1e-12)
+    assert(math.abs(llr("a b") - e(0, 2)) < 1e-12)
+    // doc4 "a b": one a, one b, one "a b" bigram
+    val w = Dsir.importanceWeights(corpus, target, "doc_id", "text",
+        nGramMax = 2)
+      .select("doc_id", "logw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w(4L) - (e(3, 6) + e(0, 5) + e(0, 2))) < 1e-12)
+    // hashed bigram bag reproduces the exact one (5 features in 2^20
+    // buckets: collision-free under the fixed xxhash64 seed)
+    val hashed = Dsir.importanceWeights(corpus, target, "doc_id", "text",
+        hashBuckets = Some(1 << 20), nGramMax = 2)
+      .select("doc_id", "logw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    w.foreach { case (id, lw) =>
+      assert(math.abs(hashed(id) - lw) < 1e-12, s"doc $id")
+    }
+  }
+
   test("resampleByLogWeight: exact n, deterministic, partition-invariant, " +
       "and actually tilts toward the target") {
     val docs = spark.read

@@ -28,6 +28,17 @@ object Dedup {
 
   def tokens(text: Column): Column = split(normalize(text), " ")
 
+  /** (prev, tok) lag-1 pairs of [[tokens]], built scan-side: the token
+    * array zipped with its shifted self (first prev = NULL). No window,
+    * no shuffle — pure per-row array work. Shared by the bigram
+    * consumers (NgramLm counts, Dsir's bigram feature bag). */
+  def tokenLagPairs(text: Column): Column = {
+    val toks = tokens(text)
+    val prevs = concat(array(lit(null).cast("string")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+    arrays_zip(prevs.as("_1"), toks.as("_2"))
+  }
+
   /** Distinct word n-gram shingles; docs shorter than n words yield one
     * whole-text shingle so they can still be compared. Native expression
     * (graft.expressions.WordShinglesExpr): one JVM pass per doc instead

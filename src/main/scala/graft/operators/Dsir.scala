@@ -104,13 +104,19 @@ object Dsir {
     * Spirakis keys in log space — no exp, no overflow). Uniforms are
     * partition-invariant functions of row content + seed. */
   def resampleByLogWeight(scored: DataFrame, logwCol: String, n: Int,
-                          seed: Long): DataFrame =
-    scored.withColumn("__g",
-        col(logwCol) - log(-log(Samplers.rowUniform(
-          scored.columns.toSeq, seed))))
+                          seed: Long): DataFrame = {
+    // clamp the uniform away from exact 0: Spark's log(0) is NULL (not
+    // −∞), which would sort the one row that mathematically MUST be
+    // selected (Gumbel noise → +∞) to the very back. P(u = 0) = 2⁻⁵³
+    // per row — irrelevant at fixture scale, real at the operator's
+    // stated trillion-row scale.
+    val u = greatest(Samplers.rowUniform(scored.columns.toSeq, seed),
+      lit(java.lang.Double.MIN_VALUE))
+    scored.withColumn("__g", col(logwCol) - log(-log(u)))
       .orderBy(desc("__g"))
       .limit(n)
       .drop("__g")
+  }
 
   /** N-gram features (word unigrams, plus space-joined bigrams when
     * `nGramMax = 2` — DSIR §3's configuration), optionally hashed into
@@ -126,11 +132,10 @@ object Dsir {
     val grams =
       if (nGramMax == 1) toks
       else {
-        val prevs = concat(array(lit(null).cast("string")),
-          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
         val bigrams = filter(
-          zip_with(prevs, toks, (p, t) =>
-            when(p.isNotNull, concat_ws(" ", p, t))),
+          transform(Dedup.tokenLagPairs(col(textCol)), p =>
+            when(p.getField("_1").isNotNull,
+              concat_ws(" ", p.getField("_1"), p.getField("_2")))),
           _.isNotNull)
         concat(toks, bigrams)
       }

@@ -97,13 +97,7 @@ object NgramLm {
       .agg(count(lit(1)).as("n_toks"), avg("__lp").as("avg_logp"))
   }
 
-  /** (prev, tok) pairs for one document, scan-side: the token array
-    * zipped with its lag-1 shift (first prev = NULL). No window, no
-    * shuffle — pure per-row array work. */
-  private def bigramPairs(text: Column): Column = {
-    val toks = Dedup.tokens(text)
-    val prevs = concat(array(lit(null).cast("string")),
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
-    arrays_zip(prevs.as("_1"), toks.as("_2"))
-  }
+  /** (prev, tok) pairs for one document — [[Dedup.tokenLagPairs]]. */
+  private def bigramPairs(text: Column): Column =
+    Dedup.tokenLagPairs(text)
 }

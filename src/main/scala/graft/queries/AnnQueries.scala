@@ -143,9 +143,12 @@ object AnnQueries {
     // warnings were this leak's symptom: re-persisting the same plans
     // run over run). PlanSuite pins the local-relation shape and the
     // empty cache.
-    val rows = out.collect()
-    res.unpersist()
-    exact.unpersist()
+    // finally-guarded: a failed collect (OOM in the oracle cross join,
+    // task retry storm) must not leak the pinned caches either — the
+    // leak this discipline exists to prevent
+    val rows =
+      try out.collect()
+      finally { res.unpersist(); exact.unpersist() }
     res0.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), out.schema)
   }

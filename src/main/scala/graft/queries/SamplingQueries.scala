@@ -176,7 +176,14 @@ object SamplingQueries {
     Q("g11_dsir_rank",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = load(s, d, "documents")
+        // NULL-text parity: the operator scores token-less docs as
+        // logw = 0 (its documented contract), but string_split(NULL)
+        // unnests to zero rows in the oracle, which would silently drop
+        // them — filter them out on BOTH sides (the oracle by
+        // construction, Spark explicitly) so a fixture refresh with
+        // NULL texts cannot flip the graded hash. ('' is consistent
+        // as-is: both engines tokenize it to [''].)
+        val docs = load(s, d, "documents").filter(col("text").isNotNull)
         val target = docs.filter(col("lang") === "en")
         Dsir.importanceWeights(docs, target, "doc_id", "text")
           .select(col("doc_id"),
@@ -256,10 +263,11 @@ object SamplingQueries {
             (col("en_sampled") > col("en_all")).as("en_boost_ok"))
         // eager materialization + unpersist (round-9 cache discipline,
         // same shape as AnnQueries.withExactRecall): the result is ONE
-        // row; holding it as a local relation frees both cache entries
-        val rows = out.collect()
-        scored.unpersist()
-        s1.unpersist()
+        // row; holding it as a local relation frees both cache entries.
+        // finally-guarded so a failed collect can't leak the pins.
+        val rows =
+          try out.collect()
+          finally { scored.unpersist(); s1.unpersist() }
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       None)

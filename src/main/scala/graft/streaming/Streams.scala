@@ -171,7 +171,14 @@ object Streams {
     * rate × trigger interval rows fit an executor even if they all
     * share one bucket. In the batch rendition the "micro-batch" is the
     * whole input — run the batch path (Dedup.simhashCandidates) for
-    * large offline corpora instead. */
+    * large offline corpora instead.
+    *
+    * CHECKPOINT COMPATIBILITY: adding the eviction mode widened the
+    * Kryo state record from (id, sig) to (id, sig, eventMs) — a
+    * checkpoint written by the earlier shape does not restore into
+    * this one (Kryo offers no tuple migration). Restart affected
+    * streams from a fresh checkpoint; the state rebuilds from the
+    * source within one eviction horizon. */
   def streamNearDupPairs(docs: Dataset[StreamDoc], maxHamming: Int = 3,
                          maxBucket: Int = 64,
                          evictAfter: Option[String] = None,
@@ -189,7 +196,12 @@ object Streams {
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
         .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
       require(iv.months == 0, s"evictAfter must be a fixed-length duration: $s")
-      iv.days * 86400000L + iv.microseconds / 1000L
+      val ms = iv.days * 86400000L + iv.microseconds / 1000L
+      // a zero/negative horizon would put setTimeoutTimestamp at or
+      // behind the watermark — a mid-batch IllegalArgumentException
+      // instead of a construction-time error
+      require(ms > 0, s"evictAfter must be a positive duration: $s")
+      ms
     }
     val src =
       if (evictAfter.isDefined) docs.toDF().withWatermark("ts", lateness)

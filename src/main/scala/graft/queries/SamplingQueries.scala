@@ -265,11 +265,66 @@ object SamplingQueries {
         // same shape as AnnQueries.withExactRecall): the result is ONE
         // row; holding it as a local relation frees both cache entries.
         // finally-guarded so a failed collect can't leak the pins.
+        // (Bench-cost note: this row IS the validation harness — the
+        // full weight pipeline plus THREE sampler runs and two set
+        // diffs; the operator's own cost is g11/g13's. Same class as
+        // o02's determinism rerun.)
         val rows =
           try out.collect()
           finally { scored.unpersist(); s1.unpersist() }
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
-      None)
+      None),
+
+    // ---- G13 DSIR with the paper's unigram+bigram bag, rank oracle ----
+    // Same contract as g11 but nGramMax = 2 (DSIR §3's configuration),
+    // so the bigram feature path is itself hash-graded — unhashed
+    // features for SQL parity, quantized-weight ranking for ulp
+    // immunity. The oracle unions unigram and lag-1 bigram occurrences
+    // per document and reruns g11's arithmetic over that bag.
+    Q("g13_dsir_bigram_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = load(s, d, "documents").filter(col("text").isNotNull)
+        val target = docs.filter(col("lang") === "en")
+        Dsir.importanceWeights(docs, target, "doc_id", "text",
+            nGramMax = 2)
+          .select(col("doc_id"),
+            floor(col("logw") * lit(1048576.0) + lit(0.5))
+              .cast("long").as("qlogw"))
+          .orderBy(desc("qlogw"), col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), col("qlogw"), row_number().over(
+            Window.partitionBy(lit(1))
+              .orderBy(desc("qlogw"), col("doc_id"))).as("r"))
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS l
+               FROM documents WHERE text IS NOT NULL),
+              feats AS (SELECT doc_id, lang, unnest(l) AS f FROM base
+                        UNION ALL
+                        SELECT doc_id, lang, l[i-1] || ' ' || l[i] AS f
+                        FROM base,
+                             unnest(generate_series(2, len(l))) AS t(i)),
+              cnt AS (SELECT f, count(*) AS cs,
+                             count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+                      FROM feats GROUP BY f),
+              tot AS (SELECT sum(cs) AS s, sum(ct) AS t, count(*) AS v
+                      FROM cnt),
+              llr AS (SELECT f,
+                        ln((CAST(ct AS DOUBLE) + 1.0) /
+                           (CAST(t AS DOUBLE) + 1.0 * v))
+                      - ln((CAST(cs AS DOUBLE) + 1.0) /
+                           (CAST(s AS DOUBLE) + 1.0 * v)) AS llr
+                      FROM cnt, tot),
+              w AS (SELECT doc_id, CAST(floor(sum(llr) * 1048576.0 + 0.5)
+                                        AS BIGINT) AS qlogw
+                    FROM feats JOIN llr USING (f) GROUP BY doc_id),
+              top AS (SELECT doc_id, qlogw FROM w
+                      ORDER BY qlogw DESC, doc_id LIMIT 50)
+              SELECT doc_id, qlogw,
+                     CAST(row_number() OVER (ORDER BY qlogw DESC, doc_id)
+                          AS INT) AS r
+              FROM top ORDER BY r"""))
   )
 }

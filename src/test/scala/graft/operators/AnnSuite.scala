@@ -527,4 +527,59 @@ class AnnSuite extends SparkSpec {
       .as[Double].collect()
     c.foreach(v => assert(math.abs(v - 1.0) < 1e-6))
   }
+
+  test("semanticDedup: cluster-scoped pairs, keep-the-outlier rule, " +
+      "singletons kept") {
+    // three tight planted groups of 4 + 8 singleton directions: the
+    // dedup must mark exactly one keeper per group (the member least
+    // like its cell centroid) and keep every singleton
+    val rng = new java.util.Random(11L)
+    val bases = Seq.fill(11)(Array.fill(16)(rng.nextGaussian()))
+    val rows =
+      (for {
+        g <- 0 until 3
+        i <- 0 until 4
+      } yield {
+        // copy 0 is exact; later copies get growing noise so the group
+        // has a well-defined least-centroid-like member
+        val v = bases(g).map(x =>
+          (x + 0.03 * i * rng.nextGaussian()).toFloat)
+        (g.toLong * 10 + i, v)
+      }) ++ (3 until 11).map(g =>
+        (100L + g, bases(g).map(_.toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Ann.semanticDedup(df, "vec_id", "embedding", dim = 16,
+      nCells = 4, threshold = 0.9, lloydIters = 2, seed = 5L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("centroid_cos"), r.getAs[Long]("cluster"),
+        r.getAs[Boolean]("keep")))
+    assert(out.length === rows.length, "one row per input vector")
+    // every cluster keeps exactly one member
+    out.groupBy(_._4).foreach { case (cl, members) =>
+      assert(members.count(_._5) === 1, s"cluster $cl keepers")
+    }
+    // the keeper is the member with the LOWEST centroid cosine (min id
+    // on ties)
+    out.groupBy(_._4).foreach { case (_, members) =>
+      val keeper = members.find(_._5).get
+      val best = members.minBy(m => (m._3, m._1))
+      assert(keeper._1 === best._1,
+        s"keeper ${keeper._1} is not the centroid outlier ${best._1}")
+    }
+    // the three planted groups must each collapse to ONE cluster of 4
+    // (their pairwise cosines are >= 0.9 by construction at this noise)
+    (0 until 3).foreach { g =>
+      val ids = (0 until 4).map(i => g.toLong * 10 + i).toSet
+      val cls = out.filter(t => ids(t._1)).map(_._4).toSet
+      assert(cls.size === 1, s"group $g split into clusters $cls")
+      assert(out.filter(t => ids(t._1)).count(_._5) === 1)
+    }
+    // singletons are their own cluster and always kept
+    (3 until 11).foreach { g =>
+      val t = out.find(_._1 == 100L + g).get
+      assert(t._4 === 100L + g && t._5, s"singleton ${100L + g}")
+    }
+    // dedup outcome: 3 group keepers + 8 singletons survive
+    assert(out.count(_._5) === 11)
+  }
 }

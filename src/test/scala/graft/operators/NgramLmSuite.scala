@@ -68,4 +68,21 @@ class NgramLmSuite extends SparkSpec {
     // every document scored exactly once
     assert(scored.count() === docs.count())
   }
+
+  test("quantized scores are stable under repartitioning (the t13 " +
+      "oracle contract)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def q(parts: Int): Map[Long, Long] = {
+      val d = docs.repartition(parts)
+      val m = NgramLm.train(d.filter(col("lang") === "en"), "text")
+      NgramLm.scoreDocs(m, d, "doc_id", "text")
+        .select(col("doc_id"),
+          floor(col("avg_logp") * lit(1048576.0) + lit(0.5))
+            .cast("long").as("qlp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(q(1) === q(7))
+  }
 }

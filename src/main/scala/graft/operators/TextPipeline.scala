@@ -174,6 +174,65 @@ object TextPipeline {
       .drop("__cum")
   }
 
+  /** Gopher-style document quality-rule battery (Rae et al. 2021,
+    * App. A): per-document integer signals → per-rule pass flags → one
+    * `keep` conjunction. The five rules cover the standard heuristic
+    * families — length bounds, mean-word-length bounds, repetition
+    * (most-frequent-token fraction, distinct-token ratio), and natural-
+    * language-ness (stopword ratio); the line-level rules in the paper
+    * (bullet/ellipsis fractions) need multi-line documents and are
+    * omitted for single-line corpora.
+    *
+    * Scale shape: ONE corpus scan → explode → two-level aggregation on
+    * (doc, token) then (doc) — both levels partial-aggregate map-side,
+    * and the group key is never the token alone, so a Zipfian stopword
+    * cannot skew a task (same shape as the t05 repetition signals). The
+    * ratio columns are single IEEE divisions of exact integers —
+    * bit-identical across engines — and every rule evaluates on those
+    * exact values, so the whole battery hash-matches a SQL oracle.
+    *
+    * Output: (idCol, n_tok, mean_tok_len, top_token_frac,
+    * distinct_ratio, stopword_ratio, r_len, r_mean_len, r_top,
+    * r_distinct, r_stop, keep) — flags as 0/1 ints. */
+  def qualityRules(docs: DataFrame, idCol: String, textCol: String,
+                   minTokens: Long = 50L, maxTokens: Long = 100000L,
+                   minMeanTokLen: Double = 3.0,
+                   maxMeanTokLen: Double = 10.0,
+                   maxTopTokenFrac: Double = 0.2,
+                   minDistinctRatio: Double = 0.3,
+                   minStopwordRatio: Double = 0.0): DataFrame = {
+    val flat = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("tok"))
+    val perTok = flat.groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+    val agg = perTok.groupBy(idCol).agg(
+      sum(col("c")).as("n_tok"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_c"),
+      sum(when(col("tok").isInCollection(TextFunctions.stopwords),
+        col("c")).otherwise(lit(0L))).as("stop_hits"),
+      sum(length(col("tok")).cast("long") * col("c")).as("n_chars"))
+    val nTokD = col("n_tok").cast("double")
+    val rLen = col("n_tok") >= minTokens && col("n_tok") <= maxTokens
+    val rMean = col("mean_tok_len") >= minMeanTokLen &&
+      col("mean_tok_len") <= maxMeanTokLen
+    val rTop = col("top_token_frac") <= maxTopTokenFrac
+    val rDistinct = col("distinct_ratio") >= minDistinctRatio
+    val rStop = col("stopword_ratio") >= minStopwordRatio
+    agg.select(col(idCol), col("n_tok"),
+        (col("n_chars").cast("double") / nTokD).as("mean_tok_len"),
+        (col("top_c").cast("double") / nTokD).as("top_token_frac"),
+        (col("n_distinct").cast("double") / nTokD).as("distinct_ratio"),
+        (col("stop_hits").cast("double") / nTokD).as("stopword_ratio"))
+      .select(col("*"), rLen.cast("int").as("r_len"),
+        rMean.cast("int").as("r_mean_len"), rTop.cast("int").as("r_top"),
+        rDistinct.cast("int").as("r_distinct"),
+        rStop.cast("int").as("r_stop"))
+      .withColumn("keep",
+        (col("r_len") === 1 && col("r_mean_len") === 1 &&
+          col("r_top") === 1 && col("r_distinct") === 1 &&
+          col("r_stop") === 1).cast("int"))
+  }
+
   /** Global quantile threshold filter — keep rows whose `scoreCol` is at
     * or above the corpus `p`-quantile (the t09 quality gate as a callable
     * operator). Both modes are the same two-pass plan shape: ONE

@@ -516,6 +516,64 @@ object TextQueries {
                           AS INT) AS r
               FROM top ORDER BY r""")),
 
+    // ---- T14 Gopher-style quality-rule battery (full hash oracle) -----
+    // The composite document filter every pre-training pipeline runs
+    // before anything expensive: five rule families (length bounds,
+    // mean-word-length bounds, top-token repetition, distinct-token
+    // ratio, stopword presence) → per-rule 0/1 flags → one keep flag.
+    // Thresholds are tuned so this corpus splits non-trivially on every
+    // rule (measured at sf0.01: n_tok 10–99, mean_len 3.7–5.3, top_frac
+    // .05–.30, distinct .28–1.0, stop 0–.22). All ratios are single
+    // integer divisions; all comparisons see bit-identical doubles in
+    // both engines, so the battery hash-matches end to end.
+    Q("t14_quality_rules",
+      (s, d) => TextPipeline.qualityRules(load(s, d, "documents"),
+          "doc_id", "text",
+          minTokens = 20L, maxTokens = 95L,
+          minMeanTokLen = 4.0, maxMeanTokLen = 5.0,
+          maxTopTokenFrac = 0.125, minDistinctRatio = 0.4,
+          minStopwordRatio = 0.03)
+        .orderBy("doc_id"),
+      Some {
+        val stop = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, string_split(lower(trim(
+                 regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+               FROM documents),
+              f AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              c AS (SELECT doc_id, tok, count(*) AS c FROM f
+                    GROUP BY doc_id, tok),
+              a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                      count(*) AS n_distinct, max(c) AS top_c,
+                      CAST(sum(CASE WHEN tok IN ($stop) THEN c ELSE 0 END)
+                        AS BIGINT) AS stop_hits,
+                      CAST(sum(length(tok) * c) AS BIGINT) AS n_chars
+                    FROM c GROUP BY doc_id),
+              sg AS (SELECT doc_id, n_tok,
+                      CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                        AS mean_tok_len,
+                      CAST(top_c AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                        AS top_token_frac,
+                      CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                        AS distinct_ratio,
+                      CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                        AS stopword_ratio
+                     FROM a)
+              SELECT doc_id, n_tok, mean_tok_len, top_token_frac,
+                     distinct_ratio, stopword_ratio,
+                     CAST(n_tok >= 20 AND n_tok <= 95 AS INT) AS r_len,
+                     CAST(mean_tok_len >= 4.0 AND mean_tok_len <= 5.0
+                       AS INT) AS r_mean_len,
+                     CAST(top_token_frac <= 0.125 AS INT) AS r_top,
+                     CAST(distinct_ratio >= 0.4 AS INT) AS r_distinct,
+                     CAST(stopword_ratio >= 0.03 AS INT) AS r_stop,
+                     CAST(n_tok >= 20 AND n_tok <= 95
+                       AND mean_tok_len >= 4.0 AND mean_tok_len <= 5.0
+                       AND top_token_frac <= 0.125
+                       AND distinct_ratio >= 0.4
+                       AND stopword_ratio >= 0.03 AS INT) AS keep
+              FROM sg ORDER BY doc_id"""
+      }),
+
     // ---- D1 exact deduplication: hash-groupBy, keep min id ------------
     // The 100 TB path: one shuffle on the 128-bit fingerprint; no text
     // comparison, no sort. Duplicate groups carry their sizes.

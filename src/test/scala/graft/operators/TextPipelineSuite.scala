@@ -32,6 +32,43 @@ class TextPipelineSuite extends SparkSpec {
     assert(d3common._4 == 2L && d3common._5 == 3L)
   }
 
+  test("qualityRules evaluates every rule family on hand-checked docs") {
+    val docs = Seq(
+      // 6 tokens, all distinct, stopword 'the', mean len 25/6 ≈ 4.17
+      (1L, "the quick brown fox jumps high"),
+      // repetition: 'spam' is 5 of 6 tokens → top_frac .833, distinct 1/3
+      (2L, "spam spam spam spam spam ham"),
+      // too short (2 tokens), no stopwords
+      (3L, "hello world"),
+      // long words: mean token length 8.0
+      (4L, "absolute absolute absolute")).toDF("doc_id", "text")
+    val out = TextPipeline.qualityRules(docs, "doc_id", "text",
+        minTokens = 3L, maxTokens = 10L,
+        minMeanTokLen = 3.0, maxMeanTokLen = 6.0,
+        maxTopTokenFrac = 0.5, minDistinctRatio = 0.5,
+        minStopwordRatio = 0.1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): (Long, Int, Int, Int, Int, Int, Int) = {
+      val r = out(id)
+      (r.getLong(1), r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9),
+        r.getInt(10), r.getInt(11))
+    }
+    // doc 1 passes everything: 6 toks, mean 25/6, top 1/6, distinct 1.0,
+    // stop 1/6 ≥ .1
+    assert(flags(1L) == ((6L, 1, 1, 1, 1, 1, 1)))
+    assert(out(1L).getDouble(2) == 25.0 / 6.0)
+    // doc 2 fails repetition both ways and has no stopwords
+    assert(flags(2L) == ((6L, 1, 1, 0, 0, 0, 0)))
+    assert(out(2L).getDouble(3) == 5.0 / 6.0)
+    // doc 3 fails the length floor (2 < 3) and stopwords; top_frac is
+    // exactly 0.5 (boundary pass), mean len 10/2 = 5.0
+    assert(flags(3L) == ((2L, 0, 1, 1, 1, 0, 0)))
+    // doc 4 fails mean-token-length ceiling (8 > 6), top frac 1.0,
+    // distinct 1/3
+    assert(flags(4L) == ((3L, 1, 0, 0, 0, 0, 0)))
+    assert(out(4L).getDouble(2) == 8.0)
+  }
+
   test("quantileThresholdFilter: exact mode keeps the upper quartile; " +
       "approx mode honors the n/accuracy rank bound") {
     // deterministic scores: 500 docs' quality over the real fixture

@@ -351,4 +351,56 @@ object Dedup {
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- duplicate-span removal (sub-document dedup) ------------------
+
+  /** C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup the
+    * repeated spans, not just whole documents; Lee et al. 2022 measure
+    * why it matters): every document is tiled into NON-overlapping
+    * `n`-token spans, any full-width span occurring more than once in
+    * the corpus is kept only at its first occurrence (min (doc, tile)
+    * order), and each document is reassembled from its surviving tiles.
+    * Tiling approximates exact-substring dedup at 1/n of the suffix-
+    * array cost and is the standard distributed rendition; short tail
+    * tiles (< n tokens, string-unequal to any full tile by token
+    * count) are exempt so a 3-token document cannot be deleted by a
+    * boilerplate collision.
+    *
+    * Scale shape: one corpus scan → tile explode (|tokens|/n rows per
+    * doc, NOT per-token) → keeper = min(struct(doc, tile)) per distinct
+    * tile text, a partial-aggregable min that combines map-side — never
+    * a window over a token-keyed partition, so a Zipfian boilerplate
+    * tile costs one combiner cell per task, not one giant partition.
+    * The tile→keeper hash join back is the only skew surface and AQE
+    * splits it. Reassembly is a doc-keyed agg (collect kept (tile_id,
+    * tile) structs, sort in-row, join) — bounded by document length.
+    *
+    * Output: (idCol, kept_text, n_tiles, n_dropped), deterministic and
+    * partition-invariant (keeper is a total-order min; reassembly sorts
+    * by tile_id before concatenation). */
+  def dropDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    require(n >= 2, s"span width n=$n must be >= 2")
+    val tiles = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(n))))
+      .select(col(idCol), col("pos").as("tile_id"),
+        concat_ws(" ", slice(col("__toks"), col("col") + lit(1), n)).as("tile"),
+        least(size(col("__toks")) - col("col"), lit(n)).as("sz"))
+    val keepers = tiles.filter(col("sz") === n)
+      .groupBy("tile")
+      .agg(min(struct(col(idCol).as("d"), col("tile_id").as("t"))).as("__k"))
+    tiles.join(keepers, Seq("tile"), "left")
+      .withColumn("__keep", col("sz") < n ||
+        (col("__k.d") === col(idCol) && col("__k.t") === col("tile_id")))
+      .groupBy(idCol)
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN __keep THEN struct(tile_id, tile) END)), x -> x.tile)"),
+          " ").as("kept_text"),
+        count(lit(1)).as("n_tiles"),
+        sum(when(col("__keep"), lit(0L)).otherwise(lit(1L))).as("n_dropped"))
+  }
 }

@@ -321,6 +321,43 @@ object DedupQueries {
           q, emb, k = 5, strongThr = 0.45, floor = 1.0)
           .orderBy("qid", "rk")
       },
-      None)
+      None),
+
+    // ---- D7 duplicate-span removal (C4-style sub-document dedup) ------
+    // Non-overlapping 8-token tiles; a full tile occurring >1× corpus-
+    // wide survives only at its first (doc_id, tile_id) occurrence;
+    // docs reassemble from surviving tiles. Pure string/int arithmetic
+    // end to end — set keeper + ordered concat — so the whole rewrite
+    // hash-matches DuckDB exactly. The oracle derives the keeper with a
+    // window row_number (oracle cost is irrelevant); the Spark side uses
+    // the partial-aggregable min(struct) + join shape (see
+    // Dedup.dropDuplicateSpans scaladoc for why that is the 100 TB
+    // rendition).
+    Q("d07_span_dedup",
+      (s, d) => Dedup.dropDuplicateSpans(
+          load(s, d, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+             g AS (SELECT doc_id, toks,
+                     unnest(generate_series(0, greatest(len(toks)-1, 0), 8)) AS off
+                   FROM t),
+             tiles AS (SELECT doc_id, CAST(off // 8 AS INTEGER) AS tile_id,
+                         array_to_string(list_slice(toks, off+1, off+8), ' ') AS tile,
+                         least(len(toks) - off, 8) AS sz
+                       FROM g),
+             marked AS (SELECT doc_id, tile_id, tile,
+                          (sz < 8 OR row_number() OVER (PARTITION BY tile
+                             ORDER BY doc_id, tile_id) = 1) AS keep
+                        FROM tiles)
+             SELECT doc_id,
+                    coalesce(array_to_string(
+                      list(tile ORDER BY tile_id) FILTER (WHERE keep), ' '),
+                      '') AS kept_text,
+                    count(*) AS n_tiles,
+                    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                      AS n_dropped
+             FROM marked GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -191,4 +191,41 @@ class DedupSuite extends SparkSpec {
       assert(c == id, s"singleton $id merged into cluster $c")
     }
   }
+
+  test("dropDuplicateSpans: planted dup tile survives only at its first " +
+      "occurrence; tails exempt; reassembly ordered") {
+    // n = 4 tiles. Doc 1: [A B C D][E F G H][I J]  (tail "i j" exempt)
+    // Doc 2: [A B C D][X Y Z W]  — first tile duplicates doc 1's.
+    // Doc 3: [E F G H]           — duplicates doc 1's second tile.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d x y z w"),
+      (3L, "e f g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out(0) === ((1L, "a b c d e f g h i j", 3L, 0L)))
+    assert(out(1) === ((2L, "x y z w", 2L, 1L)))
+    // doc 3's only tile is full-width and a dup of doc 1's second tile
+    assert(out(2) === ((3L, "", 1L, 1L)))
+  }
+
+  test("dropDuplicateSpans is partition-invariant and keeps every doc") {
+    val docs = corpus
+    val a = Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.dropDuplicateSpans(docs.repartition(7), "doc_id", "text",
+        n = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.size === docs.count())
+    // doc 3 is an exact copy of doc 1: every full tile of 3 is dropped,
+    // doc 1 (the first occurrence) keeps its text verbatim
+    val byId = a.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) ===
+      "the quick brown fox jumps over the lazy dog near the river bank today")
+    assert(byId(3L).getLong(3) === byId(3L).getLong(2) - 1) // all full tiles dropped
+  }
 }

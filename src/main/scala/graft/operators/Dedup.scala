@@ -387,7 +387,7 @@ object Dedup {
         posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
           lit(n))))
       .select(col(idCol), col("pos").as("tile_id"),
-        concat_ws(" ", slice(col("__toks"), col("col") + lit(1), n)).as("tile"),
+        concat_ws(" ", slice(col("__toks"), col("col") + lit(1), lit(n))).as("tile"),
         least(size(col("__toks")) - col("col"), lit(n)).as("sz"))
     val keepers = tiles.filter(col("sz") === n)
       .groupBy("tile")

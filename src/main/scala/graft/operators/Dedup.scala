@@ -382,7 +382,8 @@ object Dedup {
                          n: Int = 8): DataFrame = {
     require(n >= 2, s"span width n=$n must be >= 2")
     val tiles = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        tokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .select(col(idCol), col("__toks"),
         posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
           lit(n))))

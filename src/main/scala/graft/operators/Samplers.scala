@@ -168,4 +168,34 @@ object Samplers {
           least(p * col("__f"), lit(1.0))).cast("int"))
       .drop("__s1", "__f")
   }
+
+  /** Per-group cap ("domain mixing", CCNet/C4-style): keep at most `cap`
+    * rows per group, chosen by a DETERMINISTIC multiplicative-hash rank
+    * of the numeric `idCol` (Knuth §6.4: k·A mod m spreads sequential
+    * ids uniformly) so the kept subset is reproducible across engines,
+    * partitionings, and reruns — the property a corpus-rebalancing step
+    * needs when the pipeline replays. The hash is pure 64-bit integer
+    * arithmetic (id reduced mod the prime FIRST, so the product is
+    * ≤ ~1.3e17 — no overflow at any real id), expressible identically
+    * in ANSI SQL; ties cannot occur within a group because id is
+    * reduced modulo a prime far above any group's cardinality, and
+    * `idCol` itself is the final tiebreak regardless.
+    *
+    * Scale shape: one shuffle on the group key; the rank ≤ cap filter
+    * is a `row_number` window that Spark ≥ 3.5 rewrites to
+    * WindowGroupLimit, so each map task forwards at most `cap` rows
+    * per group into the shuffle — a billion-doc domain costs
+    * cap × #tasks shuffled rows, not its full cardinality
+    * (PlanSuite pins the WindowGroupLimit node). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  cap: Int): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    val key = pmod(pmod(col(idCol), lit(100000007L)) * lit(1315423911L),
+      lit(100000007L))
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
 }

@@ -100,4 +100,23 @@ object TextFunctions {
 
   /** Shorter 64-bit hex fingerprint for joins. */
   def fingerprint64(text: Column): Column = substring(fingerprint(text), 1, 16)
+
+  // --- URL structure (web-crawl curation: C4/CCNet-style filtering) ---
+  // Deliberately regexp-based rather than Spark's parse_url: the same
+  // POSIX-portable patterns run verbatim in the DuckDB oracle, so the
+  // extraction is bit-identical cross-engine. All three are codegen'd
+  // single-pass scans (regexp_extract), no UDFs.
+
+  /** Host of an absolute URL ("" if the pattern misses). */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/?#]+)", 1)
+
+  /** Path component (leading '/', query/fragment stripped; "" if none). */
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://[^/?#]+(/[^?#]*)", 1)
+
+  /** Last-two-label registered-domain heuristic (public-suffix lists
+    * are data, not code — at ingest they join in as a dimension). */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 }

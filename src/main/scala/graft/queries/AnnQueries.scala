@@ -183,6 +183,51 @@ object AnnQueries {
               SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5
               ORDER BY qid, rk""")),
 
+    // ---- E11 k-NN label propagation (majority vote) -------------------
+    // Semi-supervised labeling: each query takes the modal `label`
+    // among its exact top-5 cosine neighbors (ties → smaller label).
+    // Composes Ann.labelVote over the e01 exact top-k so the whole
+    // chain hash-matches; the production path feeds ivfTopK/pqTopK
+    // output into the same labelVote (AnnSuite pins agreement).
+    Q("e11_knn_label_vote",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        graft.operators.Ann.labelVote(
+          bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5),
+          emb.select(col("vec_id").as("cid"), col("label")))
+          .orderBy("qid")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                         FROM embeddings WHERE vec_id < 10),
+                   c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+                   el AS (SELECT qid, cid,
+                            CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18)) AS p,
+                            CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(38,18)) AS pq,
+                            CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18)) AS pc
+                          FROM q CROSS JOIN c, generate_series(1, 64) AS t(i)
+                          WHERE qid <> cid),
+                   dots AS (SELECT qid, cid,
+                              CAST(sum(p) AS DOUBLE) AS dot,
+                              CAST(sum(pq) AS DOUBLE) AS nq,
+                              CAST(sum(pc) AS DOUBLE) AS nc
+                            FROM el GROUP BY qid, cid),
+                   sims AS (SELECT qid, cid,
+                              CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                            FROM dots),
+                   ranked AS (SELECT qid, cid,
+                                row_number() OVER
+                                  (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                              FROM sims),
+                   v AS (SELECT qid, e.label, count(*) AS votes
+                         FROM ranked JOIN embeddings e ON e.vec_id = ranked.cid
+                         WHERE rk <= 5 GROUP BY qid, e.label),
+                   p AS (SELECT qid, label, votes,
+                           row_number() OVER
+                             (PARTITION BY qid ORDER BY votes DESC, label) AS r
+                         FROM v)
+              SELECT qid, label AS pred_label, votes FROM p WHERE r = 1
+              ORDER BY qid""")),
+
     // ---- E6 hybrid retrieval: BM25 ⊕ dense cosine via RRF -------------
     // The standard two-tower retrieval fusion: reciprocal-rank fusion
     // (Cormack et al.) of the lexical BM25 ranking (query term 'spark')

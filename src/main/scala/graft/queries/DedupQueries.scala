@@ -338,7 +338,7 @@ object DedupQueries {
           load(s, d, "documents"), "doc_id", "text", n = 8)
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id,
-                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                string_split(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ') AS toks
               FROM documents),
              g AS (SELECT doc_id, toks,
                      unnest(generate_series(0, greatest(len(toks)-1, 0), 8)) AS off

@@ -325,6 +325,28 @@ object SamplingQueries {
               SELECT doc_id, qlogw,
                      CAST(row_number() OVER (ORDER BY qlogw DESC, doc_id)
                           AS INT) AS r
-              FROM top ORDER BY r"""))
+              FROM top ORDER BY r""")),
+
+    // ---- G14 per-source cap (domain mixing) ---------------------------
+    // Keep ≤ 5 docs per source by deterministic multiplicative-hash
+    // rank — the corpus-rebalancing step of a CCNet-style pipeline,
+    // reproducible bit-for-bit across engines/partitionings (the hash
+    // is pure int64 arithmetic). Spark ≥ 3.5 rewrites the rank ≤ cap
+    // window to WindowGroupLimit: per-task partial top-cap before the
+    // shuffle (PlanSuite pins the node). See Samplers.capPerGroup.
+    Q("g14_group_cap",
+      (s, d) => Samplers.capPerGroup(
+          load(s, d, "documents"), "source", "doc_id", cap = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id"),
+      Some("""WITH k AS (SELECT doc_id, source,
+                    ((doc_id % 100000007) * 1315423911) % 100000007 AS key
+                  FROM documents),
+                r AS (SELECT doc_id, source,
+                        row_number() OVER
+                          (PARTITION BY source ORDER BY key, doc_id) AS rk
+                      FROM k)
+              SELECT doc_id, source FROM r WHERE rk <= 5
+              ORDER BY source, doc_id"""))
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.FormulaSpec
-import graft.stats.Logistic
+import graft.stats.{Logistic, Replication}
 import graft.util.Tables.{dsum, dvarSamp, load, sqlDsum, sqlDvarSamp}
 
 /** The estimator-core operators (SURVEY.md §2.10, M1–M11) as driver-
@@ -299,6 +299,36 @@ object StatsQueries {
                    ${sqlDvarSamp("500.0 + 0.8 * y")} / 10000.0 AS v_pred
                    FROM a)
             SELECT v_resid, v_pred, v_resid + v_pred AS v_dr FROM v"""
-      })
+      }),
+
+    // ---- M26 JK1 jackknife replicate variance (extension) -------------
+    // Delete-one-PSU jackknife for the A-design weighted mean — the
+    // replicate-weight counterpart of m03's linearization (Wolter 2007
+    // §4.2, survey::as.svrepdesign(type="JK1")). PSU = id % 12; the only
+    // full-data pass is the groupBy(psu) — all 12 replicate estimates
+    // derive arithmetically from the group totals (stats.Replication).
+    Q("m26_jackknife_var",
+      (s, d) => Replication.jk1Mean(sampleA(s, d), col("y"), col("d"),
+        col("id") % 12),
+      Some(s"""WITH a AS ($sqlA),
+                    g AS (SELECT id % 12 AS psu, ${sqlDsum("d * y")} AS tg,
+                                 ${sqlDsum("d")} AS wg
+                          FROM a GROUP BY 1),
+                    tot AS (SELECT ${sqlDsum("tg")} AS t, ${sqlDsum("wg")} AS w,
+                                   CAST(count(*) AS DOUBLE) AS gn FROM g),
+                    rep AS (SELECT tot.t, tot.w, tot.gn,
+                                   (tot.t - g.tg) / (tot.w - g.wg) AS theta
+                            FROM g, tot),
+                    bar AS (SELECT ${sqlDsum("theta")} / max(gn) AS thetabar
+                            FROM rep)
+               SELECT max(t / w) AS mean_y,
+                      CAST(max(gn) AS BIGINT) AS g_psus,
+                      ((max(gn) - 1.0) / max(gn)) *
+                        ${sqlDsum("(theta - thetabar) * (theta - thetabar)")}
+                        AS var_jk,
+                      ((max(gn) - 1.0) / max(gn)) *
+                        ${sqlDsum("(theta - t / w) * (theta - t / w)")}
+                        AS var_jk_mse
+               FROM rep, bar"""))
   )
 }

@@ -584,6 +584,52 @@ object TextQueries {
         .orderBy("keep_id"),
       Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id,
                      count(*) AS n_copies
-              FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+              FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+
+    // ---- T15 URL parse + blocklist filter (web-crawl curation) --------
+    // The C4/CCNet front door: parse host/path/registered-domain out of
+    // each document's URL, drop blocklisted hosts, aggregate per host.
+    // URLs are synthesized from (source, lang, doc_id) since the corpus
+    // carries no url column — the parsing, filtering, and per-domain
+    // accounting are the operators under test. regexp-based extraction
+    // (TextFunctions.urlHost/urlPath/registeredDomain) runs the same
+    // patterns verbatim in the oracle. One scan + one partial-agg
+    // shuffle on host; the blocklist is a literal NOT IN pushed to the
+    // scan.
+    Q("t15_url_filter",
+      (s, d) => {
+        import graft.operators.TextFunctions.{urlHost, urlPath, registeredDomain}
+        val urls = load(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://www."), col("source"), lit(".example.com/"),
+            col("lang"), lit("/doc-"), col("doc_id")).as("url"))
+        val parsed = urls.select(col("doc_id"),
+          urlHost(col("url")).as("host"), urlPath(col("url")).as("path"))
+        parsed
+          .filter(!col("host").isin("www.src1.example.com",
+            "www.src7.example.com"))
+          .groupBy(col("host"), registeredDomain(col("host")).as("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("path")).as("n_paths"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy("host")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                    'https://www.' || source || '.example.com/' || lang ||
+                      '/doc-' || doc_id AS url
+                  FROM documents),
+                p AS (SELECT doc_id,
+                        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                        regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)
+                          AS path
+                      FROM u)
+              SELECT host,
+                     regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+                     count(*) AS n_docs,
+                     count(DISTINCT path) AS n_paths,
+                     min(doc_id) AS min_doc
+              FROM p
+              WHERE host NOT IN ('www.src1.example.com',
+                                 'www.src7.example.com')
+              GROUP BY host, domain ORDER BY host"""))
   )
 }

@@ -1,0 +1,74 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.dsum
+
+/** Replicate-weight variance estimation — the classic design-based
+  * alternative to the linearization variance the reference uses
+  * (`RegDI2.R:246-248` via `survey::svymean`; see [[WeightedStats]]).
+  * Delete-one-group jackknife (JK1 — Wolter 2007 §4.2; Rust 1985;
+  * `survey::as.svrepdesign(type="JK1")`): with PSUs g = 1..G,
+  *
+  *   θ̂      = Σwy / Σw                       (full-sample weighted mean)
+  *   θ̂₍g₎   = (Σwy − t_g) / (Σw − w_g)       (mean with PSU g deleted)
+  *   V̂_JK1  = (G−1)/G · Σ_g (θ̂₍g₎ − θ̄₍·₎)²   (θ̄₍·₎ = replicate mean)
+  *   V̂_mse  = (G−1)/G · Σ_g (θ̂₍g₎ − θ̂)²      (svrepdesign mse=TRUE)
+  *
+  * Both centerings are published (survey's `mse` option); both columns
+  * are emitted.
+  *
+  * Scale shape (100 TB): the ONLY full-data pass is one partial-
+  * aggregable `groupBy(psu)` producing G rows of (t_g, w_g) — every
+  * replicate estimate then derives from the group totals by pure
+  * arithmetic, so G replicates cost ONE aggregation job, not G re-scans
+  * of the data (the naive rendition of a replicate-weight estimator —
+  * one weighted pass per replicate — is exactly what does not survive a
+  * 1000-executor cluster). Everything downstream of the G-row frame is
+  * broadcast one-row joins. All sums ride the exact-decimal [[dsum]]
+  * rendition, so the result is bit-identical to the DuckDB oracle
+  * (m26_jackknife_var) and invariant to partitioning.
+  */
+object Replication {
+
+  /** JK1 jackknife mean + variance of the `w`-weighted mean of `y`,
+    * with PSUs given by `psu`. Returns ONE row:
+    * (mean_y, g_psus, var_jk, var_jk_mse).
+    *
+    * The G-row (t_g, w_g) frame is materialized EAGERLY into a local
+    * relation (g12-precedent): left lazy, every downstream reference
+    * (tot, the replicate join, both centerings) would re-expand the
+    * subtree and the planner would scan the data 4× — the opposite of
+    * the one-pass shape this operator exists for. The collect is
+    * G-row-bounded by contract: a design's PSU count is design
+    * metadata (10s–10,000s), never data-scale. ReplicationSuite pins
+    * the single-job construction; PlanSuite pins the scan-free final
+    * plan. */
+  def jk1Mean(df: DataFrame, y: Column, w: Column, psu: Column): DataFrame = {
+    val spark = df.sparkSession
+    val gDist = df.groupBy(psu.as("__psu"))
+      .agg(dsum(w * y).as("tg"), dsum(w).as("wg"))
+      .select("tg", "wg")
+    val g = spark.createDataFrame(
+      java.util.Arrays.asList(gDist.collect(): _*), gDist.schema)
+    val tot = g.agg(dsum(col("tg")).as("t"), dsum(col("wg")).as("w"),
+      count(lit(1)).cast("double").as("gn"))
+    val rep = g.crossJoin(broadcast(tot))
+      .select(col("t"), col("w"), col("gn"),
+        ((col("t") - col("tg")) / (col("w") - col("wg"))).as("theta"))
+    val bar = rep.agg((dsum(col("theta")) / first(col("gn"))).as("thetabar"))
+    // explicit products, not pow(x, 2): x*x is a single IEEE multiply,
+    // bit-identical everywhere; libm pow need not be
+    val dBar = col("theta") - col("thetabar")
+    val dMse = col("theta") - col("t") / col("w")
+    rep.crossJoin(broadcast(bar))
+      .agg(
+        first(col("t") / col("w")).as("mean_y"),
+        first(col("gn")).cast("long").as("g_psus"),
+        (((first(col("gn")) - lit(1.0)) / first(col("gn"))) *
+          dsum(dBar * dBar)).as("var_jk"),
+        (((first(col("gn")) - lit(1.0)) / first(col("gn"))) *
+          dsum(dMse * dMse)).as("var_jk_mse"))
+  }
+}

@@ -18,16 +18,26 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects unless nanos are read as long
-    * (`spark.sql.legacy.parquet.nanosAsLong` — set in every entry-point
-    * session); the long is then truncated to a proper microsecond
-    * timestamp here. */
-  def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
+  /** `events.parquet` has shipped with two physical `ts` renditions
+    * across driver versions — TIMESTAMP(NANOS) (readable only via
+    * `spark.sql.legacy.parquet.nanosAsLong`, set in every entry-point
+    * session) and plain TIMESTAMP(MICROS) (which that same flag leaves
+    * as a timestamp; non-UTC-adjusted files surface as TIMESTAMP_NTZ).
+    * Dispatch on the READ schema, not the flag, so every rendition
+    * lands on the same session-zone microsecond TimestampType. */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
       // integer `div`, not `/`: double division would round the nanos
       // (and lose precision past 2^53) instead of truncating to micros
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts type $other")
+    }
+  }
 
   /** Order-independent, cross-engine-deterministic sum of a double column:
     * each addend is cast to an exact DECIMAL first (exact decimal addition),

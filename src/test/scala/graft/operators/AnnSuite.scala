@@ -582,4 +582,39 @@ class AnnSuite extends SparkSpec {
     // dedup outcome: 3 group keepers + 8 singletons survive
     assert(out.count(_._5) === 11)
   }
+
+  test("labelVote: ties break to the smaller label; votes counted") {
+    val topk = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 10L))
+      .toDF("qid", "cid")
+    val labels = Seq((10L, 3), (11L, 3), (12L, 1), (13L, 1)).toDF("cid", "label")
+    val out = Ann.labelVote(topk, labels).orderBy("qid")
+      .as[(Long, Int, Long)].collect()
+    assert(out === Array((1L, 1, 2L), (2L, 3, 1L))) // 2-2 tie → label 1
+  }
+
+  test("labelVote propagates the planted cluster label on both the " +
+      "exact and the IVF top-k paths") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    val labels = clustered.select(col("vec_id").as("cid"),
+      col("cluster").as("label"))
+    val exact = Ann.labelVote(
+      graft.queries.AnnQueries.bruteForceTopK(
+        queries.select(col("vec_id"), col("embedding")), clustered, k = 5),
+      labels)
+      .as[(Long, Int, Long)].collect()
+    // every query's modal neighbor label is its own planted cluster
+    assert(exact.length === queries.count())
+    exact.foreach { case (q, pred, votes) =>
+      assert(pred.toLong === q / 10, s"query $q predicted $pred")
+      assert(votes === 5L) // all 5 exact neighbors are siblings
+    }
+    val ivf = Ann.labelVote(
+      Ann.ivfTopK(queries, clustered, "vec_id", "embedding",
+        dim = 16, k = 5, nCells = 8, lloydIters = 3, seed = 11L),
+      labels)
+      .as[(Long, Int, Long)].collect()
+    val agree = ivf.count { case (q, pred, _) => pred.toLong === q / 10 }
+    assert(agree.toDouble / ivf.length >= 0.9,
+      s"IVF label-vote agreement ${agree.toDouble / ivf.length}")
+  }
 }

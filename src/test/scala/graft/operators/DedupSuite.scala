@@ -212,6 +212,17 @@ class DedupSuite extends SparkSpec {
     assert(out(2) === ((3L, "", 1L, 1L)))
   }
 
+  test("dropDuplicateSpans: NULL text is treated as empty, doc survives") {
+    val docs = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length === 2)
+    assert(out(1) === ((2L, "", 1L, 0L))) // one exempt tail tile, kept
+  }
+
   test("dropDuplicateSpans is partition-invariant and keeps every doc") {
     val docs = corpus
     val a = Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 4)

@@ -215,4 +215,24 @@ class TextPipelineSuite extends SparkSpec {
     // no — doc 1 has tf 3 AND a join hit; sanity-pin the order
     assert(got(1L) > got(4L) && got(4L) > got(2L))
   }
+
+  test("url helpers: host/path/registered-domain on edge cases") {
+    import graft.operators.TextFunctions._
+    val urls = Seq(
+      "https://www.example.com/a/b?q=1#frag",
+      "http://sub.deep.host.co.uk/path",
+      "https://bare.io",
+      "ftp://files.example.org/x",
+      "not a url"
+    ).toDF("url")
+    val got = urls.select(urlHost(col("url")).as("h"),
+        urlPath(col("url")).as("p"),
+        registeredDomain(urlHost(col("url"))).as("d"))
+      .as[(String, String, String)].collect()
+    assert(got(0) === (("www.example.com", "/a/b", "example.com")))
+    assert(got(1) === (("sub.deep.host.co.uk", "/path", "co.uk"))) // 2-label heuristic
+    assert(got(2) === (("bare.io", "", "bare.io")))
+    assert(got(3) === (("files.example.org", "/x", "example.org")))
+    assert(got(4) === (("", "", "")))
+  }
 }

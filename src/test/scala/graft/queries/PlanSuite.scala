@@ -212,4 +212,29 @@ class PlanSuite extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "g12 must unpersist its scored/sample caches")
   }
+
+  test("g14: per-group cap rides WindowGroupLimit — partial top-cap " +
+      "before the shuffle, no full-group sort") {
+    val p = plan("g14_group_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // both the partial (map-side) and final mode must appear: the
+    // partial one is what bounds a hot domain's shuffle contribution
+    assert(p.contains("Partial") || p.contains("partial"), p.take(3000))
+  }
+
+  test("t15: URL blocklist filter is evaluated scan-side, and the agg " +
+      "is hash-based with map-side partials") {
+    val p = plan("t15_url_filter")
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("m26: jackknife replicates derive from the eagerly-materialized " +
+      "G-row frame — the graded plan re-scans NO data") {
+    val p = plan("m26_jackknife_var")
+    assert(p.contains("LocalTableScan"), p.take(3000))
+    assert(!p.contains("FileScan"), s"graded plan must not re-scan data\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }

@@ -108,6 +108,24 @@ class PropertySuite extends SparkSpec {
     assert(b1.exceptAll(b7).isEmpty && b7.exceptAll(b1).isEmpty)
   }
 
+  test("capPerGroup: exact per-group sizes, deterministic subset, " +
+      "partition-invariant") {
+    import graft.operators.Samplers
+    // 4 groups with sizes 3, 10, 50, 1 — cap at 5
+    val rows = (Seq.tabulate(3)(i => (i.toLong, "a")) ++
+      Seq.tabulate(10)(i => (100L + i, "b")) ++
+      Seq.tabulate(50)(i => (200L + i, "c")) ++
+      Seq((999L, "d")))
+    val df = rows.toDF("id", "grp")
+    val out = Samplers.capPerGroup(df, "grp", "id", cap = 5)
+    val sizes = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("a" -> 3L, "b" -> 5L, "c" -> 5L, "d" -> 1L))
+    // same kept multiset under any partitioning and on rerun
+    val again = Samplers.capPerGroup(df.repartition(7), "grp", "id", cap = 5)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("bernoulli keyCols decorrelates duplicate rows") {
     import graft.operators.Samplers
     // 400 identical payload rows + a unique id: content-keyed draws are

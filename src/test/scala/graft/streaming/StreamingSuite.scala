@@ -115,10 +115,17 @@ class StreamingSuite extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("part-0.parquet"))
-    val streamEvents = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    // same schema-adaptive ts dispatch as Tables.loadEvents (the
+    // driver has shipped events.ts as both nanos-long and micros)
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val rawStream = spark.readStream
+      .schema(rawSchema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamEvents = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => rawStream.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val q = Streams.tumblingEventStats(streamEvents, "1 hour")
       .select(col("w.start").cast("string").as("w_start"),
         col("event_type"), col("n_events"), col("sum_value"))

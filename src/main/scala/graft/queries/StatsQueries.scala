@@ -329,6 +329,41 @@ object StatsQueries {
                       ((max(gn) - 1.0) / max(gn)) *
                         ${sqlDsum("(theta - t / w) * (theta - t / w)")}
                         AS var_jk_mse
-               FROM rep, bar"""))
+               FROM rep, bar""")),
+
+    // ---- M27 JKn stratified jackknife variance (extension) ------------
+    // Stratified delete-one-PSU jackknife (Wolter 2007 §4.5): deleting
+    // a PSU reweights only its own stratum by n_h/(n_h−1). Strata
+    // id % 3, PSUs id % 12 (4 per stratum). Same one-pass shape as m26.
+    Q("m27_jackknife_strat",
+      (s, d) => Replication.jknMean(sampleA(s, d), col("y"), col("d"),
+        col("id") % 3, col("id") % 12),
+      Some(s"""WITH a AS ($sqlA),
+                    g AS (SELECT id % 3 AS h, id % 12 AS psu,
+                                 ${sqlDsum("d * y")} AS tg,
+                                 ${sqlDsum("d")} AS wg
+                          FROM a GROUP BY 1, 2),
+                    byh AS (SELECT h, ${sqlDsum("tg")} AS th,
+                                   ${sqlDsum("wg")} AS wh,
+                                   CAST(count(*) AS DOUBLE) AS nh
+                            FROM g GROUP BY h),
+                    tot AS (SELECT ${sqlDsum("th")} AS t,
+                                   ${sqlDsum("wh")} AS w,
+                                   CAST(count(*) AS BIGINT) AS hn,
+                                   CAST(sum(nh) AS BIGINT) AS gn FROM byh),
+                    rep AS (SELECT tot.t, tot.w, tot.hn, tot.gn, byh.nh,
+                              ((tot.t - byh.th +
+                                 (byh.nh / (byh.nh - 1.0)) * (byh.th - g.tg)) /
+                               (tot.w - byh.wh +
+                                 (byh.nh / (byh.nh - 1.0)) * (byh.wh - g.wg)))
+                                AS theta
+                            FROM g JOIN byh USING (h), tot)
+               SELECT max(t / w) AS mean_y,
+                      max(hn) AS n_strata,
+                      max(gn) AS g_psus,
+                      ${sqlDsum(
+                        "((nh - 1.0) / nh) * (theta - t / w) * (theta - t / w)")}
+                        AS var_jkn
+               FROM rep"""))
   )
 }

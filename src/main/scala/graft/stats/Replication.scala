@@ -71,4 +71,59 @@ object Replication {
         (((first(col("gn")) - lit(1.0)) / first(col("gn"))) *
           dsum(dMse * dMse)).as("var_jk_mse"))
   }
+
+  /** Stratified delete-one-PSU jackknife (JKn — Wolter 2007 §4.5,
+    * `survey::as.svrepdesign(type="JKn")`, mse centering): deleting PSU
+    * g of stratum h reweights that stratum's survivors by
+    * n_h/(n_h − 1), leaving other strata untouched, so with stratum
+    * totals (T_h, W_h) and PSU totals (t_hg, w_hg)
+    *
+    *   T₍hg₎ = T − T_h + (n_h/(n_h−1))·(T_h − t_hg)   (same for W)
+    *   θ̂₍hg₎ = T₍hg₎ / W₍hg₎
+    *   V̂     = Σ_h (n_h−1)/n_h · Σ_g (θ̂₍hg₎ − θ̂)²
+    *
+    * Same one-pass shape as [[jk1Mean]]: one partial-aggregable
+    * groupBy(stratum, psu) over the data; stratum and grand totals then
+    * derive from the Σn_h-row frame, which is materialized eagerly
+    * under the same G-row-bounded contract. Returns ONE row:
+    * (mean_y, n_strata, g_psus, var_jkn). */
+  def jknMean(df: DataFrame, y: Column, w: Column, stratum: Column,
+              psu: Column): DataFrame = {
+    val spark = df.sparkSession
+    val gDist = df.groupBy(stratum.as("__h"), psu.as("__psu"))
+      .agg(dsum(w * y).as("tg"), dsum(w).as("wg"))
+      .select("__h", "tg", "wg")
+    val rows = gDist.collect()
+    // single-PSU strata have no within-stratum replicate contrast —
+    // fail loudly like survey::svrepdesign, not with a NaN variance
+    val lonely = rows.groupBy(_.get(0)).collect {
+      case (h, rs) if rs.length < 2 => h
+    }
+    require(lonely.isEmpty,
+      s"JKn needs >= 2 PSUs per stratum; single-PSU strata: ${lonely.mkString(", ")}")
+    val g = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), gDist.schema)
+    val byH = g.groupBy(col("__h"))
+      .agg(dsum(col("tg")).as("th"), dsum(col("wg")).as("wh"),
+        count(lit(1)).cast("double").as("nh"))
+    // nh values are small exact integers in double — a plain sum is
+    // exact and order-free, no decimal rendition needed
+    val tot = byH.agg(dsum(col("th")).as("t"), dsum(col("wh")).as("w"),
+      count(lit(1)).cast("long").as("hn"),
+      sum(col("nh")).cast("long").as("gn"))
+    val rep = g.join(byH, Seq("__h"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("w"), col("hn"), col("gn"), col("nh"),
+        ((col("t") - col("th") +
+          (col("nh") / (col("nh") - lit(1.0))) * (col("th") - col("tg"))) /
+         (col("w") - col("wh") +
+          (col("nh") / (col("nh") - lit(1.0))) * (col("wh") - col("wg"))))
+          .as("theta"))
+    val d = col("theta") - col("t") / col("w")
+    rep.agg(
+      first(col("t") / col("w")).as("mean_y"),
+      first(col("hn")).as("n_strata"),
+      first(col("gn")).as("g_psus"),
+      dsum(((col("nh") - lit(1.0)) / col("nh")) * d * d).as("var_jkn"))
+  }
 }

@@ -75,6 +75,59 @@ class ReplicationSuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("jknMean with a single stratum reduces exactly to jk1Mean's " +
+      "mse-centered variance (the stratum reweight factor cancels)") {
+    val jk1 = Replication.jk1Mean(fixture, col("y"), col("w"), col("psu"))
+      .head()
+    val jkn = Replication.jknMean(fixture, col("y"), col("w"),
+      lit(0), col("psu")).head()
+    assert(jkn.getAs[Double]("mean_y") === jk1.getAs[Double]("mean_y"))
+    assert(jkn.getAs[Long]("n_strata") === 1L)
+    assert(jkn.getAs[Long]("g_psus") === 3L)
+    assert(math.abs(jkn.getAs[Double]("var_jkn") -
+      jk1.getAs[Double]("var_jk_mse")) < 1e-12)
+  }
+
+  test("jknMean matches the hand-computed JKn formulas on 2 strata") {
+    val rows = Seq(
+      (1.0, 1.0, 0, 0), (2.0, 2.0, 0, 1), (3.0, 1.5, 0, 1),
+      (4.0, 1.0, 1, 2), (5.0, 0.5, 1, 2), (6.0, 2.0, 1, 3),
+      (7.0, 1.0, 1, 4))
+    val df = rows.toDF("y", "w", "h", "psu")
+    val r = Replication.jknMean(df, col("y"), col("w"), col("h"),
+      col("psu")).head()
+    // driver-side reference with plain doubles
+    val byHg = rows.groupBy(x => (x._3, x._4)).toSeq
+    val tg = byHg.map { case (k, rs) =>
+      (k, rs.map(x => x._1 * x._2).sum, rs.map(_._2).sum) }
+    val byH = tg.groupBy(_._1._1)
+    val th = byH.map { case (h, gs) =>
+      h -> ((gs.map(_._2).sum, gs.map(_._3).sum, gs.size.toDouble)) }
+    val t = th.values.map(_._1).sum
+    val w = th.values.map(_._2).sum
+    val full = t / w
+    var v = 0.0
+    tg.foreach { case ((h, _), tgv, wgv) =>
+      val (thv, whv, nh) = th(h)
+      val theta = (t - thv + nh / (nh - 1) * (thv - tgv)) /
+        (w - whv + nh / (nh - 1) * (whv - wgv))
+      v += (nh - 1) / nh * (theta - full) * (theta - full)
+    }
+    assert(math.abs(r.getAs[Double]("mean_y") - full) < 1e-9)
+    assert(r.getAs[Long]("n_strata") === 2L)
+    assert(r.getAs[Long]("g_psus") === 5L)
+    assert(math.abs(r.getAs[Double]("var_jkn") - v) < 1e-9)
+  }
+
+  test("jknMean fails loudly on single-PSU strata") {
+    val df = Seq((1.0, 1.0, 0, 0), (2.0, 1.0, 0, 1), (3.0, 1.0, 1, 2))
+      .toDF("y", "w", "h", "psu")
+    val e = intercept[IllegalArgumentException] {
+      Replication.jknMean(df, col("y"), col("w"), col("h"), col("psu"))
+    }
+    assert(e.getMessage.contains("single-PSU"))
+  }
+
   test("jk1Mean with one row per PSU equals the classic jackknife of " +
       "the unweighted mean") {
     // equal weights, PSU = row: JK1 reduces to the textbook delete-one

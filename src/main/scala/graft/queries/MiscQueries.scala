@@ -289,6 +289,61 @@ object MiscQueries {
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // ---- A21 exact correlation matrix (one pass) ----------------------
+    // All three pairwise Pearson correlations of (l_quantity,
+    // l_extendedprice, l_discount) from ONE partial-aggregable pass of
+    // exact-decimal moments — never per-pair scans (at k columns the
+    // O(k²) moment state rides the same single aggregation, the classic
+    // scalable shape for feature-correlation screening). The closed
+    // form runs in IEEE doubles over the exact sums, bit-identical to
+    // the oracle.
+    Q("a21_corr_matrix",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val (q, e, di) = (col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+        val m = li.agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(q).as("sq"), dsum(e).as("se"), dsum(di).as("sd"),
+          dsum(q * q).as("sqq"), dsum(e * e).as("see"),
+          dsum(di * di).as("sdd"),
+          dsum(q * e).as("sqe"), dsum(q * di).as("sqd"),
+          dsum(e * di).as("sed"))
+        import org.apache.spark.sql.Column
+        def corr(sxy: Column, sx: Column, sy: Column,
+                 sxx: Column, syy: Column, n: Column): Column =
+          (sxy - sx * sy / n) /
+            sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        m.select(
+          corr(col("sqe"), col("sq"), col("se"), col("sqq"), col("see"),
+            col("n")).as("corr_qty_price"),
+          corr(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd"),
+            col("n")).as("corr_qty_disc"),
+          corr(col("sed"), col("se"), col("sd"), col("see"), col("sdd"),
+            col("n")).as("corr_price_disc"))
+      },
+      Some(s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    ${sqlDsum("l_quantity")} AS sq,
+                    ${sqlDsum("l_extendedprice")} AS se,
+                    ${sqlDsum("l_discount")} AS sd,
+                    ${sqlDsum("l_quantity * l_quantity")} AS sqq,
+                    ${sqlDsum("l_extendedprice * l_extendedprice")} AS see,
+                    ${sqlDsum("l_discount * l_discount")} AS sdd,
+                    ${sqlDsum("l_quantity * l_extendedprice")} AS sqe,
+                    ${sqlDsum("l_quantity * l_discount")} AS sqd,
+                    ${sqlDsum("l_extendedprice * l_discount")} AS sed
+                  FROM lineitem)
+              SELECT (sqe - sq * se / n) /
+                       sqrt((sqq - sq * sq / n) * (see - se * se / n))
+                       AS corr_qty_price,
+                     (sqd - sq * sd / n) /
+                       sqrt((sqq - sq * sq / n) * (sdd - sd * sd / n))
+                       AS corr_qty_disc,
+                     (sed - se * sd / n) /
+                       sqrt((see - se * se / n) * (sdd - sd * sd / n))
+                       AS corr_price_disc
+              FROM m""")),
+
     // ---- A16 ROLLUP: hierarchical subtotals in one pass ---------------
     // The OLAP subtotal surface: (flag, status), (flag), () grouping
     // sets computed in ONE aggregation (Spark Expand + partial aggs —

@@ -364,6 +364,40 @@ object StatsQueries {
                       ${sqlDsum(
                         "((nh - 1.0) / nh) * (theta - t / w) * (theta - t / w)")}
                         AS var_jkn
-               FROM rep"""))
+               FROM rep""")),
+
+    // ---- M28 grouped OLS: per-group closed-form regression ------------
+    // One partial-aggregable pass computes every group's (b0, b1)
+    // simultaneously — per-domain/segment trend fitting at corpus scale
+    // without per-group jobs (the groupBy carries O(1) moment state per
+    // group; a million groups cost one shuffle). Same exact-decimal
+    // moments + IEEE closed form as m05's global OLS.
+    Q("m28_grouped_ols",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val (x, yv) = (col("l_quantity"), col("l_extendedprice"))
+        val g = li.groupBy("l_returnflag").agg(
+          dsum(x).as("sx"), dsum(yv).as("sy"), dsum(x * yv).as("sxy"),
+          dsum(x * x).as("sxx"), count(lit(1)).cast("double").as("n"))
+        val b1 = (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))
+        g.select(col("l_returnflag"), b1.as("b1"),
+            (col("sy") / col("n") - b1 * (col("sx") / col("n"))).as("b0"),
+            col("n").cast("long").as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH g AS (SELECT l_returnflag,
+                    ${sqlDsum("l_quantity")} AS sx,
+                    ${sqlDsum("l_extendedprice")} AS sy,
+                    ${sqlDsum("l_quantity * l_extendedprice")} AS sxy,
+                    ${sqlDsum("l_quantity * l_quantity")} AS sxx,
+                    CAST(count(*) AS DOUBLE) AS n
+                  FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag,
+                     (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b1,
+                     sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                       * (sx / n) AS b0,
+                     CAST(n AS BIGINT) AS n_rows
+              FROM g ORDER BY l_returnflag"""))
   )
 }

@@ -78,6 +78,53 @@ object Dedup {
           col(textCol), shingleN, numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
 
+  /** Incremental ingestion dedup: flag documents of a NEW batch that are
+    * near-duplicates (exact n-gram Jaccard ≥ `threshold`) of an EXISTING
+    * corpus — without re-clustering the corpus. The production mode of a
+    * crawl pipeline: the corpus's LSH band keys are computed once at
+    * ingest (here recomputed from `corpus`; at scale they are a stored
+    * column, which this operator's shape makes a drop-in), and each
+    * incoming batch only joins its own band keys against them.
+    *
+    * Scale shape: band keys on both sides via ONE native expression eval
+    * per doc; the (band, band_key) equi-join is the only corpus-touching
+    * shuffle and is hash-partitioned + AQE-skew-splittable; candidates
+    * are deduplicated BEFORE shingle verification so each (new, corpus)
+    * pair pays exactly one exact-Jaccard evaluation; shingle sets join
+    * back by id (never carried through the band explosion). The new
+    * batch is typically ≪ corpus, so its side broadcasts.
+    *
+    * Output: one row per flagged new doc — (new_id, dup_of, best_jaccard)
+    * with dup_of = the best-matching corpus doc (max Jaccard, ties to the
+    * smaller id). Deterministic and partition-invariant. */
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String, threshold: Double,
+                         shingleN: Int = 3, numHashes: Int = 128,
+                         bands: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bNew = lshBands(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    val bCorp = lshBands(corpus, idCol, textCol, shingleN, numHashes, bands)
+    val cand = bNew.as("n").join(bCorp.as("c"), Seq("band", "band_key"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    val shNew = newDocs.select(col(idCol).as("new_id"),
+      wordShingles(col(textCol), shingleN).as("sh_n"))
+    val shCorp = corpus.select(col(idCol).as("corpus_id"),
+      wordShingles(col(textCol), shingleN).as("sh_c"))
+    val scored = cand
+      .join(shNew, "new_id")
+      .join(shCorp, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val win = Window.partitionBy("new_id")
+      .orderBy(desc("jaccard"), col("corpus_id"))
+    scored.withColumn("__r", row_number().over(win))
+      .filter(col("__r") === 1)
+      .select(col("new_id"), col("corpus_id").as("dup_of"),
+        col("jaccard").as("best_jaccard"))
+  }
+
   /** Near-duplicate candidate pairs (idA < idB) via MinHash-LSH, with the
     * signature-agreement Jaccard estimate attached. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,

@@ -72,6 +72,36 @@ object DedupQueries {
                        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
                ORDER BY id_a, id_b""")),
 
+    // ---- D8 incremental ingestion dedup (new batch vs corpus) ---------
+    // The production dedup mode: docs with doc_id % 7 = 0 play the
+    // incoming batch, the rest the existing corpus; each flagged new doc
+    // reports its best corpus match. LSH-bucketed candidates + exact-
+    // Jaccard confirm (same recall argument as d03 — at this threshold
+    // the banding misses nothing, so the result hash-matches the oracle's
+    // exact cross-split scan). See Dedup.incrementalNearDup for the
+    // stored-band-column shape at scale.
+    Q("d08_incremental_neardup",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        Dedup.incrementalNearDup(
+            docs.filter(col("doc_id") % 7 === 0),
+            docs.filter(col("doc_id") % 7 =!= 0),
+            "doc_id", "text", threshold = 0.5)
+          .orderBy("new_id")
+      },
+      Some(s"""WITH $sqlShingles,
+               scored AS (SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+                       len(list_intersect(n.sh, c.sh))::DOUBLE /
+                         len(list_distinct(list_concat(n.sh, c.sh))) AS jaccard
+                     FROM sh n JOIN sh c
+                       ON n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0),
+               best AS (SELECT new_id, corpus_id, jaccard,
+                          row_number() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, corpus_id) AS r
+                        FROM scored WHERE jaccard >= 0.5)
+               SELECT new_id, corpus_id AS dup_of, jaccard AS best_jaccard
+               FROM best WHERE r = 1 ORDER BY new_id""")),
+
     // ---- D5 near-dup clusters: pairs → connected components -----------
     // The step after candidate pairs in a real dedup pipeline: resolve
     // pairs into clusters and pick one canonical doc per cluster. Oracle

@@ -46,6 +46,28 @@ class DedupSuite extends SparkSpec {
     assert(found === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("incrementalNearDup: new batch flags against corpus; best match " +
+      "wins; clean docs silent; partition-invariant") {
+    // corpus = docs 1-6; batch: 10 ≈ doc 1's cluster (exact copy of 1,
+    // so jaccard 1.0 vs both 1 and 3 — tie broken to dup_of = 1),
+    // 11 = near-dup of 2, 12 clean
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank now"),
+      (12L, "nothing here resembles anything in the existing corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text", 0.5)
+      .orderBy("new_id")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(10L, 11L)) // 12 is clean
+    assert(out(0)._2 === 1L && out(0)._3 === 1.0) // tie 1 vs 3 → smaller id
+    assert(out(1)._2 === 2L && out(1)._3 > 0.5 && out(1)._3 < 1.0)
+    val again = Dedup.incrementalNearDup(batch.repartition(5),
+      corpus.repartition(3), "doc_id", "text", 0.5)
+      .orderBy("new_id").as[(Long, Long, Double)].collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("signature agreement estimates jaccard (exact pair ⇒ 1.0)") {
     val est = Dedup.minhashCandidates(corpus, "doc_id", "text")
       .filter(col("id_a") === 1 && col("id_b") === 3)

@@ -213,6 +213,14 @@ class PlanSuite extends SparkSpec {
       "g12 must unpersist its scored/sample caches")
   }
 
+  test("d08: incremental dedup joins new-batch bands against corpus " +
+      "bands on the bucket key — never all-pairs") {
+    val p = plan("d08_incremental_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // banded key explosion
+  }
+
   test("g14: per-group cap rides WindowGroupLimit — partial top-cap " +
       "before the shuffle, no full-group sort") {
     val p = plan("g14_group_cap")

@@ -602,6 +602,30 @@ object MiscQueries {
               WHERE p.event_type = 'purchase'
               ORDER BY p_id, c_id""")),
 
+    // ---- W7 stream-static enrichment join -----------------------------
+    // Attach a static dimension (customer segment) to the event stream,
+    // then aggregate per (segment, type). The join broadcasts the dim,
+    // never shuffles the stream, and keeps unmatched events (left join,
+    // NULL → 'none'). Batch rendition graded here; StreamingSuite pins
+    // batch == streaming over a MemoryStream.
+    Q("w07_stream_static_join",
+      (s, d) => {
+        val ev = graft.util.Tables.loadEvents(s, d)
+        val dim = load(s, d, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        Streams.enrichWithDim(ev, dim, "user_id")
+          .groupBy(coalesce(col("segment"), lit("none")).as("segment"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy("segment", "event_type")
+      },
+      Some(s"""SELECT coalesce(c.c_mktsegment, 'none') AS segment,
+                     e.event_type, count(*) AS n_events,
+                     ${sqlDsum("e.value")} AS sum_value
+              FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+              GROUP BY 1, 2 ORDER BY segment, event_type""")),
+
     // ---- MM1 multimodal pack: binary payload + typed metadata ---------
     Q("mm01_multimodal_pack",
       (s, d) => load(s, d, "documents")

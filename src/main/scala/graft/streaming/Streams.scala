@@ -120,6 +120,19 @@ object Streams {
       .drop(col(s"r.$key"))
   }
 
+  /** Stream-static enrichment: left-join each arriving event against a
+    * static dimension (the classic "attach the user/domain/source
+    * profile" step). The dimension is explicitly broadcast — a
+    * stream-static join never shuffles the stream, needs no watermark
+    * (the static side cannot be late), and holds NO join state: each
+    * micro-batch probes the broadcast table and moves on. Unmatched
+    * stream rows survive with NULL dimension columns (left join — an
+    * enrichment must not drop events). Same call works on batch frames
+    * for oracle parity (w07). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** STREAMING near-duplicate detection — flag each arriving document
     * against everything seen before it, without ever holding the corpus.
     *

@@ -48,6 +48,39 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: batch == streaming, unmatched " +
+      "events kept with NULL dim") {
+    val events = Seq(
+      UserEvent(1L, 1.0), UserEvent(1L, 2.0),
+      UserEvent(2L, 5.0),
+      UserEvent(9L, 7.0)) // no dim row
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "unused"))
+      .toDF("user_id", "segment")
+
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      Streams.enrichWithDim(df, dim, "user_id")
+        .groupBy(coalesce(col("segment"), lit("none")).as("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+
+    val batch = agg(events.toDF()).orderBy("segment")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(batch === Seq(("gold", 2L, 3.0), ("none", 1L, 7.0),
+      ("silver", 1L, 5.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    mem.addData(events: _*)
+    val q = agg(mem.toDF())
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test").orderBy("segment")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("sliding window agg: each event in windowLen/slide windows, " +
       "batch == streaming") {
     val events = Seq(

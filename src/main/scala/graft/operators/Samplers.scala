@@ -187,6 +187,28 @@ object Samplers {
     * per group into the shuffle — a billion-doc domain costs
     * cap × #tasks shuffled rows, not its full cardinality
     * (PlanSuite pins the WindowGroupLimit node). */
+  /** Deterministic named-split assignment from the PORTABLE
+    * multiplicative hash of a numeric key (same Knuth-style int64
+    * arithmetic as [[capPerGroup]] — reproducible in any engine, unlike
+    * [[splitByHash]]'s xxhash64 keys). Splitting on a GROUP key rather
+    * than the row id is what makes leakage-free splits possible: hash a
+    * near-dup cluster label and the whole cluster lands in one split
+    * (g15). Pure projection — no shuffle, no state. */
+  def splitByPortableHash(df: DataFrame, keyCol: String,
+                          splits: Seq[(String, Double)],
+                          splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val p = 100000007L
+    val u = (pmod(pmod(col(keyCol), lit(p)) * lit(1315423911L), lit(p))
+      .cast("double")) / lit(p.toDouble)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = splits.init.zip(cum.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), c), acc) => when(u < lit(c), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
                   cap: Int): DataFrame = {
     require(cap >= 1, s"cap=$cap must be >= 1")

@@ -268,4 +268,31 @@ object TextPipeline {
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
   }
+
+  /** Per-group upper-quantile filter: within each group keep the rows
+    * whose score RANK exceeds ⌊p · n_group⌋ — i.e. the top (1−p)
+    * fraction of every group, sized exactly. Real pipelines threshold
+    * quality PER LANGUAGE/DOMAIN (a global cut starves low-resource
+    * groups); ranks make the cut exact integer arithmetic with a
+    * deterministic tie-break (`tieCol`), engine-portable — no
+    * interpolated quantile value is ever computed.
+    *
+    * Scale shape: one shuffle on the group key; rank + count ride the
+    * same window partition. A group's partition must fit a task — true
+    * for language/domain keys (bounded cardinality ⇒ salt-free), and
+    * the documented alternative for mega-groups is the two-pass
+    * approx-threshold shape of [[quantileThresholdFilter]] run per
+    * group. */
+  def groupQuantileFilter(df: DataFrame, groupCol: String,
+                          scoreCol: String, p: Double,
+                          tieCol: String): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0, 1], got $p")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+    val rk = row_number().over(w.orderBy(col(scoreCol), col(tieCol)))
+    val n = count(lit(1)).over(w)
+    df.withColumn("__rk", rk).withColumn("__n", n)
+      .filter(col("__rk") > floor(lit(p) * col("__n")))
+      .drop("__rk", "__n")
+  }
 }

@@ -347,6 +347,61 @@ object SamplingQueries {
                           (PARTITION BY source ORDER BY key, doc_id) AS rk
                       FROM k)
               SELECT doc_id, source FROM r WHERE rk <= 5
-              ORDER BY source, doc_id"""))
+              ORDER BY source, doc_id""")),
+
+    // ---- G15 leakage-free train/test split ----------------------------
+    // Split assignment hashes the near-dup CLUSTER label, not the doc
+    // id, so near-duplicates can never straddle train and test — the
+    // standard guard against eval contamination (same reason d06
+    // decontaminates against benchmarks). Clusters come from the d05
+    // machinery (LSH pairs → connected components, singletons = own
+    // id); the split is the portable multiplicative hash, so the whole
+    // chain hash-matches the oracle's recursive-CTE rendition.
+    Q("g15_leakfree_split",
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs = load(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          threshold = 0.5)
+        val cc = Dedup.connectedComponents(pairs)
+          .withColumnsRenamed(Map("id" -> "doc_id", "cluster" -> "cl"))
+        val labeled = docs.select("doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cl"), col("doc_id")).as("cluster_id"))
+        Samplers.splitByPortableHash(labeled, "cluster_id",
+            Seq("train" -> 0.8, "test" -> 0.2))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+              sh AS (SELECT doc_id,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(generate_series(1, len(toks)-2),
+                          i -> array_to_string(toks[i:i+2], ' ')))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+                    FROM t),
+              pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+              edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              cc(id, lbl) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst),
+              lbl AS (SELECT id AS doc_id, min(lbl) AS cl FROM cc GROUP BY id),
+              labeled AS (SELECT d.doc_id,
+                            coalesce(l.cl, d.doc_id) AS cluster_id
+                          FROM documents d LEFT JOIN lbl l USING (doc_id)),
+              u AS (SELECT doc_id, cluster_id,
+                      CAST(((cluster_id % 100000007) * 1315423911)
+                           % 100000007 AS DOUBLE) / 100000007.0 AS u
+                    FROM labeled)
+              SELECT doc_id, cluster_id,
+                     CASE WHEN u < 0.8 THEN 'train' ELSE 'test' END AS split
+              FROM u ORDER BY doc_id"""))
   )
 }

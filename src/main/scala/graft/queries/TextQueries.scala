@@ -323,6 +323,36 @@ object TextQueries {
             ORDER BY doc_id"""
       }),
 
+    // ---- T16 per-group (per-language) rank-quantile filter ------------
+    // Keep each language's top half by quality score. Rank-based cut:
+    // exact integer arithmetic per group (no interpolated quantile
+    // value), deterministic ties on doc_id — hash-exact cross-engine.
+    // A global cut (t09) starves low-resource languages; this is the
+    // per-group rendition real pipelines use. One shuffle on lang.
+    Q("t16_group_quantile_filter",
+      (s, d) => TextPipeline.groupQuantileFilter(
+          load(s, d, "documents")
+            .select(col("doc_id"), col("lang"),
+              qualityScore(col("text")).as("quality")),
+          "lang", "quality", p = 0.5, tieCol = "doc_id")
+        .orderBy("doc_id"),
+      Some {
+        val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+        val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val punct = "(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+        val quality = s"""least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                     * (1.0 - least($punct * 5.0, 1.0))
+                     * (CASE WHEN $mtl > 12.0 THEN 0.0 ELSE 1.0 - $mtl / 24.0 END)"""
+        s"""WITH q AS (SELECT doc_id, lang, $quality AS quality FROM documents),
+                r AS (SELECT doc_id, lang, quality,
+                        row_number() OVER
+                          (PARTITION BY lang ORDER BY quality, doc_id) AS rk,
+                        count(*) OVER (PARTITION BY lang) AS n
+                      FROM q)
+            SELECT doc_id, lang, quality FROM r
+            WHERE rk > floor(0.5 * n) ORDER BY doc_id"""
+      }),
+
     // ---- T10 BM25 lexical retrieval (single-term, idf-free) ----------
     // TextPipeline.bm25 with withIdf = false: for ONE query term the
     // idf factor is a constant multiplier, so ranking is unchanged and

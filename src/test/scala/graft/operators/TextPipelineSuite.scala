@@ -216,6 +216,25 @@ class TextPipelineSuite extends SparkSpec {
     assert(got(1L) > got(4L) && got(4L) > got(2L))
   }
 
+  test("groupQuantileFilter keeps each group's exact top fraction; " +
+      "small groups never starve") {
+    // group a: scores 1..10 (keep 6..10); group b: 2 rows (keep the top 1)
+    val df = ((1 to 10).map(i => (i.toLong, "a", i.toDouble)) ++
+      Seq((100L, "b", 0.1), (101L, "b", 0.2)))
+      .toDF("id", "grp", "score")
+    val out = TextPipeline.groupQuantileFilter(df, "grp", "score",
+        p = 0.5, tieCol = "id")
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(out.filter(_._2 == "a").map(_._1).toSeq ===
+      (6L to 10L).toSeq)
+    assert(out.filter(_._2 == "b").map(_._1).toSeq === Seq(101L))
+    // deterministic under repartitioning
+    val again = TextPipeline.groupQuantileFilter(df.repartition(5), "grp",
+      "score", p = 0.5, tieCol = "id").orderBy("id")
+      .as[(Long, String, Double)].collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("url helpers: host/path/registered-domain on edge cases") {
     import graft.operators.TextFunctions._
     val urls = Seq(

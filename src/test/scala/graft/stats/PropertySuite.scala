@@ -126,6 +126,22 @@ class PropertySuite extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("splitByPortableHash: cluster-keyed split never splits a " +
+      "cluster; fractions land near target; deterministic") {
+    import graft.operators.Samplers
+    val df = (1L to 1000L).map(i => (i, i / 10)).toDF("id", "cluster")
+    val out = Samplers.splitByPortableHash(df, "cluster",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    val straddle = out.groupBy("cluster")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddle === 0L, "a cluster straddled train/test")
+    val trainFrac = out.filter(col("split") === "train").count() / 1000.0
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    val again = Samplers.splitByPortableHash(df.repartition(7), "cluster",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("bernoulli keyCols decorrelates duplicate rows") {
     import graft.operators.Samplers
     // 400 identical payload rows + a unique id: content-keyed draws are

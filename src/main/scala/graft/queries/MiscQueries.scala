@@ -63,6 +63,31 @@ object MiscQueries {
                       ${sqlDsum("o_totalprice")} AS total
                FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- S6 partitioned parquet write → partition-pruned read ---------
+    // The 100 TB table layout: write documents hive-partitioned by
+    // lang, read back with a lang predicate. Correctness graded here
+    // (the pruned read must reproduce the direct filter's aggregate);
+    // the SCALE property — the lang filter resolves as PartitionFilters
+    // (directory pruning: non-matching partitions are never opened, a
+    // metadata operation regardless of table size) — is pinned in
+    // PlanSuite on this same round-trip.
+    Q("s06_partitioned_roundtrip",
+      (s, d) => {
+        val out = s"/tmp/graft_part_roundtrip_${s.sparkContext.applicationId}"
+        load(s, d, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        s.read.parquet(out)
+          .filter(col("lang").isin("en", "de"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE lang IN ('en', 'de')
+              GROUP BY lang, source ORDER BY lang, source""")),
+
     // ---- S3b JSON write → read round-trip -----------------------------
     // Spark JSON prints doubles shortest-repr and parses them correctly
     // rounded (same exactness argument as the CSV round-trip), so the

@@ -213,6 +213,16 @@ class PlanSuite extends SparkSpec {
       "g12 must unpersist its scored/sample caches")
   }
 
+  test("s06: the lang predicate on a partitioned table resolves as " +
+      "PartitionFilters — directory pruning, not row filtering") {
+    val p = plan("s06_partitioned_roundtrip")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("lang"))
+    assert(scanLine.isDefined, s"no partition filter on lang\n${p.take(3000)}")
+    assert(!p.contains("PushedFilters: [In(lang"),
+      "lang must prune directories, not filter rows post-open\n" + p.take(3000))
+  }
+
   test("d08: incremental dedup joins new-batch bands against corpus " +
       "bands on the bucket key — never all-pairs") {
     val p = plan("d08_incremental_neardup")

@@ -169,39 +169,32 @@ object Samplers {
       .drop("__s1", "__f")
   }
 
-  /** Per-group cap ("domain mixing", CCNet/C4-style): keep at most `cap`
-    * rows per group, chosen by a DETERMINISTIC multiplicative-hash rank
-    * of the numeric `idCol` (Knuth §6.4: k·A mod m spreads sequential
-    * ids uniformly) so the kept subset is reproducible across engines,
-    * partitionings, and reruns — the property a corpus-rebalancing step
-    * needs when the pipeline replays. The hash is pure 64-bit integer
-    * arithmetic (id reduced mod the prime FIRST, so the product is
-    * ≤ ~1.3e17 — no overflow at any real id), expressible identically
-    * in ANSI SQL; ties cannot occur within a group because id is
-    * reduced modulo a prime far above any group's cardinality, and
-    * `idCol` itself is the final tiebreak regardless.
-    *
-    * Scale shape: one shuffle on the group key; the rank ≤ cap filter
-    * is a `row_number` window that Spark ≥ 3.5 rewrites to
-    * WindowGroupLimit, so each map task forwards at most `cap` rows
-    * per group into the shuffle — a billion-doc domain costs
-    * cap × #tasks shuffled rows, not its full cardinality
-    * (PlanSuite pins the WindowGroupLimit node). */
-  /** Deterministic named-split assignment from the PORTABLE
-    * multiplicative hash of a numeric key (same Knuth-style int64
-    * arithmetic as [[capPerGroup]] — reproducible in any engine, unlike
-    * [[splitByHash]]'s xxhash64 keys). Splitting on a GROUP key rather
-    * than the row id is what makes leakage-free splits possible: hash a
-    * near-dup cluster label and the whole cluster lands in one split
-    * (g15). Pure projection — no shuffle, no state. */
+  /** The shared PORTABLE multiplicative hash (Knuth §6.4: k·A mod m
+    * spreads sequential keys uniformly): pure 64-bit integer arithmetic
+    * — the key reduced mod the prime FIRST, so the product is ≤ ~1.3e17,
+    * no overflow at any real id — expressible identically in ANSI SQL.
+    * This one definition is what every mirroring oracle transcribes;
+    * both constants live only here. Distinct keys can still collide
+    * (keys differing by a multiple of the prime), so consumers always
+    * add a deterministic tiebreak. */
+  private val portablePrime = 100000007L
+  private def portableHashKey(key: Column): Column =
+    pmod(pmod(key, lit(portablePrime)) * lit(1315423911L),
+      lit(portablePrime))
+
+  /** Deterministic named-split assignment from [[portableHashKey]] of a
+    * numeric key (reproducible in any engine, unlike [[splitByHash]]'s
+    * xxhash64 keys). Splitting on a GROUP key rather than the row id is
+    * what makes leakage-free splits possible: hash a near-dup cluster
+    * label and the whole cluster lands in one split (g15). Pure
+    * projection — no shuffle, no state. */
   def splitByPortableHash(df: DataFrame, keyCol: String,
                           splits: Seq[(String, Double)],
                           splitCol: String = "split"): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1: $splits")
-    val p = 100000007L
-    val u = (pmod(pmod(col(keyCol), lit(p)) * lit(1315423911L), lit(p))
-      .cast("double")) / lit(p.toDouble)
+    val u = portableHashKey(col(keyCol)).cast("double") /
+      lit(portablePrime.toDouble)
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val assign = splits.init.zip(cum.init).foldRight(lit(splits.last._1)) {
       case (((name, _), c), acc) => when(u < lit(c), lit(name)).otherwise(acc)
@@ -209,13 +202,25 @@ object Samplers {
     df.withColumn(splitCol, assign)
   }
 
+  /** Per-group cap ("domain mixing", CCNet/C4-style): keep at most `cap`
+    * rows per group, chosen by the deterministic [[portableHashKey]]
+    * rank of the numeric `idCol`, so the kept subset is reproducible
+    * across engines, partitionings, and reruns — the property a
+    * corpus-rebalancing step needs when the pipeline replays. Hash
+    * collisions within a group are possible but harmless: `idCol` is
+    * the deterministic tiebreak.
+    *
+    * Scale shape: one shuffle on the group key; the rank ≤ cap filter
+    * is a `row_number` window that Spark ≥ 3.5 rewrites to
+    * WindowGroupLimit, so each map task forwards at most `cap` rows
+    * per group into the shuffle — a billion-doc domain costs
+    * cap × #tasks shuffled rows, not its full cardinality
+    * (PlanSuite pins the WindowGroupLimit node). */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
                   cap: Int): DataFrame = {
     require(cap >= 1, s"cap=$cap must be >= 1")
-    val key = pmod(pmod(col(idCol), lit(100000007L)) * lit(1315423911L),
-      lit(100000007L))
     val win = Window.partitionBy(col(groupCol))
-      .orderBy(key.asc, col(idCol).asc)
+      .orderBy(portableHashKey(col(idCol)).asc, col(idCol).asc)
     df.withColumn("__rk", row_number().over(win))
       .filter(col("__rk") <= cap)
       .drop("__rk")

@@ -289,7 +289,11 @@ object TextPipeline {
     require(p >= 0.0 && p <= 1.0, s"p must be in [0, 1], got $p")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCol)
-    val rk = row_number().over(w.orderBy(col(scoreCol), col(tieCol)))
+    // NULLS FIRST made explicit (Spark's ASC default, but DuckDB's is
+    // NULLS LAST — the oracle pins it too): a NULL score ranks lowest
+    // and is dropped, the right fate for an unscorable document
+    val rk = row_number().over(
+      w.orderBy(col(scoreCol).asc_nulls_first, col(tieCol)))
     val n = count(lit(1)).over(w)
     df.withColumn("__rk", rk).withColumn("__n", n)
       .filter(col("__rk") > floor(lit(p) * col("__n")))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,6 +20,19 @@ import graft.util.Tables.{dsum, load, sqlDsum}
   * SQL rendering is structurally identical to the driver-side doubles.
   */
 object MiscQueries {
+
+  /** Round-trip epilogue shared by the source-format queries (s02–s06):
+    * materialize the (small, aggregate) graded result into a local
+    * relation and delete the scratch directory — repeated Verify/Bench/
+    * suite runs must not accumulate /tmp litter, and a result that
+    * outlives its files must not lazily re-read them. */
+  private def materializeAndClean(df: DataFrame, dir: String): DataFrame = {
+    val rows = df.collect()
+    val local = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    local
+  }
 
   /** Deterministic A/B samples from `customer` for estimator e2e runs
     * (same carve as StatsQueries: A = custkey%37==1 w/ design weights,
@@ -54,10 +68,12 @@ object MiscQueries {
           StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
           StructField("o_totalprice", DoubleType),
           StructField("o_orderstatus", StringType)))
-        s.read.option("header", true).schema(schema).csv(out)
-          .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-          .orderBy("o_orderstatus")
+        materializeAndClean(
+          s.read.option("header", true).schema(schema).csv(out)
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+            .orderBy("o_orderstatus"),
+          out)
       },
       Some(s"""SELECT o_orderstatus, count(*) AS n,
                       ${sqlDsum("o_totalprice")} AS total
@@ -77,11 +93,15 @@ object MiscQueries {
         load(s, d, "documents")
           .select("doc_id", "lang", "source", "n_chars")
           .write.mode("overwrite").partitionBy("lang").parquet(out)
-        s.read.parquet(out)
-          .filter(col("lang").isin("en", "de"))
-          .groupBy("lang", "source")
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
-          .orderBy("lang", "source")
+        // PlanSuite reconstructs this layout itself to read the PRUNED
+        // scan plan; the graded result is the cleaned-up local relation
+        materializeAndClean(
+          s.read.parquet(out)
+            .filter(col("lang").isin("en", "de"))
+            .groupBy("lang", "source")
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+            .orderBy("lang", "source"),
+          out)
       },
       Some("""SELECT lang, source, count(*) AS n_docs,
                      CAST(sum(n_chars) AS BIGINT) AS chars
@@ -103,10 +123,12 @@ object MiscQueries {
           StructField("p_partkey", LongType),
           StructField("p_brand", StringType),
           StructField("p_retailprice", DoubleType)))
-        s.read.schema(schema).json(out)
-          .groupBy("p_brand")
-          .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total"))
-          .orderBy("p_brand")
+        materializeAndClean(
+          s.read.schema(schema).json(out)
+            .groupBy("p_brand")
+            .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total"))
+            .orderBy("p_brand"),
+          out)
       },
       Some(s"""SELECT p_brand, count(*) AS n,
                       ${sqlDsum("p_retailprice")} AS total
@@ -121,10 +143,12 @@ object MiscQueries {
       (s, d) => {
         val out = s"/tmp/graft_orc_roundtrip_${s.sparkContext.applicationId}"
         load(s, d, "supplier").write.mode("overwrite").orc(out)
-        s.read.orc(out)
-          .groupBy("s_nationkey")
-          .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total"))
-          .orderBy("s_nationkey")
+        materializeAndClean(
+          s.read.orc(out)
+            .groupBy("s_nationkey")
+            .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total"))
+            .orderBy("s_nationkey"),
+          out)
       },
       Some(s"""SELECT s_nationkey, count(*) AS n,
                       ${sqlDsum("s_acctbal")} AS total
@@ -144,11 +168,13 @@ object MiscQueries {
           .write.mode("overwrite").parquet(s"$out/gen=1")
         cust.select("c_custkey", "c_mktsegment")
           .write.mode("overwrite").parquet(s"$out/gen=2")
-        s.read.option("mergeSchema", true).parquet(out)
-          .agg(count(lit(1)).as("n_rows"),
-            count(col("c_acctbal")).as("n_bal"),
-            count(col("c_mktsegment")).as("n_seg"),
-            dsum(col("c_acctbal")).as("total_bal"))
+        materializeAndClean(
+          s.read.option("mergeSchema", true).parquet(out)
+            .agg(count(lit(1)).as("n_rows"),
+              count(col("c_acctbal")).as("n_bal"),
+              count(col("c_mktsegment")).as("n_seg"),
+              dsum(col("c_acctbal")).as("total_bal")),
+          out)
       },
       Some(s"""SELECT 2 * count(*) AS n_rows, count(*) AS n_bal,
                       count(*) AS n_seg, ${sqlDsum("c_acctbal")} AS total_bal

@@ -334,12 +334,15 @@ object StatsQueries {
     // ---- M27 JKn stratified jackknife variance (extension) ------------
     // Stratified delete-one-PSU jackknife (Wolter 2007 §4.5): deleting
     // a PSU reweights only its own stratum by n_h/(n_h−1). Strata
-    // id % 3, PSUs id % 12 (4 per stratum). Same one-pass shape as m26.
+    // id % 2, PSUs id % 12 — chosen because BOTH strata keep ≥ 2 PSUs
+    // at every graded SF including the 5-row sf0.001 sample (id % 3
+    // leaves stratum 0 a single PSU there, which jknMean rejects
+    // loudly). Same one-pass shape as m26.
     Q("m27_jackknife_strat",
       (s, d) => Replication.jknMean(sampleA(s, d), col("y"), col("d"),
-        col("id") % 3, col("id") % 12),
+        col("id") % 2, col("id") % 12),
       Some(s"""WITH a AS ($sqlA),
-                    g AS (SELECT id % 3 AS h, id % 12 AS psu,
+                    g AS (SELECT id % 2 AS h, id % 12 AS psu,
                                  ${sqlDsum("d * y")} AS tg,
                                  ${sqlDsum("d")} AS wg
                           FROM a GROUP BY 1, 2),

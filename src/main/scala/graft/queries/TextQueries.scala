@@ -346,7 +346,8 @@ object TextQueries {
         s"""WITH q AS (SELECT doc_id, lang, $quality AS quality FROM documents),
                 r AS (SELECT doc_id, lang, quality,
                         row_number() OVER
-                          (PARTITION BY lang ORDER BY quality, doc_id) AS rk,
+                          (PARTITION BY lang
+                           ORDER BY quality NULLS FIRST, doc_id) AS rk,
                         count(*) OVER (PARTITION BY lang) AS n
                       FROM q)
             SELECT doc_id, lang, quality FROM r

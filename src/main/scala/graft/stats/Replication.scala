@@ -50,8 +50,13 @@ object Replication {
     val gDist = df.groupBy(psu.as("__psu"))
       .agg(dsum(w * y).as("tg"), dsum(w).as("wg"))
       .select("tg", "wg")
+    val rows = gDist.collect()
+    // a lone PSU has no delete-one contrast: theta = 0/0 would come back
+    // as a silent NULL variance — fail loudly like jknMean instead
+    require(rows.length >= 2,
+      s"JK1 needs >= 2 PSUs, got ${rows.length}")
     val g = spark.createDataFrame(
-      java.util.Arrays.asList(gDist.collect(): _*), gDist.schema)
+      java.util.Arrays.asList(rows: _*), gDist.schema)
     val tot = g.agg(dsum(col("tg")).as("t"), dsum(col("wg")).as("w"),
       count(lit(1)).cast("double").as("gn"))
     val rep = g.crossJoin(broadcast(tot))

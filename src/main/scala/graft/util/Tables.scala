@@ -25,9 +25,14 @@ object Tables {
     * as a timestamp; non-UTC-adjusted files surface as TIMESTAMP_NTZ).
     * Dispatch on the READ schema, not the flag, so every rendition
     * lands on the same session-zone microsecond TimestampType. */
-  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
+    withEventTs(load(spark, sfDir, "events"))
+
+  /** The ts dispatch itself, applicable to ANY frame with the events
+    * schema — batch or readStream (StreamingSuite's file-stream leg
+    * reuses it, so the next physical-type change is fixed once). */
+  def withEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       // integer `div`, not `/`: double division would round the nanos
       // (and lose precision past 2^53) instead of truncating to micros

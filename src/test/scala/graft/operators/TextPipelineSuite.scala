@@ -235,6 +235,17 @@ class TextPipelineSuite extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("groupQuantileFilter: a NULL score ranks lowest and is dropped " +
+      "(NULLS FIRST pinned — DuckDB's window default differs)") {
+    val df = Seq((1L, "a", Option(1.0)), (2L, "a", Option.empty[Double]),
+      (3L, "a", Option(2.0)), (4L, "a", Option(3.0)))
+      .toDF("id", "grp", "score")
+    val kept = TextPipeline.groupQuantileFilter(df, "grp", "score",
+        p = 0.5, tieCol = "id")
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    assert(kept === Seq(3L, 4L)) // NULL ranked first, cut with 1.0
+  }
+
   test("url helpers: host/path/registered-domain on edge cases") {
     import graft.operators.TextFunctions._
     val urls = Seq(

@@ -58,7 +58,11 @@ class ReplicationSuite extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       Replication.jk1Mean(fixture, col("y"), col("w"), col("psu"))
-      val deadline = System.nanoTime() + 5_000_000_000L
+      // listener events ride the async bus: first wait for the action's
+      // own event to land (else a slow bus flakes the == 1 as 0), then
+      // drain until stable to catch any EXTRA actions
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (System.nanoTime() < deadline && n.get < 1) Thread.sleep(50)
       var last = -1
       while (System.nanoTime() < deadline && n.get != last) {
         last = n.get; Thread.sleep(100)

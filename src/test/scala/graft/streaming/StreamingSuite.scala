@@ -148,17 +148,11 @@ class StreamingSuite extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("part-0.parquet"))
-    // same schema-adaptive ts dispatch as Tables.loadEvents (the
-    // driver has shipped events.ts as both nanos-long and micros)
+    // same schema-adaptive ts dispatch as the batch loader — shared
+    // via Tables.withEventTs so a physical-type change is fixed once
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val rawStream = spark.readStream
-      .schema(rawSchema)
-      .parquet(dir.toString)
-    val streamEvents = rawSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        rawStream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => rawStream.withColumn("ts", col("ts").cast("timestamp"))
-    }
+    val streamEvents = graft.util.Tables.withEventTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     val q = Streams.tumblingEventStats(streamEvents, "1 hour")
       .select(col("w.start").cast("string").as("w_start"),
         col("event_type"), col("n_events"), col("sum_value"))

@@ -100,17 +100,27 @@ object Dedup {
   def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
                          idCol: String, textCol: String, threshold: Double,
                          shingleN: Int = 3, numHashes: Int = 128,
-                         bands: Int = 32): DataFrame = {
+                         bands: Int = 32,
+                         corpusBands: Option[DataFrame] = None,
+                         corpusShingles: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bNew = lshBands(newDocs, idCol, textCol, shingleN, numHashes, bands)
-    val bCorp = lshBands(corpus, idCol, textCol, shingleN, numHashes, bands)
+    // the ingest-time stored columns: pass the corpus's (id, band,
+    // band_key) frame ([[lshBands]] output) and (id, shingles) frame to
+    // amortize the corpus-side computation across batches —
+    // DedupScaleProbe measures the difference (corpus-scan-bound vs
+    // batch-bound)
+    val bCorp = corpusBands.getOrElse(
+      lshBands(corpus, idCol, textCol, shingleN, numHashes, bands))
     val cand = bNew.as("n").join(bCorp.as("c"), Seq("band", "band_key"))
       .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
       .distinct()
     val shNew = newDocs.select(col(idCol).as("new_id"),
       wordShingles(col(textCol), shingleN).as("sh_n"))
-    val shCorp = corpus.select(col(idCol).as("corpus_id"),
-      wordShingles(col(textCol), shingleN).as("sh_c"))
+    val shCorp = corpusShingles
+      .map(_.toDF("corpus_id", "sh_c"))
+      .getOrElse(corpus.select(col(idCol).as("corpus_id"),
+        wordShingles(col(textCol), shingleN).as("sh_c")))
     val scored = cand
       .join(shNew, "new_id")
       .join(shCorp, "corpus_id")

@@ -68,6 +68,23 @@ class DedupSuite extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("incrementalNearDup: stored corpus bands/shingles reproduce the " +
+      "recompute path exactly") {
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (12L, "nothing here resembles anything in the existing corpus at all")
+    ).toDF("doc_id", "text")
+    val default = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text",
+      0.5).orderBy("new_id").collect().toSeq
+    val stored = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text",
+        0.5,
+        corpusBands = Some(Dedup.lshBands(corpus, "doc_id", "text")),
+        corpusShingles = Some(corpus.select(col("doc_id"),
+          Dedup.wordShingles(col("text"), 3).as("sh"))))
+      .orderBy("new_id").collect().toSeq
+    assert(default === stored)
+  }
+
   test("signature agreement estimates jaccard (exact pair ⇒ 1.0)") {
     val est = Dedup.minhashCandidates(corpus, "doc_id", "text")
       .filter(col("id_a") === 1 && col("id_b") === 3)

@@ -151,6 +151,42 @@ object TextPipeline {
     hits.withColumn("contaminated", (col("n_hit") > 0).cast("int"))
   }
 
+  /** Corpus-novelty scoring — [[decontaminate]]'s fractional sibling:
+    * instead of a boolean overlap flag, score each candidate by the
+    * fraction of its DISTINCT n-gram shingles absent from a reference
+    * corpus (novelty 1.0 = nothing seen before, 0.0 = fully covered).
+    * The data-mixing signal for "how much does this shard add" and the
+    * memorization-risk screen for eval-adjacent text.
+    *
+    * Same shape as decontaminate: the reference gram set is distinct
+    * (bounded by vocabulary^n in practice, Zipf-truncated) and joins
+    * against candidate grams; counts are exact integers, the score one
+    * IEEE divide — hash-portable. At a scale where the reference gram
+    * table outgrows a broadcast, the documented path is the same
+    * shuffle join (AQE-splittable on gram skew) or an ingest-time Bloom
+    * filter of reference grams (a19 machinery) for approximate novelty
+    * with a one-sided error bound. */
+  def noveltyScores(candidates: DataFrame, reference: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val refGrams = reference
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val candGrams = candidates.select(col(idCol),
+      explode_outer(Dedup.wordShingles(col(textCol), n)).as("gram"))
+    candGrams
+      .join(broadcast(refGrams.withColumn("__hit", lit(1))),
+        Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(col("gram")).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_known"))
+      // NULL-text candidates have 0 grams: novelty 0.0 by convention
+      // (an empty doc adds nothing), not NULL
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise((col("n_grams") - col("n_known")).cast("double") /
+            col("n_grams")))
+  }
+
   /** Greedy-contiguous sequence packing: within each group (e.g. a
     * language/source shard), documents are taken in `orderCol` order and
     * a document opens a new bin exactly when the tokens BEFORE it already

@@ -354,6 +354,47 @@ object TextQueries {
             WHERE rk > floor(0.5 * n) ORDER BY doc_id"""
       }),
 
+    // ---- T17 corpus-novelty scoring (vs the English reference) --------
+    // d06's fractional sibling: each non-English doc scored by the
+    // fraction of its distinct 3-gram shingles absent from the English
+    // reference set — the "how much does this shard add" data-mixing
+    // signal. Exact integer counts + one IEEE divide → full hash
+    // oracle. See TextPipeline.noveltyScores for the Bloom-filter
+    // rendition when the reference gram set outgrows a broadcast.
+    Q("t17_novelty",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        graft.operators.TextPipeline.noveltyScores(
+            docs.filter(col("lang") =!= "en"),
+            docs.filter(col("lang") === "en"),
+            "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+              sh AS (SELECT doc_id, lang,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(generate_series(1, len(toks)-2),
+                          i -> array_to_string(toks[i:i+2], ' ')))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+                    FROM t),
+              ref AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+                      WHERE lang = 'en'),
+              cg AS (SELECT doc_id, unnest(sh) AS g FROM sh
+                     WHERE lang <> 'en'),
+              j AS (SELECT cg.doc_id,
+                      CASE WHEN r.g IS NULL THEN 0 ELSE 1 END AS hit
+                    FROM cg LEFT JOIN ref r USING (g)),
+              a AS (SELECT doc_id, count(*) AS n_grams,
+                      CAST(sum(hit) AS BIGINT) AS n_known
+                    FROM j GROUP BY doc_id)
+              SELECT doc_id, n_grams, n_known,
+                     CASE WHEN n_grams = 0 THEN 0.0
+                          ELSE CAST(n_grams - n_known AS DOUBLE) / n_grams
+                     END AS novelty
+              FROM a ORDER BY doc_id""")),
+
     // ---- T10 BM25 lexical retrieval (single-term, idf-free) ----------
     // TextPipeline.bm25 with withIdf = false: for ONE query term the
     // idf factor is a constant multiplier, so ranking is unchanged and

@@ -216,6 +216,23 @@ class TextPipelineSuite extends SparkSpec {
     assert(got(1L) > got(4L) && got(4L) > got(2L))
   }
 
+  test("noveltyScores: full copy 0.0, disjoint 1.0, half-overlap exact") {
+    val ref = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // grams(ref) = {a b c, b c d, c d e, d e f}
+    val cands = Seq(
+      (10L, "a b c d e f"),    // identical → novelty 0
+      (11L, "x y z w v u"),    // disjoint → novelty 1
+      (12L, "a b c d x y z")   // grams: {abc,bcd,cdx,dxy,xyz} → 2 known
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.noveltyScores(cands, ref, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_known", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got(0) === ((10L, 4L, 4L, 0.0)))
+    assert(got(1) === ((11L, 4L, 0L, 1.0)))
+    assert(got(2) === ((12L, 5L, 2L, 3.0 / 5.0)))
+  }
+
   test("groupQuantileFilter keeps each group's exact top fraction; " +
       "small groups never starve") {
     // group a: scores 1..10 (keep 6..10); group b: 2 rows (keep the top 1)

@@ -369,6 +369,43 @@ object StatsQueries {
                         AS var_jkn
                FROM rep""")),
 
+    // ---- M29 BRR balanced repeated replication variance ---------------
+    // The third classic replicate method beside m26/m27 (Wolter §3):
+    // strata id % 2 with PSU (id div 2) % 2 — verified exactly 2 PSUs
+    // per stratum at every SF. Sylvester-Hadamard keep/drop signs are
+    // pure integer arithmetic ((−1)^popcount(r AND h+1)), so the whole
+    // R=4-replicate expansion hash-matches the oracle.
+    Q("m29_brr_var",
+      (s, d) => Replication.brrMean(sampleA(s, d), col("y"), col("d"),
+        col("id") % 2, expr("id div 2") % 2),
+      Some(s"""WITH a AS ($sqlA),
+                    g AS (SELECT id % 2 AS h, (id // 2) % 2 AS psu,
+                                 ${sqlDsum("d * y")} AS tg,
+                                 ${sqlDsum("d")} AS wg
+                          FROM a GROUP BY 1, 2),
+                    idx AS (SELECT h, psu, tg, wg,
+                              dense_rank() OVER (ORDER BY h) - 1 AS h_idx,
+                              row_number() OVER
+                                (PARTITION BY h ORDER BY psu) - 1 AS slot
+                            FROM g),
+                    reps AS (SELECT unnest(generate_series(0, 3)) AS r),
+                    keep AS (SELECT i.tg, i.wg, r.r
+                             FROM idx i CROSS JOIN reps r
+                             WHERE i.slot =
+                               bit_count(CAST(r.r AS BIGINT) & (i.h_idx + 1)) % 2),
+                    rt AS (SELECT r, ${sqlDsum("2.0 * tg")} AS tr,
+                                  ${sqlDsum("2.0 * wg")} AS wr
+                           FROM keep GROUP BY r),
+                    tot AS (SELECT ${sqlDsum("tg")} AS t,
+                                   ${sqlDsum("wg")} AS w FROM g)
+               SELECT max(t / w) AS mean_y,
+                      CAST(2 AS BIGINT) AS n_strata,
+                      CAST(4 AS BIGINT) AS n_reps,
+                      ${sqlDsum(
+                        "(tr / wr - t / w) * (tr / wr - t / w)")} / 4.0
+                        AS var_brr
+               FROM rt, tot""")),
+
     // ---- M28 grouped OLS: per-group closed-form regression ------------
     // One partial-aggregable pass computes every group's (b0, b1)
     // simultaneously — per-domain/segment trend fitting at corpus scale

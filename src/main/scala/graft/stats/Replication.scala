@@ -131,4 +131,69 @@ object Replication {
       first(col("gn")).as("g_psus"),
       dsum(((col("nh") - lit(1.0)) / col("nh")) * d * d).as("var_jkn"))
   }
+
+  /** Balanced repeated replication (BRR — Wolter 2007 §3; McCarthy
+    * 1969) for a 2-PSUs-per-stratum design: replicate r keeps one PSU
+    * per stratum at doubled weight and drops the other, with the
+    * keep/drop pattern taken from a Hadamard matrix so the replicates
+    * are pairwise balanced;  V̂ = (1/R)·Σ_r (θ̂_r − θ̂)².
+    *
+    * The Hadamard signs come from the SYLVESTER construction —
+    * sign(r, c) = (−1)^popcount(r AND c), pure integer arithmetic that
+    * any engine reproduces bit-for-bit (no stored matrix). Stratum h
+    * (0-indexed by ascending stratum value) uses column h + 1: column 0
+    * of a Sylvester matrix is all-ones, which would pin every replicate
+    * to the same PSU of that stratum. R is the smallest power of two
+    * > H, giving exact column orthogonality.
+    *
+    * Same scale shape as the jackknives: ONE partial-aggregable
+    * groupBy(stratum, psu) pass; the 2H-row totals frame is eagerly
+    * materialized (G-row contract), and the R × H replicate expansion
+    * is arithmetic on that local frame. Returns ONE row:
+    * (mean_y, n_strata, n_reps, var_brr). */
+  def brrMean(df: DataFrame, y: Column, w: Column, stratum: Column,
+              psu: Column): DataFrame = {
+    val spark = df.sparkSession
+    val gDist = df.groupBy(stratum.as("__h"), psu.as("__psu"))
+      .agg(dsum(w * y).as("tg"), dsum(w).as("wg"))
+    val rows = gDist.collect()
+    val byH = rows.groupBy(_.get(0))
+    val bad = byH.collect { case (h, rs) if rs.length != 2 => h }
+    require(bad.isEmpty,
+      s"BRR needs exactly 2 PSUs per stratum; offending strata: ${bad.mkString(", ")}")
+    val g = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), gDist.schema)
+    // 0-indexed stratum column and 0/1 PSU slot, both by ascending
+    // value — the deterministic labeling the oracle mirrors with
+    // dense_rank/row_number
+    import org.apache.spark.sql.expressions.Window
+    // constant partition key: the frame is a 2H-row local relation, the
+    // lit key only silences the unpartitioned-window warning
+    val idx = g
+      .withColumn("h_idx",
+        dense_rank().over(
+          Window.partitionBy(lit(1)).orderBy(col("__h"))) - 1)
+      .withColumn("slot",
+        row_number().over(
+          Window.partitionBy(col("__h")).orderBy(col("__psu"))) - 1)
+    val hCount = byH.size
+    val r0 = Integer.highestOneBit(hCount) * 2 // smallest pow2 > H
+    val reps = spark.range(r0.toLong).select(col("id").cast("int").as("r"))
+    // Sylvester sign: keep slot 0 when popcount(r & (h_idx+1)) is even
+    val keepSlot = (bit_count(col("r").bitwiseAND(col("h_idx") + 1)) % 2)
+      .cast("int")
+    val repTotals = idx.crossJoin(reps)
+      .filter(col("slot") === keepSlot)
+      .groupBy("r")
+      .agg(dsum(lit(2.0) * col("tg")).as("tr"),
+        dsum(lit(2.0) * col("wg")).as("wr"))
+    val tot = g.agg(dsum(col("tg")).as("t"), dsum(col("wg")).as("w"))
+    val dd = col("tr") / col("wr") - col("t") / col("w")
+    repTotals.crossJoin(broadcast(tot))
+      .agg(
+        first(col("t") / col("w")).as("mean_y"),
+        lit(hCount.toLong).as("n_strata"),
+        lit(r0.toLong).as("n_reps"),
+        (dsum(dd * dd) / lit(r0.toDouble)).as("var_brr"))
+  }
 }

@@ -132,6 +132,50 @@ class ReplicationSuite extends SparkSpec {
     assert(e.getMessage.contains("single-PSU"))
   }
 
+  test("brrMean matches the hand-computed Sylvester-sign expansion on " +
+      "2 strata x 2 PSUs") {
+    val rows = Seq(
+      (1.0, 1.0, 0, 0), (2.0, 2.0, 0, 0), // h=0 psu=0
+      (3.0, 1.5, 0, 1),                   // h=0 psu=1
+      (4.0, 1.0, 1, 0), (5.0, 0.5, 1, 0), // h=1 psu=0
+      (6.0, 2.0, 1, 1), (7.0, 1.0, 1, 1)) // h=1 psu=1
+    val df = rows.toDF("y", "w", "h", "psu")
+    val r = Replication.brrMean(df, col("y"), col("w"), col("h"),
+      col("psu")).head()
+    // driver reference: totals per (h, psu), R=4 Sylvester replicates
+    val tg = rows.groupBy(x => (x._3, x._4)).map { case (k, rs) =>
+      k -> ((rs.map(x => x._1 * x._2).sum, rs.map(_._2).sum)) }
+    val (t, wsum) = (tg.values.map(_._1).sum, tg.values.map(_._2).sum)
+    val full = t / wsum
+    val thetas = (0 until 4).map { rr =>
+      val kept = (0 until 2).map { h =>
+        val slot = Integer.bitCount(rr & (h + 1)) % 2
+        tg((h, slot))
+      }
+      kept.map(_._1 * 2).sum / kept.map(_._2 * 2).sum
+    }
+    val v = thetas.map(th => (th - full) * (th - full)).sum / 4.0
+    assert(math.abs(r.getAs[Double]("mean_y") - full) < 1e-9)
+    assert(r.getAs[Long]("n_strata") === 2L)
+    assert(r.getAs[Long]("n_reps") === 4L)
+    assert(math.abs(r.getAs[Double]("var_brr") - v) < 1e-9)
+    // balance: across the 4 replicates each stratum keeps each PSU
+    // exactly twice (the Hadamard property)
+    (0 until 2).foreach { h =>
+      val keeps = (0 until 4).map(rr => Integer.bitCount(rr & (h + 1)) % 2)
+      assert(keeps.count(_ == 0) === 2 && keeps.count(_ == 1) === 2)
+    }
+  }
+
+  test("brrMean fails loudly unless every stratum has exactly 2 PSUs") {
+    val df = Seq((1.0, 1.0, 0, 0), (2.0, 1.0, 0, 1), (3.0, 1.0, 1, 0))
+      .toDF("y", "w", "h", "psu")
+    val e = intercept[IllegalArgumentException] {
+      Replication.brrMean(df, col("y"), col("w"), col("h"), col("psu"))
+    }
+    assert(e.getMessage.contains("exactly 2 PSUs"))
+  }
+
   test("jk1Mean with one row per PSU equals the classic jackknife of " +
       "the unweighted mean") {
     // equal weights, PSU = row: JK1 reduces to the textbook delete-one

@@ -340,6 +340,31 @@ object MiscQueries {
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // ---- J8 skew-salted join (graded rendition) -----------------------
+    // SkewJoin.saltedJoin promoted from suite-only to a graded query:
+    // the big side takes a random salt in [0, 8), the small side
+    // replicates 8x with every salt, and the join key becomes
+    // (key, salt) — spreading a hot key over 8 tasks. The salt is
+    // internal: the joined ROW SET is identical to the plain join
+    // (SkewJoinSuite pins that), so the per-nation aggregate
+    // hash-matches the unsalted oracle exactly.
+    Q("j08_salted_join",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val sup = load(s, d, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        graft.operators.SkewJoin.saltedJoin(li, sup, "l_suppkey",
+            factor = 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s.s_nationkey, count(*) AS n,
+                      ${sqlDsum("l.l_extendedprice")} AS revenue
+               FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // ---- A21 exact correlation matrix (one pass) ----------------------
     // All three pairwise Pearson correlations of (l_quantity,
     // l_extendedprice, l_discount) from ONE partial-aggregable pass of

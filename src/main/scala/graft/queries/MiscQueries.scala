@@ -340,6 +340,41 @@ object MiscQueries {
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // ---- S7 bucketed co-located join (graded rendition) ---------------
+    // The storage-level shuffle-elimination path promoted to a graded
+    // query: both join sides written as EXTERNAL bucketed tables
+    // (8 buckets on the customer key, sorted within buckets), then
+    // joined — Spark pairs buckets off locally with ZERO exchanges
+    // (BucketingSuite pins the no-Exchange plan; here the RESULT is
+    // graded against the plain-join oracle). External paths + epilogue
+    // drop/delete keep both the warehouse and /tmp clean.
+    Q("s07_bucketed_join",
+      (s, d) => {
+        import graft.sources.Bucketing
+        val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_bucketed_$tag"
+        val (tl, tr) = (s"graft_b_ord_$tag", s"graft_b_cust_$tag")
+        Bucketing.writeBucketed(
+          load(s, d, "orders").select("o_custkey", "o_totalprice"),
+          tl, "o_custkey", buckets = 8, path = Some(s"$base/ord"))
+        Bucketing.writeBucketed(
+          load(s, d, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          tr, "o_custkey", buckets = 8, path = Some(s"$base/cust"))
+        val agg = Bucketing.colocatedJoin(s, tl, tr, "o_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_mktsegment")
+        val out = materializeAndClean(agg, base)
+        s.sql(s"DROP TABLE IF EXISTS `$tl`")
+        s.sql(s"DROP TABLE IF EXISTS `$tr`")
+        out
+      },
+      Some(s"""SELECT c.c_mktsegment, count(*) AS n,
+                      ${sqlDsum("o.o_totalprice")} AS total
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ---- J8 skew-salted join (graded rendition) -----------------------
     // SkewJoin.saltedJoin promoted from suite-only to a graded query:
     // the big side takes a random salt in [0, 8), the small side

@@ -13,16 +13,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed managed table (sorted within buckets —
-    * enables sort-merge without per-task sorting). */
+  /** Write `df` as a bucketed table (sorted within buckets — enables
+    * sort-merge without per-task sorting). With `path` the table is
+    * EXTERNAL at that location (callers that must not write into the
+    * session warehouse — e.g. the graded s07 round-trip — pass an
+    * explicit /tmp scratch root and clean it up afterwards). */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
-                    buckets: Int): Unit = {
+                    buckets: Int, path: Option[String] = None): Unit = {
     df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.write.mode("overwrite")
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w.saveAsTable(table))(p => w.option("path", p).saveAsTable(table))
   }
 
   def read(spark: SparkSession, table: String): DataFrame =

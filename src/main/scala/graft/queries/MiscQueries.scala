@@ -340,6 +340,37 @@ object MiscQueries {
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // ---- W8 stateful streaming stats (graded batch rendition) ---------
+    // The flatMapGroupsWithState Welford kernel (Streams.
+    // runningUserStats) run in BATCH mode — same code path Spark uses
+    // for the streaming query, state just never persists — and graded
+    // against SQL count/avg/var_samp at 2⁻²⁰ (mean) and 2⁻¹⁰ (variance)
+    // quantization: Welford's sequential accumulation differs from the
+    // oracle's two-pass in trailing ulps (~1e-13 on these magnitudes),
+    // absorbed by quanta six orders coarser (the g11/t12 trick;
+    // verified hash-exact at all three SFs). StreamingSuite covers the
+    // cross-micro-batch state behavior.
+    Q("w08_stateful_stats",
+      (s, d) => {
+        import s.implicits._
+        val ev = graft.util.Tables.loadEvents(s, d)
+          .filter(col("user_id") < 200)
+          .select(col("user_id"), col("value"))
+          .as[graft.streaming.UserEvent]
+        graft.streaming.Streams.runningUserStats(ev).toDF()
+          .select(col("user_id"), col("n"),
+            floor(col("mean") * 1048576.0 + 0.5).cast("long").as("qmean"),
+            floor(col("var_samp") * 1024.0 + 0.5).cast("long").as("qvar"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n,
+                     CAST(floor(avg(value) * 1048576.0 + 0.5) AS BIGINT)
+                       AS qmean,
+                     CAST(floor(coalesce(var_samp(value), 0.0) * 1024.0
+                                + 0.5) AS BIGINT) AS qvar
+              FROM events WHERE user_id < 200
+              GROUP BY user_id ORDER BY user_id""")),
+
     // ---- S7 bucketed co-located join (graded rendition) ---------------
     // The storage-level shuffle-elimination path promoted to a graded
     // query: both join sides written as EXTERNAL bucketed tables

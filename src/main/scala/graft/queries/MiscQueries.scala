@@ -340,6 +340,46 @@ object MiscQueries {
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // ---- F2 SQL extension functions (graded rendition) ----------------
+    // The SparkSessionExtensions surface promoted to a graded query:
+    // GraftExtensions.register puts the native expressions into the
+    // session's FunctionRegistry and the query is PURE spark.sql text —
+    // word_shingles composing with cardinality(), float_vec_dot with
+    // arithmetic — exactly how a SQL-only user reaches them. The
+    // shingle COUNT is integer-exact cross-engine; the self-dot rides
+    // the 2⁻²⁰ quantization (sequential vs engine-order sum, ~1e-15
+    // apart on O(10) norms).
+    Q("f02_sql_extensions",
+      (s, d) => {
+        graft.expressions.GraftExtensions.register(s)
+        load(s, d, "documents").createOrReplaceTempView("graft_docs_v")
+        load(s, d, "embeddings").createOrReplaceTempView("graft_emb_v")
+        s.sql("""SELECT d.doc_id,
+                        cardinality(word_shingles(d.text, 3)) AS n_shingles,
+                        CAST(floor(float_vec_dot(e.embedding, e.embedding)
+                                   * 1048576.0 + 0.5) AS BIGINT) AS qnorm2
+                 FROM graft_docs_v d
+                 JOIN graft_emb_v e ON e.vec_id = d.doc_id
+                 ORDER BY d.doc_id""")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+              sh AS (SELECT doc_id,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(generate_series(1, len(toks)-2),
+                          i -> array_to_string(toks[i:i+2], ' ')))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+                    FROM t),
+              q AS (SELECT vec_id,
+                      CAST(floor(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                                 * 1048576.0 + 0.5) AS BIGINT) AS qnorm2
+                    FROM (SELECT vec_id, unnest(embedding) AS x
+                          FROM embeddings) GROUP BY vec_id)
+              SELECT sh.doc_id, len(sh.sh) AS n_shingles, q.qnorm2
+              FROM sh JOIN q ON q.vec_id = sh.doc_id
+              ORDER BY sh.doc_id""")),
+
     // ---- W8 stateful streaming stats (graded batch rendition) ---------
     // The flatMapGroupsWithState Welford kernel (Streams.
     // runningUserStats) run in BATCH mode — same code path Spark uses

@@ -118,12 +118,18 @@ object Samplers {
       splits.map(_._2).sum <= 1.0 + 1e-9,
       "split fractions must be positive and sum to at most 1")
     val u = rowUniform(keyCols.getOrElse(df.columns.toSeq), seed)
+    df.withColumn(labelCol, assignSplit(u, splits))
+  }
+
+  /** Shared cumulative-interval label assignment: u ∈ [0,1) →
+    * the split whose interval contains it (last split catches the
+    * tail). Used by both uniform sources ([[splitByHash]]'s xxhash64,
+    * [[splitByPortableHash]]'s portable hash). */
+  private def assignSplit(u: Column, splits: Seq[(String, Double)]): Column = {
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
-    val label = splits.zip(cum).init.foldRight(
-        lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
-      when(u < hi, lit(name)).otherwise(acc)
+    splits.zip(cum).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
     }
-    df.withColumn(labelCol, label)
   }
 
   /** Per-row Bernoulli selection with probability column `p`
@@ -195,11 +201,13 @@ object Samplers {
       s"split fractions must sum to 1: $splits")
     val u = portableHashKey(col(keyCol)).cast("double") /
       lit(portablePrime.toDouble)
-    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    val assign = splits.init.zip(cum.init).foldRight(lit(splits.last._1)) {
-      case (((name, _), c), acc) => when(u < lit(c), lit(name)).otherwise(acc)
-    }
-    df.withColumn(splitCol, assign)
+    // a NULL key would otherwise fall through every when() into the
+    // LAST split — for g15 that means exactly the un-clustered docs
+    // silently landing in the eval split. Fail loudly instead.
+    df.withColumn(splitCol,
+      when(col(keyCol).isNull, raise_error(lit(
+        s"splitByPortableHash: NULL in key column '$keyCol'")))
+        .otherwise(assignSplit(u, splits)))
   }
 
   /** Per-group cap ("domain mixing", CCNet/C4-style): keep at most `cap`

@@ -168,19 +168,26 @@ object TextPipeline {
     * with a one-sided error bound. */
   def noveltyScores(candidates: DataFrame, reference: DataFrame,
                     idCol: String, textCol: String, n: Int): DataFrame = {
+    // NULL text coalesces to "" on BOTH sides (symmetric with the t17
+    // oracle's coalesce): an empty doc contributes its single ""
+    // shingle, which matches the reference iff the reference also
+    // contains an empty doc — same set semantics in every engine,
+    // no engine-specific NULL special case
+    val shingles = (c: Column) =>
+      Dedup.wordShingles(coalesce(c, lit("")), n)
     val refGrams = reference
-      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .select(explode(shingles(col(textCol))).as("gram"))
       .distinct()
     val candGrams = candidates.select(col(idCol),
-      explode_outer(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      explode_outer(shingles(col(textCol))).as("gram"))
     candGrams
       .join(broadcast(refGrams.withColumn("__hit", lit(1))),
         Seq("gram"), "left")
       .groupBy(idCol)
       .agg(count(col("gram")).as("n_grams"),
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_known"))
-      // NULL-text candidates have 0 grams: novelty 0.0 by convention
-      // (an empty doc adds nothing), not NULL
+      // wordShingles never yields an empty array, so n_grams >= 1; the
+      // guard only protects a future shingler change from div-by-zero
       .withColumn("novelty",
         when(col("n_grams") === 0, lit(0.0))
           .otherwise((col("n_grams") - col("n_known")).cast("double") /

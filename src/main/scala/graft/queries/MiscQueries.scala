@@ -26,13 +26,14 @@ object MiscQueries {
     * relation and delete the scratch directory — repeated Verify/Bench/
     * suite runs must not accumulate /tmp litter, and a result that
     * outlives its files must not lazily re-read them. */
-  private def materializeAndClean(df: DataFrame, dir: String): DataFrame = {
-    val rows = df.collect()
-    val local = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-    local
-  }
+  private def materializeAndClean(df: DataFrame, dir: String): DataFrame =
+    try {
+      val rows = df.collect()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    } finally // delete even when the collect throws: failed runs must
+      // not accumulate scratch trees either
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
 
   /** Deterministic A/B samples from `customer` for estimator e2e runs
     * (same carve as StatsQueries: A = custkey%37==1 w/ design weights,
@@ -432,14 +433,16 @@ object MiscQueries {
           load(s, d, "customer")
             .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
           tr, "o_custkey", buckets = 8, path = Some(s"$base/cust"))
-        val agg = Bucketing.colocatedJoin(s, tl, tr, "o_custkey")
-          .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-          .orderBy("c_mktsegment")
-        val out = materializeAndClean(agg, base)
-        s.sql(s"DROP TABLE IF EXISTS `$tl`")
-        s.sql(s"DROP TABLE IF EXISTS `$tr`")
-        out
+        try {
+          val agg = Bucketing.colocatedJoin(s, tl, tr, "o_custkey")
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+            .orderBy("c_mktsegment")
+          materializeAndClean(agg, base)
+        } finally { // drop on failure too: no catalog litter across runs
+          s.sql(s"DROP TABLE IF EXISTS `$tl`")
+          s.sql(s"DROP TABLE IF EXISTS `$tr`")
+        }
       },
       Some(s"""SELECT c.c_mktsegment, count(*) AS n,
                       ${sqlDsum("o.o_totalprice")} AS total

@@ -18,6 +18,19 @@ object TextQueries {
   private def sqlOcc(padded: String, kw: String): String =
     s"CAST((length($padded) - length(replace($padded, '$kw', ''))) / ${kw.length} AS BIGINT)"
 
+  // the SQL rendition of TextFunctions.qualityScore, shared by every
+  // oracle that thresholds on it (t09 global, t16 per-language) so the
+  // two cannot silently diverge
+  private val sqlNTok =
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+  private val sqlQuality: String = {
+    val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($sqlNTok AS DOUBLE))"
+    val punct = "(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+    s"""least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                     * (1.0 - least($punct * 5.0, 1.0))
+                     * (CASE WHEN $mtl > 12.0 THEN 0.0 ELSE 1.0 - $mtl / 24.0 END)"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- T1 per-document stats: tokens, ratios, mean token length -----
@@ -32,17 +45,16 @@ object TextQueries {
         .orderBy("doc_id"),
       Some {
         val p = "(' ' || lower(text) || ' ')"
-        val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
         val stopHits = TextFunctions.stopwords
           .map(w => sqlOcc(p, s" $w ")).mkString("(", " + ", ")")
         s"""SELECT doc_id,
                      CAST(length(text) AS BIGINT) AS n_chars_calc,
-                     $nTok AS n_tokens,
+                     $sqlNTok AS n_tokens,
                      CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                       / CAST($nTok AS DOUBLE) AS mean_tok_len,
+                       / CAST($sqlNTok AS DOUBLE) AS mean_tok_len,
                      CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
                        / CAST(length(text) AS DOUBLE) AS vowel_ratio,
-                     CAST($stopHits AS DOUBLE) / CAST($nTok AS DOUBLE) AS stopword_ratio
+                     CAST($stopHits AS DOUBLE) / CAST($sqlNTok AS DOUBLE) AS stopword_ratio
               FROM documents ORDER BY doc_id"""
       }),
 
@@ -88,8 +100,7 @@ object TextQueries {
           qualityScore(col("text")).as("quality"))
         .orderBy("doc_id"),
       Some {
-        val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
-        val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($sqlNTok AS DOUBLE))"
         val punct = "(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
         s"""SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,
@@ -311,13 +322,7 @@ object TextQueries {
           "quality", p = 0.25)
         .orderBy("doc_id"),
       Some {
-        val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
-        val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE))"
-        val punct = "(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
-        val quality = s"""least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-                     * (1.0 - least($punct * 5.0, 1.0))
-                     * (CASE WHEN $mtl > 12.0 THEN 0.0 ELSE 1.0 - $mtl / 24.0 END)"""
-        s"""WITH q AS (SELECT doc_id, $quality AS quality FROM documents),
+        s"""WITH q AS (SELECT doc_id, $sqlQuality AS quality FROM documents),
                 t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM q)
             SELECT doc_id, quality FROM q, t WHERE quality >= thr
             ORDER BY doc_id"""
@@ -337,13 +342,7 @@ object TextQueries {
           "lang", "quality", p = 0.5, tieCol = "doc_id")
         .orderBy("doc_id"),
       Some {
-        val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
-        val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE))"
-        val punct = "(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
-        val quality = s"""least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-                     * (1.0 - least($punct * 5.0, 1.0))
-                     * (CASE WHEN $mtl > 12.0 THEN 0.0 ELSE 1.0 - $mtl / 24.0 END)"""
-        s"""WITH q AS (SELECT doc_id, lang, $quality AS quality FROM documents),
+        s"""WITH q AS (SELECT doc_id, lang, $sqlQuality AS quality FROM documents),
                 r AS (SELECT doc_id, lang, quality,
                         row_number() OVER
                           (PARTITION BY lang
@@ -371,7 +370,7 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, lang,
-                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                string_split(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ') AS toks
               FROM documents),
               sh AS (SELECT doc_id, lang,
                       CASE WHEN len(toks) >= 3 THEN

@@ -157,6 +157,7 @@ object Replication {
     val gDist = df.groupBy(stratum.as("__h"), psu.as("__psu"))
       .agg(dsum(w * y).as("tg"), dsum(w).as("wg"))
     val rows = gDist.collect()
+    require(rows.nonEmpty, "BRR on an empty frame (no strata)")
     val byH = rows.groupBy(_.get(0))
     val bad = byH.collect { case (h, rs) if rs.length != 2 => h }
     require(bad.isEmpty,

@@ -228,6 +228,49 @@ object AnnQueries {
               SELECT qid, label AS pred_label, votes FROM p WHERE r = 1
               ORDER BY qid""")),
 
+    // ---- E12 metadata-filtered similarity search ----------------------
+    // Filtered retrieval (the most-requested vector-store feature):
+    // top-k among ONLY the candidates passing a metadata predicate
+    // (label = 3). Pre-filtering composes below every path in the ANN
+    // family — here the exact-decimal brute force for the hash oracle;
+    // the same .filter() on the candidate frame feeds ivfTopK/pqTopK
+    // unchanged, with the predicate pushed to the candidate scan BELOW
+    // the cell join (AnnSuite pins the filtered-IVF behavior). This is
+    // the right 100 TB shape for selective filters; for ~unselective
+    // ones, post-filtering the top-k' > k result is the documented
+    // alternative.
+    Q("e12_filtered_topk",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        bruteForceTopK(emb.filter(col("vec_id") < 10),
+          emb.filter(col("label") === 3), k = 5)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                         FROM embeddings WHERE vec_id < 10),
+                   c AS (SELECT vec_id AS cid, embedding AS ce
+                         FROM embeddings WHERE label = 3),
+                   el AS (SELECT qid, cid,
+                            CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18)) AS p,
+                            CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(38,18)) AS pq,
+                            CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18)) AS pc
+                          FROM q CROSS JOIN c, generate_series(1, 64) AS t(i)
+                          WHERE qid <> cid),
+                   dots AS (SELECT qid, cid,
+                              CAST(sum(p) AS DOUBLE) AS dot,
+                              CAST(sum(pq) AS DOUBLE) AS nq,
+                              CAST(sum(pc) AS DOUBLE) AS nc
+                            FROM el GROUP BY qid, cid),
+                   sims AS (SELECT qid, cid,
+                              CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                            FROM dots),
+                   ranked AS (SELECT qid, cid, cos,
+                                CAST(row_number() OVER
+                                  (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rk
+                              FROM sims)
+              SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5
+              ORDER BY qid, rk""")),
+
     // ---- E6 hybrid retrieval: BM25 ⊕ dense cosine via RRF -------------
     // The standard two-tower retrieval fusion: reciprocal-rank fusion
     // (Cormack et al.) of the lexical BM25 ranking (query term 'spark')

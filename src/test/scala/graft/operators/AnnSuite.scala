@@ -583,6 +583,23 @@ class AnnSuite extends SparkSpec {
     assert(out.count(_._5) === 11)
   }
 
+  test("filtered IVF search: predicate on the candidate frame restricts " +
+      "results and keeps in-filter recall") {
+    val queries = clustered.filter(col("vec_id") % 10 === 0 &&
+      col("cluster") % 2 === 0)
+    val evenCands = clustered.filter(col("cluster") % 2 === 0)
+    val res = Ann.ivfTopK(queries, evenCands, "vec_id", "embedding",
+        dim = 16, k = 5, nCells = 8, lloydIters = 3, seed = 11L)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    // nothing outside the filter can surface
+    assert(res.forall { case (_, c) => (c / 10) % 2 == 0 },
+      "an odd-cluster candidate leaked through the filter")
+    // in-filter precision unharmed by filtering
+    val hits = res.count { case (q, c) => c / 10 == q / 10 }
+    assert(hits.toDouble / res.length >= 0.8,
+      s"filtered precision ${hits.toDouble / res.length}")
+  }
+
   test("labelVote: ties break to the smaller label; votes counted") {
     val topk = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 10L))
       .toDF("qid", "cid")

@@ -406,6 +406,42 @@ object StatsQueries {
                         AS var_brr
                FROM rt, tot""")),
 
+    // ---- M30 svyquantile: weighted quantiles of the A design ----------
+    // survey::svyquantile's lower-boundary rendition: q_p = min{y :
+    // cumW(y) ≥ p·W} under design weights — pure SELECTION (no
+    // interpolation), so the result hash-matches exactly. The
+    // cumulative-weight window is GLOBAL by nature; it runs over the
+    // probability sample A, which is small BY DESIGN (the reference's
+    // n_A ≈ 1-2k — a single-task window is the right plan; for
+    // population-scale quantiles the two-pass approx-threshold shape
+    // of t09 is the documented path). Exact-decimal running sums keep
+    // the crossing points engine-identical.
+    Q("m30_svyquantile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.util.Tables.dsumOver
+        val a = sampleA(s, d)
+        val w = Window.partitionBy(lit(1)).orderBy(col("y"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = a.select(col("y"), dsumOver(col("d"), w).as("cw"))
+        val tot = a.agg(dsum(col("d")).as("tw"))
+        cum.crossJoin(broadcast(tot)).agg(
+          min(when(col("cw") >= lit(0.25) * col("tw"), col("y"))).as("q25"),
+          min(when(col("cw") >= lit(0.50) * col("tw"), col("y"))).as("q50"),
+          min(when(col("cw") >= lit(0.75) * col("tw"), col("y"))).as("q75"))
+      },
+      Some(s"""WITH a AS ($sqlA),
+                    c AS (SELECT y, ${graft.util.Tables.sqlDsumOver("d", "w")}
+                            AS cw
+                          FROM a
+                          WINDOW w AS (ORDER BY y, id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                    t AS (SELECT ${sqlDsum("d")} AS tw FROM a)
+               SELECT min(CASE WHEN cw >= 0.25 * tw THEN y END) AS q25,
+                      min(CASE WHEN cw >= 0.50 * tw THEN y END) AS q50,
+                      min(CASE WHEN cw >= 0.75 * tw THEN y END) AS q75
+               FROM c, t""")),
+
     // ---- M28 grouped OLS: per-group closed-form regression ------------
     // One partial-aggregable pass computes every group's (b0, b1)
     // simultaneously — per-domain/segment trend fitting at corpus scale

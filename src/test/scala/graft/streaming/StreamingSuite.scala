@@ -165,7 +165,10 @@ class StreamingSuite extends SparkSpec {
         .as[(String, String, Long, Double)].collect().toSeq
       assert(streamed === batch)
       assert(streamed.nonEmpty)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
   }
 
   test("flatMapGroupsWithState: running per-user stats accumulate across batches") {

@@ -237,6 +237,11 @@ class PlanSuite extends SparkSpec {
       .deleteDirectory(new java.io.File(out))
   }
 
+  test("e12: the metadata filter reaches the candidate parquet scan") {
+    val p = plan("e12_filtered_topk")
+    assert(p.contains("EqualTo(label,3)"), p.take(3000))
+  }
+
   test("d08: incremental dedup joins new-batch bands against corpus " +
       "bands on the bucket key — never all-pairs") {
     val p = plan("d08_incremental_neardup")

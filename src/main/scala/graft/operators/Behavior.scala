@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product analytics over an event log `(user, ts,
+  * event_type, ...)`: ordered funnel conversion and cohort retention.
+  * These are the workhorse queries of every event-analytics engine;
+  * here they double as a stress test of the "one shuffle, many window
+  * passes" plan shape.
+  *
+  * Scale shape (both operators): ONE hash exchange on the user key.
+  * Every per-user quantity (stage timestamps, first-event cohort) is an
+  * unordered `min(...) over (partition by user)` — no `orderBy` in the
+  * window spec, so no sort, and consecutive windows over the same
+  * partitioning reuse a single exchange (PlanSuite pins exactly one
+  * user-keyed Exchange in a22's plan). The final roll-up aggregates a
+  * handful of rows per (stage) / (cohort, offset) — partial-aggregable,
+  * so the second shuffle moves only group states. No joins, no
+  * collects; a 100 TB event log costs one user-keyed shuffle.
+  */
+object Behavior {
+
+  /** Per-user ORDERED funnel timestamps: stage k's timestamp is the
+    * earliest event of type `stages(k)` that happens STRICTLY AFTER the
+    * user's stage k−1 timestamp (the classic "view → click → purchase,
+    * in that order" semantics — a purchase before the first view does
+    * not convert). Emits one row per user with nullable
+    * `t_<stage>` columns; a NULL at stage k means the user fell out of
+    * the funnel there (and all later stages are NULL by construction).
+    *
+    * Each stage is one more no-sort window pass over the SAME user
+    * partitioning; k stages = k Window nodes, still one exchange.
+    */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    val w = Window.partitionBy(col(userCol))
+    val withStages = stages.zipWithIndex.foldLeft(events) {
+      case (df, (stage, 0)) =>
+        df.withColumn(s"t_$stage",
+          min(when(col(typeCol) === lit(stage), col(tsCol))).over(w))
+      case (df, (stage, i)) =>
+        val prev = col(s"t_${stages(i - 1)}")
+        df.withColumn(s"t_$stage",
+          min(when(col(typeCol) === lit(stage) && col(tsCol) > prev,
+            col(tsCol))).over(w))
+    }
+    // one row per user: the stage columns are per-user constants, so
+    // min() == the value; this groupBy rides the same user exchange
+    withStages.groupBy(col(userCol))
+      .agg(min(col(s"t_${stages.head}")).as(s"t_${stages.head}"),
+        stages.tail.map(s => min(col(s"t_$s")).as(s"t_$s")): _*)
+  }
+
+  /** Funnel conversion counts: for each stage, how many users reached
+    * it (with the ordered semantics of [[funnelTimes]]). Output
+    * `(stage_idx, stage, n_users)` — n_users is non-increasing in
+    * stage_idx by construction. */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String]): DataFrame = {
+    val times = funnelTimes(events, userCol, tsCol, typeCol, stages)
+    // ONE global aggregation producing all stage counts in a single row
+    // (a per-stage `times.agg(...)` would recompute the whole funnel k
+    // times), then stack() pivots the row to (stage_idx, stage, n) —
+    // driver-free, still one pass
+    val one = times.agg(
+      count(col(s"t_${stages.head}")).as("n_1"),
+      stages.tail.zipWithIndex.map { case (s, i) =>
+        count(col(s"t_$s")).as(s"n_${i + 2}")
+      }: _*)
+    val cells = stages.zipWithIndex.map { case (s, i) =>
+      s"${i + 1}, '$s', n_${i + 1}"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${stages.size}, $cells) as (stage_idx, stage, n_users)"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of
+    * the user's FIRST event of any type; a user is retained at offset k
+    * if they have any event whose day falls k whole weeks (integer
+    * `div 7` of the day difference) after their cohort day. Output
+    * `(cohort_week, week_offset, n_users)` with distinct-user counts —
+    * offset 0 rows count the cohort's size.
+    *
+    * The first-event timestamp is a no-sort window min over the user
+    * partitioning (one exchange); the distinct-count roll-up groups on
+    * (cohort, offset, user) first — partial-aggregable — then counts
+    * rows per (cohort, offset). */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    val firstTs = min(col(tsCol)).over(w)
+    events
+      .withColumn("__cohort_day", to_date(firstTs))
+      .withColumn("__offset",
+        expr("datediff(to_date(" + tsCol + "), __cohort_day) div 7"))
+      .select(date_trunc("week", col("__cohort_day"))
+          .cast("date").as("cohort_week"),
+        col("__offset").as("week_offset"), col(userCol))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -233,4 +233,64 @@ object Samplers {
       .filter(col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /** Temperature-scaled mixture resampling (the multilingual-pretraining
+    * recipe: sample source g with probability ∝ n_g^alpha, alpha < 1
+    * up-weighting low-resource sources — Conneau & Lample 2019 §3.1).
+    * Unlike [[mixtureExact]], the target fractions are COMPUTED from
+    * the realized group counts inside the plan, so no driver collect:
+    * the (tiny, #groups-row) count/weight frame is broadcast back and
+    * each group keeps its top n_g = floor(nTotal · w_g / Z + 0.5) rows
+    * by partition-invariant uniform.
+    *
+    * Cross-engine determinism: alpha = 0.5 routes through `sqrt`
+    * (correctly rounded in IEEE 754, bit-identical in any engine —
+    * unlike `pow`, which carries no such guarantee); Z is an
+    * exact-decimal [[graft.util.Tables.dsum]] of the per-group doubles,
+    * so the realized per-group sizes hash-match an ANSI SQL oracle.
+    * Other alphas use `pow` and keep determinism within a JVM only.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, alpha: Double,
+                         nTotal: Int, seed: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n_g"))
+    val weighted = counts.withColumn("__w",
+      if (alpha == 0.5) sqrt(col("__n_g"))
+      else if (alpha == 1.0) col("__n_g")
+      else pow(col("__n_g"), lit(alpha)))
+    val z = weighted.agg(graft.util.Tables.dsum(col("__w")).as("__z"))
+    val nh = weighted.crossJoin(broadcast(z))
+      .select(col(groupCol),
+        floor(lit(nTotal.toDouble) * col("__w") / col("__z") + lit(0.5))
+          .cast("long").as("__n_h"))
+    val keyed = df.withColumn("__u", rowUniform(df.columns.toSeq, seed))
+      .join(broadcast(nh), Seq(groupCol))
+    val win = Window.partitionBy(col(groupCol)).orderBy(col("__u"))
+    keyed.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= col("__n_h"))
+      .drop("__u", "__rn", "__n_h")
+  }
+
+  /** Stratified k-fold assignment: within each stratum, rows ordered by
+    * the deterministic [[portableHashKey]] of `idCol` (id tiebreak) get
+    * fold = (rank − 1) mod k — EXACT per-stratum balance (fold sizes
+    * differ by ≤ 1 inside every stratum), the property plain
+    * hash-mod-k folding only has in expectation. Reproducible across
+    * engines, partitionings, and reruns, like every portable-hash
+    * consumer here.
+    *
+    * Scale shape: one shuffle on the stratum key; the per-stratum
+    * `row_number` is the same single-partition-per-stratum window the
+    * other exact-n samplers use — a mega-stratum serializes through one
+    * task, so strata are expected to be domain/language-sized, not
+    * corpus-sized (same contract as [[stratifiedExact]]). */
+  def kFoldStratified(df: DataFrame, stratumCol: String, idCol: String,
+                      k: Int, foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    val win = Window.partitionBy(col(stratumCol))
+      .orderBy(portableHashKey(col(idCol)).asc, col(idCol).asc)
+    df.withColumn(foldCol,
+      ((row_number().over(win) - lit(1)) % lit(k)).cast("int"))
+  }
 }

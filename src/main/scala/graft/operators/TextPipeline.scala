@@ -342,4 +342,39 @@ object TextPipeline {
       .filter(col("__rk") > floor(lit(p) * col("__n")))
       .drop("__rk", "__n")
   }
+
+  /** One BPE merge-candidate counting round (the inner loop of
+    * byte-pair-encoding tokenizer training, Sennrich et al. 2016 §3.2):
+    * count every ADJACENT symbol pair across the corpus, weighted by
+    * word frequency, and rank merge candidates by count. This round
+    * starts from the character vocabulary (symbols = single characters,
+    * pairs = 2-char substrings); training iterates by applying the top
+    * merge and re-running the same primitive over the updated symbol
+    * sequences — each round is exactly this distributed shape.
+    *
+    * Scale shape (the Zipf trick): aggregate the corpus to DISTINCT
+    * words + frequencies FIRST — one token-keyed shuffle whose group
+    * count is the vocabulary, orders of magnitude below the token
+    * count — then explode each distinct word's |w|−1 pairs exactly once
+    * and sum frequencies per pair (partial-aggregable; pair cardinality
+    * ≤ alphabet², tiny). A 100 TB corpus pays one vocab-sized shuffle,
+    * not a pairs-per-token one.
+    *
+    * Pure string/int arithmetic (substring, counts) — hash-exact in any
+    * engine. Output: (pair, cnt) ranked by (cnt DESC, pair ASC), top-k.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val words = docs.select(
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
 }

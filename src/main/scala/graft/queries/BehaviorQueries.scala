@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+import graft.util.Tables.loadEvents
+
+/** Behavioral / product-analytics queries over the `events` table:
+  * ordered funnel conversion (a22) and weekly cohort retention (a23).
+  * Both are pure integer/timestamp arithmetic end to end — min-over-
+  * partition, integer day `div` 7, distinct counts — so they hash-match
+  * the DuckDB oracles exactly. Plan shape notes live on
+  * [[graft.operators.Behavior]]; PlanSuite pins the single user-keyed
+  * exchange under a22's window stack.
+  */
+object BehaviorQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- A22 ordered funnel: view → click → purchase ------------------
+    // Stage k counts users whose earliest stage-k event falls STRICTLY
+    // after their stage-(k-1) time; a purchase that precedes the first
+    // view does not convert. The oracle chains the same window mins
+    // (NULL propagation drops fallen-out users in both engines).
+    Q("a22_funnel",
+      (s, d) => Behavior.funnelCounts(loadEvents(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage_idx"),
+      Some("""WITH s1 AS (SELECT user_id, ts, event_type,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                         OVER (PARTITION BY user_id) AS t_view
+                     FROM events),
+                   s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                              AND ts > t_view THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_click FROM s1),
+                   s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                              AND ts > t_click THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_purchase FROM s2),
+                   u AS (SELECT user_id, min(t_view) AS t_view,
+                                min(t_click) AS t_click,
+                                min(t_purchase) AS t_purchase
+                         FROM s3 GROUP BY user_id)
+              SELECT * FROM (
+                SELECT 1 AS stage_idx, 'view' AS stage,
+                       count(t_view) AS n_users FROM u
+                UNION ALL SELECT 2, 'click', count(t_click) FROM u
+                UNION ALL SELECT 3, 'purchase', count(t_purchase) FROM u)
+              ORDER BY stage_idx""")),
+
+    // ---- A23 weekly cohort retention ----------------------------------
+    // Cohort = ISO week of the user's first event; retained at offset k
+    // if any event lands k whole weeks (integer day-diff div 7) after
+    // the cohort day. Offset-0 rows are cohort sizes.
+    Q("a23_retention",
+      (s, d) => Behavior.retentionCohorts(loadEvents(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH f AS (SELECT user_id, ts,
+                       CAST(min(ts) OVER (PARTITION BY user_id) AS DATE)
+                         AS cohort_day
+                     FROM events),
+                   d AS (SELECT DISTINCT
+                           CAST(date_trunc('week', cohort_day) AS DATE)
+                             AS cohort_week,
+                           date_diff('day', cohort_day, CAST(ts AS DATE)) // 7
+                             AS week_offset,
+                           user_id
+                         FROM f)
+              SELECT cohort_week, week_offset, count(*) AS n_users
+              FROM d GROUP BY cohort_week, week_offset
+              ORDER BY cohort_week, week_offset"""))
+  )
+}

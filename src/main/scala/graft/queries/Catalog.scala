@@ -17,7 +17,8 @@ object Catalog {
   /** All query groups, merged for SparkEntry. Names must be unique. */
   def all: Seq[Q] =
     Relational.qs ++ StatsQueries.qs ++ SamplingQueries.qs ++
-      TextQueries.qs ++ AnnQueries.qs ++ DedupQueries.qs ++ MiscQueries.qs
+      TextQueries.qs ++ AnnQueries.qs ++ DedupQueries.qs ++
+      MiscQueries.qs ++ BehaviorQueries.qs ++ GraphQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val qs = all

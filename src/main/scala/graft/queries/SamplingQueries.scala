@@ -402,6 +402,53 @@ object SamplingQueries {
                     FROM labeled)
               SELECT doc_id, cluster_id,
                      CASE WHEN u < 0.8 THEN 'train' ELSE 'test' END AS split
-              FROM u ORDER BY doc_id"""))
+              FROM u ORDER BY doc_id""")),
+
+    // ---- G16 temperature-scaled mixture (n_g^alpha reweighting) -------
+    // The multilingual-pretraining recipe: source g's sample share is
+    // n_g^0.5 / Z, up-weighting low-resource sources. The whole target
+    // computation lives IN the plan (no driver collect); alpha = 0.5
+    // routes through correctly-rounded sqrt and Z through the exact-
+    // decimal dsum, so the realized per-source counts hash-match.
+    // Graded like g09: realized counts = least(n_g, n_h) closed form.
+    Q("g16_temperature_mixture",
+      (s, d) => Samplers.temperatureMixture(load(s, d, "documents"),
+          "source", alpha = 0.5, nTotal = 300, seed = 99)
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("source"),
+      Some(s"""WITH g AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_g
+                          FROM documents GROUP BY source),
+                   w AS (SELECT source, n_g, sqrt(n_g) AS w FROM g),
+                   z AS (SELECT ${graft.util.Tables.sqlDsum("w")} AS z FROM w),
+                   nh AS (SELECT source,
+                            least(CAST(n_g AS BIGINT),
+                                  CAST(floor(300.0 * w / z + 0.5) AS BIGINT))
+                              AS n_sampled
+                          FROM w, z)
+               -- a zero-target source keeps no rows, so the Spark side
+               -- has no group for it at all: mirror that here
+               SELECT source, n_sampled FROM nh WHERE n_sampled > 0
+               ORDER BY source""")),
+
+    // ---- G17 stratified k-fold assignment -----------------------------
+    // Within each lang stratum, fold = (portable-hash rank − 1) mod k:
+    // exact per-stratum balance (fold sizes differ by ≤ 1 in every
+    // stratum), unlike hash-mod-k's in-expectation-only balance. The
+    // full assignment table is deterministic in both engines, so the
+    // oracle grades every row, not just counts.
+    Q("g17_stratified_kfold",
+      (s, d) => Samplers.kFoldStratified(
+          load(s, d, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", k = 5)
+        .orderBy("doc_id"),
+      Some("""WITH k AS (SELECT doc_id, lang,
+                    ((doc_id % 100000007) * 1315423911) % 100000007 AS key
+                  FROM documents),
+                   r AS (SELECT doc_id, lang,
+                           row_number() OVER
+                             (PARTITION BY lang ORDER BY key, doc_id) AS rk
+                         FROM k)
+              SELECT doc_id, lang, CAST((rk - 1) % 5 AS INTEGER) AS fold
+              FROM r ORDER BY doc_id"""))
   )
 }

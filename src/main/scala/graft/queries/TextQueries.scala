@@ -701,6 +701,30 @@ object TextQueries {
               FROM p
               WHERE host NOT IN ('www.src1.example.com',
                                  'www.src7.example.com')
-              GROUP BY host, domain ORDER BY host"""))
+              GROUP BY host, domain ORDER BY host""")),
+
+    // ---- T18 BPE merge-candidate counting (tokenizer training round) --
+    // One byte-pair-encoding inner-loop round from the character
+    // vocabulary: adjacent 2-char pairs weighted by word frequency, top
+    // 20 merge candidates. The distinct-word aggregation runs BEFORE
+    // the pair explode (vocab-sized shuffle, not token-sized — see
+    // TextPipeline.bpePairCounts). Pure string/int arithmetic →
+    // hash-exact; (cnt DESC, pair ASC) totally orders the cut line.
+    Q("t18_bpe_pairs",
+      (s, d) => TextPipeline.bpePairCounts(
+          load(s, d, "documents"), "text", k = 20),
+      Some("""WITH toks AS (SELECT unnest(string_split(
+                      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                      ' ')) AS w
+                    FROM documents),
+                   wc AS (SELECT w, count(*) AS freq FROM toks
+                          WHERE len(w) >= 2 GROUP BY w),
+                   g AS (SELECT w, freq,
+                           unnest(generate_series(1, len(w) - 1)) AS i
+                         FROM wc)
+              SELECT substr(w, i, 2) AS pair,
+                     CAST(sum(freq) AS BIGINT) AS cnt
+              FROM g GROUP BY pair
+              ORDER BY cnt DESC, pair LIMIT 20"""))
   )
 }

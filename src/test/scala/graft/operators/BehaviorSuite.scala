@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ordered-funnel and cohort-retention semantics on planted fixtures. */
+class BehaviorSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  // u1 converts fully in order; u2 purchases BEFORE first view (ordered
+  // funnel must not credit it); u3 views only; u4 clicks with no view.
+  private lazy val events = Seq(
+    (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+    (2L, ts(5), "purchase"), (2L, ts(10), "view"), (2L, ts(15), "click"),
+    (3L, ts(1), "view"),
+    (4L, ts(2), "click")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnelCounts: strictly-ordered stage semantics") {
+    val out = Behavior.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(out === Seq(
+      (1, "view", 3),     // u1, u2, u3
+      (2, "click", 2),    // u1, u2 (u4 clicked but never viewed)
+      (3, "purchase", 1))) // only u1 — u2's purchase preceded the view
+  }
+
+  test("funnelTimes: later stages are NULL after fallout; order enforced") {
+    val t = Behavior.funnelTimes(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect()
+    assert(t(0) === ((1L, Some(ts(0)), Some(ts(10)), Some(ts(20)))))
+    assert(t(1) === ((2L, Some(ts(10)), Some(ts(15)), None))) // no 2nd buy
+    assert(t(2) === ((3L, Some(ts(1)), None, None)))
+    assert(t(3) === ((4L, None, None, None)))
+  }
+
+  test("retentionCohorts: offsets are whole weeks from the user's first event") {
+    // 2020-01-06 is a Monday; day numbers via epoch-minute fixtures
+    def at(day: Int, min: Int) = new Timestamp(
+      Timestamp.valueOf("2020-01-06 00:00:00").getTime +
+        day * 86400000L + min * 60000L)
+    val ev = Seq(
+      (1L, at(0, 10), "view"),  // cohort Mon wk0
+      (1L, at(6, 0), "click"),  // day 6 → offset 0
+      (1L, at(7, 0), "view"),   // day 7 → offset 1
+      (2L, at(9, 0), "view"),   // cohort wk1 (Wed), offset 0
+      (2L, at(15, 0), "view")   // 6 days later → offset 0 (not a week)
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .select(col("cohort_week").cast("string"), col("week_offset"),
+        col("n_users"))
+      .as[(String, Long, Long)].collect()
+    assert(out === Seq(
+      ("2020-01-06", 0L, 1L), ("2020-01-06", 1L, 1L),
+      ("2020-01-13", 0L, 1L)))
+  }
+
+  test("funnel rides one user-keyed exchange (no sort, no join)") {
+    val plan = Behavior.funnelCounts(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"), plan)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 user-keyed exchange:\n$plan")
+  }
+}

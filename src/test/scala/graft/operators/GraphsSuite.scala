@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
+
+import graft.SparkSpec
+
+/** PageRank semantics: closed-form fixtures, mass conservation, and the
+  * bit-exact partitioning invariance the a24 hash oracle rests on. */
+class GraphsSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("two symmetric nodes hold rank 1/2 each at any iteration count") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Graphs.pageRank(edges, iters = 7)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(1L) === 0.5 +- 1e-15)
+    assert(pr(2L) === 0.5 +- 1e-15)
+  }
+
+  test("star graph: the hub outranks the leaves; mass is conserved") {
+    // undirected star: hub 0 ↔ leaves 1..4
+    val spokes = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val pr = Graphs.pageRank(spokes.toDF("src", "dst"), iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(0L) > pr(1L) * 2)
+    assert((1L to 4L).map(pr).distinct.size === 1) // leaves symmetric
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)  // no dangling leak
+  }
+
+  test("closed form: undirected path a-b-c after one iteration") {
+    // deg a=1, b=2, c=1; p0 = 1/3 each
+    // p1(a) = .15/3 + .85*(1/3)/2 ; p1(b) = .15/3 + .85*(1/3 + 1/3)/2...
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .map { case (x, y) => (x.hashCode.toLong, y.hashCode.toLong) }
+    val a = "a".hashCode.toLong; val b = "b".hashCode.toLong
+    val c = "c".hashCode.toLong
+    val pr = Graphs.pageRank(edges.toDF("src", "dst"), iters = 1)
+      .as[(Long, Double)].collect().toMap
+    // dsum casts each addend to DECIMAL(38,10): contributions carry a
+    // ≤ 5e-11 per-addend quantization (identical in both engines — the
+    // hash oracle is exact; the IEEE closed form here is not)
+    val base = (1.0 - 0.85) / 3.0
+    assert(pr(a) === base + 0.85 * ((1.0 / 3.0) / 2.0) +- 1e-9)
+    assert(pr(b) === base + 0.85 * ((1.0 / 3.0) + (1.0 / 3.0)) +- 1e-9)
+    assert(pr(c) === base + 0.85 * ((1.0 / 3.0) / 2.0) +- 1e-9)
+  }
+
+  test("ranks are bit-identical under repartitioning (exact-decimal sums)") {
+    val edges = spark.range(600).select((col("id") % 53).as("src"),
+      ((col("id") * 7 + 3) % 53).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val sym = Graphs.symmetrize(edges)
+    val p1 = Graphs.pageRank(sym, iters = 3)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val p2 = Graphs.pageRank(sym.repartition(13), iters = 3)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(p1 === p2) // exact ==, not tolerance
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-10 sampler additions: stratified k-fold balance/determinism and
+  * temperature-scaled mixture targets. */
+class SamplersRound10Suite extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.range(1000).select(
+    col("id").as("doc_id"),
+    concat(lit("s"), (col("id") % 7).cast("string")).as("stratum"))
+
+  test("kFoldStratified: exact per-stratum balance, folds differ by <= 1") {
+    val sizes = Samplers.kFoldStratified(docs, "stratum", "doc_id", k = 5)
+      .groupBy("stratum", "fold").count()
+      .groupBy("stratum")
+      .agg((max("count") - min("count")).as("spread"),
+        countDistinct("fold").as("nf"))
+      .as[(String, Long, Long)].collect()
+    assert(sizes.length === 7)
+    assert(sizes.forall(_._2 <= 1), sizes.mkString(","))
+    assert(sizes.forall(_._3 === 5L))
+  }
+
+  test("kFoldStratified is partitioning-invariant (portable hash + id tiebreak)") {
+    val a = Samplers.kFoldStratified(docs, "stratum", "doc_id", k = 4)
+      .select("doc_id", "fold").as[(Long, Int)].collect().sortBy(_._1)
+    val b = Samplers.kFoldStratified(docs.repartition(17), "stratum",
+        "doc_id", k = 4)
+      .select("doc_id", "fold").as[(Long, Int)].collect().sortBy(_._1)
+    assert(a === b)
+  }
+
+  test("temperatureMixture: alpha=0.5 up-weights small sources; counts match closed form") {
+    // two sources, 900 vs 100 rows: plain mixing gives 9:1, sqrt gives 3:1
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") < 900, "big").otherwise("small").as("src"))
+    val got = Samplers.temperatureMixture(df, "src", alpha = 0.5,
+        nTotal = 200, seed = 5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // w_big = 30, w_small = 10, Z = 40 → n_big = 150, n_small = 50
+    assert(got === Map("big" -> 150L, "small" -> 50L))
+  }
+
+  test("temperatureMixture: alpha=1 reproduces proportional allocation; clamps to group size") {
+    val df = spark.range(110).select(col("id"),
+      when(col("id") < 100, "a").otherwise("b").as("src"))
+    val got = Samplers.temperatureMixture(df, "src", alpha = 1.0,
+        nTotal = 220, seed = 5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // targets 200/20 — both clamp to the group sizes
+    assert(got === Map("a" -> 100L, "b" -> 10L))
+  }
+
+  test("temperatureMixture selection is deterministic across reruns") {
+    val df = spark.range(500).select(col("id"),
+      (col("id") % 3).cast("string").as("src"))
+    def ids = Samplers.temperatureMixture(df, "src", 0.5, 90, seed = 11)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === ids)
+    val again = Samplers.temperatureMixture(df.repartition(7), "src",
+      0.5, 90, seed = 11).select("id").as[Long].collect().sorted.toSeq
+    assert(ids === again)
+  }
+}

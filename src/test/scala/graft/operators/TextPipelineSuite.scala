@@ -282,4 +282,21 @@ class TextPipelineSuite extends SparkSpec {
     assert(got(3) === (("files.example.org", "/x", "example.org")))
     assert(got(4) === (("", "", "")))
   }
+
+  test("bpePairCounts: frequency-weighted adjacent pairs, hand-checked") {
+    // corpus: "abab ab cd" + "abab xy" → word freqs: abab 2, ab 1, cd 1, xy 1
+    // pairs: abab → ab, ba, ab (per occurrence); so ab: 2*2 + 1 = 5,
+    // ba: 2, cd: 1, xy: 1
+    val docs = Seq("abab ab cd", "abab  xy").toDF("text")
+    val got = TextPipeline.bpePairCounts(docs, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("ab", 5L), ("ba", 2L), ("cd", 1L), ("xy", 1L)))
+  }
+
+  test("bpePairCounts: 1-char words contribute nothing; k cuts on (cnt, pair)") {
+    val docs = Seq("a b c dd dd ee").toDF("text")
+    val got = TextPipeline.bpePairCounts(docs, "text", k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("dd", 2L))) // "ee" ties nothing; singles dropped
+  }
 }

@@ -37,31 +37,140 @@ object Graphs {
     * Returns (id, pr). */
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
-    require(iters >= 1, s"iters=$iters must be >= 1")
-    require(damping > 0 && damping < 1, s"damping=$damping not in (0,1)")
     val deg = edges.groupBy("src")
       .agg(count(lit(1)).cast("double").as("__deg"))
     val edgesDeg = edges.join(deg, "src")
     val nodes = edges.select(col("src").as("id")).distinct()
-    val nTot = broadcast(nodes.agg(count(lit(1)).cast("double").as("__n")))
-    val base: Column = lit(1.0 - damping) / col("__n")
-    var pr = nodes.crossJoin(nTot)
-      .select(col("id"), (lit(1.0) / col("__n")).as("pr"))
-    for (_ <- 1 to iters) {
-      // name-based (USING) joins throughout: column-reference joins on
-      // frames rebuilt from the same `nodes`/`edges` vals would hit
-      // self-join attribute ambiguity from the second round on
-      val contrib = edgesDeg
-        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst"), (col("pr") / col("__deg")).as("__share"))
-        .groupBy("dst").agg(dsum(col("__share")).as("__s"))
-      pr = nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .crossJoin(nTot)
+    pageRankOver(edgesDeg, nodes, iters, damping)
+  }
+
+  /** The iteration core over a pre-built (and possibly persisted)
+    * degree-annotated edge frame + node list.
+    *
+    *  - `nScalar`: pass the (driver-known) node count to fold N into
+    *    literal constants — drops the per-iteration one-row crossJoin.
+    *    `lit(1.0)/lit(n)` constant-folds through the same IEEE divide
+    *    the in-plan `1.0/__n` performs, so ranks stay bit-identical.
+    *  - `completeInbound`: when the caller KNOWS every node has at
+    *    least one inbound edge (any symmetrized graph), the contrib
+    *    frame already covers the full node set and the per-iteration
+    *    nodes left join (plus its re-expanded distinct subtree) is
+    *    pure overhead — skip it. */
+  private def pageRankOver(edgesDeg: DataFrame, nodes: DataFrame,
+                           iters: Int, damping: Double,
+                           nScalar: Option[Double] = None,
+                           completeInbound: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(damping > 0 && damping < 1, s"damping=$damping not in (0,1)")
+    lazy val nTot =
+      broadcast(nodes.agg(count(lit(1)).cast("double").as("__n")))
+    def withN(df: DataFrame): DataFrame =
+      if (nScalar.isDefined) df else df.crossJoin(nTot)
+    val nCol: Column = nScalar.map(lit(_)).getOrElse(col("__n"))
+    val base: Column = lit(1.0 - damping) / nCol
+    var pr = withN(nodes).select(col("id"), (lit(1.0) / nCol).as("pr"))
+    for (_ <- 1 to iters)
+      pr = step(edgesDeg, pr, base, damping, completeInbound, nodes, withN)
+    pr
+  }
+
+  /** One rank round. Name-based (USING) joins throughout: column-
+    * reference joins on frames rebuilt from the same `nodes`/`edges`
+    * vals would hit self-join attribute ambiguity from the second
+    * round on. */
+  private def step(edgesDeg: DataFrame, pr: DataFrame, base: Column,
+                   damping: Double, completeInbound: Boolean,
+                   nodes: DataFrame,
+                   withN: DataFrame => DataFrame): DataFrame = {
+    val contrib = edgesDeg
+      .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst"), (col("pr") / col("__deg")).as("__share"))
+      .groupBy("dst").agg(dsum(col("__share")).as("__s"))
+    if (completeInbound)
+      withN(contrib).select(col("dst").as("id"),
+        (base + lit(damping) * col("__s")).as("pr"))
+    else
+      withN(nodes
+          .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left"))
         .select(col("id"),
           (base + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
+  }
+
+  /** [[pageRank]] + top-k extraction with the iteration-friendly
+    * resource shape: the degree-annotated edge frame and the node list
+    * are persisted ONCE (the lazy unrolled plan re-expands both
+    * subtrees every round — at 5 rounds that is 5× the edge-build
+    * join), each round is materialized and re-wrapped as a fresh
+    * LogicalRDD (the connectedComponents recipe — the lazy chain
+    * re-optimizes the whole remaining tree at every adaptive stage, an
+    * O(iters²) optimizer bill), the k highest-ranked nodes are
+    * collected (k rows — driver-sized by contract), and every cache is
+    * dropped before returning a local relation. Same eager
+    * materialize-then-unpersist discipline as
+    * AnnQueries.withExactRecall: a long-lived session accumulates
+    * nothing. Ranks are identical to the lazy path — GraphsSuite pins
+    * it.
+    *
+    * `symmetrizeInput = true` treats `edges` as a DIRECTED edge list
+    * and unions both directions AFTER persisting it — a lazy
+    * `symmetrize(expensiveBuild)` embeds the build subtree twice (and
+    * the deg/nodes derivations twice more), so an expensive upstream
+    * join would evaluate ~4×; persist-then-union evaluates it once.
+    * A symmetrized graph also guarantees every node has inbound edges,
+    * so the completeInbound fast path engages automatically. */
+  def pageRankTopK(edges: DataFrame, iters: Int, k: Int,
+                   damping: Double = 0.85,
+                   completeInbound: Boolean = false,
+                   symmetrizeInput: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(damping > 0 && damping < 1, s"damping=$damping not in (0,1)")
+    val spark = edges.sparkSession
+    val input =
+      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
+      else edges
+    val full = if (symmetrizeInput) symmetrize(input) else input
+    val noDangling = completeInbound || symmetrizeInput
+    // deg has exactly one row per node (every node is a source, per the
+    // operator contract) — so it IS the node list, and its count is N:
+    // no separate distinct pass over the edge set
+    val deg = full.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("__deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("id"))
+    val edgesDeg = full.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    try {
+      // fills in dependency order: deg (node-sized) first — its count
+      // is N — then the edge cache, after which the input cache is
+      // dead weight and drops early
+      val n = deg.count()
+      edgesDeg.count()
+      if (symmetrizeInput) input.unpersist(blocking = false)
+      val base = lit(1.0 - damping) / lit(n.toDouble)
+      var pr = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("pr"))
+      for (_ <- 1 to iters) {
+        val next = step(edgesDeg, pr, base, damping, noDangling,
+          nodes, identity)
+        val nextRdd = next.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        pr = spark.createDataFrame(nextRdd, next.schema)
+        pr.count() // force this round before dropping the previous one
+        if (prRdd != null) prRdd.unpersist(blocking = false)
+        prRdd = nextRdd
+      }
+      val ranked = pr.orderBy(col("pr").desc, col("id")).limit(k)
+      val rows = ranked.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), ranked.schema)
+    } finally {
+      // input.unpersist is idempotent — already dropped on the happy
+      // path, re-dropped here so failure paths clean up too
+      if (symmetrizeInput) input.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      edgesDeg.unpersist(blocking = false)
+      if (prRdd != null) prRdd.unpersist(blocking = false)
     }
-    pr
   }
 
   /** Both directions of an edge list — the undirected rendition that

@@ -69,9 +69,12 @@ object GraphQueries {
         val edges = ord
           .join(li, col("o_orderkey") === col("l_orderkey"))
           .select("src", "dst").distinct()
-        Graphs.pageRank(Graphs.symmetrize(edges), iters = iters,
-            damping = damping)
-          .orderBy(col("pr").desc, col("id")).limit(25)
+        // symmetrizeInput: the directed edge build (join + distinct) is
+        // persisted once and unioned in-cache — a lazy symmetrize would
+        // re-evaluate it ~4× across the deg/nodes/edge derivations —
+        // and the symmetry guarantee engages the no-dangling fast path
+        Graphs.pageRankTopK(edges, iters = iters, k = 25,
+          damping = damping, symmetrizeInput = true)
       },
       Some(oracleSql))
   )

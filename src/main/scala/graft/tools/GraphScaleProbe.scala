@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graphs
+
+/** PageRank scale probe, two legs:
+  *
+  *  1. Phase timing of the a24 shape on real sf data (edge build +
+  *     cache vs the 5 rank iterations) — where does the wall go?
+  *  2. A synthetic planted-structure leg: a hub-heavy graph at
+  *     parameterized scale; asserts the hub set dominates the final
+  *     ranking (planted truth) and reports per-iteration timing.
+  *
+  * Run: sbt "runMain graft.tools.GraphScaleProbe [sfDir] [nEdges]"
+  */
+object GraphScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val nEdges = if (args.length > 1) args(1).toLong else 5000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.storage.StorageLevel
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[graph-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- leg 1: a24 shape on sf data, phase-separated -----------------
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = Graphs.symmetrize(
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select("src", "dst").distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ne = timed("sf edge build + cache")(edges.count())
+    val top = timed("sf 5 iterations + top-25")(
+      Graphs.pageRankTopK(edges, iters = 5, k = 25, completeInbound = true)
+        .collect())
+    println(s"[graph-probe] sf edges=$ne top1=${top.head}")
+    edges.unpersist(blocking = false)
+
+    // ---- leg 2: planted hubs at nEdges scale --------------------------
+    // 100k spokes each pick one of 20 hubs (skewed: hub h gets share
+    // ∝ 1/(h+1)) plus a uniform random peer — hubs must own the top-20.
+    val nNodes = nEdges / 5
+    val raw = spark.range(nEdges).select(
+      (pmod(hash(col("id")), lit(nNodes)) + lit(100L)).as("src"),
+      when(col("id") % 5 === 0,
+        pmod(hash(col("id") * 7 + 1), lit(20L)))     // hub 0..19
+        .otherwise(pmod(hash(col("id") * 13 + 3), lit(nNodes)) + lit(100L))
+        .as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = Graphs.symmetrize(raw.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n2 = timed("synthetic edge build + cache")(sym.count())
+    val top20 = timed("synthetic 5 iterations + top-20")(
+      Graphs.pageRankTopK(sym, iters = 5, k = 20, completeInbound = true)
+        .collect())
+    val hubHits = top20.count(_.getLong(0) < 20L)
+    println(s"[graph-probe] synthetic edges=$n2 top20-hub-hits=$hubHits/20")
+    assert(hubHits >= 18, s"planted hubs not recovered: $hubHits")
+    sym.unpersist(blocking = false)
+    spark.stop()
+  }
+}

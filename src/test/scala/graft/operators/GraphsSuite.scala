@@ -57,4 +57,34 @@ class GraphsSuite extends SparkSpec {
       .as[(Long, Double)].collect().sortBy(_._1)
     assert(p1 === p2) // exact ==, not tolerance
   }
+
+  test("pageRankTopK equals the lazy path's top-k, bit-exact, and unpersists") {
+    val edges = Graphs.symmetrize(
+      spark.range(400).select((col("id") % 37).as("src"),
+        ((col("id") * 11 + 5) % 37).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    val lazyTop = Graphs.pageRank(edges, iters = 4)
+      .orderBy(col("pr").desc, col("id")).limit(10)
+      .as[(Long, Double)].collect().toSeq
+    val eager = Graphs.pageRankTopK(edges, iters = 4, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(eager === lazyTop)
+  }
+
+  test("pageRankTopK leaves no new cache entries (async unpersist drains)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Graphs.symmetrize(
+      spark.range(100).select((col("id") % 11).as("src"),
+        ((col("id") * 3 + 1) % 11).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    Graphs.pageRankTopK(edges, iters = 2, k = 5).collect()
+    // unpersist is non-blocking: poll briefly for the entries to drain
+    val deadline = System.nanoTime + 10e9.toLong
+    var extra = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (extra.nonEmpty && System.nanoTime < deadline) {
+      Thread.sleep(100)
+      extra = spark.sparkContext.getPersistentRDDs.keySet -- before
+    }
+    assert(extra.isEmpty, s"leaked cache entries: $extra")
+  }
 }

@@ -461,4 +461,38 @@ object Dedup {
         count(lit(1)).as("n_tiles"),
         sum(when(col("__keep"), lit(0L)).otherwise(lit(1L))).as("n_dropped"))
   }
+
+  /** SymSpell-style fuzzy-match join: all UNORDERED pairs of distinct
+    * strings within Levenshtein distance 1 (substitution, insertion, or
+    * deletion) — the entity-resolution primitive behind typo-tolerant
+    * key matching and near-identical name dedup.
+    *
+    * Candidate generation is the deletion neighborhood (Garbe's
+    * SymSpell): each string emits itself plus its |w| single-character
+    * deletions; two strings at edit distance <= 1 PROVABLY share a
+    * variant (substitution at i → both i-deletions equal; insertion/
+    * deletion → the longer string's deletion equals the shorter), so
+    * the variant equi-join is a COMPLETE candidate set and the exact
+    * `levenshtein` confirm only removes false positives (e.g. "abc" /
+    * "cab" share variant "ab" at distance 2). Higher k composes by
+    * iterating deletions (neighborhood k), same join shape.
+    *
+    * Scale shape: one variant-keyed shuffle of O(corpus · avg-length)
+    * rows — never an all-pairs product; candidate pairs are distinct
+    * BEFORE the per-pair confirm. A pathological hot variant (one
+    * deletion shared by a mega-cluster of strings) is AQE skew-split;
+    * the confirm filter is codegen'd `levenshtein`.
+    * Returns (w1, w2) with w1 < w2, distinct. */
+  def editDistance1Pairs(df: DataFrame, strCol: String): DataFrame = {
+    val terms = df.select(col(strCol).as("__w")).distinct()
+    val variants = terms.select(col("__w"), explode(expr(
+      "array_distinct(concat(array(__w), transform(sequence(1, length(__w)), " +
+        "i -> concat(substring(__w, 1, i - 1), " +
+        "substring(__w, i + 1, length(__w) - i)))))")).as("__var"))
+    variants.as("a").join(variants.as("b"),
+        col("a.__var") === col("b.__var") && col("a.__w") < col("b.__w"))
+      .select(col("a.__w").as("w1"), col("b.__w").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+  }
 }

@@ -179,4 +179,71 @@ object Graphs {
   def symmetrize(edges: DataFrame): DataFrame =
     edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Exact triangle census over an undirected graph given as CANONICAL
+    * edges (src < dst, deduplicated): one row
+    * (n_edges, n_wedges, n_triangles) — all integers, hash-exact in any
+    * engine.
+    *
+    * Degree-ordered orientation (Schank & Wagner 2005; the MapReduce
+    * rendition is Suri & Vassilvitskii 2011): orient u→v iff
+    * (deg u, u) < (deg v, v) under the total order, chain oriented
+    * edges u→m→w into wedges, and confirm the closing u→w edge with a
+    * semi join. Every triangle is counted EXACTLY once (its three
+    * nodes have a unique orientation-sorted order). The orientation is
+    * the scale lever: out-degree under it is O(√m) even at a star node,
+    * so the wedge join's fan-out — the step that explodes on a naive
+    * adjacency chain — is bounded per task; AQE's skew splitting covers
+    * the residual imbalance. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(edges)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("__d"))
+    val o = sym
+      .join(deg.select(col("src").as("src"), col("__d").as("__du")), "src")
+      .join(deg.select(col("src").as("dst"), col("__d").as("__dv")), "dst")
+      .filter(col("__du") < col("__dv") ||
+        (col("__du") === col("__dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val wedges = o.as("e1").join(o.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e1.v").as("m"),
+        col("e2.v").as("w"))
+    val tri = wedges.as("wd").join(o.as("e3"),
+      col("wd.u") === col("e3.u") && col("wd.w") === col("e3.v"),
+      "left_semi")
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+  }
+
+  /** `iters` rounds of HITS hubs-and-authorities (Kleinberg 1999) over
+    * DIRECTED edges — the natural importance pair for bipartite graphs
+    * (here: customers as hubs, suppliers as authorities). Each half-
+    * round is one edge join + one partial-aggregable sum; each score
+    * vector is L2-normalized via the exact-decimal sum of squares and a
+    * correctly-rounded sqrt, so scores are BIT-identical across
+    * engines/partitionings (same discipline as [[pageRank]]).
+    * Returns (role='hub'|'authority', id, score). */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    def normalized(scores: DataFrame, key: String): DataFrame = {
+      val z = broadcast(scores.agg(
+        sqrt(dsum(col("score") * col("score"))).as("__z")))
+      scores.crossJoin(z)
+        .select(col(key), (col("score") / col("__z")).as("score"))
+    }
+    var hub = edges.select(col("src")).distinct()
+      .select(col("src"), lit(1.0).as("score"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = normalized(
+        edges.join(hub, Seq("src"))
+          .groupBy("dst").agg(dsum(col("score")).as("score")), "dst")
+      hub = normalized(
+        edges.join(auth, Seq("dst")) // name-join: no self-join ambiguity
+          .groupBy("src").agg(dsum(col("score")).as("score")), "src")
+    }
+    hub.select(lit("hub").as("role"), col("src").as("id"), col("score"))
+      .unionByName(auth.select(lit("authority").as("role"),
+        col("dst").as("id"), col("score")))
+  }
 }

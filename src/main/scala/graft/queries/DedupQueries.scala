@@ -388,6 +388,25 @@ object DedupQueries {
                     count(*) AS n_tiles,
                     CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
                       AS n_dropped
-             FROM marked GROUP BY doc_id ORDER BY doc_id"""))
+             FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- D9 SymSpell fuzzy-match join (edit distance <= 1) ------------
+    // Entity resolution over customer names: the deletion-neighborhood
+    // equi-join (a PROVABLY complete candidate set for k=1) + exact
+    // levenshtein confirm — never an all-pairs product (see
+    // Dedup.editDistance1Pairs). The custkey < 3000 carve keeps the
+    // oracle's DECLARED all-pairs scan bounded at every SF; the Spark
+    // side's join shape is SF-independent. Integer metric → hash-exact.
+    Q("d09_fuzzy_pairs",
+      (s, d) => Dedup.editDistance1Pairs(
+          load(s, d, "customer").filter(col("c_custkey") < 3000), "c_name")
+        .orderBy("w1", "w2"),
+      Some("""WITH c AS (SELECT c_name FROM customer WHERE c_custkey < 3000)
+              SELECT a.c_name AS w1, b.c_name AS w2
+              FROM c a JOIN c b
+                ON a.c_name < b.c_name
+               AND abs(len(a.c_name) - len(b.c_name)) <= 1
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+              ORDER BY w1, w2"""))
   )
 }

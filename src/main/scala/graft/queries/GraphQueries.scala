@@ -76,6 +76,110 @@ object GraphQueries {
         Graphs.pageRankTopK(edges, iters = iters, k = 25,
           damping = damping, symmetrizeInput = true)
       },
-      Some(oracleSql))
+      Some(oracleSql)),
+
+    // ---- A25 triangle census over the supplier co-occurrence graph ---
+    // Edge s1—s2 iff both supply one order's high-quantity lines
+    // (l_quantity > 45 sparsifies to a realistic co-occurrence
+    // density). Degree-ordered orientation bounds the wedge join's
+    // fan-out to O(√m) per node — the scale lever (see
+    // Graphs.triangleStats). All-integer output → trivially hash-exact.
+    Q("a25_triangles",
+      (s, d) => {
+        val l = load(s, d, "lineitem")
+          .filter(col("l_quantity") > 45)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = l.as("a").join(l.as("b"),
+            col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+          .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+          .distinct()
+        Graphs.triangleStats(edges)
+      },
+      Some("""WITH l AS (SELECT DISTINCT l_orderkey ok, l_suppkey sk
+                         FROM lineitem WHERE l_quantity > 45),
+                   e AS (SELECT DISTINCT a.sk s1, b.sk s2 FROM l a
+                         JOIN l b ON a.ok = b.ok AND a.sk < b.sk),
+                   sym AS (SELECT s1 u, s2 v FROM e
+                           UNION ALL SELECT s2, s1 FROM e),
+                   deg AS (SELECT u, count(*) d FROM sym GROUP BY u),
+                   o AS (SELECT s.u, s.v FROM sym s
+                         JOIN deg du ON s.u = du.u
+                         JOIN deg dv ON s.v = dv.u
+                         WHERE (du.d, s.u) < (dv.d, s.v)),
+                   w AS (SELECT a.u, a.v m, b.v w FROM o a
+                         JOIN o b ON a.v = b.u),
+                   t AS (SELECT count(*) nt FROM w
+                         WHERE EXISTS (SELECT 1 FROM o
+                                       WHERE o.u = w.u AND o.v = w.w))
+              SELECT (SELECT count(*) FROM e) AS n_edges,
+                     (SELECT count(*) FROM w) AS n_wedges,
+                     nt AS n_triangles
+              FROM t""")),
+
+    // ---- A26 HITS hubs & authorities on the bipartite graph ----------
+    // Customers as hubs, suppliers as authorities over the directed
+    // cust→supp transaction edges; 2 mutual-reinforcement rounds, L2
+    // normalization through exact-decimal sums of squares + correctly-
+    // rounded sqrt → scores bit-identical, top-10 per role graded.
+    Q("a26_hits",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("src"))
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey").as("dst"))
+        val edges = ord
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select("src", "dst").distinct()
+        val win = Window.partitionBy("role")
+          .orderBy(col("score").desc, col("id"))
+        Graphs.hits(edges, iters = 2)
+          .withColumn("rk", row_number().over(win))
+          .filter(col("rk") <= 10)
+          .select("role", "id", "score", "rk")
+          .orderBy("role", "rk")
+      },
+      Some(s"""WITH e AS (SELECT DISTINCT o_custkey src, l_suppkey dst
+                          FROM orders
+                          JOIN lineitem ON o_orderkey = l_orderkey),
+                   h0 AS (SELECT DISTINCT src,
+                            CAST('1.0' AS DOUBLE) AS score FROM e),
+                   a1r AS (SELECT dst, ${sqlDsum("score")} AS score
+                           FROM e JOIN h0 USING (src) GROUP BY dst),
+                   a1z AS (SELECT sqrt(${sqlDsum("score * score")}) z
+                           FROM a1r),
+                   a1 AS (SELECT dst, score / z AS score
+                          FROM a1r CROSS JOIN a1z),
+                   h1r AS (SELECT src, ${sqlDsum("score")} AS score
+                           FROM e JOIN a1 USING (dst) GROUP BY src),
+                   h1z AS (SELECT sqrt(${sqlDsum("score * score")}) z
+                           FROM h1r),
+                   h1 AS (SELECT src, score / z AS score
+                          FROM h1r CROSS JOIN h1z),
+                   a2r AS (SELECT dst, ${sqlDsum("score")} AS score
+                           FROM e JOIN h1 USING (src) GROUP BY dst),
+                   a2z AS (SELECT sqrt(${sqlDsum("score * score")}) z
+                           FROM a2r),
+                   a2 AS (SELECT dst, score / z AS score
+                          FROM a2r CROSS JOIN a2z),
+                   h2r AS (SELECT src, ${sqlDsum("score")} AS score
+                           FROM e JOIN a2 USING (dst) GROUP BY src),
+                   h2z AS (SELECT sqrt(${sqlDsum("score * score")}) z
+                           FROM h2r),
+                   h2 AS (SELECT src, score / z AS score
+                          FROM h2r CROSS JOIN h2z),
+                   ranked AS (
+                     SELECT 'hub' AS role, src AS id, score,
+                            CAST(row_number() OVER
+                              (ORDER BY score DESC, src) AS INTEGER) AS rk
+                     FROM h2
+                     UNION ALL
+                     SELECT 'authority', dst, score,
+                            CAST(row_number() OVER
+                              (ORDER BY score DESC, dst) AS INTEGER)
+                     FROM a2)
+              SELECT role, id, score, rk FROM ranked
+              WHERE rk <= 10 ORDER BY role, rk"""))
   )
 }

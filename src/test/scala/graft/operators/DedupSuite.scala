@@ -278,4 +278,39 @@ class DedupSuite extends SparkSpec {
       "the quick brown fox jumps over the lazy dog near the river bank today")
     assert(byId(3L).getLong(3) === byId(3L).getLong(2) - 1) // all full tiles dropped
   }
+
+  test("editDistance1Pairs: substitution, insertion, deletion found; distance-2 rejected") {
+    val df = Seq("abc", "abd", "abcd", "ab", "bca", "xyz", "abc")
+      .toDF("name")
+    val got = Dedup.editDistance1Pairs(df, "name")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(
+      ("abc", "abd"),   // substitution
+      ("abc", "abcd"),  // insertion
+      ("ab", "abc"),    // deletion
+      ("ab", "abd"),    // deletion
+      ("abcd", "abd")   // abd + insert c
+    )) // NOT ("abc","bca") — shares variant "bc"? no; distance 2 anyway
+  }
+
+  test("editDistance1Pairs is exactly the brute-force pair set on a planted corpus") {
+    val words = (0 until 300).map(i => f"item-${i % 97}%03d-${(i * 7) % 10}")
+    val df = words.toDF("name")
+    val brute = (for {
+      a <- words.distinct; b <- words.distinct if a < b
+      if levenshteinRef(a, b) <= 1
+    } yield (a, b)).toSet
+    val got = Dedup.editDistance1Pairs(df, "name")
+      .as[(String, String)].collect().toSet
+    assert(got === brute)
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }

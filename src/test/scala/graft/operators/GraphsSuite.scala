@@ -71,6 +71,55 @@ class GraphsSuite extends SparkSpec {
     assert(eager === lazyTop)
   }
 
+  test("triangleStats: K4 has 4 triangles; a path has none") {
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("src", "dst")
+    val s1 = Graphs.triangleStats(k4)
+      .as[(Long, Long, Long)].collect().head
+    // oriented chain-wedges in K4: Σ_m indeg·outdeg = 4, all closing
+    assert(s1 === ((6L, 4L, 4L)))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val s2 = Graphs.triangleStats(path)
+      .as[(Long, Long, Long)].collect().head
+    assert(s2._1 === 3L)
+    assert(s2._3 === 0L)
+  }
+
+  test("triangleStats counts each triangle once on a shared-edge pair") {
+    // two triangles sharing edge 1-2: nodes {1,2,3} and {1,2,4}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val s = Graphs.triangleStats(edges).as[(Long, Long, Long)].collect().head
+    assert(s === ((5L, s._2, 2L)))
+  }
+
+  test("hits: hand-computed 2-round scores on a tiny bipartite graph") {
+    // edges: c1→s10, c2→s10, c1→s20
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 20L)).toDF("src", "dst")
+    val got = Graphs.hits(edges, iters = 1)
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // a1 raw: s10=2, s20=1; z=√5 → a(10)=2/√5, a(20)=1/√5
+    // h1 raw: c1=3/√5, c2=2/√5; z=√(13/5)
+    val z1 = math.sqrt(5.0)
+    assert(got(("authority", 10L)) === 2.0 / z1 +- 1e-9)
+    assert(got(("authority", 20L)) === 1.0 / z1 +- 1e-9)
+    val h1 = 3.0 / z1; val h2 = 2.0 / z1
+    val z2 = math.sqrt(h1 * h1 + h2 * h2)
+    assert(got(("hub", 1L)) === h1 / z2 +- 1e-9)
+    assert(got(("hub", 2L)) === h2 / z2 +- 1e-9)
+  }
+
+  test("hits scores are bit-identical under repartitioning") {
+    val edges = spark.range(500).select((col("id") % 41).as("src"),
+      ((col("id") * 17 + 1) % 23 + 100).as("dst")).distinct()
+    val a = Graphs.hits(edges, 2).as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    val b = Graphs.hits(edges.repartition(13), 2)
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a === b)
+  }
+
   test("pageRankTopK leaves no new cache entries (async unpersist drains)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Graphs.symmetrize(

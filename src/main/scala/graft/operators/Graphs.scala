@@ -246,4 +246,28 @@ object Graphs {
       .unionByName(auth.select(lit("authority").as("role"),
         col("dst").as("id"), col("score")))
   }
+
+  /** Bounded-depth BFS: minimum hop distance from a seed set, up to
+    * `maxHops`, over directed `edges(src, dst)` (symmetrize first for
+    * undirected reach). Pure integer arithmetic — hash-exact in any
+    * engine. Returns (id, dist) for every node within reach.
+    *
+    * Each round is one frontier-edge join + a partial-aggregable min —
+    * the textbook distributed BFS. Like [[pageRank]], the fixed-depth
+    * lazy plan is linear; for unbounded traversals use the
+    * connectedComponents-style per-round materialization. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame,
+              maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0).as("dist"))
+    for (_ <- 1 to maxHops) {
+      val expanded = edges
+        .join(dist.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + lit(1)).as("dist"))
+      dist = dist.unionByName(expanded)
+        .groupBy("id").agg(min("dist").as("dist"))
+    }
+    dist
+  }
 }

@@ -180,6 +180,55 @@ object GraphQueries {
                               (ORDER BY score DESC, dst) AS INTEGER)
                      FROM a2)
               SELECT role, id, score, rk FROM ranked
-              WHERE rk <= 10 ORDER BY role, rk"""))
+              WHERE rk <= 10 ORDER BY role, rk""")),
+
+    // ---- A29 bounded-depth BFS (k-hop reachability) -------------------
+    // Min hop distance from the customer-0/1/2 seed nodes over the
+    // symmetrized transaction graph, 3 hops; graded as per-distance
+    // census rows (n, min id, max id) — pure integer arithmetic. The
+    // oracle unrolls the same frontier-join + min rounds.
+    Q("a29_bfs_hops",
+      (s, d) => {
+        val ord = load(s, d, "orders")
+          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+        val sym = Graphs.symmetrize(ord
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select("src", "dst").distinct())
+        val seeds = sym.select(col("src").as("id"))
+          .filter(col("id") % 2 === 0 && col("id") < 6).distinct()
+        Graphs.bfsHops(sym, seeds, maxHops = 3)
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), min("id").as("min_id"),
+            max("id").as("max_id"))
+          .orderBy("dist")
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+                           l_suppkey * 2 + 1 AS dst
+                         FROM orders
+                         JOIN lineitem ON o_orderkey = l_orderkey),
+                   ue AS (SELECT src, dst FROM e
+                          UNION ALL SELECT dst, src FROM e),
+                   d0 AS (SELECT DISTINCT src AS id, 0 AS dist FROM ue
+                          WHERE src % 2 = 0 AND src < 6),
+                   d1 AS (SELECT id, min(dist) AS dist FROM (
+                            SELECT id, dist FROM d0
+                            UNION ALL
+                            SELECT ue.dst, d0.dist + 1 FROM ue
+                            JOIN d0 ON ue.src = d0.id) GROUP BY id),
+                   d2 AS (SELECT id, min(dist) AS dist FROM (
+                            SELECT id, dist FROM d1
+                            UNION ALL
+                            SELECT ue.dst, d1.dist + 1 FROM ue
+                            JOIN d1 ON ue.src = d1.id) GROUP BY id),
+                   d3 AS (SELECT id, min(dist) AS dist FROM (
+                            SELECT id, dist FROM d2
+                            UNION ALL
+                            SELECT ue.dst, d2.dist + 1 FROM ue
+                            JOIN d2 ON ue.src = d2.id) GROUP BY id)
+              SELECT dist, count(*) AS n_nodes, min(id) AS min_id,
+                     max(id) AS max_id
+              FROM d3 GROUP BY dist ORDER BY dist"""))
   )
 }

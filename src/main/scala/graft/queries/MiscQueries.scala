@@ -993,6 +993,61 @@ object MiscQueries {
         s.range(1).select(lit(r.estimator).as("estimator"),
           lit(r.rmse.getOrElse(-1.0)).as("rmse"), lit(r.r2.getOrElse(-1.0)).as("r2"))
       },
-      Some(EstimatorOracles.m25))
+      Some(EstimatorOracles.m25)),
+
+    // ---- A27 explicit GROUPING SETS + grouping_id ---------------------
+    // The third member of the rollup (a16) / cube (a17) family: an
+    // arbitrary set list with the standard bit-vector grouping_id
+    // (leftmost grouped column = most significant bit in both engines).
+    Q("a27_grouping_sets",
+      (s, d) => load(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(col("gid"),
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("gid", "status", "priority"),
+      Some(s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority)
+                        AS INTEGER) AS gid,
+                      coalesce(o_orderstatus, '<all>') AS status,
+                      coalesce(o_orderpriority, '<all>') AS priority,
+                      count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                       (o_orderstatus), ())
+               ORDER BY gid, status, priority""")),
+
+    // ---- A28 time-RANGE window (7-day trailing average) ---------------
+    // The event-time sibling of a20's ROWS frame: the frame is every
+    // event within the trailing 7 days, however many rows that is. Both
+    // engines order by INTEGER microseconds (a seconds-truncated cast
+    // would disagree on boundary rows), so peer handling and the frame
+    // cut are bit-identical.
+    Q("a28_time_range_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-604800000000L, 0)
+        graft.util.Tables.loadEvents(s, d)
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_id"),
+            (graft.util.Tables.dsumOver(col("value"), w)
+              / count(lit(1)).over(w)).as("trail_avg"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""SELECT user_id, event_id,
+                      ${graft.util.Tables.sqlDsumOver("value", "w")}
+                        / count(*) OVER w AS trail_avg
+               FROM events WHERE user_id < 50
+               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 604800000000 PRECEDING
+                                      AND CURRENT ROW)
+               ORDER BY user_id, event_id"""))
   )
 }

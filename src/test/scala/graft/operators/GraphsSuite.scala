@@ -120,6 +120,20 @@ class GraphsSuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("bfsHops: min hop distances, depth bound respected, unreached absent") {
+    // directed path 1→2→3→4→5, plus shortcut 1→4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graphs.bfsHops(edges, seeds, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    // shortcut wins for 4; 5 reachable at hop 2 via shortcut; 3 at 2
+    assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    val zero = Graphs.bfsHops(edges, seeds, maxHops = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(zero === Map(1L -> 0))
+  }
+
   test("pageRankTopK leaves no new cache entries (async unpersist drains)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Graphs.symmetrize(

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * Every per-user quantity (stage timestamps, first-event cohort) is an
   * unordered `min(...) over (partition by user)` — no `orderBy` in the
   * window spec, so no sort, and consecutive windows over the same
-  * partitioning reuse a single exchange (PlanSuite pins exactly one
-  * user-keyed Exchange in a22's plan). The final roll-up aggregates a
+  * partitioning reuse a single exchange (BehaviorSuite pins exactly
+  * one user-keyed Exchange in the funnel plan). The final roll-up aggregates a
   * handful of rows per (stage) / (cohort, offset) — partial-aggregable,
   * so the second shuffle moves only group states. No joins, no
   * collects; a 100 TB event log costs one user-keyed shuffle.
@@ -64,18 +64,19 @@ object Behavior {
     val times = funnelTimes(events, userCol, tsCol, typeCol, stages)
     // ONE global aggregation producing all stage counts in a single row
     // (a per-stage `times.agg(...)` would recompute the whole funnel k
-    // times), then stack() pivots the row to (stage_idx, stage, n) —
-    // driver-free, still one pass
+    // times), then an explode-of-structs pivots the row to
+    // (stage_idx, stage, n) — driver-free, still one pass, and fully
+    // TYPED (stage names are lit() values, never spliced into SQL text)
     val one = times.agg(
       count(col(s"t_${stages.head}")).as("n_1"),
       stages.tail.zipWithIndex.map { case (s, i) =>
         count(col(s"t_$s")).as(s"n_${i + 2}")
       }: _*)
     val cells = stages.zipWithIndex.map { case (s, i) =>
-      s"${i + 1}, '$s', n_${i + 1}"
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${stages.size}, $cells) as (stage_idx, stage, n_users)"))
+      struct(lit(i + 1).as("stage_idx"), lit(s).as("stage"),
+        col(s"n_${i + 1}").as("n_users"))
+    }
+    one.select(explode(array(cells: _*)).as("__st")).select(col("__st.*"))
   }
 
   /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of
@@ -95,8 +96,13 @@ object Behavior {
     val firstTs = min(col(tsCol)).over(w)
     events
       .withColumn("__cohort_day", to_date(firstTs))
+      // typed floor-division (no SQL splice of tsCol): datediff >= 0
+      // here (ts >= the user's min ts), where floor(k/7.0) == k div 7
+      // exactly — the division is correctly rounded and the true
+      // quotient is never within an ulp of the next integer
       .withColumn("__offset",
-        expr("datediff(to_date(" + tsCol + "), __cohort_day) div 7"))
+        floor(datediff(to_date(col(tsCol)), col("__cohort_day"))
+          / lit(7.0)))
       .select(date_trunc("week", col("__cohort_day"))
           .cast("date").as("cohort_week"),
         col("__offset").as("week_offset"), col(userCol))

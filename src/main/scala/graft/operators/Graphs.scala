@@ -44,34 +44,34 @@ object Graphs {
     pageRankOver(edgesDeg, nodes, iters, damping)
   }
 
-  /** The iteration core over a pre-built (and possibly persisted)
-    * degree-annotated edge frame + node list.
-    *
-    *  - `nScalar`: pass the (driver-known) node count to fold N into
-    *    literal constants — drops the per-iteration one-row crossJoin.
-    *    `lit(1.0)/lit(n)` constant-folds through the same IEEE divide
-    *    the in-plan `1.0/__n` performs, so ranks stay bit-identical.
-    *  - `completeInbound`: when the caller KNOWS every node has at
-    *    least one inbound edge (any symmetrized graph), the contrib
-    *    frame already covers the full node set and the per-iteration
-    *    nodes left join (plus its re-expanded distinct subtree) is
-    *    pure overhead — skip it. */
+  /** The lazy iteration core over a pre-built degree-annotated edge
+    * frame + node list: the general (dangling-tolerant, in-plan N)
+    * rendition. The eager production path with the driver-known-N and
+    * no-dangling levers is [[pageRankTopK]]. */
   private def pageRankOver(edgesDeg: DataFrame, nodes: DataFrame,
-                           iters: Int, damping: Double,
-                           nScalar: Option[Double] = None,
-                           completeInbound: Boolean = false): DataFrame = {
+                           iters: Int, damping: Double): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(damping > 0 && damping < 1, s"damping=$damping not in (0,1)")
-    lazy val nTot =
+    val nTot =
       broadcast(nodes.agg(count(lit(1)).cast("double").as("__n")))
-    def withN(df: DataFrame): DataFrame =
-      if (nScalar.isDefined) df else df.crossJoin(nTot)
-    val nCol: Column = nScalar.map(lit(_)).getOrElse(col("__n"))
-    val base: Column = lit(1.0 - damping) / nCol
-    var pr = withN(nodes).select(col("id"), (lit(1.0) / nCol).as("pr"))
+    def withN(df: DataFrame): DataFrame = df.crossJoin(nTot)
+    val base: Column = lit(1.0 - damping) / col("__n")
+    var pr = withN(nodes).select(col("id"), (lit(1.0) / col("__n")).as("pr"))
     for (_ <- 1 to iters)
-      pr = step(edgesDeg, pr, base, damping, completeInbound, nodes, withN)
+      pr = step(edgesDeg, pr, base, damping, completeInbound = false,
+        nodes, withN)
     pr
+  }
+
+  /** Persist a round's rows and re-wrap them as a fresh LogicalRDD —
+    * the connectedComponents recipe that keeps every iterative plan
+    * here ONE round deep. Caller forces with `.count()` and owns the
+    * returned RDD's unpersist. */
+  private def rewrapPersisted(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.storage.StorageLevel
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
   /** One rank round. Name-based (USING) joins throughout: column-
@@ -151,10 +151,9 @@ object Graphs {
       val base = lit(1.0 - damping) / lit(n.toDouble)
       var pr = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("pr"))
       for (_ <- 1 to iters) {
-        val next = step(edgesDeg, pr, base, damping, noDangling,
-          nodes, identity)
-        val nextRdd = next.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        pr = spark.createDataFrame(nextRdd, next.schema)
+        val (next, nextRdd) = rewrapPersisted(
+          step(edgesDeg, pr, base, damping, noDangling, nodes, identity))
+        pr = next
         pr.count() // force this round before dropping the previous one
         if (prRdd != null) prRdd.unpersist(blocking = false)
         prRdd = nextRdd
@@ -215,30 +214,41 @@ object Graphs {
       .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
   }
 
+  /** One normalized HITS score vector: L2 normalization through the
+    * exact-decimal sum of squares and a correctly-rounded sqrt, so
+    * scores are BIT-identical across engines/partitionings (same
+    * discipline as [[pageRank]]). The input subtree is referenced
+    * twice (z aggregate + crossJoin) — callers on the eager path
+    * rewrap `scores` first so that costs two cache reads, not two
+    * recomputes. */
+  private def hitsNormalized(scores: DataFrame, key: String): DataFrame = {
+    val z = broadcast(scores.agg(
+      sqrt(dsum(col("score") * col("score"))).as("__z")))
+    scores.crossJoin(z)
+      .select(col(key), (col("score") / col("__z")).as("score"))
+  }
+
   /** `iters` rounds of HITS hubs-and-authorities (Kleinberg 1999) over
     * DIRECTED edges — the natural importance pair for bipartite graphs
     * (here: customers as hubs, suppliers as authorities). Each half-
-    * round is one edge join + one partial-aggregable sum; each score
-    * vector is L2-normalized via the exact-decimal sum of squares and a
-    * correctly-rounded sqrt, so scores are BIT-identical across
-    * engines/partitionings (same discipline as [[pageRank]]).
-    * Returns (role='hub'|'authority', id, score). */
+    * round is one edge join + one partial-aggregable sum.
+    * Returns (role='hub'|'authority', id, score).
+    *
+    * LAZY composition form: each half-round references the previous
+    * score vector under both the normalizer and the next join, so the
+    * plan roughly doubles per half-round — fine for the 1-2 iteration
+    * fixtures the suites pin, wrong for production. Real runs use
+    * [[hitsTopK]], which materializes each half-round. */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
-    def normalized(scores: DataFrame, key: String): DataFrame = {
-      val z = broadcast(scores.agg(
-        sqrt(dsum(col("score") * col("score"))).as("__z")))
-      scores.crossJoin(z)
-        .select(col(key), (col("score") / col("__z")).as("score"))
-    }
     var hub = edges.select(col("src")).distinct()
       .select(col("src"), lit(1.0).as("score"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      auth = normalized(
+      auth = hitsNormalized(
         edges.join(hub, Seq("src"))
           .groupBy("dst").agg(dsum(col("score")).as("score")), "dst")
-      hub = normalized(
+      hub = hitsNormalized(
         edges.join(auth, Seq("dst")) // name-join: no self-join ambiguity
           .groupBy("src").agg(dsum(col("score")).as("score")), "src")
     }
@@ -247,15 +257,71 @@ object Graphs {
         col("dst").as("id"), col("score")))
   }
 
+  /** [[hits]] + top-k extraction with the eager resource shape: the
+    * edge frame is persisted once, each half-round's UN-normalized
+    * score vector is materialized and re-wrapped (so normalization's
+    * double reference and the next join read a cache, and the plan
+    * stays one half-round deep), the k best per role are collected
+    * (2k rows — driver-sized by contract) and every cache is dropped
+    * before returning a local relation. Scores identical to the lazy
+    * path — GraphsSuite pins it.
+    * Returns (role, id, score, rk) with rk = 1..k per role by
+    * (score DESC, id). */
+  def hitsTopK(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    val e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    var rdds = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    try {
+      e.count()
+      def halfRound(scores: DataFrame, joinKey: String,
+                    groupKey: String): DataFrame = {
+        val (raw, rdd) = rewrapPersisted(
+          e.join(scores, Seq(joinKey))
+            .groupBy(groupKey).agg(dsum(col("score")).as("score")))
+        raw.count()
+        rdds.drop(2).foreach(_.unpersist(blocking = false))
+        rdds = rdd :: rdds.take(2)
+        hitsNormalized(raw, groupKey)
+      }
+      var hub = e.select(col("src")).distinct()
+        .select(col("src"), lit(1.0).as("score"))
+      var auth: DataFrame = null
+      for (_ <- 1 to iters) {
+        auth = halfRound(hub, "src", "dst")
+        hub = halfRound(auth, "dst", "src")
+      }
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("role")
+        .orderBy(col("score").desc, col("id"))
+      val ranked = hub
+        .select(lit("hub").as("role"), col("src").as("id"), col("score"))
+        .unionByName(auth.select(lit("authority").as("role"),
+          col("dst").as("id"), col("score")))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= k)
+        .orderBy("role", "rk")
+      val rows = ranked.collect()
+      ranked.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), ranked.schema)
+    } finally {
+      e.unpersist(blocking = false)
+      rdds.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Bounded-depth BFS: minimum hop distance from a seed set, up to
     * `maxHops`, over directed `edges(src, dst)` (symmetrize first for
     * undirected reach). Pure integer arithmetic — hash-exact in any
     * engine. Returns (id, dist) for every node within reach.
     *
     * Each round is one frontier-edge join + a partial-aggregable min —
-    * the textbook distributed BFS. Like [[pageRank]], the fixed-depth
-    * lazy plan is linear; for unbounded traversals use the
-    * connectedComponents-style per-round materialization. */
+    * the textbook distributed BFS. LAZY composition form: `dist` feeds
+    * both the frontier join and the union, so the plan roughly DOUBLES
+    * per round — fine for the ≤3-hop fixtures the suites pin, wrong
+    * for deeper traversals. Real runs use [[bfsCensus]] (or wrap this
+    * loop with the connectedComponents per-round materialization). */
   def bfsHops(edges: DataFrame, seeds: DataFrame,
               maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
@@ -269,5 +335,52 @@ object Graphs {
         .groupBy("id").agg(min("dist").as("dist"))
     }
     dist
+  }
+
+  /** Eager BFS census: [[bfsHops]] semantics with the production
+    * resource shape — edges persisted once (`symmetrizeInput = true`
+    * persists the DIRECTED list and unions in-cache, exactly as in
+    * [[pageRankTopK]]), seeds = graph nodes satisfying `seedPred`,
+    * each round materialized/re-wrapped so the plan stays one round
+    * deep, and the per-distance census
+    * (dist, n_nodes, min_id, max_id) — a ≤ maxHops+1-row result —
+    * collected into a local relation with every cache dropped. */
+  def bfsCensus(edges: DataFrame, seedPred: Column, maxHops: Int,
+                symmetrizeInput: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
+    val input =
+      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
+      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val full = if (symmetrizeInput) symmetrize(input) else input
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    try {
+      input.count()
+      var dist = full.select(col("src").as("id")).distinct()
+        .filter(seedPred)
+        .select(col("id"), lit(0).as("dist"))
+      for (_ <- 1 to maxHops) {
+        val expanded = full
+          .join(dist.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), (col("dist") + lit(1)).as("dist"))
+        val (next, rdd) = rewrapPersisted(
+          dist.unionByName(expanded)
+            .groupBy("id").agg(min("dist").as("dist")))
+        dist = next
+        dist.count()
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+      }
+      val census = dist.groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"), min("id").as("min_id"),
+          max("id").as("max_id"))
+        .orderBy("dist")
+      val rows = census.collect()
+      census.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), census.schema)
+    } finally {
+      input.unpersist(blocking = false)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    }
   }
 }

@@ -10,8 +10,8 @@ import graft.util.Tables.loadEvents
   * Both are pure integer/timestamp arithmetic end to end — min-over-
   * partition, integer day `div` 7, distinct counts — so they hash-match
   * the DuckDB oracles exactly. Plan shape notes live on
-  * [[graft.operators.Behavior]]; PlanSuite pins the single user-keyed
-  * exchange under a22's window stack.
+  * [[graft.operators.Behavior]]; BehaviorSuite pins the single
+  * user-keyed exchange under the funnel's window stack.
   */
 object BehaviorQueries {
 

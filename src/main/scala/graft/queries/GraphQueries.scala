@@ -124,7 +124,6 @@ object GraphQueries {
     // rounded sqrt → scores bit-identical, top-10 per role graded.
     Q("a26_hits",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val ord = load(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey").as("src"))
         val li = load(s, d, "lineitem")
@@ -132,13 +131,9 @@ object GraphQueries {
         val edges = ord
           .join(li, col("o_orderkey") === col("l_orderkey"))
           .select("src", "dst").distinct()
-        val win = Window.partitionBy("role")
-          .orderBy(col("score").desc, col("id"))
-        Graphs.hits(edges, iters = 2)
-          .withColumn("rk", row_number().over(win))
-          .filter(col("rk") <= 10)
-          .select("role", "id", "score", "rk")
-          .orderBy("role", "rk")
+        // eager path: edge cache + per-half-round materialization (the
+        // lazy hits() plan doubles per half-round — see Graphs scaladoc)
+        Graphs.hitsTopK(edges, iters = 2, k = 10)
       },
       Some(s"""WITH e AS (SELECT DISTINCT o_custkey src, l_suppkey dst
                           FROM orders
@@ -193,16 +188,15 @@ object GraphQueries {
           .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
         val li = load(s, d, "lineitem")
           .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
-        val sym = Graphs.symmetrize(ord
+        val edges = ord
           .join(li, col("o_orderkey") === col("l_orderkey"))
-          .select("src", "dst").distinct())
-        val seeds = sym.select(col("src").as("id"))
-          .filter(col("id") % 2 === 0 && col("id") < 6).distinct()
-        Graphs.bfsHops(sym, seeds, maxHops = 3)
-          .groupBy("dist")
-          .agg(count(lit(1)).as("n_nodes"), min("id").as("min_id"),
-            max("id").as("max_id"))
-          .orderBy("dist")
+          .select("src", "dst").distinct()
+        // eager census: directed edges persisted once + symmetrized
+        // in-cache; per-round materialization (lazy bfsHops doubles its
+        // plan per round — see Graphs scaladoc)
+        Graphs.bfsCensus(edges,
+          seedPred = col("id") % 2 === 0 && col("id") < 6,
+          maxHops = 3, symmetrizeInput = true)
       },
       Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
                            l_suppkey * 2 + 1 AS dst

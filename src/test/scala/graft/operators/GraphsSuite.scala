@@ -120,6 +120,38 @@ class GraphsSuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("hitsTopK equals the lazy path's per-role top-k, bit-exact") {
+    val edges = spark.range(400).select((col("id") % 29).as("src"),
+      ((col("id") * 13 + 2) % 17 + 100).as("dst")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("role")
+      .orderBy(col("score").desc, col("id"))
+    val lazyTop = Graphs.hits(edges, iters = 2)
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 5).orderBy("role", "rk")
+      .as[(String, Long, Double, Int)].collect().toSeq
+    val eager = Graphs.hitsTopK(edges, iters = 2, k = 5)
+      .as[(String, Long, Double, Int)].collect().toSeq
+    assert(eager === lazyTop)
+  }
+
+  test("bfsCensus equals the lazy census, and seeds come from the graph") {
+    val edges = spark.range(300).select((col("id") % 23).as("src"),
+      ((col("id") * 7 + 1) % 23).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val sym = Graphs.symmetrize(edges)
+    val seeds = sym.select(col("src").as("id"))
+      .filter(col("id") < 3).distinct()
+    val lazyCensus = Graphs.bfsHops(sym, seeds, maxHops = 2)
+      .groupBy("dist").agg(count(lit(1)).as("n_nodes"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("dist").as[(Int, Long, Long, Long)].collect().toSeq
+    val eager = Graphs.bfsCensus(edges, col("id") < 3, maxHops = 2,
+        symmetrizeInput = true)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(eager === lazyCensus)
+  }
+
   test("bfsHops: min hop distances, depth bound respected, unreached absent") {
     // directed path 1→2→3→4→5, plus shortcut 1→4
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))

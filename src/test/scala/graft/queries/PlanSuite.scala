@@ -274,4 +274,34 @@ class PlanSuite extends SparkSpec {
     assert(!p.contains("FileScan"), s"graded plan must not re-scan data\n${p.take(3000)}")
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("d09: SymSpell candidates come from a variant EQUI-join — " +
+      "never an all-pairs product") {
+    val p = plan("d09_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("__var"), p.take(3000)) // joined on the variant key
+  }
+
+  test("a25: triangle close-confirm is a semi join; no cartesian anywhere") {
+    val p = plan("a25_triangles")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("a29: the eager BFS census returns a local relation — the graded " +
+      "plan re-scans NO data and leaves no cache behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val p = plan("a29_bfs_hops")
+    assert(p.contains("LocalTableScan"), p.take(3000))
+    assert(!p.contains("FileScan"), p.take(3000))
+    // the census ran during construction; non-blocking unpersists drain
+    val deadline = System.nanoTime + 10e9.toLong
+    var extra = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (extra.nonEmpty && System.nanoTime < deadline) {
+      Thread.sleep(100)
+      extra = spark.sparkContext.getPersistentRDDs.keySet -- before
+    }
+    assert(extra.isEmpty, s"leaked cache entries: $extra")
+  }
 }

@@ -73,6 +73,30 @@ object GraphScaleProbe {
     println(s"[graph-probe] synthetic edges=$n2 top20-hub-hits=$hubHits/20")
     assert(hubHits >= 18, s"planted hubs not recovered: $hubHits")
     sym.unpersist(blocking = false)
+
+    // ---- leg 3: planted triangle census -------------------------------
+    // T vertex-disjoint triangles (nodes 3t, 3t+1, 3t+2) plus T disjoint
+    // path edges on a separate id range: the exact triangle count is T
+    // by construction — paths and triangles share no vertices, so no
+    // accidental closures exist. Verifies the degree-oriented census at
+    // a scale where any all-pairs or unbounded-fan-out shape would hang.
+    val tri = nEdges / 10
+    val triEdges = spark.range(tri).select(col("id").as("t"))
+      .select(explode(array(
+        struct((col("t") * 3).as("src"), (col("t") * 3 + 1).as("dst")),
+        struct((col("t") * 3 + 1).as("src"), (col("t") * 3 + 2).as("dst")),
+        struct((col("t") * 3).as("src"), (col("t") * 3 + 2).as("dst"))))
+        .as("e")).select(col("e.src"), col("e.dst"))
+    val pathBase = tri * 3 + 1000000000L
+    val pathEdges = spark.range(tri).select(
+      (col("id") * 2 + pathBase).as("src"),
+      (col("id") * 2 + pathBase + 1).as("dst"))
+    val census = timed(s"triangle census over ${tri * 4} edges")(
+      graft.operators.Graphs.triangleStats(
+        triEdges.unionByName(pathEdges)).collect().head)
+    println(s"[graph-probe] census=$census (expect n_triangles=$tri)")
+    assert(census.getLong(2) == tri,
+      s"planted triangles ${census.getLong(2)} != $tri")
     spark.stop()
   }
 }

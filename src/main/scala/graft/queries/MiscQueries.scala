@@ -995,6 +995,60 @@ object MiscQueries {
       },
       Some(EstimatorOracles.m25)),
 
+    // ---- J9 correlated subqueries (scalar + EXISTS) -------------------
+    // The SQL-surface rendition of per-row correlated lookups: a scalar
+    // subquery (max line quantity per order) and a correlated NOT
+    // EXISTS filter. Spark decorrelates both into joins; the SAME text
+    // runs verbatim in DuckDB, so the oracle is the query itself.
+    Q("j09_correlated_subquery",
+      (s, d) => {
+        load(s, d, "orders").createOrReplaceTempView("graft_ord_v")
+        load(s, d, "lineitem").createOrReplaceTempView("graft_li_v")
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                        (SELECT max(l_quantity) FROM graft_li_v
+                         WHERE l_orderkey = o_orderkey) AS max_qty
+                 FROM graft_ord_v o
+                 WHERE o_custkey < 200
+                   AND NOT EXISTS (SELECT 1 FROM graft_li_v
+                                   WHERE l_orderkey = o.o_orderkey
+                                     AND l_quantity > 49)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+                     (SELECT max(l_quantity) FROM lineitem
+                      WHERE l_orderkey = o_orderkey) AS max_qty
+              FROM orders o
+              WHERE o_custkey < 200
+                AND NOT EXISTS (SELECT 1 FROM lineitem
+                                WHERE l_orderkey = o.o_orderkey
+                                  AND l_quantity > 49)
+              ORDER BY o_orderkey""")),
+
+    // ---- F3 higher-order array functions ------------------------------
+    // The lambda surface (transform / filter / aggregate / arrays via
+    // split) graded against DuckDB's list_* equivalents — all-integer
+    // outputs, so the parity is exact.
+    Q("f03_array_funcs",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("size(split(text, ' '))").as("n_raw"),
+          expr("size(filter(split(text, ' '), w -> length(w) >= 4))")
+            .as("n_long"),
+          expr("aggregate(transform(split(text, ' '), w -> length(w)), " +
+            "0, (a, x) -> a + x)").as("sum_len"),
+          expr("size(array_distinct(split(text, ' ')))").as("n_distinct"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_raw,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          w -> len(w) >= 4)) AS INTEGER) AS n_long,
+                     CAST(list_aggregate(list_transform(
+                            string_split(text, ' '), w -> len(w)), 'sum')
+                          AS INTEGER) AS sum_len,
+                     CAST(len(list_distinct(string_split(text, ' ')))
+                          AS INTEGER) AS n_distinct
+              FROM documents ORDER BY doc_id""")),
+
     // ---- A27 explicit GROUPING SETS + grouping_id ---------------------
     // The third member of the rollup (a16) / cube (a17) family: an
     // arbitrary set list with the standard bit-vector grouping_id

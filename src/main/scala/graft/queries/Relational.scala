@@ -385,6 +385,34 @@ object Relational {
                      p_retailprice * 1.1 AS price_sd_high
               FROM part ORDER BY p_partkey""")),
 
+    // ---- U3 set operations: INTERSECT / EXCEPT (distinct semantics) ---
+    // Completes the union family: customers in BOTH the auto segment
+    // and the high-balance set, and high-balance customers NOT in auto.
+    // Both engines implement SQL-standard distinct set semantics.
+    Q("u03_intersect_except",
+      (s, d) => {
+        val c = load(s, d, "customer").select("c_custkey")
+        val auto = load(s, d, "customer")
+          .filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+        val rich = load(s, d, "customer")
+          .filter(col("c_acctbal") > 5000).select("c_custkey")
+        auto.intersect(rich)
+          .select(col("c_custkey"), lit("both").as("side"))
+          .unionByName(rich.except(auto)
+            .select(col("c_custkey"), lit("rich_only").as("side")))
+          .orderBy("side", "c_custkey")
+      },
+      Some("""SELECT c_custkey, 'both' AS side FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+                INTERSECT
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+              UNION ALL
+              SELECT c_custkey, 'rich_only' FROM (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+                EXCEPT
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+              ORDER BY side, c_custkey""")),
+
     // ---- R1 melt / unpivot wide→long (ipynb:2121-2127) ----------------
     Q("r01_melt",
       (s, d) => load(s, d, "part")

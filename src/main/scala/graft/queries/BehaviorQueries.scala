@@ -67,6 +67,44 @@ object BehaviorQueries {
                          FROM f)
               SELECT cohort_week, week_offset, count(*) AS n_users
               FROM d GROUP BY cohort_week, week_offset
-              ORDER BY cohort_week, week_offset"""))
+              ORDER BY cohort_week, week_offset""")),
+
+    // ---- W9 stateful streaming funnel (graded batch rendition) --------
+    // The flatMapGroupsWithState funnel kernel (Streams.funnelProgress)
+    // run in BATCH mode — the same code path the streaming query uses,
+    // state just never persists — graded against the window-based SQL
+    // funnel. StreamingSuite covers the cross-micro-batch state carry.
+    Q("w09_stream_funnel",
+      (s, d) => {
+        import s.implicits._
+        val ev = loadEvents(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .as[graft.streaming.FunnelEvent]
+        graft.streaming.Streams
+          .funnelProgress(ev, Seq("view", "click", "purchase"))
+          .toDF()
+          .select(col("user_id"),
+            timestamp_micros(element_at(col("times"), 1))
+              .cast("string").as("t_view"),
+            timestamp_micros(element_at(col("times"), 2))
+              .cast("string").as("t_click"),
+            timestamp_micros(element_at(col("times"), 3))
+              .cast("string").as("t_purchase"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (SELECT user_id, ts, event_type,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                         OVER (PARTITION BY user_id) AS t_view
+                     FROM events),
+                   s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                              AND ts > t_view THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_click FROM s1),
+                   s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                              AND ts > t_click THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_purchase FROM s2)
+              SELECT user_id, CAST(min(t_view) AS VARCHAR) AS t_view,
+                     CAST(min(t_click) AS VARCHAR) AS t_click,
+                     CAST(min(t_purchase) AS VARCHAR) AS t_purchase
+              FROM s3 GROUP BY user_id ORDER BY user_id"""))
   )
 }

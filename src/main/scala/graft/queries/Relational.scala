@@ -413,6 +413,32 @@ object Relational {
                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
               ORDER BY side, c_custkey""")),
 
+    // ---- R5 SCD2 interval construction (warehouse dimension history) --
+    // Each user's events become validity intervals: valid_from = ts,
+    // valid_to = the next event's ts (NULL ⇒ current row) — the lead
+    // window that turns a change log into a slowly-changing-dimension
+    // table. (ts, event_id) ordering makes ties deterministic.
+    Q("r05_scd2_intervals",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        graft.util.Tables.loadEvents(s, d)
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("ts").cast("string").as("valid_from"),
+            lead(col("ts"), 1).over(w).cast("string").as("valid_to"),
+            lead(col("ts"), 1).over(w).isNull.as("is_current"))
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+                     CAST(ts AS VARCHAR) AS valid_from,
+                     CAST(lead(ts, 1) OVER w AS VARCHAR) AS valid_to,
+                     (lead(ts, 1) OVER w IS NULL) AS is_current
+              FROM events WHERE user_id < 30
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY user_id, valid_from, event_id""")),
+
     // ---- R1 melt / unpivot wide→long (ipynb:2121-2127) ----------------
     Q("r01_melt",
       (s, d) => load(s, d, "part")

@@ -387,4 +387,54 @@ class StreamingSuite extends SparkSpec {
       assert(rows >= 4, s"live bucket must survive: $rows state rows")
     } finally q.stop()
   }
+
+  test("funnelProgress carries ordered-funnel state across micro-batches") {
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = Streams.funnelProgress(mem.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_state_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 views+clicks; u2's purchase arrives BEFORE any view
+      mem.addData(FunnelEvent(1L, ts(0), "view"),
+        FunnelEvent(1L, ts(10), "click"),
+        FunnelEvent(2L, ts(5), "purchase"))
+      q.processAllAvailable()
+      // batch 2: u1 purchases (must convert via carried state);
+      // u2 views then clicks — its old purchase must NOT count
+      mem.addData(FunnelEvent(1L, ts(20), "purchase"),
+        FunnelEvent(2L, ts(30), "view"), FunnelEvent(2L, ts(40), "click"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_state_test")
+        .as[(Long, Seq[Option[Long]])].collect()
+        .groupBy(_._1).map { case (u, rs) =>
+          u -> rs.map(_._2).maxBy(_.flatten.size) }.toMap
+      def micros(m: Long) = m * 60000000L
+      assert(last(1L) ===
+        Seq(Some(micros(0)), Some(micros(10)), Some(micros(20))))
+      assert(last(2L) === Seq(Some(micros(30)), Some(micros(40)), None))
+    } finally q.stop()
+  }
+
+  test("funnelProgress batch rendition equals Behavior.funnelTimes") {
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(1000L), "view"),
+      (1L, new java.sql.Timestamp(2000L), "purchase"), // before click
+      (1L, new java.sql.Timestamp(3000L), "click"),
+      (1L, new java.sql.Timestamp(4000L), "purchase"),
+      (2L, new java.sql.Timestamp(500L), "click")      // click, no view
+    ).toDF("user_id", "ts", "event_type")
+    val fromState = Streams.funnelProgress(
+        ev.as[FunnelEvent], Seq("view", "click", "purchase"))
+      .collect().map(p => p.user_id -> p.times).toMap
+    val fromWindows = graft.operators.Behavior.funnelTimes(
+        ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 3).map(i => Option(r.getTimestamp(i))
+          .map(t => (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L))
+      }.toMap
+    assert(fromState === fromWindows)
+  }
 }

@@ -474,6 +474,83 @@ object StatsQueries {
                      sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
                        * (sx / n) AS b0,
                      CAST(n AS BIGINT) AS n_rows
-              FROM g ORDER BY l_returnflag"""))
+              FROM g ORDER BY l_returnflag""")),
+
+    // ---- M31 raking / IPF calibration (survey::rake) ------------------
+    // Multiplicative margin calibration on two factors (id%3 × id%2 over
+    // the A design, targets = population counts). The iteration state is
+    // the 6-cell contingency table of exact-decimal weight sums — one
+    // partial-aggregable pass; the final weight is the closed form
+    // d·R1(f1)·R2(f2) (graft.stats.Raking). The oracle unrolls the same
+    // half-steps over the same pivoted cell scalars with identical
+    // association order, so the IEEE ratio chains are bit-identical.
+    Q("m31_raking",
+      (s, d) => {
+        val a = sampleA(s, d)
+          .withColumn("f1", col("id") % 3)
+          .withColumn("f2", col("id") % 2)
+        val popAggs =
+          (0 to 2).map(i => sum(when(col("c_custkey") % 3 === i, 1)
+            .otherwise(0)).cast("double").as(s"t1_$i")) ++
+          (0 to 1).map(i => sum(when(col("c_custkey") % 2 === i, 1)
+            .otherwise(0)).cast("double").as(s"t2_$i"))
+        val pop = load(s, d, "customer").agg(popAggs.head, popAggs.tail: _*).head()
+        val t1 = (0 to 2).map(i => i.toLong -> dbl(pop, i)).toMap
+        val t2 = (0 to 1).map(i => i.toLong -> dbl(pop, 3 + i)).toMap
+        graft.stats.Raking.rake(a, "d", "f1", "f2", t1, t2, iters = 3)
+          .select(col("id"), col("f1"), col("f2"), col("w_rake"))
+          .orderBy("id")
+      },
+      Some(rakingOracle(iters = 3)))
   )
+
+  /** DuckDB rendition of m31: pivot the 6 exact-decimal cells to scalars,
+    * then unroll `iters` IPF rounds as CTEs — every ratio update is the
+    * same left-associated IEEE expression the Scala loop folds. */
+  private def rakingOracle(iters: Int): String = {
+    val k1 = 0 to 2
+    val k2 = 0 to 1
+    val cellCols = (for { a <- k1; b <- k2 } yield
+      s"COALESCE(max(CASE WHEN f1 = $a AND f2 = $b THEN cw END), 0.0) AS c$a$b")
+      .mkString(",\n                      ")
+    val tgtCols =
+      (k1.map(a => s"CAST(sum(CASE WHEN c_custkey % 3 = $a THEN 1 ELSE 0 END) AS DOUBLE) AS t1_$a") ++
+       k2.map(b => s"CAST(sum(CASE WHEN c_custkey % 2 = $b THEN 1 ELSE 0 END) AS DOUBLE) AS t2_$b"))
+        .mkString(",\n                      ")
+    val r0Cols = (k1.map(a => s"CAST(1.0 AS DOUBLE) AS r1_$a") ++
+                  k2.map(b => s"CAST(1.0 AS DOUBLE) AS r2_$b")).mkString(", ")
+    val steps = new StringBuilder
+    var prev = "r0"
+    var idx = 0
+    for (_ <- 1 to iters) {
+      idx += 1
+      val up1 = k1.map { a =>
+        val s = k2.map(b => s"c$a$b * r1_$a * r2_$b").mkString(" + ")
+        s"r1_$a * (t1_$a / ($s)) AS r1_$a"
+      }
+      val keep2 = k2.map(b => s"r2_$b")
+      steps ++= s",\n h$idx AS (SELECT ${(up1 ++ keep2).mkString(", ")} FROM $prev, cw, tgt)"
+      prev = s"h$idx"
+      idx += 1
+      val up2 = k2.map { b =>
+        val s = k1.map(a => s"c$a$b * r1_$a * r2_$b").mkString(" + ")
+        s"r2_$b * (t2_$b / ($s)) AS r2_$b"
+      }
+      val keep1 = k1.map(a => s"r1_$a")
+      steps ++= s",\n h$idx AS (SELECT ${(keep1 ++ up2).mkString(", ")} FROM $prev, cw, tgt)"
+      prev = s"h$idx"
+    }
+    s"""WITH a AS ($sqlA),
+              cells AS (SELECT id % 3 AS f1, id % 2 AS f2, ${sqlDsum("d")} AS cw
+                        FROM a GROUP BY 1, 2),
+              cw AS (SELECT $cellCols
+                     FROM cells),
+              tgt AS (SELECT $tgtCols
+                      FROM customer),
+              r0 AS (SELECT $r0Cols)$steps
+         SELECT a.id, a.id % 3 AS f1, a.id % 2 AS f2,
+                a.d * (CASE a.id % 3 WHEN 0 THEN r1_0 WHEN 1 THEN r1_1 ELSE r1_2 END)
+                    * (CASE a.id % 2 WHEN 0 THEN r2_0 ELSE r2_1 END) AS w_rake
+         FROM a, $prev ORDER BY a.id"""
+  }
 }

@@ -1,0 +1,117 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.dsum
+
+/** Raking / iterative proportional fitting (IPF) — the multiplicative
+  * sibling of the reference's linear GREG calibration (`RegDI2.R:188-193`;
+  * `survey::rake`): adjust design weights so the weighted counts match
+  * known population margins on two categorical factors, alternating
+  * margins until (approximate) convergence (Deming & Stephan 1940).
+  *
+  * Scale design (100 TB): raking margins are categorical BY DEFINITION,
+  * so the full iteration state is the (f1 × f2) contingency table of
+  * weight sums — computed in ONE partial-aggregable pass (exact-decimal
+  * cell sums ⇒ order/partitioning-invariant), then iterated on the
+  * driver over the tiny cell table. Because each half-step multiplies
+  * every row of a category by one scalar, the final weight factorizes as
+  * `w = d · R1(f1) · R2(f2)`: the output is a codegen'd projection with
+  * two literal CASE chains — no per-iteration data passes, no joins, no
+  * second shuffle, regardless of row count or iteration count.
+  *
+  * Float parity: cell sums are exact decimal ([[graft.util.Tables.dsum]]);
+  * the driver loop folds cells in ascending category order with
+  * left-associated IEEE adds/multiplies, so an oracle that unrolls the
+  * same half-steps over the same pivoted cell scalars is bit-identical.
+  */
+object Raking {
+
+  /** IPF multipliers per category of each margin after `iters` full
+    * rounds (each round adjusts margin 1 then margin 2). */
+  final case class RakeFactors(r1: Map[Long, Double], r2: Map[Long, Double])
+
+  /** Run IPF on the contingency table of `dCol` sums over the two
+    * integer factor columns. `targets1` / `targets2` are the known
+    * population margin totals keyed by category value; every category
+    * present in the data must appear in its target map.
+    */
+  def factors(
+      df: DataFrame,
+      dCol: String,
+      f1Col: String,
+      f2Col: String,
+      targets1: Map[Long, Double],
+      targets2: Map[Long, Double],
+      iters: Int
+  ): RakeFactors = {
+    require(iters > 0, "raking needs at least one iteration")
+    require(targets1.nonEmpty && targets2.nonEmpty, "empty raking margin")
+    val cells: Map[(Long, Long), Double] = df
+      .groupBy(col(f1Col).cast("long").as("f1"), col(f2Col).cast("long").as("f2"))
+      .agg(dsum(col(dCol)).as("cw"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val k1 = targets1.keys.toSeq.sorted
+    val k2 = targets2.keys.toSeq.sorted
+    val badCat = cells.keys.collectFirst {
+      case (a, b) if !targets1.contains(a) || !targets2.contains(b) => (a, b)
+    }
+    require(badCat.isEmpty, s"data category $badCat missing from raking targets")
+    def cell(a: Long, b: Long): Double = cells.getOrElse((a, b), 0.0)
+
+    val r1 = scala.collection.mutable.Map(k1.map(_ -> 1.0): _*)
+    val r2 = scala.collection.mutable.Map(k2.map(_ -> 1.0): _*)
+    var it = 0
+    while (it < iters) {
+      // within a half-step every category's ratio uses only its OWN
+      // running multiplier, so the k1 updates are order-independent
+      for (a <- k1) {
+        val s = k2.foldLeft(0.0)((acc, b) => acc + cell(a, b) * r1(a) * r2(b))
+        require(s != 0.0, s"raking margin 1 category $a has zero weight in the data")
+        r1(a) = r1(a) * (targets1(a) / s)
+      }
+      for (b <- k2) {
+        val s = k1.foldLeft(0.0)((acc, a) => acc + cell(a, b) * r1(a) * r2(b))
+        require(s != 0.0, s"raking margin 2 category $b has zero weight in the data")
+        r2(b) = r2(b) * (targets2(b) / s)
+      }
+      it += 1
+    }
+    RakeFactors(r1.toMap, r2.toMap)
+  }
+
+  /** CASE chain mapping a factor column to its literal multiplier, in
+    * ascending category order (last category is the ELSE arm — the same
+    * shape `CASE f WHEN v0 THEN r0 … ELSE rLast END` takes in SQL). */
+  private def multExpr(f: Column, ks: Seq[Long], m: Map[Long, Double]): Column =
+    if (ks.size == 1) lit(m(ks.head))
+    else {
+      val chained = ks.drop(1).dropRight(1).foldLeft(
+        when(f === lit(ks.head), lit(m(ks.head)))
+      )((acc, k) => acc.when(f === lit(k), lit(m(k))))
+      chained.otherwise(lit(m(ks.last)))
+    }
+
+  /** Full raking: compute [[factors]] and attach the raked weight
+    * `wOut = d · R1(f1) · R2(f2)` as a pure projection. */
+  def rake(
+      df: DataFrame,
+      dCol: String,
+      f1Col: String,
+      f2Col: String,
+      targets1: Map[Long, Double],
+      targets2: Map[Long, Double],
+      iters: Int,
+      wOut: String = "w_rake"
+  ): DataFrame = {
+    val f = factors(df, dCol, f1Col, f2Col, targets1, targets2, iters)
+    df.withColumn(
+      wOut,
+      col(dCol) *
+        multExpr(col(f1Col).cast("long"), targets1.keys.toSeq.sorted, f.r1) *
+        multExpr(col(f2Col).cast("long"), targets2.keys.toSeq.sorted, f.r2))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RakingSuite extends SparkSpec {
+  import spark.implicits._
+
+  // cells: (f1=0)×{f2=0,f2=1} one row each; (f1=1)×{f2=0,f2=1} two rows each
+  private def fixture = Seq(
+    (1L, 0L, 0L), (2L, 0L, 1L),
+    (3L, 1L, 0L), (4L, 1L, 0L),
+    (5L, 1L, 1L), (6L, 1L, 1L)
+  ).toDF("id", "f1", "f2").withColumn("d", lit(1.0))
+
+  test("one round reproduces the hand-computed IPF ratios") {
+    // f1-step: s(0)=2 → r1_0=4/2=2 ; s(1)=4 → r1_1=8/4=2
+    // f2-step: both margins already 6/6 → r2 = 1
+    val f = Raking.factors(fixture, "d", "f1", "f2",
+      targets1 = Map(0L -> 4.0, 1L -> 8.0),
+      targets2 = Map(0L -> 6.0, 1L -> 6.0), iters = 1)
+    assert(f.r1 === Map(0L -> 2.0, 1L -> 2.0))
+    assert(f.r2 === Map(0L -> 1.0, 1L -> 1.0))
+    val w = Raking.rake(fixture, "d", "f1", "f2",
+      Map(0L -> 4.0, 1L -> 8.0), Map(0L -> 6.0, 1L -> 6.0), iters = 1)
+      .select("w_rake").as[Double].collect()
+    assert(w.forall(_ === 2.0))
+  }
+
+  test("margins converge to the targets on an uneven problem") {
+    val t1 = Map(0L -> 3.0, 1L -> 9.0)
+    val t2 = Map(0L -> 8.0, 1L -> 4.0)
+    val raked = Raking.rake(fixture, "d", "f1", "f2", t1, t2, iters = 40)
+    val m1 = raked.groupBy("f1").agg(sum("w_rake").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m2 = raked.groupBy("f2").agg(sum("w_rake").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    t1.foreach { case (k, t) => assert(math.abs(m1(k) - t) < 1e-9) }
+    t2.foreach { case (k, t) => assert(math.abs(m2(k) - t) < 1e-9) }
+    // the LAST-adjusted margin is matched exactly up to one IEEE rounding
+    t2.foreach { case (k, t) => assert(math.abs(m2(k) - t) < 1e-12 * t) }
+  }
+
+  test("factors are bit-identical under repartitioning") {
+    val t1 = Map(0L -> 3.0, 1L -> 9.0)
+    val t2 = Map(0L -> 8.0, 1L -> 4.0)
+    val a = Raking.factors(fixture, "d", "f1", "f2", t1, t2, iters = 5)
+    val b = Raking.factors(fixture.repartition(7), "d", "f1", "f2", t1, t2, iters = 5)
+    assert(a === b)
+  }
+
+  test("data categories missing from the targets fail loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Raking.factors(fixture, "d", "f1", "f2",
+        Map(0L -> 4.0), Map(0L -> 6.0, 1L -> 6.0), iters = 1)
+    }
+    assert(e.getMessage.contains("missing from raking targets"))
+  }
+
+  test("a zero-weight margin category fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Raking.factors(fixture, "d", "f1", "f2",
+        Map(0L -> 4.0, 1L -> 8.0, 2L -> 5.0), Map(0L -> 6.0, 1L -> 6.0),
+        iters = 1)
+    }
+    assert(e.getMessage.contains("zero weight"))
+  }
+}

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.FormulaSpec
-import graft.stats.{Logistic, Replication}
+import graft.core.{FormulaSpec, SurveyDesign}
+import graft.stats.{Logistic, Replication, WeightedStats}
 import graft.util.Tables.{dsum, dvarSamp, load, sqlDsum, sqlDvarSamp}
 
 /** The estimator-core operators (SURVEY.md §2.10, M1–M11) as driver-
@@ -501,7 +501,57 @@ object StatsQueries {
           .select(col("id"), col("f1"), col("f2"), col("w_rake"))
           .orderBy("id")
       },
-      Some(rakingOracle(iters = 3)))
+      Some(rakingOracle(iters = 3))),
+
+    // ---- M32 svyratio: ratio of HT totals + linearized variance -------
+    // R̂ = Σdy/Σdx; score zᵢ = dᵢ(yᵢ − R̂xᵢ)/Σdx; with-replacement score
+    // variance (survey::svyratio on the ids=~1 design). Exercises the
+    // WeightedStats.svyratio library path — two aggregation jobs, scalars
+    // lifted back as literals.
+    Q("m32_svyratio",
+      (s, d) => {
+        val a = sampleA(s, d)
+        val res = WeightedStats.svyratio(SurveyDesign(a, "d"), "y", "x")
+        s.range(1).select(lit(res.ratio).as("ratio"),
+          lit(res.variance).as("var_ratio"))
+      },
+      Some(s"""WITH a AS ($sqlA),
+                    m AS (SELECT ${sqlDsum("d * y")} / ${sqlDsum("d * x")} AS r,
+                                 ${sqlDsum("d * x")} AS swx FROM a),
+                    z AS (SELECT a.d * (a.y - m.r * a.x) / m.swx AS z, m.r
+                          FROM a, m)
+               SELECT max(r) AS ratio,
+                      (CAST(count(*) AS DOUBLE) / (CAST(count(*) AS DOUBLE) - 1.0)) *
+                        (${sqlDsum("z * z")} - ${sqlDsum("z")} * ${sqlDsum("z")}
+                           / CAST(count(*) AS DOUBLE)) AS var_ratio
+               FROM z""")),
+
+    // ---- M33 domain (subpopulation) mean + design-correct variance ----
+    // The domain indicator u stays IN the score over the FULL sample
+    // (zᵢ = dᵢuᵢ(yᵢ−μ̂_D)/Σ_D d, full n in the variance), so the random
+    // realized domain size contributes — filtering first would understate
+    // the variance (Särndal et al. §5.8; survey::svymean on subset()).
+    Q("m33_domain_mean",
+      (s, d) => {
+        val a = sampleA(s, d)
+        val res = WeightedStats.svymeanDomain(
+          SurveyDesign(a, "d"), "y", col("x") > 10.0)
+        s.range(1).select(lit(res.mean).as("mean_dom"),
+          lit(res.variance).as("var_dom"))
+      },
+      Some(s"""WITH a0 AS ($sqlA),
+                    a AS (SELECT a0.*,
+                                 CASE WHEN x > 10.0 THEN 1.0 ELSE 0.0 END AS u
+                          FROM a0),
+                    m AS (SELECT ${sqlDsum("d * u * y")} / ${sqlDsum("d * u")} AS mu,
+                                 ${sqlDsum("d * u")} AS swd FROM a),
+                    z AS (SELECT a.d * a.u * (a.y - m.mu) / m.swd AS z, m.mu
+                          FROM a, m)
+               SELECT max(mu) AS mean_dom,
+                      (CAST(count(*) AS DOUBLE) / (CAST(count(*) AS DOUBLE) - 1.0)) *
+                        (${sqlDsum("z * z")} - ${sqlDsum("z")} * ${sqlDsum("z")}
+                           / CAST(count(*) AS DOUBLE)) AS var_dom
+               FROM z"""))
   )
 
   /** DuckDB rendition of m31: pivot the 6 exact-decimal cells to scalars,

@@ -21,6 +21,10 @@ final case class MeanResult(mean: Double, variance: Double) {
   def se: Double = math.sqrt(variance)
 }
 
+final case class RatioResult(ratio: Double, variance: Double) {
+  def se: Double = math.sqrt(variance)
+}
+
 object WeightedStats {
 
   /** `svytotal(~x1+…+xk, design)` — Horvitz–Thompson totals, one job. */
@@ -34,6 +38,54 @@ object WeightedStats {
   /** `svymean(~y, design)` on an uncalibrated design. */
   def svymean(design: SurveyDesign, yCol: String): MeanResult =
     meanWithScores(design.df, col(yCol), design.weights, design.weights)
+
+  /** `svyratio(~y, ~x, design)` — ratio of HT totals R̂ = Σwy/Σwx with
+    * Taylor linearization variance: zᵢ = wᵢ(yᵢ − R̂xᵢ)/Σwx, then the same
+    * with-replacement score variance as [[svymean]]. Two aggregation jobs.
+    */
+  def svyratio(design: SurveyDesign, yCol: String, xCol: String): RatioResult = {
+    import graft.util.Tables.dsum
+    val w = design.weights
+    val first = design.df.agg(
+      dsum(w * col(yCol)).as("swy"), dsum(w * col(xCol)).as("swx")).head()
+    val swx = first.getAs[Number]("swx").doubleValue()
+    require(swx != 0.0, "svyratio denominator total is zero")
+    val r = first.getAs[Number]("swy").doubleValue() / swx
+    val z = w * (col(yCol) - lit(r) * col(xCol)) / lit(swx)
+    RatioResult(r, scoreVariance(design.df, z))
+  }
+
+  /** Domain (subpopulation) mean with design-correct variance: the domain
+    * indicator u stays IN the score — zᵢ = wᵢuᵢ(yᵢ − μ̂_D)/Σ_D w over the
+    * FULL sample with the full n — so the randomness of the realized
+    * domain size is kept in the variance (filtering the frame first and
+    * reusing [[svymean]] would understate it; Särndal et al. §5.8).
+    */
+  def svymeanDomain(design: SurveyDesign, yCol: String, domain: Column): MeanResult = {
+    import graft.util.Tables.dsum
+    val w = design.weights
+    val u = when(domain, lit(1.0)).otherwise(lit(0.0))
+    val first = design.df.agg(
+      dsum(w * u * col(yCol)).as("swy"), dsum(w * u).as("sw")).head()
+    val swD = first.getAs[Number]("sw").doubleValue()
+    require(swD != 0.0, "empty estimation domain")
+    val mu = first.getAs[Number]("swy").doubleValue() / swD
+    val z = w * u * (col(yCol) - lit(mu)) / lit(swD)
+    MeanResult(mu, scoreVariance(design.df, z))
+  }
+
+  /** With-replacement score variance n/(n−1)·(Σz² − (Σz)²/n) from exact-
+    * decimal sums — the shared second pass of every linearized estimator
+    * here. */
+  private def scoreVariance(df: DataFrame, z: Column): Double = {
+    import graft.util.Tables.dsum
+    val second = df.agg(dsum(z * z).as("szz"), dsum(z).as("sz"),
+      count(lit(1)).as("n")).head()
+    val szz = second.getAs[Number]("szz").doubleValue()
+    val sz = second.getAs[Number]("sz").doubleValue()
+    val n = second.getAs[Long]("n").toDouble
+    if (n <= 1) 0.0 else n / (n - 1.0) * (szz - sz * sz / n)
+  }
 
   /** `svymean(~y, calibrated_design)`: mean under calibrated weights,
     * variance from d-weighted WLS residuals on the calibration variables.
@@ -85,13 +137,6 @@ object WeightedStats {
     val mu = sw / w0
     val scoreBase = Option(scoreYOpt).getOrElse(y - lit(mu))
     val z = scoreW * scoreBase / lit(w0)
-    val second = df.agg(dsum(z * z).as("szz"), dsum(z).as("sz"),
-      count(lit(1)).as("n")).head()
-    val szz = second.getAs[Number]("szz").doubleValue()
-    val sz = second.getAs[Number]("sz").doubleValue()
-    val n = second.getAs[Long]("n").toDouble
-    val varEst =
-      if (n <= 1) 0.0 else n / (n - 1.0) * (szz - sz * sz / n)
-    MeanResult(mu, varEst)
+    MeanResult(mu, scoreVariance(df, z))
   }
 }

@@ -1,0 +1,69 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.SurveyDesign
+
+class RatioDomainSuite extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (10.0, 2.0, 1.0),
+    (20.0, 4.0, 2.0),
+    (30.0, 5.0, 1.0),
+    (40.0, 9.0, 2.0)
+  ).toDF("y", "x", "w")
+  private lazy val design = SurveyDesign(df, "w")
+
+  test("svyratio matches the hand-computed ratio and variance") {
+    // Σwy = 10+40+30+80 = 160 ; Σwx = 2+8+5+18 = 33 ; R = 160/33
+    val r = WeightedStats.svyratio(design, "y", "x")
+    val rHat = 160.0 / 33.0
+    assert(r.ratio === rHat)
+    val z = Seq((10.0, 2.0, 1.0), (20.0, 4.0, 2.0), (30.0, 5.0, 1.0), (40.0, 9.0, 2.0))
+      .map { case (y, x, w) => w * (y - rHat * x) / 33.0 }
+    val n = 4.0
+    val expect = n / (n - 1.0) *
+      (z.map(v => v * v).sum - math.pow(z.sum, 2) / n)
+    assert(math.abs(r.variance - expect) < 1e-8)
+  }
+
+  test("svyratio against a unit denominator reduces to svymean") {
+    val withOne = df.withColumn("one", lit(1.0))
+    val r = WeightedStats.svyratio(SurveyDesign(withOne, "w"), "y", "one")
+    val m = WeightedStats.svymean(design, "y")
+    assert(r.ratio === m.mean) // bit-identical: same score expression
+    assert(r.variance === m.variance)
+  }
+
+  test("svymeanDomain on the full domain reduces to svymean") {
+    val dres = WeightedStats.svymeanDomain(design, "y", lit(true))
+    val m = WeightedStats.svymean(design, "y")
+    assert(dres.mean === m.mean)
+    assert(dres.variance === m.variance)
+  }
+
+  test("svymeanDomain keeps the realized-domain-size variance") {
+    // domain = y >= 30: μ_D = (30 + 80) / (1 + 2) = 110/3
+    val dres = WeightedStats.svymeanDomain(design, "y", col("y") >= 30.0)
+    assert(dres.mean === 110.0 / 3.0)
+    // filtering first drops the two zero scores AND shrinks n: variance
+    // differs (and here understates — 2 zero scores widen the spread)
+    val filtered = WeightedStats.svymean(
+      SurveyDesign(df.filter(col("y") >= 30.0), "w"), "y")
+    assert(dres.mean === filtered.mean)
+    assert(dres.variance !== filtered.variance)
+    val z = Seq(0.0, 0.0, 1.0 * (30.0 - 110.0 / 3.0) / 3.0, 2.0 * (40.0 - 110.0 / 3.0) / 3.0)
+    val n = 4.0
+    val expect = n / (n - 1.0) * (z.map(v => v * v).sum - math.pow(z.sum, 2) / n)
+    assert(math.abs(dres.variance - expect) < 1e-8)
+  }
+
+  test("an empty domain fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      WeightedStats.svymeanDomain(design, "y", lit(false))
+    }
+    assert(e.getMessage.contains("empty estimation domain"))
+  }
+}

@@ -1102,6 +1102,54 @@ object MiscQueries {
                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                             RANGE BETWEEN 604800000000 PRECEDING
                                       AND CURRENT ROW)
-               ORDER BY user_id, event_id"""))
+               ORDER BY user_id, event_id""")),
+
+    // ---- J10 CDC merge-upsert (batch MERGE INTO) ----------------------
+    // A change log (updates on keys %5, deletes on %10 at a later seq,
+    // inserts on shifted keys %20=3) applied to the orders base table via
+    // graft.operators.Cdc: latest (seq, op) per key wins, winner deletes
+    // drop the key, winner upserts replace the row, untouched keys pass
+    // through an anti join against the broadcast winner-key set — the
+    // base (100 TB side) is never shuffled. All values are base values
+    // or one IEEE add, so the oracle is hash-exact.
+    Q("j10_merge_upsert",
+      (s, d) => {
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+        val changes =
+          base.filter(col("k") % 5 === 0)
+            .select(col("k"), lit("U").as("op"), lit(1L).as("seq"),
+              (col("v") + lit(100.0)).as("v"))
+          .unionByName(base.filter(col("k") % 10 === 0)
+            .select(col("k"), lit("D").as("op"), lit(2L).as("seq"),
+              lit(null).cast("double").as("v")))
+          .unionByName(base.filter(col("k") % 20 === 3)
+            .select((col("k") + lit(100000000L)).as("k"), lit("I").as("op"),
+              lit(1L).as("seq"), col("v")))
+        graft.operators.Cdc
+          .applyChangeLog(base, changes, Seq("k"), "seq", "op")
+          .orderBy("k")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v
+                            FROM orders),
+                   ch AS (
+                     SELECT k, 'U' AS op, 1 AS seq, v + 100.0 AS v
+                     FROM base WHERE k % 5 = 0
+                     UNION ALL
+                     SELECT k, 'D', 2, NULL FROM base WHERE k % 10 = 0
+                     UNION ALL
+                     SELECT k + 100000000, 'I', 1, v
+                     FROM base WHERE k % 20 = 3),
+                   latest AS (SELECT * FROM
+                     (SELECT ch.*, row_number() OVER
+                        (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+                      FROM ch) WHERE rn = 1),
+                   kept AS (SELECT b.k, b.v FROM base b
+                            LEFT JOIN latest l ON b.k = l.k
+                            WHERE l.k IS NULL),
+                   applied AS (SELECT k, v FROM latest WHERE op <> 'D')
+              SELECT k, v FROM kept
+              UNION ALL SELECT k, v FROM applied
+              ORDER BY k"""))
   )
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CdcSuite extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base =
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+
+  private lazy val changes = Seq(
+    (2L, "U", 1L, "b2"),
+    (2L, "U", 2L, "b3"),
+    (3L, "U", 1L, "c2"),
+    (3L, "D", 2L, null),
+    (5L, "I", 1L, "e")
+  ).toDF("k", "op", "seq", "v")
+
+  private def applied =
+    Cdc.applyChangeLog(base, changes, Seq("k"), "seq", "op")
+
+  test("latest change per key wins; deletes drop; inserts appear") {
+    val out = applied.orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "a"), (2L, "b3"), (4L, "d"), (5L, "e")))
+  }
+
+  test("op is only a tie-break: same-seq U beats D") {
+    val tie = Seq((4L, "D", 7L, null), (4L, "U", 7L, "d2"))
+      .toDF("k", "op", "seq", "v")
+    val out = Cdc.applyChangeLog(base, tie, Seq("k"), "seq", "op")
+      .filter($"k" === 4L).as[(Long, String)].collect().toSeq
+    assert(out === Seq((4L, "d2")))
+  }
+
+  test("result is invariant under change-log partitioning") {
+    val a = applied.orderBy("k").collect().toSeq
+    val b = Cdc.applyChangeLog(base, changes.repartition(7), Seq("k"), "seq", "op")
+      .orderBy("k").collect().toSeq
+    assert(a === b)
+  }
+
+  test("a change log missing payload columns fails loudly") {
+    val bad = Seq((2L, "U", 1L)).toDF("k", "op", "seq")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyChangeLog(base, bad, Seq("k"), "seq", "op")
+    }
+    assert(e.getMessage.contains("lacks columns"))
+  }
+
+  test("the base side is anti-joined, not shuffled, when keys broadcast") {
+    val plan = applied.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.toLowerCase.contains("leftanti"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Per-column data profiling — the "what is in this table" first pass of
+  * any ingestion pipeline: non-null / null / exact-distinct counts plus
+  * typed min/max per column, one row per profiled column.
+  *
+  * Scale design (100 TB): everything is computed in ONE aggregation job.
+  * Plain counts and min/max are partial-aggregable; the exact distinct
+  * counts make Spark plan an Expand (one replica of the scan's rows per
+  * distinct aggregate) feeding a two-level hash aggregate — map-side
+  * partial distinct keeps the shuffle bounded by the distinct-value
+  * count, not the row count. For quick looks at petabyte tables where
+  * exactness is not required, pass `exactDistinct = false` to swap in
+  * HLL `approx_count_distinct` (single scan, no Expand, O(1) state).
+  * The result is k rows of scalars — driver-sized by construction.
+  */
+object Profile {
+
+  /** One profiled column. Numeric min/max land in `min_num`/`max_num`
+    * (cast to double), everything orderable-but-not-numeric in
+    * `min_str`/`max_str` — never a cross-engine double→string format. */
+  final case class ColumnProfile(
+      col_name: String,
+      n_nonnull: Long,
+      n_null: Long,
+      n_distinct: Long,
+      min_num: Option[Double],
+      max_num: Option[Double],
+      min_str: Option[String],
+      max_str: Option[String])
+
+  def profile(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = true): Dataset[ColumnProfile] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(cols.nonEmpty, "no columns to profile")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(",")}")
+    val isNum: Map[String, Boolean] =
+      cols.map(c => c -> df.schema(c).dataType.isInstanceOf[NumericType]).toMap
+    val aggs = cols.flatMap { c =>
+      val distinct =
+        if (exactDistinct) count_distinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nul"),
+        distinct.as(s"${c}__nd")) ++
+        (if (isNum(c))
+           Seq(min(col(c)).cast("double").as(s"${c}__mn"),
+               max(col(c)).cast("double").as(s"${c}__mx"))
+         else
+           Seq(min(col(c)).cast("string").as(s"${c}__mn"),
+               max(col(c)).cast("string").as(s"${c}__mx")))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def opt[T](name: String): Option[T] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.getAs[T](i))
+    }
+    val profiles = cols.map { c =>
+      ColumnProfile(
+        col_name = c,
+        n_nonnull = row.getAs[Long](s"${c}__nn"),
+        n_null = row.getAs[Long](s"${c}__nul"),
+        n_distinct = row.getAs[Long](s"${c}__nd"),
+        min_num = if (isNum(c)) opt[Double](s"${c}__mn") else None,
+        max_num = if (isNum(c)) opt[Double](s"${c}__mx") else None,
+        min_str = if (isNum(c)) None else opt[String](s"${c}__mn"),
+        max_str = if (isNum(c)) None else opt[String](s"${c}__mx"))
+    }
+    spark.createDataset(profiles)
+  }
+}

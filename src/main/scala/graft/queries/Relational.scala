@@ -521,6 +521,41 @@ object Relational {
                       ${sqlFround("exp(-l_discount)", 6)} AS exp_neg_disc,
                       ${sqlFround("pow(l_quantity, 2.0)", 6)} AS qty_sq,
                       CAST(l_quantity <= 25.0 AS INT) AS small_qty
-               FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+               FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- P13 per-column data profiling --------------------------------
+    // graft.operators.Profile over orders: non-null/null/exact-distinct
+    // counts + typed min/max per column, ONE aggregation job for all
+    // columns (the distinct counts ride Spark's Expand with map-side
+    // partial aggregation). All-integer counts and exact min/max — full
+    // hash oracle as a UNION ALL of per-column scalar rows.
+    Q("p13_profile",
+      (s, d) => graft.operators.Profile.profile(
+          load(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .toDF().orderBy("col_name"),
+      Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+                     count(*) - count($c) AS n_null,
+                     count(DISTINCT $c) AS n_distinct,
+                     CAST(min($c) AS DOUBLE) AS min_num,
+                     CAST(max($c) AS DOUBLE) AS max_num,
+                     CAST(NULL AS VARCHAR) AS min_str,
+                     CAST(NULL AS VARCHAR) AS max_str
+              FROM orders"""
+        def str(c: String) =
+          s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+                     count(*) - count($c) AS n_null,
+                     count(DISTINCT $c) AS n_distinct,
+                     CAST(NULL AS DOUBLE) AS min_num,
+                     CAST(NULL AS DOUBLE) AS max_num,
+                     CAST(min($c) AS VARCHAR) AS min_str,
+                     CAST(max($c) AS VARCHAR) AS max_str
+              FROM orders"""
+        Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+          num("o_totalprice")).mkString(" UNION ALL ") +
+          " ORDER BY col_name"
+      })
   )
 }

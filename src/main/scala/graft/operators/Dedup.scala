@@ -495,4 +495,61 @@ object Dedup {
       .distinct()
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
   }
+
+  /** Pairwise corpus-overlap matrix: exact n-gram-shingle Jaccard
+    * between every pair of sources (languages, crawls, shards) — the
+    * "how much do my mixture components share" signal of data-mixing
+    * work, and the corpus-level sibling of d02's per-doc Jaccard.
+    *
+    * Scale shape: the corpus is collapsed to DISTINCT (source, gram)
+    * rows first — one shuffle bounded by vocabulary × sources, not by
+    * row count; the gram self-join then fans out each gram by at most
+    * the number of sources containing it (sources are few by
+    * definition), so no all-pairs surface exists. Zero-overlap pairs
+    * are kept via a tiny size-frame cross join. All counts are exact
+    * integers; `jaccard` is one IEEE divide — engine-portable.
+    * For corpora whose distinct gram set outgrows the shuffle, use
+    * [[corpusMinhashSignature]] + [[signatureAgreement]] as the
+    * constant-space estimate of the same matrix. */
+  def corpusOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    val grams = df
+      .select(col(groupCol).as("__g"),
+        explode(wordShingles(col(textCol), shingleN)).as("__gram"))
+      .distinct()
+    val sizes = grams.groupBy("__g").agg(count(lit(1)).as("n"))
+    val common = grams.as("a").join(grams.as("b"),
+        col("a.__gram") === col("b.__gram") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("ga"), col("b.__g").as("gb"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.as("sa").select(col("__g").as("ga"), col("n").as("n_a"))
+      .crossJoin(sizes.as("sb").select(col("__g").as("gb"), col("n").as("n_b")))
+      .filter(col("ga") < col("gb"))
+    pairs.join(common, Seq("ga", "gb"), "left")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L)))
+            .cast("double")).as("jaccard"))
+  }
+
+  /** Corpus-level MinHash signature per source: slot j = min over ALL
+    * of the source's shingles of hash_j — equal to the elementwise min
+    * of the per-doc signatures, so it aggregates per-doc work. The
+    * agreement fraction of two corpus signatures estimates the same
+    * Jaccard [[corpusOverlap]] computes exactly, in O(numHashes) space
+    * per source: the 100 TB path when vocabularies outgrow a shuffle.
+    * One posexplode + one partial-aggregable min per (source, slot). */
+  def corpusMinhashSignature(df: DataFrame, groupCol: String, textCol: String,
+                             shingleN: Int = 3,
+                             numHashes: Int = 128): DataFrame = {
+    df.select(col(groupCol).as("group"),
+        posexplode(minhashSignature(col(textCol), shingleN, numHashes)))
+      .groupBy(col("group"), col("pos"))
+      .agg(min(col("col")).as("h"))
+      .groupBy("group")
+      .agg(array_sort(collect_list(struct(col("pos"), col("h"))))
+        .getField("h").as("signature"))
+  }
 }

@@ -407,6 +407,43 @@ object DedupQueries {
                 ON a.c_name < b.c_name
                AND abs(len(a.c_name) - len(b.c_name)) <= 1
               WHERE levenshtein(a.c_name, b.c_name) <= 1
-              ORDER BY w1, w2"""))
+              ORDER BY w1, w2""")),
+
+    // ---- D10 pairwise corpus-overlap matrix ---------------------------
+    // Exact 3-gram-shingle Jaccard between every language pair — the
+    // corpus-level "how much do my mixture components share" signal.
+    // The corpus collapses to DISTINCT (lang, gram) first (vocabulary-
+    // bounded shuffle); the gram join fans out by at most #langs per
+    // gram. Integer counts + one IEEE divide → full hash oracle. The
+    // constant-space MinHash estimate of the same matrix is specced in
+    // DedupSuite (Dedup.corpusMinhashSignature).
+    Q("d10_corpus_overlap",
+      (s, d) => Dedup.corpusOverlap(load(s, d, "documents"), "lang", "text")
+        .orderBy("group_a", "group_b"),
+      Some("""WITH t AS (SELECT lang,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+              shl AS (SELECT lang,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(generate_series(1, len(toks)-2),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+                ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM t),
+              g AS (SELECT DISTINCT lang, unnest(sh) AS gram FROM shl),
+              sz AS (SELECT lang, count(*) AS n FROM g GROUP BY lang),
+              cm AS (SELECT a.lang AS group_a, b.lang AS group_b,
+                            count(*) AS n_common
+                     FROM g a JOIN g b
+                       ON a.gram = b.gram AND a.lang < b.lang
+                     GROUP BY 1, 2)
+              SELECT sa.lang AS group_a, sb.lang AS group_b,
+                     sa.n AS n_a, sb.n AS n_b,
+                     COALESCE(cm.n_common, 0) AS n_common,
+                     CAST(COALESCE(cm.n_common, 0) AS DOUBLE) /
+                       CAST(sa.n + sb.n - COALESCE(cm.n_common, 0) AS DOUBLE)
+                       AS jaccard
+              FROM sz sa JOIN sz sb ON sa.lang < sb.lang
+              LEFT JOIN cm ON cm.group_a = sa.lang AND cm.group_b = sb.lang
+              ORDER BY group_a, group_b"""))
   )
 }

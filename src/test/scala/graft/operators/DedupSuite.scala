@@ -313,4 +313,46 @@ class DedupSuite extends SparkSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("corpusOverlap: exact pairwise Jaccard incl. zero-overlap pairs") {
+    // src a: "w1 w2 w3 w4" → grams {w1 w2 w3, w2 w3 w4}
+    // src b: "w1 w2 w3 w5" → grams {w1 w2 w3, w2 w3 w5} (∩ a = 1, ∪ = 3)
+    // src c: disjoint entirely
+    val docs = Seq(
+      ("a", "w1 w2 w3 w4"), ("b", "w1 w2 w3 w5"), ("c", "x1 x2 x3")
+    ).toDF("src", "text")
+    val m = Dedup.corpusOverlap(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = m(("a", "b"))
+    assert(ab.getLong(2) === 2 && ab.getLong(3) === 2 && ab.getLong(4) === 1)
+    assert(ab.getDouble(5) === 1.0 / 3.0)
+    val ac = m(("a", "c"))
+    assert(ac.getLong(4) === 0 && ac.getDouble(5) === 0.0)
+    assert(m.size === 3) // zero-overlap pairs kept: ab, ac, bc
+  }
+
+  test("corpusMinhashSignature estimates the exact corpus Jaccard") {
+    // two sources sharing exactly half their docs → substantial overlap
+    val shared = (0 until 60).map(i => s"shared doc $i words alpha beta gamma delta epsilon$i")
+    val onlyA = (0 until 30).map(i => s"alpha only document $i with unique tokens foo$i bar$i")
+    val onlyB = (0 until 30).map(i => s"beta only document $i with unique tokens baz$i qux$i")
+    val docs = (shared.map(("a", _)) ++ onlyA.map(("a", _)) ++
+      shared.map(("b", _)) ++ onlyB.map(("b", _))).toDF("src", "text")
+    val exact = Dedup.corpusOverlap(docs, "src", "text")
+      .head().getDouble(5)
+    val sigs = Dedup.corpusMinhashSignature(docs, "src", "text", 3, 256)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a").length === 256)
+    val est = Dedup.signatureAgreement(lit(sigs("a").toArray), lit(sigs("b").toArray))
+    val estVal = spark.range(1).select(est.as("e")).head().getDouble(0)
+    // 256 hashes → se ≈ sqrt(J(1-J)/256) ≈ 0.03; allow 5 se
+    assert(math.abs(estVal - exact) < 0.16, s"est $estVal vs exact $exact")
+    // identical corpora agree on every slot
+    val same = Dedup.corpusMinhashSignature(
+      shared.map(("x", _)).toDF("src", "text")
+        .unionByName(shared.map(("y", _)).toDF("src", "text")),
+      "src", "text", 3, 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(same("x") === same("y"))
+  }
 }

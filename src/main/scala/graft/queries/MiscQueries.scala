@@ -1150,6 +1150,36 @@ object MiscQueries {
                    applied AS (SELECT k, v FROM latest WHERE op <> 'D')
               SELECT k, v FROM kept
               UNION ALL SELECT k, v FROM applied
-              ORDER BY k"""))
+              ORDER BY k""")),
+
+    // ---- S8 z-order (Morton) clustering key ---------------------------
+    // The multi-dimensional data-skipping layout: interleave the bits of
+    // two keys so z-range files carry tight min/max stats on BOTH.
+    // Graded surface = the z-value projection (pure integer shift/mask
+    // chain, hash-exact); the clustered-write locality is specced in
+    // ZOrderSuite (16 z-range files of a 128² grid → each file's
+    // bounding box ≤ 1/4 of the plane).
+    Q("s08_zorder",
+      (s, d) => {
+        val src = load(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          (col("o_orderkey") % 1024).as("x"),
+          (col("o_custkey") % 1024).as("y"))
+        src.select(col("k"), col("x"), col("y"),
+            graft.sources.ZOrder.zValue(col("x"), col("y")).as("z"))
+          .orderBy("k")
+      },
+      Some("""WITH s AS (SELECT o_orderkey AS k, o_orderkey % 1024 AS x,
+                                o_custkey % 1024 AS y FROM orders),
+                   e0 AS (SELECT k, x, y, x & 65535 AS vx, y & 65535 AS vy FROM s),
+                   e1 AS (SELECT k, x, y, (vx | (vx << 8)) & 16711935 AS vx,
+                                          (vy | (vy << 8)) & 16711935 AS vy FROM e0),
+                   e2 AS (SELECT k, x, y, (vx | (vx << 4)) & 252645135 AS vx,
+                                          (vy | (vy << 4)) & 252645135 AS vy FROM e1),
+                   e3 AS (SELECT k, x, y, (vx | (vx << 2)) & 858993459 AS vx,
+                                          (vy | (vy << 2)) & 858993459 AS vy FROM e2),
+                   e4 AS (SELECT k, x, y, (vx | (vx << 1)) & 1431655765 AS vx,
+                                          (vy | (vy << 1)) & 1431655765 AS vy FROM e3)
+              SELECT k, x, y, vx | (vy << 1) AS z FROM e4 ORDER BY k"""))
   )
 }

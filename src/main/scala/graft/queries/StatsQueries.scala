@@ -551,7 +551,34 @@ object StatsQueries {
                       (CAST(count(*) AS DOUBLE) / (CAST(count(*) AS DOUBLE) - 1.0)) *
                         (${sqlDsum("z * z")} - ${sqlDsum("z")} * ${sqlDsum("z")}
                            / CAST(count(*) AS DOUBLE)) AS var_dom
-               FROM z"""))
+               FROM z""")),
+
+    // ---- M34 post-stratification (survey::postStratify) ---------------
+    // One-margin raking: each stratum's weights scaled once so their sum
+    // hits the known population stratum count — exact after a single
+    // adjustment. Same one-pass cell sums + literal-CASE projection as
+    // m31 (graft.stats.Raking.poststratify).
+    Q("m34_poststratify",
+      (s, d) => {
+        val a = sampleA(s, d).withColumn("f", col("id") % 4)
+        val popAggs = (0 to 3).map(i =>
+          sum(when(col("c_custkey") % 4 === i, 1).otherwise(0))
+            .cast("double").as(s"t$i"))
+        val pop = load(s, d, "customer").agg(popAggs.head, popAggs.tail: _*).head()
+        val t = (0 to 3).map(i => i.toLong -> dbl(pop, i)).toMap
+        graft.stats.Raking.poststratify(a, "d", "f", t)
+          .select(col("id"), col("f"), col("w_post"))
+          .orderBy("id")
+      },
+      Some(s"""WITH a AS ($sqlA),
+                    g AS (SELECT id % 4 AS f, ${sqlDsum("d")} AS s
+                          FROM a GROUP BY 1),
+                    t AS (SELECT c_custkey % 4 AS f,
+                                 CAST(count(*) AS DOUBLE) AS t
+                          FROM customer GROUP BY 1),
+                    r AS (SELECT g.f, t.t / g.s AS r FROM g JOIN t ON g.f = t.f)
+               SELECT a.id, a.id % 4 AS f, a.d * r.r AS w_post
+               FROM a JOIN r ON a.id % 4 = r.f ORDER BY a.id"""))
   )
 
   /** DuckDB rendition of m31: pivot the 6 exact-decimal cells to scalars,

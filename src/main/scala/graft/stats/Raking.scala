@@ -95,6 +95,35 @@ object Raking {
       chained.otherwise(lit(m(ks.last)))
     }
 
+  /** Post-stratification (`survey::postStratify`): the one-margin,
+    * one-step special case of raking — scale each stratum's weights so
+    * their sum equals the known population stratum total. Exact after a
+    * single adjustment (no iteration), same one-pass + literal-CASE
+    * projection shape as [[rake]]. */
+  def poststratify(
+      df: DataFrame,
+      dCol: String,
+      fCol: String,
+      targets: Map[Long, Double],
+      wOut: String = "w_post"
+  ): DataFrame = {
+    require(targets.nonEmpty, "empty post-stratification margin")
+    val sums: Map[Long, Double] = df
+      .groupBy(col(fCol).cast("long").as("f"))
+      .agg(dsum(col(dCol)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val badCat = sums.keys.find(!targets.contains(_))
+    require(badCat.isEmpty, s"data stratum $badCat missing from targets")
+    val ks = targets.keys.toSeq.sorted
+    val ratios = ks.map { f =>
+      val s = sums.getOrElse(f, 0.0)
+      require(s != 0.0, s"post-stratum $f has zero weight in the data")
+      f -> targets(f) / s
+    }.toMap
+    df.withColumn(wOut,
+      col(dCol) * multExpr(col(fCol).cast("long"), ks, ratios))
+  }
+
   /** Full raking: compute [[factors]] and attach the raked weight
     * `wOut = d · R1(f1) · R2(f2)` as a pure projection. */
   def rake(

@@ -50,6 +50,30 @@ class RakingSuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("poststratify hits every stratum target exactly in one step") {
+    val t = Map(0L -> 5.0, 1L -> 7.0)
+    val post = Raking.poststratify(
+      fixture.withColumn("f", col("f1")), "d", "f", t)
+    val sums = post.groupBy("f").agg(sum("w_post").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // cells: f=0 holds 2 unit weights, f=1 holds 4 → ratios 2.5 and 1.75
+    assert(sums(0L) === 5.0 && sums(1L) === 7.0)
+    val w = post.select("f", "w_post").distinct().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(0L) === 2.5 && w(1L) === 1.75)
+  }
+
+  test("poststratify rejects empty strata and unknown data strata") {
+    assert(intercept[IllegalArgumentException] {
+      Raking.poststratify(fixture.withColumn("f", col("f1")), "d", "f",
+        Map(0L -> 5.0, 1L -> 7.0, 9L -> 1.0))
+    }.getMessage.contains("zero weight"))
+    assert(intercept[IllegalArgumentException] {
+      Raking.poststratify(fixture.withColumn("f", col("f1")), "d", "f",
+        Map(0L -> 5.0))
+    }.getMessage.contains("missing from targets"))
+  }
+
   test("data categories missing from the targets fail loudly") {
     val e = intercept[IllegalArgumentException] {
       Raking.factors(fixture, "d", "f1", "f2",

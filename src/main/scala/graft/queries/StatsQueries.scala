@@ -578,7 +578,45 @@ object StatsQueries {
                           FROM customer GROUP BY 1),
                     r AS (SELECT g.f, t.t / g.s AS r FROM g JOIN t ON g.f = t.f)
                SELECT a.id, a.id % 4 AS f, a.d * r.r AS w_post
-               FROM a JOIN r ON a.id % 4 = r.f ORDER BY a.id"""))
+               FROM a JOIN r ON a.id % 4 = r.f ORDER BY a.id""")),
+
+    // ---- M35 Fay's BRR (ρ=0.5) ----------------------------------------
+    // Judkins 1990: the kept PSU is reweighted 2−ρ and the dropped one ρ
+    // (instead of 2/0), stabilizing replicate estimates for sparse
+    // domains; variance divisor R·(1−ρ)². Same Sylvester-Hadamard
+    // replicate frame as m29, every cell contributing to every
+    // replicate through the CASE factor.
+    Q("m35_brr_fay",
+      (s, d) => Replication.brrMean(sampleA(s, d), col("y"), col("d"),
+        col("id") % 2, expr("id div 2") % 2, fayRho = 0.5),
+      Some(s"""WITH a AS ($sqlA),
+                    g AS (SELECT id % 2 AS h, (id // 2) % 2 AS psu,
+                                 ${sqlDsum("d * y")} AS tg,
+                                 ${sqlDsum("d")} AS wg
+                          FROM a GROUP BY 1, 2),
+                    idx AS (SELECT h, psu, tg, wg,
+                              dense_rank() OVER (ORDER BY h) - 1 AS h_idx,
+                              row_number() OVER
+                                (PARTITION BY h ORDER BY psu) - 1 AS slot
+                            FROM g),
+                    reps AS (SELECT unnest(generate_series(0, 3)) AS r),
+                    fct AS (SELECT i.tg, i.wg, r.r,
+                              CASE WHEN i.slot =
+                                bit_count(CAST(r.r AS BIGINT) & (i.h_idx + 1)) % 2
+                              THEN 1.5 ELSE 0.5 END AS f
+                            FROM idx i CROSS JOIN reps r),
+                    rt AS (SELECT r, ${sqlDsum("f * tg")} AS tr,
+                                  ${sqlDsum("f * wg")} AS wr
+                           FROM fct GROUP BY r),
+                    tot AS (SELECT ${sqlDsum("tg")} AS t,
+                                   ${sqlDsum("wg")} AS w FROM g)
+               SELECT max(t / w) AS mean_y,
+                      CAST(2 AS BIGINT) AS n_strata,
+                      CAST(4 AS BIGINT) AS n_reps,
+                      ${sqlDsum(
+                        "(tr / wr - t / w) * (tr / wr - t / w)")} / (4.0 * 0.25)
+                        AS var_brr
+               FROM rt, tot"""))
   )
 
   /** DuckDB rendition of m31: pivot the 6 exact-decimal cells to scalars,

@@ -152,7 +152,9 @@ object Replication {
     * is arithmetic on that local frame. Returns ONE row:
     * (mean_y, n_strata, n_reps, var_brr). */
   def brrMean(df: DataFrame, y: Column, w: Column, stratum: Column,
-              psu: Column): DataFrame = {
+              psu: Column, fayRho: Double = 0.0): DataFrame = {
+    require(fayRho >= 0.0 && fayRho < 1.0,
+      s"Fay's rho must be in [0, 1), got $fayRho")
     val spark = df.sparkSession
     val gDist = df.groupBy(stratum.as("__h"), psu.as("__psu"))
       .agg(dsum(w * y).as("tg"), dsum(w).as("wg"))
@@ -180,14 +182,19 @@ object Replication {
     val hCount = byH.size
     val r0 = Integer.highestOneBit(hCount) * 2 // smallest pow2 > H
     val reps = spark.range(r0.toLong).select(col("id").cast("int").as("r"))
-    // Sylvester sign: keep slot 0 when popcount(r & (h_idx+1)) is even
+    // Sylvester sign: keep slot 0 when popcount(r & (h_idx+1)) is even.
+    // Fay's generalization reweights the kept PSU by 2−ρ and the dropped
+    // one by ρ instead of 2/0 (Judkins 1990); ρ=0 is classic BRR — the
+    // dropped cells then contribute exact decimal zeros, so the ρ=0
+    // result is bit-identical to the old keep-filter formulation.
     val keepSlot = (bit_count(col("r").bitwiseAND(col("h_idx") + 1)) % 2)
       .cast("int")
+    val fayFactor = when(col("slot") === keepSlot, lit(2.0) - lit(fayRho))
+      .otherwise(lit(fayRho))
     val repTotals = idx.crossJoin(reps)
-      .filter(col("slot") === keepSlot)
       .groupBy("r")
-      .agg(dsum(lit(2.0) * col("tg")).as("tr"),
-        dsum(lit(2.0) * col("wg")).as("wr"))
+      .agg(dsum(fayFactor * col("tg")).as("tr"),
+        dsum(fayFactor * col("wg")).as("wr"))
     val tot = g.agg(dsum(col("tg")).as("t"), dsum(col("wg")).as("w"))
     val dd = col("tr") / col("wr") - col("t") / col("w")
     repTotals.crossJoin(broadcast(tot))
@@ -195,6 +202,7 @@ object Replication {
         first(col("t") / col("w")).as("mean_y"),
         lit(hCount.toLong).as("n_strata"),
         lit(r0.toLong).as("n_reps"),
-        (dsum(dd * dd) / lit(r0.toDouble)).as("var_brr"))
+        (dsum(dd * dd) /
+          lit(r0 * (1.0 - fayRho) * (1.0 - fayRho))).as("var_brr"))
   }
 }

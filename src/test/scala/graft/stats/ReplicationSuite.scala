@@ -167,6 +167,39 @@ class ReplicationSuite extends SparkSpec {
     }
   }
 
+  test("Fay's BRR: rho=0 is classic BRR bit-exactly; rho=0.5 recovers " +
+      "the same variance when the replicate weight sums are constant") {
+    val rows = Seq(
+      (1.0, 1.0, 0, 0), (2.0, 2.0, 0, 0),
+      (3.0, 1.5, 0, 1),
+      (4.0, 1.0, 1, 0), (5.0, 0.5, 1, 0),
+      (6.0, 2.0, 1, 1), (7.0, 1.0, 1, 1))
+    val df = rows.toDF("y", "w", "h", "psu")
+    val classic = Replication.brrMean(df, col("y"), col("w"), col("h"),
+      col("psu")).head()
+    val fay0 = Replication.brrMean(df, col("y"), col("w"), col("h"),
+      col("psu"), fayRho = 0.0).head()
+    assert(fay0.getDouble(0) === classic.getDouble(0))
+    assert(fay0.getDouble(3) === classic.getDouble(3)) // bit-identical
+    // equal PSU weight sums ⇒ every replicate's wr is the same constant
+    // ⇒ the mean is linear in the Fay factors ⇒ dd_fay = (1-ρ)·dd and
+    // the divisor (1-ρ)² cancels exactly (up to IEEE rounding)
+    val eq = Seq(
+      (1.0, 1.0, 0, 0), (3.0, 1.0, 0, 1),
+      (4.0, 1.0, 1, 0), (6.0, 1.0, 1, 1))
+      .toDF("y", "w", "h", "psu")
+    val vClassic = Replication.brrMean(eq, col("y"), col("w"), col("h"),
+      col("psu")).head().getDouble(3)
+    val vFay = Replication.brrMean(eq, col("y"), col("w"), col("h"),
+      col("psu"), fayRho = 0.5).head().getDouble(3)
+    assert(math.abs(vFay - vClassic) <= 1e-12 * math.abs(vClassic))
+    val e = intercept[IllegalArgumentException] {
+      Replication.brrMean(df, col("y"), col("w"), col("h"), col("psu"),
+        fayRho = 1.0)
+    }
+    assert(e.getMessage.contains("rho"))
+  }
+
   test("brrMean fails loudly unless every stratum has exactly 2 PSUs") {
     val df = Seq((1.0, 1.0, 0, 0), (2.0, 1.0, 0, 1), (3.0, 1.0, 1, 0))
       .toDF("y", "w", "h", "psu")

@@ -1180,6 +1180,56 @@ object MiscQueries {
                                           (vy | (vy << 2)) & 858993459 AS vy FROM e2),
                    e4 AS (SELECT k, x, y, (vx | (vx << 1)) & 1431655765 AS vx,
                                           (vy | (vy << 1)) & 1431655765 AS vy FROM e3)
-              SELECT k, x, y, vx | (vy << 1) AS z FROM e4 ORDER BY k"""))
+              SELECT k, x, y, vx | (vy << 1) AS z FROM e4 ORDER BY k""")),
+
+    // ---- J11 Fellegi–Sunter record linkage ----------------------------
+    // Two overlapping customer extracts (%2 and %3 keys) linked by a
+    // nationkey blocking join + a 3-field agreement vector (name exact,
+    // segment exact, balance within 100) scored with literal log-odds
+    // weights; threshold 2.5 keeps name-agreeing pairs. Pair volume is
+    // per-block, never |L|·|R|; the score is a fixed-order sum of
+    // literal doubles — hash-exact.
+    Q("j11_record_linkage",
+      (s, d) => {
+        import graft.operators.RecordLinkage.{FieldComparison, scorePairs}
+        def extract(m: Int) = load(s, d, "customer")
+          .filter(col("c_custkey") % m === 0)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_nationkey").as("nat"), col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg"))
+        scorePairs(extract(2), extract(3), keyCol = "id",
+          blockCols = Seq("nat"),
+          comparisons = Seq(
+            FieldComparison("name", (a, b) => a === b, 3.5, -1.5),
+            FieldComparison("seg", (a, b) => a === b, 1.0, -0.5),
+            FieldComparison("bal", (a, b) => abs(a - b) < 100.0, 2.0, -2.0)),
+          minScore = 2.5)
+          .orderBy("id_l", "id_r")
+      },
+      Some("""WITH l AS (SELECT c_custkey AS id, c_name AS name,
+                                c_nationkey AS nat, c_acctbal AS bal,
+                                c_mktsegment AS seg
+                         FROM customer WHERE c_custkey % 2 = 0),
+                   r AS (SELECT c_custkey AS id, c_name AS name,
+                                c_nationkey AS nat, c_acctbal AS bal,
+                                c_mktsegment AS seg
+                         FROM customer WHERE c_custkey % 3 = 0),
+                   p AS (SELECT l.id AS id_l, r.id AS id_r,
+                           CASE WHEN l.name = r.name THEN 1 ELSE 0 END AS agr_name,
+                           CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS agr_seg,
+                           CASE WHEN abs(l.bal - r.bal) < 100.0
+                                THEN 1 ELSE 0 END AS agr_bal,
+                           (CASE WHEN l.name = r.name
+                                 THEN CAST(3.5 AS DOUBLE)
+                                 ELSE CAST(-1.5 AS DOUBLE) END +
+                            CASE WHEN l.seg = r.seg
+                                 THEN CAST(1.0 AS DOUBLE)
+                                 ELSE CAST(-0.5 AS DOUBLE) END +
+                            CASE WHEN abs(l.bal - r.bal) < 100.0
+                                 THEN CAST(2.0 AS DOUBLE)
+                                 ELSE CAST(-2.0 AS DOUBLE) END) AS score
+                         FROM l JOIN r ON l.nat = r.nat)
+              SELECT id_l, id_r, agr_name, agr_seg, agr_bal, score
+              FROM p WHERE score >= 2.5 ORDER BY id_l, id_r"""))
   )
 }

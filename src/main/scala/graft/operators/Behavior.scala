@@ -110,4 +110,31 @@ object Behavior {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix of user journeys: counts (and
+    * row-normalized probabilities) of each event type followed
+    * immediately by each other event type within a user's timeline —
+    * the path-analysis / next-step model behind "where do users go
+    * after X".
+    *
+    * Scale shape: ONE user-keyed exchange carries the lag window (ties
+    * broken on `idCol` for determinism); the (from, to) aggregation is
+    * partial-aggregable and its key space is |types|² — tiny. The
+    * probability divide runs over that tiny matrix, not the events.
+    * Ordering compares integer microseconds (engine-exact), never a
+    * seconds-truncated cast. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val mat = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_evt"), col("__next").as("to_evt"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotal = sum(col("n"))
+      .over(Window.partitionBy(col("from_evt")))
+    mat.select(col("from_evt"), col("to_evt"), col("n"),
+      (col("n").cast("double") / fromTotal.cast("double")).as("p"))
+  }
 }

@@ -105,6 +105,28 @@ object BehaviorQueries {
               SELECT user_id, CAST(min(t_view) AS VARCHAR) AS t_view,
                      CAST(min(t_click) AS VARCHAR) AS t_click,
                      CAST(min(t_purchase) AS VARCHAR) AS t_purchase
-              FROM s3 GROUP BY user_id ORDER BY user_id"""))
+              FROM s3 GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- A30 first-order Markov transition matrix ---------------------
+    // Counts + row-normalized probabilities of event_type → next
+    // event_type per user timeline (Behavior.transitionCounts). One
+    // user-keyed exchange for the lag; the matrix itself is |types|².
+    // Integer counts + one IEEE divide per cell → full hash oracle.
+    // Both engines order by integer microseconds with event_id ties.
+    Q("a30_transitions",
+      (s, d) => Behavior.transitionCounts(loadEvents(s, d),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_evt", "to_evt"),
+      Some("""WITH s AS (SELECT event_type AS from_evt,
+                           lead(event_type) OVER
+                             (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS to_evt
+                         FROM events),
+                   c AS (SELECT from_evt, to_evt, count(*) AS n
+                         FROM s WHERE to_evt IS NOT NULL GROUP BY 1, 2)
+              SELECT from_evt, to_evt, n,
+                     CAST(n AS DOUBLE) /
+                       CAST(sum(n) OVER (PARTITION BY from_evt) AS DOUBLE) AS p
+              FROM c ORDER BY from_evt, to_evt"""))
   )
 }

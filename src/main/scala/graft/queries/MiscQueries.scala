@@ -1230,6 +1230,27 @@ object MiscQueries {
                                  ELSE CAST(-2.0 AS DOUBLE) END) AS score
                          FROM l JOIN r ON l.nat = r.nat)
               SELECT id_l, id_r, agr_name, agr_seg, agr_bal, score
-              FROM p WHERE score >= 2.5 ORDER BY id_l, id_r"""))
+              FROM p WHERE score >= 2.5 ORDER BY id_l, id_r""")),
+
+    // ---- W10 trending top-k per window (batch rendition) --------------
+    // Streams.trendingTopK: tumbling per-type counts + per-window top-k
+    // rank (count desc, type tie-break). The counts half is the
+    // streaming-stateful operator (StreamingSuite proves sink-side rank
+    // over streamed counts == this batch rendition); ranks and counts
+    // are all-integer → full hash oracle.
+    Q("w10_trending",
+      (s, d) => Streams.trendingTopK(
+          graft.util.Tables.loadEvents(s, d), "1 hour", k = 3)
+        .orderBy("w_start", "rank"),
+      Some("""WITH c AS (SELECT CAST(date_trunc('hour', ts) AS VARCHAR)
+                           AS w_start, event_type, count(*) AS n
+                         FROM events GROUP BY 1, 2),
+                   r AS (SELECT w_start, event_type, n,
+                           CAST(row_number() OVER
+                             (PARTITION BY w_start
+                              ORDER BY n DESC, event_type) AS INTEGER) AS rank
+                         FROM c)
+              SELECT w_start, event_type, n, rank FROM r
+              WHERE rank <= 3 ORDER BY w_start, rank"""))
   )
 }

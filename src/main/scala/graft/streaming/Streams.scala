@@ -59,6 +59,37 @@ object Streams {
       .select(col("w.start").cast("string").as("w_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Trending-topic counts: the streaming-stateful half of per-window
+    * top-k — tumbling per-type counts, watermark-closed, append-mode
+    * emittable. Window functions can't run mid-stream, so the rank
+    * ([[rankTopK]]) is applied on the sink side (foreachBatch or a
+    * downstream batch job over closed windows) — exact, because append
+    * mode emits each window exactly once, complete. */
+  def trendingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-window top-k rank over [[trendingCounts]] output (count desc,
+    * event_type tie-break). The window partition holds one row per
+    * event type — bounded, so the rank never needs a global sort. */
+  def rankTopK(counts: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val rk = row_number().over(
+      Window.partitionBy(col("w")).orderBy(col("n").desc, col("event_type")))
+    counts.withColumn("rank", rk).filter(col("rank") <= k)
+      .select(col("w.start").cast("string").as("w_start"),
+        col("event_type"), col("n"), col("rank"))
+  }
+
+  /** Batch rendition: counts + rank in one plan. */
+  def trendingTopK(events: DataFrame, windowLen: String = "1 hour",
+                   k: Int = 3): DataFrame =
+    rankTopK(trendingCounts(events, windowLen), k)
+
   /** Streaming deduplication on `keyCols` with watermark-bounded state
     * (`dropDuplicatesWithinWatermark`). Dedup is exact ONLY for
     * duplicates arriving within the `lateness` horizon of the

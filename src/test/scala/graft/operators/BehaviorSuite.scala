@@ -66,6 +66,28 @@ class BehaviorSuite extends SparkSpec {
       ("2020-01-13", 0L, 1L)))
   }
 
+  test("transitionCounts: per-user lag pairs, row-normalized probabilities") {
+    val ev = Seq(
+      (1L, ts(0), "a", 1L), (1L, ts(1), "b", 2L), (1L, ts(2), "a", 3L),
+      (2L, ts(0), "b", 4L), (2L, ts(1), "a", 5L),
+      (3L, ts(0), "a", 6L), (3L, ts(1), "c", 7L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Behavior.transitionCounts(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .orderBy("from_evt", "to_evt")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 2L, 1.0)))
+    // same-timestamp events order deterministically on event_id
+    val tie = Seq(
+      (1L, ts(0), "x", 2L), (1L, ts(0), "y", 1L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val t = Behavior.transitionCounts(tie, "user_id", "ts", "event_type",
+      "event_id").collect()
+    assert(t.length === 1 &&
+      t.head.getString(0) === "y" && t.head.getString(1) === "x")
+  }
+
   test("funnel rides one user-keyed exchange (no sort, no join)") {
     val plan = Behavior.funnelCounts(events, "user_id", "ts", "event_type",
       Seq("view", "click", "purchase")).queryExecution.executedPlan.toString

@@ -48,6 +48,39 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending top-k: sink-side rank over streamed counts == batch rendition") {
+    val events = Seq(
+      Ev(t("2026-01-01 10:05:00"), "click", 1.0),
+      Ev(t("2026-01-01 10:10:00"), "click", 1.0),
+      Ev(t("2026-01-01 10:20:00"), "view", 1.0),
+      Ev(t("2026-01-01 10:30:00"), "view", 1.0),
+      Ev(t("2026-01-01 10:40:00"), "buy", 1.0),   // ties view? no: 2/2/1
+      Ev(t("2026-01-01 11:05:00"), "view", 1.0))
+
+    val batch = Streams.trendingTopK(events.toDF(), "1 hour", k = 2)
+      .orderBy("w_start", "rank")
+      .as[(String, String, Long, Int)].collect().toSeq
+    // hour 10: click 2 / view 2 → tie broken lexicographically; buy cut
+    assert(batch === Seq(
+      ("2026-01-01 10:00:00", "click", 2L, 1),
+      ("2026-01-01 10:00:00", "view", 2L, 2),
+      ("2026-01-01 11:00:00", "view", 1L, 1)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = Streams.trendingCounts(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("trending_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = Streams.rankTopK(spark.table("trending_counts"), k = 2)
+        .orderBy("w_start", "rank")
+        .as[(String, String, Long, Int)].collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: batch == streaming, unmatched " +
       "events kept with NULL dim") {
     val events = Seq(

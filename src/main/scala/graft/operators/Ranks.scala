@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact global row numbering WITHOUT a single-task window — the
+  * scalable rank primitive for order statistics (Gini, quantile cuts,
+  * leaderboards) over groups too large for one task.
+  *
+  * `Window.partitionBy()` (or one giant group) funnels every row through
+  * one task; this instead range-partitions on the sort key (a
+  * distributed sort shuffle) and numbers rows with `zipWithIndex` —
+  * a per-partition count job plus a pure index map, no single point of
+  * concentration. The result equals the global-window rank provided the
+  * sort columns form a TOTAL order (include a tie-break key), which
+  * also makes the rank independent of where the sampled range
+  * boundaries land.
+  */
+object Ranks {
+
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      out: String = "rn",
+                      numPartitions: Option[Int] = None): DataFrame = {
+    require(sortCols.nonEmpty, "globalRowNumber needs sort columns")
+    val spark = df.sparkSession
+    val sorted = numPartitions
+      .map(n => df.repartitionByRange(n, sortCols: _*))
+      .getOrElse(df.repartitionByRange(sortCols: _*))
+      .sortWithinPartitions(sortCols: _*)
+    // zipWithIndex, NOT a second range shuffle + window: the range
+    // boundaries are SAMPLED, so counting partition sizes in one
+    // execution and ranking in another can disagree (observed at sf0.1).
+    // zipWithIndex's internal count job and the index map share ONE
+    // sorted RDD — same boundaries, same shuffle files — and the final
+    // rank is boundary-independent anyway because the sort columns form
+    // a total order.
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        out, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-group Gini concentration coefficient from the rank formula
+    * G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) — inequality of a value
+    * across group members (corpus-source share, revenue concentration).
+    *
+    * The within-group index i comes from ONE [[globalRowNumber]] over
+    * (group, value, tie) — ranks within a group are contiguous in the
+    * grouped total order, so i = global rank − group's min rank + 1.
+    * No single-task window even when one group holds most of the data;
+    * the min-rank frame is |groups| rows, broadcast back. Exact-decimal
+    * sums + one fixed IEEE expression → engine-portable. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String): DataFrame = {
+    import graft.util.Tables.dsum
+    val ranked = globalRowNumber(
+      df.select(col(groupCol), col(valueCol), col(tieCol)),
+      Seq(col(groupCol), col(valueCol), col(tieCol)), out = "__r")
+    val minR = ranked.groupBy(groupCol).agg(min(col("__r")).as("__r0"))
+    val indexed = ranked.join(broadcast(minR), groupCol)
+      .withColumn("__i", col("__r") - col("__r0") + lit(1L))
+    val agg = indexed.groupBy(groupCol).agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(col(valueCol)).as("sx"),
+      dsum(col("__i") * col(valueCol)).as("six"))
+    agg.select(col(groupCol), col("n").cast("long").as("n_rows"),
+      ((lit(2.0) * col("six") - (col("n") + lit(1.0)) * col("sx")) /
+        (col("n") * col("sx"))).as("gini"))
+  }
+}

@@ -1251,6 +1251,32 @@ object MiscQueries {
                               ORDER BY n DESC, event_type) AS INTEGER) AS rank
                          FROM c)
               SELECT w_start, event_type, n, rank FROM r
-              WHERE rank <= 3 ORDER BY w_start, rank"""))
+              WHERE rank <= 3 ORDER BY w_start, rank""")),
+
+    // ---- A31 per-group Gini concentration -----------------------------
+    // Rank-formula Gini of l_extendedprice per returnflag via
+    // Ranks.giniByGroup: the within-group index rides ONE distributed
+    // range-partitioned global row number (no single-task window even
+    // for a dominant group); exact-decimal Σx and Σi·x + one fixed IEEE
+    // expression → full hash oracle.
+    Q("a31_gini",
+      (s, d) => graft.operators.Ranks.giniByGroup(
+          load(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice"),
+              (col("l_orderkey") * 10 + col("l_linenumber")).as("tie")),
+          "l_returnflag", "l_extendedprice", "tie")
+        .orderBy("l_returnflag"),
+      Some(s"""WITH s AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                                 l_orderkey * 10 + l_linenumber AS tie
+                          FROM lineitem),
+                    r AS (SELECT g, v, row_number() OVER
+                            (PARTITION BY g ORDER BY v, tie) AS i FROM s),
+                    a AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+                                 ${sqlDsum("v")} AS sx,
+                                 ${sqlDsum("i * v")} AS six
+                          FROM r GROUP BY g)
+               SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                      (2.0 * six - (n + 1.0) * sx) / (n * sx) AS gini
+               FROM a ORDER BY l_returnflag"""))
   )
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RanksSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRowNumber equals the single-task window rank") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(500)(i => (rnd.nextInt(40).toDouble, i.toLong))
+      .toDF("v", "id")
+    val viaWindow = df.withColumn("rn",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(col("v"), col("id")))
+          .cast("long"))
+      .orderBy("rn").as[(Double, Long, Long)].collect().toSeq
+    val viaRanks = Ranks.globalRowNumber(df.repartition(7),
+        Seq(col("v"), col("id")), "rn", numPartitions = Some(5))
+      .orderBy("rn").as[(Double, Long, Long)].collect().toSeq
+    assert(viaRanks === viaWindow)
+  }
+
+  test("giniByGroup: uniform group scores 0, fully concentrated (n-1)/n") {
+    val df = Seq(
+      ("u", 5.0, 1L), ("u", 5.0, 2L), ("u", 5.0, 3L), ("u", 5.0, 4L),
+      ("c", 0.0, 5L), ("c", 0.0, 6L), ("c", 0.0, 7L), ("c", 12.0, 8L)
+    ).toDF("g", "v", "tie")
+    val out = Ranks.giniByGroup(df, "g", "v", "tie")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("u") === ((4L, 0.0)))
+    assert(out("c") === ((4L, 3.0 / 4.0)))
+  }
+
+  test("giniByGroup is bit-identical under repartitioning") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(300)(i =>
+      (s"g${i % 3}", rnd.nextInt(1000) / 7.0, i.toLong)).toDF("g", "v", "tie")
+    val a = Ranks.giniByGroup(df.repartition(1), "g", "v", "tie")
+      .orderBy("g").collect().toSeq
+    val b = Ranks.giniByGroup(df.repartition(13), "g", "v", "tie")
+      .orderBy("g").collect().toSeq
+    assert(a === b)
+  }
+}

@@ -1277,6 +1277,39 @@ object MiscQueries {
                           FROM r GROUP BY g)
                SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
                       (2.0 * six - (n + 1.0) * sx) / (n * sx) AS gini
-               FROM a ORDER BY l_returnflag"""))
+               FROM a ORDER BY l_returnflag""")),
+
+    // ---- A32 association rules (market-basket co-occurrence) ----------
+    // Orders are baskets, part-key buckets the items; pairwise support /
+    // confidence / lift via Association.rules. The only quadratic
+    // surface is the per-basket self-join (size-bounded); counts are
+    // exact integers and ratios single IEEE divides → full hash oracle.
+    Q("a32_association",
+      (s, d) => graft.operators.Association.rules(
+          load(s, d, "lineitem")
+            .select(col("l_orderkey"), (col("l_partkey") % 50).as("item")),
+          "l_orderkey", "item", minPairCount = 5)
+        .orderBy("item_a", "item_b"),
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS b,
+                                 l_partkey % 50 AS i FROM lineitem),
+                   nb AS (SELECT count(DISTINCT b) AS n_baskets FROM it),
+                   ic AS (SELECT i, count(*) AS cnt FROM it GROUP BY i),
+                   pr AS (SELECT a.i AS item_a, b.i AS item_b,
+                                 count(*) AS n_pair
+                          FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+                          GROUP BY 1, 2 HAVING count(*) >= 5)
+              SELECT pr.item_a, pr.item_b, pr.n_pair,
+                     ca.cnt AS cnt_a, cb.cnt AS cnt_b, nb.n_baskets,
+                     CAST(pr.n_pair AS DOUBLE) / CAST(ca.cnt AS DOUBLE)
+                       AS conf_a_b,
+                     CAST(pr.n_pair AS DOUBLE) / CAST(cb.cnt AS DOUBLE)
+                       AS conf_b_a,
+                     CAST(pr.n_pair * nb.n_baskets AS DOUBLE) /
+                       CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+              FROM pr
+              JOIN ic ca ON ca.i = pr.item_a
+              JOIN ic cb ON cb.i = pr.item_b
+              CROSS JOIN nb
+              ORDER BY item_a, item_b"""))
   )
 }

@@ -616,8 +616,48 @@ object StatsQueries {
                       ${sqlDsum(
                         "(tr / wr - t / w) * (tr / wr - t / w)")} / (4.0 * 0.25)
                         AS var_brr
-               FROM rt, tot"""))
+               FROM rt, tot""")),
+
+    // ---- M36 Poisson bootstrap variance -------------------------------
+    // Hash-checkable bootstrap: replicate r reweights each element by a
+    // DETERMINISTIC Poisson(1) draw — portable multiplicative hash of
+    // (id, r) → inverse CDF over literal-digit thresholds (no libm) —
+    // so the whole resampling scheme reruns bit-identically in DuckDB.
+    // One ×R row expansion, then a single partial-aggregable groupBy(r).
+    Q("m36_poisson_bootstrap",
+      (s, d) => Replication.poissonBootstrapMean(sampleA(s, d),
+        col("y"), col("d"), col("id"), reps = 32),
+      Some(bootstrapOracle(reps = 32)))
   )
+
+  /** DuckDB rendition of m36: same hash, same CASE inverse-CDF, same
+    * replicate aggregation — constants embedded as shortest-repr VARCHAR
+    * casts per the float-parity convention. */
+  private def bootstrapOracle(reps: Int): String = {
+    val cs = graft.stats.Replication.poisson1Cum.map(c =>
+      s"CAST('$c' AS DOUBLE)")
+    val kCase = "CASE " + cs.zipWithIndex.map { case (c, i) =>
+      s"WHEN u < $c THEN $i.0"
+    }.mkString(" ") + " ELSE 8.0 END"
+    s"""WITH a AS ($sqlA),
+              reps AS (SELECT unnest(generate_series(0, ${reps - 1})) AS r),
+              x AS (SELECT a.y, a.d, reps.r,
+                      CAST(((((a.id % 100000007) * 1009 + reps.r)
+                        % 100000007) * 1315423911) % 100000007 AS DOUBLE)
+                        / 100000007.0 AS u
+                    FROM a CROSS JOIN reps),
+              kk AS (SELECT r, y, d, $kCase AS k FROM x),
+              rt AS (SELECT r, ${sqlDsum("k * d * y")} AS tr,
+                            ${sqlDsum("k * d")} AS wr
+                     FROM kk GROUP BY r),
+              tot AS (SELECT ${sqlDsum("d * y")} AS t,
+                             ${sqlDsum("d")} AS w FROM a)
+         SELECT max(t / w) AS mean_y,
+                CAST($reps AS BIGINT) AS n_reps,
+                ${sqlDsum("(tr / wr - t / w) * (tr / wr - t / w)")}
+                  / $reps.0 AS var_boot
+         FROM rt, tot"""
+  }
 
   /** DuckDB rendition of m31: pivot the 6 exact-decimal cells to scalars,
     * then unroll `iters` IPF rounds as CTEs — every ratio update is the

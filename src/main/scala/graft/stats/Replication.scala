@@ -151,6 +151,56 @@ object Replication {
     * materialized (G-row contract), and the R × H replicate expansion
     * is arithmetic on that local frame. Returns ONE row:
     * (mean_y, n_strata, n_reps, var_brr). */
+  /** Cumulative Poisson(1) probabilities P(K ≤ k), k = 0..7, written as
+    * literal digits (NOT computed via exp) so the same constants can be
+    * embedded verbatim in an oracle — no libm dependence. */
+  val poisson1Cum: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  private val portableP = 100000007L
+
+  /** Poisson bootstrap mean + replicate variance (Hanley & MacGibbon
+    * 2006; the streaming-friendly bootstrap): replicate r reweights each
+    * element by an independent Poisson(1) draw K_ri, so no resample
+    * index structure is ever built — θ_r = Σ K·w·y / Σ K·w and
+    * V̂ = (1/R)·Σ (θ_r − θ̂)².
+    *
+    * The draws are DETERMINISTIC: u_ri comes from the engine-portable
+    * multiplicative hash of (id, r) mod 1e8+7 and K from the inverse
+    * CDF over [[poisson1Cum]] (capped at 8, tail mass 1e-6) — the same
+    * arithmetic reruns bit-identically in any engine, which is what
+    * makes a bootstrap hash-checkable at all. Scale shape: the cross
+    * join with the R-row replicate frame expands rows ×R (the inherent
+    * bootstrap cost), but everything after is ONE partial-aggregable
+    * groupBy(r) of O(R) state — no resampled copies are materialized.
+    */
+  def poissonBootstrapMean(df: DataFrame, y: Column, w: Column,
+                           idCol: Column, reps: Int): DataFrame = {
+    require(reps > 0, s"bootstrap needs at least one replicate, got $reps")
+    val spark = df.sparkSession
+    val repsDf = spark.range(reps.toLong).select(col("id").cast("long").as("__r"))
+    val hash = pmod(
+      pmod(pmod(idCol, lit(portableP)) * lit(1009L) + col("__r"),
+        lit(portableP)) * lit(1315423911L), lit(portableP))
+    val u = hash.cast("double") / lit(portableP.toDouble)
+    val k = poisson1Cum.zipWithIndex.reverse
+      .foldLeft(lit(8.0): Column) { case (acc, (c, i)) =>
+        when(u < lit(c), lit(i.toDouble)).otherwise(acc)
+      }
+    val rt = df.crossJoin(broadcast(repsDf))
+      .groupBy("__r")
+      .agg(dsum(k * w * y).as("tr"), dsum(k * w).as("wr"))
+    val tot = df.agg(dsum(w * y).as("t"), dsum(w).as("wsum"))
+    val dd = col("tr") / col("wr") - col("t") / col("wsum")
+    rt.crossJoin(broadcast(tot))
+      .agg(
+        first(col("t") / col("wsum")).as("mean_y"),
+        lit(reps.toLong).as("n_reps"),
+        (dsum(dd * dd) / lit(reps.toDouble)).as("var_boot"))
+  }
+
   def brrMean(df: DataFrame, y: Column, w: Column, stratum: Column,
               psu: Column, fayRho: Double = 0.0): DataFrame = {
     require(fayRho >= 0.0 && fayRho < 1.0,

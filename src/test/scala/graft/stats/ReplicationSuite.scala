@@ -200,6 +200,27 @@ class ReplicationSuite extends SparkSpec {
     assert(e.getMessage.contains("rho"))
   }
 
+  test("poissonBootstrapMean: deterministic, partition-invariant, and " +
+      "close to s²/n on a unit-weight SRS") {
+    val n = 400
+    val rnd = new scala.util.Random(3)
+    val data = Seq.tabulate(n)(i => (i.toLong, 10.0 + rnd.nextGaussian()))
+    val df = data.toDF("id", "y").withColumn("w", lit(1.0))
+    val a = Replication.poissonBootstrapMean(df.repartition(2), col("y"),
+      col("w"), col("id"), reps = 200).head()
+    val b = Replication.poissonBootstrapMean(df.repartition(11), col("y"),
+      col("w"), col("id"), reps = 200).head()
+    assert(a.getDouble(0) === b.getDouble(0))
+    assert(a.getDouble(2) === b.getDouble(2)) // bit-identical reruns
+    val ys = data.map(_._2)
+    val mean = ys.sum / n
+    val s2n = ys.map(v => (v - mean) * (v - mean)).sum / (n - 1) / n
+    assert(math.abs(a.getDouble(2) - s2n) < 0.5 * s2n,
+      s"bootstrap var ${a.getDouble(2)} vs s²/n $s2n")
+    // the full-sample estimate is the weighted mean itself
+    assert(math.abs(a.getDouble(0) - mean) < 1e-9)
+  }
+
   test("brrMean fails loudly unless every stratum has exactly 2 PSUs") {
     val df = Seq((1.0, 1.0, 0, 0), (2.0, 1.0, 0, 1), (3.0, 1.0, 1, 0))
       .toDF("y", "w", "h", "psu")

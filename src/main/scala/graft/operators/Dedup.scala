@@ -496,6 +496,30 @@ object Dedup {
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
   }
 
+  /** Keep-best dedup policy: given cluster labels from
+    * [[connectedComponents]], keep the highest-`scoreCol` member of each
+    * near-dup cluster (ties to the smaller id) instead of d05's
+    * min-id canonical — the production policy when a quality signal
+    * exists (keep the longest / highest-quality rendition, drop the
+    * rest). Docs absent from every cluster are their own singleton
+    * cluster and always kept.
+    *
+    * Scale shape: one left join against the (small) cluster-label frame
+    * and one window over clusters — near-dup clusters are tiny by
+    * construction, so the window partition never concentrates. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String,
+                         clusters: DataFrame,
+                         scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = clusters.select(col("id").as(idCol), col("cluster"))
+    val joined = docs.join(c, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    joined.withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
+
   /** Pairwise corpus-overlap matrix: exact n-gram-shingle Jaccard
     * between every pair of sources (languages, crawls, shards) — the
     * "how much do my mixture components share" signal of data-mixing

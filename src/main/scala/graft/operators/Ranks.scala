@@ -43,6 +43,41 @@ object Ranks {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Exact selection quantiles by global rank: value at rank
+    * ⌈bp·n/10000⌉ for each basis-point probability. The target rank is
+    * PURE INTEGER arithmetic ((bp·n + 9999) div 10000) — a float
+    * `ceil(p·n)` diverges between binary-double and decimal engines
+    * when p·n lands on an integer. One [[globalRowNumber]] pass + a
+    * two-row filter; scalars return to the driver. */
+  def quantileSelect(df: DataFrame, valueCol: String, tieCol: String,
+                     bps: Seq[Int]): Map[Int, Double] = {
+    require(bps.nonEmpty && bps.forall(b => b >= 1 && b <= 10000),
+      s"basis points must be in [1, 10000]: $bps")
+    val n = df.count()
+    require(n > 0, "quantileSelect on an empty frame")
+    val target = bps.map(bp => bp -> ((bp.toLong * n + 9999L) / 10000L)).toMap
+    val ranked = globalRowNumber(
+      df.select(col(valueCol), col(tieCol)),
+      Seq(col(valueCol), col(tieCol)), out = "__rn")
+    val hits = ranked.filter(col("__rn").isin(target.values.toSeq: _*))
+      .select(col("__rn"), col(valueCol))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    target.map { case (bp, rk) => bp -> hits(rk) }
+  }
+
+  /** Winsorization: clip `valueCol` to its exact [loBp, hiBp]
+    * selection quantiles (basis points). The clip itself is a pure
+    * projection with two broadcast scalar literals — the data is
+    * scanned once for the rank pass and once for the clip. */
+  def winsorize(df: DataFrame, valueCol: String, tieCol: String,
+                loBp: Int, hiBp: Int,
+                out: String = "v_winsor"): DataFrame = {
+    require(loBp < hiBp, s"loBp $loBp must be below hiBp $hiBp")
+    val q = quantileSelect(df, valueCol, tieCol, Seq(loBp, hiBp))
+    df.withColumn(out,
+      least(greatest(col(valueCol), lit(q(loBp))), lit(q(hiBp))))
+  }
+
   /** Per-group Gini concentration coefficient from the rank formula
     * G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) — inequality of a value
     * across group members (corpus-source share, revenue concentration).

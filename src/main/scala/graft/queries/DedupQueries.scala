@@ -444,6 +444,49 @@ object DedupQueries {
                        AS jaccard
               FROM sz sa JOIN sz sb ON sa.lang < sb.lang
               LEFT JOIN cm ON cm.group_a = sa.lang AND cm.group_b = sb.lang
-              ORDER BY group_a, group_b"""))
+              ORDER BY group_a, group_b""")),
+
+    // ---- D11 keep-best dedup policy -----------------------------------
+    // d05's clusters with the PRODUCTION keeper policy: the longest
+    // rendition of each near-dup cluster survives (ties to the smaller
+    // id), singletons always kept. Same recursive-CTE clustering oracle
+    // as d05 plus a per-cluster rank — all-integer, hash-exact.
+    Q("d11_dedup_keep_best",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          threshold = 0.5)
+        Dedup.keepBestPerCluster(
+            docs.select(col("doc_id"),
+              length(col("text")).cast("long").as("quality")),
+            "doc_id", Dedup.connectedComponents(pairs), "quality")
+          .select(col("doc_id"), col("cluster_id"), col("quality"),
+            col("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlShingles,
+               pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+               edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+                         UNION SELECT id_b, id_a FROM pairs),
+               cc(id, lbl) AS (
+                 SELECT DISTINCT src, src FROM edges
+                 UNION
+                 SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst),
+               lab AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id),
+               dx AS (SELECT d.doc_id,
+                             COALESCE(l.cluster, d.doc_id) AS cluster_id,
+                             CAST(length(d.text) AS BIGINT) AS quality
+                      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+               r AS (SELECT dx.*, row_number() OVER
+                       (PARTITION BY cluster_id
+                        ORDER BY quality DESC, doc_id) AS rk
+                     FROM dx)
+               SELECT doc_id, cluster_id, quality,
+                      CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER)
+                        AS keep
+               FROM r ORDER BY doc_id"""))
   )
 }

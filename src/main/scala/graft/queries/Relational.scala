@@ -556,6 +556,35 @@ object Relational {
         Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
           num("o_totalprice")).mkString(" UNION ALL ") +
           " ORDER BY col_name"
-      })
+      }),
+
+    // ---- P14 winsorization at exact selection quantiles ---------------
+    // Clip l_extendedprice to its [5%, 95%] selection quantiles. The
+    // quantile ranks are PURE INTEGER arithmetic ((bp·n+9999) div 1e4 —
+    // a float ceil(p·n) diverges between binary and decimal engines on
+    // integer landings); the rank pass is the distributed
+    // Ranks.globalRowNumber, the clip a two-literal projection.
+    Q("p14_winsorize",
+      (s, d) => {
+        val li = load(s, d, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_extendedprice").as("v"))
+        graft.operators.Ranks.winsorize(li, "v", "id", loBp = 500,
+            hiBp = 9500)
+          .orderBy("id")
+      },
+      Some("""WITH s AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+                                l_extendedprice AS v FROM lineitem),
+                   r AS (SELECT v, id, row_number() OVER (ORDER BY v, id)
+                           AS rn FROM s),
+                   n AS (SELECT count(*) AS n FROM s),
+                   q AS (SELECT
+                           max(CASE WHEN rn = (500 * n.n + 9999) // 10000
+                               THEN v END) AS lo,
+                           max(CASE WHEN rn = (9500 * n.n + 9999) // 10000
+                               THEN v END) AS hi
+                         FROM r, n)
+              SELECT s.id, s.v, least(greatest(s.v, q.lo), q.hi) AS v_winsor
+              FROM s, q ORDER BY s.id"""))
   )
 }

@@ -314,6 +314,31 @@ class DedupSuite extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("keepBestPerCluster: longest rendition wins, ties to min id, " +
+      "singletons kept") {
+    val extended = corpus.unionByName(Seq(
+      (7L, "the quick brown fox jumps over the lazy dog near the river " +
+        "bank today with extra trailing words")).toDF("doc_id", "text"))
+    val pairs = Dedup.nearDuplicates(extended, "doc_id", "text", 0.5)
+    val out = Dedup.keepBestPerCluster(
+        extended.select(col("doc_id"),
+          length(col("text")).cast("long").as("q")),
+        "doc_id", Dedup.connectedComponents(pairs), "q")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // 7 is the longest member of cluster {1,2,3,7}; singletons all kept
+    assert(out(7L) === 1)
+    assert(out(1L) === 0 && out(2L) === 0 && out(3L) === 0)
+    assert(out(4L) === 1 && out(5L) === 1 && out(6L) === 1)
+    // equal-length tie (without 7): min id 1 wins
+    val tied = Dedup.keepBestPerCluster(
+        corpus.select(col("doc_id"), length(col("text")).cast("long").as("q")),
+        "doc_id",
+        Dedup.connectedComponents(
+          Dedup.nearDuplicates(corpus, "doc_id", "text", 0.5)), "q")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(tied(1L) === 1 && tied(2L) === 0 && tied(3L) === 0)
+  }
+
   test("corpusOverlap: exact pairwise Jaccard incl. zero-overlap pairs") {
     // src a: "w1 w2 w3 w4" → grams {w1 w2 w3, w2 w3 w4}
     // src b: "w1 w2 w3 w5" → grams {w1 w2 w3, w2 w3 w5} (∩ a = 1, ∪ = 3)

@@ -33,6 +33,20 @@ class RanksSuite extends SparkSpec {
     assert(out("c") === ((4L, 3.0 / 4.0)))
   }
 
+  test("quantileSelect picks exact order statistics; winsorize clips") {
+    val df = spark.range(1, 101).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+    val q = Ranks.quantileSelect(df, "v", "id", Seq(2500, 2501, 10000))
+    assert(q(2500) === 25.0) // ceil(25.00) = 25
+    assert(q(2501) === 26.0) // ceil(25.01) = 26
+    assert(q(10000) === 100.0)
+    val w = Ranks.winsorize(df, "v", "id", 1000, 9000)
+      .orderBy("id").select("v_winsor").as[Double].collect()
+    assert(w.head === 10.0 && w.last === 90.0)
+    assert(w(49) === 50.0) // mid-range untouched
+    assert(w.min === 10.0 && w.max === 90.0)
+  }
+
   test("giniByGroup is bit-identical under repartitioning") {
     val rnd = new scala.util.Random(11)
     val df = Seq.tabulate(300)(i =>

@@ -304,4 +304,26 @@ class PlanSuite extends SparkSpec {
     }
     assert(extra.isEmpty, s"leaked cache entries: $extra")
   }
+
+  test("j11: record linkage plans only the blocking equi-join — " +
+      "no cartesian, no nested loop") {
+    val p = plan("j11_record_linkage")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("a32: basket self-join is an equi-join; only the 1-row totals " +
+      "frame cross-joins") {
+    val p = plan("a32_association")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the n_baskets scalar attaches via broadcast, never a shuffle join
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"expected at most the scalar cross join:\n${p.take(3000)}")
+  }
+
+  test("j10: merge-upsert anti-joins the base against broadcast keys") {
+    val p = plan("j10_merge_upsert")
+    assert(p.toLowerCase.contains("leftanti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }

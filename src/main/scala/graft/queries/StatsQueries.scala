@@ -618,6 +618,51 @@ object StatsQueries {
                         AS var_brr
                FROM rt, tot""")),
 
+    // ---- M37 k-fold cross-validated OLS (leave-fold-out moments) ------
+    // Each fold's training coefficients come from TOTAL − fold moments
+    // (Gram additivity — the jackknife trick applied to model
+    // validation): two data passes for any k, no per-fold jobs. Held-out
+    // RMSE per fold via a broadcast k-row coefficient join; closed forms
+    // and sqrt are fixed IEEE trees over exact-decimal sums.
+    Q("m37_cv_ols",
+      (s, d) => {
+        val li = load(s, d, "lineitem").select(
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+          ((col("l_orderkey") * 10 + col("l_linenumber")) % 5).as("fold"))
+        graft.stats.CrossVal.olsKFold(li, "x", "y", "fold").orderBy("fold")
+      },
+      Some(s"""WITH s AS (SELECT l_quantity AS x, l_extendedprice AS y,
+                                 (l_orderkey * 10 + l_linenumber) % 5 AS fold
+                          FROM lineitem),
+                    g AS (SELECT fold, ${sqlDsum("x")} AS sxf,
+                                 ${sqlDsum("y")} AS syf,
+                                 ${sqlDsum("x * y")} AS sxyf,
+                                 ${sqlDsum("x * x")} AS sxxf,
+                                 CAST(count(*) AS DOUBLE) AS nf
+                          FROM s GROUP BY fold),
+                    t AS (SELECT ${sqlDsum("x")} AS sxt, ${sqlDsum("y")} AS syt,
+                                 ${sqlDsum("x * y")} AS sxyt,
+                                 ${sqlDsum("x * x")} AS sxxt,
+                                 CAST(count(*) AS DOUBLE) AS nt
+                          FROM s),
+                    c AS (SELECT fold,
+                            ((sxyt - sxyf) - (sxt - sxf) * (syt - syf) / (nt - nf)) /
+                              ((sxxt - sxxf) - (sxt - sxf) * (sxt - sxf) / (nt - nf))
+                              AS b1,
+                            (syt - syf) / (nt - nf) -
+                              (((sxyt - sxyf) - (sxt - sxf) * (syt - syf) / (nt - nf)) /
+                               ((sxxt - sxxf) - (sxt - sxf) * (sxt - sxf) / (nt - nf)))
+                              * ((sxt - sxf) / (nt - nf)) AS b0
+                          FROM g, t),
+                    e AS (SELECT s.fold, c.b0, c.b1,
+                                 s.y - (c.b0 + c.b1 * s.x) AS r
+                          FROM s JOIN c ON s.fold = c.fold)
+               SELECT fold, max(b0) AS b0, max(b1) AS b1,
+                      count(*) AS n_test,
+                      sqrt(${sqlDsum("r * r")} / CAST(count(*) AS DOUBLE))
+                        AS rmse
+               FROM e GROUP BY fold ORDER BY fold""")),
+
     // ---- M36 Poisson bootstrap variance -------------------------------
     // Hash-checkable bootstrap: replicate r reweights each element by a
     // DETERMINISTIC Poisson(1) draw — portable multiplicative hash of

@@ -1,0 +1,59 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.dsum
+
+/** K-fold cross-validation for closed-form linear fits, built on moment
+  * additivity: one grouped pass collects each fold's (Σx, Σy, Σxy, Σx²,
+  * n); every fold's TRAINING moments are then total − fold — no second
+  * scan, no per-fold jobs, the jackknife trick applied to model
+  * selection. A second pass scores each fold's held-out rows against
+  * its leave-fold-out coefficients (broadcast k-row frame).
+  *
+  * Scale: two data passes TOTAL for any k — fold moments are
+  * partial-aggregable O(k) state; evaluation is a broadcast join plus a
+  * codegen'd residual. Exact-decimal sums keep both passes
+  * engine-portable (the closed forms and RMSE are fixed IEEE trees;
+  * sqrt is correctly rounded everywhere).
+  */
+object CrossVal {
+
+  /** Per-fold leave-fold-out OLS of y ~ 1 + x and held-out RMSE.
+    * Returns (fold, b0, b1, n_test, rmse) — one row per fold. */
+  def olsKFold(df: DataFrame, xCol: String, yCol: String,
+               foldCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val x = col(xCol); val y = col(yCol)
+    val g = df.groupBy(col(foldCol).cast("long").as("fold")).agg(
+      dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+      dsum(x * x).as("sxx"), count(lit(1)).cast("double").as("n"))
+      .collect()
+    require(g.length >= 2, s"k-fold needs at least 2 folds, got ${g.length}")
+    val t = df.agg(dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+      dsum(x * x).as("sxx"), count(lit(1)).cast("double").as("n")).head()
+    def d(r: Row, i: Int): Double =
+      if (r.isNullAt(i)) 0.0 else r.getAs[Number](i).doubleValue()
+    val (sxt, syt, sxyt, sxxt, nt) = (d(t, 0), d(t, 1), d(t, 2), d(t, 3), d(t, 4))
+    val coefs = g.map { r =>
+      val fold = r.getLong(0)
+      val (sx2, sy2, sxy2, sxx2, n2) =
+        (sxt - d(r, 1), syt - d(r, 2), sxyt - d(r, 3), sxxt - d(r, 4),
+          nt - d(r, 5))
+      require(n2 > 1, s"fold $fold leaves <2 training rows")
+      val b1 = (sxy2 - sx2 * sy2 / n2) / (sxx2 - sx2 * sx2 / n2)
+      val b0 = sy2 / n2 - b1 * (sx2 / n2)
+      (fold, b0, b1)
+    }.toSeq
+    import spark.implicits._
+    val coefDf = broadcast(coefs.toDF("fold", "b0", "b1"))
+    val resid = y - (col("b0") + col("b1") * x)
+    df.withColumn("fold", col(foldCol).cast("long"))
+      .join(coefDf, "fold")
+      .groupBy("fold")
+      .agg(first(col("b0")).as("b0"), first(col("b1")).as("b1"),
+        count(lit(1)).as("n_test"),
+        sqrt(dsum(resid * resid) / count(lit(1)).cast("double")).as("rmse"))
+  }
+}

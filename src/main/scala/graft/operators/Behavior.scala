@@ -111,6 +111,32 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Conversion attribution: for every conversion event, credit the
+    * first-touch and last-touch occurrence of a touch event type that
+    * STRICTLY precedes it in the user's timeline (classic marketing
+    * attribution; NULLs when the user converted with no prior touch).
+    *
+    * Scale shape: one user-keyed exchange carries both running
+    * window extremes (min for first touch, max for last) — no join, no
+    * per-conversion re-scan; conversions project off the same pass.
+    * Ordering compares integer microseconds with an id tie-break. */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String,
+                       touchType: String, convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchTs = when(col(typeCol) === touchType, unix_micros(col(tsCol)))
+    events
+      .withColumn("__first_touch", min(touchTs).over(w))
+      .withColumn("__last_touch", max(touchTs).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(userCol), col(idCol).as("conversion_id"),
+        unix_micros(col(tsCol)).as("conv_us"),
+        col("__first_touch").as("first_touch_us"),
+        col("__last_touch").as("last_touch_us"))
+  }
+
   /** First-order Markov transition matrix of user journeys: counts (and
     * row-normalized probabilities) of each event type followed
     * immediately by each other event type within a user's timeline —

@@ -75,4 +75,58 @@ object Profile {
     }
     spark.createDataset(profiles)
   }
+
+  /** Equal-width histogram of a numeric column over [lo, hi): bin
+    * `⌊(v − lo)/width⌋` with an underflow bin −1 and overflow bin
+    * `nBins` — one partial-aggregable pass, observed bins only. Width
+    * and bin edges are fixed IEEE arithmetic, engine-portable. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"bad histogram spec [$lo, $hi) x $nBins")
+    val width = (hi - lo) / nBins
+    val v = col(valueCol)
+    val bin = when(v.isNull, lit(null).cast("long"))
+      .when(v < lo, lit(-1L))
+      .when(v >= hi, lit(nBins.toLong))
+      .otherwise(floor((v - lit(lo)) / lit(width)).cast("long"))
+    df.select(bin.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo",
+        when(col("bin") >= 0 && col("bin") < nBins,
+          lit(lo) + col("bin").cast("double") * lit(width)))
+  }
+
+  /** One data-quality expectation: either a per-row predicate that must
+    * hold, or a column whose values must be unique. */
+  sealed trait Expectation { def name: String }
+  final case class RowExpectation(name: String,
+      holds: org.apache.spark.sql.Column) extends Expectation
+  final case class UniqueExpectation(name: String, column: String)
+      extends Expectation
+
+  /** Expectation report: one pass computes every rule's violation count
+    * (a NULL predicate counts as a violation; uniqueness violations are
+    * n − distinct). The per-rule `pass` flag makes the frame a CI gate:
+    * `report.filter(col("pass") === 0).isEmpty`. */
+  def expectations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(rules.nonEmpty, "no expectations given")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "duplicate expectation names")
+    val aggs = count(lit(1)).as("__n") +: rules.map {
+      case RowExpectation(n, holds) =>
+        sum(when(coalesce(holds, lit(false)) === false, 1L).otherwise(0L))
+          .as(s"__v_$n")
+      case UniqueExpectation(n, c) =>
+        (count(col(c)) - count_distinct(col(c))).as(s"__v_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    rules.map { r =>
+      val v = row.getAs[Long](s"__v_${r.name}")
+      (r.name, n, v, if (v == 0L) 1 else 0)
+    }.toDF("rule", "n_rows", "n_violations", "pass")
+  }
 }

@@ -127,6 +127,33 @@ object BehaviorQueries {
               SELECT from_evt, to_evt, n,
                      CAST(n AS DOUBLE) /
                        CAST(sum(n) OVER (PARTITION BY from_evt) AS DOUBLE) AS p
-              FROM c ORDER BY from_evt, to_evt"""))
+              FROM c ORDER BY from_evt, to_evt""")),
+
+    // ---- A33 first/last-touch conversion attribution ------------------
+    // Each purchase credits the first and last strictly-preceding view
+    // in the user's timeline (Behavior.touchAttribution): both running
+    // extremes ride ONE user-keyed window pass, all-integer microsecond
+    // outputs → full hash oracle.
+    Q("a33_attribution",
+      (s, d) => Behavior.touchAttribution(loadEvents(s, d),
+          "user_id", "ts", "event_type", "event_id",
+          touchType = "view", convType = "purchase")
+        .orderBy("user_id", "conversion_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                                epoch_us(ts) AS us FROM events),
+                   w AS (SELECT user_id, event_id, event_type, us,
+                           min(CASE WHEN event_type = 'view' THEN us END)
+                             OVER pre AS ft,
+                           max(CASE WHEN event_type = 'view' THEN us END)
+                             OVER pre AS lt
+                         FROM e
+                         WINDOW pre AS (PARTITION BY user_id
+                           ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING))
+              SELECT user_id, event_id AS conversion_id, us AS conv_us,
+                     ft AS first_touch_us, lt AS last_touch_us
+              FROM w WHERE event_type = 'purchase'
+              ORDER BY user_id, conversion_id"""))
   )
 }

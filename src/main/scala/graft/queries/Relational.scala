@@ -585,6 +585,70 @@ object Relational {
                                THEN v END) AS hi
                          FROM r, n)
               SELECT s.id, s.v, least(greatest(s.v, q.lo), q.hi) AS v_winsor
-              FROM s, q ORDER BY s.id"""))
+              FROM s, q ORDER BY s.id""")),
+
+    // ---- P15 equal-width histogram ------------------------------------
+    // One partial-aggregable pass; bin arithmetic is fixed IEEE over
+    // literal edges (width 25000 exact), under/overflow bins −1 / 24.
+    Q("p15_histogram",
+      (s, d) => graft.operators.Profile.histogram(
+          load(s, d, "orders"), "o_totalprice", lo = 0.0, hi = 600000.0,
+          nBins = 24)
+        .orderBy("bin"),
+      Some("""WITH b AS (SELECT CASE
+                           WHEN o_totalprice IS NULL THEN NULL
+                           WHEN o_totalprice < 0.0 THEN -1
+                           WHEN o_totalprice >= 600000.0 THEN 24
+                           ELSE CAST(floor((o_totalprice - 0.0) / 25000.0)
+                                     AS BIGINT) END AS bin
+                         FROM orders)
+              SELECT bin, count(*) AS n,
+                     CASE WHEN bin >= 0 AND bin < 24
+                          THEN 0.0 + CAST(bin AS DOUBLE) * 25000.0 END
+                       AS bin_lo
+              FROM b GROUP BY bin ORDER BY bin""")),
+
+    // ---- P16 data-quality expectations (Deequ-style gate) -------------
+    // Four rules over orders in ONE aggregation pass: NULL predicates
+    // count as violations, uniqueness is n − distinct. All-integer →
+    // full hash oracle; `pass` makes the frame a CI gate.
+    Q("p16_expectations",
+      (s, d) => {
+        import graft.operators.Profile.{RowExpectation, UniqueExpectation}
+        graft.operators.Profile.expectations(load(s, d, "orders"), Seq(
+            RowExpectation("key_not_null", col("o_orderkey").isNotNull),
+            UniqueExpectation("key_unique", "o_orderkey"),
+            RowExpectation("price_positive", col("o_totalprice") > 0.0),
+            RowExpectation("status_domain",
+              col("o_orderstatus").isin("F", "O", "P"))))
+          .orderBy("rule")
+      },
+      Some("""SELECT 'key_not_null' AS rule, count(*) AS n_rows,
+                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_violations,
+                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                          = 0 AS INTEGER) AS pass
+              FROM orders
+              UNION ALL
+              SELECT 'key_unique', count(*),
+                     count(o_orderkey) - count(DISTINCT o_orderkey),
+                     CAST(count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+                          AS INTEGER)
+              FROM orders
+              UNION ALL
+              SELECT 'price_positive', count(*),
+                     CAST(sum(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END)
+                          AS BIGINT),
+                     CAST(sum(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END)
+                          = 0 AS INTEGER)
+              FROM orders
+              UNION ALL
+              SELECT 'status_domain', count(*),
+                     CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                              THEN 0 ELSE 1 END) AS BIGINT),
+                     CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                              THEN 0 ELSE 1 END) = 0 AS INTEGER)
+              FROM orders
+              ORDER BY rule"""))
   )
 }

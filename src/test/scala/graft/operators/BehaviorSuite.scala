@@ -88,6 +88,23 @@ class BehaviorSuite extends SparkSpec {
       t.head.getString(0) === "y" && t.head.getString(1) === "x")
   }
 
+  test("touchAttribution: strictly-preceding first/last view per purchase") {
+    val ev = Seq(
+      (1L, ts(0), "view", 1L), (1L, ts(5), "view", 2L),
+      (1L, ts(10), "purchase", 3L), (1L, ts(15), "view", 4L),
+      (1L, ts(20), "purchase", 5L),
+      (2L, ts(0), "purchase", 6L) // converts with no prior touch
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Behavior.touchAttribution(ev, "user_id", "ts", "event_type",
+        "event_id", "view", "purchase")
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    val m = 60000000L // minutes → µs
+    assert(out(3L) === ((Some(0L), Some(5L * m))))
+    assert(out(5L) === ((Some(0L), Some(15L * m)))) // later view now counts
+    assert(out(6L) === ((None, None)))
+  }
+
   test("funnel rides one user-keyed exchange (no sort, no join)") {
     val plan = Behavior.funnelCounts(events, "user_id", "ts", "event_type",
       Seq("view", "click", "purchase")).queryExecution.executedPlan.toString

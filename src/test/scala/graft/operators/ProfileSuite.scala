@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class ProfileSuite extends SparkSpec {
@@ -34,6 +36,35 @@ class ProfileSuite extends SparkSpec {
       .head().n_distinct
     assert(exact === 10000L)
     assert(math.abs(approx - 10000L) < 600) // default rsd ~5%
+  }
+
+  test("histogram bins with under/overflow; observed bins only") {
+    val vals = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.9, 100.0, 250.0)
+      .map(Tuple1(_)).toDF("v")
+    val h = Profile.histogram(vals, "v", lo = 0.0, hi = 100.0, nBins = 10)
+      .collect().map(r => r.getAs[Any](0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(h(-1L) === ((1L, None)))         // -5.0
+    assert(h(0L) === ((2L, Some(0.0))))     // 0.0, 9.9
+    assert(h(1L) === ((1L, Some(10.0))))    // 10.0
+    assert(h(2L) === ((1L, Some(20.0))))    // 25.0
+    assert(h(9L) === ((1L, Some(90.0))))    // 99.9
+    assert(h(10L) === ((2L, None)))         // 100.0, 250.0 overflow
+  }
+
+  test("expectations: one pass, NULL predicates violate, uniqueness") {
+    val df = Seq(
+      (Some(1L), "ok"), (Some(2L), "ok"), (Some(2L), "bad"), (None, "ok")
+    ).toDF("k", "s")
+    import Profile.{RowExpectation, UniqueExpectation}
+    val rep = Profile.expectations(df, Seq(
+        RowExpectation("k_not_null", col("k").isNotNull),
+        UniqueExpectation("k_unique", "k"),
+        RowExpectation("s_ok", col("s") === "ok")))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(rep("k_not_null") === ((1L, 0)))
+    assert(rep("k_unique") === ((1L, 0)))  // 2 appears twice → 3−2=1
+    assert(rep("s_ok") === ((1L, 0)))
   }
 
   test("unknown columns fail loudly") {

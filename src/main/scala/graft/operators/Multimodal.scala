@@ -119,4 +119,29 @@ object Multimodal {
       greatest(floor(h.cast("double") * scale + 0.5), lit(1L))
         .cast("long").as("h"))
   }
+
+  /** ViT-style patch-grid plan: how a (w × h) image tiles into
+    * `patch`-pixel squares — ceil-divided patch counts, the padded
+    * canvas that makes the tiling exact, and the transformer sequence
+    * length (patches + 1 CLS token). Pure integer arithmetic (ceil via
+    * `(x + p − 1) div p`), so the plan is engine-exact; the pixel-level
+    * patch extraction follows the decoder batching contract
+    * ([[decodeBatched]]) once a codec is present. */
+  def patchGrid(w: Column, h: Column, patch: Int): Column = {
+    require(patch > 0, s"patch size must be positive, got $patch")
+    val p = lit(patch.toLong)
+    // integer ceil-div without Column `/` (which is double division):
+    // subtract the remainder first, so the divide is exact
+    def ceilDiv(a: Column): Column = {
+      val x = a.cast("long") + p - lit(1L)
+      ((x - pmod(x, p)) / p).cast("long")
+    }
+    val nx = ceilDiv(w)
+    val ny = ceilDiv(h)
+    struct(
+      nx.as("n_x"), ny.as("n_y"),
+      (nx * ny).as("n_patches"),
+      (nx * p).as("pad_w"), (ny * p).as("pad_h"),
+      (nx * ny + lit(1L)).as("seq_len"))
+  }
 }

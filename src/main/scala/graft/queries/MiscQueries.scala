@@ -867,6 +867,44 @@ object MiscQueries {
                        AS BIGINT) AS out_h
               FROM sc ORDER BY doc_id""")),
 
+    // ---- MM4 ViT patch-grid plan --------------------------------------
+    // The tiling metadata downstream of mm03's resize: ceil-divided
+    // 16-px patch counts, padded canvas, transformer sequence length
+    // (+CLS). Pure integer arithmetic end to end → full hash oracle.
+    Q("mm04_patch_grid",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          (lit(320) + (col("doc_id") * 7) % 1600).as("w"),
+          (lit(240) + (col("doc_id") * 13) % 1200).as("h"))
+        .withColumn("r", Multimodal.resizeDims(col("w"), col("h"), 512))
+        .withColumn("g", Multimodal.patchGrid(col("r.w"), col("r.h"), 16))
+        .select(col("doc_id"), col("r.w").as("rw"), col("r.h").as("rh"),
+          col("g.n_x").as("n_x"), col("g.n_y").as("n_y"),
+          col("g.n_patches").as("n_patches"),
+          col("g.pad_w").as("pad_w"), col("g.pad_h").as("pad_h"),
+          col("g.seq_len").as("seq_len"))
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id,
+                  320 + (doc_id * 7) % 1600 AS w,
+                  240 + (doc_id * 13) % 1200 AS h FROM documents),
+               sc AS (SELECT doc_id, w, h,
+                  least(1.0, 512.0 / CAST(greatest(w, h) AS DOUBLE)) AS s
+                FROM dims),
+               r AS (SELECT doc_id,
+                  CAST(greatest(floor(CAST(w AS DOUBLE) * s + 0.5), 1)
+                    AS BIGINT) AS rw,
+                  CAST(greatest(floor(CAST(h AS DOUBLE) * s + 0.5), 1)
+                    AS BIGINT) AS rh
+                FROM sc),
+               g AS (SELECT doc_id, rw, rh,
+                  (rw + 15) // 16 AS n_x, (rh + 15) // 16 AS n_y
+                FROM r)
+              SELECT doc_id, rw, rh, n_x, n_y,
+                     n_x * n_y AS n_patches,
+                     n_x * 16 AS pad_w, n_y * 16 AS pad_h,
+                     n_x * n_y + 1 AS seq_len
+              FROM g ORDER BY doc_id""")),
+
     // ---- O2/O3 Monte-Carlo fan-out + grouped summary ------------------
     // Grid-as-Dataset, task-local sims (deterministic seeds). The bias/
     // SE/RMSE vs BASELINE.md tolerances are asserted in McSuite.

@@ -79,4 +79,21 @@ class MultimodalSuite extends SparkSpec {
       } else assert(ow == w && oh == h, "under-cap dims must not change")
     }
   }
+
+  test("patch grid: ceil-divided counts, exact padded canvas, +CLS " +
+      "sequence length") {
+    val cases = Seq((512L, 512L), (511L, 1L), (17L, 16L), (16L, 16L))
+    val out = cases.toDF("w", "h")
+      .select(col("w"), col("h"),
+        Multimodal.patchGrid(col("w"), col("h"), 16).as("g"))
+      .select(col("w"), col("h"), col("g.n_x"), col("g.n_y"),
+        col("g.n_patches"), col("g.pad_w"), col("g.pad_h"), col("g.seq_len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(out((512L, 512L)) === ((32L, 32L, 1024L, 512L, 512L, 1025L)))
+    assert(out((511L, 1L)) === ((32L, 1L, 32L, 512L, 16L, 33L)))
+    assert(out((17L, 16L)) === ((2L, 1L, 2L, 32L, 16L, 3L)))
+    assert(out((16L, 16L)) === ((1L, 1L, 1L, 16L, 16L, 2L)))
+  }
 }

@@ -26,6 +26,11 @@ object Dedup {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Driver/executor-side rendition of [[normalize]] for closures that
+    * must match the column expression exactly. */
+  def normalizeString(text: String): String =
+    text.replaceAll("\\s+", " ").trim.toLowerCase
+
   def tokens(text: Column): Column = split(normalize(text), " ")
 
   /** (prev, tok) lag-1 pairs of [[tokens]], built scan-side: the token

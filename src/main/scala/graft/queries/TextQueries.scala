@@ -725,6 +725,35 @@ object TextQueries {
               SELECT substr(w, i, 2) AS pair,
                      CAST(sum(freq) AS BIGINT) AS cnt
               FROM g GROUP BY pair
-              ORDER BY cnt DESC, pair LIMIT 20"""))
+              ORDER BY cnt DESC, pair LIMIT 20""")),
+
+    // ---- T19 WordPiece tokenizer application (rows-only + invariants) -
+    // The apply-side of tokenizer training: greedy longest-match tiling
+    // of every word against a corpus-derived vocab (top-200 words +
+    // full character coverage, so no [UNK] can occur). The encoding
+    // loop is a broadcast-vocab closure — no SQL oracle — so the rows
+    // carry their own proof: `roundtrip_ok` (pieces re-concatenate,
+    // ## stripped, to the space-free normalized text) and `unk_free`
+    // must be true on EVERY row; TokenizeSuite asserts both and the
+    // classic WordPiece fixtures.
+    Q("t19_wordpiece",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val vocab = graft.operators.Tokenize.corpusVocab(docs, "text",
+          topWords = 200)
+        val enc = graft.operators.Tokenize.wordpieceEncode(docs, "text",
+          vocab)
+        val stripped = expr("concat_ws('', transform(pieces, p -> " +
+          "CASE WHEN substring(p, 1, 2) = '##' THEN substring(p, 3) " +
+          "ELSE p END))")
+        val target = regexp_replace(
+          graft.operators.Dedup.normalize(col("text")), " ", "")
+        enc.select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+            (stripped === target).as("roundtrip_ok"),
+            (!array_contains(col("pieces"), graft.operators.Tokenize.Unk))
+              .as("unk_free"))
+          .orderBy("doc_id")
+      },
+      None)
   )
 }

@@ -787,6 +787,38 @@ object MiscQueries {
               WHERE p.event_type = 'purchase'
               ORDER BY p_id, c_id""")),
 
+    // ---- W11 interval LEFT join (unmatched events survive) ------------
+    // w04's outer sibling: every purchase appears, NULL-padded when no
+    // click precedes it within 10 minutes — the "did marketing touch
+    // this conversion" frame. StreamingSuite proves the streaming
+    // rendition emits the NULL rows exactly once the watermark closes
+    // each window.
+    Q("w11_interval_left",
+      (s, d) => {
+        val ev = graft.util.Tables.loadEvents(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id"),
+            col("ts").as("c_ts"))
+        Streams.intervalJoin(purchases, clicks, "user_id", "p_ts", "c_ts",
+            before = "10 minutes", after = "0 seconds",
+            joinType = "left_outer")
+          .select(col("p_id"), col("user_id"),
+            col("p_ts").cast("string").as("p_ts"),
+            col("c_id"), col("c_ts").cast("string").as("c_ts"))
+          .orderBy("p_id", "c_id")
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+                     CAST(p.ts AS VARCHAR) AS p_ts, c.event_id AS c_id,
+                     CAST(c.ts AS VARCHAR) AS c_ts
+              FROM events p LEFT JOIN events c
+                ON c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+              WHERE p.event_type = 'purchase'
+              ORDER BY p_id, c_id""")),
+
     // ---- W7 stream-static enrichment join -----------------------------
     // Attach a static dimension (customer segment) to the event stream,
     // then aggregate per (segment, type). The join broadcasts the dim,

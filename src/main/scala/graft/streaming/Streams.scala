@@ -139,15 +139,22 @@ object Streams {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    before: String, after: String,
-                   lateness: String = "2 hours"): DataFrame = {
+                   lateness: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"intervalJoin supports inner/left_outer, got $joinType")
     val l = (if (left.isStreaming) left.withWatermark(leftTs, lateness)
              else left).alias("l")
     val r = (if (right.isStreaming) right.withWatermark(rightTs, lateness)
              else right).alias("r")
+    // left_outer emits the NULL-padded left row only once the watermark
+    // proves no in-range right row can still arrive — same state bound
+    // as inner, plus the deferred-emit buffer the semantics require
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"),
+      joinType)
       .drop(col(s"r.$key"))
   }
 

@@ -298,6 +298,49 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval LEFT join: unmatched left rows emerge " +
+      "NULL-padded once the watermark closes their window") {
+    val purchases = Seq(
+      Pur(1L, 10L, t("2026-01-01 10:10:00")), // has clicks
+      Pur(2L, 10L, t("2026-01-01 11:00:00")), // no click in window
+      Pur(3L, 20L, t("2026-01-01 10:10:00")))
+    val clicks = Seq(
+      Clk(101L, 10L, t("2026-01-01 10:05:00")),
+      Clk(102L, 10L, t("2026-01-01 10:10:00")),
+      Clk(104L, 20L, t("2026-01-01 10:09:00")))
+
+    def join(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      Streams.intervalJoin(l, r, "user_id", "p_ts", "c_ts",
+        before = "10 minutes", after = "0 seconds", lateness = "10 minutes",
+        joinType = "left_outer")
+
+    val batch = join(purchases.toDF(), clicks.toDF())
+      .select(col("p_id"), col("c_id"))
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(batch === Seq((1L, Some(101L)), (1L, Some(102L)),
+      (2L, None), (3L, Some(104L))))
+
+    implicit val sqlCtx = spark.sqlContext
+    val memP = MemoryStream[Pur]
+    val memC = MemoryStream[Clk]
+    val q = join(memP.toDF(), memC.toDF())
+      .select(col("p_id"), col("c_id"))
+      .writeStream.format("memory").queryName("interval_left_test")
+      .outputMode("append").start()
+    try {
+      memP.addData(purchases: _*); memC.addData(clicks: _*)
+      q.processAllAvailable()
+      // push both watermarks far past p2's window so its NULL row emits
+      memP.addData(Pur(99L, 99L, t("2026-01-01 14:00:00")))
+      memC.addData(Clk(999L, 99L, t("2026-01-01 14:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("interval_left_test")
+        .filter(col("p_id") < 99L)
+        .as[(Long, Option[Long])].collect().sorted.toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("session windows group by gap") {
     val events = Seq(
       Ev(t("2026-01-01 10:00:00"), "u1", 1.0),

@@ -137,6 +137,30 @@ object Behavior {
         col("__last_touch").as("last_touch_us"))
   }
 
+  /** Daily growth curve: per event day, the distinct active users, the
+    * users whose FIRST event lands that day, and the cumulative user
+    * count — the standard product growth frame.
+    *
+    * Scale shape: first-event days come from one user-keyed aggregation
+    * (partial-aggregable min); active counts from one (day, user)
+    * distinct pass. Only the DAYS frame (calendar-bounded) sees the
+    * running-sum window — never the events. All-integer outputs. */
+  def userGrowth(events: DataFrame, userCol: String,
+                 tsCol: String): DataFrame = {
+    val firstDays = events.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("first_day"))
+    val newU = firstDays.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val active = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count_distinct(col(userCol)).as("n_active"))
+    val cum = Window.partitionBy(lit(1)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(newU, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(cum))
+  }
+
   /** First-order Markov transition matrix of user journeys: counts (and
     * row-normalized probabilities) of each event type followed
     * immediately by each other event type within a user's timeline —

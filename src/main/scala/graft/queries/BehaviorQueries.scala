@@ -154,6 +154,27 @@ object BehaviorQueries {
               SELECT user_id, event_id AS conversion_id, us AS conv_us,
                      ft AS first_touch_us, lt AS last_touch_us
               FROM w WHERE event_type = 'purchase'
-              ORDER BY user_id, conversion_id"""))
+              ORDER BY user_id, conversion_id""")),
+
+    // ---- A34 daily growth curve (new / active / cumulative users) -----
+    // Behavior.userGrowth: first-event days from one user-keyed min,
+    // actives from one distinct pass, running sum only over the
+    // calendar-bounded days frame. All-integer → full hash oracle.
+    Q("a34_user_growth",
+      (s, d) => Behavior.userGrowth(loadEvents(s, d), "user_id", "ts")
+        .orderBy("day"),
+      Some("""WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+                         FROM events GROUP BY user_id),
+                   n AS (SELECT first_day AS day, count(*) AS n_new
+                         FROM f GROUP BY 1),
+                   a AS (SELECT CAST(ts AS DATE) AS day,
+                                count(DISTINCT user_id) AS n_active
+                         FROM events GROUP BY 1)
+              SELECT a.day, a.n_active, COALESCE(n.n_new, 0) AS n_new,
+                     CAST(sum(COALESCE(n.n_new, 0)) OVER
+                       (ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_users
+              FROM a LEFT JOIN n ON n.day = a.day
+              ORDER BY a.day"""))
   )
 }

@@ -608,6 +608,52 @@ object Relational {
                        AS bin_lo
               FROM b GROUP BY bin ORDER BY bin""")),
 
+    // ---- P17 safe-cast audit (ingestion type probing) -----------------
+    // try_cast success/failure counts for a probe battery — the "can
+    // this stringly column become typed" first question of ingestion.
+    // One aggregation pass; only counts cross engines, so the probes
+    // are format-independent. try_cast semantics (NULL on failure)
+    // match DuckDB's TRY_CAST.
+    Q("p17_cast_audit",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        val probes = Seq(
+          "priority_prefix_int" ->
+            expr("try_cast(split(o_orderpriority, '-')[0] AS INT)"),
+          "status_int" -> expr("try_cast(o_orderstatus AS INT)"),
+          "price_roundtrip" ->
+            expr("try_cast(cast(o_totalprice AS STRING) AS DOUBLE)"))
+        val aggs = count(lit(1)).as("__n") +: probes.map { case (n, c) =>
+          count(c).as(s"__ok_$n")
+        }
+        val row = o.agg(aggs.head, aggs.tail: _*).head()
+        val total = row.getAs[Long]("__n")
+        import s.implicits._
+        probes.map { case (n, _) =>
+          val ok = row.getAs[Long](s"__ok_$n")
+          (n, total, ok, total - ok)
+        }.toDF("probe", "n_rows", "n_ok", "n_fail").orderBy("probe")
+      },
+      Some("""SELECT 'priority_prefix_int' AS probe, count(*) AS n_rows,
+                     count(TRY_CAST(string_split(o_orderpriority, '-')[1]
+                       AS INTEGER)) AS n_ok,
+                     count(*) - count(TRY_CAST(
+                       string_split(o_orderpriority, '-')[1] AS INTEGER))
+                       AS n_fail
+              FROM orders
+              UNION ALL
+              SELECT 'status_int', count(*),
+                     count(TRY_CAST(o_orderstatus AS INTEGER)),
+                     count(*) - count(TRY_CAST(o_orderstatus AS INTEGER))
+              FROM orders
+              UNION ALL
+              SELECT 'price_roundtrip', count(*),
+                     count(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)),
+                     count(*) - count(TRY_CAST(CAST(o_totalprice AS VARCHAR)
+                       AS DOUBLE))
+              FROM orders
+              ORDER BY probe""")),
+
     // ---- P16 data-quality expectations (Deequ-style gate) -------------
     // Four rules over orders in ONE aggregation pass: NULL predicates
     // count as violations, uniqueness is n − distinct. All-integer →

@@ -105,6 +105,21 @@ class BehaviorSuite extends SparkSpec {
     assert(out(6L) === ((None, None)))
   }
 
+  test("userGrowth: new vs active vs cumulative per day") {
+    def day(d: Int, min: Long) = new Timestamp(
+      (d.toLong * 1440 + min) * 60000L)
+    val ev = Seq(
+      (1L, day(0, 0)), (2L, day(0, 5)),  // day 0: users 1, 2 debut
+      (1L, day(1, 0)), (3L, day(1, 5)),  // day 1: 3 debuts, 1 returns
+      (2L, day(3, 0))                    // day 3: only a returnee
+    ).toDF("user_id", "ts")
+    val out = Behavior.userGrowth(ev, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // (n_active, n_new, cum_users) per day
+    assert(out === Seq((2L, 2L, 2L), (2L, 1L, 3L), (1L, 0L, 3L)))
+  }
+
   test("funnel rides one user-keyed exchange (no sort, no join)") {
     val plan = Behavior.funnelCounts(events, "user_id", "ts", "event_type",
       Seq("view", "click", "purchase")).queryExecution.executedPlan.toString

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+class JaccardPrefilterSuite extends SparkSpec {
+  import spark.implicits._
+
+  // parquet-backed pairs (a LocalRelation would be constant-folded away
+  // before the user optimizer batch ever sees the filter)
+  private def query = {
+    val sh = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("ia"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("ib"), col("sh").as("sb"))
+    a.join(b, col("ib") === col("ia") + 1)
+      .filter(Dedup.jaccard(col("sa"), col("sb")) >= 0.5)
+      .select("ia", "ib")
+  }
+
+  test("rule injects the size-ratio guard, preserves results, idempotent") {
+    val before = query.collect().toSeq
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = saved :+ JaccardPrefilterRule
+      val optimized = query
+      val optPlan = optimized.queryExecution.optimizedPlan.toString
+      assert(optPlan.contains("(0.5 * cast(size("), optPlan)
+      assert(optimized.collect().toSeq === before)
+      // idempotence: exactly one guard pair despite the fixpoint batch
+      assert("\\(0\\.5 \\* cast\\(size\\(sa".r.findAllIn(optPlan).size === 1,
+        optPlan)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("guard math: size ratio below threshold implies jaccard below it") {
+    // the rewrite must never drop a qualifying pair: exhaustive check on
+    // small sizes — if min/max < t then J < t
+    for (na <- 1 to 8; nb <- 1 to 8; inter <- 0 to math.min(na, nb)) {
+      val j = inter.toDouble / (na + nb - inter)
+      val ratio = math.min(na, nb).toDouble / math.max(na, nb)
+      if (ratio < 0.5) assert(j < 0.5, s"($na,$nb,$inter)")
+    }
+  }
+}

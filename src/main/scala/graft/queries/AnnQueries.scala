@@ -370,6 +370,42 @@ object AnnQueries {
                  FROM embeddings)
                SELECT label, idx,
                       ${graft.util.Tables.sqlDmean("CAST(v AS DOUBLE)")} AS centroid
-               FROM f GROUP BY label, idx ORDER BY label, idx"""))
+               FROM f GROUP BY label, idx ORDER BY label, idx""")),
+
+    // ---- E13 per-label centroid drift ---------------------------------
+    // L2 distance of every label's centroid from the global centroid —
+    // the embedding-space "which slice sits off-distribution" monitor.
+    // Exact-decimal means per (label, idx), exact-decimal Σdiff² per
+    // label, correctly-rounded sqrt → full hash oracle. One explode
+    // feeds both centroid levels (partial-aggregable).
+    Q("e13_centroid_drift",
+      (s, d) => {
+        import graft.util.Tables.{dmean, dsum}
+        val f = load(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos").as("idx"),
+            col("col").cast("double").as("v"))
+        val byLabel = f.groupBy("label", "idx").agg(dmean(col("v")).as("c"))
+        val global = f.groupBy("idx").agg(dmean(col("v")).as("g"))
+        byLabel.join(global, "idx")
+          .groupBy("label")
+          .agg(sqrt(dsum((col("c") - col("g")) * (col("c") - col("g"))))
+            .as("drift"))
+          .orderBy("label")
+      },
+      Some(s"""WITH f AS (SELECT label,
+                   unnest(generate_series(0, len(embedding) - 1)) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+                 FROM embeddings),
+                 bl AS (SELECT label, idx, ${graft.util.Tables.sqlDmean("v")}
+                          AS c
+                        FROM f GROUP BY label, idx),
+                 gl AS (SELECT idx, ${graft.util.Tables.sqlDmean("v")} AS g
+                        FROM f GROUP BY idx)
+               SELECT bl.label,
+                      sqrt(${graft.util.Tables.sqlDsum("(c - g) * (c - g)")})
+                        AS drift
+               FROM bl JOIN gl ON gl.idx = bl.idx
+               GROUP BY bl.label ORDER BY bl.label"""))
   )
 }

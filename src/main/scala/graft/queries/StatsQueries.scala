@@ -663,6 +663,103 @@ object StatsQueries {
                         AS rmse
                FROM e GROUP BY fold ORDER BY fold""")),
 
+    // ---- M38 Welch two-sample t-test (A/B testing) --------------------
+    // t statistic + Welch–Satterthwaite df for F-status vs O-status
+    // order totals: pure closed-form arithmetic over exact-decimal
+    // conditional moments (sqrt is the only transcendental — correctly
+    // rounded in both engines), mirrored CTE-for-CTE so every IEEE
+    // intermediate is bit-identical.
+    Q("m38_welch_ttest",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        def grp(st: String, tag: String) = Seq(
+          count(when(col("o_orderstatus") === st, 1)).cast("double")
+            .as(s"n$tag"),
+          dsum(when(col("o_orderstatus") === st, col("o_totalprice")))
+            .as(s"sx$tag"),
+          dsum(when(col("o_orderstatus") === st,
+            col("o_totalprice") * col("o_totalprice"))).as(s"sxx$tag"))
+        val aggs = grp("F", "1") ++ grp("O", "2")
+        val g = o.agg(aggs.head, aggs.tail: _*)
+        val m = g.select(col("n1"), col("n2"),
+          (col("sx1") / col("n1")).as("m1"),
+          (col("sx2") / col("n2")).as("m2"),
+          ((col("sxx1") - col("sx1") * col("sx1") / col("n1")) /
+            (col("n1") - lit(1.0))).as("v1"),
+          ((col("sxx2") - col("sx2") * col("sx2") / col("n2")) /
+            (col("n2") - lit(1.0))).as("v2"))
+        val t = m.select(col("n1"), col("n2"), col("m1"), col("m2"),
+          (col("v1") / col("n1")).as("a1"), (col("v2") / col("n2")).as("a2"),
+          (col("v1") / col("n1") + col("v2") / col("n2")).as("se2"))
+        t.select(col("m1").as("mean_f"), col("m2").as("mean_o"),
+          ((col("m1") - col("m2")) / sqrt(col("se2"))).as("t_stat"),
+          (col("se2") * col("se2") /
+            (col("a1") * col("a1") / (col("n1") - lit(1.0)) +
+              col("a2") * col("a2") / (col("n2") - lit(1.0)))).as("df_welch"))
+      },
+      Some(s"""WITH g AS (SELECT
+                    CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                      AS DOUBLE) AS n1,
+                    ${sqlDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS sx1,
+                    ${sqlDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * o_totalprice END")} AS sxx1,
+                    CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                      AS DOUBLE) AS n2,
+                    ${sqlDsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS sx2,
+                    ${sqlDsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * o_totalprice END")} AS sxx2
+                  FROM orders),
+                m AS (SELECT n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
+                        (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0) AS v1,
+                        (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0) AS v2
+                      FROM g),
+                t AS (SELECT n1, n2, m1, m2, v1 / n1 AS a1, v2 / n2 AS a2,
+                        v1 / n1 + v2 / n2 AS se2
+                      FROM m)
+               SELECT m1 AS mean_f, m2 AS mean_o,
+                      (m1 - m2) / sqrt(se2) AS t_stat,
+                      se2 * se2 / (a1 * a1 / (n1 - 1.0) +
+                        a2 * a2 / (n2 - 1.0)) AS df_welch
+               FROM t""")),
+
+    // ---- M39 chi-square independence test -----------------------------
+    // Pearson chi² of o_orderstatus × o_orderpriority: integer
+    // marginals, per-cell (O−E)²/E in IEEE, exact-decimal cell sum →
+    // hash-exact. One grouped pass + tiny marginal joins.
+    Q("m39_chisq_independence",
+      (s, d) => {
+        val obs = load(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("s"), col("o_orderpriority").as("p"))
+          .agg(count(lit(1)).as("o"))
+        val rows = obs.groupBy("s").agg(sum(col("o")).as("rs"))
+        val cols_ = obs.groupBy("p").agg(sum(col("o")).as("cs"))
+        val n = obs.agg(sum(col("o")).as("nn"))
+        val e = obs.join(broadcast(rows), "s").join(broadcast(cols_), "p")
+          .crossJoin(broadcast(n))
+          .select(col("s"), col("p"), col("o").cast("double").as("od"),
+            ((col("rs") * col("cs")).cast("double") /
+              col("nn").cast("double")).as("ed"))
+        e.agg(
+          dsum((col("od") - col("ed")) * (col("od") - col("ed")) / col("ed"))
+            .as("chi2"),
+          ((count_distinct(col("s")) - lit(1L)) *
+            (count_distinct(col("p")) - lit(1L))).as("dof"))
+      },
+      Some(s"""WITH obs AS (SELECT o_orderstatus AS s, o_orderpriority AS p,
+                              count(*) AS o
+                            FROM orders GROUP BY 1, 2),
+                    r AS (SELECT s, CAST(sum(o) AS BIGINT) AS rs
+                          FROM obs GROUP BY s),
+                    c AS (SELECT p, CAST(sum(o) AS BIGINT) AS cs
+                          FROM obs GROUP BY p),
+                    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs),
+                    e AS (SELECT obs.s, obs.p, CAST(obs.o AS DOUBLE) AS od,
+                            CAST(r.rs * c.cs AS DOUBLE) / CAST(n.nn AS DOUBLE)
+                              AS ed
+                          FROM obs JOIN r ON r.s = obs.s
+                          JOIN c ON c.p = obs.p CROSS JOIN n)
+               SELECT ${sqlDsum("(od - ed) * (od - ed) / ed")} AS chi2,
+                      (count(DISTINCT s) - 1) * (count(DISTINCT p) - 1) AS dof
+               FROM e""")),
+
     // ---- M36 Poisson bootstrap variance -------------------------------
     // Hash-checkable bootstrap: replicate r reweights each element by a
     // DETERMINISTIC Poisson(1) draw — portable multiplicative hash of

@@ -406,6 +406,31 @@ object AnnQueries {
                       sqrt(${graft.util.Tables.sqlDsum("(c - g) * (c - g)")})
                         AS drift
                FROM bl JOIN gl ON gl.idx = bl.idx
-               GROUP BY bl.label ORDER BY bl.label"""))
+               GROUP BY bl.label ORDER BY bl.label""")),
+
+    // ---- E14 Johnson–Lindenstrauss random projection ------------------
+    // 64-dim embeddings projected to 16 via the Achlioptas ±1 sign
+    // matrix derived from the portable multiplicative hash — the matrix
+    // is never materialized and the projection reruns bit-identically
+    // in any engine. One explode + one partial-aggregable groupBy.
+    Q("e14_random_projection",
+      (s, d) => graft.operators.Ann.randomProjection(
+          load(s, d, "embeddings"), "vec_id", "embedding", outDim = 16)
+        .orderBy("vec_id", "j"),
+      Some(s"""WITH f AS (SELECT vec_id,
+                   unnest(generate_series(0, len(embedding) - 1)) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+                 FROM embeddings),
+                 x AS (SELECT f.vec_id, f.i, f.v, js.j
+                       FROM f CROSS JOIN
+                         (SELECT unnest(generate_series(0, 15)) AS j) js),
+                 sgn AS (SELECT vec_id, j, v,
+                           1.0 - 2.0 * CAST((((i * 16 + j) % 100000007)
+                             * 1315423911 % 100000007) % 2 AS DOUBLE) AS sg
+                         FROM x)
+               SELECT vec_id, j,
+                      ${graft.util.Tables.sqlDsum("v * sg")} / sqrt(16.0)
+                        AS out
+               FROM sgn GROUP BY vec_id, j ORDER BY vec_id, j"""))
   )
 }

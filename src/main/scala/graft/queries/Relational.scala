@@ -654,6 +654,25 @@ object Relational {
               FROM orders
               ORDER BY probe""")),
 
+    // ---- P18 deterministic pseudonymization (PII tokenization) --------
+    // Salted SHA-256 tokens replace the identifying columns while
+    // PRESERVING join-ability (equal inputs → equal tokens) — the
+    // privacy-pipeline sibling of t06's pattern redaction. Pure codegen
+    // projection; hex digests are engine-identical.
+    Q("p18_pseudonymize",
+      (s, d) => load(s, d, "customer").select(
+          sha2(concat(lit("graft-salt:"), col("c_custkey").cast("string")),
+            256).as("key_token"),
+          sha2(concat(lit("graft-salt:"), col("c_name")), 256)
+            .as("name_token"),
+          col("c_nationkey"), col("c_mktsegment"))
+        .orderBy("key_token"),
+      Some("""SELECT sha256('graft-salt:' || CAST(c_custkey AS VARCHAR))
+                       AS key_token,
+                     sha256('graft-salt:' || c_name) AS name_token,
+                     c_nationkey, c_mktsegment
+              FROM customer ORDER BY key_token""")),
+
     // ---- P16 data-quality expectations (Deequ-style gate) -------------
     // Four rules over orders in ONE aggregation pass: NULL predicates
     // count as violations, uniqueness is n − distinct. All-integer →

@@ -634,4 +634,36 @@ class AnnSuite extends SparkSpec {
     assert(agree.toDouble / ivf.length >= 0.9,
       s"IVF label-vote agreement ${agree.toDouble / ivf.length}")
   }
+
+  test("randomProjection: bit-exact determinism and JL distance " +
+      "preservation in the aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val dim = 64
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 16
+    def proj(frame: org.apache.spark.sql.DataFrame) =
+      Ann.randomProjection(frame, "vec_id", "embedding", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+        .toMap
+    val a = proj(df.repartition(1))
+    val b = proj(df.repartition(7))
+    assert(a === b) // portable-hash signs ⇒ bit-identical anywhere
+    // JL: squared-distance ratios concentrate around 1 for k=16 — check
+    // the MEDIAN over pairs rather than any single pair
+    def dist2(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val orig = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val pr = vecs.map { case (id, _) =>
+      id -> Array.tabulate(k)(j => a((id, j)))
+    }.toMap
+    val ratios = (for {
+      i <- 0 until 20; j <- (i + 1) until 20
+    } yield dist2(pr(i.toLong), pr(j.toLong)) /
+        dist2(orig(i.toLong), orig(j.toLong))).sorted
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.6 && median < 1.6, s"median JL ratio $median")
+  }
 }

@@ -53,7 +53,15 @@ object DumpPlans {
     "a25_triangles" -> "triangle census: degree-ordered orientation bounds wedge fan-out, semi-join close confirm",
     "d09_fuzzy_pairs" -> "SymSpell fuzzy join: deletion-variant equi-join candidates (never all-pairs) + levenshtein confirm",
     "a28_time_range_avg" -> "event-time RANGE frame ordered by integer microseconds",
-    "r05_scd2_intervals" -> "SCD2 intervals: lead window with deterministic (ts, event_id) tie order")
+    "r05_scd2_intervals" -> "SCD2 intervals: lead window with deterministic (ts, event_id) tie order",
+    "j10_merge_upsert" -> "CDC merge: change-log-only window, base anti-joined against broadcast winner keys (never shuffled)",
+    "j11_record_linkage" -> "Fellegi-Sunter linkage: blocking equi-join only, codegen'd agreement vector + in-plan threshold",
+    "a31_gini" -> "per-group Gini: distributed global rank (no single-task window), broadcast min-rank frame, exact-decimal sums",
+    "a32_association" -> "association rules: per-basket dedup before the size-bounded self-join, partial-agg counts, broadcast totals",
+    "m31_raking" -> "raking/IPF: one contingency-cell pass; graded weight is a literal-CASE projection (no per-iteration scans)",
+    "m36_poisson_bootstrap" -> "Poisson bootstrap: xR broadcast replicate expansion, ONE partial-aggregable groupBy(r) of O(R) state",
+    "e14_random_projection" -> "JL projection: hash-derived signs (no matrix), one explode + one partial-aggregable groupBy",
+    "w10_trending" -> "trending top-k: windowed counts (streaming-stateful half) + per-window rank on bounded partitions")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

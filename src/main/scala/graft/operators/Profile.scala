@@ -129,4 +129,22 @@ object Profile {
       (r.name, n, v, if (v == 0L) 1 else 0)
     }.toDF("rule", "n_rows", "n_violations", "pass")
   }
+
+  /** Cross-table referential-integrity check: child rows whose key has
+    * no parent are orphans. One left-anti join (broadcast-ready parent
+    * key set for dimension-sized parents; plain hash join otherwise) +
+    * one count — the FK half [[expectations]]'s single-table rules
+    * can't express. */
+  def referentialCheck(child: DataFrame, parent: DataFrame,
+                       childKey: String, parentKey: String): DataFrame = {
+    val spark = child.sparkSession
+    import spark.implicits._
+    val nChild = child.count()
+    val orphans = child
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .count()
+    Seq((nChild, orphans, if (orphans == 0L) 1 else 0))
+      .toDF("n_child", "n_orphans", "pass")
+  }
 }

@@ -673,6 +673,43 @@ object Relational {
                      c_nationkey, c_mktsegment
               FROM customer ORDER BY key_token""")),
 
+    // ---- P19 referential-integrity check (FK orphans) -----------------
+    // The cross-table half of the expectations gate: lineitem→orders
+    // must be orphan-free; orders→(1/37 customer subsample) plants a
+    // REAL orphan population to prove the detector fires. Anti-join
+    // counts, all-integer → full hash oracle.
+    Q("p19_referential",
+      (s, d) => {
+        import graft.operators.Profile.referentialCheck
+        val c1 = referentialCheck(load(s, d, "lineitem"),
+            load(s, d, "orders"), "l_orderkey", "o_orderkey")
+          .withColumn("chk", lit("lineitem_orders"))
+        val cSub = load(s, d, "customer").filter(col("c_custkey") % 37 === 1)
+        val c2 = referentialCheck(load(s, d, "orders"), cSub,
+            "o_custkey", "c_custkey")
+          .withColumn("chk", lit("orders_sampled_customers"))
+        c1.unionByName(c2)
+          .select("chk", "n_child", "n_orphans", "pass")
+          .orderBy("chk")
+      },
+      Some("""WITH o1 AS (SELECT count(*) AS n FROM lineitem),
+                   x1 AS (SELECT count(*) AS x FROM lineitem l
+                          ANTI JOIN orders o
+                            ON o.o_orderkey = l.l_orderkey),
+                   o2 AS (SELECT count(*) AS n FROM orders),
+                   cs AS (SELECT c_custkey FROM customer
+                          WHERE c_custkey % 37 = 1),
+                   x2 AS (SELECT count(*) AS x FROM orders o
+                          ANTI JOIN cs ON cs.c_custkey = o.o_custkey)
+              SELECT 'lineitem_orders' AS chk, o1.n AS n_child,
+                     x1.x AS n_orphans, CAST(x1.x = 0 AS INTEGER) AS pass
+              FROM o1, x1
+              UNION ALL
+              SELECT 'orders_sampled_customers', o2.n, x2.x,
+                     CAST(x2.x = 0 AS INTEGER)
+              FROM o2, x2
+              ORDER BY chk""")),
+
     // ---- P16 data-quality expectations (Deequ-style gate) -------------
     // Four rules over orders in ONE aggregation pass: NULL predicates
     // count as violations, uniqueness is n − distinct. All-integer →

@@ -293,4 +293,28 @@ object Samplers {
     df.withColumn(foldCol,
       ((row_number().over(win) - lit(1)) % lit(k)).cast("int"))
   }
+
+  /** πps Poisson sampling (probability proportional to size — the
+    * size-biased design the reference's Poisson leg draws from):
+    * πᵢ = min(1, n·xᵢ/Σx), include row i iff uᵢ < πᵢ with uᵢ from the
+    * engine-portable [[portableHashKey]] of `idCol`. Returns the sample
+    * with `pi` (for 1/π Horvitz–Thompson weighting) — realized size is
+    * random with expectation ≤ n, the Poisson-design property.
+    *
+    * Scale shape: one exact-decimal total + a pure selection
+    * projection — no shuffle, no state; reruns bit-identically in any
+    * engine (which is what lets a sampling DESIGN carry a hash oracle).
+    * `x` must be ≥ 0 with Σx > 0. */
+  def ppsPoisson(df: DataFrame, sizeCol: String, idCol: String,
+                 targetN: Int): DataFrame = {
+    import graft.util.Tables.dsum
+    require(targetN > 0, s"targetN must be positive, got $targetN")
+    val tot = df.agg(dsum(col(sizeCol))).head().getDouble(0)
+    require(tot > 0.0, "ppsPoisson needs a positive size total")
+    val pi = least(lit(1.0),
+      lit(targetN.toDouble) * col(sizeCol) / lit(tot))
+    val u = portableHashKey(col(idCol)).cast("double") /
+      lit(portablePrime.toDouble)
+    df.withColumn("pi", pi).filter(u < col("pi"))
+  }
 }

@@ -449,6 +449,29 @@ object SamplingQueries {
                              (PARTITION BY lang ORDER BY key, doc_id) AS rk
                          FROM k)
               SELECT doc_id, lang, CAST((rk - 1) % 5 AS INTEGER) AS fold
-              FROM r ORDER BY doc_id"""))
+              FROM r ORDER BY doc_id""")),
+
+    // ---- G18 πps Poisson sampling (size-biased design) ----------------
+    // π = min(1, n·x/Σx) with a portable-hash uniform — the sampling
+    // DESIGN itself reruns bit-identically in DuckDB, so the drawn
+    // sample (and its 1/π HT weights) carries a full hash oracle.
+    // One exact-decimal total + a selection projection, no shuffle.
+    Q("g18_pps_poisson",
+      (s, d) => Samplers.ppsPoisson(
+          load(s, d, "customer").select(col("c_custkey").as("id"),
+            greatest(col("c_acctbal"), lit(0.0)).as("x")),
+          "x", "id", targetN = 100)
+        .orderBy("id"),
+      Some(s"""WITH c AS (SELECT c_custkey AS id,
+                                 greatest(c_acctbal, 0.0) AS x
+                          FROM customer),
+                    t AS (SELECT ${graft.util.Tables.sqlDsum("x")} AS tot
+                          FROM c)
+               SELECT id, x, least(1.0, 100.0 * x / t.tot) AS pi
+               FROM c, t
+               WHERE CAST(((id % 100000007) * 1315423911) % 100000007
+                       AS DOUBLE) / 100000007.0
+                     < least(1.0, 100.0 * x / t.tot)
+               ORDER BY id"""))
   )
 }

@@ -663,6 +663,34 @@ object StatsQueries {
                         AS rmse
                FROM e GROUP BY fold ORDER BY fold""")),
 
+    // ---- M40 svyby: per-group domain means + variances ----------------
+    // survey::svyby(~y, ~g, svymean) over the A design, groups id % 3:
+    // every group's mean AND design-correct domain variance from two
+    // grouped passes (each one shuffle, any group count) —
+    // WeightedStats.svybyMean. Full-sample n in each variance (domain
+    // semantics, like m33).
+    Q("m40_svyby",
+      (s, d) => {
+        val a = sampleA(s, d).withColumn("g", col("id") % 3)
+        WeightedStats.svybyMean(SurveyDesign(a, "d"), "y", "g")
+          .orderBy("g")
+      },
+      Some(s"""WITH a AS ($sqlA),
+                    f AS (SELECT a.*, id % 3 AS g FROM a),
+                    m AS (SELECT g, ${sqlDsum("d * y")} AS sdy,
+                                 ${sqlDsum("d")} AS sd
+                          FROM f GROUP BY g),
+                    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+                    z AS (SELECT f.g, f.d * (f.y - m.sdy / m.sd) / m.sd AS z
+                          FROM f JOIN m ON m.g = f.g),
+                    v AS (SELECT g, ${sqlDsum("z * z")} AS szz,
+                                 ${sqlDsum("z")} AS sz
+                          FROM z GROUP BY g)
+               SELECT m.g, m.sdy / m.sd AS mean_y,
+                      n.n / (n.n - 1.0) * (v.szz - v.sz * v.sz / n.n)
+                        AS var_mean
+               FROM m JOIN v ON v.g = m.g, n ORDER BY m.g""")),
+
     // ---- M38 Welch two-sample t-test (A/B testing) --------------------
     // t statistic + Welch–Satterthwaite df for F-status vs O-status
     // order totals: pure closed-form arithmetic over exact-decimal

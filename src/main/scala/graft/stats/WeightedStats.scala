@@ -74,6 +74,32 @@ object WeightedStats {
     MeanResult(mu, scoreVariance(design.df, z))
   }
 
+  /** `svyby(~y, ~g, design, svymean)` — per-group domain means with the
+    * design-correct domain variance for EVERY group in two grouped
+    * passes (each one shuffle, any group count): each group is a
+    * domain, so its score z = w(y−μ_g)/Σ_g w is zero outside the group
+    * and the variance uses the FULL sample size. All closed-form IEEE
+    * over exact-decimal sums — engine-portable. */
+  def svybyMean(design: SurveyDesign, yCol: String,
+                groupCol: String): DataFrame = {
+    import graft.util.Tables.dsum
+    val w = design.weights
+    val df = design.df
+    val m = df.groupBy(col(groupCol))
+      .agg(dsum(w * col(yCol)).as("__sdy"), dsum(w).as("__sd"))
+    val joined = df.join(broadcast(m), groupCol)
+    val z = w * (col(yCol) - col("__sdy") / col("__sd")) / col("__sd")
+    val v = joined.groupBy(col(groupCol))
+      .agg(dsum(z * z).as("__szz"), dsum(z).as("__sz"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    m.join(v, groupCol).crossJoin(broadcast(n))
+      .select(col(groupCol),
+        (col("__sdy") / col("__sd")).as("mean_y"),
+        (col("__n") / (col("__n") - lit(1.0)) *
+          (col("__szz") - col("__sz") * col("__sz") / col("__n")))
+          .as("var_mean"))
+  }
+
   /** With-replacement score variance n/(n−1)·(Σz² − (Σz)²/n) from exact-
     * decimal sums — the shared second pass of every linearized estimator
     * here. */

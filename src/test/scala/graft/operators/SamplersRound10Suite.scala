@@ -65,4 +65,24 @@ class SamplersRound10Suite extends SparkSpec {
       0.5, 90, seed = 11).select("id").as[Long].collect().sorted.toSeq
     assert(ids === again)
   }
+
+  test("ppsPoisson: valid inclusion probs, size-biased, deterministic, " +
+      "zero-size rows never drawn") {
+    val df = spark.range(1, 5001).toDF("id")
+      .withColumn("x", (col("id") % 100).cast("double"))
+    val s = Samplers.ppsPoisson(df, "x", "id", targetN = 200)
+    val rows = s.select("id", "x", "pi").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.forall { case (_, _, pi) => pi > 0.0 && pi <= 1.0 })
+    assert(rows.forall { case (_, x, _) => x > 0.0 }) // π=0 excluded
+    // E[n] ≈ 200 (slightly less via the min(1, ·) clamp); loose band
+    assert(rows.length > 120 && rows.length < 280, s"drew ${rows.length}")
+    // size-biased: mean size of the sample exceeds the population mean
+    val popMean = (0 until 100).sum / 100.0
+    val sampMean = rows.map(_._2).sum / rows.length
+    assert(sampMean > popMean * 1.2, s"$sampMean vs $popMean")
+    val again = Samplers.ppsPoisson(df.repartition(7), "x", "id", 200)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === rows.map(_._1).sorted.toSeq) // bit-identical draw
+  }
 }

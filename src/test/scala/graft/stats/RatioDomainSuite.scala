@@ -60,6 +60,20 @@ class RatioDomainSuite extends SparkSpec {
     assert(math.abs(dres.variance - expect) < 1e-8)
   }
 
+  test("svybyMean per group equals svymeanDomain of that group bit-exactly") {
+    val withG = df.withColumn("g", col("x").cast("long") % 2)
+    val design2 = SurveyDesign(withG, "w")
+    val by = WeightedStats.svybyMean(design2, "y", "g")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    for (g <- Seq(0L, 1L)) {
+      val dom = WeightedStats.svymeanDomain(design2, "y",
+        col("g") === g)
+      assert(by(g)._1 === dom.mean)
+      assert(by(g)._2 === dom.variance)
+    }
+  }
+
   test("an empty domain fails loudly") {
     val e = intercept[IllegalArgumentException] {
       WeightedStats.svymeanDomain(design, "y", lit(false))

@@ -691,6 +691,72 @@ object StatsQueries {
                         AS var_mean
                FROM m JOIN v ON v.g = m.g, n ORDER BY m.g""")),
 
+    // ---- M41 per-row regression diagnostics ---------------------------
+    // Leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx and Cook's distance for the
+    // simple OLS fit — influence screening as a pure projection: ONE
+    // moment pass (SSE from the closed form Syy − b1·Sxy, no residual
+    // pass), scalars broadcast as literals, per-row IEEE identical
+    // across engines.
+    Q("m41_ols_diagnostics",
+      (s, d) => {
+        val src = load(s, d, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        val g = src.agg(dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"),
+          count(lit(1)).cast("double").as("n")).head()
+        val (sx, sy, sxy, sxx, syy, n) =
+          (dbl(g, 0), dbl(g, 1), dbl(g, 2), dbl(g, 3), dbl(g, 4), dbl(g, 5))
+        val xbar = sx / n
+        val sxxc = sxx - sx * sx / n
+        val b1 = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        val b0 = sy / n - b1 * (sx / n)
+        val s2 = ((syy - sy * sy / n) - b1 * (sxy - sx * sy / n)) / (n - 2.0)
+        val invn = 1.0 / n
+        val hthr = 4.0 / n
+        val resid = col("y") - (lit(b0) + lit(b1) * col("x"))
+        val lev = lit(invn) +
+          (col("x") - lit(xbar)) * (col("x") - lit(xbar)) / lit(sxxc)
+        src.select(col("id"), col("x"), col("y"),
+            resid.as("resid"), lev.as("leverage"),
+            (resid * resid / lit(2.0 * s2) *
+              (lev / ((lit(1.0) - lev) * (lit(1.0) - lev)))).as("cooks_d"),
+            (lev > lit(hthr)).cast("int").as("high_leverage"))
+          .orderBy("id")
+      },
+      Some(s"""WITH src AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+                                   l_quantity AS x, l_extendedprice AS y
+                            FROM lineitem),
+                    g AS (SELECT ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+                                 ${sqlDsum("x * y")} AS sxy,
+                                 ${sqlDsum("x * x")} AS sxx,
+                                 ${sqlDsum("y * y")} AS syy,
+                                 CAST(count(*) AS DOUBLE) AS n
+                          FROM src),
+                    c AS (SELECT n, sx / n AS xbar,
+                            sxx - sx * sx / n AS sxxc,
+                            (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b1,
+                            sy / n - ((sxy - sx * sy / n) /
+                              (sxx - sx * sx / n)) * (sx / n) AS b0,
+                            ((syy - sy * sy / n) -
+                              ((sxy - sx * sy / n) / (sxx - sx * sx / n)) *
+                                (sxy - sx * sy / n)) / (n - 2.0) AS s2,
+                            1.0 / n AS invn, 4.0 / n AS hthr
+                          FROM g),
+                    e AS (SELECT src.id, src.x, src.y,
+                            src.y - (c.b0 + c.b1 * src.x) AS resid,
+                            c.invn + (src.x - c.xbar) * (src.x - c.xbar)
+                              / c.sxxc AS lev,
+                            c.s2, c.hthr
+                          FROM src, c)
+               SELECT id, x, y, resid, lev AS leverage,
+                      resid * resid / (2.0 * s2) *
+                        (lev / ((1.0 - lev) * (1.0 - lev))) AS cooks_d,
+                      CAST(lev > hthr AS INTEGER) AS high_leverage
+               FROM e ORDER BY id""")),
+
     // ---- M38 Welch two-sample t-test (A/B testing) --------------------
     // t statistic + Welch–Satterthwaite df for F-status vs O-status
     // order totals: pure closed-form arithmetic over exact-decimal

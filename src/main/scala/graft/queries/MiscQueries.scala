@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1348,6 +1348,77 @@ object MiscQueries {
                SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
                       (2.0 * six - (n + 1.0) * sx) / (n * sx) AS gini
                FROM a ORDER BY l_returnflag""")),
+
+    // ---- A35 RFM customer segmentation --------------------------------
+    // Recency (last order epoch-day), frequency (order count), monetary
+    // (exact-decimal spend) per customer, each coded 1-4 by its exact
+    // quartile thresholds from Ranks.quantileSelect (integer target
+    // ranks, distributed rank — no single-task window). The code is
+    // 1 + Σ 1{v > thr_q}: pure comparisons against broadcast literals,
+    // hash-exact. Recency codes 4 = most recent (higher day = better).
+    Q("a35_rfm",
+      (s, d) => {
+        import graft.operators.Ranks.quantileSelect
+        val per = load(s, d, "orders")
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+              .cast("double").as("r"),
+            count(lit(1)).cast("double").as("f"),
+            dsum(col("o_totalprice")).as("m"))
+        def codes(vCol: String): Column = {
+          val q = quantileSelect(per, vCol, "cust", Seq(2500, 5000, 7500))
+          lit(1) + (col(vCol) > lit(q(2500))).cast("int") +
+            (col(vCol) > lit(q(5000))).cast("int") +
+            (col(vCol) > lit(q(7500))).cast("int")
+        }
+        per.select(col("cust"), col("r"), col("f"), col("m"),
+            codes("r").as("r_code"), codes("f").as("f_code"),
+            codes("m").as("m_code"))
+          .orderBy("cust")
+      },
+      Some(s"""WITH per AS (SELECT o_custkey AS cust,
+                      CAST(max(epoch_us(o_orderdate) // 86400000000) AS DOUBLE)
+                        AS r,
+                      CAST(count(*) AS DOUBLE) AS f,
+                      ${sqlDsum("o_totalprice")} AS m
+                    FROM orders GROUP BY o_custkey),
+                rk AS (SELECT per.*,
+                         row_number() OVER (ORDER BY r, cust) AS rr,
+                         row_number() OVER (ORDER BY f, cust) AS rf,
+                         row_number() OVER (ORDER BY m, cust) AS rm,
+                         count(*) OVER () AS n
+                       FROM per),
+                th AS (SELECT
+                         max(CASE WHEN rr = (2500 * n + 9999) // 10000
+                             THEN r END) AS r25,
+                         max(CASE WHEN rr = (5000 * n + 9999) // 10000
+                             THEN r END) AS r50,
+                         max(CASE WHEN rr = (7500 * n + 9999) // 10000
+                             THEN r END) AS r75,
+                         max(CASE WHEN rf = (2500 * n + 9999) // 10000
+                             THEN f END) AS f25,
+                         max(CASE WHEN rf = (5000 * n + 9999) // 10000
+                             THEN f END) AS f50,
+                         max(CASE WHEN rf = (7500 * n + 9999) // 10000
+                             THEN f END) AS f75,
+                         max(CASE WHEN rm = (2500 * n + 9999) // 10000
+                             THEN m END) AS m25,
+                         max(CASE WHEN rm = (5000 * n + 9999) // 10000
+                             THEN m END) AS m50,
+                         max(CASE WHEN rm = (7500 * n + 9999) // 10000
+                             THEN m END) AS m75
+                       FROM rk)
+               SELECT per.cust, per.r, per.f, per.m,
+                      1 + CAST(per.r > th.r25 AS INTEGER)
+                        + CAST(per.r > th.r50 AS INTEGER)
+                        + CAST(per.r > th.r75 AS INTEGER) AS r_code,
+                      1 + CAST(per.f > th.f25 AS INTEGER)
+                        + CAST(per.f > th.f50 AS INTEGER)
+                        + CAST(per.f > th.f75 AS INTEGER) AS f_code,
+                      1 + CAST(per.m > th.m25 AS INTEGER)
+                        + CAST(per.m > th.m50 AS INTEGER)
+                        + CAST(per.m > th.m75 AS INTEGER) AS m_code
+               FROM per, th ORDER BY per.cust""")),
 
     // ---- A32 association rules (market-basket co-occurrence) ----------
     // Orders are baskets, part-key buckets the items; pairwise support /

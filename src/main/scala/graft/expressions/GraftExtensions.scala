@@ -77,9 +77,16 @@ object GraftExtensions {
       }))
 
   /** Late registration onto an already-built session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     definitions.foreach { case (name, info, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, name, info,
         builder)
     }
+    // keep the late path equivalent to withExtensions: attach the
+    // optimizer rule too (experimental hook; guard against re-adding)
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.JaccardPrefilterRule))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.JaccardPrefilterRule
+  }
 }

@@ -55,7 +55,10 @@ object Association {
           .as("conf_a_b"),
         (col("n_pair").cast("double") / col("cnt_b").cast("double"))
           .as("conf_b_a"),
-        ((col("n_pair") * col("n_baskets")).cast("double") /
-          (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+        // cast each factor BEFORE multiplying: the long products
+        // overflow at the basket counts this operator is designed for
+        ((col("n_pair").cast("double") * col("n_baskets").cast("double")) /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double")))
+          .as("lift"))
   }
 }

@@ -27,9 +27,13 @@ object Dedup {
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /** Driver/executor-side rendition of [[normalize]] for closures that
-    * must match the column expression exactly. */
+    * must match the column expression exactly: locale-independent
+    * lowercase (String.toLowerCase would follow the JVM default locale
+    * — tr-TR dots break parity) and space-only trim (String.trim also
+    * strips control chars; Spark's trim does not). */
   def normalizeString(text: String): String =
-    text.replaceAll("\\s+", " ").trim.toLowerCase
+    text.replaceAll("\\s+", " ").replaceAll("\\A +| +\\z", "")
+      .toLowerCase(java.util.Locale.ROOT)
 
   def tokens(text: Column): Column = split(normalize(text), " ")
 

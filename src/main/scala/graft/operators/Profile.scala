@@ -85,10 +85,13 @@ object Profile {
     require(nBins > 0 && hi > lo, s"bad histogram spec [$lo, $hi) x $nBins")
     val width = (hi - lo) / nBins
     val v = col(valueCol)
+    // clamp the computed bin: when width isn't exactly representable,
+    // floor((v-lo)/width) can reach nBins for a v still below hi
     val bin = when(v.isNull, lit(null).cast("long"))
       .when(v < lo, lit(-1L))
       .when(v >= hi, lit(nBins.toLong))
-      .otherwise(floor((v - lit(lo)) / lit(width)).cast("long"))
+      .otherwise(least(lit(nBins - 1L),
+        floor((v - lit(lo)) / lit(width)).cast("long")))
     df.select(bin.as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))
@@ -125,7 +128,9 @@ object Profile {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Long]("__n")
     rules.map { r =>
-      val v = row.getAs[Long](s"__v_${r.name}")
+      // sum() over zero rows is NULL — an empty frame has no violations
+      val i = row.fieldIndex(s"__v_${r.name}")
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
       (r.name, n, v, if (v == 0L) 1 else 0)
     }.toDF("rule", "n_rows", "n_violations", "pass")
   }
@@ -139,11 +144,16 @@ object Profile {
                        childKey: String, parentKey: String): DataFrame = {
     val spark = child.sparkSession
     import spark.implicits._
-    val nChild = child.count()
-    val orphans = child
-      .join(parent.select(col(parentKey).as(childKey)).distinct(),
-        Seq(childKey), "left_anti")
-      .count()
+    // ONE pass over the (large) child side: left join the distinct
+    // parent keys with a hit marker and count rows + misses together
+    val row = child
+      .join(parent.select(col(parentKey).as(childKey))
+        .distinct().withColumn("__hit", lit(1)),
+        Seq(childKey), "left")
+      .agg(count(lit(1)).as("n_child"),
+        count(when(col("__hit").isNull, 1)).as("n_orphans"))
+      .head()
+    val (nChild, orphans) = (row.getLong(0), row.getLong(1))
     Seq((nChild, orphans, if (orphans == 0L) 1 else 0))
       .toDF("n_child", "n_orphans", "pass")
   }

@@ -51,11 +51,16 @@ object JaccardPrefilterRule extends Rule[LogicalPlan] {
             Cast(Size(_, _), DoubleType, _, _), _)) => g.canonicalized
     }.toSet
     cond.transformUp {
+      // legacySizeOfNull makes size(NULL) = -1, under which the
+      // original predicate can PASS a NULL pair ((-1)/(-1) = 1) while
+      // the guard would drop it — only rewrite in non-legacy mode,
+      // where both sides agree on NULL propagation
       case geq @ GreaterThanOrEqual(
           Divide(SizeOf(ArrayIntersect(a, b), legacy),
             SizeOf(ArrayUnion(a2, b2), _), _),
           Literal(t: Double, DoubleType))
-          if t > 0.0 && a.semanticEquals(a2) && b.semanticEquals(b2) &&
+          if !legacy && t > 0.0 &&
+            a.semanticEquals(a2) && b.semanticEquals(b2) &&
             !present.contains(guard(t, a, b, legacy).canonicalized) =>
         And(And(guard(t, a, b, legacy), guard(t, b, a, legacy)), geq)
     }

@@ -1445,8 +1445,9 @@ object MiscQueries {
                        AS conf_a_b,
                      CAST(pr.n_pair AS DOUBLE) / CAST(cb.cnt AS DOUBLE)
                        AS conf_b_a,
-                     CAST(pr.n_pair * nb.n_baskets AS DOUBLE) /
-                       CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+                     CAST(pr.n_pair AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                       / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))
+                       AS lift
               FROM pr
               JOIN ic ca ON ca.i = pr.item_a
               JOIN ic cb ON cb.i = pr.item_b

@@ -599,8 +599,8 @@ object Relational {
                            WHEN o_totalprice IS NULL THEN NULL
                            WHEN o_totalprice < 0.0 THEN -1
                            WHEN o_totalprice >= 600000.0 THEN 24
-                           ELSE CAST(floor((o_totalprice - 0.0) / 25000.0)
-                                     AS BIGINT) END AS bin
+                           ELSE least(23, CAST(floor((o_totalprice - 0.0)
+                                     / 25000.0) AS BIGINT)) END AS bin
                          FROM orders)
               SELECT bin, count(*) AS n,
                      CASE WHEN bin >= 0 AND bin < 24

@@ -24,7 +24,11 @@ object CdcTable {
 
   private def versionDirs(path: String): Seq[Int] =
     Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        // only COMPLETE snapshots count: a crashed write leaves v=N
+        // without the committer's _SUCCESS marker and must be invisible
+        // to readers and to the next applyBatch
+        new File(f, "_SUCCESS").exists())
       .map(_.getName.stripPrefix("v=").toInt).toSeq.sorted
 
   def latestVersion(path: String): Option[Int] = versionDirs(path).lastOption

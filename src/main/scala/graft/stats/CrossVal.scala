@@ -26,21 +26,29 @@ object CrossVal {
                foldCol: String): DataFrame = {
     val spark = df.sparkSession
     val x = col(xCol); val y = col(yCol)
-    val g = df.groupBy(col(foldCol).cast("long").as("fold")).agg(
+    // ONE rollup pass yields every fold's moments AND the grand total
+    // (grouping_id 1) — exact decimal sums are associative, so the
+    // total row is bit-identical to a separate whole-frame aggregate
+    val gAll = df.rollup(col(foldCol).cast("long").as("fold")).agg(
+      grouping_id().as("gid"),
       dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
       dsum(x * x).as("sxx"), count(lit(1)).cast("double").as("n"))
       .collect()
-    require(g.length >= 2, s"k-fold needs at least 2 folds, got ${g.length}")
-    val t = df.agg(dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
-      dsum(x * x).as("sxx"), count(lit(1)).cast("double").as("n")).head()
-    def d(r: Row, i: Int): Double =
+    def d(r: Row, name: String): Double = {
+      val i = r.fieldIndex(name)
       if (r.isNullAt(i)) 0.0 else r.getAs[Number](i).doubleValue()
-    val (sxt, syt, sxyt, sxxt, nt) = (d(t, 0), d(t, 1), d(t, 2), d(t, 3), d(t, 4))
+    }
+    val t = gAll.find(_.getAs[Long]("gid") == 1L).get
+    val g = gAll.filter(_.getAs[Long]("gid") == 0L)
+    require(g.length >= 2, s"k-fold needs at least 2 folds, got ${g.length}")
+    val (sxt, syt, sxyt, sxxt, nt) =
+      (d(t, "sx"), d(t, "sy"), d(t, "sxy"), d(t, "sxx"), d(t, "n"))
     val coefs = g.map { r =>
+      require(!r.isNullAt(0), "NULL fold values are not allowed")
       val fold = r.getLong(0)
       val (sx2, sy2, sxy2, sxx2, n2) =
-        (sxt - d(r, 1), syt - d(r, 2), sxyt - d(r, 3), sxxt - d(r, 4),
-          nt - d(r, 5))
+        (sxt - d(r, "sx"), syt - d(r, "sy"), sxyt - d(r, "sxy"),
+          sxxt - d(r, "sxx"), nt - d(r, "n"))
       require(n2 > 1, s"fold $fold leaves <2 training rows")
       val b1 = (sxy2 - sx2 * sy2 / n2) / (sxx2 - sx2 * sx2 / n2)
       val b0 = sy2 / n2 - b1 * (sx2 / n2)

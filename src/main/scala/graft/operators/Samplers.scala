@@ -317,4 +317,23 @@ object Samplers {
       lit(portablePrime.toDouble)
     df.withColumn("pi", pi).filter(u < col("pi"))
   }
+
+  /** Systematic sampling with interval k: order the frame by the
+    * portable hash of `idCol` (a deterministic pseudo-random ordering —
+    * the list-order randomization classical systematic sampling
+    * requires) and keep every k-th row starting at `start`. Exactly
+    * ⌈(n−start)/k⌉ rows, reproducible in any engine.
+    *
+    * Scale shape: the rank rides [[graft.operators.Ranks.globalRowNumber]]
+    * — a distributed sort + zipWithIndex, no single-task window. */
+  def systematic(df: DataFrame, idCol: String, k: Int,
+                 start: Int = 0): DataFrame = {
+    require(k >= 2, s"interval k=$k must be >= 2")
+    require(start >= 0 && start < k, s"start=$start must be in [0, $k)")
+    Ranks.globalRowNumber(
+        df.withColumn("__hk", portableHashKey(col(idCol))),
+        Seq(col("__hk"), col(idCol)), out = "__rn")
+      .filter((col("__rn") - lit(1L)) % lit(k.toLong) === lit(start.toLong))
+      .drop("__hk", "__rn")
+  }
 }

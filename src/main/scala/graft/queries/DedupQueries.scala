@@ -487,6 +487,31 @@ object DedupQueries {
                SELECT doc_id, cluster_id, quality,
                       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER)
                         AS keep
-               FROM r ORDER BY doc_id"""))
+               FROM r ORDER BY doc_id""")),
+
+    // ---- D12 exact-dedup accounting report ----------------------------
+    // The ops view of d01: group by content hash and report corpus
+    // totals — group count, duplicate count, and the characters a
+    // dedup pass would reclaim. One hash-keyed shuffle, all-integer →
+    // full hash oracle.
+    Q("d12_dedup_report",
+      (s, d) => {
+        val g = load(s, d, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("n"),
+            max(length(col("text"))).as("len"))
+        g.agg(count(lit(1)).as("n_groups"),
+          sum(col("n")).as("n_docs"),
+          (sum(col("n")) - count(lit(1))).as("n_duplicates"),
+          sum((col("n") - lit(1L)) * col("len")).as("dup_chars"))
+      },
+      Some("""WITH g AS (SELECT md5(text) AS h, count(*) AS n,
+                                max(length(text)) AS len
+                         FROM documents GROUP BY 1)
+              SELECT count(*) AS n_groups,
+                     CAST(sum(n) AS BIGINT) AS n_docs,
+                     CAST(sum(n) - count(*) AS BIGINT) AS n_duplicates,
+                     CAST(sum((n - 1) * len) AS BIGINT) AS dup_chars
+              FROM g"""))
   )
 }

@@ -472,6 +472,26 @@ object SamplingQueries {
                WHERE CAST(((id % 100000007) * 1315423911) % 100000007
                        AS DOUBLE) / 100000007.0
                      < least(1.0, 100.0 * x / t.tot)
-               ORDER BY id"""))
+               ORDER BY id""")),
+
+    // ---- G19 systematic sampling (interval k over a hashed order) -----
+    // Every 7th customer in the portable-hash order (the deterministic
+    // rendition of classical list-randomized systematic sampling) —
+    // exact sample size ⌈n/7⌉, engine-identical, no single-task window
+    // on the Spark side (distributed rank).
+    Q("g19_systematic",
+      (s, d) => Samplers.systematic(
+          load(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+          "c_custkey", k = 7)
+        .orderBy("c_custkey"),
+      Some("""WITH h AS (SELECT c_custkey, c_nationkey,
+                                ((c_custkey % 100000007) * 1315423911)
+                                  % 100000007 AS hk
+                         FROM customer),
+                   r AS (SELECT c_custkey, c_nationkey,
+                           row_number() OVER (ORDER BY hk, c_custkey) AS rn
+                         FROM h)
+              SELECT c_custkey, c_nationkey FROM r
+              WHERE (rn - 1) % 7 = 0 ORDER BY c_custkey"""))
   )
 }

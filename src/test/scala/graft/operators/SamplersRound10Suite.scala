@@ -85,4 +85,19 @@ class SamplersRound10Suite extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(again === rows.map(_._1).sorted.toSeq) // bit-identical draw
   }
+
+  test("systematic: exact interval sizes, starts partition the frame, " +
+      "deterministic") {
+    val df = spark.range(1, 1001).toDF("id")
+    val k = 7
+    val parts = (0 until k).map(s0 =>
+      Samplers.systematic(df, "id", k, s0)
+        .select("id").as[Long].collect().toSet)
+    assert(parts.head.size === 143) // ceil(1000/7)
+    assert(parts.map(_.size).sum === 1000)
+    assert(parts.reduce(_ ++ _).size === 1000) // disjoint + exhaustive
+    val again = Samplers.systematic(df.repartition(9), "id", k)
+      .select("id").as[Long].collect().toSet
+    assert(again === parts.head)
+  }
 }

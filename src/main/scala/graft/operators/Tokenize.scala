@@ -44,7 +44,14 @@ object Tokenize {
   }
 
   /** Encode `textCol` into a pieces array column: normalize, split on
-    * whitespace, tile each word. The vocab set rides a broadcast. */
+    * whitespace, tile each word. The vocab set rides a broadcast.
+    *
+    * Deliberately a Scala UDF — the one in this codebase: the tiling
+    * loop is imperative string matching against a DATA-DEPENDENT vocab
+    * (no expression-tree arithmetic for codegen to fuse), its cost is
+    * the loop itself, and the broadcast keeps the vocab off the rows.
+    * A native Expression would buy only the Row-conversion overhead at
+    * the price of serializing the vocab into every plan copy. */
   def wordpieceEncode(df: DataFrame, textCol: String, vocab: Set[String],
                       out: String = "pieces"): DataFrame = {
     require(vocab.nonEmpty, "empty wordpiece vocab")

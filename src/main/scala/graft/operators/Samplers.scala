@@ -324,14 +324,22 @@ object Samplers {
     * requires) and keep every k-th row starting at `start`. Exactly
     * ⌈(n−start)/k⌉ rows, reproducible in any engine.
     *
+    * `idCol` must be a non-NULL KEY: the (hash, id) pair is the total
+    * order reproducibility rests on, so duplicate ids would leave tied
+    * rows ranked by shuffle arrival. NULLs fail loudly (same contract
+    * as [[splitByPortableHash]]).
+    *
     * Scale shape: the rank rides [[graft.operators.Ranks.globalRowNumber]]
     * — a distributed sort + zipWithIndex, no single-task window. */
   def systematic(df: DataFrame, idCol: String, k: Int,
                  start: Int = 0): DataFrame = {
     require(k >= 2, s"interval k=$k must be >= 2")
     require(start >= 0 && start < k, s"start=$start must be in [0, $k)")
-    Ranks.globalRowNumber(
-        df.withColumn("__hk", portableHashKey(col(idCol))),
+    val guarded = df.withColumn("__hk",
+      when(col(idCol).isNull,
+        raise_error(lit(s"systematic: NULL in key column '$idCol'")))
+        .otherwise(portableHashKey(col(idCol))))
+    Ranks.globalRowNumber(guarded,
         Seq(col("__hk"), col(idCol)), out = "__rn")
       .filter((col("__rn") - lit(1L)) % lit(k.toLong) === lit(start.toLong))
       .drop("__hk", "__rn")

@@ -691,6 +691,49 @@ object StatsQueries {
                         AS var_mean
                FROM m JOIN v ON v.g = m.g, n ORDER BY m.g""")),
 
+    // ---- M42 Wilson score intervals for proportions -------------------
+    // Per-event-type share of events with the Wilson 95% CI (the
+    // interval that behaves at small n and extreme p, unlike Wald):
+    // center (p̂ + z²/2n)/(1+z²/n), half-width z·√(p̂(1−p̂)/n + z²/4n²)
+    // /(1+z²/n). Counts are exact integers; the z constant is a
+    // literal; sqrt is correctly rounded — full hash oracle.
+    Q("m42_wilson_ci",
+      (s, d) => {
+        val ev = graft.util.Tables.loadEvents(s, d)
+        val n = ev.count().toDouble
+        val z = 1.96
+        val z2 = z * z
+        val per = ev.groupBy("event_type").agg(count(lit(1)).as("k"))
+        val p = col("k").cast("double") / lit(n)
+        val denom = lit(1.0) + lit(z2) / lit(n)
+        val center = (p + lit(z2) / lit(2.0 * n)) / denom
+        val half = (lit(z) *
+          sqrt(p * (lit(1.0) - p) / lit(n) +
+            lit(z2) / lit(4.0 * n * n))) / denom
+        per.select(col("event_type"), col("k"),
+            p.as("p_hat"), (center - half).as("ci_lo"),
+            (center + half).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events),
+                    per AS (SELECT event_type, count(*) AS k
+                            FROM events GROUP BY event_type),
+                    c AS (SELECT per.event_type, per.k, n.n,
+                            CAST(per.k AS DOUBLE) / n.n AS p,
+                            1.0 + CAST('${1.96 * 1.96}' AS DOUBLE) / n.n
+                              AS denom
+                          FROM per, n),
+                    w AS (SELECT event_type, k, p,
+                            (p + CAST('${1.96 * 1.96}' AS DOUBLE)
+                              / (2.0 * n)) / denom AS center,
+                            (1.96 * sqrt(p * (1.0 - p) / n +
+                              CAST('${1.96 * 1.96}' AS DOUBLE)
+                                / (4.0 * n * n))) / denom AS half
+                          FROM c)
+               SELECT event_type, k, p AS p_hat,
+                      center - half AS ci_lo, center + half AS ci_hi
+               FROM w ORDER BY event_type""")),
+
     // ---- M41 per-row regression diagnostics ---------------------------
     // Leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx and Cook's distance for the
     // simple OLS fit — influence screening as a pure projection: ONE

@@ -691,6 +691,38 @@ object StatsQueries {
                         AS var_mean
                FROM m JOIN v ON v.g = m.g, n ORDER BY m.g""")),
 
+    // ---- M43 isotonic (PAVA) score calibration ------------------------
+    // Monotone calibration of P(high-price | quantity) over binned
+    // sufficient statistics (graft.stats.Isotonic): one partial-
+    // aggregable pass + driver PAVA over the bounded bin table. The
+    // pooled fit has no SQL rendition, so the rows carry their own
+    // proof: monotone_ok (each fitted ≥ its predecessor) and
+    // mean_preserved (pooling keeps the weighted label mean) must be
+    // true on every row; IsotonicSuite pins the classic PAVA fixtures.
+    Q("m43_isotonic",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = load(s, d, "lineitem").select(
+          col("l_quantity").as("score"),
+          (col("l_extendedprice") > 30000.0).cast("double").as("label"))
+        val fit = graft.stats.Isotonic.fitBinned(li, "score", "label",
+          lo = 0.0, hi = 51.0, nBins = 17)
+        val tot = fit.agg(
+          sum(col("n").cast("double") * col("y_mean")).as("a"),
+          sum(col("n").cast("double") * col("fitted")).as("b")).head()
+        val meanOk = math.abs(tot.getDouble(0) - tot.getDouble(1)) < 1e-6
+        // the fit table is nBins rows — a driver-sized single-task
+        // window is the right plan for the monotonicity check
+        val w = Window.partitionBy(lit(1)).orderBy("bin")
+        fit.withColumn("__prev", lag("fitted", 1).over(w))
+          .withColumn("monotone_ok",
+            coalesce(col("fitted") >= col("__prev"), lit(true)))
+          .withColumn("mean_preserved", lit(meanOk))
+          .drop("__prev")
+          .orderBy("bin")
+      },
+      None),
+
     // ---- M42 Wilson score intervals for proportions -------------------
     // Per-event-type share of events with the Wilson 95% CI (the
     // interval that behaves at small n and extreme p, unlike Wald):

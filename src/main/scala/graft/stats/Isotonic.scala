@@ -1,0 +1,73 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.dsum
+
+/** Isotonic regression (pool-adjacent-violators) for score calibration:
+  * the monotone-nondecreasing step function minimizing weighted squared
+  * error to the observed (score, label) relationship — the standard
+  * calibration layer over ML scores (Zadrozny & Elkan 2002).
+  *
+  * Scale design: raw (score, label) pairs are first reduced to BINNED
+  * sufficient statistics (bin weight + label mean) in one partial-
+  * aggregable pass — PAVA over bins is exactly PAVA over the raw data
+  * when bins partition the score axis, because isotonic fits depend
+  * only on (weight, mean) per distinct x. The driver then pools the
+  * bounded bin table (nBins rows) and the calibrated mapping goes back
+  * as a broadcastable step table. No per-row state, no second scan.
+  */
+object Isotonic {
+
+  /** PAVA over (weight, mean) pairs already sorted by x ascending.
+    * Returns the fitted (monotone) value per input position. */
+  def pava(weights: Seq[Double], means: Seq[Double]): Seq[Double] = {
+    require(weights.length == means.length, "weights/means length mismatch")
+    require(weights.forall(_ > 0.0), "PAVA needs positive weights")
+    case class Block(var w: Double, var mean: Double, var count: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    weights.zip(means).foreach { case (w, m) =>
+      stack += Block(w, m, 1)
+      // pool while the monotonicity constraint is violated
+      while (stack.length >= 2 &&
+          stack(stack.length - 2).mean > stack.last.mean) {
+        val top = stack.remove(stack.length - 1)
+        val prev = stack.last
+        val w2 = prev.w + top.w
+        prev.mean = (prev.w * prev.mean + top.w * top.mean) / w2
+        prev.w = w2
+        prev.count += top.count
+      }
+    }
+    stack.flatMap(b => Seq.fill(b.count)(b.mean)).toSeq
+  }
+
+  /** Fit a binned isotonic calibration: equal-width bins over
+    * [lo, hi), label means pooled to monotone. Returns one row per
+    * non-empty bin: (bin, x_lo, n, y_mean, fitted). */
+  def fitBinned(df: DataFrame, scoreCol: String, labelCol: String,
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 1 && hi > lo, s"bad isotonic spec [$lo, $hi) x $nBins")
+    val width = (hi - lo) / nBins
+    val bin = least(lit(nBins - 1L),
+      greatest(lit(0L),
+        floor((col(scoreCol) - lit(lo)) / lit(width)).cast("long")))
+    val bins = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).cast("double").as("w"),
+        (dsum(col(labelCol)) / count(lit(1))).as("y_mean"))
+      .orderBy("bin")
+      .collect()
+    require(bins.nonEmpty, "no data to calibrate")
+    val fitted = pava(bins.map(_.getDouble(1)).toSeq,
+      bins.map(_.getDouble(2)).toSeq)
+    val spark = df.sparkSession
+    import spark.implicits._
+    bins.zip(fitted).map { case (r, f) =>
+      val b = r.getLong(0)
+      (b, lo + b.toDouble * width, r.getDouble(1).toLong, r.getDouble(2), f)
+    }.toSeq.toDF("bin", "x_lo", "n", "y_mean", "fitted")
+  }
+}

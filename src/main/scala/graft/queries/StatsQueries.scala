@@ -707,10 +707,13 @@ object StatsQueries {
           (col("l_extendedprice") > 30000.0).cast("double").as("label"))
         val fit = graft.stats.Isotonic.fitBinned(li, "score", "label",
           lo = 0.0, hi = 51.0, nBins = 17)
-        val tot = fit.agg(
-          sum(col("n").cast("double") * col("y_mean")).as("a"),
-          sum(col("n").cast("double") * col("fitted")).as("b")).head()
-        val meanOk = math.abs(tot.getDouble(0) - tot.getDouble(1)) < 1e-6
+        // the fit table is driver-sized by construction — check the
+        // mean-preservation invariant in plain Scala (no extra job),
+        // with a RELATIVE tolerance (sums grow with row count)
+        val rows = fit.select("n", "y_mean", "fitted").collect()
+        val a = rows.map(r => r.getLong(0).toDouble * r.getDouble(1)).sum
+        val b = rows.map(r => r.getLong(0).toDouble * r.getDouble(2)).sum
+        val meanOk = math.abs(a - b) < 1e-12 * math.max(math.abs(a), 1.0)
         // the fit table is nBins rows — a driver-sized single-task
         // window is the right plan for the monotonicity check
         val w = Window.partitionBy(lit(1)).orderBy("bin")
@@ -731,20 +734,24 @@ object StatsQueries {
     // literal; sqrt is correctly rounded — full hash oracle.
     Q("m42_wilson_ci",
       (s, d) => {
-        val ev = graft.util.Tables.loadEvents(s, d)
-        val n = ev.count().toDouble
+        // ONE events scan: the grouped counts are driver-sized (a few
+        // event types), n is their exact sum, and the Wilson arithmetic
+        // runs driver-side with the same IEEE trees the oracle writes
+        val per = graft.util.Tables.loadEvents(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("k"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val n = per.map(_._2).sum.toDouble
         val z = 1.96
         val z2 = z * z
-        val per = ev.groupBy("event_type").agg(count(lit(1)).as("k"))
-        val p = col("k").cast("double") / lit(n)
-        val denom = lit(1.0) + lit(z2) / lit(n)
-        val center = (p + lit(z2) / lit(2.0 * n)) / denom
-        val half = (lit(z) *
-          sqrt(p * (lit(1.0) - p) / lit(n) +
-            lit(z2) / lit(4.0 * n * n))) / denom
-        per.select(col("event_type"), col("k"),
-            p.as("p_hat"), (center - half).as("ci_lo"),
-            (center + half).as("ci_hi"))
+        import s.implicits._
+        per.toSeq.map { case (t, k) =>
+          val p = k.toDouble / n
+          val denom = 1.0 + z2 / n
+          val center = (p + z2 / (2.0 * n)) / denom
+          val half = (z * math.sqrt(p * (1.0 - p) / n +
+            z2 / (4.0 * n * n))) / denom
+          (t, k, p, center - half, center + half)
+        }.toDF("event_type", "k", "p_hat", "ci_lo", "ci_hi")
           .orderBy("event_type")
       },
       Some(s"""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events),

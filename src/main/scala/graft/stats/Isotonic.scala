@@ -44,8 +44,11 @@ object Isotonic {
   }
 
   /** Fit a binned isotonic calibration: equal-width bins over
-    * [lo, hi), label means pooled to monotone. Returns one row per
-    * non-empty bin: (bin, x_lo, n, y_mean, fitted). */
+    * [lo, hi) — scores OUTSIDE the range are clamped into the edge
+    * bins (the standard calibration treatment of out-of-range scores;
+    * an edge bin's `x_lo` labels its in-range boundary, not the
+    * clamped mass). Labels mean-pooled to monotone. Returns one row
+    * per non-empty bin: (bin, x_lo, n, y_mean, fitted). */
   def fitBinned(df: DataFrame, scoreCol: String, labelCol: String,
                 lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins > 1 && hi > lo, s"bad isotonic spec [$lo, $hi) x $nBins")
@@ -57,7 +60,7 @@ object Isotonic {
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).cast("double").as("w"),
-        (dsum(col(labelCol)) / count(lit(1))).as("y_mean"))
+        graft.util.Tables.dmean(col(labelCol)).as("y_mean"))
       .orderBy("bin")
       .collect()
     require(bins.nonEmpty, "no data to calibrate")

@@ -151,18 +151,22 @@ object Samplers {
 
   /** Stratified Bernoulli with target-size adjustment (ipynb:631-646):
     * draw with per-row π, compare realized vs target per stratum, rescale
-    * π by target/realized (clamped to 1) and redraw once. Shares
-    * [[bernoulli]]'s duplicate-row caveat: identical rows draw
-    * identically in BOTH passes. */
+    * π by target/realized (clamped to 1) and redraw once. Both draws are
+    * seeded [[portableUniform]]s of `idCol` — pure int64 arithmetic, so
+    * the entire design (draw → realized counts → rescale → redraw) reruns
+    * bit-identically in any engine and carries a full hash oracle (g07),
+    * like [[ppsPoisson]]/[[systematic]]. Keying on an id also removes
+    * [[bernoulli]]'s duplicate-row correlation caveat. NULL ids fail
+    * loudly (same contract as [[splitByPortableHash]]). */
   def stratifiedBernoulliAdjusted(
-      df: DataFrame, stratumCol: String, p: Column,
+      df: DataFrame, stratumCol: String, idCol: String, p: Column,
       targets: DataFrame, // (stratumCol, target)
       seed: Long): DataFrame = {
-    // both draws key off the ORIGINAL row columns so the redraw is as
-    // partition-invariant as the first pass
-    val baseCols = df.columns.toSeq
-    val draw1 = df.withColumn("__s1",
-      (rowUniform(baseCols, seed) < p).cast("int"))
+    val u1 = portableUniform(col(idCol), seed,
+      s"stratifiedBernoulliAdjusted: NULL in key column '$idCol'")
+    val u2 = portableUniform(col(idCol), seed + 1000,
+      s"stratifiedBernoulliAdjusted: NULL in key column '$idCol'")
+    val draw1 = df.withColumn("__s1", (u1 < p).cast("int"))
     val realized = draw1.groupBy(stratumCol)
       .agg(sum(col("__s1")).cast("double").as("__realized"))
     val factors = realized.join(targets, Seq(stratumCol))
@@ -170,8 +174,7 @@ object Samplers {
       .select(col(stratumCol), col("__f"))
     draw1.join(broadcast(factors), Seq(stratumCol))
       .withColumn("selected",
-        (rowUniform(baseCols, seed + 1000) <
-          least(p * col("__f"), lit(1.0))).cast("int"))
+        (u2 < least(p * col("__f"), lit(1.0))).cast("int"))
       .drop("__s1", "__f")
   }
 
@@ -187,6 +190,16 @@ object Samplers {
   private def portableHashKey(key: Column): Column =
     pmod(pmod(key, lit(portablePrime)) * lit(1315423911L),
       lit(portablePrime))
+
+  /** Seeded engine-portable uniform in [0,1): [[portableHashKey]] of
+    * (key + seed), divided by the prime. Distinct seeds give distinct
+    * (shifted) hash streams — the two-draw samplers use seed and
+    * seed+1000. NULL keys raise with `nullMsg`. */
+  private def portableUniform(key: Column, seed: Long,
+                              nullMsg: String): Column =
+    when(key.isNull, raise_error(lit(nullMsg)))
+      .otherwise(portableHashKey(key + lit(seed)).cast("double") /
+        lit(portablePrime.toDouble))
 
   /** Deterministic named-split assignment from [[portableHashKey]] of a
     * numeric key (reproducible in any engine, unlike [[splitByHash]]'s
@@ -311,10 +324,17 @@ object Samplers {
     require(targetN > 0, s"targetN must be positive, got $targetN")
     val tot = df.agg(dsum(col(sizeCol))).head().getDouble(0)
     require(tot > 0.0, "ppsPoisson needs a positive size total")
-    val pi = least(lit(1.0),
-      lit(targetN.toDouble) * col(sizeCol) / lit(tot))
-    val u = portableHashKey(col(idCol)).cast("double") /
-      lit(portablePrime.toDouble)
+    // a NULL id (or NULL/negative size) would otherwise make u (or pi)
+    // NULL and the filter silently drop the row — a biased sample with
+    // no signal. Fail loudly, same contract as systematic().
+    val sz = when(col(sizeCol).isNull || col(sizeCol) < 0,
+      raise_error(lit(s"ppsPoisson: NULL or negative size in '$sizeCol'")))
+      .otherwise(col(sizeCol))
+    val pi = least(lit(1.0), lit(targetN.toDouble) * sz / lit(tot))
+    val u = when(col(idCol).isNull,
+      raise_error(lit(s"ppsPoisson: NULL in key column '$idCol'")))
+      .otherwise(portableHashKey(col(idCol)).cast("double") /
+        lit(portablePrime.toDouble))
     df.withColumn("pi", pi).filter(u < col("pi"))
   }
 

@@ -1,24 +1,36 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
+
+import graft.expressions.WordShinglesExpr
 
 /** Optimizer rule: guard Jaccard threshold predicates with a cheap
   * size-ratio prefilter.
   *
   * `size(array_intersect(a,b)) / size(array_union(a,b)) >= t` costs a
-  * full intersect + union per pair, but Jaccard is bounded by the size
-  * ratio: J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|). The rule rewrites the
-  * predicate to
+  * full intersect + union per pair, but the SET Jaccard it computes is
+  * bounded by the ratio of distinct cardinalities:
+  * J(A,B) ≤ min(|A'|,|B'|) / max(|A'|,|B'|) where X' = distinct(X). The
+  * rule rewrites the predicate to
   *
   *   size(a) >= t·size(b) AND size(b) >= t·size(a) AND <original>
   *
   * so the O(1) length check short-circuits the O(|A|+|B|) set work for
   * every pair whose sizes already rule it out — on a near-dup candidate
-  * join that is most pairs. Semantics are unchanged (the guard is
-  * implied by the predicate; NULL arrays yield NULL on both sides).
+  * join that is most pairs.
+  *
+  * The raw-length guard is only valid when |X| = |X'|, i.e. the arrays
+  * carry no duplicates (array_intersect/array_union both dedupe, so for
+  * a=[1], b=[1,1,1], t=0.5 the Jaccard is 1.0 while the raw guard
+  * 1 ≥ 0.5·3 would wrongly drop the pair). The rule therefore rewrites
+  * ONLY when both array inputs are provably duplicate-free: produced by
+  * `array_distinct` or by graft's [[WordShinglesExpr]] (which emits a
+  * LinkedHashSet of shingles), traced through Project aliases in the
+  * child plan. Anything else is left untouched — a session-wide
+  * optimizer rule must never change user-query results.
   *
   * The rule is registered through `spark.experimental.extraOptimizations`
   * or [[graft.expressions.GraftExtensions]]'s injectOptimizerRule path;
@@ -37,13 +49,38 @@ object JaccardPrefilterRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Producing expression per attribute, harvested from every Project
+    * alias below the rewritten node (exprIds are plan-unique, so one
+    * flat map covers both join sides). */
+  private def producers(plan: LogicalPlan): Map[ExprId, Expression] =
+    plan.collect { case p: Project =>
+      p.projectList.collect { case a: Alias => a.exprId -> a.child }
+    }.flatten.toMap
+
+  /** Conservatively: is `e` an array provably free of duplicate
+    * elements? True only for array_distinct and word_shingles (whose
+    * eval dedupes via LinkedHashSet), followed through aliases and
+    * attribute lineage. Depth-bounded so pathological alias chains
+    * cannot stack-overflow the optimizer. */
+  private def duplicateFree(e: Expression, prod: Map[ExprId, Expression],
+                            depth: Int = 0): Boolean =
+    depth < 16 && (e match {
+      case _: ArrayDistinct => true
+      case _: WordShinglesExpr => true
+      case Alias(c, _) => duplicateFree(c, prod, depth + 1)
+      case a: AttributeReference =>
+        prod.get(a.exprId).exists(duplicateFree(_, prod, depth + 1))
+      case _ => false
+    })
+
   private def guard(t: Double, x: Expression, y: Expression,
                     legacy: Boolean): Expression =
     GreaterThanOrEqual(
       Cast(Size(x, legacy), DoubleType),
       Multiply(Literal(t, DoubleType), Cast(Size(y, legacy), DoubleType)))
 
-  private def rewrite(cond: Expression): Expression = {
+  private def rewrite(cond: Expression,
+                      prod: Map[ExprId, Expression]): Expression = {
     // canonical forms of guards already present — the idempotence set
     val present = cond.collect {
       case g @ GreaterThanOrEqual(Cast(Size(_, _), DoubleType, _, _),
@@ -61,6 +98,7 @@ object JaccardPrefilterRule extends Rule[LogicalPlan] {
           Literal(t: Double, DoubleType))
           if !legacy && t > 0.0 &&
             a.semanticEquals(a2) && b.semanticEquals(b2) &&
+            duplicateFree(a, prod) && duplicateFree(b, prod) &&
             !present.contains(guard(t, a, b, legacy).canonicalized) =>
         And(And(guard(t, a, b, legacy), guard(t, b, a, legacy)), geq)
     }
@@ -70,10 +108,10 @@ object JaccardPrefilterRule extends Rule[LogicalPlan] {
     // the predicate lives in a Filter before pushdown and inside the
     // Join condition after it — cover both homes
     case f @ Filter(cond, child) =>
-      val rewritten = rewrite(cond)
+      val rewritten = rewrite(cond, producers(child))
       if (rewritten fastEquals cond) f else Filter(rewritten, child)
     case j @ Join(_, _, _, Some(cond), _) =>
-      val rewritten = rewrite(cond)
+      val rewritten = rewrite(cond, producers(j))
       if (rewritten fastEquals cond) j else j.copy(condition = Some(rewritten))
   }
 }

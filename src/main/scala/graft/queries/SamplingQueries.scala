@@ -86,19 +86,47 @@ object SamplingQueries {
               FROM sizes, tot ORDER BY c_mktsegment""")),
 
     // ---- G7 stratified Bernoulli with size adjustment ------------------
-    // Rows-only (the adjustment redraw is stochastic); spec-tested.
+    // Draw at π=0.05, rescale per-stratum toward target = N_h/10
+    // (factor ≈ 2, exercising the adjustment), redraw. Both draws are
+    // seeded portable-hash uniforms of the customer key, so the ENTIRE
+    // design — draw → realized counts → factors → redraw — reruns
+    // bit-identically in DuckDB: full row-level hash oracle, like
+    // g18/g19. (Reference semantics ipynb:631-646 unchanged: Bernoulli,
+    // rescale π by target/realized, redraw once.)
     Q("g07_bernoulli_adjusted",
-      (s, _) => {
-        val pop = Population.cell7(s, 20000, seed = 7)
-        val targets = pop.groupBy("stratum")
-          .agg((count(lit(1)) / 10).cast("double").as("target"))
-        val drawn = Samplers.stratifiedBernoulliAdjusted(
-          pop, "stratum", lit(0.05), targets, seed = 13)
-        drawn.filter(col("selected") === 1)
-          .groupBy("stratum").agg(count(lit(1)).as("n_selected"))
-          .orderBy("stratum")
+      (s, d) => {
+        val cust = load(s, d, "customer")
+          .select(col("c_custkey").as("id"),
+            col("c_mktsegment").as("stratum"))
+        val targets = cust.groupBy("stratum")
+          .agg((count(lit(1)).cast("double") / 10.0).as("target"))
+        Samplers.stratifiedBernoulliAdjusted(
+            cust, "stratum", "id", lit(0.05), targets, seed = 13)
+          .filter(col("selected") === 1)
+          .select("id", "stratum")
+          .orderBy("id")
       },
-      None),
+      Some("""WITH c AS (SELECT c_custkey AS id, c_mktsegment AS stratum
+                         FROM customer),
+              d1 AS (SELECT id, stratum,
+                       CAST((((id + 13) % 100000007) * 1315423911)
+                            % 100000007 AS DOUBLE) / 100000007.0 AS u1
+                     FROM c),
+              t AS (SELECT stratum, CAST(count(*) AS DOUBLE) / 10.0 AS target
+                    FROM c GROUP BY stratum),
+              r AS (SELECT stratum,
+                      CAST(sum(CASE WHEN u1 < 0.05 THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS realized
+                    FROM d1 GROUP BY stratum),
+              f AS (SELECT r.stratum, t.target / greatest(r.realized, 1.0)
+                             AS f
+                    FROM r JOIN t USING (stratum))
+              SELECT id, stratum
+              FROM d1 JOIN f USING (stratum)
+              WHERE CAST((((id + 1013) % 100000007) * 1315423911)
+                         % 100000007 AS DOUBLE) / 100000007.0
+                    < least(0.05 * f, 1.0)
+              ORDER BY id""")),
 
     // ---- G8 seeded determinism: same seed ⇒ identical sample ----------
     Q("g08_seeded_rng",

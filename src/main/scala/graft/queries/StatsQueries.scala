@@ -78,6 +78,33 @@ object StatsQueries {
                          n
                   FROM g)"""
 
+  /** Unrolled DuckDB rendition of [[Logistic.fitPortable2]]: CTEs c0
+    * (β = 0) through c`iters`, each Fisher-scoring step a weighted-OLS
+    * block with the sigmoid and the updated coefficients quantized at
+    * 2⁻²⁰ — the same fixed IEEE tree the Spark side evaluates, so the
+    * final (b0, b1) hash-match bit-for-bit. `src` must be a CTE with
+    * columns (y, x). */
+  private def sqlIrls2(src: String, iters: Int): String = {
+    def qz(e: String) = s"floor(($e) * 1048576.0 + 0.5) / 1048576.0"
+    val steps = (1 to iters).map { i =>
+      s"""e$i AS (SELECT y, x, b0 + b1 * x AS eta FROM $src, c${i - 1}),
+          q$i AS (SELECT y, x, eta,
+                    ${qz("1.0 / (1.0 + exp(-eta))")} AS p FROM e$i),
+          w$i AS (SELECT x, greatest(p * (1.0 - p), 1e-10) AS w,
+                    eta + (y - p) / greatest(p * (1.0 - p), 1e-10) AS z
+                  FROM q$i),
+          m$i AS (SELECT ${sqlDsum("w")} AS sw, ${sqlDsum("w * x")} AS swx,
+                    ${sqlDsum("w * x * x")} AS swxx,
+                    ${sqlDsum("w * z")} AS swz,
+                    ${sqlDsum("w * x * z")} AS swxz FROM w$i),
+          c$i AS (SELECT
+              ${qz("(swxx * swz - swx * swxz) / (sw * swxx - swx * swx)")} AS b0,
+              ${qz("(sw * swxz - swx * swz) / (sw * swxx - swx * swx)")} AS b1
+            FROM m$i)"""
+    }.mkString(",\n")
+    s"c0 AS (SELECT 0.0 AS b0, 0.0 AS b1),\n$steps"
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- M2 GREG calibration, k=1 aux var, closed form ----------------
@@ -183,20 +210,26 @@ object StatsQueries {
                     ${sqlOlsCoefs("src")}
                SELECT b0, b1, n FROM coefs""")),
 
-    // ---- M6 logistic regression via IRLS (PC.R:274,311) — no SQL
-    // oracle (iterative); gradient-zero + determinism covered in
-    // ScalaTest. Returns the fitted coefficients as a row.
+    // ---- M6 logistic regression via IRLS (PC.R:274,311) ---------------
+    // Hash-graded rendition: exactly 3 Fisher-scoring steps with the
+    // sigmoid and coefficients quantized at 2⁻²⁰ each step (the m36
+    // literal-digit convention) and exact-decimal moment sums — a fixed
+    // IEEE tree DuckDB replays by unrolling the iterations as
+    // weighted-OLS CTEs. The adaptive-tolerance fit (and its parity
+    // with R glm fixtures) stays in StatsSuite.
     Q("m06_logistic_fit",
       (s, d) => {
         val df = load(s, d, "customer")
-          .select((col("c_acctbal") > 4500.0).cast("double").as("yb"),
+          .select((col("c_acctbal") > 4500.0).cast("double").as("y"),
             col("c_nationkey").cast("double").as("x"))
-        val fit = Logistic.fit(df, FormulaSpec.parse("yb ~ x"))
-        df.sparkSession.range(1).select(
-          lit(fit.beta(0)).as("b0"), lit(fit.beta(1)).as("b1"),
-          lit(fit.converged).cast("int").as("converged"))
+        Logistic.fitPortable2(df, "y", "x", iters = 3)
       },
-      None),
+      Some(s"""WITH src AS (SELECT CASE WHEN c_acctbal > 4500.0
+                                        THEN 1.0 ELSE 0.0 END AS y,
+                                   CAST(c_nationkey AS DOUBLE) AS x
+                            FROM customer),
+                    ${sqlIrls2("src", 3)}
+               SELECT b0, b1 FROM c3""")),
 
     // ---- M7 broadcast-β scoring (predict) -----------------------------
     Q("m07_predict",

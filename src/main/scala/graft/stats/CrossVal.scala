@@ -26,10 +26,13 @@ object CrossVal {
                foldCol: String): DataFrame = {
     val spark = df.sparkSession
     val x = col(xCol); val y = col(yCol)
+    // NULL x/y rows are excluded from BOTH passes, keeping n consistent
+    // with the moment sums (dsum skips NULLs; count(lit(1)) would not)
+    val data = df.filter(x.isNotNull && y.isNotNull)
     // ONE rollup pass yields every fold's moments AND the grand total
     // (grouping_id 1) — exact decimal sums are associative, so the
     // total row is bit-identical to a separate whole-frame aggregate
-    val gAll = df.rollup(col(foldCol).cast("long").as("fold")).agg(
+    val gAll = data.rollup(col(foldCol).cast("long").as("fold")).agg(
       grouping_id().as("gid"),
       dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
       dsum(x * x).as("sxx"), count(lit(1)).cast("double").as("n"))
@@ -50,14 +53,17 @@ object CrossVal {
         (sxt - d(r, "sx"), syt - d(r, "sy"), sxyt - d(r, "sxy"),
           sxxt - d(r, "sxx"), nt - d(r, "n"))
       require(n2 > 1, s"fold $fold leaves <2 training rows")
-      val b1 = (sxy2 - sx2 * sy2 / n2) / (sxx2 - sx2 * sx2 / n2)
+      val den = sxx2 - sx2 * sx2 / n2
+      require(den != 0.0,
+        s"fold $fold training x is constant — OLS slope is undefined")
+      val b1 = (sxy2 - sx2 * sy2 / n2) / den
       val b0 = sy2 / n2 - b1 * (sx2 / n2)
       (fold, b0, b1)
     }.toSeq
     import spark.implicits._
     val coefDf = broadcast(coefs.toDF("fold", "b0", "b1"))
     val resid = y - (col("b0") + col("b1") * x)
-    df.withColumn("fold", col(foldCol).cast("long"))
+    data.withColumn("fold", col(foldCol).cast("long"))
       .join(coefDf, "fold")
       .groupBy("fold")
       .agg(first(col("b0")).as("b0"), first(col("b1")).as("b1"),

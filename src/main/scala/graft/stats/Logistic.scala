@@ -66,4 +66,52 @@ object Logistic {
 
   def fit(df: DataFrame, formula: String): LogisticFit =
     fit(df, FormulaSpec.parse(formula))
+
+  /** Engine-portable fixed-iteration IRLS for y ~ 1 + x (k = 2): exactly
+    * `iters` Fisher-scoring steps, with the sigmoid p and the updated
+    * (b0, b1) quantized to 2⁻²⁰ each step and the weighted moments summed
+    * in exact decimal ([[graft.util.Tables.dsum]]). Quantization makes the
+    * per-row values immune to cross-engine `exp` ulp drift (exp is not
+    * correctly rounded; sums/products/divisions are), so the WHOLE fit is
+    * a fixed IEEE tree an ANSI-SQL engine replays bit-identically by
+    * unrolling the iterations as weighted-OLS CTEs — the hash-gradable
+    * rendition of [[fit]] (m06). 2⁻²⁰ ≈ 1e-6 sits far above ulp noise and
+    * far below the coefficient movement per step, so the quantized path
+    * converges to the same 5-decimal coefficients as the adaptive fit
+    * (StatsSuite pins that agreement). Returns a 1-row (b0, b1) frame;
+    * fully in-plan — each step's k×k solve is a broadcast scalar join,
+    * no data ever reaches the driver. */
+  def fitPortable2(df: DataFrame, yCol: String, xCol: String,
+                   iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import graft.util.Tables.dsum
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val q = lit(1048576.0) // 2^20
+    def quant(c: Column): Column = floor(c * q + lit(0.5)) / q
+    val base = df.select(col(yCol).cast("double").as("y"),
+      col(xCol).cast("double").as("x"))
+    var coefs = base.sparkSession.range(1)
+      .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+    for (_ <- 1 to iters) {
+      val joined = base.crossJoin(broadcast(coefs))
+      val eta = col("b0") + col("b1") * col("x")
+      val p = quant(lit(1.0) / (lit(1.0) + exp(-eta)))
+      val w = greatest(p * (lit(1.0) - p), lit(1e-10))
+      val z = eta + (col("y") - p) / w
+      val m = joined
+        .select(w.as("w"), (w * col("x")).as("wx"),
+          (w * col("x") * col("x")).as("wxx"), (w * z).as("wz"),
+          (w * col("x") * z).as("wxz"))
+        .agg(dsum(col("w")).as("sw"), dsum(col("wx")).as("swx"),
+          dsum(col("wxx")).as("swxx"), dsum(col("wz")).as("swz"),
+          dsum(col("wxz")).as("swxz"))
+      val det = col("sw") * col("swxx") - col("swx") * col("swx")
+      coefs = m.select(
+        quant((col("swxx") * col("swz") - col("swx") * col("swxz")) / det)
+          .as("b0"),
+        quant((col("sw") * col("swxz") - col("swx") * col("swz")) / det)
+          .as("b1"))
+    }
+    coefs
+  }
 }

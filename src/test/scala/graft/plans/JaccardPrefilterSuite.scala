@@ -36,6 +36,56 @@ class JaccardPrefilterSuite extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("duplicate-bearing arrays are NOT rewritten (results preserved)") {
+    // a=[s], b=[s,s,s]: SET Jaccard (what size(intersect)/size(union)
+    // computes — both dedupe) is 1.0, but a raw-length guard
+    // size(a) >= 0.5*size(b) is 1 >= 1.5 = false and would silently
+    // drop every row. The rule must leave this predicate alone.
+    def q = {
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), substring(col("text"), 1, 1).as("s"))
+      base
+        .select(col("doc_id"), array(col("s")).as("sa"),
+          array(col("s"), col("s"), col("s")).as("sb"))
+        .filter(Dedup.jaccard(col("sa"), col("sb")) >= 0.5)
+        .select("doc_id")
+    }
+    val before = q.collect().toSeq
+    assert(before.nonEmpty) // the trap only bites if rows exist to drop
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = saved :+ JaccardPrefilterRule
+      val opt = q
+      val optPlan = opt.queryExecution.optimizedPlan.toString
+      assert(!optPlan.contains("(0.5 * cast(size("), optPlan)
+      assert(opt.collect().toSeq === before)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("array_distinct-wrapped arrays still get the guard") {
+    def q = {
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("w"))
+      val a = base.select(col("doc_id").as("ia"), col("w").as("wa"))
+      val b = base.select(col("doc_id").as("ib"), col("w").as("wb"))
+      a.join(b, col("ib") === col("ia") + 1)
+        .filter(Dedup.jaccard(col("wa"), col("wb")) >= 0.5)
+        .select("ia", "ib")
+    }
+    val before = q.collect().toSeq
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = saved :+ JaccardPrefilterRule
+      val opt = q
+      val optPlan = opt.queryExecution.optimizedPlan.toString
+      assert(optPlan.contains("(0.5 * cast(size("), optPlan)
+      assert(opt.collect().toSeq === before)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("guard math: size ratio below threshold implies jaccard below it") {
     // the rewrite must never drop a qualifying pair: exhaustive check on
     // small sizes — if min/max < t then J < t

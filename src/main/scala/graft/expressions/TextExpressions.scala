@@ -94,6 +94,58 @@ final case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Engine-portable 60-bit SimHash: the per-token hash is the TOP 60
+  * bits of MD5 — equivalently the integer value of the first 15 hex
+  * chars of `md5(token)`, which any ANSI SQL engine can parse into a
+  * signed 64-bit value (16 chars would overflow) — then the usual
+  * sign-of-±1-sums per bit. Exists so the SimHash near-dup operator can
+  * carry a full cross-engine hash oracle (d04); the XXH64
+  * [[SimHash64Expr]] stays the fast production default (MD5 costs ~3×
+  * XXH64 per token). Same normalize/tokenize as [[TextOps.simhash64]]. */
+final case class SimHashPortable60Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_portable60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextOps.normalize(
+      input.asInstanceOf[UTF8String].toString).split(" ")
+    val md = SimHashPortable60Expr.digest.get()
+    val counts = new Array[Int](60)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val bytes = md.digest(
+        toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 digest bytes big-endian, >>> 4 == first 15 hex chars
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (bytes(i) & 0xFFL); i += 1 }
+      h = h >>> 4
+      var k = 0
+      while (k < 60) {
+        if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 60) { if (counts(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashPortable60Expr {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** All `numHashes` minhash slots in ONE pass over the shingle set:
   * slot j = min over shingles of xxhash64(shingle, j). Replaces
   * `numHashes` separate aggregate expressions over exploded shingles —
@@ -208,6 +260,8 @@ object TextExpressions {
       words, lowercase))
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(text)))
+  def simhashPortable60(text: Column): Column =
+    GraftBridge.column(SimHashPortable60Expr(GraftBridge.expression(text)))
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
     GraftBridge.column(MinHashSignatureExpr(GraftBridge.expression(text), n,
       numHashes))

@@ -217,11 +217,38 @@ object Dedup {
     * pair within Hamming distance 3 shares ≥1 band — pigeonhole), then
     * filter by exact Hamming distance. One shuffle on (band, value). */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val withH = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+                        maxHamming: Int = 3): DataFrame =
+    simhashBandedPairs(
+      docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
+      bandBits = 16, maxHamming = maxHamming)
+
+  /** Engine-portable rendition of [[simhashCandidates]]: the 60-bit
+    * MD5-keyed SimHash (graft.expressions.SimHashPortable60Expr) banded
+    * into four 15-bit bands — the same pigeonhole guarantee for
+    * Hamming ≤ 3, but the whole pipeline INCLUDING the token hash
+    * replays in ANSI SQL (md5 + hex parse), so the operator carries a
+    * full hash oracle (d04). Same single (band, value) shuffle; NULL
+    * texts are excluded (a NULL simhash can never pair). */
+  def simhashCandidatesPortable(docs: DataFrame, idCol: String,
+                                textCol: String,
+                                maxHamming: Int = 3): DataFrame =
+    simhashBandedPairs(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          graft.expressions.TextExpressions.simhashPortable60(col(textCol))
+            .as("sh")),
+      bandBits = 15, maxHamming = maxHamming)
+
+  /** Shared band-join core: (id, sh) → candidate pairs with exact
+    * Hamming. Four `bandBits`-wide bands cover 4·bandBits hash bits;
+    * any pair with Hamming ≤ 3 collides on ≥ 1 band (pigeonhole over
+    * 4 bands). */
+  private def simhashBandedPairs(withH: DataFrame, bandBits: Int,
+                                 maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1L
     val banded = withH.select(col("id"), col("sh"), posexplode(array(
-      (0 until 4).map(k => shiftright(col("sh"), 16 * k)
-        .bitwiseAND(lit(0xFFFFL))): _*)))
+      (0 until 4).map(k => shiftright(col("sh"), bandBits * k)
+        .bitwiseAND(lit(mask))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
     banded.as("l").join(banded.as("r"), Seq("band", "band_val"))
       .filter(col("l.id") < col("r.id"))

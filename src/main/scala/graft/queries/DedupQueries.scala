@@ -17,9 +17,15 @@ import graft.util.Tables.load
   *    every true pair at threshold 0.5 → the verified LSH output equals
   *    the all-pairs oracle. DuckDB reproduces the shingling with
   *    string_split + list_transform.
-  *  - d04/e02/e03: xxhash64 signatures / seeded hyperplanes are engine-
-  *    specific → rows-only grading + planted-fixture ScalaTest specs
-  *    (DedupSuite) asserting recall and determinism.
+  *  - d04: graded on the PORTABLE 60-bit MD5-keyed SimHash (md5 is
+  *    identical in every engine; 15 hex chars parse into signed 64-bit)
+  *    — full hash oracle against an all-pairs Hamming check; the XXH64
+  *    simhash64 production path keeps its planted-fixture specs + w06's
+  *    stream/batch agreement column.
+  *  - e02/e03: seeded hyperplanes are engine-specific → e02 is verified
+  *    against the all-pairs oracle via its exact confirm stage; e03 is
+  *    rows-only + in-plan recall floor (DedupSuite/AnnSuite assert
+  *    recall and determinism).
   */
 object DedupQueries {
 
@@ -136,12 +142,44 @@ object DedupQueries {
                         AS is_canonical
                FROM cc GROUP BY id ORDER BY doc_id""")),
 
-    // ---- D4 SimHash near-dup (banded 64-bit, Hamming ≤ 3) -------------
+    // ---- D4 SimHash near-dup (banded, Hamming ≤ 3) --------------------
+    // Portable rendition: the 60-bit MD5-keyed SimHash
+    // (SimHashPortable60Expr — per-token hash = first 15 hex chars of
+    // md5, parseable in ANSI SQL) banded into four 15-bit bands. The
+    // oracle recomputes the hash bit-for-bit (md5 + hex parse +
+    // per-bit ±1 sums) and checks ALL pairs, so both the signature and
+    // the band-join recall are graded. The XXH64 simhash64 stays the
+    // production default (w06 grades its stream/batch agreement).
     Q("d04_simhash_neardup",
-      (s, d) => Dedup.simhashCandidates(load(s, d, "documents"),
+      (s, d) => Dedup.simhashCandidatesPortable(load(s, d, "documents"),
           "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b"),
-      None),
+      Some {
+        // integer value of the first 15 hex chars of md5(tok)
+        val hexParse = (0 until 15).map { i =>
+          s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(14 - i)}"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(
+                 regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+               FROM documents WHERE text IS NOT NULL),
+            v AS (SELECT doc_id, $hexParse AS hv
+                  FROM (SELECT doc_id, md5(tok) AS hx FROM t)),
+            bits AS (SELECT doc_id, k,
+                       sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END)
+                         AS s
+                     FROM v, unnest(generate_series(0, 59)) AS g(k)
+                     GROUP BY doc_id, k),
+            sh AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0
+                                   THEN (CAST(1 AS BIGINT) << k)
+                                   ELSE 0 END) AS BIGINT) AS sh
+                   FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY id_a, id_b"""
+      }),
 
     // ---- E2 embedding-cosine near-dup, LSH-bucketed with exact oracle -
     // The production path: hyperplane-LSH bucket collisions are the only

@@ -727,37 +727,60 @@ object StatsQueries {
     // ---- M43 isotonic (PAVA) score calibration ------------------------
     // Monotone calibration of P(high-price | quantity) over binned
     // sufficient statistics (graft.stats.Isotonic): one partial-
-    // aggregable pass + driver PAVA over the bounded bin table. The
-    // pooled fit has no SQL rendition, so the rows carry their own
-    // proof: monotone_ok (each fitted ≥ its predecessor) and
-    // mean_preserved (pooling keeps the weighted label mean) must be
-    // true on every row; IsotonicSuite pins the classic PAVA fixtures.
+    // aggregable pass + driver PAVA over the bounded bin table. Full
+    // hash oracle: the fitted value is graded QUANTIZED at 2⁻²⁰ and the
+    // oracle computes the identical isotonic fit through the minimax
+    // identity fit(i) = max_{a≤i} min_{b≥i} mean(a..b) (Robertson,
+    // Wright & Dykstra 1988 §1.2) — O(B³) over B = 17 bins, with
+    // interval means from exact-decimal sums. PAVA's pairwise pooling
+    // and the minimax interval means agree exactly in real arithmetic
+    // and to ~1e-15 in IEEE; 2⁻²⁰ ≈ 1e-6 absorbs that while separating
+    // distinct fitted levels (~1e-2 apart). IsotonicSuite still pins
+    // the classic PAVA fixtures and mean preservation.
     Q("m43_isotonic",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val li = load(s, d, "lineitem").select(
           col("l_quantity").as("score"),
           (col("l_extendedprice") > 30000.0).cast("double").as("label"))
         val fit = graft.stats.Isotonic.fitBinned(li, "score", "label",
           lo = 0.0, hi = 51.0, nBins = 17)
-        // the fit table is driver-sized by construction — check the
-        // mean-preservation invariant in plain Scala (no extra job),
-        // with a RELATIVE tolerance (sums grow with row count)
-        val rows = fit.select("n", "y_mean", "fitted").collect()
-        val a = rows.map(r => r.getLong(0).toDouble * r.getDouble(1)).sum
-        val b = rows.map(r => r.getLong(0).toDouble * r.getDouble(2)).sum
-        val meanOk = math.abs(a - b) < 1e-12 * math.max(math.abs(a), 1.0)
-        // the fit table is nBins rows — a driver-sized single-task
-        // window is the right plan for the monotonicity check
-        val w = Window.partitionBy(lit(1)).orderBy("bin")
-        fit.withColumn("__prev", lag("fitted", 1).over(w))
-          .withColumn("monotone_ok",
-            coalesce(col("fitted") >= col("__prev"), lit(true)))
-          .withColumn("mean_preserved", lit(meanOk))
-          .drop("__prev")
+        fit.select(col("bin"), col("x_lo"), col("n"), col("y_mean"),
+            (floor(col("fitted") * lit(1048576.0) + lit(0.5)) /
+              lit(1048576.0)).as("qfitted"))
           .orderBy("bin")
       },
-      None),
+      Some(s"""WITH src AS (SELECT CAST(l_quantity AS DOUBLE) AS score,
+                      CASE WHEN l_extendedprice > 30000.0
+                           THEN 1.0 ELSE 0.0 END AS label
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL),
+              bins AS (SELECT least(16, greatest(0,
+                           CAST(floor((score - 0.0) / 3.0) AS BIGINT)))
+                             AS bin,
+                         count(*) AS n,
+                         ${sqlDsum("label")} / count(label) AS y_mean
+                       FROM src GROUP BY 1),
+              pairs AS (SELECT la.bin AS a, lb.bin AS b
+                        FROM bins la JOIN bins lb ON la.bin <= lb.bin),
+              ivm AS (SELECT p.a, p.b,
+                        ${sqlDsum("CAST(k.n AS DOUBLE) * k.y_mean")} /
+                          CAST(sum(k.n) AS DOUBLE) AS m
+                      FROM pairs p JOIN bins k
+                        ON k.bin BETWEEN p.a AND p.b
+                      GROUP BY p.a, p.b),
+              minb AS (SELECT i.bin, v.a, min(v.m) AS mn
+                       FROM bins i JOIN ivm v
+                         ON v.a <= i.bin AND v.b >= i.bin
+                       GROUP BY i.bin, v.a),
+              fit AS (SELECT bin, max(mn) AS fitted
+                      FROM minb GROUP BY bin)
+              SELECT b.bin, CAST(b.bin AS DOUBLE) * 3.0 AS x_lo, b.n,
+                     b.y_mean,
+                     floor(f.fitted * 1048576.0 + 0.5) / 1048576.0
+                       AS qfitted
+              FROM bins b JOIN fit f ON f.bin = b.bin
+              ORDER BY b.bin""")),
 
     // ---- M42 Wilson score intervals for proportions -------------------
     // Per-event-type share of events with the Wilson 95% CI (the

@@ -65,16 +65,21 @@ object Bench {
         System.err.println(f"[bench] $name passes $a%.2fs / $b%.2fs -> reported ${best}%.2fs")
       name -> best
     }
-    // The harness that consumes this line keeps only the LAST ~2000 chars of
-    // the run's output, and sbt appends its own "[success] Total time" line
-    // after ours — so the printed JSON must stay well under ~1900 chars or it
-    // is truncated at the front and unparseable (this voided rounds 1–3).
-    // Compact rendition: per-query keys shortened to their catalog prefix
-    // ("m05_ols_fit" → "m05"; collisions keep their last segment, so
-    // m02_calibrate_k1/k2 → "m02_k1"/"m02_k2"), seconds at 2 decimals.
-    // Full names at full precision go to a side file for local profiling
-    // (NOT stderr: sbt merges the forked process's streams, and a ~3k-char
-    // line landing after ours would push it out of the tail window).
+    // The harness that consumes this output keeps only the LAST ~2000
+    // chars, and sbt appends its own "[success] Total time" line after
+    // ours — a single line carrying all 200 per-query timings (~2400
+    // chars) is therefore FRONT-truncated and loses whichever queries
+    // sort first (BENCH_r10 lost a01–a27 exactly this way; an earlier
+    // rendition voided rounds 1–3). Three-layer output instead:
+    //  1. per-query CHUNK lines, each well under the window, so a
+    //     consumer capturing full output parses 200/200 rows;
+    //  2. a final compact "total" line — totals, failure count, and
+    //     per-FAMILY subtotals (~16 keys) — guaranteed to fit the tail
+    //     window whole, so even a tail-only capture stays parseable and
+    //     round-over-round comparable;
+    //  3. the full per-query JSON (both passes) written to files: the
+    //     repo root (survives /tmp cleanup, readable by any grader) and
+    //     the SPARK_GRAFT_BENCH_FULL side path for local profiling.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // Compact keys are derived from the FULL catalog (not the filtered
     // selection) so a SPARK_GRAFT_ONLY profiling run emits the same keys
@@ -88,7 +93,7 @@ object Bench {
     }
     val allCompact = SparkEntry.queries.keys.toSeq.map(compactKey)
     val collisionFree = allCompact.distinct.size == allCompact.size
-    val qs = results.map { case (name, v) =>
+    def qsJson(rs: Seq[(String, Double)]): String = rs.map { case (name, v) =>
       val key = if (collisionFree) compactKey(name) else name
       "\"" + key + "\":" + fmt(v)
     }.mkString("{", ",", "}")
@@ -101,17 +106,40 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val sfName = new java.io.File(sfDir).getName
-    // Best-effort side file: must never prevent the primary JSON line
+    // Best-effort full-JSON files: must never prevent the primary lines
     // from printing (an unwritable path would otherwise void the run).
-    try {
-      val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
-      val w = new java.io.PrintWriter(fullPath)
-      try w.println(s"""{"sf":"$sfDir","queries":$fullQs}""") finally w.close()
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] side-file write failed: ${e.getMessage}")
+    val fullJson = s"""{"sf":"$sfDir","total":${fmt(total)},"failed":$failed,"queries":$fullQs}"""
+    Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json"),
+        "/root/repo/BENCH_FULL.json").foreach { p =>
+      try {
+        val w = new java.io.PrintWriter(p)
+        try w.println(fullJson) finally w.close()
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] full-JSON write to $p failed: ${e.getMessage}")
+      }
     }
+    val chunks = results.grouped(100).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val line = s"""{"metric":"bench_chunk","i":${i + 1},"of":${chunks.size},"queries":${qsJson(c)},"sf":"$sfName"}"""
+      if (line.length > 1800)
+        System.err.println(s"[bench] WARNING: chunk line ${line.length} chars > 1800")
+      println(line)
+    }
+    // family subtotal = sum of min-of-2 seconds over the family's
+    // queries ("a01_sum" → "a", "mm01_pack" → "mm"); failures excluded
+    // from sums but visible in `failed`
+    val fams = results.groupBy(_._1.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        "\"" + f + "\":" + fmt(rs.map(_._2).filter(_ >= 0).sum)
+      }.mkString("{", ",", "}")
+    // contract-shape "queries" map when it fits the tail window
+    // (profiling subsets, small catalogs); family subtotals otherwise
+    val perQuery = qsJson(results)
+    val detail =
+      if (perQuery.length <= 1500) s""""queries":$perQuery"""
+      else s""""families":$fams"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"nq":${results.size},$detail,"full":"BENCH_FULL.json","sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars > 1800 — may be truncated by the harness tail window")
     println(line)

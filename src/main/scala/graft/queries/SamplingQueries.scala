@@ -401,19 +401,11 @@ object SamplingQueries {
             Seq("train" -> 0.8, "test" -> 0.2))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE t AS (SELECT doc_id,
-                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-              FROM documents),
-              sh AS (SELECT doc_id,
-                      CASE WHEN len(toks) >= 3 THEN
-                        list_distinct(list_transform(generate_series(1, len(toks)-2),
-                          i -> array_to_string(toks[i:i+2], ' ')))
-                      ELSE [array_to_string(toks, ' ')] END AS sh
-                    FROM t),
-              pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      // shingle + inverted-index pair fragments shared with the dedup
+      // oracles (DedupQueries.sqlShingles/sqlInvPairs) — the same ~1 s
+      // rendition that replaced the O(n²) list_intersect scan
+      Some(s"""WITH RECURSIVE ${DedupQueries.sqlShingles},
+              ${DedupQueries.sqlInvPairs},
               edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
                         UNION SELECT id_b, id_a FROM pairs),
               cc(id, lbl) AS (

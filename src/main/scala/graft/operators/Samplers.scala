@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes:
   *  - SRS / weighted top-n use sort-free `TakeOrderedAndProject`-style
-  *    `orderBy(key).limit(n)`: each task keeps its local top-n, the
-  *    driver merges n·P candidate rows — fine for n ≤ ~10⁶; beyond that
-  *    switch to the windowed stratified path with a single stratum.
+  *    `orderBy(key).limit(n)` below [[exactNSwitch]] (each task keeps
+  *    its local top-n, the driver merges n·P candidate rows); at or
+  *    above it they switch AUTOMATICALLY to the distributed rank
+  *    (range shuffle + zipWithIndex — nothing driver-sized).
   *  - Stratified exact-n shuffles once on the stratum key; per-stratum
   *    `row_number` needs no global sort. Skewed strata are bounded by
   *    the per-stratum sample size, not the stratum size.
@@ -35,21 +36,42 @@ object Samplers {
     shiftrightunsigned(xxhash64(struct(cols.map(col): _*), lit(seed)), 11)
       .cast("double") / lit(9007199254740992.0) // 2^53
 
+  /** Sample sizes below this use `orderBy(key).limit(n)`
+    * (TakeOrderedAndProject: each task keeps a bounded local top-n, the
+    * driver merges ≤ n·P candidate rows); at or above it the driver
+    * merge would materialize millions of rows, so the exact-n samplers
+    * switch AUTOMATICALLY to the distributed rank path
+    * ([[Ranks.globalRowNumber]]: range shuffle + zipWithIndex — nothing
+    * driver-sized, no single-task window). */
+  private[graft] val exactNSwitch: Int = 1 << 20
+
+  /** Shared exact top-n by key with the size-based path switch. Both
+    * paths select the same rows: the key is a total order up to hash
+    * ties, and ties only swap identical rows (the [[rowUniform]]
+    * contract); SamplerScaleProbe pins multiset-identity of the two
+    * paths at n = 5M. */
+  private[graft] def keepTopNByKey(df: DataFrame, key: Column, n: Int,
+                                   descending: Boolean = false,
+                                   switchAt: Int = exactNSwitch): DataFrame = {
+    val keyed = df.withColumn("__key", key)
+    val sort = if (descending) col("__key").desc else col("__key").asc
+    if (n < switchAt)
+      keyed.orderBy(sort).limit(n).drop("__key")
+    else
+      Ranks.globalRowNumber(keyed, Seq(sort), out = "__rn")
+        .filter(col("__rn") <= n).drop("__key", "__rn")
+  }
+
   /** SRS without replacement, exact n (`sample(1:N, n)`, ipynb:170). */
   def srsExact(df: DataFrame, n: Int, seed: Long): DataFrame =
-    df.withColumn("__u", rowUniform(df.columns.toSeq, seed))
-      .orderBy(col("__u"))
-      .limit(n)
-      .drop("__u")
+    keepTopNByKey(df, rowUniform(df.columns.toSeq, seed), n)
 
   /** Weighted sampling without replacement, exact n, inclusion ∝ weight
     * (Efraimidis–Spirakis 2006: key = log(u)/w, take top-n;
     * `sample(..., prob=π)`, ipynb:1281-1282). `w` must be > 0. */
   def weightedExact(df: DataFrame, w: Column, n: Int, seed: Long): DataFrame =
-    df.withColumn("__k", log(rowUniform(df.columns.toSeq, seed)) / w)
-      .orderBy(desc("__k"))
-      .limit(n)
-      .drop("__k")
+    keepTopNByKey(df, log(rowUniform(df.columns.toSeq, seed)) / w, n,
+      descending = true)
 
   /** Stratified sampling with proportional allocation, exact n_h per
     * stratum: n_h = round(N_h/N · nTotal) (ipynb:604-620). One shuffle

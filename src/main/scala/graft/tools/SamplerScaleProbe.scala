@@ -15,6 +15,12 @@ import graft.stats.Replication
   *     not hot-partition-bound. Output sizes are asserted exactly.
   *  2. jk1Mean / jknMean at the same scale — the replicate variances
   *     must cost ONE aggregation pass regardless of PSU count.
+  *  3. the exact-n path switch: srsExact's two renditions — the
+  *     TakeOrderedAndProject limit path and the distributed-rank path
+  *     the operator auto-selects at n ≥ exactNSwitch — must pick the
+  *     IDENTICAL row multiset at n = 5M (the key is a total order up
+  *     to hash ties), and the rank path must not funnel the sample
+  *     through the driver.
   *
   * Run: sbt "runMain graft.tools.SamplerScaleProbe [nRows]"
   */
@@ -65,6 +71,26 @@ object SamplerScaleProbe {
       f"${math.sqrt(jk1.getAs[Double]("var_jk"))}%.6f in $tJk1%.1fs; " +
       f"jknMean: 20 strata x 25 PSUs -> se=" +
       f"${math.sqrt(jkn.getAs[Double]("var_jkn"))}%.6f in $tJkn%.1fs")
+
+    // leg 3: both exact-n paths on the same keyed frame at n = 5M —
+    // forced through each path via switchAt, compared as multisets
+    val nSample = math.min(5000000L, n / 4).toInt
+    val pop = spark.range(n).select(col("id"))
+    val key = xxhash64(col("id"), lit(42L))
+    val t3 = System.nanoTime()
+    val viaLimit = Samplers.keepTopNByKey(pop, key, nSample,
+      switchAt = Int.MaxValue)
+    val viaRank = Samplers.keepTopNByKey(pop, key, nSample, switchAt = 1)
+    val nLimit = viaLimit.count()
+    val nRank = viaRank.count()
+    val nDiff = viaLimit.exceptAll(viaRank)
+      .union(viaRank.exceptAll(viaLimit)).count()
+    val tSwitch = (System.nanoTime() - t3) / 1e9
+    assert(nLimit == nSample && nRank == nSample,
+      s"exact-n sizes: limit=$nLimit rank=$nRank want=$nSample")
+    assert(nDiff == 0, s"exact-n paths disagree on $nDiff rows")
+    println(f"exactN switch: n=$nSample%,d of $n%,d -> " +
+      f"limit=$nLimit%,d rank=$nRank%,d diff=$nDiff in $tSwitch%.1fs")
     spark.stop()
   }
 }

@@ -118,6 +118,31 @@ object Dsir {
       .drop("__g")
   }
 
+  /** Engine-portable rendition of [[resampleByLogWeight]] (g20):
+    * uniforms from the portable multiplicative hash of (idCol + seed),
+    * mapped into the OPEN interval (0,1) as (k+1)/(P+2) — k ∈ [0,P), so
+    * neither log can hit 0 or −∞ — and the Gumbel key logw − ln(−ln u)
+    * QUANTIZED to 2⁻²⁰ with idCol as the tie-break. `ln` is not
+    * correctly rounded, so raw keys differ between engines at the ulp
+    * level; quantization (far above ulp noise, far below the gaps
+    * between docs' keys) plus the deterministic tie-break makes the
+    * selected set replay identically in any ANSI SQL engine — the
+    * g11/m06 convention applied to the sampler. Same Gumbel-top-k
+    * distributional argument as [[resampleByLogWeight]]; adds `keyOut`
+    * (the quantized key, exact int64) to the output. */
+  def resampleByLogWeightPortable(scored: DataFrame, logwCol: String,
+                                  idCol: String, n: Int, seed: Long,
+                                  keyOut: String = "qg"): DataFrame = {
+    val k = Samplers.portableHashKey(col(idCol) + lit(seed))
+    val u = (k.cast("double") + lit(1.0)) /
+      lit((Samplers.portablePrime + 2).toDouble)
+    val qg = floor((col(logwCol) - log(-log(u))) * lit(1048576.0) + lit(0.5))
+      .cast("long")
+    scored.withColumn(keyOut, qg)
+      .orderBy(desc(keyOut), col(idCol))
+      .limit(n)
+  }
+
   /** N-gram features (word unigrams, plus space-joined bigrams when
     * `nGramMax = 2` — DSIR §3's configuration), optionally hashed into
     * `buckets` (`pmod` keeps the bucket non-negative). One row per

@@ -208,8 +208,8 @@ object Samplers {
     * both constants live only here. Distinct keys can still collide
     * (keys differing by a multiple of the prime), so consumers always
     * add a deterministic tiebreak. */
-  private val portablePrime = 100000007L
-  private def portableHashKey(key: Column): Column =
+  private[operators] val portablePrime = 100000007L
+  private[operators] def portableHashKey(key: Column): Column =
     pmod(pmod(key, lit(portablePrime)) * lit(1315423911L),
       lit(portablePrime))
 

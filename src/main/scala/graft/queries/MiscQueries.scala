@@ -645,10 +645,19 @@ object MiscQueries {
       None),
 
     // ---- A15 HLL approximate distinct (sketch; rows-only + spec) ------
+    // Self-validating like a18/a19: the row carries the exact distinct,
+    // the realized relative error, and the 5σ bound check (rsd = 0.02
+    // is HLL's standard deviation; same 5× slack as the Bloom fpp),
+    // so the driver's rows-only check sees a load-bearing invariant.
     Q("a15_approx_distinct",
       (s, d) => load(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        count(lit(1)).as("n_rows")),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("rel_err",
+          abs(col("approx_orders") - col("exact_orders")).cast("double") /
+            col("exact_orders"))
+        .withColumn("within_5sigma", col("rel_err") <= lit(0.10)),
       None),
 
     // ---- W2 session windows (gap-based) over events -------------------

@@ -494,6 +494,55 @@ object SamplingQueries {
                      < least(1.0, 100.0 * x / t.tot)
                ORDER BY id""")),
 
+    // ---- G20 portable Gumbel-top-k DSIR resampling --------------------
+    // The hash-gradable rendition of g12's sampler: uniforms from the
+    // portable hash of (doc_id + seed) mapped into (0,1) as (k+1)/(P+2),
+    // Gumbel key logw − ln(−ln u) quantized at 2⁻²⁰ (ln is not correctly
+    // rounded — the g11/m06 convention), doc_id tie-break. The oracle
+    // replays the ENTIRE chain — unigram importance weights included —
+    // so the weighted-without-replacement selection itself is
+    // hash-graded end-to-end; g12 keeps grading the hashed-feature
+    // scale path's invariants.
+    Q("g20_dsir_gumbel_portable",
+      (s, d) => {
+        val docs = load(s, d, "documents").filter(col("text").isNotNull)
+        val target = docs.filter(col("lang") === "en")
+        val scored = Dsir.importanceWeights(docs, target, "doc_id", "text")
+          .select(col("doc_id"), col("logw"))
+        Dsir.resampleByLogWeightPortable(scored, "logw", "doc_id",
+            n = 100, seed = 31)
+          .select(col("doc_id"), col("qg"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+               FROM documents WHERE text IS NOT NULL),
+              cnt AS (SELECT tok, count(*) AS cs,
+                             count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+                      FROM toks GROUP BY tok),
+              tot AS (SELECT sum(cs) AS s, sum(ct) AS t, count(*) AS v
+                      FROM cnt),
+              llr AS (SELECT tok,
+                        ln((CAST(ct AS DOUBLE) + 1.0) /
+                           (CAST(t AS DOUBLE) + 1.0 * v))
+                      - ln((CAST(cs AS DOUBLE) + 1.0) /
+                           (CAST(s AS DOUBLE) + 1.0 * v)) AS llr
+                      FROM cnt, tot),
+              w AS (SELECT doc_id, sum(llr) AS logw
+                    FROM toks JOIN llr USING (tok) GROUP BY doc_id),
+              u AS (SELECT doc_id, logw,
+                      (CAST((((doc_id + 31) % 100000007) * 1315423911)
+                            % 100000007 AS DOUBLE) + 1.0) / 100000009.0
+                        AS u
+                    FROM w),
+              key AS (SELECT doc_id,
+                        CAST(floor((logw - ln(-ln(u))) * 1048576.0 + 0.5)
+                             AS BIGINT) AS qg
+                      FROM u),
+              top AS (SELECT doc_id, qg FROM key
+                      ORDER BY qg DESC, doc_id LIMIT 100)
+              SELECT doc_id, qg FROM top ORDER BY doc_id""")),
+
     // ---- G19 systematic sampling (interval k over a hashed order) -----
     // Every 7th customer in the portable-hash order (the deterministic
     // rendition of classical list-randomized systematic sampling) —

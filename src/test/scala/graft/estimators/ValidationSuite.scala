@@ -16,6 +16,48 @@ class ValidationSuite extends SparkSpec {
         if (i % 2 == 0) 1 else 0))
     .toDF("id", "y", "in_A", "in_B")
 
+  test("ppsPoisson raises on NULL ids instead of silently dropping rows") {
+    import graft.operators.Samplers
+    val df = Seq((Some(1L), 2.0), (None, 3.0), (Some(3L), 4.0))
+      .toDF("id", "x")
+    val e = intercept[Exception](
+      Samplers.ppsPoisson(df, "x", "id", targetN = 2).collect())
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
+  test("ppsPoisson raises on a negative size instead of excluding it") {
+    import graft.operators.Samplers
+    val df = Seq((1L, 2.0), (2L, -1.0), (3L, 4.0)).toDF("id", "x")
+    val e = intercept[Exception](
+      Samplers.ppsPoisson(df, "x", "id", targetN = 2).collect())
+    assert(e.getMessage.contains("negative"), e.getMessage)
+  }
+
+  test("olsKFold rejects a fold whose training x is constant") {
+    import graft.stats.CrossVal
+    // two folds, each constant in x: leaving either out keeps x constant
+    val df = Seq((1.0, 1.0, 0L), (1.0, 2.0, 0L), (2.0, 3.0, 1L),
+        (2.0, 4.0, 1L))
+      .toDF("x", "y", "fold")
+    val e = intercept[IllegalArgumentException](
+      CrossVal.olsKFold(df, "x", "y", "fold").collect())
+    assert(e.getMessage.contains("constant"), e.getMessage)
+  }
+
+  test("olsKFold excludes NULL x/y rows from moments AND scoring") {
+    import graft.stats.CrossVal
+    val clean = Seq((1.0, 2.0, 0L), (2.0, 3.0, 0L), (3.0, 5.0, 1L),
+      (4.0, 6.0, 1L), (5.0, 9.0, 2L), (6.0, 11.0, 2L))
+    val withNulls = clean.map { case (x, y, f) => (Some(x), Some(y), f) } ++
+      Seq((None, Some(99.0), 0L), (Some(99.0), None, 1L))
+    val a = CrossVal.olsKFold(clean.toDF("x", "y", "fold"), "x", "y", "fold")
+      .orderBy("fold").collect()
+    val b = CrossVal.olsKFold(withNulls.toDF("x", "y", "fold"),
+      "x", "y", "fold").orderBy("fold").collect()
+    assert(a.toSeq === b.toSeq,
+      "NULL-bearing rows must not perturb coefficients, counts, or rmse")
+  }
+
   test("fusion rejects a missing id column") {
     val df = Seq((1L, 1.0)).toDF("id", "y")
     val e = intercept[IllegalArgumentException](

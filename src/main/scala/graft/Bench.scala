@@ -109,15 +109,23 @@ object Bench {
     // Best-effort full-JSON files: must never prevent the primary lines
     // from printing (an unwritable path would otherwise void the run).
     val fullJson = s"""{"sf":"$sfDir","total":${fmt(total)},"failed":$failed,"queries":$fullQs}"""
-    Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json"),
-        "/root/repo/BENCH_FULL.json").foreach { p =>
+    // repo-root copy derived from the working directory (sbt runs from
+    // the project root), NOT a hardcoded absolute path
+    val repoFull = new java.io.File(
+      sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json").getPath
+    def tryWrite(p: String): Boolean =
       try {
         val w = new java.io.PrintWriter(p)
         try w.println(fullJson) finally w.close()
+        true
       } catch { case e: Exception =>
         System.err.println(s"[bench] full-JSON write to $p failed: ${e.getMessage}")
+        false
       }
-    }
+    tryWrite(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json"))
+    // advertise the repo pointer only if that write actually landed
+    val fullField =
+      if (tryWrite(repoFull)) s""","full":"BENCH_FULL.json"""" else ""
     val chunks = results.grouped(100).toSeq
     chunks.zipWithIndex.foreach { case (c, i) =>
       val line = s"""{"metric":"bench_chunk","i":${i + 1},"of":${chunks.size},"queries":${qsJson(c)},"sf":"$sfName"}"""
@@ -139,7 +147,7 @@ object Bench {
       if (perQuery.length <= 1500) s""""queries":$perQuery"""
       else s""""families":$fams"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"nq":${results.size},$detail,"full":"BENCH_FULL.json","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"nq":${results.size},$detail$fullField,"sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars > 1800 — may be truncated by the harness tail window")
     println(line)

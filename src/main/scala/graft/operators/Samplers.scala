@@ -45,32 +45,50 @@ object Samplers {
     * driver-sized, no single-task window). */
   private[graft] val exactNSwitch: Int = 1 << 20
 
-  /** Shared exact top-n by key with the size-based path switch. Both
-    * paths select the same rows: the key is a total order up to hash
-    * ties, and ties only swap identical rows (the [[rowUniform]]
-    * contract); SamplerScaleProbe pins multiset-identity of the two
+  /** Shared exact top-n by (key, tie) with the size-based path switch.
+    * Both paths select the same rows: (key, tie) is a total order up to
+    * SIMULTANEOUS collisions of both 53-bit hashes between distinct
+    * rows (~2⁻¹⁰⁶ per pair — none expected below ~2⁵⁰ rows), and
+    * remaining ties are identical rows, which only swap across the cut
+    * line without changing the selected multiset (the [[rowUniform]]
+    * contract). SamplerScaleProbe pins multiset-identity of the two
     * paths at n = 5M. */
-  private[graft] def keepTopNByKey(df: DataFrame, key: Column, n: Int,
+  private[graft] def keepTopNByKey(df: DataFrame, key: Column, tie: Column,
+                                   n: Int,
                                    descending: Boolean = false,
                                    switchAt: Int = exactNSwitch): DataFrame = {
-    val keyed = df.withColumn("__key", key)
-    val sort = if (descending) col("__key").desc else col("__key").asc
+    val keyed = df.withColumn("__key", key).withColumn("__tie", tie)
+    val sort =
+      if (descending) Seq(col("__key").desc, col("__tie").desc)
+      else Seq(col("__key").asc, col("__tie").asc)
     if (n < switchAt)
-      keyed.orderBy(sort).limit(n).drop("__key")
+      keyed.orderBy(sort: _*).limit(n).drop("__key", "__tie")
     else
-      Ranks.globalRowNumber(keyed, Seq(sort), out = "__rn")
-        .filter(col("__rn") <= n).drop("__key", "__rn")
+      Ranks.globalRowNumber(keyed, sort, out = "__rn")
+        .filter(col("__rn") <= n).drop("__key", "__tie", "__rn")
   }
 
-  /** SRS without replacement, exact n (`sample(1:N, n)`, ipynb:170). */
+  /** Seed offset for the independent tiebreak hash stream (64-bit
+    * golden-ratio constant — any fixed odd offset works; it only has
+    * to differ from every caller-visible seed derivation). */
+  private val tieSeedOffset = 0x9E3779B97F4A7C15L
+
+  /** SRS without replacement, exact n (`sample(1:N, n)`, ipynb:170).
+    * Sort key = seeded row-content uniform; a SECOND independent
+    * uniform is the deterministic tiebreak, so a (2⁻⁵³-rare) key
+    * collision between distinct rows cannot make the selection depend
+    * on partitioning or on which top-n path ran. */
   def srsExact(df: DataFrame, n: Int, seed: Long): DataFrame =
-    keepTopNByKey(df, rowUniform(df.columns.toSeq, seed), n)
+    keepTopNByKey(df, rowUniform(df.columns.toSeq, seed),
+      rowUniform(df.columns.toSeq, seed ^ tieSeedOffset), n)
 
   /** Weighted sampling without replacement, exact n, inclusion ∝ weight
     * (Efraimidis–Spirakis 2006: key = log(u)/w, take top-n;
-    * `sample(..., prob=π)`, ipynb:1281-1282). `w` must be > 0. */
+    * `sample(..., prob=π)`, ipynb:1281-1282). `w` must be > 0. Same
+    * independent-uniform tiebreak as [[srsExact]]. */
   def weightedExact(df: DataFrame, w: Column, n: Int, seed: Long): DataFrame =
-    keepTopNByKey(df, log(rowUniform(df.columns.toSeq, seed)) / w, n,
+    keepTopNByKey(df, log(rowUniform(df.columns.toSeq, seed)) / w,
+      rowUniform(df.columns.toSeq, seed ^ tieSeedOffset), n,
       descending = true)
 
   /** Stratified sampling with proportional allocation, exact n_h per

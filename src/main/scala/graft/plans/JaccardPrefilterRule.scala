@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
@@ -51,11 +51,23 @@ object JaccardPrefilterRule extends Rule[LogicalPlan] {
 
   /** Producing expression per attribute, harvested from every Project
     * alias below the rewritten node (exprIds are plan-unique, so one
-    * flat map covers both join sides). */
-  private def producers(plan: LogicalPlan): Map[ExprId, Expression] =
+    * flat map covers both join sides). Union outputs are EXCLUDED:
+    * `Union.output` reuses the FIRST child's exprIds, so following an
+    * alias through a union would attribute the first child's
+    * (possibly duplicate-free) producer to rows that also flow from
+    * the other children un-deduped — the exact unsoundness this rule
+    * exists to avoid. */
+  private def producers(plan: LogicalPlan): Map[ExprId, Expression] = {
+    val unionOutputs = plan.collect {
+      case u: Union => u.output.map(_.exprId)
+    }.flatten.toSet
     plan.collect { case p: Project =>
-      p.projectList.collect { case a: Alias => a.exprId -> a.child }
+      p.projectList.collect {
+        case a: Alias if !unionOutputs.contains(a.exprId) =>
+          a.exprId -> a.child
+      }
     }.flatten.toMap
+  }
 
   /** Conservatively: is `e` an array provably free of duplicate
     * elements? True only for array_distinct and word_shingles (whose

@@ -112,13 +112,6 @@ object AnnQueries {
   def withExactRecall(res0: DataFrame, queries: DataFrame, cand: DataFrame,
                       k: Int, strongThr: Double, floor: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // `res` appears in two branches below (the per-query aggregate and
-    // the row-level membership join). Exchange reuse does not fire
-    // across differently-pruned branches (measured, SCALE.md t07), so
-    // persist it: without this the entire ANN pipeline executes twice
-    // per run. The exact side needs no persist — it lands as a ≤ |Q|·k
-    // local relation via the memo and broadcasts into both branches.
-    val res = res0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = cand.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val win = Window.partitionBy("qid").orderBy(desc("cos_x"), col("cid"))
@@ -132,9 +125,19 @@ object AnnQueries {
     val memoKey = (
       queries.queryExecution.analyzed.canonicalized.toString,
       cand.queryExecution.analyzed.canonicalized.toString, k)
+    // the oracle collect runs BEFORE res0 is persisted — a failed
+    // O(|Q|·n) cross join must not leak a pinned cache (the
+    // finally-guard below only covers the joined collect)
     val exactRows = exactMemo.computeIfAbsent(memoKey, _ => exactDf.collect())
     val exact = res0.sparkSession.createDataFrame(
       java.util.Arrays.asList(exactRows: _*), exactDf.schema)
+    // `res` appears in two branches below (the per-query aggregate and
+    // the row-level membership join). Exchange reuse does not fire
+    // across differently-pruned branches (measured, SCALE.md t07), so
+    // persist it: without this the entire ANN pipeline executes twice
+    // per run. The exact side needs no persist — it lands as a ≤ |Q|·k
+    // local relation via the memo and broadcasts into both branches.
+    val res = res0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perQ = exact
       .join(res.select(col("qid"), col("cid"), lit(1).as("f")),
         Seq("qid", "cid"), "left")

@@ -77,10 +77,11 @@ object SamplerScaleProbe {
     val nSample = math.min(5000000L, n / 4).toInt
     val pop = spark.range(n).select(col("id"))
     val key = xxhash64(col("id"), lit(42L))
+    val tie = xxhash64(col("id"), lit(43L))
     val t3 = System.nanoTime()
-    val viaLimit = Samplers.keepTopNByKey(pop, key, nSample,
+    val viaLimit = Samplers.keepTopNByKey(pop, key, tie, nSample,
       switchAt = Int.MaxValue)
-    val viaRank = Samplers.keepTopNByKey(pop, key, nSample, switchAt = 1)
+    val viaRank = Samplers.keepTopNByKey(pop, key, tie, nSample, switchAt = 1)
     val nLimit = viaLimit.count()
     val nRank = viaRank.count()
     val nDiff = viaLimit.exceptAll(viaRank)

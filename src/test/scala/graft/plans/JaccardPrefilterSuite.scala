@@ -86,6 +86,43 @@ class JaccardPrefilterSuite extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("union of a distinct and a duplicate-bearing branch: only the " +
+      "safe branch is rewritten") {
+    // Union.output reuses the FIRST child's exprIds — naively following
+    // the lineage would see the first branch's array_distinct and wrongly
+    // bless rows that also flow from the duplicate-bearing second branch.
+    // (Catalyst usually pushes the filter below the union first, in which
+    // case each branch is judged on its own arrays — the safe branch may
+    // gain the guard, the raw branch must not; if the filter stays above
+    // the union, the producers() blacklist blocks the rewrite entirely.)
+    def q = {
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), substring(col("text"), 1, 1).as("s"))
+      val clean = base.select(col("doc_id"),
+        array_distinct(array(col("s"), col("s"))).as("sa"),
+        array_distinct(array(col("s"))).as("sb"))
+      val dup = base.select(col("doc_id") + 100000,
+        array(col("s")).as("sa"),
+        array(col("s"), col("s"), col("s")).as("sb"))
+      clean.union(dup)
+        .filter(Dedup.jaccard(col("sa"), col("sb")) >= 0.5)
+        .select("doc_id")
+    }
+    val before = q.collect().toSeq
+    assert(before.nonEmpty)
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = saved :+ JaccardPrefilterRule
+      val opt = q
+      val optPlan = opt.queryExecution.optimizedPlan.toString
+      // the raw-array guard (no array_distinct inside the size) must
+      // never appear — it is the semantics-changing rewrite
+      assert(!optPlan.contains("* cast(size(array(substring"), optPlan)
+      assert(opt.collect().toSeq === before)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("guard math: size ratio below threshold implies jaccard below it") {
     // the rewrite must never drop a qualifying pair: exhaustive check on
     // small sizes — if min/max < t then J < t

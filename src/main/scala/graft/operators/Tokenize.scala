@@ -67,6 +67,109 @@ object Tokenize {
     df.withColumn(out, enc(col(textCol)))
   }
 
+  /** Byte-pair-encoding TRAINING (Sennrich et al. 2016; the HF design):
+    * ONE distributed pass reduces the corpus to its distinct-word count
+    * table (capped at `topWords` by count desc / word asc — web-scale
+    * corpora have unbounded tail vocab), then the merge loop runs
+    * driver-side over that bounded table: each round counts adjacent
+    * symbol pairs weighted by word frequency, takes the most frequent
+    * (ties to the lexicographically smaller pair), and merges ALL its
+    * occurrences left-to-right in every word. No per-round corpus scan
+    * — the corpus is touched exactly once, the standard scale shape for
+    * tokenizer training. Returns the ranked merge list. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               topWords: Int = 50000): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
+    val words = df.select(
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var syms: Array[(Array[String], Long)] =
+      words.map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
+    val merges = ArrayBuffer[(String, String)]()
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      syms.foreach { case (s, n) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val p = (s(i), s(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val merged = best._1 + best._2
+        syms = syms.map { case (s, n) =>
+          val out = ArrayBuffer[String]()
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == best._1 && s(i + 1) == best._2) {
+              out += merged; i += 2
+            } else { out += s(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BPE encoding of one word against a rank map: start from single
+    * characters, repeatedly merge the LOWEST-RANK adjacent pair present
+    * (leftmost occurrence) until none applies. One-occurrence-at-a-time
+    * equals the all-occurrences-per-round algorithm because a merge can
+    * only create pairs involving its own output symbol, whose merges
+    * were necessarily learned LATER (higher rank) — so the remaining
+    * occurrences of the current lowest-rank pair stay minimal. This is
+    * the formulation an ANSI SQL engine can replay one recursion step
+    * at a time (t20's oracle). */
+  def bpeWord(word: String, rank: Map[(String, String), Int]): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    var s = word.split("").filter(_.nonEmpty).toVector
+    var done = false
+    while (!done && s.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i + 1 < s.length) {
+        rank.get((s(i), s(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestPos = i }
+        }
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else s = (s.take(bestPos) :+ (s(bestPos) + s(bestPos + 1))) ++
+        s.drop(bestPos + 2)
+    }
+    s
+  }
+
+  /** Encode `textCol` into a BPE-token array column: normalize, split
+    * on whitespace, [[bpeWord]] each word against the broadcast ranked
+    * merge list. Same Scala-UDF rationale as [[wordpieceEncode]]. */
+  def bpeEncode(df: DataFrame, textCol: String,
+                merges: Seq[(String, String)],
+                out: String = "bpe"): DataFrame = {
+    require(merges.nonEmpty, "empty BPE merge list")
+    val rank = merges.zipWithIndex.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(rank)
+    val enc = udf { text: String =>
+      if (text == null) Seq.empty[String]
+      else Dedup.normalizeString(text).split(" ").toSeq
+        .filter(_.nonEmpty).flatMap(w => bpeWord(w, bc.value))
+    }
+    df.withColumn(out, enc(col(textCol)))
+  }
+
   /** A deterministic corpus-derived vocab: every character observed in
     * the normalized corpus (plus its `##` continuation form) and the
     * `topWords` most frequent whole words (count desc, word asc

@@ -14,6 +14,16 @@ import graft.util.Tables.load
   */
 object TextQueries {
 
+  /** t20's fixed ranked merge list — ONE definition feeds both the
+    * Spark encode and the oracle's VALUES literal. Chain-consistent
+    * (multi-char sides are produced by earlier ranks) and chosen for
+    * the corpus's en/es/de/fr mix. */
+  private[queries] val t20Merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("s", "t"), ("t", "o"), ("e", "s"), ("d", "e"),
+    ("l", "a"))
+
   // the SQL rendition of occurrences(padded_text, kw)
   private def sqlOcc(padded: String, kw: String): String =
     s"CAST((length($padded) - length(replace($padded, '$kw', ''))) / ${kw.length} AS BIGINT)"
@@ -726,6 +736,113 @@ object TextQueries {
                      CAST(sum(freq) AS BIGINT) AS cnt
               FROM g GROUP BY pair
               ORDER BY cnt DESC, pair LIMIT 20""")),
+
+    // ---- T20 BPE encoding against a fixed ranked merge list -----------
+    // The apply-side of byte-pair encoding (Sennrich et al. 2016):
+    // every word starts as single characters and repeatedly merges its
+    // lowest-rank adjacent pair (leftmost occurrence) — provably equal
+    // to the classic all-occurrences-per-round formulation because a
+    // merge only creates pairs involving its own output symbol, whose
+    // merges rank strictly later (Tokenize.bpeWord). The merge list is
+    // a FIXED literal (shared verbatim with the oracle below), so the
+    // oracle replays the whole encode as a recursive CTE: per in-flight
+    // (doc, word) symbol list, one set-based arg_min picks the
+    // (rank, position) minimum over the pair×merge join; states whose
+    // pairs match nothing simply stop recursing and arg_max(syms, step)
+    // reads each word's final state. Graded per doc: token count + md5
+    // fingerprint of the chr(1)-joined token sequence. Corpus-derived
+    // training (Tokenize.bpeTrain) is t21's job.
+    Q("t20_bpe_encode",
+      (s, d) => {
+        val enc = graft.operators.Tokenize.bpeEncode(
+          load(s, d, "documents"), "text", TextQueries.t20Merges)
+        enc.select(col("doc_id"),
+            size(col("bpe")).cast("long").as("n_bpe"),
+            md5(concat_ws("\u0001", col("bpe"))).as("bpe_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val mvals = t20Merges.zipWithIndex
+          .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+        s"""WITH RECURSIVE
+            m(rank, a, b) AS (SELECT * FROM (VALUES $mvals) t),
+            toks0 AS (SELECT doc_id,
+                        string_split(lower(trim(regexp_replace(text,
+                          '\\s+', ' ', 'g'))), ' ') AS l
+                      FROM documents WHERE text IS NOT NULL),
+            toks AS (SELECT doc_id, i AS wi, l[i] AS w
+                     FROM toks0,
+                          unnest(generate_series(1, len(l))) AS g(i)
+                     WHERE l[i] <> ''),
+            rec(doc_id, wi, syms, step, live) AS (
+              SELECT doc_id, wi, string_split(w, ''), 0,
+                     len(string_split(w, '')) >= 2
+              FROM toks
+              UNION ALL
+              SELECT doc_id, wi,
+                     list_concat(list_concat(syms[1:bi-1],
+                       [syms[bi] || syms[bi+1]]), syms[bi+2:]),
+                     step + 1,
+                     len(syms) > 2
+              FROM (
+                SELECT r0.doc_id, r0.wi, r0.syms, r0.step,
+                       arg_min(g.i, m.rank * 1000000 + g.i) AS bi
+                FROM (SELECT * FROM rec WHERE live) r0,
+                     unnest(generate_series(1, len(r0.syms) - 1))
+                       AS g(i), m
+                WHERE m.a = r0.syms[g.i] AND m.b = r0.syms[g.i + 1]
+                GROUP BY r0.doc_id, r0.wi, r0.syms, r0.step
+              )
+            ),
+            final AS (SELECT doc_id, wi, arg_max(syms, step) AS syms
+                      FROM rec GROUP BY doc_id, wi),
+            pieces AS (SELECT doc_id, wi, i, syms[i] AS tok
+                       FROM final,
+                            unnest(generate_series(1, len(syms))) AS g(i)),
+            perdoc AS (SELECT doc_id,
+                         CAST(count(*) AS BIGINT) AS n_bpe,
+                         md5(string_agg(tok, chr(1) ORDER BY wi, i))
+                           AS bpe_md5
+                       FROM pieces GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(p.n_bpe, 0) AS n_bpe,
+                   coalesce(p.bpe_md5, md5('')) AS bpe_md5
+            FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+            ORDER BY d.doc_id"""
+      }),
+
+    // ---- T21 BPE training on the corpus (rows-only + invariants) ------
+    // Tokenizer TRAINING at the production scale shape: one distributed
+    // pass reduces the corpus to its distinct-word count table, the
+    // merge loop runs over that bounded table (Tokenize.bpeTrain — the
+    // HF design; no per-round corpus scan). The learned merge sequence
+    // is deterministic but only computable by the loop itself, so the
+    // rows carry their own proof: chain_ok (every multi-char merge side
+    // was produced by an EARLIER merge — the defining BPE invariant)
+    // and char_ok (every single-char side occurs in the corpus
+    // alphabet) must be true on every row; TokenizeSuite pins the
+    // hand-computable fixtures and determinism.
+    Q("t21_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val docs = load(s, d, "documents")
+        val merges = graft.operators.Tokenize.bpeTrain(docs, "text",
+          nMerges = 30)
+        val alphabet = docs.select(
+            explode(split(graft.operators.Dedup.normalize(col("text")), ""))
+              .as("c"))
+          .filter(col("c") =!= "" && col("c") =!= " ")
+          .distinct().collect().map(_.getString(0)).toSet
+        val produced = merges.map { case (a, b) => a + b }
+        val rows = merges.zipWithIndex.map { case ((a, b), r) =>
+          def sideOk(s0: String): Boolean =
+            if (s0.length == 1) alphabet.contains(s0)
+            else produced.take(r).contains(s0)
+          (r, a, b, a + b, sideOk(a) && sideOk(b))
+        }
+        rows.toDF("rank", "left", "right", "merged", "chain_ok")
+          .orderBy("rank")
+      },
+      None),
 
     // ---- T19 WordPiece tokenizer application (full hash oracle) -------
     // The apply-side of tokenizer training: greedy longest-match tiling

@@ -52,4 +52,39 @@ class TokenizeSuite extends SparkSpec {
       .orderBy("doc_id").select("pieces").collect().map(_.getSeq[String](0)).toSeq
     assert(a === b)
   }
+
+  test("bpeTrain: hand-computable merge sequence on a planted corpus") {
+    // corpus "aaab aaab ab": pair counts round 1 (a,a)=4 (a,b)=3 →
+    // merge (a,a), all occurrences left-to-right: aaab → [aa,a,b];
+    // round 2 (a,b)=3 beats (aa,a)=2 → aaab → [aa,ab], ab → [ab];
+    // round 3 merges the only remaining pair (aa,ab)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = Tokenize.bpeTrain(docs, "text", nMerges = 3)
+    assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // asking for more merges than pairs exist stops early (after the
+    // third merge every word is a single symbol — no pairs remain)
+    assert(Tokenize.bpeTrain(docs, "text", nMerges = 10).length === 3)
+  }
+
+  test("bpeWord: lowest-rank-leftmost replay reaches the trained tiling") {
+    val rank = Map(("a", "a") -> 0, ("a", "b") -> 1, ("aa", "ab") -> 2)
+    assert(Tokenize.bpeWord("aaab", rank) === Seq("aaab"))
+    assert(Tokenize.bpeWord("ab", rank) === Seq("ab"))
+    assert(Tokenize.bpeWord("ba", rank) === Seq("b", "a"))
+    assert(Tokenize.bpeWord("aaa", rank) === Seq("aa", "a"))
+    assert(Tokenize.bpeWord("", rank) === Seq.empty)
+  }
+
+  test("bpeEncode: normalization, null text, layout determinism") {
+    val docs = Seq((1L, "The AAAB  ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rank = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val out = Tokenize.bpeEncode(docs, "text", rank)
+      .orderBy("doc_id").select("bpe").collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("t", "h", "e", "aaab", "ab"))
+    assert(out(1) === Seq.empty)
+    val p5 = Tokenize.bpeEncode(docs.repartition(5), "text", rank)
+      .orderBy("doc_id").select("bpe").collect().map(_.getSeq[String](0))
+    assert(out.toSeq === p5.toSeq)
+  }
 }

@@ -108,14 +108,26 @@ object Tokenize {
         merges += best
         val merged = best._1 + best._2
         syms = syms.map { case (s, n) =>
-          val out = ArrayBuffer[String]()
-          var i = 0
-          while (i < s.length) {
-            if (i + 1 < s.length && s(i) == best._1 && s(i + 1) == best._2) {
-              out += merged; i += 2
-            } else { out += s(i); i += 1 }
+          // fast path: words not containing the pair keep their array
+          // untouched — at production merge counts (tens of thousands)
+          // rebuilding every word every round is the dominant cost
+          var hit = false
+          var j = 0
+          while (!hit && j + 1 < s.length) {
+            hit = s(j) == best._1 && s(j + 1) == best._2
+            j += 1
           }
-          (out.toArray, n)
+          if (!hit) (s, n)
+          else {
+            val out = ArrayBuffer[String]()
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == best._1 && s(i + 1) == best._2) {
+                out += merged; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
         }
         round += 1
       }

@@ -224,8 +224,8 @@ object SamplingQueries {
             Window.partitionBy(lit(1))
               .orderBy(desc("qlogw"), col("doc_id"))).as("r"))
       },
-      Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
-                   regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      Some(s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
+                   regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
                FROM documents),
               cnt AS (SELECT tok, count(*) AS cs,
                              count(CASE WHEN lang = 'en' THEN 1 END) AS ct
@@ -238,7 +238,7 @@ object SamplingQueries {
                       - ln((CAST(cs AS DOUBLE) + 1.0) /
                            (CAST(s AS DOUBLE) + 1.0 * v)) AS llr
                       FROM cnt, tot),
-              w AS (SELECT doc_id, CAST(floor(sum(llr) * 1048576.0 + 0.5)
+              w AS (SELECT doc_id, CAST(floor(${graft.util.Tables.sqlDsum("llr")} * 1048576.0 + 0.5)
                                         AS BIGINT) AS qlogw
                     FROM toks JOIN llr USING (tok) GROUP BY doc_id),
               top AS (SELECT doc_id, qlogw FROM w
@@ -326,8 +326,8 @@ object SamplingQueries {
             Window.partitionBy(lit(1))
               .orderBy(desc("qlogw"), col("doc_id"))).as("r"))
       },
-      Some("""WITH base AS (SELECT doc_id, lang, string_split(lower(trim(
-                   regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS l
+      Some(s"""WITH base AS (SELECT doc_id, lang, string_split(lower(trim(
+                   regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS l
                FROM documents WHERE text IS NOT NULL),
               feats AS (SELECT doc_id, lang, unnest(l) AS f FROM base
                         UNION ALL
@@ -345,7 +345,7 @@ object SamplingQueries {
                       - ln((CAST(cs AS DOUBLE) + 1.0) /
                            (CAST(s AS DOUBLE) + 1.0 * v)) AS llr
                       FROM cnt, tot),
-              w AS (SELECT doc_id, CAST(floor(sum(llr) * 1048576.0 + 0.5)
+              w AS (SELECT doc_id, CAST(floor(${graft.util.Tables.sqlDsum("llr")} * 1048576.0 + 0.5)
                                         AS BIGINT) AS qlogw
                     FROM feats JOIN llr USING (f) GROUP BY doc_id),
               top AS (SELECT doc_id, qlogw FROM w
@@ -514,8 +514,8 @@ object SamplingQueries {
           .select(col("doc_id"), col("qg"))
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
-                   regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      Some(s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
+                   regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
                FROM documents WHERE text IS NOT NULL),
               cnt AS (SELECT tok, count(*) AS cs,
                              count(CASE WHEN lang = 'en' THEN 1 END) AS ct
@@ -528,7 +528,7 @@ object SamplingQueries {
                       - ln((CAST(cs AS DOUBLE) + 1.0) /
                            (CAST(s AS DOUBLE) + 1.0 * v)) AS llr
                       FROM cnt, tot),
-              w AS (SELECT doc_id, sum(llr) AS logw
+              w AS (SELECT doc_id, ${graft.util.Tables.sqlDsum("llr")} AS logw
                     FROM toks JOIN llr USING (tok) GROUP BY doc_id),
               u AS (SELECT doc_id, logw,
                       (CAST((((doc_id + 31) % 100000007) * 1315423911)

@@ -14,6 +14,22 @@ import graft.util.Tables.load
   */
 object TextQueries {
 
+  /** Shared oracle fragment: per-doc word occurrences WITH ORDER —
+    * toks(doc_id, wi, w) from the normalized text ('' words dropped,
+    * NULL texts excluded). This encodes the Dedup.normalize parity
+    * contract once for both tokenizer oracles (t19 WordPiece, t20
+    * BPE); DedupQueries.sqlShingles carries the shingle rendition of
+    * the same normalization. */
+  private[queries] val sqlDocWords =
+    """toks0 AS (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text,
+                     '\s+', ' ', 'g'))), ' ') AS l
+                 FROM documents WHERE text IS NOT NULL),
+       toks AS (SELECT doc_id, i AS wi, l[i] AS w
+                FROM toks0,
+                     unnest(generate_series(1, len(l))) AS g(i)
+                WHERE l[i] <> '')"""
+
   /** t20's fixed ranked merge list — ONE definition feeds both the
     * Spark encode and the oracle's VALUES literal. Chain-consistent
     * (multi-char sides are produced by earlier ranks) and chosen for
@@ -766,14 +782,7 @@ object TextQueries {
           .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
         s"""WITH RECURSIVE
             m(rank, a, b) AS (SELECT * FROM (VALUES $mvals) t),
-            toks0 AS (SELECT doc_id,
-                        string_split(lower(trim(regexp_replace(text,
-                          '\\s+', ' ', 'g'))), ' ') AS l
-                      FROM documents WHERE text IS NOT NULL),
-            toks AS (SELECT doc_id, i AS wi, l[i] AS w
-                     FROM toks0,
-                          unnest(generate_series(1, len(l))) AS g(i)
-                     WHERE l[i] <> ''),
+            $sqlDocWords,
             rec(doc_id, wi, syms, step, live) AS (
               SELECT doc_id, wi, string_split(w, ''), 0,
                      len(string_split(w, '')) >= 2
@@ -834,12 +843,15 @@ object TextQueries {
           .distinct().collect().map(_.getString(0)).toSet
         val produced = merges.map { case (a, b) => a + b }
         val rows = merges.zipWithIndex.map { case ((a, b), r) =>
-          def sideOk(s0: String): Boolean =
-            if (s0.length == 1) alphabet.contains(s0)
-            else produced.take(r).contains(s0)
-          (r, a, b, a + b, sideOk(a) && sideOk(b))
+          // char_ok: single-char sides occur in the corpus alphabet;
+          // chain_ok: multi-char sides were produced by an EARLIER merge
+          val charOk = Seq(a, b).filter(_.length == 1)
+            .forall(alphabet.contains)
+          val chainOk = Seq(a, b).filter(_.length > 1)
+            .forall(produced.take(r).contains)
+          (r, a, b, a + b, chainOk, charOk)
         }
-        rows.toDF("rank", "left", "right", "merged", "chain_ok")
+        rows.toDF("rank", "left", "right", "merged", "chain_ok", "char_ok")
           .orderBy("rank")
       },
       None),
@@ -881,15 +893,8 @@ object TextQueries {
       // on the '##' prefix, which is unambiguous because the corpus
       // contains no '#' (checked; a vocab word could otherwise collide
       // with a continuation form). ~2.4 s at sf0.1.
-      Some("""WITH RECURSIVE
-              toks0 AS (SELECT doc_id,
-                          string_split(lower(trim(regexp_replace(text,
-                            '\s+', ' ', 'g'))), ' ') AS l
-                        FROM documents WHERE text IS NOT NULL),
-              toks AS (SELECT doc_id, i AS wi, l[i] AS w
-                       FROM toks0,
-                            unnest(generate_series(1, len(l))) AS g(i)
-                       WHERE l[i] <> ''),
+      Some(s"""WITH RECURSIVE
+              $sqlDocWords,
               wcnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
               words AS (SELECT w AS piece FROM wcnt
                         ORDER BY n DESC, w LIMIT 200),

@@ -19,8 +19,8 @@ import graft.stats.Replication
   *     TakeOrderedAndProject limit path and the distributed-rank path
   *     the operator auto-selects at n ≥ exactNSwitch — must pick the
   *     IDENTICAL row multiset at n = 5M (the key is a total order up
-  *     to hash ties), and the rank path must not funnel the sample
-  *     through the driver.
+  *     to hash ties). (The rank path's no-driver-funnel property is a
+  *     plan shape, pinned by PlanSuite, not re-asserted here.)
   *
   * Run: sbt "runMain graft.tools.SamplerScaleProbe [nRows]"
   */
@@ -79,13 +79,21 @@ object SamplerScaleProbe {
     val key = xxhash64(col("id"), lit(42L))
     val tie = xxhash64(col("id"), lit(43L))
     val t3 = System.nanoTime()
+    // persist both samples: each feeds a count plus two exceptAll
+    // branches — unpersisted, every branch would re-run its full
+    // 20M-row sort/rank pipeline (~3×) and inflate the reported time
     val viaLimit = Samplers.keepTopNByKey(pop, key, tie, nSample,
       switchAt = Int.MaxValue)
-    val viaRank = Samplers.keepTopNByKey(pop, key, tie, nSample, switchAt = 1)
-    val nLimit = viaLimit.count()
-    val nRank = viaRank.count()
-    val nDiff = viaLimit.exceptAll(viaRank)
-      .union(viaRank.exceptAll(viaLimit)).count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val viaRank = Samplers.keepTopNByKey(pop, key, tie, nSample,
+      switchAt = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nLimit, nRank, nDiff) =
+      try {
+        (viaLimit.count(), viaRank.count(),
+          viaLimit.exceptAll(viaRank)
+            .union(viaRank.exceptAll(viaLimit)).count())
+      } finally { viaLimit.unpersist(); viaRank.unpersist() }
     val tSwitch = (System.nanoTime() - t3) / 1e9
     assert(nLimit == nSample && nRank == nSample,
       s"exact-n sizes: limit=$nLimit rank=$nRank want=$nSample")

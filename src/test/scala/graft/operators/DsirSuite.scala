@@ -37,9 +37,11 @@ class DsirSuite extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val la = math.log(4.0 / 5) - math.log(7.0 / 13)
     val lb = math.log(1.0 / 5) - math.log(6.0 / 13)
-    assert(math.abs(w(1L) - 3 * la) < 1e-12)
-    assert(math.abs(w(2L) - (2 * la + lb)) < 1e-12)
-    assert(math.abs(w(3L) - 3 * lb) < 1e-12)
+    // 1e-9: logw sums in exact DECIMAL(38,10) (the g11/g20 oracle
+    // contract), so each addend is rounded at 1e-10 before summation
+    assert(math.abs(w(1L) - 3 * la) < 1e-9)
+    assert(math.abs(w(2L) - (2 * la + lb)) < 1e-9)
+    assert(math.abs(w(3L) - 3 * lb) < 1e-9)
     assert(w(1L) > w(2L) && w(2L) > w(4L) && w(4L) > w(3L))
   }
 
@@ -76,7 +78,8 @@ class DsirSuite extends SparkSpec {
         nGramMax = 2)
       .select("doc_id", "logw").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(math.abs(w(4L) - (e(3, 6) + e(0, 5) + e(0, 2))) < 1e-12)
+    // 1e-9: same DECIMAL(38,10) rounding note as the unigram test
+    assert(math.abs(w(4L) - (e(3, 6) + e(0, 5) + e(0, 2))) < 1e-9)
     // hashed bigram bag reproduces the exact one (5 features in 2^20
     // buckets: collision-free under the fixed xxhash64 seed)
     val hashed = Dsir.importanceWeights(corpus, target, "doc_id", "text",

@@ -191,9 +191,39 @@ object TextScaleProbe {
       s"LM domains overlap: min(A)=${lmScored(true).getAs[Double]("mn")}" +
         s" max(B)=${lmScored(false).getAs[Double]("mx")}")
 
+    // ---- BPE: train on the bounded word-count table, encode corpus ----
+    // The vocab has ≤ 50k distinct words over the 11-char alphabet
+    // {w,0-9}; training must return exactly nMerges chain-consistent
+    // merges, and encoding with them must ROUNDTRIP — the concatenated
+    // tokens of every doc equal its space-free text (the corpus is
+    // already normalized, so the target is exact). Scale claims under
+    // test: training's corpus cost is ONE distributed word-count pass
+    // (the merge loop runs over ≤ 50k driver rows), encoding is a pure
+    // broadcast-map projection.
+    val t7 = System.nanoTime()
+    val merges = graft.operators.Tokenize.bpeTrain(docs, "text",
+      nMerges = 50)
+    val tTrain = (System.nanoTime() - t7) / 1e9
+    require(merges.length == 50, s"trained ${merges.length} merges")
+    val producedSeq = merges.map { case (a, b) => a + b }
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      Seq(a, b).filter(_.length > 1).foreach { s0 =>
+        require(producedSeq.take(r).contains(s0), s"chain break at rank $r")
+      }
+    }
+    val t8 = System.nanoTime()
+    val enc = graft.operators.Tokenize.bpeEncode(docs, "text", merges)
+    val rt = enc.agg(count(lit(1)).as("n"),
+      count(when(expr("concat_ws('', bpe)") =!=
+        regexp_replace(col("text"), " ", ""), 1)).as("bad")).head()
+    val tEnc = (System.nanoTime() - t8) / 1e9
+    require(rt.getLong(0) == nDocs && rt.getLong(1) == 0L,
+      s"BPE roundtrip failed on ${rt.getLong(1)} of ${rt.getLong(0)} docs")
+
     println(f"docs=$nDocs%,d topTerms=$tTop%.1fs decontaminate=$tDecon%.1fs " +
       f"pack=$tPack%.1fs mixture=$tMix%.1fs bm25($wantMatches%,d matched)=$tBm%.1fs " +
-      f"dsir=$tDsir%.1fs ngramLm=$tLm%.1fs")
+      f"dsir=$tDsir%.1fs ngramLm=$tLm%.1fs bpeTrain=$tTrain%.1fs " +
+      f"bpeEncode=$tEnc%.1fs")
     spark.stop()
   }
 }

@@ -53,8 +53,41 @@ object Bench {
     // (not just outliers) keeps the policy one-sided-bias-free — upward
     // noise is clipped identically for fast and slow queries. Both
     // passes are recorded in the side file for auditability.
-    val firstPass = selected.map { case (name, fn) => name -> time(name, fn) }
-    val secondPass = selected.map { case (name, fn) => name -> time(name, fn) }
+    // HOST-DRIFT MARKERS (BENCH_FULL.json): system load average plus a
+    // fixed sentinel query (a01 — one scan + one scalar agg, the most
+    // context-insensitive query in the catalog) re-timed every 50
+    // queries through the run. A future round comparing per-query
+    // numbers can then separate UNIFORM drift (sentinel moved too) from
+    // a real per-query regression (sentinel flat) without a re-run —
+    // the ambiguity that cost a round each for e03 and a24. Sentinel
+    // timings are NOT part of the graded results.
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val sentinelName = "a01_sum_global"
+    val sentinelFn = SparkEntry.queries.get(sentinelName)
+    val drift = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    def probeDrift(at: String): Unit = sentinelFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      drift += ((at, (System.nanoTime() - t0) / 1e9, loadAvg()))
+    }
+    val loadStart = loadAvg()
+    def runPass(pass: Int): Seq[(String, Double)] = {
+      // Each pass starts memo-cold: the shared ANN exact oracle
+      // (AnnQueries.exactMemo, paid by whichever e-query runs first)
+      // must be re-paid per pass, or pass 2 is memo-warm and the
+      // reported min-of-2 understates the declared validation cost.
+      graft.queries.AnnQueries.clearExactMemo()
+      selected.zipWithIndex.map { case ((name, fn), i) =>
+        if (i % 50 == 0) probeDrift(f"p${pass}_q$i%03d")
+        name -> time(name, fn)
+      }
+    }
+    val firstPass = runPass(1)
+    val secondPass = runPass(2)
+    probeDrift("end")
+    val loadEnd = loadAvg()
     val results = firstPass.zip(secondPass).map { case ((name, a), (_, b)) =>
       // A first-pass crash stays -1 even if the rerun succeeds (same
       // contract as the crash handling above: a flaky failure must reach
@@ -108,7 +141,12 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // Best-effort full-JSON files: must never prevent the primary lines
     // from printing (an unwritable path would otherwise void the run).
-    val fullJson = s"""{"sf":"$sfDir","total":${fmt(total)},"failed":$failed,"queries":$fullQs}"""
+    val driftJson = drift.map { case (at, sec, ld) =>
+      s"""{"at":"$at","sec":${fmt(sec)},"load":${fmt(ld)}}"""
+    }.mkString("[", ",", "]")
+    val fullJson = s"""{"sf":"$sfDir","total":${fmt(total)},"failed":$failed,""" +
+      s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
+      s""""sentinel":"$sentinelName","drift":$driftJson,"queries":$fullQs}"""
     // repo-root copy derived from the working directory (sbt runs from
     // the project root), NOT a hardcoded absolute path
     val repoFull = new java.io.File(

@@ -16,6 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // start memo-cold: the ANN exact-oracle memo keys on parquet PATHS,
+    // so a long-lived session regenerating a fixture under the same path
+    // would otherwise grade fresh results against stale memoized rows
+    graft.queries.AnnQueries.clearExactMemo()
     // dev lever (same contract as Bench): run a comma-separated subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

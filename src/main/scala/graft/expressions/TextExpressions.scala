@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextOps {
   def normalize(s: String): String =
-    s.toLowerCase.replaceAll("\\s+", " ").trim
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
 
   def shingles(text: String, n: Int): Array[String] = {
     val toks = normalize(text).split(" ")

@@ -139,7 +139,14 @@ object Dsir {
   def resampleByLogWeightPortable(scored: DataFrame, logwCol: String,
                                   idCol: String, n: Int, seed: Long,
                                   keyOut: String = "qg"): DataFrame = {
-    val k = Samplers.portableHashKey(col(idCol) + lit(seed))
+    // a NULL id would make qg NULL, which desc-sorts LAST — the row is
+    // silently excluded instead of sampled. Fail loudly, same contract
+    // as ppsPoisson / systematic / stratifiedBernoulliAdjusted.
+    val id = when(col(idCol).isNull,
+      raise_error(lit(
+        s"resampleByLogWeightPortable: NULL in key column '$idCol'")))
+      .otherwise(col(idCol))
+    val k = Samplers.portableHashKey(id + lit(seed))
     val u = (k.cast("double") + lit(1.0)) /
       lit((Samplers.portablePrime + 2).toDouble)
     val qg = floor((col(logwCol) - log(-log(u))) * lit(1048576.0) + lit(0.5))

@@ -109,6 +109,15 @@ object AnnQueries {
   private val exactMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int), Array[Row]]()
 
+  /** Drop all memoized exact-oracle rows. Bench calls this at the start
+    * of EACH timing pass so every pass pays the declared validation cost
+    * exactly once (otherwise pass 2 is memo-warm and the reported
+    * min-of-2 understates the steady-state cost); Verify calls it at
+    * startup so a long-lived session can never grade fresh results
+    * against rows memoized from a since-regenerated fixture (the memo
+    * key embeds only the parquet PATHS, not file contents). */
+  def clearExactMemo(): Unit = exactMemo.clear()
+
   def withExactRecall(res0: DataFrame, queries: DataFrame, cand: DataFrame,
                       k: Int, strongThr: Double, floor: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -819,17 +819,26 @@ object TextQueries {
             ORDER BY d.doc_id"""
       }),
 
-    // ---- T21 BPE training on the corpus (rows-only + invariants) ------
+    // ---- T21 BPE training on the corpus (full hash oracle) ------------
     // Tokenizer TRAINING at the production scale shape: one distributed
     // pass reduces the corpus to its distinct-word count table, the
     // merge loop runs over that bounded table (Tokenize.bpeTrain — the
-    // HF design; no per-round corpus scan). The learned merge sequence
-    // is deterministic but only computable by the loop itself, so the
-    // rows carry their own proof: chain_ok (every multi-char merge side
-    // was produced by an EARLIER merge — the defining BPE invariant)
-    // and char_ok (every single-char side occurs in the corpus
-    // alphabet) must be true on every row; TokenizeSuite pins the
-    // hand-computable fixtures and determinism.
+    // HF design; no per-round corpus scan). The oracle replays the
+    // WHOLE training — word counts AND all 30 merge rounds — as a
+    // DuckDB recursive CTE over the same bounded table: each step
+    // explodes every in-flight word's adjacent symbol pairs, takes the
+    // frequency-weighted global best via window functions (sum over
+    // (a,b) partitions, then first_value over (cnt DESC, a, b) — the
+    // driver loop's exact tie-break), selects the LEFT-TO-RIGHT
+    // non-overlapping occurrences per word (gaps-and-islands: within a
+    // run of consecutive match positions keep even offsets — exactly
+    // the i += 2 greedy scan), and rebuilds each symbol list with one
+    // list_transform. The chosen pair rides the recursion as (ma, mb),
+    // so the ranked merge table itself is graded — plus the same
+    // chain_ok/char_ok invariant columns, recomputed in SQL.
+    // TokenizeSuite keeps the hand-computable fixtures and determinism.
+    // ~1 s of DuckDB time at sf0.1 (the recursion runs over the
+    // CAPPED word table, not the corpus).
     Q("t21_bpe_train",
       (s, d) => {
         import s.implicits._
@@ -854,7 +863,85 @@ object TextQueries {
         rows.toDF("rank", "left", "right", "merged", "chain_ok", "char_ok")
           .orderBy("rank")
       },
-      None),
+      Some(s"""WITH RECURSIVE
+              $sqlDocWords,
+              wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks
+                     GROUP BY w ORDER BY n DESC, w LIMIT 50000),
+              rec(w, n, syms, step, ma, mb) AS (
+                SELECT w, n, string_split(w, ''), 0,
+                       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+                FROM wc
+                UNION ALL
+                SELECT w, n,
+                       list_filter(
+                         list_transform(generate_series(1, len(syms)), j ->
+                           CASE WHEN list_contains(kept, j)
+                                  THEN syms[j] || syms[j + 1]
+                                WHEN list_contains(kept, j - 1) THEN NULL
+                                ELSE syms[j] END),
+                         x -> x IS NOT NULL) AS syms,
+                       step + 1, ba, bb
+                FROM (
+                  SELECT w, n, syms, step, ba, bb,
+                         coalesce(list(i ORDER BY i) FILTER (WHERE keep),
+                                  []) AS kept
+                  FROM (
+                    SELECT *, is_m AND
+                           ((i - min(i) OVER (PARTITION BY w, is_m, grp))
+                             % 2 = 0) AS keep
+                    FROM (
+                      SELECT *, CASE WHEN is_m
+                             THEN i - row_number() OVER
+                               (PARTITION BY w, is_m ORDER BY i)
+                             END AS grp
+                      FROM (
+                        SELECT *, (a = ba AND b = bb) AS is_m
+                        FROM (
+                          SELECT *,
+                                 first_value(a) OVER wb AS ba,
+                                 first_value(b) OVER wb AS bb
+                          FROM (
+                            SELECT *,
+                                   sum(n) OVER (PARTITION BY a, b) AS cnt
+                            FROM (
+                              SELECT f.w, f.n, f.syms, f.step, g.i,
+                                     f.syms[g.i] AS a,
+                                     f.syms[g.i + 1] AS b
+                              FROM (SELECT * FROM rec WHERE step < 30) f,
+                                   unnest(generate_series(1,
+                                     len(f.syms) - 1)) AS g(i)
+                            )
+                          )
+                          WINDOW wb AS (ORDER BY cnt DESC, a, b
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+                        )
+                      )
+                    )
+                  )
+                  GROUP BY w, n, syms, step, ba, bb
+                )
+              ),
+              merges AS (SELECT CAST(step - 1 AS INT) AS rank,
+                                ma AS l, mb AS r
+                         FROM (SELECT DISTINCT step, ma, mb FROM rec
+                               WHERE step >= 1)),
+              alpha AS (SELECT DISTINCT c FROM
+                          (SELECT unnest(string_split(w, '')) AS c
+                           FROM toks)
+                        WHERE c <> '')
+              SELECT m.rank, m.l AS "left", m.r AS "right",
+                     m.l || m.r AS merged,
+                     (len(m.l) = 1 OR EXISTS (SELECT 1 FROM merges e
+                        WHERE e.rank < m.rank AND e.l || e.r = m.l))
+                     AND (len(m.r) = 1 OR EXISTS (SELECT 1 FROM merges e
+                        WHERE e.rank < m.rank AND e.l || e.r = m.r))
+                       AS chain_ok,
+                     (len(m.l) > 1 OR EXISTS (SELECT 1 FROM alpha
+                        WHERE c = m.l))
+                     AND (len(m.r) > 1 OR EXISTS (SELECT 1 FROM alpha
+                        WHERE c = m.r)) AS char_ok
+              FROM merges m ORDER BY m.rank""")),
 
     // ---- T19 WordPiece tokenizer application (full hash oracle) -------
     // The apply-side of tokenizer training: greedy longest-match tiling

@@ -41,6 +41,34 @@ object DedupQueries {
                ELSE [array_to_string(toks, ' ')] END AS sh
              FROM t)"""
 
+  /** DuckDB rendition of the 60-bit MD5-keyed portable SimHash
+    * (graft.expressions.SimHashPortable60Expr): per-token hash = the
+    * first 15 hex chars of md5(token) parsed as an integer, per-bit ±1
+    * sums, sign → bit. Ends in `psh(doc_id, sh)` over every non-NULL
+    * document. CTE names are p-prefixed so the fragment composes with
+    * [[sqlShingles]]. Shared by the d04 and w06 oracles. */
+  private[queries] val sqlPortableSimhash: String = {
+    // integer value of the first 15 hex chars of md5(tok)
+    val hexParse = (0 until 15).map { i =>
+      s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(14 - i)}"
+    }.mkString(" + ")
+    s"""pt AS (SELECT doc_id, unnest(string_split(lower(trim(
+             regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+           FROM documents WHERE text IS NOT NULL),
+        pv AS (SELECT doc_id, $hexParse AS hv
+               FROM (SELECT doc_id, md5(tok) AS hx FROM pt)),
+        pbits AS (SELECT doc_id, k,
+                    sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END)
+                      AS s
+                  FROM pv, unnest(generate_series(0, 59)) AS g(k)
+                  GROUP BY doc_id, k),
+        psh AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0
+                                THEN (CAST(1 AS BIGINT) << k)
+                                ELSE 0 END) AS BIGINT) AS sh
+                FROM pbits GROUP BY doc_id)"""
+  }
+
   /** Inverted-index rendition of the all-pairs Jaccard-≥-0.5 join:
     * explode shingles, equi-join on the shingle, count shared per pair
     * — J = i/(|A|+|B|−i) from the same integers the list ops produce
@@ -171,32 +199,12 @@ object DedupQueries {
       (s, d) => Dedup.simhashCandidatesPortable(load(s, d, "documents"),
           "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b"),
-      Some {
-        // integer value of the first 15 hex chars of md5(tok)
-        val hexParse = (0 until 15).map { i =>
-          s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(14 - i)}"
-        }.mkString(" + ")
-        s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(
-                 regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
-               FROM documents WHERE text IS NOT NULL),
-            v AS (SELECT doc_id, $hexParse AS hv
-                  FROM (SELECT doc_id, md5(tok) AS hx FROM t)),
-            bits AS (SELECT doc_id, k,
-                       sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END)
-                         AS s
-                     FROM v, unnest(generate_series(0, 59)) AS g(k)
-                     GROUP BY doc_id, k),
-            sh AS (SELECT doc_id,
-                     CAST(sum(CASE WHEN s > 0
-                                   THEN (CAST(1 AS BIGINT) << k)
-                                   ELSE 0 END) AS BIGINT) AS sh
-                   FROM bits GROUP BY doc_id)
+      Some(s"""WITH $sqlPortableSimhash
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            FROM psh a JOIN psh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
-            ORDER BY id_a, id_b"""
-      }),
+            ORDER BY id_a, id_b""")),
 
     // ---- E2 embedding-cosine near-dup, LSH-bucketed with exact oracle -
     // The production path: hyperplane-LSH bucket collisions are the only

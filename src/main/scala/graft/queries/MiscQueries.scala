@@ -193,15 +193,21 @@ object MiscQueries {
                       ${sqlDsum("value")} AS sum_value
                FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
-    // ---- W6 streaming near-dup (batch rendition, self-validating) -----
+    // ---- W6 streaming near-dup (batch rendition, full hash oracle) ----
     // Streams.streamNearDupPairs incrementally flags each arriving doc
     // against SimHash band-bucket state (StreamingSuite runs it on a
-    // MemoryStream across micro-batches); here the same call runs on a
-    // batch Dataset. Signatures are engine-specific (no SQL oracle), so
-    // the rows carry the invariant instead: every deduped streaming pair
-    // full-outer-joins the batch simhashCandidates pair set and
-    // `agrees = 1` must hold on every row — a set-equality proof the
-    // driver's rows-only check still sees.
+    // MemoryStream across micro-batches, XXH64 production default);
+    // here the same call runs on a batch Dataset with the PORTABLE
+    // 60-bit MD5-keyed signature (portableSig — the d04 hash family),
+    // and the batch comparison side is simhashCandidatesPortable, so
+    // the graded frame is ANSI-replayable end-to-end. Every deduped
+    // streaming pair full-outer-joins the batch pair set; the oracle
+    // recomputes the ALL-PAIRS Hamming ≤ 3 set from md5 signatures with
+    // `agrees = 1` on every row — a stream-only pair (agrees 0), a
+    // batch-only pair (agrees 0), or a pair BOTH paths missed (row
+    // count) each breaks the hash match, so the streaming operator's
+    // recall is graded against exact all-pairs, not just against the
+    // batch path.
     Q("w06_stream_neardup",
       (s, d) => {
         import s.implicits._
@@ -209,9 +215,9 @@ object MiscQueries {
             to_timestamp(lit("2026-01-01 00:00:00")).as("ts"), col("text"))
           .as[graft.streaming.StreamDoc]
         val streamed = Streams.streamNearDupPairs(docs, maxHamming = 3,
-            maxBucket = 4096).toDF()
+            maxBucket = 4096, portableSig = true).toDF()
           .select(col("id_a"), col("id_b"), col("hamming")).distinct()
-        val batch = graft.operators.Dedup.simhashCandidates(
+        val batch = graft.operators.Dedup.simhashCandidatesPortable(
           load(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         streamed.withColumn("in_stream", lit(1))
           .join(batch.withColumn("in_batch", lit(1)),
@@ -221,7 +227,13 @@ object MiscQueries {
              coalesce(col("in_batch"), lit(0))).as("agrees"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(s"""WITH ${DedupQueries.sqlPortableSimhash}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming,
+                   1 AS agrees
+            FROM psh a JOIN psh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY id_a, id_b""")),
 
     // ---- W5 sliding-window aggregation (2h windows, 1h slide) ---------
     // Spark's window() EXPANDS each event into its windowLen/slide
@@ -869,6 +881,18 @@ object MiscQueries {
               FROM documents ORDER BY doc_id""")),
 
     // ---- MM2 batched per-partition decode (fake codec; plumbing real) -
+    // The graded row rides THROUGH the mapPartitions batch decode: dim
+    // comes from the decoder's emitted feature vector (the width
+    // contract through real batching), and n_bytes/payload_md5 are
+    // computed from the payload column AFTER the per-batch Row rebuild
+    // — so a pairing bug (doc_id matched to another row's payload), a
+    // dropped/duplicated row at a batch boundary, or a corrupted
+    // payload all break the hash match. The oracle recomputes both
+    // from the source bytes (DuckDB md5 = md5 of the UTF-8 encoding,
+    // the mm01 convention). The fake codec's FEATURE VALUES are
+    // engine-specific by design (seeded 64-bit hash-fold standing in
+    // for a real image/audio codec) — their determinism and batch-
+    // invariance are pinned by MultimodalSuite.
     Q("mm02_multimodal_decode",
       (s, d) => {
         val packed = load(s, d, "documents")
@@ -876,10 +900,14 @@ object MiscQueries {
         Multimodal.decodePartitions(packed, "payload",
             new Multimodal.DeterministicFakeDecoder(8), batchSize = 32)
           .select(col("doc_id"), size(col("features")).as("dim"),
-            element_at(col("features"), 1).as("f0"))
+            length(col("payload")).cast("long").as("n_bytes"),
+            md5(col("payload")).as("payload_md5"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id, 8 AS dim,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     md5(text) AS payload_md5
+              FROM documents ORDER BY doc_id""")),
 
     // ---- MM3 resize plan (aspect-preserving geometry, cap 512) --------
     // The metadata half of image resizing: pseudo-dimensions derive

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -233,7 +233,8 @@ object Streams {
   def streamNearDupPairs(docs: Dataset[StreamDoc], maxHamming: Int = 3,
                          maxBucket: Int = 64,
                          evictAfter: Option[String] = None,
-                         lateness: String = "0 seconds"): Dataset[NearDupPair] = {
+                         lateness: String = "0 seconds",
+                         portableSig: Boolean = false): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val st = Encoders.kryo[Vector[(Long, Long, Long)]]
@@ -257,9 +258,18 @@ object Streams {
     val src =
       if (evictAfter.isDefined) docs.toDF().withWatermark("ts", lateness)
       else docs.toDF()
+    // portableSig swaps the 64-bit XXH64 signature for the 60-bit
+    // MD5-keyed portable SimHash (the d04 oracle family) — same
+    // pigeonhole guarantee under the 16-bit banding below (4 disjoint
+    // bands cover all signature bits; any Hamming ≤ 3 pair shares one),
+    // but the whole pair set replays in ANSI SQL, which is what lets
+    // the w06 batch rendition carry a full hash oracle. Default stays
+    // XXH64 (production path; StreamingSuite pins it).
+    val sigOf: Column => Column =
+      if (portableSig) graft.expressions.TextExpressions.simhashPortable60
+      else graft.operators.Dedup.simhash64
     val banded = src
-      .select(col("doc_id"), col("ts"),
-        graft.operators.Dedup.simhash64(col("text")).as("sig"))
+      .select(col("doc_id"), col("ts"), sigOf(col("text")).as("sig"))
       .select(col("doc_id"), col("ts"), col("sig"), posexplode(array(
         (0 until 4).map(k => shiftright(col("sig"), 16 * k)
           .bitwiseAND(lit(0xFFFFL))): _*)))

@@ -72,6 +72,19 @@ object GraphScaleProbe {
     val hubHits = top20.count(_.getLong(0) < 20L)
     println(s"[graph-probe] synthetic edges=$n2 top20-hub-hits=$hubHits/20")
     assert(hubHits >= 18, s"planted hubs not recovered: $hubHits")
+
+    // ---- leg 2b: PRODUCTION iteration count + checkpoint lever --------
+    // 25 rounds with a lineage checkpoint every 10: the per-round
+    // LogicalRDD re-wrap already bounds the SQL plan at one round, and
+    // the checkpoint caps RDD-lineage recompute cascades at ≤ 10 rounds.
+    // Success criterion: completes with per-round cost flat (total ≈
+    // 5× the 5-round leg, not superlinear), same top-20 hub recovery.
+    val top20c = timed("synthetic 25 iterations, checkpointEvery=10")(
+      Graphs.pageRankTopK(sym, iters = 25, k = 20, completeInbound = true,
+        checkpointEvery = 10).collect())
+    val hubHits25 = top20c.count(_.getLong(0) < 20L)
+    println(s"[graph-probe] 25-iter top20-hub-hits=$hubHits25/20")
+    assert(hubHits25 >= 18, s"planted hubs not recovered at 25 iters: $hubHits25")
     sym.unpersist(blocking = false)
 
     // ---- leg 3: planted triangle census -------------------------------

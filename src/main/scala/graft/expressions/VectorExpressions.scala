@@ -179,6 +179,65 @@ final case class LshBucketKeys(child: Expression, weights: Seq[Double],
     copy(child = newChild)
 }
 
+/** [[LshBucketKeys]] with EXACT-DECIMAL per-plane dot sums — the
+  * engine-portable variant (e20). Each element product is rounded to
+  * scale 18 with HALF_UP and accumulated exactly, reproducing the
+  * `zip_with(..).cast(DECIMAL(30,18))` + `aggregate` formulation value
+  * for value (java.math.BigDecimal.valueOf == scala BigDecimal(double)
+  * == Spark's Cast-to-decimal path; addition at precision ≤ 30 is
+  * exact, so fold order is irrelevant), while walking each vector ONCE
+  * in a tight loop instead of tables×bits interpreted HOF folds.
+  * Sign of the exact sum decides each bit, so the key replays
+  * bit-identically in any ANSI engine computing the same decimal sum
+  * (AnnSuite pins equality with the HOF formulation on real vectors).
+  * CodegenFallback: BigDecimal arithmetic gains nothing from codegen;
+  * the loop body dominates. */
+final case class LshBucketKeysExact(child: Expression, weights: Seq[Double],
+                                    dim: Int, bits: Int, tables: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(weights.length == tables * bits * dim,
+    s"weights must be tables*bits*dim = ${tables * bits * dim} doubles")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "lsh_bucket_keys_exact"
+
+  @transient private lazy val w: Array[Double] = weights.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var s = JBD.ZERO
+        var i = 0
+        while (i < n) {
+          val p = x.getFloat(i).toDouble * w(off + i)
+          s = s.add(JBD.valueOf(p).setScale(18, RoundingMode.HALF_UP))
+          i += 1
+        }
+        if (s.signum > 0) key |= (1L << b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** IVF coarse-quantizer cell assignment in ONE expression: `cents`
   * holds nCells centroids (cell-major, flattened to a single constant
   * `double[]`), and the result is the INT index of the centroid with
@@ -809,6 +868,13 @@ object VectorExpressions {
   def lshKeys(a: Column, planes: Seq[Seq[Double]], dim: Int, bits: Int,
               tables: Int): Column =
     GraftBridge.column(LshBucketKeys(
+      GraftBridge.expression(a), planes.flatten, dim, bits, tables))
+
+  /** [[lshKeys]] with exact-decimal dot sums (engine-portable sign
+    * bits) — one vector walk for all tables×bits planes. */
+  def lshKeysExact(a: Column, planes: Seq[Seq[Double]], dim: Int,
+                   bits: Int, tables: Int): Column =
+    GraftBridge.column(LshBucketKeysExact(
       GraftBridge.expression(a), planes.flatten, dim, bits, tables))
 
   /** Index of the max-dot-product centroid (IVF cell) as INT — one

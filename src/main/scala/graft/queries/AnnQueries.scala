@@ -74,6 +74,83 @@ object AnnQueries {
       .orderBy("qid", "rk")
   }
 
+  // ---- portable LSH (e20): every stage replayable in ANSI SQL --------
+
+  /** MD5-derived hyperplane component (t, b, j): the first 13 hex chars
+    * of md5("t:b:j") as an integer over 2⁵², minus 0.5. Every step is
+    * EXACT in IEEE (13 hex chars = 52 bits fit a double; 2⁵² is a power
+    * of two, so the division is exact) and md5 is byte-identical in any
+    * engine — the d04 convention. MD5's avalanche makes components
+    * independent across (t, b, j); the portable multiplicative hash
+    * would NOT work here (it is affine in its argument, so consecutive
+    * j's would form a lattice and the planes of one table would be
+    * shifts of each other). Uniform-cube directions are a valid sign-
+    * LSH family for cosine (collision probability monotone in angle),
+    * just not the spherically-symmetric Gaussian one — acceptable for
+    * the graded twin; the production path keeps Gaussian planes. */
+  private[graft] def portablePlane(t: Int, b: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      val hex = md.digest(s"$t:$b:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
+    }
+  }
+
+  /** (id, vec, table, bucket) rows — `tables` per vector — with bucket
+    * sign bits decided by EXACT-DECIMAL plane dots (a plain double dot
+    * is fold-order-dependent at the ulp level, which could flip a sign
+    * bit near zero between engines; the decimal sum is one value in any
+    * engine, and sign is preserved through the double cast). The 48
+    * per-plane folds ride ONE fused native expression
+    * (LshBucketKeysExact — a single walk of each vector) instead of
+    * tables×bits interpreted HOF folds; AnnSuite pins value equality
+    * with the dotExact formulation, and the DuckDB hash oracle is the
+    * cross-engine proof. */
+  private[graft] def lshBucketsPortable(df: DataFrame, idCol: String,
+                                          vecCol: String, dim: Int,
+                                          bits: Int, tables: Int): DataFrame = {
+    val planes = for (t <- 0 until tables; b <- 0 until bits)
+      yield portablePlane(t, b, dim)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(graft.expressions.VectorExpressions.lshKeysExact(
+        col(vecCol), planes, dim, bits, tables)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+  }
+
+  /** Portable LSH top-k: bucket both sides with [[lshBucketsPortable]],
+    * take DISTINCT colliding (qid, cid) pairs — two longs through the
+    * dedup shuffle, never the vectors — then score each unique pair
+    * once with the exact-decimal cosine (per-row norms behind a
+    * projection barrier, the e01 shape) and keep the top k per query
+    * by (cos DESC, cid). Same candidate-generation scale shape as
+    * Ann.annTopK: band equi-joins, never all-pairs. */
+  def lshTopKPortable(queries: DataFrame, cand: DataFrame, dim: Int,
+                      k: Int, bits: Int, tables: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = lshBucketsPortable(queries, "vec_id", "embedding", dim, bits,
+      tables).select(col("table"), col("bucket"), col("id").as("qid"))
+    val cb = lshBucketsPortable(cand, "vec_id", "embedding", dim, bits,
+      tables).select(col("table"), col("bucket"), col("id").as("cid"))
+    val pairs = broadcast(qb).join(cb, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val qv = perRow(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      sqrt(dotExact(col("qe"), col("qe"))), "nq")
+    val cv = perRow(
+      cand.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      sqrt(dotExact(col("ce"), col("ce"))), "nc")
+    val scored = pairs.join(broadcast(qv), Seq("qid")).join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (dotExact(col("qe"), col("ce")) / (col("nq") * col("nc")))
+          .cast("float").as("cos"))
+    val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .orderBy("qid", "rk")
+  }
+
   /** Self-validating recall columns for the approximate top-k queries
     * (e03/e04): compute the EXACT top-k of the same queries (broadcast
     * cross join + codegen'd double cosine — O(|Q|·n) with |Q| = 10, far
@@ -215,6 +292,82 @@ object AnnQueries {
                               FROM sims)
               SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5
               ORDER BY qid, rk""")),
+
+    // ---- E20 portable-LSH top-k (full hash oracle) --------------------
+    // The d04/g20 pattern applied to the ANN family: the production LSH
+    // path (e03) is seeded-Gaussian and engine-specific, so this twin
+    // derives its hyperplanes from md5("t:b:j") (13 hex chars / 2⁵² −
+    // 0.5 — exact IEEE, byte-identical cross-engine), decides sign bits
+    // through exact-decimal dots, equi-joins (table, bucket), and
+    // scores unique pairs with the e01 exact-decimal cosine — so the
+    // ENTIRE sublinear retrieval pipeline (bucketing included, not just
+    // the final scoring) replays in DuckDB and hash-matches. 8 tables ×
+    // 6 bits over the 64-dim fixture.
+    Q("e20_ann_lsh_portable",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        lshTopKPortable(emb.filter(col("vec_id") < 10), emb, dim = 64,
+          k = 5, bits = 6, tables = 8)
+      },
+      Some {
+        val hexParse13 = (0 until 13).map { i =>
+          s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(12 - i)}"
+        }.mkString(" + ")
+        s"""WITH pl AS (SELECT t, b, sj,
+                   CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 - 0.5
+                     AS v
+                 FROM (SELECT t, b, sj,
+                         md5(CAST(t AS VARCHAR) || ':' ||
+                             CAST(b AS VARCHAR) || ':' ||
+                             CAST(sj AS VARCHAR)) AS hx
+                       FROM generate_series(0, 7) tt(t),
+                            generate_series(0, 5) bb(b),
+                            generate_series(0, 63) jj(sj))),
+             dots AS (SELECT e.vec_id AS vid, p.t, p.b,
+                        CAST(sum(CAST(CAST(e.embedding[p.sj + 1] AS DOUBLE)
+                                      * p.v AS DECIMAL(38,18))) AS DOUBLE)
+                          AS s
+                      FROM embeddings e, pl p
+                      GROUP BY e.vec_id, p.t, p.b),
+             sigs AS (SELECT vid, t,
+                        CAST(sum(CASE WHEN s > 0
+                                      THEN CAST(1 AS BIGINT) << b
+                                      ELSE 0 END) AS BIGINT) AS bucket
+                      FROM dots GROUP BY vid, t),
+             prs AS (SELECT DISTINCT a.vid AS qid, c.vid AS cid
+                     FROM sigs a JOIN sigs c
+                       ON a.t = c.t AND a.bucket = c.bucket
+                     WHERE a.vid < 10 AND a.vid <> c.vid),
+             el AS (SELECT p.qid, p.cid,
+                      CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                           CAST(cv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pd,
+                      CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                           CAST(qv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pq,
+                      CAST(CAST(cv.embedding[i] AS DOUBLE) *
+                           CAST(cv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pc
+                    FROM prs p
+                    JOIN embeddings qv ON qv.vec_id = p.qid
+                    JOIN embeddings cv ON cv.vec_id = p.cid,
+                         generate_series(1, 64) AS g(i)),
+             d2 AS (SELECT qid, cid,
+                      CAST(sum(pd) AS DOUBLE) AS dot,
+                      CAST(sum(pq) AS DOUBLE) AS nq,
+                      CAST(sum(pc) AS DOUBLE) AS nc
+                    FROM el GROUP BY qid, cid),
+             sims AS (SELECT qid, cid,
+                        CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                      FROM d2),
+             ranked AS (SELECT qid, cid, cos,
+                          CAST(row_number() OVER
+                            (PARTITION BY qid ORDER BY cos DESC, cid)
+                            AS INT) AS rk
+                        FROM sims)
+             SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5
+             ORDER BY qid, rk"""
+      }),
 
     // ---- E11 k-NN label propagation (majority vote) -------------------
     // Semi-supervised labeling: each query takes the modal `label`

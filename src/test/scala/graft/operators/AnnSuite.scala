@@ -666,4 +666,29 @@ class AnnSuite extends SparkSpec {
     val median = ratios(ratios.length / 2)
     assert(median > 0.6 && median < 1.6, s"median JL ratio $median")
   }
+
+  test("LshBucketKeysExact: fused keys equal the dotExact HOF " +
+      "formulation on real vectors (e20's bucketing)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (dim, bits, tables) = (64, 6, 8)
+    // the fused native path the query uses
+    val fused = graft.queries.AnnQueries
+      .lshBucketsPortable(emb, "vec_id", "embedding", dim, bits, tables)
+      .select("id", "table", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // the reference zip_with/aggregate decimal formulation, plane by plane
+    val slow = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        val plane = array(
+          graft.queries.AnnQueries.portablePlane(t, b, dim).map(v => lit(v)): _*)
+        when(graft.queries.AnnQueries.dotExact(col("embedding"), plane) > 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      emb.select(col("vec_id"), lit(t).as("table"), bucket.as("bucket"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+    }.flatten.toMap
+    assert(fused.size === slow.size)
+    assert(fused === slow)
+  }
 }

@@ -179,6 +179,45 @@ final case class LshBucketKeys(child: Expression, weights: Seq[Double],
     copy(child = newChild)
 }
 
+/** EXACT-DECIMAL dot product of two `array<float>` columns, as a
+  * double — the native rendition of the zip_with/aggregate DECIMAL
+  * (30,18) fold (AnnQueries.dotExact's reference formulation): each
+  * element product is a correctly-rounded double, rounded to scale 18
+  * with HALF_UP (java.math.BigDecimal.valueOf == scala
+  * BigDecimal(double) == Spark's Cast-to-decimal path) and accumulated
+  * EXACTLY, so the value is one number in any engine and fold order is
+  * irrelevant; the final conversion is BigDecimal.doubleValue, the
+  * same call Spark's Decimal.toDouble makes. Value-identical to the
+  * HOF formulation (AnnSuite pins it on real vectors) at ~5× its
+  * speed — the HOF pays per-element interpreted lambda dispatch.
+  * Contract: equal-length arrays with non-null elements (the embedding
+  * fixtures' shape). CodegenFallback: the BigDecimal loop dominates. */
+final case class FloatVecDotExact(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot_exact"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = JBD.ZERO
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s = s.add(JBD.valueOf(p).setScale(18, RoundingMode.HALF_UP))
+      i += 1
+    }
+    s.doubleValue()
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** [[LshBucketKeys]] with EXACT-DECIMAL per-plane dot sums — the
   * engine-portable variant (e20). Each element product is rounded to
   * scale 18 with HALF_UP and accumulated exactly, reproducing the
@@ -232,6 +271,74 @@ final case class LshBucketKeysExact(child: Expression, weights: Seq[Double],
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Top-`p` centroid indices by EXACT-DECIMAL dot product — the
+  * engine-portable IVF assignment (e21). Per cell the dot is the same
+  * valueOf/setScale(18, HALF_UP)/exact-add fold as
+  * [[LshBucketKeysExact]]; ranking compares the DOUBLE value of each
+  * exact sum (descending, ties to the LOWER cell) so the order matches
+  * an ANSI engine ranking `CAST(decimal_sum AS DOUBLE) DESC, cell` —
+  * the double conversions agree except within one conversion ulp of a
+  * comparison boundary, the same accepted residual as e01's final
+  * float cast. One vector walk for all cells; CodegenFallback (the
+  * BigDecimal loop dominates). */
+final case class TopPDotExactConst(child: Expression, cents: Seq[Double],
+                                   dim: Int, nCells: Int, p: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nCells > 0, "nCells must be positive")
+  require(p >= 1 && p <= nCells, s"p=$p must be in [1, $nCells]")
+  require(cents.length == nCells * dim,
+    s"cents must be nCells*dim = ${nCells * dim} doubles")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "top_p_dot_exact"
+
+  @transient private lazy val w: Array[Double] = cents.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val score = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var s = JBD.ZERO
+      var i = 0
+      while (i < n) {
+        val prod = x.getFloat(i).toDouble * w(off + i)
+        s = s.add(JBD.valueOf(prod).setScale(18, RoundingMode.HALF_UP))
+        i += 1
+      }
+      score(c) = s.doubleValue()
+      c += 1
+    }
+    // selection by (score DESC, cell ASC): nCells is small (≤ a few
+    // thousand), p smaller still — simple repeated max
+    val out = new Array[Int](p)
+    val taken = new Array[Boolean](nCells)
+    var r = 0
+    while (r < p) {
+      var best = -1
+      var c2 = 0
+      while (c2 < nCells) {
+        if (!taken(c2) && (best < 0 || score(c2) > score(best))) best = c2
+        c2 += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -863,6 +970,12 @@ object VectorExpressions {
     GraftBridge.column(FloatVecDotConst(
       GraftBridge.expression(a), weights))
 
+  /** Exact-decimal dot of two `array<float>` columns (double out) —
+    * the native hot-path rendition of AnnQueries.dotExact. */
+  def dotExactF(a: Column, b: Column): Column =
+    GraftBridge.column(FloatVecDotExact(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** All `tables` LSH bucket keys of a vector as `array<bigint>` — one
     * JIT-friendly nested loop over table-major flattened hyperplanes. */
   def lshKeys(a: Column, planes: Seq[Seq[Double]], dim: Int, bits: Int,
@@ -876,6 +989,13 @@ object VectorExpressions {
                    bits: Int, tables: Int): Column =
     GraftBridge.column(LshBucketKeysExact(
       GraftBridge.expression(a), planes.flatten, dim, bits, tables))
+
+  /** [[argTopPDot]] with exact-decimal dot sums (engine-portable cell
+    * ranking) — one vector walk for all cells. */
+  def topPDotExact(a: Column, cents: Seq[Seq[Double]], p: Int): Column =
+    GraftBridge.column(TopPDotExactConst(
+      GraftBridge.expression(a), cents.flatten,
+      cents.head.length, cents.length, p))
 
   /** Index of the max-dot-product centroid (IVF cell) as INT — one
     * JIT-friendly nested loop over cell-major flattened centroids. */

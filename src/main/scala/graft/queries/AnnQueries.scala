@@ -26,19 +26,28 @@ object AnnQueries {
   // fold order irrelevant), unlike 38,18 where Spark rounds each add.
   private val accType = DecimalType(30, 18)
 
-  /** Exact-decimal dot product of two float arrays, as a double. */
+  /** Exact-decimal dot product, as a double — the REFERENCE
+    * formulation (interpreted HOF fold; also accepts double-literal
+    * plane arrays, which the native float-float expression does not).
+    * Hot paths use [[dotExactF]]; AnnSuite pins the two value-equal on
+    * real vectors. */
   def dotExact(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(accType)),
       lit(java.math.BigDecimal.ZERO).cast(accType),
       (acc, x) => (acc + x).cast(accType)).cast("double")
 
+  /** Native exact-decimal dot of two float arrays (the hot path —
+    * ~5× the HOF fold; value-identical, suite-pinned). */
+  def dotExactF(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.dotExactF(a, b)
+
   /** Cosine, emitted as float32: the decimal dot products can differ
     * from another engine's in their final (1e-18) digit because
     * double→decimal rounding is not specified identically everywhere;
     * the float cast absorbs that last-ulp noise deterministically. */
   def cosineExact(a: Column, b: Column): Column =
-    (dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b))))
+    (dotExactF(a, b) / (sqrt(dotExactF(a, a)) * sqrt(dotExactF(b, b))))
       .cast("float")
 
   /** Brute-force cosine top-k of `cand` for each row of `queries`.
@@ -60,13 +69,13 @@ object AnnQueries {
   def bruteForceTopK(queries: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = perRow(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      sqrt(dotExact(col("qe"), col("qe"))), "nq")
+      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
     val c = perRow(cand.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-      sqrt(dotExact(col("ce"), col("ce"))), "nc")
+      sqrt(dotExactF(col("ce"), col("ce"))), "nc")
     val pairs = broadcast(q).crossJoin(c)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dotExact(col("qe"), col("ce")) / (col("nq") * col("nc")))
+        (dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc")))
           .cast("float").as("cos"))
     val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
     pairs.withColumn("rk", row_number().over(win))
@@ -118,6 +127,60 @@ object AnnQueries {
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
   }
 
+  /** MD5-derived portable IVF centroid `c`: component j =
+    * md5("ivf:c:j") via the same 13-hex/2⁵² map as [[portablePlane]]
+    * (the "ivf:" prefix keeps the two hash families disjoint). NOT
+    * normalized — uniform-cube directions concentrate near a common
+    * norm, so the argmax-dot assignment is unbiased enough for a graded
+    * twin, and skipping the norm keeps every component an exact IEEE
+    * value replayable in SQL with two integer ops and a division. */
+  private[graft] def portableCentroid(c: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      val hex = md.digest(s"ivf:$c:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
+    }
+  }
+
+  /** Portable IVF top-k: assign every candidate to its argmax-dot cell
+    * and probe each query's top-`nProbe` cells (both through ONE fused
+    * exact-decimal expression per vector — TopPDotExactConst, ranking
+    * by the double value of the exact sums with ties to the lower
+    * cell), join on the cell, score unique pairs with the exact-decimal
+    * cosine, keep the top k per query by (cos DESC, cid). Same
+    * cell-join scale shape as Ann.ivfTopK; every stage replays in SQL
+    * because the centroids are md5-literals, not k-means output. */
+  def ivfTopKPortable(queries: DataFrame, cand: DataFrame, dim: Int,
+                      k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (0 until nCells).map(portableCentroid(_, dim))
+    val topP = graft.expressions.VectorExpressions.topPDotExact(_, cents, _)
+    val q = queries
+      .select(col("vec_id").as("qid"),
+        topP(col("embedding"), nProbe).as("__probes"))
+      .select(col("qid"), explode(col("__probes")).as("cell"))
+    val c = cand.select(col("vec_id").as("cid"),
+      topP(col("embedding"), 1).getItem(0).as("cell"))
+    val pairs = broadcast(q).join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+    val qv = perRow(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
+    val cv = perRow(
+      cand.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      sqrt(dotExactF(col("ce"), col("ce"))), "nc")
+    val scored = pairs.join(broadcast(qv), Seq("qid")).join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc")))
+          .cast("float").as("cos"))
+    val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .orderBy("qid", "rk")
+  }
+
   /** Portable LSH top-k: bucket both sides with [[lshBucketsPortable]],
     * take DISTINCT colliding (qid, cid) pairs — two longs through the
     * dedup shuffle, never the vectors — then score each unique pair
@@ -137,13 +200,13 @@ object AnnQueries {
       .select("qid", "cid").distinct()
     val qv = perRow(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      sqrt(dotExact(col("qe"), col("qe"))), "nq")
+      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
     val cv = perRow(
       cand.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-      sqrt(dotExact(col("ce"), col("ce"))), "nc")
+      sqrt(dotExactF(col("ce"), col("ce"))), "nc")
     val scored = pairs.join(broadcast(qv), Seq("qid")).join(cv, Seq("cid"))
       .select(col("qid"), col("cid"),
-        (dotExact(col("qe"), col("ce")) / (col("nq") * col("nc")))
+        (dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc")))
           .cast("float").as("cos"))
     val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
     scored.withColumn("rk", row_number().over(win))
@@ -338,6 +401,78 @@ object AnnQueries {
                      FROM sigs a JOIN sigs c
                        ON a.t = c.t AND a.bucket = c.bucket
                      WHERE a.vid < 10 AND a.vid <> c.vid),
+             el AS (SELECT p.qid, p.cid,
+                      CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                           CAST(cv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pd,
+                      CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                           CAST(qv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pq,
+                      CAST(CAST(cv.embedding[i] AS DOUBLE) *
+                           CAST(cv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pc
+                    FROM prs p
+                    JOIN embeddings qv ON qv.vec_id = p.qid
+                    JOIN embeddings cv ON cv.vec_id = p.cid,
+                         generate_series(1, 64) AS g(i)),
+             d2 AS (SELECT qid, cid,
+                      CAST(sum(pd) AS DOUBLE) AS dot,
+                      CAST(sum(pq) AS DOUBLE) AS nq,
+                      CAST(sum(pc) AS DOUBLE) AS nc
+                    FROM el GROUP BY qid, cid),
+             sims AS (SELECT qid, cid,
+                        CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                      FROM d2),
+             ranked AS (SELECT qid, cid, cos,
+                          CAST(row_number() OVER
+                            (PARTITION BY qid ORDER BY cos DESC, cid)
+                            AS INT) AS rk
+                        FROM sims)
+             SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5
+             ORDER BY qid, rk"""
+      }),
+
+    // ---- E21 portable-IVF top-k (full hash oracle) --------------------
+    // e20's sibling for the IVF retrieval path (e04's production shape):
+    // centroids are md5 literals (no k-means — the data-independent
+    // seeded assignment), cell ranking rides the exact-decimal fused
+    // expression, candidates come from the cell equi-join with 2-probe
+    // queries, and scoring is the e01 exact-decimal cosine — the whole
+    // pipeline replays in DuckDB. 16 cells, nProbe 2.
+    Q("e21_ann_ivf_portable",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        ivfTopKPortable(emb.filter(col("vec_id") < 10), emb, dim = 64,
+          k = 5, nCells = 16, nProbe = 2)
+      },
+      Some {
+        val hexParse13 = (0 until 13).map { i =>
+          s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(12 - i)}"
+        }.mkString(" + ")
+        s"""WITH ce AS (SELECT c, sj,
+                   CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 - 0.5
+                     AS v
+                 FROM (SELECT c, sj,
+                         md5('ivf:' || CAST(c AS VARCHAR) || ':' ||
+                             CAST(sj AS VARCHAR)) AS hx
+                       FROM generate_series(0, 15) cc(c),
+                            generate_series(0, 63) jj(sj))),
+             dots AS (SELECT e.vec_id AS vid, ce.c,
+                        CAST(sum(CAST(CAST(e.embedding[ce.sj + 1] AS DOUBLE)
+                                      * ce.v AS DECIMAL(38,18))) AS DOUBLE)
+                          AS s
+                      FROM embeddings e, ce
+                      GROUP BY e.vec_id, ce.c),
+             rk0 AS (SELECT vid, c,
+                       row_number() OVER
+                         (PARTITION BY vid ORDER BY s DESC, c) AS r
+                     FROM dots),
+             cnd AS (SELECT vid AS cid, c AS cell FROM rk0 WHERE r = 1),
+             qpr AS (SELECT vid AS qid, c AS cell FROM rk0
+                     WHERE r <= 2 AND vid < 10),
+             prs AS (SELECT q.qid, c2.cid
+                     FROM qpr q JOIN cnd c2 USING (cell)
+                     WHERE q.qid <> c2.cid),
              el AS (SELECT p.qid, p.cid,
                       CAST(CAST(qv.embedding[i] AS DOUBLE) *
                            CAST(cv.embedding[i] AS DOUBLE)

@@ -691,4 +691,52 @@ class AnnSuite extends SparkSpec {
     assert(fused.size === slow.size)
     assert(fused === slow)
   }
+
+  test("FloatVecDotExact: native exact-decimal dot equals the HOF " +
+      "reference bit-for-bit on real vector pairs") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val pairs = a.crossJoin(
+      emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+    val rows = pairs.select(col("ia"), col("ib"),
+        graft.queries.AnnQueries.dotExact(col("ea"), col("eb")).as("hof"),
+        graft.queries.AnnQueries.dotExactF(col("ea"), col("eb")).as("nat"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length === 20 * emb.count())
+    rows.foreach { case (ia, ib, hof, nat) =>
+      assert(java.lang.Double.doubleToLongBits(hof) ===
+        java.lang.Double.doubleToLongBits(nat), s"($ia,$ib): $hof vs $nat")
+    }
+  }
+
+  test("TopPDotExactConst: fused cell ranking equals the dotExact HOF " +
+      "reference on real vectors (e21's assignment)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (dim, nCells, p) = (64, 16, 3)
+    val cents = (0 until nCells)
+      .map(graft.queries.AnnQueries.portableCentroid(_, dim))
+    val fused = emb.select(col("vec_id"),
+        graft.expressions.VectorExpressions
+          .topPDotExact(col("embedding"), cents, p).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // reference: per-cell exact-decimal dot via the HOF formulation,
+    // ranked by its DOUBLE value (desc, lower cell first) — the
+    // ordering contract the expression documents
+    val dotCols = cents.zipWithIndex.map { case (cvec, c) =>
+      graft.queries.AnnQueries
+        .dotExact(col("embedding"), array(cvec.map(v => lit(v)): _*))
+        .as(s"d$c")
+    }
+    val want = emb.select(col("vec_id") +: dotCols: _*)
+      .collect().map { r =>
+        val scores = (0 until nCells).map(c => r.getDouble(1 + c))
+        val ranked = scores.zipWithIndex
+          .sortBy { case (s, c) => (-s, c) }.map(_._2).take(p)
+        r.getLong(0) -> ranked
+      }.toMap
+    assert(fused === want)
+  }
 }

@@ -218,6 +218,109 @@ final case class FloatVecDotExact(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ encoding with EXACT-DECIMAL L2² sums — the engine-portable
+  * variant (e22). Per subspace s the code is the argmin over codewords
+  * of Σ_j dec18((x_j − w_j)²) — subtraction and square are single
+  * correctly-rounded double ops (identical in any engine), each
+  * squared term is rounded to scale 18 with HALF_UP and accumulated
+  * exactly, and codewords are compared by the DOUBLE value of their
+  * exact sums with ties to the LOWER code — matching an ANSI engine
+  * ranking `CAST(sum AS DOUBLE) ASC, w`. `books` is
+  * [m][kCodes][subDim] flattened. CodegenFallback (BigDecimal loop
+  * dominates). */
+final case class PqEncodeExactConst(child: Expression, books: Seq[Double],
+                                    dim: Int, m: Int, kCodes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+  require(books.length == kCodes * dim,
+    s"books must be m*kCodes*subDim = ${kCodes * dim} doubles")
+
+  private val subDim = dim / m
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_exact"
+
+  @transient private lazy val w: Array[Double] = books.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var bestCode = 0
+      var bestDist = Double.PositiveInfinity
+      var cIdx = 0
+      while (cIdx < kCodes) {
+        val off = (s * kCodes + cIdx) * subDim
+        var acc = JBD.ZERO
+        var j = 0
+        while (j < subDim) {
+          val xi = s * subDim + j
+          val xv = if (xi < n) x.getFloat(xi).toDouble else 0.0
+          val d = xv - w(off + j)
+          acc = acc.add(
+            JBD.valueOf(d * d).setScale(18, RoundingMode.HALF_UP))
+          j += 1
+        }
+        val dist = acc.doubleValue()
+        if (dist < bestDist) { bestDist = dist; bestCode = cIdx }
+        cIdx += 1
+      }
+      codes(s) = bestCode
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Reconstruction of a PQ code array back into the concatenated
+  * codeword vector (`array<double>` of length dim) — pure lookup, no
+  * arithmetic, so it is trivially engine-portable; the decimal-exact
+  * scoring then runs over the reconstruction. */
+final case class PqReconConst(child: Expression, books: Seq[Double],
+                              dim: Int, m: Int, kCodes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+  require(books.length == kCodes * dim,
+    s"books must be m*kCodes*subDim = ${kCodes * dim} doubles")
+
+  private val subDim = dim / m
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_recon"
+
+  @transient private lazy val w: Array[Double] = books.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val out = new Array[Double](dim)
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      val off = (s * kCodes + c) * subDim
+      var j = 0
+      while (j < subDim) { out(s * subDim + j) = w(off + j); j += 1 }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** [[LshBucketKeys]] with EXACT-DECIMAL per-plane dot sums — the
   * engine-portable variant (e20). Each element product is rounded to
   * scale 18 with HALF_UP and accumulated exactly, reproducing the
@@ -996,6 +1099,21 @@ object VectorExpressions {
     GraftBridge.column(TopPDotExactConst(
       GraftBridge.expression(a), cents.flatten,
       cents.head.length, cents.length, p))
+
+  /** [[pqEncode]] with exact-decimal L2² sums (engine-portable codes).
+    * `books` is [m][kCodes][subDim]. */
+  def pqEncodeExact(a: Column, books: Seq[Seq[Seq[Double]]],
+                    dim: Int): Column =
+    GraftBridge.column(PqEncodeExactConst(
+      GraftBridge.expression(a), books.flatten.flatten, dim,
+      books.length, books.head.length))
+
+  /** Concatenated-codeword reconstruction of a PQ code array. */
+  def pqRecon(codes: Column, books: Seq[Seq[Seq[Double]]],
+              dim: Int): Column =
+    GraftBridge.column(PqReconConst(
+      GraftBridge.expression(codes), books.flatten.flatten, dim,
+      books.length, books.head.length))
 
   /** Index of the max-dot-product centroid (IVF cell) as INT — one
     * JIT-friendly nested loop over cell-major flattened centroids. */

@@ -181,6 +181,55 @@ object AnnQueries {
       .orderBy("qid", "rk")
   }
 
+  /** MD5-derived portable PQ codeword (s, w): component j =
+    * md5("pq:s:w:j") via the 13-hex/2⁵² map — the data-independent
+    * codebook standing in for per-subspace k-means, so the whole PQ
+    * pipeline replays in SQL. */
+  private[graft] def portableCodeword(s: Int, w: Int,
+                                      subDim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until subDim).map { j =>
+      val hex = md.digest(s"pq:$s:$w:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
+    }
+  }
+
+  /** Portable PQ top-k (exhaustive ADC): encode every candidate to its
+    * per-subspace exact-decimal argmin code (PqEncodeExactConst),
+    * reconstruct the concatenated codeword vector, and score EVERY
+    * (query, candidate) pair as the exact-decimal cosine between the
+    * query and the reconstruction — the classic non-IVF PQ scan shape,
+    * with candidates carrying m·log₂(kCodes) bits instead of dim
+    * floats. Top k per query by (cos DESC, cid). */
+  def pqTopKPortable(queries: DataFrame, cand: DataFrame, dim: Int,
+                     k: Int, m: Int, kCodes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = (0 until m).map(s =>
+      (0 until kCodes).map(w => portableCodeword(s, w, dim / m)))
+    val qv = perRow(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
+    // recon norms once per candidate row, behind the same projection
+    // barrier; the recon array is doubles, so the HOF reference fold
+    // (type-polymorphic) scores it
+    val cv = perRow(
+      cand.select(col("vec_id").as("cid"),
+        graft.expressions.VectorExpressions.pqRecon(
+          graft.expressions.VectorExpressions.pqEncodeExact(
+            col("embedding"), books, dim), books, dim).as("recon")),
+      sqrt(dotExact(col("recon"), col("recon"))), "nc")
+    val scored = broadcast(qv).crossJoin(cv)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dotExact(col("qe"), col("recon")) / (col("nq") * col("nc")))
+          .cast("float").as("cos"))
+    val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .orderBy("qid", "rk")
+  }
+
   /** Portable LSH top-k: bucket both sides with [[lshBucketsPortable]],
     * take DISTINCT colliding (qid, cid) pairs — two longs through the
     * dedup shuffle, never the vectors — then score each unique pair
@@ -495,6 +544,85 @@ object AnnQueries {
              sims AS (SELECT qid, cid,
                         CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
                       FROM d2),
+             ranked AS (SELECT qid, cid, cos,
+                          CAST(row_number() OVER
+                            (PARTITION BY qid ORDER BY cos DESC, cid)
+                            AS INT) AS rk
+                        FROM sims)
+             SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5
+             ORDER BY qid, rk"""
+      }),
+
+    // ---- E22 portable-PQ exhaustive ADC top-k (full hash oracle) ------
+    // Completes the portable approximate-retrieval family (e20 LSH,
+    // e21 IVF): candidates are PQ-quantized against md5-literal
+    // codebooks (8 subspaces × 16 codes × 8 dims; exact-decimal L2²
+    // argmin with ties to the lower code), and every pair scores as
+    // the exact-decimal cosine between the query and the candidate's
+    // RECONSTRUCTION — the classic exhaustive ADC scan, 32 bits per
+    // candidate instead of 256 bytes. The oracle replays encode,
+    // reconstruction, and scoring in DuckDB and hash-matches.
+    Q("e22_ann_pq_portable",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        pqTopKPortable(emb.filter(col("vec_id") < 10), emb, dim = 64,
+          k = 5, m = 8, kCodes = 16)
+      },
+      Some {
+        val hexParse13 = (0 until 13).map { i =>
+          s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(12 - i)}"
+        }.mkString(" + ")
+        s"""WITH cw AS (SELECT s, w, j,
+                   CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 - 0.5
+                     AS v
+                 FROM (SELECT s, w, j,
+                         md5('pq:' || CAST(s AS VARCHAR) || ':' ||
+                             CAST(w AS VARCHAR) || ':' ||
+                             CAST(j AS VARCHAR)) AS hx
+                       FROM generate_series(0, 7) ss(s),
+                            generate_series(0, 15) ww(w),
+                            generate_series(0, 7) jj(j))),
+             dist AS (SELECT e.vec_id AS vid, c.s, c.w,
+                        CAST(sum(CAST(
+                          (CAST(e.embedding[c.s * 8 + c.j + 1] AS DOUBLE)
+                             - c.v) *
+                          (CAST(e.embedding[c.s * 8 + c.j + 1] AS DOUBLE)
+                             - c.v) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+                      FROM embeddings e, cw c
+                      GROUP BY e.vec_id, c.s, c.w),
+             codes AS (SELECT vid, s, w FROM
+                         (SELECT vid, s, w,
+                            row_number() OVER
+                              (PARTITION BY vid, s ORDER BY d2, w) AS r
+                          FROM dist)
+                       WHERE r = 1),
+             recon AS (SELECT co.vid, co.s * 8 + c.j + 1 AS i, c.v
+                       FROM codes co
+                       JOIN cw c ON c.s = co.s AND c.w = co.w),
+             rn AS (SELECT vid,
+                      CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)
+                        AS n2
+                    FROM recon GROUP BY vid),
+             q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings WHERE vec_id < 10),
+             qn AS (SELECT qid,
+                      CAST(sum(CAST(CAST(qe[i] AS DOUBLE) *
+                                    CAST(qe[i] AS DOUBLE)
+                                    AS DECIMAL(38,18))) AS DOUBLE) AS nq2
+                    FROM q, generate_series(1, 64) AS g(i)
+                    GROUP BY qid),
+             el AS (SELECT q.qid, r.vid AS cid,
+                      CAST(CAST(q.qe[r.i] AS DOUBLE) * r.v
+                           AS DECIMAL(38,18)) AS pd
+                    FROM q JOIN recon r ON q.qid <> r.vid),
+             d2s AS (SELECT qid, cid, CAST(sum(pd) AS DOUBLE) AS dot
+                     FROM el GROUP BY qid, cid),
+             sims AS (SELECT d.qid, d.cid,
+                        CAST(d.dot / (sqrt(qn.nq2) * sqrt(rn.n2))
+                             AS FLOAT) AS cos
+                      FROM d2s d
+                      JOIN qn USING (qid)
+                      JOIN rn ON rn.vid = d.cid),
              ranked AS (SELECT qid, cid, cos,
                           CAST(row_number() OVER
                             (PARTITION BY qid ORDER BY cos DESC, cid)

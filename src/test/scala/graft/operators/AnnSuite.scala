@@ -692,6 +692,49 @@ class AnnSuite extends SparkSpec {
     assert(fused === slow)
   }
 
+  test("PqEncodeExactConst + PqReconConst: codes match a driver-side " +
+      "exact-decimal argmin and recon is the codeword concatenation") {
+    import org.apache.spark.sql.functions._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (dim, m, kCodes) = (64, 8, 16)
+    val subDim = dim / m
+    val books = (0 until m).map(s =>
+      (0 until kCodes).map(w =>
+        graft.queries.AnnQueries.portableCodeword(s, w, subDim)))
+    val got = emb.select(col("vec_id"),
+        graft.expressions.VectorExpressions
+          .pqEncodeExact(col("embedding"), books, dim).as("codes"),
+        graft.expressions.VectorExpressions.pqRecon(
+          graft.expressions.VectorExpressions
+            .pqEncodeExact(col("embedding"), books, dim),
+          books, dim).as("recon"))
+      .as[(Long, Seq[Int], Seq[Double])].collect()
+    val raw = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    got.foreach { case (id, codes, recon) =>
+      val v = raw(id)
+      val want = (0 until m).map { s =>
+        val dists = (0 until kCodes).map { w =>
+          var acc = JBD.ZERO
+          for (j <- 0 until subDim) {
+            val d = v(s * subDim + j).toDouble - books(s)(w)(j)
+            acc = acc.add(
+              JBD.valueOf(d * d).setScale(18, RoundingMode.HALF_UP))
+          }
+          acc.doubleValue()
+        }
+        dists.zipWithIndex.minBy { case (d, w) => (d, w) }._2
+      }
+      assert(codes === want, s"codes for $id")
+      val wantRecon = (0 until m).flatMap(s => books(s)(codes(s)))
+      assert(recon === wantRecon, s"recon for $id")
+    }
+    // the quantizer must actually discriminate: codes spread over >1
+    // codeword in at least one subspace across the corpus
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("FloatVecDotExact: native exact-decimal dot equals the HOF " +
       "reference bit-for-bit on real vector pairs") {
     import org.apache.spark.sql.functions._

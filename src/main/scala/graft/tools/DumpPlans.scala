@@ -61,7 +61,10 @@ object DumpPlans {
     "m31_raking" -> "raking/IPF: one contingency-cell pass; graded weight is a literal-CASE projection (no per-iteration scans)",
     "m36_poisson_bootstrap" -> "Poisson bootstrap: xR broadcast replicate expansion, ONE partial-aggregable groupBy(r) of O(R) state",
     "e14_random_projection" -> "JL projection: hash-derived signs (no matrix), one explode + one partial-aggregable groupBy",
-    "w10_trending" -> "trending top-k: windowed counts (streaming-stateful half) + per-window rank on bounded partitions")
+    "w10_trending" -> "trending top-k: windowed counts (streaming-stateful half) + per-window rank on bounded partitions",
+    "e20_ann_lsh_portable" -> "portable LSH: fused exact-decimal bucket keys (one vector walk), band equi-join candidates (never all-pairs), distinct on bare ids before re-joining vectors for scoring",
+    "e21_ann_ivf_portable" -> "portable IVF: fused exact-decimal cell ranking, broadcast 2-probe query frame, cell equi-join",
+    "e22_ann_pq_portable" -> "portable PQ: fused exact-decimal encode + reconstruction in the candidate scan, exhaustive ADC as a broadcast cross join over codes-reconstructed vectors")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

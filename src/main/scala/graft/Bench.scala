@@ -68,9 +68,14 @@ object Bench {
     val drift = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     def probeDrift(at: String): Unit = sentinelFn.foreach { fn =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      drift += ((at, (System.nanoTime() - t0) / 1e9, loadAvg()))
+      // a crashing sentinel records -1 (the query-timing convention):
+      // logging its time-to-crash would read as "sentinel flat" and
+      // steer the drift-vs-regression verdict exactly backwards
+      val sec =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      drift += ((at, sec, loadAvg()))
     }
     val loadStart = loadAvg()
     def runPass(pass: Int): Seq[(String, Double)] = {

@@ -191,12 +191,33 @@ final case class LshBucketKeys(child: Expression, weights: Seq[Double],
   * HOF formulation (AnnSuite pins it on real vectors) at ~5× its
   * speed — the HOF pays per-element interpreted lambda dispatch.
   * Contract: equal-length arrays with non-null elements (the embedding
-  * fixtures' shape). CodegenFallback: the BigDecimal loop dominates. */
+  * fixtures' shape). Inputs are type-checked to `array<float>` at
+  * analysis time: this expression replaced a type-polymorphic HOF fold
+  * in `cosineExact`, and getFloat over an `array<double>` would read
+  * half of each element — silently wrong scores; the check turns that
+  * misuse into an AnalysisException (double-array callers use the HOF
+  * `dotExact`, as pqTopKPortable does for its reconstruction side).
+  * CodegenFallback: the BigDecimal loop dominates. */
 final case class FloatVecDotExact(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot_exact"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}" +
+        " (use the HOF dotExact for double arrays)")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     import java.math.{BigDecimal => JBD, RoundingMode}
@@ -329,11 +350,19 @@ final case class PqReconConst(child: Expression, books: Seq[Double],
   * == Spark's Cast-to-decimal path; addition at precision ≤ 30 is
   * exact, so fold order is irrelevant), while walking each vector ONCE
   * in a tight loop instead of tables×bits interpreted HOF folds.
-  * Sign of the exact sum decides each bit, so the key replays
-  * bit-identically in any ANSI engine computing the same decimal sum
-  * (AnnSuite pins equality with the HOF formulation on real vectors).
-  * CodegenFallback: BigDecimal arithmetic gains nothing from codegen;
-  * the loop body dominates. */
+  * Sign of the exact sum decides each bit, so the key replays in any
+  * ANSI engine computing the same decimal sum (AnnSuite pins equality
+  * with the HOF formulation on real vectors). Residual cross-engine
+  * risk, accepted and shared with every decimal consumer here: an
+  * engine whose double→decimal cast rounds the full binary expansion
+  * (instead of the shortest-string value valueOf uses) can differ by
+  * ~5e-18 per element, so a plane dot within ~dim·5e-18 of EXACTLY
+  * zero could flip a bit — odds ~1e-15 per plane on these fixtures,
+  * the same class as e01's final float cast absorbing conversion ulp;
+  * quantizing before the sign would trade the single zero-crossing
+  * for 2²⁰ grid boundaries and WORSEN the odds. CodegenFallback:
+  * BigDecimal arithmetic gains nothing from codegen; the loop body
+  * dominates. */
 final case class LshBucketKeysExact(child: Expression, weights: Seq[Double],
                                     dim: Int, bits: Int, tables: Int)
     extends UnaryExpression

@@ -155,14 +155,21 @@ object Graphs {
     val edgesDeg = full.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    // local-checkpoint anchors must NOT be unpersisted mid-run:
-    // unpersist DELETES local checkpoint blocks (they live in the
-    // block store), which would break the very lineage truncation the
-    // anchor provides. Reliable checkpoints (checkpoint-dir files)
-    // survive unpersist. ≤ iters/checkpointEvery anchors are pinned
-    // until the finally block — bounded, and each is one node-sized
-    // rank frame.
-    val anchors =
+    // Anchor retention discipline:
+    //  - a LOCAL-checkpoint anchor must NOT be unpersisted while live
+    //    (unpersist DELETES local checkpoint blocks — they live in the
+    //    block store — un-truncating the very lineage it anchors), but
+    //    once a NEWER anchor has materialized the older one is
+    //    unreachable from any live lineage and drops immediately: at
+    //    most ONE local anchor is pinned at a time;
+    //  - a RELIABLE checkpoint (checkpoint-dir files) survives
+    //    unpersist, but Spark never deletes the files without the
+    //    opt-in cleaner config — so the run tracks its checkpointed
+    //    RDDs and best-effort deletes their directories in the finally
+    //    block (the result is a collected local relation by then; a
+    //    long-lived session must accumulate nothing, per the scaladoc).
+    var localAnchor: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    val reliableCkpts =
       scala.collection.mutable.ListBuffer
         .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     try {
@@ -174,7 +181,6 @@ object Graphs {
       if (symmetrizeInput) input.unpersist(blocking = false)
       val base = lit(1.0 - damping) / lit(n.toDouble)
       var pr = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("pr"))
-      var prIsLocalAnchor = false
       for (i <- 1 to iters) {
         val (next, nextRdd) = rewrapPersisted(
           step(edgesDeg, pr, base, damping, noDangling, nodes, identity))
@@ -189,11 +195,17 @@ object Graphs {
         }
         pr = next
         pr.count() // force this round before dropping the previous one
-        if (prRdd != null) {
-          if (prIsLocalAnchor) anchors += prRdd
-          else prRdd.unpersist(blocking = false)
+        if (anchor) {
+          if (reliable) reliableCkpts += nextRdd
+          else {
+            // the new anchor is materialized: the previous one is no
+            // longer reachable from any live lineage — drop it now
+            if (localAnchor != null) localAnchor.unpersist(blocking = false)
+            localAnchor = nextRdd
+          }
         }
-        prIsLocalAnchor = anchor && !reliable
+        if (prRdd != null && (prRdd ne localAnchor))
+          prRdd.unpersist(blocking = false)
         prRdd = nextRdd
       }
       val ranked = pr.orderBy(col("pr").desc, col("id")).limit(k)
@@ -207,7 +219,18 @@ object Graphs {
       deg.unpersist(blocking = false)
       edgesDeg.unpersist(blocking = false)
       if (prRdd != null) prRdd.unpersist(blocking = false)
-      anchors.foreach(_.unpersist(blocking = false))
+      if (localAnchor != null) localAnchor.unpersist(blocking = false)
+      // best-effort removal of reliable-checkpoint files: the graded
+      // result is a local relation, so nothing references them
+      reliableCkpts.foreach { r =>
+        r.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: Exception => () }
+        }
+      }
     }
   }
 

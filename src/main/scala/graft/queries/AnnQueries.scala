@@ -83,28 +83,43 @@ object AnnQueries {
       .orderBy("qid", "rk")
   }
 
-  // ---- portable LSH (e20): every stage replayable in ANSI SQL --------
+  // ---- portable ANN family (e20/e21/e22): every stage in ANSI SQL ----
 
-  /** MD5-derived hyperplane component (t, b, j): the first 13 hex chars
-    * of md5("t:b:j") as an integer over 2⁵², minus 0.5. Every step is
-    * EXACT in IEEE (13 hex chars = 52 bits fit a double; 2⁵² is a power
-    * of two, so the division is exact) and md5 is byte-identical in any
-    * engine — the d04 convention. MD5's avalanche makes components
-    * independent across (t, b, j); the portable multiplicative hash
-    * would NOT work here (it is affine in its argument, so consecutive
-    * j's would form a lattice and the planes of one table would be
-    * shifts of each other). Uniform-cube directions are a valid sign-
-    * LSH family for cosine (collision probability monotone in angle),
-    * just not the spherically-symmetric Gaussian one — acceptable for
-    * the graded twin; the production path keeps Gaussian planes. */
-  private[graft] def portablePlane(t: Int, b: Int, dim: Int): Seq[Double] = {
+  /** THE md5→unit-interval map every portable-ANN constant derives
+    * from: the first 13 hex chars of md5(key) as an integer over 2⁵²,
+    * minus 0.5. Every step is EXACT in IEEE (13 hex chars = 52 bits
+    * fit a double; 2⁵² is a power of two, so the division is exact)
+    * and md5 is byte-identical in any engine — the d04 convention.
+    * MD5's avalanche makes components independent across keys; the
+    * portable multiplicative hash would NOT work here (it is affine in
+    * its argument, so consecutive indices would form a lattice and one
+    * table's planes would be shifts of each other). ONE definition —
+    * [[sqlPortableUnit]] is its SQL twin; change both together or the
+    * hash gates fail. */
+  private def portableUnit(key: String): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until dim).map { j =>
-      val hex = md.digest(s"$t:$b:$j".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 13)
-      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
-    }
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 13)
+    java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
   }
+
+  /** SQL rendition of [[portableUnit]] over a column named `hx` holding
+    * md5(key) — shared verbatim by the e20/e21/e22 oracles. */
+  private val sqlPortableUnit: String = {
+    val hexParse13 = (0 until 13).map { i =>
+      s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(12 - i)}"
+    }.mkString(" + ")
+    s"CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 - 0.5"
+  }
+
+  /** Hyperplane (t, b) for the portable LSH twin: components
+    * [[portableUnit]]("t:b:j"). Uniform-cube directions are a valid
+    * sign-LSH family for cosine (collision probability monotone in
+    * angle), just not the spherically-symmetric Gaussian one —
+    * acceptable for the graded twin; the production path keeps
+    * Gaussian planes. */
+  private[graft] def portablePlane(t: Int, b: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => portableUnit(s"$t:$b:$j"))
 
   /** (id, vec, table, bucket) rows — `tables` per vector — with bucket
     * sign bits decided by EXACT-DECIMAL plane dots (a plain double dot
@@ -127,20 +142,39 @@ object AnnQueries {
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
   }
 
-  /** MD5-derived portable IVF centroid `c`: component j =
-    * md5("ivf:c:j") via the same 13-hex/2⁵² map as [[portablePlane]]
-    * (the "ivf:" prefix keeps the two hash families disjoint). NOT
-    * normalized — uniform-cube directions concentrate near a common
-    * norm, so the argmax-dot assignment is unbiased enough for a graded
-    * twin, and skipping the norm keeps every component an exact IEEE
-    * value replayable in SQL with two integer ops and a division. */
-  private[graft] def portableCentroid(c: Int, dim: Int): Seq[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until dim).map { j =>
-      val hex = md.digest(s"ivf:$c:$j".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 13)
-      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
-    }
+  /** Portable IVF centroid `c`: components [[portableUnit]]("ivf:c:j")
+    * (the prefix keeps the hash families disjoint). NOT normalized —
+    * uniform-cube directions concentrate near a common norm, so the
+    * argmax-dot assignment is unbiased enough for a graded twin, and
+    * skipping the norm keeps every component an exact IEEE value. */
+  private[graft] def portableCentroid(c: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => portableUnit(s"ivf:$c:$j"))
+
+  /** Shared scoring tail of the portable top-k family (e20/e21/e22):
+    * join bare (qid, cid) pairs back to per-row-normed vector frames —
+    * two longs rode the candidate-generation shuffle, never the
+    * vectors — and keep the top k per query by (cos DESC, cid). The
+    * e01 ranking contract (float-cast exact-decimal cosine, cid
+    * tie-break) lives HERE, in one place. `candSide` carries
+    * (cid, ce); `dot` picks the exact-decimal scorer — the native
+    * float path, or the HOF for double arrays like e22's
+    * reconstructions. */
+  private def scorePairsTopK(pairs: DataFrame, queries: DataFrame,
+                             candSide: DataFrame, k: Int,
+                             dot: (Column, Column) => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = perRow(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
+    val cv = perRow(candSide, sqrt(dot(col("ce"), col("ce"))), "nc")
+    val scored = pairs.join(broadcast(qv), Seq("qid")).join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("nq") * col("nc")))
+          .cast("float").as("cos"))
+    val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .orderBy("qid", "rk")
   }
 
   /** Portable IVF top-k: assign every candidate to its argmax-dot cell
@@ -153,7 +187,6 @@ object AnnQueries {
     * because the centroids are md5-literals, not k-means output. */
   def ivfTopKPortable(queries: DataFrame, cand: DataFrame, dim: Int,
                       k: Int, nCells: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = (0 until nCells).map(portableCentroid(_, dim))
     val topP = graft.expressions.VectorExpressions.topPDotExact(_, cents, _)
     val q = queries
@@ -165,35 +198,18 @@ object AnnQueries {
     val pairs = broadcast(q).join(c, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid")
-    val qv = perRow(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
-    val cv = perRow(
+    scorePairsTopK(pairs, queries,
       cand.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-      sqrt(dotExactF(col("ce"), col("ce"))), "nc")
-    val scored = pairs.join(broadcast(qv), Seq("qid")).join(cv, Seq("cid"))
-      .select(col("qid"), col("cid"),
-        (dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc")))
-          .cast("float").as("cos"))
-    val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
-    scored.withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= k)
-      .orderBy("qid", "rk")
+      k, dotExactF)
   }
 
-  /** MD5-derived portable PQ codeword (s, w): component j =
-    * md5("pq:s:w:j") via the 13-hex/2⁵² map — the data-independent
-    * codebook standing in for per-subspace k-means, so the whole PQ
-    * pipeline replays in SQL. */
+  /** Portable PQ codeword (s, w): components
+    * [[portableUnit]]("pq:s:w:j") — the data-independent codebook
+    * standing in for per-subspace k-means, so the whole PQ pipeline
+    * replays in SQL. */
   private[graft] def portableCodeword(s: Int, w: Int,
-                                      subDim: Int): Seq[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until subDim).map { j =>
-      val hex = md.digest(s"pq:$s:$w:$j".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 13)
-      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
-    }
-  }
+                                      subDim: Int): Seq[Double] =
+    (0 until subDim).map(j => portableUnit(s"pq:$s:$w:$j"))
 
   /** Portable PQ top-k (exhaustive ADC): encode every candidate to its
     * per-subspace exact-decimal argmin code (PqEncodeExactConst),
@@ -204,30 +220,20 @@ object AnnQueries {
     * floats. Top k per query by (cos DESC, cid). */
   def pqTopKPortable(queries: DataFrame, cand: DataFrame, dim: Int,
                      k: Int, m: Int, kCodes: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val books = (0 until m).map(s =>
       (0 until kCodes).map(w => portableCodeword(s, w, dim / m)))
-    val qv = perRow(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
-    // recon norms once per candidate row, behind the same projection
-    // barrier; the recon array is doubles, so the HOF reference fold
-    // (type-polymorphic) scores it
-    val cv = perRow(
+    // exhaustive ADC: every (query, candidate) id pair; the candidate
+    // side is the RECONSTRUCTION (doubles), so the tail scores it with
+    // the type-polymorphic HOF fold
+    val pairs = broadcast(queries.select(col("vec_id").as("qid")))
+      .crossJoin(cand.select(col("vec_id").as("cid")))
+      .filter(col("qid") =!= col("cid"))
+    scorePairsTopK(pairs, queries,
       cand.select(col("vec_id").as("cid"),
         graft.expressions.VectorExpressions.pqRecon(
           graft.expressions.VectorExpressions.pqEncodeExact(
-            col("embedding"), books, dim), books, dim).as("recon")),
-      sqrt(dotExact(col("recon"), col("recon"))), "nc")
-    val scored = broadcast(qv).crossJoin(cv)
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (dotExact(col("qe"), col("recon")) / (col("nq") * col("nc")))
-          .cast("float").as("cos"))
-    val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
-    scored.withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= k)
-      .orderBy("qid", "rk")
+            col("embedding"), books, dim), books, dim).as("ce")),
+      k, dotExact)
   }
 
   /** Portable LSH top-k: bucket both sides with [[lshBucketsPortable]],
@@ -239,7 +245,6 @@ object AnnQueries {
     * Ann.annTopK: band equi-joins, never all-pairs. */
   def lshTopKPortable(queries: DataFrame, cand: DataFrame, dim: Int,
                       k: Int, bits: Int, tables: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qb = lshBucketsPortable(queries, "vec_id", "embedding", dim, bits,
       tables).select(col("table"), col("bucket"), col("id").as("qid"))
     val cb = lshBucketsPortable(cand, "vec_id", "embedding", dim, bits,
@@ -247,20 +252,9 @@ object AnnQueries {
     val pairs = broadcast(qb).join(cb, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
-    val qv = perRow(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
-    val cv = perRow(
+    scorePairsTopK(pairs, queries,
       cand.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-      sqrt(dotExactF(col("ce"), col("ce"))), "nc")
-    val scored = pairs.join(broadcast(qv), Seq("qid")).join(cv, Seq("cid"))
-      .select(col("qid"), col("cid"),
-        (dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc")))
-          .cast("float").as("cos"))
-    val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
-    scored.withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= k)
-      .orderBy("qid", "rk")
+      k, dotExactF)
   }
 
   /** Self-validating recall columns for the approximate top-k queries
@@ -422,11 +416,8 @@ object AnnQueries {
           k = 5, bits = 6, tables = 8)
       },
       Some {
-        val hexParse13 = (0 until 13).map { i =>
-          s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(12 - i)}"
-        }.mkString(" + ")
         s"""WITH pl AS (SELECT t, b, sj,
-                   CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 - 0.5
+                   $sqlPortableUnit
                      AS v
                  FROM (SELECT t, b, sj,
                          md5(CAST(t AS VARCHAR) || ':' ||
@@ -495,11 +486,8 @@ object AnnQueries {
           k = 5, nCells = 16, nProbe = 2)
       },
       Some {
-        val hexParse13 = (0 until 13).map { i =>
-          s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(12 - i)}"
-        }.mkString(" + ")
         s"""WITH ce AS (SELECT c, sj,
-                   CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 - 0.5
+                   $sqlPortableUnit
                      AS v
                  FROM (SELECT c, sj,
                          md5('ivf:' || CAST(c AS VARCHAR) || ':' ||
@@ -569,11 +557,8 @@ object AnnQueries {
           k = 5, m = 8, kCodes = 16)
       },
       Some {
-        val hexParse13 = (0 until 13).map { i =>
-          s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(12 - i)}"
-        }.mkString(" + ")
         s"""WITH cw AS (SELECT s, w, j,
-                   CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 - 0.5
+                   $sqlPortableUnit
                      AS v
                  FROM (SELECT s, w, j,
                          md5('pq:' || CAST(s AS VARCHAR) || ':' ||

@@ -64,7 +64,7 @@ object DumpPlans {
     "w10_trending" -> "trending top-k: windowed counts (streaming-stateful half) + per-window rank on bounded partitions",
     "e20_ann_lsh_portable" -> "portable LSH: fused exact-decimal bucket keys (one vector walk), band equi-join candidates (never all-pairs), distinct on bare ids before re-joining vectors for scoring",
     "e21_ann_ivf_portable" -> "portable IVF: fused exact-decimal cell ranking, broadcast 2-probe query frame, cell equi-join",
-    "e22_ann_pq_portable" -> "portable PQ: fused exact-decimal encode + reconstruction in the candidate scan, exhaustive ADC as a broadcast cross join over codes-reconstructed vectors")
+    "e22_ann_pq_portable" -> "portable PQ: fused exact-decimal encode + reconstruction in the candidate scan, exhaustive ADC as a broadcast cross join over bare id pairs re-joined to the reconstructed vectors for scoring")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

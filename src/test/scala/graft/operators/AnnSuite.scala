@@ -782,4 +782,30 @@ class AnnSuite extends SparkSpec {
       }.toMap
     assert(fused === want)
   }
+
+  test("kmeansPortableSummary: antipodal planted clusters come out pure, " +
+      "stable under reassignment, and bit-exactly deterministic") {
+    // two exact antipodal directions ±u, 30 copies each: any seed pair
+    // separates them (dot(c, -u) = -dot(c, u)), the refined centroids
+    // are the cluster means, and reassignment moves nothing
+    val u = Array.tabulate(8)(i => (if (i % 2 == 0) 0.5f else -0.25f))
+    val rows = (0 until 60).map { i =>
+      val sign = if (i < 30) 1.0f else -1.0f
+      (i.toLong, u.map(_ * sign).toSeq, 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    def run() = graft.queries.AnnQueries
+      .kmeansPortableSummary(df, dim = 8, nCells = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val got = run()
+    assert(got.map(_._2).sum === 60L)        // every vector lands once
+    assert(got.map(_._2).toSet === Set(30L)) // pure 30/30 split
+    assert(got.forall(_._3 == 0L))           // reassignment is stable
+    // component sums: 30·(±0.5) and 30·(∓0.25) split across the cells
+    assert(got.map(_._4).toSet === Set(15.0, -15.0))
+    assert(got.map(_._5).toSet === Set(7.5, -7.5))
+    assert(got === run())                    // seeded → bit-exact rerun
+  }
 }

@@ -84,7 +84,10 @@ object StatsQueries {
     * 2⁻²⁰ — the same fixed IEEE tree the Spark side evaluates, so the
     * final (b0, b1) hash-match bit-for-bit. `src` must be a CTE with
     * columns (y, x). */
-  private def sqlIrls2(src: String, iters: Int): String = {
+  // private[queries]: t22's classifier-filter oracle unrolls the SAME
+  // IRLS rendition over text features — one definition, two oracles,
+  // no silent divergence (the sqlQuality convention)
+  private[queries] def sqlIrls2(src: String, iters: Int): String = {
     def qz(e: String) = s"floor(($e) * 1048576.0 + 0.5) / 1048576.0"
     val steps = (1 to iters).map { i =>
       s"""e$i AS (SELECT y, x, b0 + b1 * x AS eta FROM $src, c${i - 1}),

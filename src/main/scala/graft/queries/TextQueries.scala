@@ -1044,6 +1044,69 @@ object TextQueries {
                      coalesce(p.n_unk, 0) AS n_unk,
                      coalesce(p.pieces_md5, md5('')) AS pieces_md5
               FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    // ---- T22 model-based quality filtering (classifier scoring) -------
+    // The FineWeb-Edu-shaped pipeline stage: TRAIN a classifier on weak
+    // labels, then SCORE and filter the whole corpus with it — as one
+    // graded query, not two disconnected halves. Weak label: heuristic
+    // language ID == 'en' (t02's marker argmax); feature: the English
+    // stopword ratio (t01's signal, which genuinely separates the
+    // label). Training is 3 portable quantized-IRLS steps
+    // (Logistic.fitPortable2, the m06 machinery — exact-decimal moment
+    // sums, 2⁻²⁰-quantized sigmoid/coefficients, so exp ulp drift never
+    // reaches the hash); scoring broadcasts the 1-row (b0, b1) frame
+    // and quantizes the corpus-wide sigmoid the same way. Scale shape:
+    // 3 + 1 full scans regardless of N, k×k solve in-plan, classifier
+    // rides a broadcast — the 100 TB classifier-filter contract. The
+    // oracle reuses StatsQueries.sqlIrls2 verbatim over the text
+    // features, so the two IRLS renditions cannot diverge.
+    Q("t22_quality_classifier",
+      (s, d) => {
+        import org.apache.spark.sql.functions.broadcast
+        val feats = load(s, d, "documents").select(col("doc_id"),
+          (langId(col("text")) === "en").cast("double").as("y"),
+          stopwordRatio(col("text")).as("x"))
+        val coefs = graft.stats.Logistic.fitPortable2(feats, "y", "x",
+          iters = 3)
+        val q = lit(1048576.0) // 2^20, the fitPortable2 quantum
+        feats.crossJoin(broadcast(coefs))
+          .withColumn("score",
+            floor((lit(1.0) / (lit(1.0) +
+              exp(-(col("b0") + col("b1") * col("x"))))) * q + lit(0.5)) / q)
+          .select(col("doc_id"), col("y").cast("int").as("y"),
+            col("score"), (col("score") >= 0.5).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val p = "(' ' || text || ' ')"
+        val pl = "(' ' || lower(text) || ' ')"
+        val en = Seq(" the ", " and ", " of ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+        val es = Seq(" el ", " la ", " de ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+        val de = Seq(" der ", " und ", " die ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+        val fr = Seq(" le ", " et ", " les ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+        val stopHits = TextFunctions.stopwords
+          .map(w => sqlOcc(pl, s" $w ")).mkString("(", " + ", ")")
+        s"""WITH lsc AS (SELECT doc_id,
+                    $en AS s_en,
+                    greatest($en, $es, $de, $fr) AS best,
+                    CAST($stopHits AS DOUBLE) / CAST($sqlNTok AS DOUBLE)
+                      AS x
+                  FROM documents),
+             src AS (SELECT doc_id,
+                       CASE WHEN s_en = best AND best > 0
+                            THEN 1.0 ELSE 0.0 END AS y,
+                       x
+                     FROM lsc),
+             ${StatsQueries.sqlIrls2("src", 3)},
+             sc AS (SELECT f.doc_id, f.y, f.x,
+                      floor((1.0 / (1.0 +
+                        exp(-(c.b0 + c.b1 * f.x)))) * 1048576.0 + 0.5)
+                        / 1048576.0 AS score
+                    FROM src f, c3 c)
+             SELECT doc_id, CAST(y AS INT) AS y, score,
+                    score >= 0.5 AS keep
+             FROM sc ORDER BY doc_id"""
+      })
   )
 }

@@ -299,4 +299,24 @@ class TextPipelineSuite extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got === Seq(("dd", 2L))) // "ee" ties nothing; singles dropped
   }
+
+  test("t22 classifier-filter composition: the trained model separates " +
+      "the weak label and reruns bit-exactly") {
+    def run() = graft.queries.TextQueries.qs
+      .find(_.name == "t22_quality_classifier").get
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Double, Boolean)].collect().toSeq
+    val got = run()
+    assert(got.nonEmpty)
+    val (en, other) = got.partition(_._2 == 1)
+    assert(en.nonEmpty && other.nonEmpty) // the fixture has both classes
+    // the one-feature model must order the classes by mean score —
+    // the point of training before filtering
+    val mean = (xs: Seq[(Long, Int, Double, Boolean)]) =>
+      xs.map(_._3).sum / xs.size
+    assert(mean(en) > mean(other))
+    // keep is exactly the 0.5 threshold on the quantized score
+    assert(got.forall(r => r._4 == (r._3 >= 0.5)))
+    assert(got === run()) // deterministic training + scoring
+  }
 }

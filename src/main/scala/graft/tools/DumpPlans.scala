@@ -64,7 +64,13 @@ object DumpPlans {
     "w10_trending" -> "trending top-k: windowed counts (streaming-stateful half) + per-window rank on bounded partitions",
     "e20_ann_lsh_portable" -> "portable LSH: fused exact-decimal bucket keys (one vector walk), band equi-join candidates (never all-pairs), distinct on bare ids before re-joining vectors for scoring",
     "e21_ann_ivf_portable" -> "portable IVF: fused exact-decimal cell ranking, broadcast 2-probe query frame, cell equi-join",
-    "e22_ann_pq_portable" -> "portable PQ: fused exact-decimal encode + reconstruction in the candidate scan, exhaustive ADC as a broadcast cross join over bare id pairs re-joined to the reconstructed vectors for scoring")
+    "e22_ann_pq_portable" -> "portable PQ: fused exact-decimal encode + reconstruction in the candidate scan, exhaustive ADC as a broadcast cross join over bare id pairs re-joined to the reconstructed vectors for scoring",
+    "t22_quality_classifier" -> "classifier filter: 3 quantized-IRLS scans with exact-decimal moments, 1-row coefficient frame broadcast into the corpus-wide scoring scan",
+    "mm05_frame_sample" -> "frame-sample plan: per-row stride sequence + bounded explode, no shuffle before the presentation sort")
+    // (e23 deliberately absent: like m26, its graded frame is a local
+    // relation — the interesting assignment/update plans are the e21
+    // fused-expression scan and one partial-aggregable explode-groupBy,
+    // both pinned by shapes already in this list)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

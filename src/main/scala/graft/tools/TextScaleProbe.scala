@@ -220,10 +220,42 @@ object TextScaleProbe {
     require(rt.getLong(0) == nDocs && rt.getLong(1) == 0L,
       s"BPE roundtrip failed on ${rt.getLong(1)} of ${rt.getLong(0)} docs")
 
+    // ---- classifier filter (t22's shape): train + score at scale ------
+    // Weak label = domain A; feature = narrow-vocab token fraction read
+    // from the TEXT (1.0 exactly for A docs, ≈0.5 for B — the same
+    // planted-truth corpus as the DSIR leg, so min(A) > max(B) is a
+    // property of the fixed hash draw). Scale claims under test: the
+    // whole train+score pipeline is 3 quantized-IRLS scans plus ONE
+    // broadcast-scored scan regardless of N, and the monotone model
+    // must separate the domains exactly.
+    val t9 = System.nanoTime()
+    val feats = corpus2.select(col("doc_id"),
+      col("is_a").cast("double").as("y"),
+      (expr("size(filter(split(text, ' '), " +
+        "t -> CAST(substr(t, 2, 10) AS LONG) < 25000))")
+        .cast("double") / tokensPerDoc).as("x"))
+    val coefs = graft.stats.Logistic.fitPortable2(feats, "y", "x", iters = 3)
+    val qz = lit(1048576.0)
+    val clsScored = feats.crossJoin(broadcast(coefs))
+      .withColumn("score",
+        floor((lit(1.0) / (lit(1.0) +
+          exp(-(col("b0") + col("b1") * col("x"))))) * qz + lit(0.5)) / qz)
+      .groupBy("y").agg(min("score").as("mn"), max("score").as("mx"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    val tCls = (System.nanoTime() - t9) / 1e9
+    require(clsScored(1.0).getAs[Long]("n") +
+      clsScored(0.0).getAs[Long]("n") == nDocs, "classifier dropped docs")
+    require(clsScored(1.0).getAs[Double]("mn") >
+      clsScored(0.0).getAs[Double]("mx"),
+      s"classifier domains overlap: min(A)=" +
+        s"${clsScored(1.0).getAs[Double]("mn")} max(B)=" +
+        s"${clsScored(0.0).getAs[Double]("mx")}")
+
     println(f"docs=$nDocs%,d topTerms=$tTop%.1fs decontaminate=$tDecon%.1fs " +
       f"pack=$tPack%.1fs mixture=$tMix%.1fs bm25($wantMatches%,d matched)=$tBm%.1fs " +
       f"dsir=$tDsir%.1fs ngramLm=$tLm%.1fs bpeTrain=$tTrain%.1fs " +
-      f"bpeEncode=$tEnc%.1fs")
+      f"bpeEncode=$tEnc%.1fs classifier=$tCls%.1fs")
     spark.stop()
   }
 }

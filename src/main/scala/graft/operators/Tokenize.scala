@@ -182,6 +182,125 @@ object Tokenize {
     df.withColumn(out, enc(col(textCol)))
   }
 
+  /** Unigram-LM vocabulary with quantized log-probabilities (the
+    * SentencePiece model family, Kudo 2018 §3 — simplified to a
+    * frequency-derived piece distribution instead of EM, which keeps
+    * every step deterministic and ANSI-replayable):
+    *
+    *  - candidate pieces = every substring of length 1..`maxLen` of the
+    *    `topWords` capped word-count table (counts weighted by word
+    *    frequency, every start position counted);
+    *  - vocab = ALL length-1 pieces (every character observed anywhere
+    *    in the normalized corpus — full coverage; characters outside
+    *    the capped table get count 1) plus the `topPieces` most
+    *    frequent multi-character pieces (count desc, piece asc);
+    *  - logp(piece) = ln(count / total) over the vocab's own counts,
+    *    quantized at 2⁻²⁰ — ln is not correctly rounded cross-engine,
+    *    the quantum absorbs that (the m06 convention).
+    *
+    * Scale shape: ONE distributed word-count pass (the same capped
+    * table BPE training uses) + one bounded distinct-char pass; the
+    * substring loop runs driver-side over ≤ topWords rows. */
+  def unigramVocab(df: DataFrame, textCol: String, topWords: Int = 50000,
+                   topPieces: Int = 400, maxLen: Int = 4)
+      : Map[String, Double] = {
+    val toks = df.select(
+      explode(Dedup.tokens(col(textCol))).as("w")).filter(col("w") =!= "")
+    val words = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = toks
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .distinct()
+      .collect().map(_.getString(0))
+    val cnt = scala.collection.mutable.Map[String, Long]()
+    words.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          cnt(p) = cnt.getOrElse(p, 0L) + n
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val multi = cnt.toSeq
+      .filter(_._1.length > 1)
+      .sortBy { case (p, n) => (-n, p) }
+      .take(topPieces)
+    val singles = chars.map(c => c -> cnt.getOrElse(c, 1L))
+    val vocab = (singles ++ multi).toMap
+    val total = vocab.values.sum.toDouble
+    vocab.map { case (p, n) =>
+      p -> quantize20(math.log(n.toDouble / total))
+    }
+  }
+
+  /** floor(x·2²⁰ + 0.5) / 2²⁰ — the shared logp/score quantum. */
+  def quantize20(x: Double): Double =
+    math.floor(x * 1048576.0 + 0.5) / 1048576.0
+
+  /** Viterbi segmentation of one word under a unigram-LM vocab:
+    * dp[i] = best (score, pieces) over dp[i−l] + logp(word[i−l..i]) for
+    * l = 1..maxLen, chosen by score DESC (IEEE double compare), then
+    * FEWER pieces, then SHORTER final piece — a total order, so the
+    * same DP replays in any engine computing the same doubles (scores
+    * accumulate left-to-right along the chosen path; logp values are
+    * pre-quantized). Full char coverage makes every corpus word
+    * reachable. Returns (nPieces, score). */
+  def unigramWord(word: String, logp: Map[String, Double],
+                  maxLen: Int): (Int, Double) = {
+    val L = word.length
+    val score = new Array[Double](L + 1)
+    val np = new Array[Int](L + 1)
+    var i = 1
+    while (i <= L) {
+      var bestS = Double.NegativeInfinity
+      var bestN = Int.MaxValue
+      var found = false
+      var l = 1
+      while (l <= maxLen && l <= i) {
+        logp.get(word.substring(i - l, i)).foreach { lp =>
+          // previous state must itself be reachable; with full char
+          // coverage it always is, but keep the guard explicit
+          if (!score(i - l).isNegInfinity) {
+            val s = score(i - l) + lp
+            val n = np(i - l) + 1
+            if (!found || s > bestS || (s == bestS && n < bestN)) {
+              bestS = s; bestN = n; found = true
+            }
+          }
+        }
+        l += 1
+      }
+      score(i) = if (found) bestS else Double.NegativeInfinity
+      np(i) = if (found) bestN else Int.MaxValue
+      i += 1
+    }
+    (np(L), score(L))
+  }
+
+  /** Segment `textCol` under a broadcast unigram vocab: one
+    * (nPieces, score) struct per word, in word order. Same Scala-UDF
+    * rationale as [[wordpieceEncode]] — data-dependent broadcast vocab,
+    * imperative DP, no expression-tree equivalent. */
+  def unigramSegment(df: DataFrame, textCol: String,
+                     logp: Map[String, Double], maxLen: Int = 4,
+                     out: String = "seg"): DataFrame = {
+    require(logp.nonEmpty, "empty unigram vocab")
+    val bc = df.sparkSession.sparkContext.broadcast(logp)
+    val enc = udf { text: String =>
+      if (text == null) Seq.empty[(Int, Double)]
+      else Dedup.normalizeString(text).split(" ").toSeq
+        .filter(_.nonEmpty).map(w => unigramWord(w, bc.value, maxLen))
+    }
+    df.withColumn(out, enc(col(textCol)))
+  }
+
   /** A deterministic corpus-derived vocab: every character observed in
     * the normalized corpus (plus its `##` continuation form) and the
     * `topWords` most frequent whole words (count desc, word asc

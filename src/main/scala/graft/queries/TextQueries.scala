@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{TextFunctions, TextPipeline}
 import graft.operators.TextFunctions._
-import graft.util.Tables.load
+import graft.util.Tables.{load, sqlDsum}
 
 /** Text-analysis + deduplication operators over `documents.parquet`,
   * driver-gradable with DuckDB oracles wherever the arithmetic is
@@ -1107,6 +1107,118 @@ object TextQueries {
              SELECT doc_id, CAST(y AS INT) AS y, score,
                     score >= 0.5 AS keep
              FROM sc ORDER BY doc_id"""
+      }),
+
+    // ---- T23 unigram-LM (SentencePiece-style) Viterbi segmentation ----
+    // Completes the tokenizer trio (t19 WordPiece greedy tiling, t20/t21
+    // BPE): probabilistic segmentation under a frequency-derived piece
+    // distribution — per word, the max-logp split by Viterbi DP. Graded
+    // per doc as (n_words, n_pieces, exact-decimal score sum); the
+    // oracle rebuilds the SAME vocab (capped word table → substring
+    // counts → chars + top-400 multi pieces → 2⁻²⁰-quantized ln) and
+    // replays the DP as a recursive CTE whose rows carry a sliding
+    // 4-state window — dp[i..i−3] — so each recursion step is a pure
+    // scalar transition (no window functions, ONE recursive reference).
+    // Candidate choice is (score DESC, pieces ASC, piece length ASC) on
+    // identical doubles in both engines; per-path score accumulates
+    // left-to-right, so the sums are bit-equal. Scale shape: vocab from
+    // ONE distributed word-count pass (the t21 capped table), DP as a
+    // broadcast-vocab UDF (the t19/t20 rationale), one doc-keyed rollup.
+    Q("t23_unigram_segment",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val vocab = graft.operators.Tokenize.unigramVocab(docs, "text",
+          topWords = 50000, topPieces = 400, maxLen = 4)
+        graft.operators.Tokenize.unigramSegment(docs, "text", vocab,
+            maxLen = 4)
+          .select(col("doc_id"), explode_outer(col("seg")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(col("w")).as("n_words"),
+            coalesce(sum(col("w._1")), lit(0L)).as("n_pieces"),
+            coalesce(graft.util.Tables.dsum(col("w._2")), lit(0.0))
+              .as("lp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH RECURSIVE $sqlDocWords,
+             wcnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w
+                      ORDER BY n DESC, w LIMIT 50000),
+             dw AS (SELECT DISTINCT w FROM toks),
+             ch AS (SELECT DISTINCT substring(dw.w, ci, 1) AS p
+                    FROM dw,
+                         unnest(generate_series(1, length(dw.w))) AS g(ci)),
+             subs AS (SELECT substring(t.w, st, l) AS p, sum(t.n) AS cnt
+                      FROM wcnt t,
+                           unnest(generate_series(1, length(t.w))) AS a(st),
+                           unnest(generate_series(1, 4)) AS b(l)
+                      WHERE st + l - 1 <= length(t.w)
+                      GROUP BY 1),
+             multi AS (SELECT p, cnt FROM subs WHERE length(p) > 1
+                       ORDER BY cnt DESC, p LIMIT 400),
+             singles AS (SELECT ch.p, coalesce(s.cnt, 1) AS cnt
+                         FROM ch LEFT JOIN subs s ON s.p = ch.p),
+             vr AS (SELECT p, cnt FROM singles
+                    UNION ALL SELECT p, cnt FROM multi),
+             tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vr),
+             vocab AS (SELECT p,
+                         floor(ln(CAST(cnt AS DOUBLE) / t) * 1048576.0
+                           + 0.5) / 1048576.0 AS lp
+                       FROM vr, tot),
+             dp AS (
+               SELECT w, length(w) AS len, 0 AS i,
+                      CAST(0.0 AS DOUBLE) AS s0, 0 AS n0,
+                      CAST(NULL AS DOUBLE) AS s1, CAST(NULL AS INT) AS n1,
+                      CAST(NULL AS DOUBLE) AS s2, CAST(NULL AS INT) AS n2,
+                      CAST(NULL AS DOUBLE) AS s3, CAST(NULL AS INT) AS n3
+               FROM dw
+               UNION ALL
+               SELECT w, len, i + 1,
+                      pick['s'], CAST(pick['np'] AS INT),
+                      s0, n0, s1, n1, s2, n2
+               FROM (
+                 SELECT d.w, d.len, d.i, d.s0, d.n0, d.s1, d.n1,
+                        d.s2, d.n2,
+                        list_sort(list_filter([
+                          CASE WHEN d.s0 IS NOT NULL
+                                AND v1.lp IS NOT NULL THEN
+                            {'k': [-(d.s0 + v1.lp),
+                                   CAST(d.n0 + 1 AS DOUBLE), 1.0],
+                             's': d.s0 + v1.lp, 'np': d.n0 + 1} END,
+                          CASE WHEN d.s1 IS NOT NULL
+                                AND v2.lp IS NOT NULL THEN
+                            {'k': [-(d.s1 + v2.lp),
+                                   CAST(d.n1 + 1 AS DOUBLE), 2.0],
+                             's': d.s1 + v2.lp, 'np': d.n1 + 1} END,
+                          CASE WHEN d.s2 IS NOT NULL
+                                AND v3.lp IS NOT NULL THEN
+                            {'k': [-(d.s2 + v3.lp),
+                                   CAST(d.n2 + 1 AS DOUBLE), 3.0],
+                             's': d.s2 + v3.lp, 'np': d.n2 + 1} END,
+                          CASE WHEN d.s3 IS NOT NULL
+                                AND v4.lp IS NOT NULL THEN
+                            {'k': [-(d.s3 + v4.lp),
+                                   CAST(d.n3 + 1 AS DOUBLE), 4.0],
+                             's': d.s3 + v4.lp, 'np': d.n3 + 1} END
+                        ], x -> x IS NOT NULL))[1] AS pick
+                 FROM dp d
+                 LEFT JOIN vocab v1 ON v1.p = substring(d.w, d.i + 1, 1)
+                 LEFT JOIN vocab v2 ON v2.p = substring(d.w, d.i, 2)
+                 LEFT JOIN vocab v3 ON v3.p = substring(d.w, d.i - 1, 3)
+                 LEFT JOIN vocab v4 ON v4.p = substring(d.w, d.i - 2, 4)
+                 WHERE d.i < d.len)),
+             perword AS (SELECT w, n0 AS np, s0 AS sc FROM dp
+                         WHERE i = len),
+             perdoc AS (SELECT t.doc_id,
+                          CAST(count(*) AS BIGINT) AS n_words,
+                          CAST(sum(pw.np) AS BIGINT) AS n_pieces,
+                          ${sqlDsum("pw.sc")} AS lp
+                        FROM toks t JOIN perword pw ON pw.w = t.w
+                        GROUP BY t.doc_id)
+             SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words,
+                    coalesce(p.n_pieces, 0) AS n_pieces,
+                    coalesce(p.lp, 0.0) AS lp
+             FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+             ORDER BY d.doc_id"""
       })
   )
 }

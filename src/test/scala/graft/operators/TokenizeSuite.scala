@@ -87,4 +87,45 @@ class TokenizeSuite extends SparkSpec {
       .orderBy("doc_id").select("bpe").collect().map(_.getSeq[String](0))
     assert(out.toSeq === p5.toSeq)
   }
+
+  test("unigramWord: Viterbi picks max score, then fewer pieces, then " +
+      "the shorter final piece") {
+    // multi-piece split wins on score
+    val v1 = Map("a" -> -2.0, "b" -> -2.0, "ab" -> -3.0)
+    assert(Tokenize.unigramWord("abab", v1, 4) === ((2, -6.0)))
+    // exact score tie (-4.0 both ways) -> fewer pieces
+    val v2 = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    assert(Tokenize.unigramWord("abab", v2, 4) === ((2, -4.0)))
+    // score + piece-count tie impossible here; score tie alone: "aa" as
+    // one piece (-2.0, 1) beats a|a (-2.0, 2)
+    val v3 = Map("a" -> -1.0, "aa" -> -2.0)
+    assert(Tokenize.unigramWord("aa", v3, 4) === ((1, -2.0)))
+    // maxLen bounds the pieces considered
+    val v4 = Map("a" -> -1.0, "aaa" -> -0.5)
+    assert(Tokenize.unigramWord("aaa", v4, 2) === ((3, -3.0)))
+    assert(Tokenize.unigramWord("aaa", v4, 3) === ((1, -0.5)))
+  }
+
+  test("unigramVocab: full char coverage, quantized negative logps, " +
+      "segmentation reaches every corpus word") {
+    val docs = Seq((1L, "the cat  The hat"), (2L, "zq zq thecat"))
+      .toDF("doc_id", "text")
+    val v = Tokenize.unigramVocab(docs, "text", topWords = 100,
+      topPieces = 10, maxLen = 4)
+    // every normalized-corpus char is a piece
+    "thecaz q".replace(" ", "").foreach(c =>
+      assert(v.contains(c.toString), s"missing char piece '$c'"))
+    v.values.foreach { lp =>
+      assert(lp < 0.0)
+      assert(lp * 1048576.0 === math.rint(lp * 1048576.0)) // 2^-20 grid
+    }
+    // DP reaches the end of every corpus word with a finite score
+    val segged = Tokenize.unigramSegment(docs, "text", v)
+      .select(explode(col("seg")).as("w")).select("w._1", "w._2")
+      .as[(Int, Double)].collect()
+    assert(segged.nonEmpty)
+    segged.foreach { case (np, sc) =>
+      assert(np >= 1 && !sc.isNegInfinity && sc < 0.0)
+    }
+  }
 }

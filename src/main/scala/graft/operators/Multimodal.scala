@@ -98,10 +98,21 @@ object Multimodal {
   /** Frame-sampling stub for video payloads: selects deterministic byte
     * offsets standing in for frame indices (a real implementation would
     * demux containers; the SAMPLING geometry — every k-th frame, capped —
-    * is the part that matters for pipeline shape). */
-  def sampleFrameOffsets(nBytes: Column, everyK: Int, maxFrames: Int): Column =
-    slice(sequence(lit(0L), greatest(nBytes - 1, lit(0L)), lit(everyK.toLong)),
-      1, maxFrames)
+    * is the part that matters for pipeline shape). An EMPTY payload
+    * samples zero frames (a phantom offset-0 frame would send a decoder
+    * out of range), and the stop bound is pre-capped at
+    * everyK·(maxFrames−1) so the plan allocates at most `maxFrames`
+    * elements per row instead of materializing the full stride sequence
+    * of a large payload and slicing it. */
+  def sampleFrameOffsets(nBytes: Column, everyK: Int, maxFrames: Int): Column = {
+    require(everyK > 0 && maxFrames > 0,
+      s"everyK=$everyK and maxFrames=$maxFrames must be positive")
+    when(nBytes > 0,
+      sequence(lit(0L),
+        least(nBytes - lit(1L), lit(everyK.toLong * (maxFrames - 1))),
+        lit(everyK.toLong)))
+      .otherwise(typedLit(Seq.empty[Long]))
+  }
 
   /** Resize GEOMETRY for image payloads: aspect-preserving target
     * dimensions with the long side capped at `maxDim`, half-up rounded,

@@ -80,13 +80,7 @@ object Tokenize {
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
                topWords: Int = 50000): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
-    val words = df.select(
-        explode(Dedup.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w"))
-      .limit(topWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words = cappedWordCounts(df, textCol, topWords)
     var syms: Array[(Array[String], Long)] =
       words.map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
     val merges = ArrayBuffer[(String, String)]()
@@ -182,6 +176,58 @@ object Tokenize {
     df.withColumn(out, enc(col(textCol)))
   }
 
+  /** The capped distinct-word count table every tokenizer trainer here
+    * starts from: ONE distributed pass over the normalized corpus to
+    * (word, count), kept to the `topWords` most frequent (count desc,
+    * word asc) — web-scale corpora have unbounded tail vocab. Shared by
+    * [[bpeTrain]], [[corpusVocab]], and [[unigramVocab]] so the
+    * normalization/tie-break contract their oracles replay has ONE
+    * definition. */
+  private[operators] def cappedWordCounts(df: DataFrame, textCol: String,
+                                          topWords: Int)
+      : Array[(String, Long)] =
+    df.select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Binary UTF-8 byte order — the collation BOTH engines use for the
+    * distributed sorts (Spark's UTF8String compare, DuckDB's default),
+    * unlike Java's UTF-16 code-unit `String` ordering, which ranks
+    * supplementary-plane characters differently. Driver-side tie-break
+    * sorts must use this to match their SQL renditions. */
+  private val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8")
+      val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** The string's Unicode code points, each as its own String — the
+    * character unit DuckDB's `substring`/`length` (and Spark SQL's,
+    * via UTF8String) count, unlike Java's UTF-16 `String.substring`,
+    * which would split a supplementary-plane character into surrogate
+    * halves and silently diverge from the SQL oracle. */
+  private def codePoints(s: String): Array[String] = {
+    val out = ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
   /** Unigram-LM vocabulary with quantized log-probabilities (the
     * SentencePiece model family, Kudo 2018 §3 — simplified to a
     * frequency-derived piece distribution instead of EM, which keeps
@@ -198,30 +244,31 @@ object Tokenize {
     *    quantized at 2⁻²⁰ — ln is not correctly rounded cross-engine,
     *    the quantum absorbs that (the m06 convention).
     *
-    * Scale shape: ONE distributed word-count pass (the same capped
-    * table BPE training uses) + one bounded distinct-char pass; the
-    * substring loop runs driver-side over ≤ topWords rows. */
+    * Characters mean Unicode CODE POINTS throughout (the distributed
+    * char pass uses SQL `substring`, the driver loop [[codePoints]]),
+    * matching the oracle's semantics for any input, surrogate pairs
+    * included. Scale shape: ONE distributed word-count pass (the same
+    * capped table BPE training uses) + one bounded distinct-char pass;
+    * the substring loop runs driver-side over ≤ topWords rows. */
   def unigramVocab(df: DataFrame, textCol: String, topWords: Int = 50000,
                    topPieces: Int = 400, maxLen: Int = 4)
       : Map[String, Double] = {
-    val toks = df.select(
-      explode(Dedup.tokens(col(textCol))).as("w")).filter(col("w") =!= "")
-    val words = toks.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w"))
-      .limit(topWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val chars = toks
-      .select(explode(split(col("w"), "")).as("c"))
-      .filter(col("c") =!= "")
+    val words = cappedWordCounts(df, textCol, topWords)
+    val chars = df.select(
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("ci"))
+      .select(expr("substring(w, ci, 1)").as("c"))
       .distinct()
       .collect().map(_.getString(0))
     val cnt = scala.collection.mutable.Map[String, Long]()
     words.foreach { case (w, n) =>
+      val cps = codePoints(w)
       var i = 0
-      while (i < w.length) {
+      while (i < cps.length) {
         var l = 1
-        while (l <= maxLen && i + l <= w.length) {
-          val p = w.substring(i, i + l)
+        while (l <= maxLen && i + l <= cps.length) {
+          val p = cps.slice(i, i + l).mkString
           cnt(p) = cnt.getOrElse(p, 0L) + n
           l += 1
         }
@@ -229,8 +276,9 @@ object Tokenize {
       }
     }
     val multi = cnt.toSeq
-      .filter(_._1.length > 1)
-      .sortBy { case (p, n) => (-n, p) }
+      .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+      .sortBy { case (p, n) => (-n, p) }(
+        Ordering.Tuple2(Ordering.Long, utf8Ordering))
       .take(topPieces)
     val singles = chars.map(c => c -> cnt.getOrElse(c, 1L))
     val vocab = (singles ++ multi).toMap
@@ -250,11 +298,16 @@ object Tokenize {
     * FEWER pieces, then SHORTER final piece — a total order, so the
     * same DP replays in any engine computing the same doubles (scores
     * accumulate left-to-right along the chosen path; logp values are
-    * pre-quantized). Full char coverage makes every corpus word
-    * reachable. Returns (nPieces, score). */
+    * pre-quantized). Positions are Unicode CODE POINTS ([[codePoints]])
+    * to match SQL substring semantics. A word the vocab cannot cover
+    * fails LOUDLY — silently returning a sentinel would let a
+    * foreign-corpus vocab poison downstream sums by Int.MaxValue per
+    * word ([[unigramVocab]] over the same corpus guarantees coverage).
+    * Returns (nPieces, score). */
   def unigramWord(word: String, logp: Map[String, Double],
                   maxLen: Int): (Int, Double) = {
-    val L = word.length
+    val cps = codePoints(word)
+    val L = cps.length
     val score = new Array[Double](L + 1)
     val np = new Array[Int](L + 1)
     var i = 1
@@ -264,9 +317,8 @@ object Tokenize {
       var found = false
       var l = 1
       while (l <= maxLen && l <= i) {
-        logp.get(word.substring(i - l, i)).foreach { lp =>
-          // previous state must itself be reachable; with full char
-          // coverage it always is, but keep the guard explicit
+        logp.get(cps.slice(i - l, i).mkString).foreach { lp =>
+          // previous position must itself be reachable
           if (!score(i - l).isNegInfinity) {
             val s = score(i - l) + lp
             val n = np(i - l) + 1
@@ -281,6 +333,9 @@ object Tokenize {
       np(i) = if (found) bestN else Int.MaxValue
       i += 1
     }
+    require(L == 0 || !score(L).isNegInfinity,
+      s"word '$word' is not coverable by this vocab — the vocab must " +
+        "come from unigramVocab over the same (or a superset) corpus")
     (np(L), score(L))
   }
 
@@ -308,13 +363,15 @@ object Tokenize {
     * pieces give realistic long matches. Two aggregation jobs. */
   def corpusVocab(df: DataFrame, textCol: String,
                   topWords: Int): Set[String] = {
-    val toks = df.select(
-      explode(Dedup.tokens(col(textCol))).as("w")).filter(col("w") =!= "")
-    val words = toks.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w"))
-      .limit(topWords)
-      .collect().map(_.getString(0))
-    val chars = toks
+    val words = cappedWordCounts(df, textCol, topWords).map(_._1)
+    // split-by-"" (UTF-16 units) on purpose: wordpieceWord/bpeWord tile
+    // with Java substring, and the t19/t20 oracles' string_split('')
+    // replay that contract on the BMP fixtures — changing only this
+    // side would break the pair. unigramVocab is the codepoint-correct
+    // rendition.
+    val chars = df.select(
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
       .select(explode(split(col("w"), "")).as("c"))
       .filter(col("c") =!= "")
       .distinct()

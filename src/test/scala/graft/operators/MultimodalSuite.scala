@@ -47,10 +47,17 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
-  test("frame-offset sampling: every k-th offset, capped") {
-    val r = spark.range(1).select(Multimodal.sampleFrameOffsets(
-      lit(100L), everyK = 10, maxFrames = 5).as("o")).as[Seq[Long]].head()
-    assert(r === Seq(0L, 10L, 20L, 30L, 40L))
+  test("frame-offset sampling: every k-th offset, capped, zero frames " +
+      "for empty payloads, bounded allocation") {
+    def offs(n: Long) = spark.range(1).select(Multimodal.sampleFrameOffsets(
+      lit(n), everyK = 10, maxFrames = 5).as("o")).as[Seq[Long]].head()
+    assert(offs(100L) === Seq(0L, 10L, 20L, 30L, 40L))
+    assert(offs(35L) === Seq(0L, 10L, 20L, 30L))
+    assert(offs(1L) === Seq(0L))
+    assert(offs(0L) === Seq.empty) // no phantom frame in a 0-byte payload
+    // a huge payload still gets exactly maxFrames offsets (the stop is
+    // pre-capped — the sequence never materializes n/k elements)
+    assert(offs(1000000L) === Seq(0L, 10L, 20L, 30L, 40L))
   }
 
   test("resize plan: caps the long side, preserves aspect, never " +

@@ -129,6 +129,26 @@ class TokenizeSuite extends SparkSpec {
     }
   }
 
+  test("unigramWord: code-point semantics (surrogate pairs are one " +
+      "char) and loud failure on an uncoverable word") {
+    // a supplementary-plane char must be ONE piece, not two surrogate
+    // halves — the SQL oracle's substring counts code points
+    val emoji = new String(Character.toChars(0x1F600))
+    val v = Map(emoji -> -1.0, "a" -> -2.0, "a" + emoji -> -2.5)
+    assert(Tokenize.unigramWord(emoji, v, 4) === ((1, -1.0)))
+    assert(Tokenize.unigramWord("a" + emoji, v, 4) === ((1, -2.5)))
+    // and vocab built from an emoji corpus covers it as one char
+    val docs = Seq((1L, s"a$emoji b")).toDF("doc_id", "text")
+    val uv = Tokenize.unigramVocab(docs, "text", topWords = 10,
+      topPieces = 5, maxLen = 4)
+    assert(uv.contains(emoji))
+    // a word outside the vocab's char set fails loudly, not with a
+    // sentinel that poisons downstream sums
+    intercept[IllegalArgumentException] {
+      Tokenize.unigramWord("zzz", Map("a" -> -1.0), 4)
+    }
+  }
+
   test("unigramWord equals brute-force enumeration of every " +
       "segmentation on random small words") {
     // the DP's per-position tie-break picks A path; the graded outputs

@@ -399,6 +399,73 @@ object Graphs {
     dist
   }
 
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007) over an undirected graph, graded as a
+    * community census. Every node starts labeled with its own id; each
+    * round, every node adopts the label most frequent among its
+    * neighbors, ties broken toward the SMALLEST label — with a fixed
+    * round count that argmax is a total order, so the assignment is
+    * deterministic all-integer arithmetic and the census hash-matches
+    * any engine replaying the same rounds (the a24/a29 discipline; the
+    * known synchronous-LPA oscillation on bipartite graphs is
+    * acceptable for a fixed-round fixture and disappears under the
+    * async variants production schedulers use).
+    *
+    * Scale shape: each round is one edge ⋈ label join (src-keyed, the
+    * layout AQE reuses across rounds), one partial-aggregable
+    * (dst, lbl) count, and one per-dst argmax window — all shuffles
+    * keyed by node id, never materializing more than the (node,
+    * neighbor-label) distinct pairs. Rounds are materialized and
+    * re-wrapped ([[rewrapPersisted]]) so the plan stays one round deep;
+    * the k largest communities (k rows — driver-sized by contract) are
+    * collected and every cache dropped.
+    * Returns (community, n_members, min_id, max_id), largest first,
+    * label tie-break. */
+  def labelPropCensus(edges: DataFrame, iters: Int, k: Int,
+                      symmetrizeInput: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    val input =
+      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
+      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val full = if (symmetrizeInput) symmetrize(input) else input
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    try {
+      input.count()
+      // symmetrized contract: every node appears as a source, so the
+      // source set IS the node list — and every node has neighbors, so
+      // the inner join below re-labels every node each round
+      var lbl = full.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      val win = Window.partitionBy("dst").orderBy(desc("__n"), col("lbl"))
+      for (_ <- 1 to iters) {
+        val (next, rdd) = rewrapPersisted(
+          full.join(lbl.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__n"))
+            .withColumn("__rk", row_number().over(win))
+            .filter(col("__rk") === 1)
+            .select(col("dst").as("id"), col("lbl")))
+        lbl = next
+        lbl.count()
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+      }
+      val census = lbl.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min("id").as("min_id"),
+          max("id").as("max_id"))
+        .orderBy(desc("n_members"), col("community"))
+        .limit(k)
+      val rows = census.collect()
+      census.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), census.schema)
+    } finally {
+      input.unpersist(blocking = false)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    }
+  }
+
   /** Eager BFS census: [[bfsHops]] semantics with the production
     * resource shape — edges persisted once (`symmetrizeInput = true`
     * persists the DIRECTED list and unions in-cache, exactly as in

@@ -166,6 +166,29 @@ class GraphsSuite extends SparkSpec {
     assert(zero === Map(1L -> 0))
   }
 
+  test("labelPropCensus: barbell graph converges to its two triangles") {
+    // triangle {1,2,3} — bridge 3—4 — triangle {4,5,6}; hand-unrolled
+    // synchronous rounds with the (count DESC, label) argmax settle on
+    // labels 1 and 3 for the two communities after 3 rounds
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val got = Graphs.labelPropCensus(edges, iters = 3, k = 10,
+      symmetrizeInput = true).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 1L, 3L), (3L, 3L, 4L, 6L)))
+  }
+
+  test("labelPropCensus is invariant under repartitioning (integer " +
+      "argmax, total tie order)") {
+    val edges = Graphs.symmetrize(
+      spark.range(200).select((col("id") % 23).as("src"),
+        ((col("id") * 7 + 2) % 23).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    val a = Graphs.labelPropCensus(edges, iters = 3, k = 25).collect().toSeq
+    val b = Graphs.labelPropCensus(edges.repartition(7), iters = 3, k = 25)
+      .collect().toSeq
+    assert(a === b)
+  }
+
   test("pageRankTopK leaves no new cache entries (async unpersist drains)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Graphs.symmetrize(

@@ -257,6 +257,54 @@ object AnnQueries {
       k, dotExactF)
   }
 
+  /** Similarity-threshold calibration: the pre-dedup step that picks a
+    * near-duplicate cosine cutoff EMPIRICALLY instead of by folklore —
+    * bucket the corpus (portable LSH, the e20 family), score every
+    * colliding pair once with the exact-decimal cosine, and histogram
+    * the similarities into `nBins` equal bins over [−1, 1]. Each output
+    * row carries the bin, its pair count, and the DESCENDING cumulative
+    * count — "a threshold at this bin's lower edge merges cum_pairs
+    * candidate pairs", read straight off the curve (SemDeDup, Abbas
+    * 2023 §4, tunes its threshold from exactly this distribution).
+    *
+    * Scale shape: candidates via band equi-joins (never all-pairs), the
+    * pair-dedup shuffle carries two longs, norms are once-per-row
+    * behind the projection barrier, and the result is nBins rows — the
+    * single-partition cumulative window is driver-sized by contract.
+    * In production the input is a uniform SAMPLE of the corpus (the
+    * curve is a distribution estimate; g04 provides the exact-n
+    * sampler); the graded fixture calibrates on the full table.
+    * Returns (bin, n_pairs, cum_pairs), highest-similarity bin first. */
+  def simThresholdCalibration(emb: DataFrame, dim: Int, bits: Int,
+                              tables: Int, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2, s"nBins=$nBins must be >= 2")
+    val b = lshBucketsPortable(emb, "vec_id", "embedding", dim, bits, tables)
+    val pairs = b.select(col("table"), col("bucket"), col("id").as("qid"))
+      .join(b.select(col("table"), col("bucket"), col("id").as("cid")),
+        Seq("table", "bucket"))
+      .filter(col("qid") < col("cid"))
+      .select("qid", "cid").distinct()
+    val qv = perRow(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
+    val cv = perRow(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      sqrt(dotExactF(col("ce"), col("ce"))), "nc")
+    // bin from the DOUBLE cosine (bit-identical across engines: exact-
+    // decimal dot, correctly-rounded sqrt/divide); the least/greatest
+    // clamp absorbs the |cos| ≤ 1 + ulp rounding overshoot
+    val cosD = dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc"))
+    val binned = pairs.join(qv, Seq("qid")).join(cv, Seq("cid"))
+      .select(greatest(least(
+        floor((cosD + lit(1.0)) * lit(nBins / 2.0)), lit(nBins - 1)),
+        lit(0)).cast("int").as("bin"))
+    binned.groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs",
+        sum("n_pairs").over(Window.orderBy(desc("bin"))))
+      .orderBy(desc("bin"))
+  }
+
   /** Portable spherical k-means, one Lloyd refinement round, graded as
     * a per-cluster summary: seed nCells centroids from
     * [[portableUnit]]("km:c:j"), assign every vector to its argmax
@@ -985,6 +1033,71 @@ object AnnQueries {
                SELECT vec_id, j,
                       ${graft.util.Tables.sqlDsum("v * sg")} / sqrt(16.0)
                         AS out
-               FROM sgn GROUP BY vec_id, j ORDER BY vec_id, j"""))
+               FROM sgn GROUP BY vec_id, j ORDER BY vec_id, j""")),
+
+    // ---- E24 similarity-threshold calibration (full hash oracle) ------
+    // The dedup-threshold tuning curve: portable-LSH candidate pairs
+    // over the whole table (qid < cid, once each), exact-decimal
+    // cosine, 20-bin histogram over [-1, 1] with descending cumulative
+    // counts. Same pl/dots/sigs pipeline as the e20 oracle, un-filtered.
+    Q("e24_sim_calibration",
+      (s, d) => simThresholdCalibration(load(s, d, "embeddings"),
+        dim = 64, bits = 6, tables = 8, nBins = 20),
+      Some {
+        s"""WITH pl AS (SELECT t, b, sj,
+                   $sqlPortableUnit
+                     AS v
+                 FROM (SELECT t, b, sj,
+                         md5(CAST(t AS VARCHAR) || ':' ||
+                             CAST(b AS VARCHAR) || ':' ||
+                             CAST(sj AS VARCHAR)) AS hx
+                       FROM generate_series(0, 7) tt(t),
+                            generate_series(0, 5) bb(b),
+                            generate_series(0, 63) jj(sj))),
+             dots AS (SELECT e.vec_id AS vid, p.t, p.b,
+                        CAST(sum(CAST(CAST(e.embedding[p.sj + 1] AS DOUBLE)
+                                      * p.v AS DECIMAL(38,18))) AS DOUBLE)
+                          AS s
+                      FROM embeddings e, pl p
+                      GROUP BY e.vec_id, p.t, p.b),
+             sigs AS (SELECT vid, t,
+                        CAST(sum(CASE WHEN s > 0
+                                      THEN CAST(1 AS BIGINT) << b
+                                      ELSE 0 END) AS BIGINT) AS bucket
+                      FROM dots GROUP BY vid, t),
+             prs AS (SELECT DISTINCT a.vid AS qid, c.vid AS cid
+                     FROM sigs a JOIN sigs c
+                       ON a.t = c.t AND a.bucket = c.bucket
+                     WHERE a.vid < c.vid),
+             el AS (SELECT p.qid, p.cid,
+                      CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                           CAST(cv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pd,
+                      CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                           CAST(qv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pq,
+                      CAST(CAST(cv.embedding[i] AS DOUBLE) *
+                           CAST(cv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pc
+                    FROM prs p
+                    JOIN embeddings qv ON qv.vec_id = p.qid
+                    JOIN embeddings cv ON cv.vec_id = p.cid,
+                         generate_series(1, 64) AS g(i)),
+             d2 AS (SELECT qid, cid,
+                      CAST(sum(pd) AS DOUBLE) AS dot,
+                      CAST(sum(pq) AS DOUBLE) AS nq,
+                      CAST(sum(pc) AS DOUBLE) AS nc
+                    FROM el GROUP BY qid, cid),
+             binned AS (SELECT CAST(greatest(least(
+                          floor((dot / (sqrt(nq) * sqrt(nc)) + 1.0) * 10.0),
+                          19.0), 0.0) AS INT) AS bin
+                        FROM d2),
+             hist AS (SELECT bin, count(*) AS n_pairs
+                      FROM binned GROUP BY bin)
+             SELECT bin, n_pairs,
+                    CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT)
+                      AS cum_pairs
+             FROM hist ORDER BY bin DESC"""
+      })
   )
 }

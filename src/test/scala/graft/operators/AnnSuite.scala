@@ -808,4 +808,29 @@ class AnnSuite extends SparkSpec {
     assert(got.map(_._5).toSet === Set(7.5, -7.5))
     assert(got === run())                    // seeded → bit-exact rerun
   }
+
+  test("simThresholdCalibration: identical-direction pairs land in the " +
+      "top bin, the cumulative curve is consistent, reruns bit-exact") {
+    // vectors 0,1 identical and 2 a positive scaling (cos = 1 for all
+    // three pairs; sign bits identical, so they collide in every
+    // table); 3 points elsewhere — whatever pairs it forms, the
+    // invariants below hold
+    val u = Array.tabulate(8)(i => (if (i % 3 == 0) 0.7f else -0.4f))
+    val rows = Seq(
+      (0L, u.toSeq), (1L, u.toSeq), (2L, u.map(_ * 2.0f).toSeq),
+      (3L, Array.tabulate(8)(i => (i - 3.5).toFloat).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    def run() = graft.queries.AnnQueries
+      .simThresholdCalibration(df, dim = 8, bits = 4, tables = 4,
+        nBins = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run()
+    // the three cos = 1 pairs are in bin 19 (clamped top bin)
+    assert(got.head._1 === 19 && got.head._2 >= 3L)
+    // rows are bin-descending; cumulative = running sum of n_pairs
+    assert(got.map(_._1) === got.map(_._1).sorted.reverse)
+    assert(got.map(_._3) === got.map(_._2).scanLeft(0L)(_ + _).tail)
+    assert(got === run()) // portable hashes -> bit-exact rerun
+  }
 }

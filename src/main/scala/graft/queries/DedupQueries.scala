@@ -227,7 +227,8 @@ object DedupQueries {
     // at sf0.1). AnnSuite pins the equality; the DuckDB oracle below
     // re-checks it all-pairs at the graded SF.
     Q("e02_embed_neardup",
-      (s, d) => Ann.nearDupLsh(load(s, d, "embeddings"),
+      (s, d) => Ann.nearDupLsh(
+          AnnQueries.spreadForExpr(load(s, d, "embeddings")),
           "vec_id", "embedding", dim = 64, threshold = 0.45,
           bits = 6, tables = 64, scorer = AnnQueries.cosineExact)
         .orderBy("id_a", "id_b"),

@@ -394,6 +394,147 @@ object AnnQueries {
     } finally base.unpersist(blocking = false)
   }
 
+  /** Symmetric int8 scalar quantization (SQ8) + exhaustive integer-dot
+    * MIPS top-k — the cheapest production vector-compression family
+    * (Faiss's ScalarQuantizer; Guo et al. 2020 §2 survey the
+    * quantized-MIPS setting): ONE trained statistic (the corpus
+    * max-|x|, exact under float abs/max — no arithmetic, so every
+    * engine computes the identical value), a single global scale
+    * s = maxAbs/127 (one correctly-rounded double divide), every
+    * vector encoded scan-side to dim ints in [-127, 127], and every
+    * (query, candidate) pair scored as the INTEGER code dot. With one
+    * global scale the reconstruction inner product is s²·(code dot),
+    * so integer ranking IS reconstruction-MIPS ranking — and the whole
+    * pipeline (train, encode, score, rank) is exact integer/IEEE
+    * arithmetic in any engine: the only e-family member whose oracle
+    * needs no decimal machinery at all.
+    *
+    * Scale shape: training is one partial-aggregable max (a scalar to
+    * the driver — the k×k Gram convention); encoding is a shuffle-free
+    * scan-side transform (1 B/dim vs 4 B of float, int8 multiply-adds
+    * SIMD-vectorize); the exhaustive scan is the declared e22 ADC
+    * shape (broadcast queries, linear in the corpus). At production
+    * scale the same encode composes with the e21 IVF cell join for
+    * sublinear candidate generation — SQ8-in-IVF is the standard
+    * billion-vector layout. */
+  def sq8MipsTopK(queries: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxAbs = cand
+      .agg(max(array_max(transform(col("embedding"), x => abs(x)))))
+      .head.getFloat(0)
+    require(maxAbs > 0f, s"sq8MipsTopK: corpus max|x| = $maxAbs")
+    // float→double cast is exact; the divide is one correctly-rounded
+    // IEEE op — the oracle recomputes the identical value in SQL
+    val s = maxAbs.toDouble / 127.0
+    // round-half-up as floor(v + 0.5): floor is exact and unambiguous
+    // cross-engine (`round` tie conventions are not); the clamp can
+    // never fire (|x|/s ≤ 127 + ulp) but states the int8 contract
+    def code(c: Column): Column = transform(c, x =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x.cast("double") / lit(s) + lit(0.5)))).cast("int"))
+    val q = broadcast(queries
+      .select(col("vec_id").as("qid"), code(col("embedding")).as("qcode")))
+    val c = spreadForExpr(cand)
+      .select(col("vec_id").as("cid"), code(col("embedding")).as("ccode"))
+    val pairs = q.crossJoin(c).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(
+          zip_with(col("qcode"), col("ccode"), (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("idot"))
+    val win = Window.partitionBy("qid").orderBy(desc("idot"), col("cid"))
+    pairs.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .orderBy("qid", "rk")
+  }
+
+  /** Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    * diversified top-k: pull each query's exact top-`poolK` pool (the
+    * e01 machinery), then greedily select `k` members maximizing
+    * λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s), ties to the lower cid —
+    * the retrieval-diversification step an LLM pipeline uses for
+    * few-shot example selection and dedup-aware context packing.
+    *
+    * Float parity: pool and pair cosines are the e01 float-cast
+    * exact-decimal cosine; the MMR score combines them in doubles
+    * (each op correctly rounded, so any engine computes the same
+    * value). λ and 1−λ arrive as SEPARATE literals because
+    * 1.0 − 0.7 ≠ 0.7's decimal complement in binary — the caller pins
+    * both sides of the split and the oracle embeds the same decimal
+    * strings.
+    *
+    * Scale shape: the pool is a top-k candidate generation problem
+    * (brute-force here at |Q| = 10; e20/e21's bucketed generation at
+    * production |Q|), after which ALL state is |Q|-bounded: the pool
+    * (|Q|·poolK rows), the pair-sim frame (|Q|·poolK² rows), and the
+    * selection (≤ |Q|·k rows, collected per round — the k×k Gram
+    * convention). Each greedy round is one distributed
+    * join + window argmax over those bounded frames. */
+  def mmrDiverseTopK(queries: DataFrame, cand: DataFrame, k: Int,
+                     poolK: Int, lam: Double, omLam: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = queries.sparkSession
+    val pool = bruteForceTopK(queries, cand, poolK)
+      .select(col("qid"), col("cid"), col("cos").as("qc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      pool.count()
+      val ev = cand.select(col("vec_id"), col("embedding"))
+      // pairwise pool cosines, both directions (s is symmetric but the
+      // lookup below is by the candidate side)
+      val psim = pool.select(col("qid"), col("cid").as("a"))
+        .join(pool.select(col("qid"), col("cid").as("b")), Seq("qid"))
+        .filter(col("a") =!= col("b"))
+        .join(ev.select(col("vec_id").as("a"), col("embedding").as("ea")),
+          Seq("a"))
+        .join(ev.select(col("vec_id").as("b"), col("embedding").as("eb")),
+          Seq("b"))
+        .select(col("qid"), col("a"), col("b"),
+          cosineExact(col("ea"), col("eb")).cast("double").as("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        psim.count()
+        val win = Window.partitionBy("qid").orderBy(desc("mmrd"), col("cid"))
+        // (qid, cid, pick, mmr-as-double) — ≤ |Q|·k scalars
+        var sel = Vector.empty[(Long, Long, Int, Double)]
+        for (t <- 1 to k) {
+          val base =
+            if (sel.isEmpty)
+              pool.withColumn("ms", lit(null).cast("double"))
+            else {
+              import spark.implicits._
+              val selDf = sel.toDF("qid", "cid", "pick", "md")
+              val ms = psim
+                .join(broadcast(selDf.select(col("qid"), col("cid").as("b"))),
+                  Seq("qid", "b"))
+                .groupBy("qid", "a")
+                .agg(max(col("s")).as("ms"))
+                .withColumnRenamed("a", "cid")
+              pool
+                .join(broadcast(selDf.select("qid", "cid")),
+                  Seq("qid", "cid"), "left_anti")
+                .join(ms, Seq("qid", "cid"), "left")
+            }
+          val picked = base
+            .withColumn("mmrd",
+              lit(lam) * col("qc").cast("double") -
+                lit(omLam) * coalesce(col("ms"), lit(0.0)))
+            .withColumn("rr", row_number().over(win))
+            .filter(col("rr") === 1)
+            .select("qid", "cid", "mmrd")
+            .collect()
+          sel = sel ++ picked.map(r =>
+            (r.getLong(0), r.getLong(1), t, r.getDouble(2)))
+        }
+        import spark.implicits._
+        sel.toDF("qid", "cid", "pick", "md")
+          .select(col("qid"), col("cid"), col("pick"),
+            col("md").cast("float").as("mmr"))
+          .orderBy("qid", "pick")
+      } finally psim.unpersist(blocking = false)
+    } finally pool.unpersist(blocking = false)
+  }
+
   /** Self-validating recall columns for the approximate top-k queries
     * (e03/e04): compute the EXACT top-k of the same queries (broadcast
     * cross join + codegen'd double cosine — O(|Q|·n) with |Q| = 10, far
@@ -1136,6 +1277,148 @@ object AnnQueries {
                     CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT)
                       AS cum_pairs
              FROM hist ORDER BY bin DESC"""
-      })
+      }),
+
+    // ---- E25 SQ8 integer-dot MIPS top-k (full hash oracle) ------------
+    // Scalar quantization joins the compression family (e22 is vector
+    // quantization): train = one exact float max, encode = int8 codes
+    // from ONE global scale, score = pure INTEGER dots — with a global
+    // scale, integer ranking equals reconstruction-MIPS ranking, and
+    // the oracle is exact integer arithmetic end to end (the only
+    // e-family oracle with no decimal accumulators).
+    Q("e25_sq8_mips_topk",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        sq8MipsTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      },
+      Some("""WITH sc AS (SELECT CAST(max(list_aggregate(
+                            list_transform(embedding, x -> abs(x)), 'max'))
+                            AS DOUBLE) / CAST(127 AS DOUBLE) AS s
+                          FROM embeddings),
+                   codes AS (SELECT vec_id, i,
+                               GREATEST(CAST(-127 AS BIGINT),
+                                 LEAST(CAST(127 AS BIGINT),
+                                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                     / (SELECT s FROM sc) + 0.5) AS BIGINT)))
+                                 AS qd
+                             FROM embeddings, generate_series(1, 64) g(i)),
+                   dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                              CAST(sum(q.qd * c.qd) AS BIGINT) AS idot
+                            FROM codes q JOIN codes c USING (i)
+                            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+                            GROUP BY q.vec_id, c.vec_id),
+                   ranked AS (SELECT qid, cid, idot,
+                                CAST(row_number() OVER
+                                  (PARTITION BY qid
+                                   ORDER BY idot DESC, cid) AS INT) AS rk
+                              FROM dots)
+              SELECT qid, cid, idot, rk FROM ranked WHERE rk <= 5
+              ORDER BY qid, rk""")),
+
+    // ---- E26 MMR diversified top-k (full hash oracle) -----------------
+    // Greedy Maximal Marginal Relevance over the exact top-12 pool:
+    // λ = 0.7 relevance vs 0.3 redundancy (both pinned as decimal
+    // literals — 1 − 0.7 is NOT binary-0.3), ties to the lower cid.
+    // The oracle replays the greedy loop as a recursive CTE whose rows
+    // carry the selected-set LIST; the max-redundancy term is a pure
+    // list lambda over the pool-pair sim lists (the t23 pattern: no
+    // aggregates over the recursive reference).
+    Q("e26_mmr_diverse",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        mmrDiverseTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+          poolK = 12, lam = 0.7, omLam = 0.3)
+      },
+      Some("""WITH RECURSIVE
+                   el AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                            CAST(CAST(q.embedding[i] AS DOUBLE) *
+                                 CAST(c.embedding[i] AS DOUBLE)
+                                 AS DECIMAL(38,18)) AS pd,
+                            CAST(CAST(q.embedding[i] AS DOUBLE) *
+                                 CAST(q.embedding[i] AS DOUBLE)
+                                 AS DECIMAL(38,18)) AS pq,
+                            CAST(CAST(c.embedding[i] AS DOUBLE) *
+                                 CAST(c.embedding[i] AS DOUBLE)
+                                 AS DECIMAL(38,18)) AS pc
+                          FROM embeddings q CROSS JOIN embeddings c,
+                               generate_series(1, 64) AS t(i)
+                          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+                   sims AS (SELECT qid, cid,
+                              CAST(CAST(sum(pd) AS DOUBLE) /
+                                   (sqrt(CAST(sum(pq) AS DOUBLE)) *
+                                    sqrt(CAST(sum(pc) AS DOUBLE)))
+                                   AS FLOAT) AS cos
+                            FROM el GROUP BY qid, cid),
+                   pool AS (SELECT qid, cid, cos AS qc FROM
+                              (SELECT qid, cid, cos,
+                                 row_number() OVER
+                                   (PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rk
+                               FROM sims)
+                            WHERE rk <= 12),
+                   pp AS (SELECT p1.qid, p1.cid AS a, p2.cid AS b
+                          FROM pool p1 JOIN pool p2 USING (qid)
+                          WHERE p1.cid <> p2.cid),
+                   el2 AS (SELECT pp.qid, pp.a, pp.b,
+                             CAST(CAST(va.embedding[i] AS DOUBLE) *
+                                  CAST(vb.embedding[i] AS DOUBLE)
+                                  AS DECIMAL(38,18)) AS pd,
+                             CAST(CAST(va.embedding[i] AS DOUBLE) *
+                                  CAST(va.embedding[i] AS DOUBLE)
+                                  AS DECIMAL(38,18)) AS pa,
+                             CAST(CAST(vb.embedding[i] AS DOUBLE) *
+                                  CAST(vb.embedding[i] AS DOUBLE)
+                                  AS DECIMAL(38,18)) AS pb
+                           FROM pp
+                           JOIN embeddings va ON va.vec_id = pp.a
+                           JOIN embeddings vb ON vb.vec_id = pp.b,
+                                generate_series(1, 64) AS g(i)),
+                   ps AS (SELECT qid, a, b,
+                            CAST(CAST(CAST(sum(pd) AS DOUBLE) /
+                                 (sqrt(CAST(sum(pa) AS DOUBLE)) *
+                                  sqrt(CAST(sum(pb) AS DOUBLE)))
+                                 AS FLOAT) AS DOUBLE) AS sv
+                          FROM el2 GROUP BY qid, a, b),
+                   wl AS (SELECT qid, a AS cid,
+                            list(struct_pack(b := b, s := sv)) AS ws
+                          FROM ps GROUP BY qid, a),
+                   rec(qid, pick, cid, md, sel) AS (
+                     SELECT qid, 1, cid, md, [cid] FROM
+                       (SELECT qid, cid, md,
+                          row_number() OVER
+                            (PARTITION BY qid ORDER BY md DESC, cid) AS rr
+                        FROM (SELECT qid, cid,
+                                CAST('0.7' AS DOUBLE) * CAST(qc AS DOUBLE)
+                                  - CAST('0.3' AS DOUBLE) *
+                                    CAST(0.0 AS DOUBLE) AS md
+                              FROM pool))
+                     WHERE rr = 1
+                     UNION ALL
+                     SELECT qid, pick + 1, cid, md, list_append(sel, cid)
+                     FROM (
+                       SELECT qid, pick, cid, md, sel,
+                              row_number() OVER
+                                (PARTITION BY qid
+                                 ORDER BY md DESC, cid) AS rr
+                       FROM (
+                         SELECT r.qid, r.pick, c.cid,
+                                CAST('0.7' AS DOUBLE) *
+                                  CAST(c.qc AS DOUBLE)
+                                - CAST('0.3' AS DOUBLE) * coalesce(
+                                    list_max(list_transform(
+                                      list_filter(w.ws,
+                                        x -> list_contains(r.sel, x.b)),
+                                      x -> x.s)),
+                                    CAST(0.0 AS DOUBLE)) AS md,
+                                r.sel
+                         FROM (SELECT * FROM rec WHERE pick < 5) r
+                         JOIN pool c ON c.qid = r.qid
+                           AND NOT list_contains(r.sel, c.cid)
+                         LEFT JOIN wl w ON w.qid = r.qid
+                           AND w.cid = c.cid))
+                     WHERE rr = 1)
+              SELECT qid, cid, CAST(pick AS INT) AS pick,
+                     CAST(md AS FLOAT) AS mmr
+              FROM rec ORDER BY qid, pick"""))
   )
 }

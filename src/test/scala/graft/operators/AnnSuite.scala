@@ -833,4 +833,78 @@ class AnnSuite extends SparkSpec {
     assert(got.map(_._3) === got.map(_._2).scanLeft(0L)(_ + _).tail)
     assert(got === run()) // portable hashes -> bit-exact rerun
   }
+
+  test("sq8: codes clamp to int8, reconstruct within s/2, " +
+      "top-k is partition-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val maxAbs = emb.agg(
+        max(array_max(transform(col("embedding"), x => abs(x)))))
+      .head.getFloat(0)
+    val s = maxAbs.toDouble / 127.0
+    val coded = emb.select(col("embedding"),
+        transform(col("embedding"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") / lit(s) + lit(0.5)))).cast("int"))
+          .as("code"))
+      .collect()
+    coded.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val q = r.getSeq[Int](1)
+      v.zip(q).foreach { case (x, c) =>
+        assert(c >= -127 && c <= 127)
+        // round-half-up quantization error bound
+        assert(math.abs(x.toDouble - s * c) <= s / 2 + 1e-12,
+          s"x=$x code=$c s=$s")
+      }
+    }
+    def run(parts: Int) = graft.queries.AnnQueries
+      .sq8MipsTopK(emb.filter(col("vec_id") < 10).repartition(parts),
+        emb.repartition(parts), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(run(1) === run(7))
+  }
+
+  test("mmrDiverseTopK matches an independent in-memory greedy replay") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val (k, poolK, lam, omLam) = (5, 12, 0.7, 0.3)
+    val got = graft.queries.AnnQueries
+      .mmrDiverseTopK(queries, emb, k, poolK, lam, omLam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getFloat(3))).toSeq
+    // reference: collect the SAME cosine primitive's values, then run
+    // the greedy selection in plain Scala — validates the loop's joins,
+    // max-redundancy term, and tie-breaks against a direct replay
+    val pool = graft.queries.AnnQueries.bruteForceTopK(queries, emb, poolK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getFloat(2)))
+    val ids = pool.map(_._2).distinct.toSeq
+    val ev = emb.filter(col("vec_id").isin(ids: _*))
+    val ps = ev.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(ev.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        graft.queries.AnnQueries.cosineExact(col("ea"), col("eb")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getFloat(2))
+      .toMap
+    val want = pool.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      var sel = Vector.empty[(Long, Int, Float)]
+      for (t <- 1 to k) {
+        val cands = rows.filterNot(r => sel.exists(_._1 == r._2))
+        val scored = cands.map { case (_, cid, qc) =>
+          val ms =
+            if (sel.isEmpty) 0.0
+            else sel.map(p => ps((cid, p._1)).toDouble).max
+          (cid, lam * qc.toDouble - omLam * ms)
+        }
+        val (cid, md) = scored.minBy { case (c, m) => (-m, c) }
+        sel = sel :+ ((cid, t, md.toFloat))
+      }
+      sel.map(p => (qid, p._1, p._2, p._3))
+    }
+    assert(got.sorted === want.sorted)
+    // diversification sanity: every query picked k distinct members
+    got.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._2).distinct.length === k))
+  }
 }

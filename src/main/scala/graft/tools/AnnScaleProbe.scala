@@ -179,6 +179,25 @@ object AnnScaleProbe {
       s"residual ivf-pq found $ivfpqRMates of ${nQ * (m - 1)} planted mates")
     ivfpqR.unpersist()
 
+    // ---- SQ8 integer-dot MIPS (e25): compression fidelity at scale ---
+    // Train (one exact max) + scan-side int8 encode are linear; the
+    // exhaustive integer scan is the declared e22/e25 ADC shape, so the
+    // leg runs a 20-query slice (|Q|·n pairs). Planted mates sit at
+    // reconstruction dot ≈ |center|² — far above the ≈0 background —
+    // so int8 quantization must keep them top-k: floor 0.95.
+    val sqQueries = emb.filter(col("vec_id") % (nVecs / 20) === 0)
+    val nSqQ = sqQueries.count()
+    val t6 = System.nanoTime()
+    val sq = graft.queries.AnnQueries.sq8MipsTopK(sqQueries, emb,
+      k = m.toInt).cache()
+    val sqMates = sq.filter((col("qid") / m).cast("long") ===
+      (col("cid") / m).cast("long") && col("qid") =!= col("cid")).count()
+    val tSq = (System.nanoTime() - t6) / 1e9
+    val rSq = sqMates.toDouble / (nSqQ * (m - 1))
+    require(sqMates >= (nSqQ * (m - 1) * 95) / 100,
+      s"sq8 top-k found $sqMates of ${nSqQ * (m - 1)} planted mates")
+    sq.unpersist()
+
     println(f"vecs=$nVecs%,d dim=$dim neardup(${p.getLong(0)}%,d pairs, " +
       f"recall=$recall%.5f)=$tDup%.1fs topk($nQ queries)=$tTopK%.1fs " +
       f"ivf($nQ queries, 16 cells, mate-recall=$rIvf%.3f)=$tIvf%.1fs " +
@@ -187,7 +206,8 @@ object AnnScaleProbe {
       f"pq($nQ queries, m=16 k=256, mate-recall=$rPq%.3f)=$tPq%.1fs " +
       f"ivfpq($nQ queries, $nCellsBig cells, probe=4, m=16, " +
       f"mate-recall=$rIvfPq%.3f)=$tIvfPq%.1fs " +
-      f"ivfpq-residual(mate-recall=$rIvfPqR%.3f)=$tIvfPqR%.1fs")
+      f"ivfpq-residual(mate-recall=$rIvfPqR%.3f)=$tIvfPqR%.1fs " +
+      f"sq8($nSqQ queries, mate-recall=$rSq%.3f)=$tSq%.1fs")
     spark.stop()
   }
 }

@@ -67,7 +67,12 @@ object DumpPlans {
     "e22_ann_pq_portable" -> "portable PQ: fused exact-decimal encode + reconstruction in the candidate scan, exhaustive ADC as a broadcast cross join over bare id pairs re-joined to the reconstructed vectors for scoring",
     "t22_quality_classifier" -> "classifier filter: 3 quantized-IRLS scans with exact-decimal moments, 1-row coefficient frame broadcast into the corpus-wide scoring scan",
     "mm05_frame_sample" -> "frame-sample plan: per-row stride sequence + bounded explode, no shuffle before the presentation sort",
-    "e24_sim_calibration" -> "threshold calibration: band equi-join candidate pairs (never all-pairs), bare-id dedup shuffle, exact-decimal cosine binned to a 20-row histogram + cumulative window")
+    "e24_sim_calibration" -> "threshold calibration: band equi-join candidate pairs (never all-pairs), bare-id dedup shuffle, exact-decimal cosine binned to a 20-row histogram + cumulative window",
+    "e25_sq8_mips_topk" -> "SQ8 MIPS: shuffle-free int8 encode in both scans, broadcast-query exhaustive integer-dot scan, windowed top-k")
+    // (e26 deliberately absent: like m26/e23, its graded frame is the
+    // collected ≤|Q|·k selection; the interesting per-round shape —
+    // pool/pair-sim joins + window argmax — reuses e01's pinned
+    // Generate-barrier cross-join plan plus bounded broadcast joins)
     // (e23 deliberately absent: like m26, its graded frame is a local
     // relation — the interesting assignment/update plans are the e21
     // fused-expression scan and one partial-aggregable explode-groupBy,

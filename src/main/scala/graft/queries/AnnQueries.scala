@@ -473,6 +473,9 @@ object AnnQueries {
                      poolK: Int, lam: Double, omLam: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
+    // a pool smaller than k would silently emit < k picks per query
+    require(poolK >= k && k >= 1,
+      s"mmrDiverseTopK: need poolK ($poolK) >= k ($k) >= 1")
     val spark = queries.sparkSession
     val pool = bruteForceTopK(queries, cand, poolK)
       .select(col("qid"), col("cid"), col("cos").as("qc"))

@@ -57,6 +57,46 @@ object TextQueries {
                      * (CASE WHEN $mtl > 12.0 THEN 0.0 ELSE 1.0 - $mtl / 24.0 END)"""
   }
 
+  // the t13 Stupid-Backoff scoring chain (train on the English
+  // sub-corpus, score every doc, 2⁻²⁰-quantize the average log score),
+  // ending in w = (doc_id, qlp) — shared by t13's ranking and t24's
+  // per-language tercile split so the two cannot silently diverge
+  private val sqlLmQlp =
+    """base AS (SELECT doc_id, lang, string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS l
+               FROM documents),
+              tr_toks AS (SELECT unnest(l) AS tok FROM base
+                          WHERE lang = 'en'),
+              u AS (SELECT tok, count(*) AS c1 FROM tr_toks GROUP BY tok),
+              st AS (SELECT (SELECT sum(c1) FROM u) AS n,
+                            (SELECT count(*) FROM u) AS v),
+              b AS (SELECT l[i-1] AS prev, l[i] AS tok, count(*) AS c2
+                    FROM base, unnest(generate_series(2, len(l))) AS t(i)
+                    WHERE lang = 'en' GROUP BY 1, 2),
+              sc AS (SELECT doc_id, l[i] AS tok,
+                            CASE WHEN i > 1 THEN l[i-1] END AS prev
+                     FROM base, unnest(generate_series(1, len(l))) AS t(i)),
+              j AS (SELECT sc.doc_id, sc.prev, b.c2, up.c1 AS c1p,
+                           ut.c1 AS c1t
+                    FROM sc LEFT JOIN b ON sc.prev = b.prev
+                                       AND sc.tok = b.tok
+                            LEFT JOIN u up ON sc.prev = up.tok
+                            LEFT JOIN u ut ON sc.tok = ut.tok),
+              lp AS (SELECT doc_id, CASE
+                       WHEN c2 IS NOT NULL THEN
+                         ln(CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE))
+                       WHEN prev IS NULL THEN
+                         ln((CAST(coalesce(c1t, 0) AS DOUBLE) + 1.0) /
+                            (CAST(n AS DOUBLE) + CAST(v AS DOUBLE) + 1.0))
+                       ELSE ln(CAST(0.4 AS DOUBLE)) +
+                         ln((CAST(coalesce(c1t, 0) AS DOUBLE) + 1.0) /
+                            (CAST(n AS DOUBLE) + CAST(v AS DOUBLE) + 1.0))
+                       END AS lp
+                     FROM j, st),
+              w AS (SELECT doc_id, CAST(floor(avg(lp) * 1048576.0 + 0.5)
+                                        AS BIGINT) AS qlp
+                    FROM lp GROUP BY doc_id)"""
+
   val qs: Seq[Q] = Seq(
 
     // ---- T1 per-document stats: tokens, ratios, mean token length -----
@@ -555,6 +595,8 @@ object TextQueries {
     // double sums are merge-order-nondeterministic at the ulp level, so
     // the graded output carries the 2⁻²⁰-quantized average (≫ ulp
     // noise, ≪ inter-doc gaps) — verified hash-exact at all three SFs.
+    // The scoring CTE chain (train + score + quantize, ending in
+    // w = (doc_id, qlp)) is shared verbatim with t24's tercile split.
     Q("t13_ngram_logprob_rank",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -572,46 +614,58 @@ object TextQueries {
             Window.partitionBy(lit(1))
               .orderBy(desc("qlp"), col("doc_id"))).as("r"))
       },
-      Some("""WITH base AS (SELECT doc_id, lang, string_split(lower(trim(
-                   regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS l
-               FROM documents),
-              tr_toks AS (SELECT unnest(l) AS tok FROM base
-                          WHERE lang = 'en'),
-              u AS (SELECT tok, count(*) AS c1 FROM tr_toks GROUP BY tok),
-              st AS (SELECT (SELECT sum(c1) FROM u) AS n,
-                            (SELECT count(*) FROM u) AS v),
-              b AS (SELECT l[i-1] AS prev, l[i] AS tok, count(*) AS c2
-                    FROM base, unnest(generate_series(2, len(l))) AS t(i)
-                    WHERE lang = 'en' GROUP BY 1, 2),
-              sc AS (SELECT doc_id, l[i] AS tok,
-                            CASE WHEN i > 1 THEN l[i-1] END AS prev
-                     FROM base, unnest(generate_series(1, len(l))) AS t(i)),
-              j AS (SELECT sc.doc_id, sc.prev, b.c2, up.c1 AS c1p,
-                           ut.c1 AS c1t
-                    FROM sc LEFT JOIN b ON sc.prev = b.prev
-                                       AND sc.tok = b.tok
-                            LEFT JOIN u up ON sc.prev = up.tok
-                            LEFT JOIN u ut ON sc.tok = ut.tok),
-              lp AS (SELECT doc_id, CASE
-                       WHEN c2 IS NOT NULL THEN
-                         ln(CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE))
-                       WHEN prev IS NULL THEN
-                         ln((CAST(coalesce(c1t, 0) AS DOUBLE) + 1.0) /
-                            (CAST(n AS DOUBLE) + CAST(v AS DOUBLE) + 1.0))
-                       ELSE ln(CAST(0.4 AS DOUBLE)) +
-                         ln((CAST(coalesce(c1t, 0) AS DOUBLE) + 1.0) /
-                            (CAST(n AS DOUBLE) + CAST(v AS DOUBLE) + 1.0))
-                       END AS lp
-                     FROM j, st),
-              w AS (SELECT doc_id, CAST(floor(avg(lp) * 1048576.0 + 0.5)
-                                        AS BIGINT) AS qlp
-                    FROM lp GROUP BY doc_id),
+      Some(s"""WITH $sqlLmQlp,
               top AS (SELECT doc_id, qlp FROM w
                       ORDER BY qlp DESC, doc_id LIMIT 50)
               SELECT doc_id, qlp,
                      CAST(row_number() OVER (ORDER BY qlp DESC, doc_id)
                           AS INT) AS r
               FROM top ORDER BY r""")),
+
+    // ---- T24 CCNet head/middle/tail perplexity terciles ---------------
+    // The CCNet (Wenzek 2020 §4.3) bucketing step downstream pipelines
+    // mix on: every document's 2⁻²⁰-quantized LM score (the t13 chain,
+    // shared verbatim) ranked WITHIN its language, then split by
+    // rank-based terciles — pure integer arithmetic (3·rk vs n), no
+    // percentile interpolation, so the split replays exactly in any
+    // engine. head = most reference-like third. At production scale the
+    // rank windows become sampled thresholds broadcast to a comparison
+    // scan (the t16 discussion); the graded fixture ranks exactly.
+    Q("t24_ccnet_buckets",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = load(s, d, "documents")
+        val model = graft.operators.NgramLm.train(
+          docs.filter(col("lang") === "en"), "text")
+        val scored = graft.operators.NgramLm
+          .scoreDocs(model, docs, "doc_id", "text")
+          .select(col("doc_id"),
+            floor(col("avg_logp") * lit(1048576.0) + lit(0.5))
+              .cast("long").as("qlp"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(scored, Seq("doc_id"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(desc("qlp"), col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+          .withColumn("bucket",
+            when(col("rk") * 3 <= col("n"), "head")
+              .when(col("rk") * 3 <= col("n") * 2, "middle")
+              .otherwise("tail"))
+          .select("doc_id", "lang", "qlp", "bucket")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlLmQlp,
+              r AS (SELECT w.doc_id, d.lang, w.qlp,
+                      row_number() OVER
+                        (PARTITION BY d.lang
+                         ORDER BY w.qlp DESC, w.doc_id) AS rk,
+                      count(*) OVER (PARTITION BY d.lang) AS n
+                    FROM w JOIN documents d ON d.doc_id = w.doc_id)
+              SELECT doc_id, lang, qlp,
+                     CASE WHEN rk * 3 <= n THEN 'head'
+                          WHEN rk * 3 <= n * 2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM r ORDER BY doc_id""")),
 
     // ---- T14 Gopher-style quality-rule battery (full hash oracle) -----
     // The composite document filter every pre-training pipeline runs

@@ -85,4 +85,23 @@ class NgramLmSuite extends SparkSpec {
     }
     assert(q(1) === q(7))
   }
+
+  test("t24 terciles: exact rank-based sizes, head outranks tail per lang") {
+    val out = graft.queries.Catalog.queries("t24_ccnet_buckets")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val n = rows.length
+      val by = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      // 3·rk ≤ n ⇔ rk ≤ floor(n/3); middle gets floor(2n/3) − floor(n/3)
+      assert(by.getOrElse("head", 0) === n / 3, s"$lang head size")
+      assert(by.getOrElse("middle", 0) === 2 * n / 3 - n / 3,
+        s"$lang middle size")
+      // bucket boundaries respect the score order (ties split by id,
+      // so compare strictly across non-equal scores)
+      val minHead = rows.filter(_._3 == "head").map(_._2).min
+      val maxTail = rows.filter(_._3 == "tail").map(_._2).max
+      assert(minHead >= maxTail, s"$lang head/tail score inversion")
+    }
+  }
 }

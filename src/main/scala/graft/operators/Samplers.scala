@@ -378,6 +378,51 @@ object Samplers {
     df.withColumn("pi", pi).filter(u < col("pi"))
   }
 
+  /** One exponentiated-gradient step of DoReMi-style domain reweighting
+    * (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining", §3 — the Group-DRO update
+    * α_d ∝ α_ref,d · exp(η · λ_d), with the baseline proportion n_d/N
+    * as α_ref and per-domain excess loss λ_d). `scored` carries one row
+    * per example with an integer-quantized per-example score in
+    * `scoreCol` (higher = more reference-like, e.g. the t13 LM chain's
+    * 2⁻²⁰-quantized avg log-prob); λ_d = max(0, mean_all − mean_d) in
+    * un-quantized units, η = 1.
+    *
+    * Cross-engine determinism: every aggregate is an EXACT integer sum
+    * (quantized longs), each mean is ONE IEEE division of exact
+    * integers, λ_d is one subtraction of bit-identical doubles and one
+    * exact power-of-two division; the only libm call (`exp`) is
+    * re-quantized to `quantum` (the m06/t23 convention — drift ≪ one
+    * quantum), after which n_d · boost_q is an exact integer product
+    * and the final normalization ONE division of exact integers.
+    *
+    * Scale shape: one doc-keyed scan partial-aggregates to |domains|
+    * rows; everything downstream (the EG step, the normalizer) is
+    * domain-bounded and broadcast — nothing corpus-sized moves. */
+  def doremiReweight(scored: DataFrame, domainCol: String,
+                     scoreCol: String,
+                     quantum: Double = 1048576.0): DataFrame = {
+    // constant partition key: after the groupBy the frame holds one row
+    // per domain, so the global windows see |domains| rows, not the
+    // corpus — and the corpus aggregate computes ONCE (an agg+crossJoin
+    // rendition would re-derive it in each plan branch unless exchange
+    // reuse happens to fire)
+    val all = Window.partitionBy(lit(1))
+    scored.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(scoreCol)).as("__s"))
+      .withColumn("__lam", greatest(lit(0.0),
+        (sum(col("__s")).over(all).cast("double")
+          / sum(col("n_docs")).over(all).cast("double")
+          - col("__s").cast("double") / col("n_docs").cast("double"))
+          / lit(quantum)))
+      .withColumn("boost_q",
+        floor(exp(col("__lam")) * lit(quantum) + lit(0.5)).cast("long"))
+      .withColumn("__raw", col("n_docs") * col("boost_q"))
+      .select(col(domainCol), col("n_docs"), col("boost_q"),
+        (col("__raw").cast("double")
+          / sum(col("__raw")).over(all).cast("double")).as("weight"))
+  }
+
   /** Systematic sampling with interval k: order the frame by the
     * portable hash of `idCol` (a deterministic pseudo-random ordering —
     * the list-order randomization classical systematic sampling

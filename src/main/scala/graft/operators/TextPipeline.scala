@@ -377,4 +377,47 @@ object TextPipeline {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** Quality-threshold retention sweep: for every cutoff τ_i = i/nSteps
+    * (i = 0 .. nSteps−1), how many documents and how much token mass
+    * survive `scoreCol ≥ τ_i` — the curve a pipeline reads to pick its
+    * filtering threshold (the FineWeb-style quality-ablation table,
+    * Penedo et al. 2024 §3.2). ONE corpus pass: each row is bucketed by
+    * the highest threshold it passes (a literal comparison chain — the
+    * score and the τ literals are bit-identical doubles in any engine,
+    * so the bucketing replays exactly), the per-bucket doc/token counts
+    * partial-aggregate to nSteps rows, and the retention curve is a
+    * reverse cumulative sum over that nSteps-row frame. Empty buckets
+    * still emit their grid row. All outputs are exact integers plus
+    * single IEEE divisions of exact integers.
+    *
+    * Scale shape: one scan + one shuffle to nSteps rows; the windows
+    * run on an nSteps-row frame, never the corpus. */
+  def thresholdSweep(df: DataFrame, scoreCol: String, weightCol: String,
+                     nSteps: Int = 20): DataFrame = {
+    require(nSteps >= 2, s"nSteps=$nSteps must be >= 2")
+    val bucket = (1 until nSteps).reverse
+      .foldLeft(when(lit(false), lit(0))) { (w, i) =>
+        w.when(col(scoreCol) >= lit(i.toDouble / nSteps), lit(i))
+      }.otherwise(lit(0))
+    val perBucket = df.groupBy(bucket.as("b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("n_toks"))
+    val grid = df.sparkSession.range(nSteps.toLong)
+      .select(col("id").cast("int").as("b"))
+    val filled = grid.join(perBucket, Seq("b"), "left")
+      .na.fill(0L, Seq("n_docs", "n_toks"))
+    val cum = Window.partitionBy(lit(1)).orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    filled
+      .select(col("b"),
+        sum(col("n_docs")).over(cum).as("docs_kept"),
+        sum(col("n_toks")).over(cum).as("tokens_kept"),
+        sum(col("n_toks")).over(all).as("__tot"))
+      .select((col("b").cast("double") / lit(nSteps.toDouble)).as("tau"),
+        col("docs_kept"), col("tokens_kept"),
+        (col("tokens_kept").cast("double") / col("__tot").cast("double"))
+          .as("token_frac"))
+      .orderBy("tau")
+  }
 }

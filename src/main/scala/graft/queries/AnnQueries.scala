@@ -1422,6 +1422,66 @@ object AnnQueries {
                      WHERE rr = 1)
               SELECT qid, cid, CAST(pick AS INT) AS pick,
                      CAST(md AS FLOAT) AS mmr
-              FROM rec ORDER BY qid, pick"""))
+              FROM rec ORDER BY qid, pick""")),
+
+    // ---- E27 contrastive hard-negative mining --------------------------
+    // The embedding-training data op (DPR, Karpukhin 2020 §4.2; ANCE,
+    // Xiong 2021): for each anchor, the top-k most-similar corpus
+    // vectors whose LABEL DIFFERS — maximally confusable negatives for
+    // a contrastive batch. Same exact-decimal cosine machinery as e01
+    // (once-per-row norms, spread candidate side), plus the label
+    // inequality applied IN the pair space before ranking. The graded
+    // fixture mines exactly over |Q|·n pairs (the declared e01
+    // contract); at production scale the pair space comes from the e21
+    // IVF cell join with the label filter pushed into the candidate
+    // scan, same as e12's global filter.
+    Q("e27_hard_negatives",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = load(s, d, "embeddings")
+        val q = perRow(emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("label").as("qlab"),
+              col("embedding").as("qe")),
+          sqrt(dotExactF(col("qe"), col("qe"))), "nq")
+        val c = perRow(spreadForExpr(emb)
+            .select(col("vec_id").as("cid"), col("label").as("clab"),
+              col("embedding").as("ce")),
+          sqrt(dotExactF(col("ce"), col("ce"))), "nc")
+        val pairs = broadcast(q).crossJoin(c)
+          .filter(col("qlab") =!= col("clab"))
+          .select(col("qid"), col("qlab"), col("cid"), col("clab"),
+            (dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc")))
+              .cast("float").as("cos"))
+        val win = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+        pairs.withColumn("rk", row_number().over(win))
+          .filter(col("rk") <= 5)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, label AS qlab,
+                           embedding AS qe
+                         FROM embeddings WHERE vec_id < 20),
+                   c AS (SELECT vec_id AS cid, label AS clab,
+                           embedding AS ce
+                         FROM embeddings),
+                   el AS (SELECT qid, qlab, cid, clab,
+                            CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18)) AS p,
+                            CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(38,18)) AS pq,
+                            CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18)) AS pc
+                          FROM q CROSS JOIN c, generate_series(1, 64) AS t(i)
+                          WHERE qlab <> clab),
+                   dots AS (SELECT qid, qlab, cid, clab,
+                              CAST(sum(p) AS DOUBLE) AS dot,
+                              CAST(sum(pq) AS DOUBLE) AS nq,
+                              CAST(sum(pc) AS DOUBLE) AS nc
+                            FROM el GROUP BY qid, qlab, cid, clab),
+                   sims AS (SELECT qid, qlab, cid, clab,
+                              CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                            FROM dots),
+                   ranked AS (SELECT qid, qlab, cid, clab, cos,
+                                CAST(row_number() OVER
+                                  (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rk
+                              FROM sims)
+              SELECT qid, qlab, cid, clab, cos, rk FROM ranked
+              WHERE rk <= 5 ORDER BY qid, rk"""))
   )
 }

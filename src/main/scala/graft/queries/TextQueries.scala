@@ -1373,6 +1373,41 @@ object TextQueries {
                      CAST(tokens_kept AS DOUBLE) / CAST(tot AS DOUBLE)
                        AS token_frac
               FROM c ORDER BY tau"""
-      })
+      }),
+
+    // ---- T27 character-entropy gibberish signal ------------------------
+    // Per-document Shannon entropy of the character distribution (the
+    // C4/RefinedWeb-class cleaning heuristic: low = repeated filler,
+    // high = encoded noise). Each −p·log₂p term is 2⁻²⁰-quantized
+    // BEFORE summation so log₂'s libm ulp drift never reaches the
+    // exact-integer per-doc total — the full table hash-matches.
+    Q("t27_char_entropy",
+      (s, d) => TextPipeline.charEntropy(
+        load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, substring(text, i, 1) AS c
+                          FROM documents,
+                               unnest(generate_series(1, length(text)))
+                                 AS t(i)
+                          WHERE text IS NOT NULL),
+                   cc AS (SELECT doc_id, c, count(*) AS k FROM ch
+                          GROUP BY doc_id, c),
+                   n AS (SELECT doc_id,
+                           CAST(sum(k) AS BIGINT) AS n_chars_dist,
+                           count(*) AS n_distinct
+                         FROM cc GROUP BY doc_id),
+                   q AS (SELECT cc.doc_id,
+                           CAST(floor(
+                             (CAST(k AS DOUBLE)
+                                / CAST(n.n_chars_dist AS DOUBLE))
+                             * log2(CAST(k AS DOUBLE)
+                                / CAST(n.n_chars_dist AS DOUBLE))
+                             * 1048576.0 + 0.5) AS BIGINT) AS tq
+                         FROM cc JOIN n USING (doc_id)),
+                   e AS (SELECT doc_id, CAST(-sum(tq) AS BIGINT) AS ent_q
+                         FROM q GROUP BY doc_id)
+              SELECT n.doc_id, n.n_chars_dist, n.n_distinct, e.ent_q
+              FROM n JOIN e USING (doc_id)
+              ORDER BY doc_id"""))
   )
 }

@@ -336,4 +336,17 @@ class TextPipelineSuite extends SparkSpec {
     // retention is monotone non-increasing in tau
     assert(out.map(_._3) == out.map(_._3).sorted.reverse)
   }
+
+  test("charEntropy matches hand-computed quantized bits and excludes " +
+      "empty/NULL texts") {
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextPipeline.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L)) // no distribution, no row
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 4L, 1L, 0L)))       // single symbol: 0 bits
+    assert(byId(2L) == ((2L, 2L, 2L, 1048576L))) // uniform 2: 1 bit
+    assert(byId(3L) == ((3L, 4L, 4L, 2097152L))) // uniform 4: 2 bits
+  }
 }

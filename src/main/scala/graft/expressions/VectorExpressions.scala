@@ -477,6 +477,59 @@ final case class TopPDotExactConst(child: Expression, cents: Seq[Double],
     copy(child = newChild)
 }
 
+/** [[TopPDotExactConst]]'s p = 1 argmax WITH its exact-decimal dot
+  * value: one vector walk emitting struct(cell, sc) — for consumers
+  * that need the assigned cell's score (e28's prototypicality ranking)
+  * without paying a second decimal fold or a centroid join after the
+  * assignment. Ties break toward the LOWER cell, and sc is the same
+  * per-product-rounded DECIMAL(·,18) sum as TopPDotExactConst, so the
+  * (cell, sc) pair replays in SQL as the d0/a0 argmax chain. */
+final case class ArgMaxDotScoreExact(child: Expression, cents: Seq[Double],
+                                     dim: Int, nCells: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nCells > 0, "nCells must be positive")
+  require(cents.length == nCells * dim,
+    s"cents must be nCells*dim = ${nCells * dim} doubles")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("sc",
+        DoubleType, nullable = false)))
+  override def prettyName: String = "argmax_dot_score_exact"
+
+  @transient private lazy val w: Array[Double] = cents.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var best = -1
+    var bestScore = 0.0
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var s = JBD.ZERO
+      var i = 0
+      while (i < n) {
+        val prod = x.getFloat(i).toDouble * w(off + i)
+        s = s.add(JBD.valueOf(prod).setScale(18, RoundingMode.HALF_UP))
+        i += 1
+      }
+      val sc = s.doubleValue()
+      // strict > under ascending iteration: ties keep the lower cell
+      if (best < 0 || sc > bestScore) { best = c; bestScore = sc }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestScore)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** IVF coarse-quantizer cell assignment in ONE expression: `cents`
   * holds nCells centroids (cell-major, flattened to a single constant
   * `double[]`), and the result is the INT index of the centroid with
@@ -1128,6 +1181,13 @@ object VectorExpressions {
     GraftBridge.column(TopPDotExactConst(
       GraftBridge.expression(a), cents.flatten,
       cents.head.length, cents.length, p))
+
+  /** [[topPDotExact]]'s p = 1 argmax PLUS its exact-decimal dot value —
+    * one walk, struct(cell, sc), ties to the lower cell. */
+  def argMaxDotScoreExact(a: Column, cents: Seq[Seq[Double]]): Column =
+    GraftBridge.column(ArgMaxDotScoreExact(
+      GraftBridge.expression(a), cents.flatten,
+      cents.head.length, cents.length))
 
   /** [[pqEncode]] with exact-decimal L2² sums (engine-portable codes).
     * `books` is [m][kCodes][subDim]. */

@@ -423,7 +423,6 @@ object Graphs {
     * label tie-break. */
   def labelPropCensus(edges: DataFrame, iters: Int, k: Int,
                       symmetrizeInput: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
@@ -466,17 +465,25 @@ object Graphs {
       .select(col("id"), col("id").as("lbl"))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     val win = Window.partitionBy("dst").orderBy(desc("__n"), col("lbl"))
-    for (_ <- 1 to iters) {
-      val (next, rdd) = rewrapPersisted(
-        full.join(lbl.withColumnRenamed("id", "src"), Seq("src"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__n"))
-          .withColumn("__rk", row_number().over(win))
-          .filter(col("__rk") === 1)
-          .select(col("dst").as("id"), col("lbl")))
-      lbl = next
-      lbl.count()
-      if (prevRdd != null) prevRdd.unpersist(blocking = false)
-      prevRdd = rdd
+    try {
+      for (_ <- 1 to iters) {
+        val (next, rdd) = rewrapPersisted(
+          full.join(lbl.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__n"))
+            .withColumn("__rk", row_number().over(win))
+            .filter(col("__rk") === 1)
+            .select(col("dst").as("id"), col("lbl")))
+        lbl = next
+        lbl.count()
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+      }
+    } catch {
+      case e: Throwable =>
+        // a mid-loop failure would otherwise strand the current round's
+        // persisted RDD (the caller's finally only sees the returned one)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        throw e
     }
     (lbl, prevRdd)
   }

@@ -408,8 +408,14 @@ object Samplers {
     // rendition would re-derive it in each plan branch unless exchange
     // reuse happens to fire)
     val all = Window.partitionBy(lit(1))
+    // NULL scores fail loudly (the ppsPoisson/systematic contract):
+    // sum() would skip them while count() kept them, silently biasing
+    // the domain mean low and over-boosting that domain
+    val guarded = when(col(scoreCol).isNull,
+      raise_error(lit(s"doremiReweight: NULL in score column '$scoreCol'")))
+      .otherwise(col(scoreCol))
     scored.groupBy(col(domainCol))
-      .agg(count(lit(1)).as("n_docs"), sum(col(scoreCol)).as("__s"))
+      .agg(count(lit(1)).as("n_docs"), sum(guarded).as("__s"))
       .withColumn("__lam", greatest(lit(0.0),
         (sum(col("__s")).over(all).cast("double")
           / sum(col("n_docs")).over(all).cast("double")
@@ -417,7 +423,14 @@ object Samplers {
           / lit(quantum)))
       .withColumn("boost_q",
         floor(exp(col("__lam")) * lit(quantum) + lit(0.5)).cast("long"))
-      .withColumn("__raw", col("n_docs") * col("boost_q"))
+      // n_docs · boost_q must stay an EXACT long: an excess loss large
+      // enough to overflow it (λ ≳ 30 un-quantized units, or a mismatched
+      // quantum) means the score scale is wrong — raise, don't wrap
+      .withColumn("__raw",
+        when(col("boost_q") > expr(s"${Long.MaxValue}L div n_docs"),
+          raise_error(lit("doremiReweight: n_docs * boost_q overflows " +
+            "long — excess loss is out of scale for this quantum")))
+          .otherwise(col("n_docs") * col("boost_q")))
       .select(col(domainCol), col("n_docs"), col("boost_q"),
         (col("__raw").cast("double")
           / sum(col("__raw")).over(all).cast("double")).as("weight"))

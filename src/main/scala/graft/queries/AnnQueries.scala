@@ -410,8 +410,9 @@ object AnnQueries {
     * dropNum·n, the t24 tercile trick), so the whole table replays in
     * any engine.
     *
-    * Scale shape: one fused-expression scan assigns cells, the 16-row
-    * centroid frame broadcasts, and the per-cell rank window is
+    * Scale shape: ONE fused-expression scan assigns each vector's cell
+    * together with its dot value (ArgMaxDotScoreExact — no second fold,
+    * no centroid join), and the per-cell rank window is
     * corpus/nCells-bounded (the e21 cell contract); at production
     * scale the rank cut becomes a sampled per-cell threshold joined
     * back (the t16 discussion). */
@@ -423,20 +424,18 @@ object AnnQueries {
     val ve = graft.expressions.VectorExpressions
     val init = (0 until nCells).map(c =>
       (0 until dim).map(j => portableUnit(s"km:$c:$j")))
-    val ss = cand.sparkSession
-    import ss.implicits._
-    val centDf = broadcast(
-      init.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "cv"))
+    // ONE fused walk emits the assigned cell WITH its exact-decimal dot
+    // (ArgMaxDotScoreExact) — an assign-then-join rendition would pay a
+    // second decimal fold plus a centroid join for a value the argmax
+    // already computed
     val base = perRow(
       spreadForExpr(cand)
         .select(col("vec_id").as("vid"), col("embedding").as("e"))
-        .withColumn("cell",
-          element_at(ve.topPDotExact(col("e"), init, 1), 1)),
+        .withColumn("__as", ve.argMaxDotScoreExact(col("e"), init)),
       sqrt(dotExactF(col("e"), col("e"))), "nq")
-    val scored = base.join(centDf, Seq("cell"))
-      .select(col("vid"), col("cell"),
-        (dotExact(col("e"), col("cv")) / col("nq"))
-          .cast("float").as("score"))
+    val scored = base
+      .select(col("vid"), col("__as.cell").as("cell"),
+        (col("__as.sc") / col("nq")).cast("float").as("score"))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("cell").orderBy(desc("score"), col("vid"))))

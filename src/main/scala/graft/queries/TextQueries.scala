@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{TextFunctions, TextPipeline}
@@ -96,6 +97,24 @@ object TextQueries {
               w AS (SELECT doc_id, CAST(floor(avg(lp) * 1048576.0 + 0.5)
                                         AS BIGINT) AS qlp
                     FROM lp GROUP BY doc_id)"""
+
+  /** Scala twin of [[sqlLmQlp]] — train the Stupid-Backoff LM on the
+    * English sub-corpus and score every document to a 2⁻²⁰-quantized
+    * (doc_id, qlp). ONE definition shared by t13/t24/t25 (mirroring the
+    * SQL-side factoring) so the three graders cannot silently diverge.
+    * Returns (documents, scored). */
+  private def lmQlpScored(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = load(s, d, "documents")
+    val model = graft.operators.NgramLm.train(
+      docs.filter(col("lang") === "en"), "text")
+    val scored = graft.operators.NgramLm
+      .scoreDocs(model, docs, "doc_id", "text")
+      .select(col("doc_id"),
+        floor(col("avg_logp") * lit(1048576.0) + lit(0.5))
+          .cast("long").as("qlp"))
+    (docs, scored)
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -600,13 +619,8 @@ object TextQueries {
     Q("t13_ngram_logprob_rank",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = load(s, d, "documents")
-        val model = graft.operators.NgramLm.train(
-          docs.filter(col("lang") === "en"), "text")
-        graft.operators.NgramLm.scoreDocs(model, docs, "doc_id", "text")
-          .select(col("doc_id"),
-            floor(col("avg_logp") * lit(1048576.0) + lit(0.5))
-              .cast("long").as("qlp"))
+        val (_, scored) = lmQlpScored(s, d)
+        scored
           .orderBy(desc("qlp"), col("doc_id"))
           .limit(50)
           // constant partition key: post-limit the window sees ≤ 50 rows
@@ -634,14 +648,7 @@ object TextQueries {
     Q("t24_ccnet_buckets",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = load(s, d, "documents")
-        val model = graft.operators.NgramLm.train(
-          docs.filter(col("lang") === "en"), "text")
-        val scored = graft.operators.NgramLm
-          .scoreDocs(model, docs, "doc_id", "text")
-          .select(col("doc_id"),
-            floor(col("avg_logp") * lit(1048576.0) + lit(0.5))
-              .cast("long").as("qlp"))
+        val (docs, scored) = lmQlpScored(s, d)
         docs.select(col("doc_id"), col("lang"))
           .join(scored, Seq("doc_id"))
           .withColumn("rk", row_number().over(
@@ -1287,14 +1294,7 @@ object TextQueries {
     // |sources| rows; the EG step never touches corpus-sized data.
     Q("t25_doremi_mixture",
       (s, d) => {
-        val docs = load(s, d, "documents")
-        val model = graft.operators.NgramLm.train(
-          docs.filter(col("lang") === "en"), "text")
-        val scored = graft.operators.NgramLm
-          .scoreDocs(model, docs, "doc_id", "text")
-          .select(col("doc_id"),
-            floor(col("avg_logp") * lit(1048576.0) + lit(0.5))
-              .cast("long").as("qlp"))
+        val (docs, scored) = lmQlpScored(s, d)
         graft.operators.Samplers.doremiReweight(
             docs.select(col("doc_id"), col("source"))
               .join(scored, Seq("doc_id")),

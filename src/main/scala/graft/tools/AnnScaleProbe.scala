@@ -199,8 +199,8 @@ object AnnScaleProbe {
     sq.unpersist()
 
     // ---- prototype pruning (e28): cluster-then-drop at scale ----------
-    // Scale claims under test: one fused-expression assignment scan, a
-    // broadcast 16-row centroid frame, per-cell rank windows bounded at
+    // Scale claims under test: ONE fused-expression scan emits each
+    // vector's (cell, dot) pair, per-cell rank windows bounded at
     // corpus/nCells. Invariants: every vector graded exactly once, and
     // every non-trivial cell drops exactly floor(n/4) members.
     val t7 = System.nanoTime()

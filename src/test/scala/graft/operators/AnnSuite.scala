@@ -781,6 +781,21 @@ class AnnSuite extends SparkSpec {
         r.getLong(0) -> ranked
       }.toMap
     assert(fused === want)
+
+    // ArgMaxDotScoreExact: same walk, p = 1, emitting (cell, sc) — the
+    // cell must equal topPDotExact's head and sc the HOF dot's value
+    val withScore = emb.select(col("vec_id"),
+        graft.expressions.VectorExpressions
+          .argMaxDotScoreExact(col("embedding"), cents).as("a"))
+      .select(col("vec_id"), col("a.cell"), col("a.sc"))
+      .as[(Long, Int, Double)].collect()
+    val dots = emb.select(col("vec_id") +: dotCols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 until nCells).map(c => r.getDouble(1 + c))).toMap
+    withScore.foreach { case (id, cell, sc) =>
+      assert(cell == want(id).head)
+      assert(sc == dots(id)(cell), s"vec $id cell $cell score mismatch")
+    }
   }
 
   test("kmeansPortableSummary: antipodal planted clusters come out pure, " +

@@ -68,7 +68,11 @@ object DumpPlans {
     "t22_quality_classifier" -> "classifier filter: 3 quantized-IRLS scans with exact-decimal moments, 1-row coefficient frame broadcast into the corpus-wide scoring scan",
     "mm05_frame_sample" -> "frame-sample plan: per-row stride sequence + bounded explode, no shuffle before the presentation sort",
     "e24_sim_calibration" -> "threshold calibration: band equi-join candidate pairs (never all-pairs), bare-id dedup shuffle, exact-decimal cosine binned to a 20-row histogram + cumulative window",
-    "e25_sq8_mips_topk" -> "SQ8 MIPS: shuffle-free int8 encode in both scans, broadcast-query exhaustive integer-dot scan, windowed top-k")
+    "e25_sq8_mips_topk" -> "SQ8 MIPS: shuffle-free int8 encode in both scans, broadcast-query exhaustive integer-dot scan, windowed top-k",
+    "t25_doremi_mixture" -> "DoReMi EG step: one doc-keyed partial agg to |domains| rows, all windows domain-bounded",
+    "t26_threshold_sweep" -> "threshold sweep: one scan bucketing to a 20-row grid, reverse-cumulative window on the grid only",
+    "t27_char_entropy" -> "char entropy: per-char explode through ONE doc-keyed partial agg, quantized terms summed as exact integers",
+    "e28_prototype_prune" -> "prototype pruning: ONE fused argmax+score walk (no centroid join), per-cell bounded rank windows")
     // (e26 deliberately absent: like m26/e23, its graded frame is the
     // collected ≤|Q|·k selection; the interesting per-round shape —
     // pool/pair-sim joins + window argmax — reuses e01's pinned
@@ -78,7 +82,11 @@ object DumpPlans {
     // fused-expression scan and one partial-aggregable explode-groupBy,
     // both pinned by shapes already in this list; a36 likewise — its
     // census is a collected local relation, and the per-round
-    // join + count + argmax-window shape matches a24's pinned rounds)
+    // join + count + argmax-window shape matches a24's pinned rounds;
+    // a37 ditto, its modularity tail being two node-keyed label joins
+    // + community-bounded aggs on the same loop; e27 reuses e01's
+    // pinned Generate-barrier cross-join shape with a pair-space
+    // label filter)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

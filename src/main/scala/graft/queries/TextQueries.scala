@@ -373,6 +373,50 @@ object TextQueries {
                      CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS bin_id
               FROM w ORDER BY doc_id""")),
 
+    // ---- C3 packing-efficiency census ----------------------------------
+    // The throughput metric behind c02: per (lang, source) stream, how
+    // many context bins the packing used, how full they are, and the
+    // overall utilization (token mass / bin capacity — the fraction of
+    // training FLOPs that see real tokens). Two-level integer
+    // aggregation over c02's bin assignment; utilization is ONE IEEE
+    // division of exact integers, so the census hash-matches.
+    Q("c03_pack_efficiency",
+      (s, d) => {
+        val bins = TextPipeline.packSequences(
+            load(s, d, "documents")
+              .select("doc_id", "lang", "source", "text"),
+            groupCols = Seq("lang", "source"), orderCol = "doc_id",
+            textCol = "text", budget = 256)
+          .groupBy("lang", "source", "bin_id")
+          .agg(sum(col("n_tok")).as("bt"), count(lit(1)).as("bd"))
+        bins.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_bins"), sum(col("bd")).as("n_docs"),
+            sum(col("bt")).as("total_tok"),
+            min(col("bt")).as("min_fill"), max(col("bt")).as("max_fill"))
+          .withColumn("utilization", col("total_tok").cast("double")
+            / (col("n_bins") * lit(256L)).cast("double"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, source,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+                 sum(length(text) - length(replace(text, ' ', '')) + 1) OVER (
+                   PARTITION BY lang, source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM documents),
+              p AS (SELECT lang, source, n_tok,
+                      CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS bin_id
+                    FROM w),
+              b AS (SELECT lang, source, bin_id,
+                      CAST(sum(n_tok) AS BIGINT) AS bt, count(*) AS bd
+                    FROM p GROUP BY lang, source, bin_id)
+              SELECT lang, source, count(*) AS n_bins,
+                     CAST(sum(bd) AS BIGINT) AS n_docs,
+                     CAST(sum(bt) AS BIGINT) AS total_tok,
+                     min(bt) AS min_fill, max(bt) AS max_fill,
+                     CAST(CAST(sum(bt) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) * 256 AS DOUBLE) AS utilization
+              FROM b GROUP BY lang, source ORDER BY lang, source""")),
+
     // ---- T8 global vocabulary top-k (heavy hitters) -------------------
     // Corpus-wide token frequencies, top 50: the vocabulary-building /
     // heavy-hitter pass. groupBy(tok) partial-aggregates map-side;

@@ -135,6 +135,23 @@ object GraphScaleProbe {
       "community bounds not clique-aligned")
     println(s"[graph-probe] lpa top-25 communities all size 6, " +
       s"clique-aligned (C=$cliques planted)")
+
+    // ---- leg 5: modularity census over the planted cliques ------------
+    // Every 6-clique community has n = 6, e_c = 15, d_c = 30, so with
+    // m = 15C each reported term must be EXACTLY
+    // 30/(30C) − (30/(30C))² under the same IEEE tree the operator
+    // uses — any assignment drift, edge miscount, or float reorder
+    // surfaces as a bit-level mismatch at scale.
+    val mq = timed(s"modularity census over ${cliques * 15} edges")(
+      Graphs.modularityCensus(commEdges, iters = 3, k = 25,
+        symmetrizeInput = true).collect())
+    val m2d = (cliques * 30L).toDouble
+    val expQ = 30.0 / m2d - (30.0 / m2d) * (30.0 / m2d)
+    assert(mq.length == 25 && mq.forall(r => r.getLong(1) == 6L &&
+        r.getLong(2) == 30L && r.getLong(3) == 15L &&
+        r.getDouble(4) == expQ),
+      s"modularity terms drifted: ${mq.take(3).toSeq} (want Q_c=$expQ)")
+    println(s"[graph-probe] modularity top-25 terms all exactly $expQ")
     spark.stop()
   }
 }

@@ -346,4 +346,22 @@ class PlanSuite extends SparkSpec {
     assert(p.contains("Generate"), p.take(3000)) // the per-word explode
     assert(p.contains("partial_"), p.take(3000))
   }
+
+  test("e28: prototype pruning is ONE fused argmax+score walk — no join " +
+      "anywhere (the centroid frame never exists), windowed ranks only") {
+    val p = plan("e28_prototype_prune")
+    assert(p.contains("argmax_dot_score_exact"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("t25/t26/t27/c03: the session's aggregation queries partial-agg " +
+      "map-side and plan no cartesian product") {
+    Seq("t25_doremi_mixture", "t26_threshold_sweep", "t27_char_entropy",
+        "c03_pack_efficiency").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+    }
+  }
 }

@@ -114,6 +114,29 @@ object Multimodal {
       .otherwise(typedLit(Seq.empty[Long]))
   }
 
+  /** STFT-style audio framing plan: the window-start offsets for
+    * framing a clip of `nSamples` samples into `win`-sample windows at
+    * `hop`-sample stride (the librosa/Kaldi center=False convention:
+    * frame i covers [i·hop, i·hop + win), only complete windows
+    * emitted), capped at `maxFrames`. The mel/FFT transform itself is
+    * decoder-side (the [[MediaDecoder]] contract); this is the
+    * geometry a pipeline plans batch shapes and padding with. A clip
+    * shorter than one window frames to ZERO windows (a phantom partial
+    * frame would send the transform out of range), and the stop bound
+    * is pre-capped at hop·(maxFrames−1) so the plan allocates at most
+    * `maxFrames` elements per row — the mm05 allocation discipline. */
+  def stftFrameOffsets(nSamples: Column, win: Int, hop: Int,
+                       maxFrames: Int): Column = {
+    require(win > 0 && hop > 0 && maxFrames > 0,
+      s"win=$win, hop=$hop, maxFrames=$maxFrames must be positive")
+    when(nSamples >= win,
+      sequence(lit(0L),
+        least(nSamples - lit(win.toLong),
+          lit(hop.toLong * (maxFrames - 1))),
+        lit(hop.toLong)))
+      .otherwise(typedLit(Seq.empty[Long]))
+  }
+
   /** Resize GEOMETRY for image payloads: aspect-preserving target
     * dimensions with the long side capped at `maxDim`, half-up rounded,
     * floored at 1 px, and never upscaled. The pixel resample itself is

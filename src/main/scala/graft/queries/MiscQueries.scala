@@ -1021,6 +1021,46 @@ object MiscQueries {
               FROM l LEFT JOIN r ON r.doc_id = l.doc_id
               ORDER BY l.doc_id, frame_rank""")),
 
+    // ---- MM6 audio STFT framing plan -----------------------------------
+    // The window/hop geometry every audio front-end plans with
+    // (librosa/Kaldi center=False: complete 256-sample windows at
+    // hop 128, capped at 12 frames). Clips shorter than one window
+    // frame to ZERO windows and keep their row (null rank) — the mm05
+    // accounting discipline. Pure integer column arithmetic plus one
+    // bounded explode; hash-exact like the rest of the mm family.
+    Q("mm06_stft_frames",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_samples"))
+        .withColumn("offs",
+          Multimodal.stftFrameOffsets(col("n_samples"), win = 256,
+            hop = 128, maxFrames = 12))
+        .withColumn("n_frames", size(col("offs")))
+        .select(col("doc_id"), col("n_samples"), col("n_frames"),
+          posexplode_outer(col("offs")).as(Seq("pos", "start")))
+        .select(col("doc_id"), col("n_samples"), col("n_frames"),
+          (col("pos") + 1).as("frame_rank"), col("start"),
+          (col("start") + lit(256L)).as("fend"))
+        .orderBy("doc_id", "frame_rank"),
+      Some("""WITH b AS (SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+                FROM documents),
+               l AS (SELECT doc_id, n_samples,
+                  CASE WHEN n_samples >= 256
+                       THEN generate_series(0,
+                              least(n_samples - 256, 1408), 128)
+                       ELSE CAST([] AS BIGINT[]) END AS offs FROM b),
+               f AS (SELECT doc_id, unnest(offs) AS start FROM l),
+               r AS (SELECT doc_id,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY start) AS INT) AS frame_rank,
+                  start FROM f)
+              SELECT l.doc_id, l.n_samples,
+                     CAST(len(l.offs) AS INT) AS n_frames,
+                     r.frame_rank, r.start, r.start + 256 AS fend
+              FROM l LEFT JOIN r ON r.doc_id = l.doc_id
+              ORDER BY l.doc_id, frame_rank""")),
+
     // ---- O2/O3 Monte-Carlo fan-out + grouped summary ------------------
     // Grid-as-Dataset, task-local sims (deterministic seeds). The bias/
     // SE/RMSE vs BASELINE.md tolerances are asserted in McSuite.

@@ -103,4 +103,20 @@ class MultimodalSuite extends SparkSpec {
     assert(out((17L, 16L)) === ((2L, 1L, 2L, 32L, 16L, 3L)))
     assert(out((16L, 16L)) === ((1L, 1L, 1L, 16L, 16L, 2L)))
   }
+
+  test("stftFrameOffsets: complete 256/128 windows only, zero frames " +
+      "below one window, capped at maxFrames") {
+    import spark.implicits._
+    val out = Seq(255L, 256L, 383L, 384L, 512L, 10000L).toDF("n")
+      .select(col("n"), Multimodal.stftFrameOffsets(col("n"), win = 256,
+        hop = 128, maxFrames = 12).as("offs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(255L) == Seq())               // shorter than one window
+    assert(out(256L) == Seq(0L))             // exactly one window
+    assert(out(383L) == Seq(0L))             // second window incomplete
+    assert(out(384L) == Seq(0L, 128L))       // 384 = 256 + 128
+    assert(out(512L) == Seq(0L, 128L, 256L)) // last start = n - win
+    assert(out(10000L).size == 12 &&         // cap, stride intact
+      out(10000L) == (0 until 12).map(_ * 128L))
+  }
 }

@@ -116,6 +116,87 @@ object TextQueries {
     (docs, scored)
   }
 
+  /** Shared t23/t28 oracle chain: the frequency-derived unigram
+    * vocab (capped word table → substring counts → chars + top-400
+    * pieces, quantized ln) plus the recursive Viterbi DP, ending in
+    * perdoc = (doc_id, n_words, n_pieces, lp). Prefix with
+    * WITH RECURSIVE. ONE definition so the segmentation grader (t23)
+    * and the fertility grader (t28) cannot diverge. */
+  private val sqlUnigramPerdoc: String = s"""$sqlDocWords,
+             wcnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w
+                      ORDER BY n DESC, w LIMIT 50000),
+             dw AS (SELECT DISTINCT w FROM toks),
+             ch AS (SELECT DISTINCT substring(dw.w, ci, 1) AS p
+                    FROM dw,
+                         unnest(generate_series(1, length(dw.w))) AS g(ci)),
+             subs AS (SELECT substring(t.w, st, l) AS p, sum(t.n) AS cnt
+                      FROM wcnt t,
+                           unnest(generate_series(1, length(t.w))) AS a(st),
+                           unnest(generate_series(1, 4)) AS b(l)
+                      WHERE st + l - 1 <= length(t.w)
+                      GROUP BY 1),
+             multi AS (SELECT p, cnt FROM subs WHERE length(p) > 1
+                       ORDER BY cnt DESC, p LIMIT 400),
+             singles AS (SELECT ch.p, coalesce(s.cnt, 1) AS cnt
+                         FROM ch LEFT JOIN subs s ON s.p = ch.p),
+             vr AS (SELECT p, cnt FROM singles
+                    UNION ALL SELECT p, cnt FROM multi),
+             tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vr),
+             vocab AS (SELECT p,
+                         floor(ln(CAST(cnt AS DOUBLE) / t) * 1048576.0
+                           + 0.5) / 1048576.0 AS lp
+                       FROM vr, tot),
+             dp AS (
+               SELECT w, length(w) AS len, 0 AS i,
+                      CAST(0.0 AS DOUBLE) AS s0, 0 AS n0,
+                      CAST(NULL AS DOUBLE) AS s1, CAST(NULL AS INT) AS n1,
+                      CAST(NULL AS DOUBLE) AS s2, CAST(NULL AS INT) AS n2,
+                      CAST(NULL AS DOUBLE) AS s3, CAST(NULL AS INT) AS n3
+               FROM dw
+               UNION ALL
+               SELECT w, len, i + 1,
+                      pick['s'], CAST(pick['np'] AS INT),
+                      s0, n0, s1, n1, s2, n2
+               FROM (
+                 SELECT d.w, d.len, d.i, d.s0, d.n0, d.s1, d.n1,
+                        d.s2, d.n2,
+                        list_sort(list_filter([
+                          CASE WHEN d.s0 IS NOT NULL
+                                AND v1.lp IS NOT NULL THEN
+                            {'k': [-(d.s0 + v1.lp),
+                                   CAST(d.n0 + 1 AS DOUBLE), 1.0],
+                             's': d.s0 + v1.lp, 'np': d.n0 + 1} END,
+                          CASE WHEN d.s1 IS NOT NULL
+                                AND v2.lp IS NOT NULL THEN
+                            {'k': [-(d.s1 + v2.lp),
+                                   CAST(d.n1 + 1 AS DOUBLE), 2.0],
+                             's': d.s1 + v2.lp, 'np': d.n1 + 1} END,
+                          CASE WHEN d.s2 IS NOT NULL
+                                AND v3.lp IS NOT NULL THEN
+                            {'k': [-(d.s2 + v3.lp),
+                                   CAST(d.n2 + 1 AS DOUBLE), 3.0],
+                             's': d.s2 + v3.lp, 'np': d.n2 + 1} END,
+                          CASE WHEN d.s3 IS NOT NULL
+                                AND v4.lp IS NOT NULL THEN
+                            {'k': [-(d.s3 + v4.lp),
+                                   CAST(d.n3 + 1 AS DOUBLE), 4.0],
+                             's': d.s3 + v4.lp, 'np': d.n3 + 1} END
+                        ], x -> x IS NOT NULL))[1] AS pick
+                 FROM dp d
+                 LEFT JOIN vocab v1 ON v1.p = substring(d.w, d.i + 1, 1)
+                 LEFT JOIN vocab v2 ON v2.p = substring(d.w, d.i, 2)
+                 LEFT JOIN vocab v3 ON v3.p = substring(d.w, d.i - 1, 3)
+                 LEFT JOIN vocab v4 ON v4.p = substring(d.w, d.i - 2, 4)
+                 WHERE d.i < d.len)),
+             perword AS (SELECT w, n0 AS np, s0 AS sc FROM dp
+                         WHERE i = len),
+             perdoc AS (SELECT t.doc_id,
+                          CAST(count(*) AS BIGINT) AS n_words,
+                          CAST(sum(pw.np) AS BIGINT) AS n_pieces,
+                          ${sqlDsum("pw.sc")} AS lp
+                        FROM toks t JOIN perword pw ON pw.w = t.w
+                        GROUP BY t.doc_id)"""
+
   val qs: Seq[Q] = Seq(
 
     // ---- T1 per-document stats: tokens, ratios, mean token length -----
@@ -788,6 +869,37 @@ object TextQueries {
                      count(*) AS n_copies
               FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
+    // ---- D13 soft deduplication (down-weight, don't drop) --------------
+    // The reweighting alternative to hard dedup (SoftDedup, He et al.
+    // 2024): every copy of a duplicated document survives with sampling
+    // weight 1/n_copies, so the group's total mass equals one fresh
+    // document and no unique content is lost. Per-doc table: group
+    // size, canonical flag (min doc_id — d01's keep rule), weight as
+    // ONE IEEE division of exact integers. One fingerprint groupBy +
+    // one doc-keyed join back; composes upstream of any g-family
+    // sampler as its weight column.
+    Q("d13_soft_dedup",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        val g = docs.groupBy("fp")
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        docs.join(g, Seq("fp"))
+          .select(col("doc_id"), col("n_copies"),
+            (col("doc_id") === col("keep_id")).as("is_canonical"),
+            (lit(1.0) / col("n_copies").cast("double")).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT md5(text) AS fp, count(*) AS n_copies,
+                           min(doc_id) AS keep_id
+                         FROM documents GROUP BY md5(text))
+              SELECT d.doc_id, g.n_copies,
+                     d.doc_id = g.keep_id AS is_canonical,
+                     CAST(1.0 AS DOUBLE) / CAST(g.n_copies AS DOUBLE)
+                       AS weight
+              FROM documents d JOIN g ON md5(d.text) = g.fp
+              ORDER BY d.doc_id""")),
+
     // ---- T15 URL parse + blocklist filter (web-crawl curation) --------
     // The C4/CCNet front door: parse host/path/registered-domain out of
     // each document's URL, drop blocklisted hosts, aggregate per host.
@@ -1245,80 +1357,7 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some {
-        s"""WITH RECURSIVE $sqlDocWords,
-             wcnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w
-                      ORDER BY n DESC, w LIMIT 50000),
-             dw AS (SELECT DISTINCT w FROM toks),
-             ch AS (SELECT DISTINCT substring(dw.w, ci, 1) AS p
-                    FROM dw,
-                         unnest(generate_series(1, length(dw.w))) AS g(ci)),
-             subs AS (SELECT substring(t.w, st, l) AS p, sum(t.n) AS cnt
-                      FROM wcnt t,
-                           unnest(generate_series(1, length(t.w))) AS a(st),
-                           unnest(generate_series(1, 4)) AS b(l)
-                      WHERE st + l - 1 <= length(t.w)
-                      GROUP BY 1),
-             multi AS (SELECT p, cnt FROM subs WHERE length(p) > 1
-                       ORDER BY cnt DESC, p LIMIT 400),
-             singles AS (SELECT ch.p, coalesce(s.cnt, 1) AS cnt
-                         FROM ch LEFT JOIN subs s ON s.p = ch.p),
-             vr AS (SELECT p, cnt FROM singles
-                    UNION ALL SELECT p, cnt FROM multi),
-             tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vr),
-             vocab AS (SELECT p,
-                         floor(ln(CAST(cnt AS DOUBLE) / t) * 1048576.0
-                           + 0.5) / 1048576.0 AS lp
-                       FROM vr, tot),
-             dp AS (
-               SELECT w, length(w) AS len, 0 AS i,
-                      CAST(0.0 AS DOUBLE) AS s0, 0 AS n0,
-                      CAST(NULL AS DOUBLE) AS s1, CAST(NULL AS INT) AS n1,
-                      CAST(NULL AS DOUBLE) AS s2, CAST(NULL AS INT) AS n2,
-                      CAST(NULL AS DOUBLE) AS s3, CAST(NULL AS INT) AS n3
-               FROM dw
-               UNION ALL
-               SELECT w, len, i + 1,
-                      pick['s'], CAST(pick['np'] AS INT),
-                      s0, n0, s1, n1, s2, n2
-               FROM (
-                 SELECT d.w, d.len, d.i, d.s0, d.n0, d.s1, d.n1,
-                        d.s2, d.n2,
-                        list_sort(list_filter([
-                          CASE WHEN d.s0 IS NOT NULL
-                                AND v1.lp IS NOT NULL THEN
-                            {'k': [-(d.s0 + v1.lp),
-                                   CAST(d.n0 + 1 AS DOUBLE), 1.0],
-                             's': d.s0 + v1.lp, 'np': d.n0 + 1} END,
-                          CASE WHEN d.s1 IS NOT NULL
-                                AND v2.lp IS NOT NULL THEN
-                            {'k': [-(d.s1 + v2.lp),
-                                   CAST(d.n1 + 1 AS DOUBLE), 2.0],
-                             's': d.s1 + v2.lp, 'np': d.n1 + 1} END,
-                          CASE WHEN d.s2 IS NOT NULL
-                                AND v3.lp IS NOT NULL THEN
-                            {'k': [-(d.s2 + v3.lp),
-                                   CAST(d.n2 + 1 AS DOUBLE), 3.0],
-                             's': d.s2 + v3.lp, 'np': d.n2 + 1} END,
-                          CASE WHEN d.s3 IS NOT NULL
-                                AND v4.lp IS NOT NULL THEN
-                            {'k': [-(d.s3 + v4.lp),
-                                   CAST(d.n3 + 1 AS DOUBLE), 4.0],
-                             's': d.s3 + v4.lp, 'np': d.n3 + 1} END
-                        ], x -> x IS NOT NULL))[1] AS pick
-                 FROM dp d
-                 LEFT JOIN vocab v1 ON v1.p = substring(d.w, d.i + 1, 1)
-                 LEFT JOIN vocab v2 ON v2.p = substring(d.w, d.i, 2)
-                 LEFT JOIN vocab v3 ON v3.p = substring(d.w, d.i - 1, 3)
-                 LEFT JOIN vocab v4 ON v4.p = substring(d.w, d.i - 2, 4)
-                 WHERE d.i < d.len)),
-             perword AS (SELECT w, n0 AS np, s0 AS sc FROM dp
-                         WHERE i = len),
-             perdoc AS (SELECT t.doc_id,
-                          CAST(count(*) AS BIGINT) AS n_words,
-                          CAST(sum(pw.np) AS BIGINT) AS n_pieces,
-                          ${sqlDsum("pw.sc")} AS lp
-                        FROM toks t JOIN perword pw ON pw.w = t.w
-                        GROUP BY t.doc_id)
+        s"""WITH RECURSIVE $sqlUnigramPerdoc
              SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words,
                     coalesce(p.n_pieces, 0) AS n_pieces,
                     coalesce(p.lp, 0.0) AS lp
@@ -1418,6 +1457,45 @@ object TextQueries {
                        AS token_frac
               FROM c ORDER BY tau"""
       }),
+
+    // ---- T28 per-language tokenizer fertility ---------------------------
+    // The multilingual tokenizer-quality census (pieces per word by
+    // language — the fertility metric tokenizer-fairness analyses rank
+    // languages by): t23's unigram segmentation rolled up per lang.
+    // The SQL chain is the shared sqlUnigramPerdoc (ONE definition with
+    // t23); fertility is ONE IEEE division of exact integer sums.
+    Q("t28_fertility",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val vocab = graft.operators.Tokenize.unigramVocab(docs, "text",
+          topWords = 50000, topPieces = 400, maxLen = 4)
+        val per = graft.operators.Tokenize.unigramSegment(docs, "text",
+            vocab, maxLen = 4)
+          .select(col("doc_id"), explode_outer(col("seg")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(col("w")).as("nw"),
+            coalesce(sum(col("w._1")), lit(0L)).as("np"))
+        docs.select("doc_id", "lang").join(per, Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+            sum(col("np")).as("n_pieces"))
+          .withColumn("fertility", col("n_pieces").cast("double")
+            / col("n_words").cast("double"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE $sqlUnigramPerdoc,
+              pl AS (SELECT d.lang, d.doc_id,
+                       coalesce(p.n_words, 0) AS nw,
+                       coalesce(p.n_pieces, 0) AS np
+                     FROM documents d
+                     LEFT JOIN perdoc p ON p.doc_id = d.doc_id)
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(nw) AS BIGINT) AS n_words,
+                     CAST(sum(np) AS BIGINT) AS n_pieces,
+                     CAST(CAST(sum(np) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE)
+                       AS fertility
+              FROM pl GROUP BY lang ORDER BY lang""")),
 
     // ---- T27 character-entropy gibberish signal ------------------------
     // Per-document Shannon entropy of the character distribution (the

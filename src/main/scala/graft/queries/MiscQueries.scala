@@ -193,6 +193,47 @@ object MiscQueries {
                       ${sqlDsum("value")} AS sum_value
                FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    // ---- W12 watermark late-data accounting -----------------------------
+    // How much data a 1-hour watermark would DROP, per window — the
+    // number an operator reads before choosing a lateness bound. The
+    // fixture carries no arrival column (its events are generated in
+    // time order), so arrival is synthesized deterministically (the t15
+    // synthesized-URL discipline): base micro-batch = event_id div 100,
+    // with a portable-hashed 5% subset arriving 4 batches late —
+    // measured ~5% late at every SF, non-degenerate. The watermark
+    // advances at batch boundaries exactly as Structured Streaming's
+    // does; all comparisons are exact integer microseconds.
+    Q("w12_late_data",
+      (s, d) => graft.streaming.Streams.watermarkLateAccounting(
+          graft.util.Tables.loadEvents(s, d)
+            .withColumn("arrival_batch",
+              expr("event_id div 100") +
+                when(pmod(pmod(col("event_id"), lit(100000007L))
+                  * lit(1315423911L), lit(100000007L)) % 20 === 0, lit(4L))
+                  .otherwise(lit(0L))),
+          "arrival_batch", "ts", delayMicros = 3600000000L)
+        .orderBy("w_start"),
+      Some("""WITH e AS (SELECT event_id, ts, epoch_us(ts) AS tus,
+                  event_id // 100 + CASE WHEN
+                      ((event_id % 100000007) * 1315423911) % 100000007
+                        % 20 = 0
+                    THEN 4 ELSE 0 END AS b
+                FROM events),
+               pb AS (SELECT b, max(tus) AS mx FROM e GROUP BY b),
+               wm AS (SELECT b, max(mx) OVER (ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        - 3600000000 AS w
+                      FROM pb),
+               l AS (SELECT CAST(date_trunc('hour', e.ts) AS VARCHAR)
+                        AS w_start,
+                      CASE WHEN wm.w IS NOT NULL AND e.tus < wm.w
+                        THEN 1 ELSE 0 END AS late
+                     FROM e JOIN wm ON e.b = wm.b)
+              SELECT w_start, count(*) AS n_events,
+                     CAST(sum(late) AS BIGINT) AS n_late,
+                     CAST(count(*) - sum(late) AS BIGINT) AS n_on_time
+              FROM l GROUP BY w_start ORDER BY w_start""")),
+
     // ---- W6 streaming near-dup (batch rendition, full hash oracle) ----
     // Streams.streamNearDupPairs incrementally flags each arriving doc
     // against SimHash band-bucket state (StreamingSuite runs it on a

@@ -59,6 +59,48 @@ object Streams {
       .select(col("w.start").cast("string").as("w_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Watermark late-data accounting (the batch rendition of Structured
+    * Streaming's event-time watermark, which advances at MICRO-BATCH
+    * boundaries): `batchCol` is the event's arrival micro-batch; the
+    * watermark visible while batch b processes is
+    * max(event time over batches < b) − delay, and an event is LATE iff
+    * its event time sits below that watermark — the engine would have
+    * evicted its window's state and dropped it. Emits per tumbling
+    * window: total events, late events, on-time events. The first
+    * batch has no watermark (NULL prev-max), so nothing in it is late —
+    * exactly Structured Streaming's cold-start behavior.
+    *
+    * Cross-engine determinism: event times compare as exact integer
+    * microseconds (unix_micros/epoch_us) and the watermark is a max
+    * minus an integer constant — no float anywhere.
+    *
+    * Scale shape: ONE partial-aggregable groupBy(batch) reduces the
+    * stream to #batches rows; the running max runs on that bounded
+    * frame (the constant-partition window discipline), which then
+    * broadcasts back onto the event scan. Nothing event-sized is ever
+    * sorted globally. */
+  def watermarkLateAccounting(events: DataFrame, batchCol: String,
+                              tsCol: String, delayMicros: Long,
+                              windowLen: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(delayMicros >= 0, s"delayMicros=$delayMicros must be >= 0")
+    val e = events.select(col(batchCol).as("__b"), col(tsCol).as("__ts"),
+      expr(s"unix_micros($tsCol)").as("__tus"))
+    val wmWin = Window.partitionBy(lit(1)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = e.groupBy(col("__b")).agg(max(col("__tus")).as("__mx"))
+      .select(col("__b"),
+        (max(col("__mx")).over(wmWin) - lit(delayMicros)).as("__wm"))
+    e.join(broadcast(wm), Seq("__b"))
+      .select(window(col("__ts"), windowLen).getField("start")
+          .cast("string").as("w_start"),
+        when(col("__wm").isNotNull && col("__tus") < col("__wm"), 1L)
+          .otherwise(0L).as("__late"))
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__late")).as("n_late"),
+        (count(lit(1)) - sum(col("__late"))).as("n_on_time"))
+  }
+
   /** Trending-topic counts: the streaming-stateful half of per-window
     * top-k — tumbling per-type counts, watermark-closed, append-mode
     * emittable. Window functions can't run mid-stream, so the rank

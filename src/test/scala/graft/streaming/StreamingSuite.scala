@@ -513,4 +513,23 @@ class StreamingSuite extends SparkSpec {
       }.toMap
     assert(fromState === fromWindows)
   }
+
+  test("watermarkLateAccounting: hand-checked lateness with cold-start " +
+      "first batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch 0: 10:00 and 10:30 (sets the max; nothing late — no prior
+    // watermark). batch 1 with a 30-min delay sees wm = 10:00, so the
+    // 09:00 straggler is LATE and 10:45 is on time.
+    val ev = Seq(
+      (0L, "2026-01-01 10:00:00"), (0L, "2026-01-01 10:30:00"),
+      (1L, "2026-01-01 09:00:00"), (1L, "2026-01-01 10:45:00"))
+      .toDF("b", "s").select(col("b"), col("s").cast("timestamp").as("ts"))
+    val got = graft.streaming.Streams.watermarkLateAccounting(
+        ev, "b", "ts", delayMicros = 30L * 60 * 1000000)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("2026-01-01 09:00:00", 1L, 1L, 0L),   // the straggler's window
+      ("2026-01-01 10:00:00", 3L, 0L, 3L)))
+  }
 }

@@ -104,15 +104,10 @@ object Multimodal {
     * everyK·(maxFrames−1) so the plan allocates at most `maxFrames`
     * elements per row instead of materializing the full stride sequence
     * of a large payload and slicing it. */
-  def sampleFrameOffsets(nBytes: Column, everyK: Int, maxFrames: Int): Column = {
-    require(everyK > 0 && maxFrames > 0,
-      s"everyK=$everyK and maxFrames=$maxFrames must be positive")
-    when(nBytes > 0,
-      sequence(lit(0L),
-        least(nBytes - lit(1L), lit(everyK.toLong * (maxFrames - 1))),
-        lit(everyK.toLong)))
-      .otherwise(typedLit(Seq.empty[Long]))
-  }
+  def sampleFrameOffsets(nBytes: Column, everyK: Int, maxFrames: Int): Column =
+    // the win = 1 case of the strided framing plan: every offset where
+    // at least one byte remains, stride everyK, same cap discipline
+    stftFrameOffsets(nBytes, win = 1, hop = everyK, maxFrames = maxFrames)
 
   /** STFT-style audio framing plan: the window-start offsets for
     * framing a clip of `nSamples` samples into `win`-sample windows at

@@ -226,7 +226,9 @@ object MiscQueries {
                       FROM pb),
                l AS (SELECT CAST(date_trunc('hour', e.ts) AS VARCHAR)
                         AS w_start,
-                      CASE WHEN wm.w IS NOT NULL AND e.tus < wm.w
+                      CASE WHEN wm.w IS NOT NULL
+                            AND epoch_us(date_trunc('hour', e.ts)
+                                  + INTERVAL 1 HOUR) <= wm.w
                         THEN 1 ELSE 0 END AS late
                      FROM e JOIN wm ON e.b = wm.b)
               SELECT w_start, count(*) AS n_events,

@@ -197,6 +197,26 @@ object TextQueries {
                         FROM toks t JOIN perword pw ON pw.w = t.w
                         GROUP BY t.doc_id)"""
 
+  /** Scala twin of [[sqlUnigramPerdoc]]: frequency-derived unigram
+    * vocab + Viterbi segmentation rolled up to the per-doc
+    * (doc_id, n_words, n_pieces, lp) frame. ONE definition shared by
+    * t23/t28 (mirroring the SQL-side factoring). Returns
+    * (documents, perdoc). */
+  private def unigramPerdoc(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = load(s, d, "documents")
+    val vocab = graft.operators.Tokenize.unigramVocab(docs, "text",
+      topWords = 50000, topPieces = 400, maxLen = 4)
+    val per = graft.operators.Tokenize.unigramSegment(docs, "text",
+        vocab, maxLen = 4)
+      .select(col("doc_id"), explode_outer(col("seg")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(col("w")).as("n_words"),
+        coalesce(sum(col("w._1")), lit(0L)).as("n_pieces"),
+        coalesce(graft.util.Tables.dsum(col("w._2")), lit(0.0)).as("lp"))
+    (docs, per)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- T1 per-document stats: tokens, ratios, mean token length -----
@@ -1343,18 +1363,8 @@ object TextQueries {
     // broadcast-vocab UDF (the t19/t20 rationale), one doc-keyed rollup.
     Q("t23_unigram_segment",
       (s, d) => {
-        val docs = load(s, d, "documents")
-        val vocab = graft.operators.Tokenize.unigramVocab(docs, "text",
-          topWords = 50000, topPieces = 400, maxLen = 4)
-        graft.operators.Tokenize.unigramSegment(docs, "text", vocab,
-            maxLen = 4)
-          .select(col("doc_id"), explode_outer(col("seg")).as("w"))
-          .groupBy("doc_id")
-          .agg(count(col("w")).as("n_words"),
-            coalesce(sum(col("w._1")), lit(0L)).as("n_pieces"),
-            coalesce(graft.util.Tables.dsum(col("w._2")), lit(0.0))
-              .as("lp"))
-          .orderBy("doc_id")
+        val (_, per) = unigramPerdoc(s, d)
+        per.orderBy("doc_id")
       },
       Some {
         s"""WITH RECURSIVE $sqlUnigramPerdoc
@@ -1466,21 +1476,16 @@ object TextQueries {
     // t23); fertility is ONE IEEE division of exact integer sums.
     Q("t28_fertility",
       (s, d) => {
-        val docs = load(s, d, "documents")
-        val vocab = graft.operators.Tokenize.unigramVocab(docs, "text",
-          topWords = 50000, topPieces = 400, maxLen = 4)
-        val per = graft.operators.Tokenize.unigramSegment(docs, "text",
-            vocab, maxLen = 4)
-          .select(col("doc_id"), explode_outer(col("seg")).as("w"))
-          .groupBy("doc_id")
-          .agg(count(col("w")).as("nw"),
-            coalesce(sum(col("w._1")), lit(0L)).as("np"))
+        val (docs, per) = unigramPerdoc(s, d)
         docs.select("doc_id", "lang").join(per, Seq("doc_id"))
           .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
-            sum(col("np")).as("n_pieces"))
-          .withColumn("fertility", col("n_pieces").cast("double")
-            / col("n_words").cast("double"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_pieces")).as("n_pieces"))
+          // a language of all-empty documents has zero words: emit NULL
+          // (DuckDB's IEEE 0/0 would be NaN — the one cross-engine gap)
+          .withColumn("fertility", when(col("n_words") > 0,
+            col("n_pieces").cast("double") / col("n_words").cast("double")))
           .orderBy("lang")
       },
       Some(s"""WITH RECURSIVE $sqlUnigramPerdoc,
@@ -1492,9 +1497,10 @@ object TextQueries {
               SELECT lang, count(*) AS n_docs,
                      CAST(sum(nw) AS BIGINT) AS n_words,
                      CAST(sum(np) AS BIGINT) AS n_pieces,
-                     CAST(CAST(sum(np) AS BIGINT) AS DOUBLE)
-                       / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE)
-                       AS fertility
+                     CASE WHEN CAST(sum(nw) AS BIGINT) > 0 THEN
+                       CAST(CAST(sum(np) AS BIGINT) AS DOUBLE)
+                         / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE)
+                     END AS fertility
               FROM pl GROUP BY lang ORDER BY lang""")),
 
     // ---- T27 character-entropy gibberish signal ------------------------

@@ -64,11 +64,13 @@ object Streams {
     * boundaries): `batchCol` is the event's arrival micro-batch; the
     * watermark visible while batch b processes is
     * max(event time over batches < b) − delay, and an event is LATE iff
-    * its event time sits below that watermark — the engine would have
-    * evicted its window's state and dropped it. Emits per tumbling
-    * window: total events, late events, on-time events. The first
-    * batch has no watermark (NULL prev-max), so nothing in it is late —
-    * exactly Structured Streaming's cold-start behavior.
+    * its window's END is at or below that watermark — the engine drops
+    * an event only once the whole window's state has been evicted, so
+    * an old event whose window is still open (end > watermark) is
+    * aggregated normally. Emits per tumbling window: total events,
+    * late events, on-time events. The first batch has no watermark
+    * (NULL prev-max), so nothing in it is late — exactly Structured
+    * Streaming's cold-start behavior.
     *
     * Cross-engine determinism: event times compare as exact integer
     * microseconds (unix_micros/epoch_us) and the watermark is a max
@@ -92,9 +94,10 @@ object Streams {
       .select(col("__b"),
         (max(col("__mx")).over(wmWin) - lit(delayMicros)).as("__wm"))
     e.join(broadcast(wm), Seq("__b"))
-      .select(window(col("__ts"), windowLen).getField("start")
-          .cast("string").as("w_start"),
-        when(col("__wm").isNotNull && col("__tus") < col("__wm"), 1L)
+      .select(window(col("__ts"), windowLen).as("__w"), col("__wm"))
+      .select(col("__w").getField("start").cast("string").as("w_start"),
+        when(col("__wm").isNotNull &&
+            expr("unix_micros(__w.end)") <= col("__wm"), 1L)
           .otherwise(0L).as("__late"))
       .groupBy(col("w_start"))
       .agg(count(lit(1)).as("n_events"), sum(col("__late")).as("n_late"),

@@ -519,17 +519,23 @@ class StreamingSuite extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // batch 0: 10:00 and 10:30 (sets the max; nothing late — no prior
-    // watermark). batch 1 with a 30-min delay sees wm = 10:00, so the
-    // 09:00 straggler is LATE and 10:45 is on time.
+    // watermark). batch 1 with a 45-min delay sees wm = 09:45:
+    //  - 08:30 → window [08:00,09:00) ends 09:00 ≤ wm → LATE
+    //  - 09:30 → BELOW the watermark but its window [09:00,10:00) ends
+    //    10:00 > wm, so state is still open → on time (the event-time-
+    //    only rule would wrongly flag it)
+    //  - 10:45 → on time
     val ev = Seq(
       (0L, "2026-01-01 10:00:00"), (0L, "2026-01-01 10:30:00"),
-      (1L, "2026-01-01 09:00:00"), (1L, "2026-01-01 10:45:00"))
+      (1L, "2026-01-01 08:30:00"), (1L, "2026-01-01 09:30:00"),
+      (1L, "2026-01-01 10:45:00"))
       .toDF("b", "s").select(col("b"), col("s").cast("timestamp").as("ts"))
     val got = graft.streaming.Streams.watermarkLateAccounting(
-        ev, "b", "ts", delayMicros = 30L * 60 * 1000000)
+        ev, "b", "ts", delayMicros = 45L * 60 * 1000000)
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq(
-      ("2026-01-01 09:00:00", 1L, 1L, 0L),   // the straggler's window
+      ("2026-01-01 08:00:00", 1L, 1L, 0L),
+      ("2026-01-01 09:00:00", 1L, 0L, 1L),
       ("2026-01-01 10:00:00", 3L, 0L, 3L)))
   }
 }

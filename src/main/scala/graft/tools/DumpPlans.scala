@@ -72,7 +72,9 @@ object DumpPlans {
     "t25_doremi_mixture" -> "DoReMi EG step: one doc-keyed partial agg to |domains| rows, all windows domain-bounded",
     "t26_threshold_sweep" -> "threshold sweep: one scan bucketing to a 20-row grid, reverse-cumulative window on the grid only",
     "t27_char_entropy" -> "char entropy: per-char explode through ONE doc-keyed partial agg, quantized terms summed as exact integers",
-    "e28_prototype_prune" -> "prototype pruning: ONE fused argmax+score walk (no centroid join), per-cell bounded rank windows")
+    "e28_prototype_prune" -> "prototype pruning: ONE fused argmax+score walk (no centroid join), per-cell bounded rank windows",
+    "d13_soft_dedup" -> "soft dedup: one fingerprint groupBy, group table joined back doc-keyed, weight a single projection",
+    "w12_late_data" -> "late-data accounting: stream reduced to a bounded per-batch max frame, running watermark broadcast back onto the scan")
     // (e26 deliberately absent: like m26/e23, its graded frame is the
     // collected ≤|Q|·k selection; the interesting per-round shape —
     // pool/pair-sim joins + window argmax — reuses e01's pinned

@@ -421,8 +421,15 @@ object Samplers {
           / sum(col("n_docs")).over(all).cast("double")
           - col("__s").cast("double") / col("n_docs").cast("double"))
           / lit(quantum)))
-      .withColumn("boost_q",
-        floor(exp(col("__lam")) * lit(quantum) + lit(0.5)).cast("long"))
+      .withColumn("boost_q", {
+        val b = exp(col("__lam")) * lit(quantum) + lit(0.5)
+        // guard BEFORE the cast: the non-ANSI double→long cast saturates
+        // at Long.MaxValue, which a post-cast comparison can miss
+        when(b >= lit(9.223372036854776e18),
+          raise_error(lit("doremiReweight: boost overflows long — " +
+            "excess loss is out of scale for this quantum")))
+          .otherwise(floor(b).cast("long"))
+      })
       // n_docs · boost_q must stay an EXACT long: an excess loss large
       // enough to overflow it (λ ≳ 30 un-quantized units, or a mismatched
       // quantum) means the score scale is wrong — raise, don't wrap

@@ -86,7 +86,16 @@ object Streams {
                               windowLen: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(delayMicros >= 0, s"delayMicros=$delayMicros must be >= 0")
-    val e = events.select(col(batchCol).as("__b"), col(tsCol).as("__ts"),
+    // a NULL batch or timestamp would silently vanish through the
+    // watermark join / window assignment, under-counting the stream —
+    // fail loudly instead (the ppsPoisson/doremiReweight contract)
+    val e = events.select(
+      when(col(batchCol).isNull, raise_error(lit(
+        s"watermarkLateAccounting: NULL in batch column '$batchCol'")))
+        .otherwise(col(batchCol)).as("__b"),
+      when(col(tsCol).isNull, raise_error(lit(
+        s"watermarkLateAccounting: NULL in time column '$tsCol'")))
+        .otherwise(col(tsCol)).as("__ts"),
       expr(s"unix_micros($tsCol)").as("__tus"))
     val wmWin = Window.partitionBy(lit(1)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -124,4 +124,23 @@ class SamplersRound10Suite extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(again === out)
   }
+
+  test("doremiReweight fails loudly on NULL scores and on boost overflow") {
+    val withNull = Seq(("A", java.lang.Long.valueOf(1L)),
+      ("B", null.asInstanceOf[java.lang.Long])).toDF("dom", "s")
+    val e1 = intercept[Exception] {
+      Samplers.doremiReweight(withNull, "dom", "s").collect()
+    }
+    assert(e1.getMessage.contains("NULL in score column"),
+      e1.getMessage)
+    // lam_B = 45 un-quantized units -> exp(45)*2^20 >> Long.MaxValue:
+    // the pre-cast guard must raise rather than saturate silently
+    val q = 1048576L
+    val huge = Seq(("A", 0L), ("A", 0L),
+      ("B", -90L * q), ("B", -90L * q)).toDF("dom", "s")
+    val e2 = intercept[Exception] {
+      Samplers.doremiReweight(huge, "dom", "s").collect()
+    }
+    assert(e2.getMessage.contains("overflows long"), e2.getMessage)
+  }
 }

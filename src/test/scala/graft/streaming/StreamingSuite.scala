@@ -537,5 +537,14 @@ class StreamingSuite extends SparkSpec {
       ("2026-01-01 08:00:00", 1L, 1L, 0L),
       ("2026-01-01 09:00:00", 1L, 0L, 1L),
       ("2026-01-01 10:00:00", 3L, 0L, 3L)))
+    // a NULL batch would otherwise vanish through the watermark join
+    val withNull = Seq((java.lang.Long.valueOf(0L), "2026-01-01 10:00:00"),
+      (null.asInstanceOf[java.lang.Long], "2026-01-01 10:30:00"))
+      .toDF("b", "s").select(col("b"), col("s").cast("timestamp").as("ts"))
+    val e = intercept[Exception] {
+      graft.streaming.Streams.watermarkLateAccounting(
+        withNull, "b", "ts", delayMicros = 0L).collect()
+    }
+    assert(e.getMessage.contains("NULL in batch column"), e.getMessage)
   }
 }

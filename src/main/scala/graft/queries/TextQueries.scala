@@ -217,6 +217,57 @@ object TextQueries {
     (docs, per)
   }
 
+  /** Shared t22/t29 oracle chain: weak-label features, the m06
+    * quantized-IRLS fit (StatsQueries.sqlIrls2, shared verbatim), and
+    * the broadcast-scored corpus — ending in sc = (doc_id, y, x,
+    * score). ONE definition so the filter grader (t22) and the
+    * calibration grader (t29) cannot diverge. */
+  private val sqlClassifierScored: String = {
+    val p = "(' ' || text || ' ')"
+    val pl = "(' ' || lower(text) || ' ')"
+    val en = Seq(" the ", " and ", " of ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+    val es = Seq(" el ", " la ", " de ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+    val de = Seq(" der ", " und ", " die ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+    val fr = Seq(" le ", " et ", " les ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
+    val stopHits = TextFunctions.stopwords
+      .map(w => sqlOcc(pl, s" $w ")).mkString("(", " + ", ")")
+    s"""lsc AS (SELECT doc_id,
+                    $en AS s_en,
+                    greatest($en, $es, $de, $fr) AS best,
+                    CAST($stopHits AS DOUBLE) / CAST($sqlNTok AS DOUBLE)
+                      AS x
+                  FROM documents),
+             src AS (SELECT doc_id,
+                       CASE WHEN s_en = best AND best > 0
+                            THEN 1.0 ELSE 0.0 END AS y,
+                       x
+                     FROM lsc),
+             ${StatsQueries.sqlIrls2("src", 3)},
+             sc AS (SELECT f.doc_id, f.y, f.x,
+                      floor((1.0 / (1.0 +
+                        exp(-(c.b0 + c.b1 * f.x)))) * 1048576.0 + 0.5)
+                        / 1048576.0 AS score
+                    FROM src f, c3 c)"""
+  }
+
+  /** Scala twin of [[sqlClassifierScored]]: weak-label features, the
+    * portable quantized-IRLS fit, and the broadcast-scored corpus —
+    * (doc_id, y, score) with score already 2⁻²⁰-quantized. ONE
+    * definition shared by t22/t29. */
+  private def classifierScored(s: SparkSession, d: String): DataFrame = {
+    val feats = load(s, d, "documents").select(col("doc_id"),
+      (langId(col("text")) === "en").cast("double").as("y"),
+      stopwordRatio(col("text")).as("x"))
+    val coefs = graft.stats.Logistic.fitPortable2(feats, "y", "x",
+      iters = 3)
+    val q = lit(1048576.0) // 2^20, the fitPortable2 quantum
+    feats.crossJoin(broadcast(coefs))
+      .withColumn("score",
+        floor((lit(1.0) / (lit(1.0) +
+          exp(-(col("b0") + col("b1") * col("x"))))) * q + lit(0.5)) / q)
+      .select(col("doc_id"), col("y"), col("score"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- T1 per-document stats: tokens, ratios, mean token length -----
@@ -1299,52 +1350,62 @@ object TextQueries {
     // oracle reuses StatsQueries.sqlIrls2 verbatim over the text
     // features, so the two IRLS renditions cannot diverge.
     Q("t22_quality_classifier",
-      (s, d) => {
-        import org.apache.spark.sql.functions.broadcast
-        val feats = load(s, d, "documents").select(col("doc_id"),
-          (langId(col("text")) === "en").cast("double").as("y"),
-          stopwordRatio(col("text")).as("x"))
-        val coefs = graft.stats.Logistic.fitPortable2(feats, "y", "x",
-          iters = 3)
-        val q = lit(1048576.0) // 2^20, the fitPortable2 quantum
-        feats.crossJoin(broadcast(coefs))
-          .withColumn("score",
-            floor((lit(1.0) / (lit(1.0) +
-              exp(-(col("b0") + col("b1") * col("x"))))) * q + lit(0.5)) / q)
-          .select(col("doc_id"), col("y").cast("int").as("y"),
-            col("score"), (col("score") >= 0.5).as("keep"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val p = "(' ' || text || ' ')"
-        val pl = "(' ' || lower(text) || ' ')"
-        val en = Seq(" the ", " and ", " of ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
-        val es = Seq(" el ", " la ", " de ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
-        val de = Seq(" der ", " und ", " die ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
-        val fr = Seq(" le ", " et ", " les ").map(sqlOcc(p, _)).mkString("(", " + ", ")")
-        val stopHits = TextFunctions.stopwords
-          .map(w => sqlOcc(pl, s" $w ")).mkString("(", " + ", ")")
-        s"""WITH lsc AS (SELECT doc_id,
-                    $en AS s_en,
-                    greatest($en, $es, $de, $fr) AS best,
-                    CAST($stopHits AS DOUBLE) / CAST($sqlNTok AS DOUBLE)
-                      AS x
-                  FROM documents),
-             src AS (SELECT doc_id,
-                       CASE WHEN s_en = best AND best > 0
-                            THEN 1.0 ELSE 0.0 END AS y,
-                       x
-                     FROM lsc),
-             ${StatsQueries.sqlIrls2("src", 3)},
-             sc AS (SELECT f.doc_id, f.y, f.x,
-                      floor((1.0 / (1.0 +
-                        exp(-(c.b0 + c.b1 * f.x)))) * 1048576.0 + 0.5)
-                        / 1048576.0 AS score
-                    FROM src f, c3 c)
+      (s, d) => classifierScored(s, d)
+        .select(col("doc_id"), col("y").cast("int").as("y"),
+          col("score"), (col("score") >= 0.5).as("keep"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $sqlClassifierScored
              SELECT doc_id, CAST(y AS INT) AS y, score,
                     score >= 0.5 AS keep
-             FROM sc ORDER BY doc_id"""
-      }),
+             FROM sc ORDER BY doc_id""")),
+
+    // ---- T29 classifier reliability (calibration) curve -----------------
+    // The model-eval table read before trusting t22's scores as
+    // sampling weights or thresholds: decile bins of the predicted
+    // score vs the realized positive rate, plus the per-bin calibration
+    // gap. The quantized score times 2²⁰ is an EXACT integer, so every
+    // bin statistic is integer sums and single IEEE divisions — the
+    // whole diagram hash-matches. Shares the full scoring chain with
+    // t22 on both sides (classifierScored / sqlClassifierScored).
+    Q("t29_calibration_curve",
+      (s, d) => classifierScored(s, d)
+        .select(
+          least(floor(col("score") * lit(10.0)), lit(9L)).cast("int")
+            .as("bin"),
+          col("y").cast("long").as("yi"),
+          (col("score") * lit(1048576.0)).cast("long").as("sq"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("yi")).as("n_pos"),
+          sum(col("sq")).as("__sm"))
+        .select(col("bin"),
+          (col("bin").cast("double") / lit(10.0)).as("tau_lo"),
+          col("n"), col("n_pos"),
+          (col("__sm").cast("double")
+            / (col("n") * lit(1048576L)).cast("double")).as("mean_pred"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("frac_pos"))
+        .withColumn("gap", col("frac_pos") - col("mean_pred"))
+        .orderBy("bin"),
+      Some(s"""WITH $sqlClassifierScored,
+              bn AS (SELECT least(CAST(floor(score * 10.0) AS BIGINT), 9)
+                        AS bin,
+                      CAST(y AS BIGINT) AS yi,
+                      CAST(score * 1048576.0 AS BIGINT) AS sq
+                     FROM sc),
+              g AS (SELECT bin, count(*) AS n,
+                      CAST(sum(yi) AS BIGINT) AS n_pos,
+                      CAST(sum(sq) AS BIGINT) AS sm
+                    FROM bn GROUP BY bin)
+              SELECT CAST(bin AS INT) AS bin,
+                     CAST(bin AS DOUBLE) / 10.0 AS tau_lo, n, n_pos,
+                     CAST(sm AS DOUBLE)
+                       / CAST(n * 1048576 AS DOUBLE) AS mean_pred,
+                     CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS frac_pos,
+                     CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(sm AS DOUBLE)
+                         / CAST(n * 1048576 AS DOUBLE) AS gap
+              FROM g ORDER BY bin""")),
 
     // ---- T23 unigram-LM (SentencePiece-style) Viterbi segmentation ----
     // Completes the tokenizer trio (t19 WordPiece greedy tiling, t20/t21

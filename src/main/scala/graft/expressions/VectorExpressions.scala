@@ -7,6 +7,27 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
+/** Analysis-time guard shared by the exact-decimal vector expressions
+  * that read elements with `getFloat`: over an `array<double>` child
+  * that call silently reads half of each element — wrong keys/codes/
+  * cells with no error (the failure mode FloatVecDotExact's check was
+  * written for). Mixing in this trait turns the misuse into an
+  * AnalysisException instead. */
+trait RequiresFloatArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> input, got " +
+          s"${other.simpleString}")
+    }
+  }
+}
+
 /** Native Catalyst expressions for embedding arithmetic.
   *
   * Spark's higher-order functions (`aggregate`/`zip_with`) are
@@ -252,7 +273,8 @@ final case class FloatVecDotExact(left: Expression, right: Expression)
 final case class PqEncodeExactConst(child: Expression, books: Seq[Double],
                                     dim: Int, m: Int, kCodes: Int)
     extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with RequiresFloatArrayInput {
   require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
   require(books.length == kCodes * dim,
     s"books must be m*kCodes*subDim = ${kCodes * dim} doubles")
@@ -366,7 +388,8 @@ final case class PqReconConst(child: Expression, books: Seq[Double],
 final case class LshBucketKeysExact(child: Expression, weights: Seq[Double],
                                     dim: Int, bits: Int, tables: Int)
     extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with RequiresFloatArrayInput {
   require(weights.length == tables * bits * dim,
     s"weights must be tables*bits*dim = ${tables * bits * dim} doubles")
 
@@ -422,7 +445,8 @@ final case class LshBucketKeysExact(child: Expression, weights: Seq[Double],
 final case class TopPDotExactConst(child: Expression, cents: Seq[Double],
                                    dim: Int, nCells: Int, p: Int)
     extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with RequiresFloatArrayInput {
   require(nCells > 0, "nCells must be positive")
   require(p >= 1 && p <= nCells, s"p=$p must be in [1, $nCells]")
   require(cents.length == nCells * dim,
@@ -487,7 +511,8 @@ final case class TopPDotExactConst(child: Expression, cents: Seq[Double],
 final case class ArgMaxDotScoreExact(child: Expression, cents: Seq[Double],
                                      dim: Int, nCells: Int)
     extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with RequiresFloatArrayInput {
   require(nCells > 0, "nCells must be positive")
   require(cents.length == nCells * dim,
     s"cents must be nCells*dim = ${nCells * dim} doubles")

@@ -432,12 +432,22 @@ object TextPipeline {
   def thresholdSweep(df: DataFrame, scoreCol: String, weightCol: String,
                      nSteps: Int = 20): DataFrame = {
     require(nSteps >= 2, s"nSteps=$nSteps must be >= 2")
+    // NULLs fail loudly (the doremiReweight contract): a NULL score
+    // would silently land in bin 0 via the when-chain's otherwise, and
+    // a NULL weight would be skipped by sum() while count() kept the
+    // row — skewing docs_kept vs tokens_kept with no error
+    val score = when(col(scoreCol).isNull,
+      raise_error(lit(s"thresholdSweep: NULL in score column '$scoreCol'")))
+      .otherwise(col(scoreCol))
+    val weight = when(col(weightCol).isNull,
+      raise_error(lit(s"thresholdSweep: NULL in weight column '$weightCol'")))
+      .otherwise(col(weightCol))
     val bucket = (1 until nSteps).reverse
       .foldLeft(when(lit(false), lit(0))) { (w, i) =>
-        w.when(col(scoreCol) >= lit(i.toDouble / nSteps), lit(i))
+        w.when(score >= lit(i.toDouble / nSteps), lit(i))
       }.otherwise(lit(0))
     val perBucket = df.groupBy(bucket.as("b"))
-      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("n_toks"))
+      .agg(count(lit(1)).as("n_docs"), sum(weight).as("n_toks"))
     val grid = df.sparkSession.range(nSteps.toLong)
       .select(col("id").cast("int").as("b"))
     val filled = grid.join(perBucket, Seq("b"), "left")

@@ -535,6 +535,18 @@ object AnnQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       pool.count()
+      // poolK >= k guards the REQUESTED pool; a small candidate set can
+      // still realize fewer than k members for some query, which would
+      // exhaust the greedy loop mid-way and silently emit < k picks —
+      // fail loudly instead (one aggregation over the cached
+      // |Q|·poolK-bounded frame)
+      val short = pool.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+        .filter(col("n") < k).limit(1).collect()
+      if (short.nonEmpty)
+        throw new IllegalArgumentException(
+          s"mmrDiverseTopK: query ${short.head.get(0)} realized a pool of " +
+            s"${short.head.get(1)} < k=$k candidates — not enough distinct " +
+            "candidates to diversify over")
       val ev = cand.select(col("vec_id"), col("embedding"))
       // pairwise pool cosines, both directions (s is symmetric but the
       // lookup below is by the candidate side)

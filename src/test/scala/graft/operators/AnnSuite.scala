@@ -945,4 +945,42 @@ class AnnSuite extends SparkSpec {
     }
     assert(run(df.repartition(7)) === got) // layout-invariant
   }
+
+  test("exact vector expressions reject array<double> input at analysis " +
+      "time (the getFloat half-read guard, shared with FloatVecDotExact)") {
+    import graft.expressions.VectorExpressions._
+    val dvec = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val guarded = Seq(
+      lshKeysExact(col("embedding"), Seq(Seq(1.0, 0.0)), 2, 1, 1),
+      topPDotExact(col("embedding"), cents, 1),
+      argMaxDotScoreExact(col("embedding"), cents),
+      pqEncodeExact(col("embedding"), Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))),
+        dim = 2))
+    guarded.foreach { e =>
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        dvec.select(e).collect()
+      }
+      assert(ex.getMessage.contains("array<float>"), ex.getMessage)
+    }
+    // and the float-array production shape still analyzes + runs
+    val fvec = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(fvec.select(argMaxDotScoreExact(col("embedding"), cents)
+      .getField("cell")).as[Int].head() === 1)
+  }
+
+  test("mmrDiverseTopK rejects a realized pool smaller than k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    // only 4 candidates exist, so each query's realized pool is at most
+    // 3 (self excluded) < k = 5 even though poolK = 12 >= k passes the
+    // argument check
+    val tiny = emb.filter(col("vec_id") < 4)
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.AnnQueries
+        .mmrDiverseTopK(queries, tiny, k = 5, poolK = 12,
+          lam = 0.7, omLam = 0.3).collect()
+    }
+    assert(ex.getMessage.contains("realized a pool"), ex.getMessage)
+  }
 }

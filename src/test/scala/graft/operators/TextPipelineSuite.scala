@@ -349,4 +349,19 @@ class TextPipelineSuite extends SparkSpec {
     assert(byId(2L) == ((2L, 2L, 2L, 1048576L))) // uniform 2: 1 bit
     assert(byId(3L) == ((3L, 4L, 4L, 2097152L))) // uniform 4: 2 bits
   }
+
+  test("thresholdSweep fails loudly on NULL scores and NULL weights") {
+    val nullScore = Seq((Some(0.5), 10L), (None, 20L))
+      .toDF("score", "w")
+    val e1 = intercept[Exception] {
+      TextPipeline.thresholdSweep(nullScore, "score", "w").collect()
+    }
+    assert(e1.getMessage.contains("NULL in score column"), e1.getMessage)
+    val nullWeight = Seq((0.5, Some(10L)), (0.9, None))
+      .toDF("score", "w")
+    val e2 = intercept[Exception] {
+      TextPipeline.thresholdSweep(nullWeight, "score", "w").collect()
+    }
+    assert(e2.getMessage.contains("NULL in weight column"), e2.getMessage)
+  }
 }

@@ -157,4 +157,40 @@ object Profile {
     Seq((nChild, orphans, if (orphans == 0L) 1 else 0))
       .toDF("n_child", "n_orphans", "pass")
   }
+
+  /** Tukey IQR outlier census per column: exact Q1/Q3 (the `percentile`
+    * order statistics — a14's convention, which hash-matches DuckDB's
+    * quantile_cont), the 1.5·IQR fences lo = Q1 − 1.5·(Q3 − Q1) /
+    * hi = Q3 + 1.5·(Q3 − Q1) as mirrored IEEE ops, and the strict
+    * outside counts. NULLs are ignored on both the quantile and the
+    * count side (a NULL comparison is not an outlier), matching SQL
+    * semantics.
+    *
+    * Scale shape: per column, one quantile aggregation (Spark's
+    * `percentile` partial-aggregates per partition) plus one counting
+    * pass with the two fence scalars broadcast via crossJoin of a
+    * 1-row frame — no sort of the data, no driver-side rows beyond the
+    * 1-row stats. Columns census sequentially; the result is
+    * |cols|-bounded. */
+  def iqrOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "iqrOutliers: need at least one column")
+    cols.map { c =>
+      val stats = df.agg(
+        expr(s"percentile($c, 0.25)").as("q1"),
+        expr(s"percentile($c, 0.75)").as("q3"))
+        .select(col("q1"), col("q3"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo_fence"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi_fence"))
+      df.crossJoin(broadcast(stats))
+        .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+          first(col("lo_fence")).as("lo_fence"),
+          first(col("hi_fence")).as("hi_fence"),
+          sum(when(col(c) < col("lo_fence"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col(c) > col("hi_fence"), 1L).otherwise(0L))
+            .as("n_above"))
+        .select(lit(c).as("colname"), col("q1"), col("q3"),
+          col("lo_fence"), col("hi_fence"), col("n_below"), col("n_above"))
+    }.reduce(_ unionByName _).orderBy("colname")
+  }
 }

@@ -443,6 +443,89 @@ object Samplers {
           / sum(col("__raw")).over(all).cast("double")).as("weight"))
   }
 
+  /** Deterministic training-shard assignment census: every row lands in
+    * shard `portableHash(id) mod nShards` (reproducible in any engine —
+    * the property that lets a resumed or re-planned training run see
+    * the SAME shard contents), and the census reports each shard's
+    * document count, token mass, and load ratio (shard tokens ×
+    * nShards / total tokens — 1.0 is perfect balance). Every shard
+    * emits its grid row even when empty. NULL ids/weights fail loudly
+    * (the [[splitByPortableHash]]/[[doremiReweight]] contract).
+    *
+    * Scale shape: ONE partial-aggregable pass to nShards rows; the
+    * balance window runs on the nShards-row frame, never the corpus.
+    * The assignment itself is a pure projection — a writer shards the
+    * corpus with the same expression and no extra shuffle beyond the
+    * final partitionBy. */
+  def shardCensus(df: DataFrame, idCol: String, weightCol: String,
+                  nShards: Int): DataFrame = {
+    require(nShards >= 2, s"nShards=$nShards must be >= 2")
+    val id = when(col(idCol).isNull,
+      raise_error(lit(s"shardCensus: NULL in id column '$idCol'")))
+      .otherwise(col(idCol))
+    val w = when(col(weightCol).isNull,
+      raise_error(lit(s"shardCensus: NULL in weight column '$weightCol'")))
+      .otherwise(col(weightCol))
+    val per = df
+      .groupBy(pmod(portableHashKey(id), lit(nShards.toLong))
+        .cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(w).as("n_toks"))
+    val grid = df.sparkSession.range(nShards.toLong)
+      .select(col("id").cast("int").as("shard"))
+    val all = Window.partitionBy(lit(1))
+    grid.join(per, Seq("shard"), "left")
+      .na.fill(0L, Seq("n_docs", "n_toks"))
+      .select(col("shard"), col("n_docs"), col("n_toks"),
+        ((col("n_toks") * lit(nShards.toLong)).cast("double")
+          / sum(col("n_toks")).over(all).cast("double")).as("load_ratio"))
+      .orderBy("shard")
+  }
+
+  /** Data-constrained epoch mixing (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): given per-domain token masses
+    * T_d, a training budget B = `budgetFactor` × ΣT_d, and a repeat cap
+    * `maxEpochs`, allocate each domain its temperature-smoothed budget
+    * share s_d = √T_d / Σ√T_d (the mT5/XLM-R α = 0.5 rebalancing — the
+    * same smoothing as [[temperatureMixture]]) and report the epochs it
+    * will be repeated for, capped: epochs_d = min(maxEpochs,
+    * s_d·B / T_d). `eff_toks` is the realized token draw
+    * round(epochs_d · T_d); `capped` marks domains whose uncapped
+    * allocation exceeded the repeat cap (their surplus is the budget a
+    * second planning round would redistribute).
+    *
+    * Float parity: T_d and B are exact integers; √ is correctly
+    * rounded; Σ√T_d rides the dsum exact-decimal convention; the
+    * epochs chain is mirrored IEEE ops, and eff_toks re-enters exact
+    * integers through floor(x + 0.5).
+    *
+    * Scale shape: one doc-keyed partial agg to |domains| rows;
+    * everything downstream is domain-bounded window arithmetic. */
+  def epochMix(df: DataFrame, domainCol: String, weightCol: String,
+               budgetFactor: Long, maxEpochs: Double): DataFrame = {
+    require(budgetFactor >= 1, s"budgetFactor=$budgetFactor must be >= 1")
+    require(maxEpochs > 0.0, s"maxEpochs=$maxEpochs must be positive")
+    val w = when(col(weightCol).isNull,
+      raise_error(lit(s"epochMix: NULL in weight column '$weightCol'")))
+      .otherwise(col(weightCol))
+    val all = Window.partitionBy(lit(1))
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(sum(w).as("n_toks"))
+    val shared = perDomain
+      .withColumn("__w", sqrt(col("n_toks").cast("double")))
+      .withColumn("__z", graft.util.Tables.dsumOver(col("__w"), all))
+      .withColumn("__b",
+        (sum(col("n_toks")).over(all) * lit(budgetFactor)).cast("double"))
+      .withColumn("__raw", col("__w") / col("__z") * col("__b")
+        / col("n_toks").cast("double"))
+    shared.select(col(domainCol), col("n_toks"),
+      least(col("__raw"), lit(maxEpochs)).as("epochs"),
+      floor(least(col("__raw"), lit(maxEpochs))
+        * col("n_toks").cast("double") + lit(0.5)).cast("long")
+        .as("eff_toks"),
+      (col("__raw") > lit(maxEpochs)).cast("int").as("capped"))
+      .orderBy(domainCol)
+  }
+
   /** Systematic sampling with interval k: order the frame by the
     * portable hash of `idCol` (a deterministic pseudo-random ordering —
     * the list-order randomization classical systematic sampling

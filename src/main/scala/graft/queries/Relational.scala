@@ -710,6 +710,47 @@ object Relational {
               FROM o2, x2
               ORDER BY chk""")),
 
+    // ---- P20 Tukey IQR outlier census ----------------------------------
+    // Profiling-stack outlier screen over two lineitem measures: exact
+    // quartiles (the a14 percentile ↔ quantile_cont parity), 1.5·IQR
+    // fences as mirrored IEEE ops, strict outside counts. Two bounded
+    // aggregation passes per column, 2-row result → full hash oracle.
+    Q("p20_iqr_outliers",
+      (s, d) => graft.operators.Profile.iqrOutliers(
+        load(s, d, "lineitem"), Seq("l_extendedprice", "l_quantity")),
+      Some("""WITH s1 AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                            quantile_cont(l_extendedprice, 0.75) AS q3
+                          FROM lineitem),
+                   f1 AS (SELECT q1, q3,
+                            q1 - 1.5 * (q3 - q1) AS lo_fence,
+                            q3 + 1.5 * (q3 - q1) AS hi_fence FROM s1),
+                   n1 AS (SELECT
+                            CAST(sum(CASE WHEN l.l_extendedprice < f.lo_fence
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+                            CAST(sum(CASE WHEN l.l_extendedprice > f.hi_fence
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+                          FROM lineitem l, f1 f),
+                   s2 AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+                            quantile_cont(l_quantity, 0.75) AS q3
+                          FROM lineitem),
+                   f2 AS (SELECT q1, q3,
+                            q1 - 1.5 * (q3 - q1) AS lo_fence,
+                            q3 + 1.5 * (q3 - q1) AS hi_fence FROM s2),
+                   n2 AS (SELECT
+                            CAST(sum(CASE WHEN l.l_quantity < f.lo_fence
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+                            CAST(sum(CASE WHEN l.l_quantity > f.hi_fence
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+                          FROM lineitem l, f2 f)
+              SELECT 'l_extendedprice' AS colname, q1, q3, lo_fence,
+                     hi_fence, n_below, n_above
+              FROM f1, n1
+              UNION ALL
+              SELECT 'l_quantity', q1, q3, lo_fence, hi_fence,
+                     n_below, n_above
+              FROM f2, n2
+              ORDER BY colname""")),
+
     // ---- P16 data-quality expectations (Deequ-style gate) -------------
     // Four rules over orders in ONE aggregation pass: NULL predicates
     // count as violations, uniqueness is n − distinct. All-integer →

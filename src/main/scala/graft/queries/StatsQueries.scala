@@ -832,6 +832,67 @@ object StatsQueries {
                       center - half AS ci_lo, center + half AS ci_hi
                FROM w ORDER BY event_type""")),
 
+    // ---- M44 Mann–Whitney U (two-sample rank test) ---------------------
+    // Nonparametric A/B of document length between English and the rest
+    // — the rank-based alternative to m38's Welch t. All rank
+    // arithmetic stays in exact integers by carrying DOUBLED midranks
+    // (2·midrank of a tie group = 2·cum_before + t + 1), so the rank
+    // sum, tie correction Σ(t³−t), and U never touch floats; the
+    // normal-approximation z (no continuity correction) is a mirrored
+    // IEEE tree over those exact integers. One grouped pass to the
+    // |distinct values|-bounded frame, then a window over that frame.
+    Q("m44_mannwhitney",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byV = load(s, d, "documents")
+          .select(col("n_chars").as("v"),
+            when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("g1"))
+          .groupBy("v")
+          .agg(count(lit(1)).as("t"), sum(col("g1")).as("t1"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val a = byV
+          .withColumn("r2", lit(2L) * (sum(col("t")).over(w) - col("t"))
+            + col("t") + lit(1L))
+          .agg(sum(col("t1") * col("r2")).as("r2sum1"),
+            sum(col("t1")).as("n1"), sum(col("t")).as("n"),
+            sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        val u1 = (col("r2sum1") - col("n1") * (col("n1") + lit(1L)))
+          .cast("double") / lit(2.0)
+        val mu = (col("n1") * (col("n") - col("n1"))).cast("double") /
+          lit(2.0)
+        val sig2 = (col("n1") * (col("n") - col("n1"))).cast("double") /
+          lit(12.0) *
+          ((col("n") + lit(1L)).cast("double") -
+            col("ties").cast("double") /
+              (col("n") * (col("n") - lit(1L))).cast("double"))
+        a.select(col("n1"), (col("n") - col("n1")).as("n2"),
+          u1.as("u1"), ((u1 - mu) / sqrt(sig2)).as("z"))
+      },
+      Some("""WITH b AS (SELECT n_chars AS v, count(*) AS t,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS t1
+                   FROM documents GROUP BY n_chars),
+                  r AS (SELECT t, t1,
+                          2 * (sum(t) OVER (ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) - t) + t + 1
+                            AS r2
+                        FROM b),
+                  a AS (SELECT CAST(sum(t1 * r2) AS BIGINT) AS r2sum1,
+                          CAST(sum(t1) AS BIGINT) AS n1,
+                          CAST(sum(t) AS BIGINT) AS n,
+                          CAST(sum(t*t*t - t) AS BIGINT) AS ties
+                        FROM r)
+              SELECT n1, n - n1 AS n2,
+                     CAST(r2sum1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+                     (CAST(r2sum1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                       - CAST(n1 * (n - n1) AS DOUBLE) / 2.0)
+                     / sqrt(CAST(n1 * (n - n1) AS DOUBLE) / 12.0
+                            * (CAST(n + 1 AS DOUBLE)
+                               - CAST(ties AS DOUBLE)
+                                 / CAST(n * (n - 1) AS DOUBLE))) AS z
+              FROM a""")),
+
     // ---- M41 per-row regression diagnostics ---------------------------
     // Leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx and Cook's distance for the
     // simple OLS fit — influence screening as a pure projection: ONE

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TextFunctions, TextPipeline}
+import graft.operators.{Samplers, TextFunctions, TextPipeline}
 import graft.operators.TextFunctions._
 import graft.util.Tables.{load, sqlDsum}
 
@@ -568,6 +568,68 @@ object TextQueries {
                      CAST(CAST(sum(bt) AS BIGINT) AS DOUBLE)
                        / CAST(count(*) * 256 AS DOUBLE) AS utilization
               FROM b GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- C4 training-shard assignment census ---------------------------
+    // Deterministic shard routing for a distributed training run: shard =
+    // portable-hash(doc_id) mod 16, plus each shard's doc/token census
+    // and load ratio (shard tokens × nShards / total — 1.0 is perfect
+    // balance). One partial-aggregable pass to 16 rows; the balance
+    // window runs on the 16-row grid. Counts are exact integers, the
+    // ratio one IEEE division → full hash oracle.
+    Q("c04_shard_assign",
+      (s, d) => Samplers.shardCensus(
+        load(s, d, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", nShards = 16),
+      Some(s"""WITH q AS (SELECT doc_id, $sqlNTok AS n_tok FROM documents),
+              per AS (SELECT CAST(((doc_id % 100000007) * 1315423911)
+                               % 100000007 % 16 AS INTEGER) AS shard,
+                        count(*) AS n_docs,
+                        CAST(sum(n_tok) AS BIGINT) AS n_toks
+                      FROM q GROUP BY 1),
+              grid AS (SELECT CAST(i AS INTEGER) AS shard
+                       FROM generate_series(0, 15) t(i)),
+              f AS (SELECT grid.shard,
+                      coalesce(per.n_docs, 0) AS n_docs,
+                      coalesce(per.n_toks, 0) AS n_toks
+                    FROM grid LEFT JOIN per USING (shard))
+              SELECT shard, n_docs, n_toks,
+                     CAST(n_toks * 16 AS DOUBLE)
+                       / CAST(CAST(sum(n_toks) OVER () AS BIGINT) AS DOUBLE)
+                       AS load_ratio
+              FROM f ORDER BY shard"""),
+      ),
+
+    // ---- C5 data-constrained epoch mixing -------------------------------
+    // Muennighoff et al. 2023: per-source token masses, a budget of 2×
+    // the corpus, a 4-epoch repeat cap, and √-temperature budget shares
+    // (the mT5 α = 0.5 smoothing, same family as g16). Reports each
+    // domain's repeat epochs, realized token draw, and whether the cap
+    // bit. |domains|-bounded after one partial-aggregable pass; the
+    // share normalizer rides the dsum exact-decimal convention.
+    Q("c05_epoch_mix",
+      (s, d) => Samplers.epochMix(
+        load(s, d, "documents")
+          .select(col("source"), tokenCount(col("text")).as("n_tok")),
+        "source", "n_tok", budgetFactor = 2L, maxEpochs = 4.0),
+      Some {
+        val z = graft.util.Tables.sqlDsumOver(
+          "sqrt(CAST(n_toks AS DOUBLE))", "()")
+        s"""WITH g AS (SELECT source, CAST(sum($sqlNTok) AS BIGINT) AS n_toks
+                       FROM documents GROUP BY source),
+              sh AS (SELECT source, n_toks,
+                       ((sqrt(CAST(n_toks AS DOUBLE)) / $z)
+                          * CAST(CAST(sum(n_toks) OVER () AS BIGINT) * 2
+                                 AS DOUBLE))
+                         / CAST(n_toks AS DOUBLE) AS raw
+                     FROM g)
+              SELECT source, n_toks,
+                     least(raw, 4.0) AS epochs,
+                     CAST(floor(least(raw, 4.0) * CAST(n_toks AS DOUBLE)
+                                + 0.5) AS BIGINT) AS eff_toks,
+                     CAST(raw > 4.0 AS INT) AS capped
+              FROM sh ORDER BY source"""
+      }),
 
     // ---- T8 global vocabulary top-k (heavy hitters) -------------------
     // Corpus-wide token frequencies, top 50: the vocabulary-building /

@@ -73,4 +73,24 @@ class ProfileSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("not in schema"))
   }
+
+  test("iqrOutliers: planted outliers counted, fences from exact " +
+      "quartiles, NULLs ignored") {
+    val vals = (1 to 8).map(_.toDouble) ++ Seq(100.0, -100.0)
+    val df = (vals.map(Option(_)) :+ Option.empty[Double]).toDF("x")
+    val out = Profile.iqrOutliers(df, Seq("x")).collect().head
+    // Spark percentile over the 10 non-NULL values: idx = p*(n-1)
+    val sorted = vals.sorted
+    def pct(p: Double): Double = {
+      val i = p * (sorted.length - 1)
+      val lo = math.floor(i).toInt
+      sorted(lo) + (i - lo) * (sorted(math.ceil(i).toInt) - sorted(lo))
+    }
+    val (q1, q3) = (pct(0.25), pct(0.75))
+    assert(out.getString(0) == "x")
+    assert(out.getDouble(1) == q1 && out.getDouble(2) == q3)
+    assert(out.getDouble(3) == q1 - 1.5 * (q3 - q1))
+    assert(out.getDouble(4) == q3 + 1.5 * (q3 - q1))
+    assert(out.getLong(5) == 1L && out.getLong(6) == 1L) // -100 / 100
+  }
 }

@@ -143,4 +143,57 @@ class SamplersRound10Suite extends SparkSpec {
     }
     assert(e2.getMessage.contains("overflows long"), e2.getMessage)
   }
+
+  test("shardCensus: every shard emits a grid row, totals add up, the " +
+      "assignment matches the portable hash, and NULL ids raise") {
+    val df = (0L until 40L).map(i => (i, 10L)).toDF("id", "w")
+    val out = Samplers.shardCensus(df, "id", "w", nShards = 8)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == (0 until 8))          // full grid, ordered
+    assert(out.map(_._2).sum == 40L)
+    assert(out.map(_._3).sum == 400L)
+    // independent replay of the assignment rule
+    val want = (0L until 40L)
+      .groupBy(i => ((i % 100000007L) * 1315423911L % 100000007L % 8).toInt)
+      .view.mapValues(_.size.toLong).toMap
+    out.foreach { case (sh, nd, nt, lr) =>
+      assert(nd == want.getOrElse(sh, 0L), s"shard $sh")
+      assert(nt == nd * 10L)
+      assert(lr == (nt * 8).toDouble / 400.0)
+    }
+    val withNull = Seq((java.lang.Long.valueOf(1L), 1L),
+      (null.asInstanceOf[java.lang.Long], 1L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Samplers.shardCensus(withNull, "id", "w", 4).collect()
+    }
+    assert(e.getMessage.contains("NULL in id column"), e.getMessage)
+  }
+
+  test("epochMix: hand-checked shares, cap engagement, and NULL raise") {
+    // T = (100, 400): w = (10, 20), z = 30, B = 2 * 500 = 1000
+    // raw_A = (10/30)*1000/100 = 3.333..; raw_B = (20/30)*1000/400 = 1.666..
+    val df = (0 until 100).map(_ => ("A", 1L)) ++
+      (0 until 100).map(_ => ("B", 4L))
+    val zSum = 10.0 + 20.0 // dsum over exact-decimal(38,10) of 10.0, 20.0
+    val rawA = 10.0 / zSum * 1000.0 / 100.0
+    val rawB = 20.0 / zSum * 1000.0 / 400.0
+    // collect as tuples keyed by domain
+    val byDom = Samplers.epochMix(df.toDF("dom", "w"), "dom", "w", 2L, 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4))).toMap
+    assert(byDom("A") == ((100L, rawA, math.floor(rawA * 100.0 + 0.5).toLong, 0)))
+    assert(byDom("B") == ((400L, rawB, math.floor(rawB * 400.0 + 0.5).toLong, 0)))
+    // a tight cap engages: maxEpochs = 2 caps domain A
+    val capped = Samplers.epochMix(df.toDF("dom", "w"), "dom", "w", 2L, 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getLong(3), r.getInt(4))).toMap
+    assert(capped("A") == ((2.0, 200L, 1)))
+    assert(capped("B")._3 == 0)
+    val withNull = Seq(("A", java.lang.Long.valueOf(1L)),
+      ("B", null.asInstanceOf[java.lang.Long])).toDF("dom", "w")
+    val e = intercept[Exception] {
+      Samplers.epochMix(withNull, "dom", "w", 2L, 4.0).collect()
+    }
+    assert(e.getMessage.contains("NULL in weight column"), e.getMessage)
+  }
 }

@@ -596,4 +596,58 @@ object Graphs {
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
     }
   }
+
+  /** Synchronous k-core peeling census (Batagelj & Zaveršnik 2003 —
+    * the graph-quality screen web/citation corpora run before link
+    * analysis): each of `rounds` rounds computes current degrees over
+    * the surviving subgraph and removes EVERY node of degree < k at
+    * once; after the fixed rounds, the census reports the surviving
+    * degree histogram (degree, node count, id range). Fixed-round
+    * semantics (the a36 convention): the result is deterministic and
+    * engine-replayable whether or not the peel has converged — a
+    * converged graph just peels nothing in later rounds.
+    *
+    * Scale shape: per round, one node-keyed partial-aggregable degree
+    * count plus two semi joins back to the edge list, materialized
+    * per round (the [[lpaAssign]] eager pattern — bounded plan depth,
+    * no lineage blow-up). All outputs are exact integers → full hash
+    * oracle. */
+  def kcoreCensus(edges: DataFrame, k: Int, rounds: Int,
+                  symmetrizeInput: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val input =
+      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
+      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = if (symmetrizeInput) symmetrize(input) else input
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    try {
+      input.count()
+      for (_ <- 1 to rounds) {
+        val keep = cur.groupBy("src").agg(count(lit(1)).as("__d"))
+          .filter(col("__d") >= k).select("src")
+        val (next, rdd) = rewrapPersisted(
+          cur.join(keep, Seq("src"), "left_semi")
+            .join(keep.select(col("src").as("dst")), Seq("dst"),
+              "left_semi")
+            .select("src", "dst"))
+        cur = next
+        cur.count()
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+      }
+      val census = cur.groupBy("src").agg(count(lit(1)).as("degree"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_nodes"), min("src").as("min_id"),
+          max("src").as("max_id"))
+        .orderBy("degree")
+      val rows = census.collect()
+      census.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), census.schema)
+    } finally {
+      input.unpersist(blocking = false)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    }
+  }
 }

@@ -173,4 +173,51 @@ object Multimodal {
       (nx * p).as("pad_w"), (ny * p).as("pad_h"),
       (nx * ny + lit(1L)).as("seq_len"))
   }
+
+  /** Aspect-ratio bucketing census (the NovelAI/SDXL batch-assembly
+    * technique: group images of similar aspect so a batch crops/pads
+    * minimally). Each image goes to the bucket minimizing
+    * |w/h − bw/bh| (ties to the lower bucket id); the census reports
+    * per-bucket image counts and the summed assignment drift,
+    * 2⁻²⁰-quantized per image BEFORE the sum (the t27 convention) so
+    * the aggregate is an exact integer. Every bucket emits its grid
+    * row even when empty.
+    *
+    * Float parity: w/h and bw/bh are single IEEE divisions of exact
+    * integers, the difference and abs are single correctly-rounded
+    * ops, so the argmin ranking and the quantized drift replay in any
+    * ANSI engine.
+    *
+    * Scale shape: the |buckets|-way compare rides a broadcast cross
+    * join (|buckets| is a literal constant ≤ a few dozen) + a doc-keyed
+    * window argmin, then ONE partial-aggregable pass to |buckets|
+    * rows. At production scale the argmin collapses into a per-row
+    * native expression (the ArgMaxDotScoreExact pattern) — no join at
+    * all; the join rendition is the oracle-replayable twin. */
+  def aspectBuckets(df: DataFrame, idCol: String, wCol: String,
+                    hCol: String, buckets: Seq[(Int, Int)],
+                    quantum: Double = 1048576.0): DataFrame = {
+    require(buckets.nonEmpty, "aspectBuckets: need at least one bucket")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = buckets.zipWithIndex
+      .map { case ((bw, bh), i) => (i, bw, bh) }
+      .toDF("bucket_id", "bw", "bh")
+    val diff = abs(col(wCol).cast("double") / col(hCol).cast("double")
+      - col("bw").cast("double") / col("bh").cast("double"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__diff").asc, col("bucket_id").asc)
+    val assigned = df.crossJoin(broadcast(b))
+      .withColumn("__diff", diff)
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") === 1)
+    val census = assigned.groupBy("bucket_id")
+      .agg(count(lit(1)).as("n_images"),
+        sum(floor(col("__diff") * lit(quantum) + lit(0.5)).cast("long"))
+          .as("drift_q"))
+    b.join(census, Seq("bucket_id"), "left")
+      .na.fill(0L, Seq("n_images", "drift_q"))
+      .select("bucket_id", "bw", "bh", "n_images", "drift_q")
+      .orderBy("bucket_id")
+  }
 }

@@ -414,6 +414,47 @@ object TextPipeline {
         col("ent_q"))
   }
 
+  /** Per-domain unigram KL divergence D(P_d ‖ Q) to the corpus-wide
+    * token distribution — the domain-shift statistic data-selection
+    * pipelines rank sources by (the distribution-matching signal behind
+    * DSIR-style selection; Xie et al. 2023 §2 frame selection as
+    * minimizing exactly this divergence). Tokens ride the shared
+    * [[Dedup.tokens]] normalization (the t07/t08 chain). Every domain
+    * token appears in the corpus distribution, so q > 0 wherever
+    * p > 0 — no smoothing needed. Each term p·ln(p/q) is
+    * 2⁻²⁰-quantized BEFORE the exact-integer sum (the t27 convention:
+    * the quantization absorbs cross-engine libm ln ulp).
+    *
+    * Scale shape: one doc-keyed explode partial-aggregates to the
+    * (domain, token) frame; everything downstream is vocabulary- or
+    * |domains|-bounded (the corpus totals ride a window over the
+    * |domains|-row frame, and the token-marginal join is
+    * vocabulary-keyed). Nothing corpus-sized shuffles twice. */
+  def domainKl(docs: DataFrame, domainCol: String, textCol: String,
+               quantum: Double = 1048576.0): DataFrame = {
+    val toks = docs.select(col(domainCol).as("__dom"),
+      explode(Dedup.tokens(col(textCol))).as("__tok"))
+    val cd = toks.groupBy("__dom", "__tok").agg(count(lit(1)).as("__cdv"))
+    val cv = cd.groupBy("__tok").agg(sum(col("__cdv")).as("__cv"))
+    val all = Window.partitionBy(lit(1))
+    val perDom = cd.groupBy("__dom")
+      .agg(sum(col("__cdv")).as("n_toks"), count(lit(1)).as("n_types"))
+      .withColumn("__ctot", sum(col("n_toks")).over(all))
+    val p = col("__cdv").cast("double") / col("n_toks").cast("double")
+    val q = col("__cv").cast("double") / col("__ctot").cast("double")
+    val kl = cd
+      .join(cv, Seq("__tok"))
+      .join(perDom.select("__dom", "n_toks", "__ctot"), Seq("__dom"))
+      .select(col("__dom"),
+        floor(p * log(p / q) * lit(quantum) + lit(0.5)).cast("long")
+          .as("__tq"))
+      .groupBy("__dom").agg(sum(col("__tq")).as("kl_q"))
+    perDom.join(kl, Seq("__dom"))
+      .select(col("__dom").as(domainCol), col("n_toks"), col("n_types"),
+        col("kl_q"))
+      .orderBy(domainCol)
+  }
+
   /** Quality-threshold retention sweep: for every cutoff τ_i = i/nSteps
     * (i = 0 .. nSteps−1), how many documents and how much token mass
     * survive `scoreCol ≥ τ_i` — the curve a pipeline reads to pick its

@@ -1598,6 +1598,119 @@ object AnnQueries {
              SELECT vid, CAST(cell AS INT) AS cell, score,
                     CAST(rk AS INT) AS rk, 4 * rk > n AS keep
              FROM r ORDER BY vid"""
+      }),
+
+    // ---- E29 ANN recall@k evaluation ------------------------------------
+    // The standard retrieval-quality harness: per query, how much of
+    // the EXACT top-5 (e01's brute-force machinery) the portable IVF
+    // (e21's machinery, nProbe = 2) recovered. Both sides score with
+    // the same exact-decimal cosine, so the overlap join — and the
+    // whole eval — replays in DuckDB; recall is one IEEE division of
+    // the exact hit count. The |Q|·k frames are tiny; the cost is the
+    // two retrievals themselves (shared scan, bounded candidates).
+    Q("e29_ann_recall",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val approx = ivfTopKPortable(q, emb, dim = 64, k = 5,
+            nCells = 16, nProbe = 2)
+          .select(col("qid"), col("cid"), lit(1L).as("__hit"))
+        bruteForceTopK(q, emb, k = 5)
+          .select("qid", "cid")
+          .join(approx, Seq("qid", "cid"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+          .select(col("qid"), col("hits"),
+            (col("hits").cast("double") / lit(5.0)).as("recall"))
+          .orderBy("qid")
+      },
+      Some {
+        s"""WITH xq AS (SELECT vec_id AS qid, embedding AS qe
+                        FROM embeddings WHERE vec_id < 10),
+             xc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+             xel AS (SELECT qid, cid,
+                       CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS p,
+                       CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pq,
+                       CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pc
+                     FROM xq CROSS JOIN xc, generate_series(1, 64) AS t(i)
+                     WHERE qid <> cid),
+             xd AS (SELECT qid, cid,
+                      CAST(sum(p) AS DOUBLE) AS dot,
+                      CAST(sum(pq) AS DOUBLE) AS nq,
+                      CAST(sum(pc) AS DOUBLE) AS nc
+                    FROM xel GROUP BY qid, cid),
+             xs AS (SELECT qid, cid,
+                      CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                    FROM xd),
+             xr AS (SELECT qid, cid FROM
+                      (SELECT qid, cid,
+                         row_number() OVER
+                           (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                       FROM xs)
+                    WHERE rk <= 5),
+             ce AS (SELECT c, sj,
+                   $sqlPortableUnit
+                     AS v
+                 FROM (SELECT c, sj,
+                         md5('ivf:' || CAST(c AS VARCHAR) || ':' ||
+                             CAST(sj AS VARCHAR)) AS hx
+                       FROM generate_series(0, 15) cc(c),
+                            generate_series(0, 63) jj(sj))),
+             vdots AS (SELECT e.vec_id AS vid, ce.c,
+                         CAST(sum(CAST(CAST(e.embedding[ce.sj + 1] AS DOUBLE)
+                                       * ce.v AS DECIMAL(38,18))) AS DOUBLE)
+                           AS s
+                       FROM embeddings e, ce
+                       GROUP BY e.vec_id, ce.c),
+             rk0 AS (SELECT vid, c,
+                       row_number() OVER
+                         (PARTITION BY vid ORDER BY s DESC, c) AS r
+                     FROM vdots),
+             cnd AS (SELECT vid AS cid, c AS cell FROM rk0 WHERE r = 1),
+             qpr AS (SELECT vid AS qid, c AS cell FROM rk0
+                     WHERE r <= 2 AND vid < 10),
+             prs AS (SELECT q.qid, c2.cid
+                     FROM qpr q JOIN cnd c2 USING (cell)
+                     WHERE q.qid <> c2.cid),
+             vel AS (SELECT p.qid, p.cid,
+                       CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                            CAST(cv.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pd,
+                       CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                            CAST(qv.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pq,
+                       CAST(CAST(cv.embedding[i] AS DOUBLE) *
+                            CAST(cv.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pc
+                     FROM prs p
+                     JOIN embeddings qv ON qv.vec_id = p.qid
+                     JOIN embeddings cv ON cv.vec_id = p.cid,
+                          generate_series(1, 64) AS g(i)),
+             vd AS (SELECT qid, cid,
+                      CAST(sum(pd) AS DOUBLE) AS dot,
+                      CAST(sum(pq) AS DOUBLE) AS nq,
+                      CAST(sum(pc) AS DOUBLE) AS nc
+                    FROM vel GROUP BY qid, cid),
+             vs AS (SELECT qid, cid,
+                      CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                    FROM vd),
+             vr AS (SELECT qid, cid FROM
+                      (SELECT qid, cid,
+                         row_number() OVER
+                           (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                       FROM vs)
+                    WHERE rk <= 5),
+             h AS (SELECT x.qid,
+                     CAST(sum(CASE WHEN v.cid IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS hits
+                   FROM xr x LEFT JOIN vr v
+                     ON v.qid = x.qid AND v.cid = x.cid
+                   GROUP BY x.qid)
+             SELECT qid, hits, CAST(hits AS DOUBLE) / 5.0 AS recall
+             FROM h ORDER BY qid"""
       })
   )
 }

@@ -311,6 +311,47 @@ object GraphQueries {
                             JOIN d2 ON ue.src = d2.id) GROUP BY id)
               SELECT dist, count(*) AS n_nodes, min(id) AS min_id,
                      max(id) AS max_id
-              FROM d3 GROUP BY dist ORDER BY dist"""))
+              FROM d3 GROUP BY dist ORDER BY dist""")),
+
+    // ---- A38 k-core peeling census -------------------------------------
+    // Batagelj–Zaveršnik synchronous peel of the 3-core, 4 fixed rounds
+    // over the same symmetrized transaction graph as a36/a29 (fixed-
+    // round semantics — deterministic whether or not the peel has
+    // converged). Graded as the surviving degree histogram — all
+    // integers. The oracle unrolls the same degree-filter + both-ends
+    // semi-join rounds.
+    Q("a38_kcore",
+      (s, d) => {
+        val ord = load(s, d, "orders")
+          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = ord
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select("src", "dst").distinct()
+        Graphs.kcoreCensus(edges, k = 3, rounds = 4,
+          symmetrizeInput = true)
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""k$r AS (SELECT src AS id FROM ue${r - 1}
+                      GROUP BY src HAVING count(*) >= 3),
+              ue$r AS (SELECT ue${r - 1}.src, ue${r - 1}.dst
+                       FROM ue${r - 1}
+                       JOIN k$r a ON ue${r - 1}.src = a.id
+                       JOIN k$r b ON ue${r - 1}.dst = b.id)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+                  l_suppkey * 2 + 1 AS dst
+                FROM orders
+                JOIN lineitem ON o_orderkey = l_orderkey),
+             ue0 AS (SELECT src, dst FROM e UNION ALL
+                     SELECT dst, src FROM e),
+             $rounds,
+             d AS (SELECT src, count(*) AS degree FROM ue4 GROUP BY src)
+            SELECT degree, count(*) AS n_nodes, min(src) AS min_id,
+                   max(src) AS max_id
+            FROM d GROUP BY degree ORDER BY degree"""
+      })
   )
 }

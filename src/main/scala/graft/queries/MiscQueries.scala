@@ -1104,6 +1104,50 @@ object MiscQueries {
               FROM l LEFT JOIN r ON r.doc_id = l.doc_id
               ORDER BY l.doc_id, frame_rank""")),
 
+    // ---- MM7 aspect-ratio bucketing census -----------------------------
+    // Diffusion-style batch assembly: snap each image (the mm03 pseudo
+    // dims) to the 5×5 bucket grid {512..1024 step 128}² minimizing
+    // |w/h − bw/bh| (ties to the lower bucket id), then census counts +
+    // the 2⁻²⁰-quantized summed drift per bucket. The per-image diff is
+    // two IEEE divisions + one subtraction + abs over exact integers,
+    // so the argmin and the quantized drift replay exactly.
+    Q("mm07_aspect_bucket",
+      (s, d) => Multimodal.aspectBuckets(
+        load(s, d, "documents")
+          .select(col("doc_id"),
+            (lit(320) + (col("doc_id") * 7) % 1600).as("w"),
+            (lit(240) + (col("doc_id") * 13) % 1200).as("h")),
+        "doc_id", "w", "h",
+        buckets = for {
+          i <- 0 until 5; j <- 0 until 5
+        } yield (512 + 128 * i, 512 + 128 * j)),
+      Some("""WITH dims AS (SELECT doc_id,
+                     320 + (doc_id * 7) % 1600 AS w,
+                     240 + (doc_id * 13) % 1200 AS h FROM documents),
+                  bk AS (SELECT CAST(i * 5 + j AS INTEGER) AS bucket_id,
+                           CAST(512 + 128 * i AS INTEGER) AS bw,
+                           CAST(512 + 128 * j AS INTEGER) AS bh
+                         FROM generate_series(0, 4) a(i),
+                              generate_series(0, 4) b(j)),
+                  e AS (SELECT doc_id, bucket_id,
+                          abs(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)
+                              - CAST(bw AS DOUBLE) / CAST(bh AS DOUBLE))
+                            AS diff
+                        FROM dims, bk),
+                  r AS (SELECT doc_id, bucket_id, diff,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY diff, bucket_id) AS rk
+                        FROM e),
+                  a AS (SELECT bucket_id, count(*) AS n_images,
+                          CAST(sum(CAST(floor(diff * 1048576.0 + 0.5)
+                                        AS BIGINT)) AS BIGINT) AS drift_q
+                        FROM r WHERE rk = 1 GROUP BY bucket_id)
+              SELECT bk.bucket_id, bk.bw, bk.bh,
+                     coalesce(a.n_images, 0) AS n_images,
+                     coalesce(a.drift_q, 0) AS drift_q
+              FROM bk LEFT JOIN a USING (bucket_id)
+              ORDER BY bk.bucket_id""")),
+
     // ---- O2/O3 Monte-Carlo fan-out + grouped summary ------------------
     // Grid-as-Dataset, task-local sims (deterministic seeds). The bias/
     // SE/RMSE vs BASELINE.md tolerances are asserted in McSuite.

@@ -1498,6 +1498,44 @@ object TextQueries {
              ORDER BY d.doc_id"""
       }),
 
+    // ---- T30 per-domain unigram KL divergence ---------------------------
+    // The domain-shift statistic data selection ranks sources by:
+    // D(P_source ‖ Q_corpus) over the shared t07/t08 token chain, each
+    // p·ln(p/q) term 2⁻²⁰-quantized before the exact-integer sum (the
+    // t27 libm convention). One explode pass to the (source, token)
+    // frame; the marginals join is vocabulary-keyed and the corpus
+    // totals ride a |sources|-row window.
+    Q("t30_domain_kl",
+      (s, d) => TextPipeline.domainKl(
+        load(s, d, "documents"), "source", "text"),
+      Some("""WITH f AS (SELECT source AS dom,
+                     unnest(string_split(lower(trim(
+                       regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+                   FROM documents),
+                  cd AS (SELECT dom, tok, count(*) AS cdv
+                         FROM f GROUP BY dom, tok),
+                  cv AS (SELECT tok, CAST(sum(cdv) AS BIGINT) AS cv
+                         FROM cd GROUP BY tok),
+                  pd AS (SELECT dom, CAST(sum(cdv) AS BIGINT) AS n_toks,
+                           count(*) AS n_types
+                         FROM cd GROUP BY dom),
+                  c AS (SELECT dom, n_toks, n_types,
+                          CAST(sum(n_toks) OVER () AS BIGINT) AS ctot
+                        FROM pd),
+                  t AS (SELECT cd.dom,
+                          CAST(floor(
+                            (CAST(cd.cdv AS DOUBLE) / CAST(c.n_toks AS DOUBLE))
+                            * ln((CAST(cd.cdv AS DOUBLE)
+                                    / CAST(c.n_toks AS DOUBLE))
+                                 / (CAST(cv.cv AS DOUBLE)
+                                    / CAST(c.ctot AS DOUBLE)))
+                            * 1048576.0 + 0.5) AS BIGINT) AS tq
+                        FROM cd JOIN cv USING (tok) JOIN c USING (dom)),
+                  k AS (SELECT dom, CAST(sum(tq) AS BIGINT) AS kl_q
+                        FROM t GROUP BY dom)
+              SELECT c.dom AS source, c.n_toks, c.n_types, k.kl_q
+              FROM c JOIN k USING (dom) ORDER BY source""")),
+
     // ---- T25 DoReMi-style domain mixture reweighting ------------------
     // One exponentiated-gradient step of Group-DRO domain reweighting
     // (Xie et al. 2023 §3): per-source excess loss from the t13 LM

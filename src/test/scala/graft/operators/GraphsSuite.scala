@@ -221,4 +221,22 @@ class GraphsSuite extends SparkSpec {
     // Σ d_c = 2m and Σ e_c = m: the census accounts for every edge
     assert(got.map(_._3).sum == 12L && got.map(_._4).sum == 6L)
   }
+
+  test("kcoreCensus: a triangle survives the 2-core, a pendant chain " +
+      "peels over successive rounds") {
+    // triangle 1-2-3 plus chain 3-4-5: round 1 drops 5 (deg 1), round 2
+    // drops 4 (deg 1 after losing 5); the triangle is the 2-core
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    def hist(rounds: Int) =
+      Graphs.kcoreCensus(edges, k = 2, rounds = rounds,
+          symmetrizeInput = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // after ONE round only node 5 is gone: 4 has deg 1 now (not yet
+    // peeled - synchronous semantics), 3 had deg 3
+    assert(hist(1) == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+    // converged from round 2 on: the triangle, all degree 2
+    assert(hist(2) == Seq((2L, 3L)))
+    assert(hist(4) == Seq((2L, 3L)))
+  }
 }

@@ -119,4 +119,20 @@ class MultimodalSuite extends SparkSpec {
     assert(out(10000L).size == 12 &&         // cap, stride intact
       out(10000L) == (0 until 12).map(_ * 128L))
   }
+
+  test("aspectBuckets: exact-ratio images land on their bucket with " +
+      "zero drift, ties break low, empty buckets emit grid rows") {
+    val buckets = for { i <- 0 until 5; j <- 0 until 5 }
+      yield (512 + 128 * i, 512 + 128 * j)
+    // 600x600 (ar 1.0) ties across all five square buckets -> id 0;
+    // 1024x512 (ar 2.0) matches bucket (1024, 512) = id 20 exactly
+    val df = Seq((1L, 600, 600), (2L, 1024, 512)).toDF("id", "w", "h")
+    val out = Multimodal.aspectBuckets(df, "id", "w", "h", buckets)
+      .as[(Int, Int, Int, Long, Long)].collect().toSeq
+    assert(out.size == 25 && out.map(_._1) == (0 until 25))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(0) == ((0, 512, 512, 1L, 0L)))
+    assert(byId(20) == ((20, 1024, 512, 1L, 0L)))
+    assert(out.map(_._4).sum == 2L) // nothing double-assigned
+  }
 }

@@ -364,4 +364,22 @@ class TextPipelineSuite extends SparkSpec {
     }
     assert(e2.getMessage.contains("NULL in weight column"), e2.getMessage)
   }
+
+  test("domainKl: hand-computed quantized divergence; identical domains " +
+      "have zero KL") {
+    val docs = Seq((1L, "A", "a a b"), (2L, "B", "b")).toDF("id", "dom", "text")
+    val got = TextPipeline.domainKl(docs, "dom", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def tq(p: Double, q: Double): Long =
+      math.floor(p * math.log(p / q) * 1048576.0 + 0.5).toLong
+    // corpus: a:2 b:2 (C=4, q=0.5 each). A: p_a=2/3, p_b=1/3; B: p_b=1
+    assert(got("A") == ((3L, 2L,
+      tq(2.0 / 3.0, 0.5) + tq(1.0 / 3.0, 0.5))))
+    assert(got("B") == ((1L, 1L, tq(1.0, 0.5))))
+    // two identical domains: p == q everywhere -> every term quantizes to 0
+    val same = Seq((1L, "X", "a b"), (2L, "Y", "a b")).toDF("id", "dom", "text")
+    TextPipeline.domainKl(same, "dom", "text").collect()
+      .foreach(r => assert(r.getLong(3) == 0L))
+  }
 }

@@ -352,6 +352,65 @@ object GraphQueries {
             SELECT degree, count(*) AS n_nodes, min(src) AS min_id,
                    max(src) AS max_id
             FROM d GROUP BY degree ORDER BY degree"""
-      })
+      }),
+
+    // ---- A39 degree assortativity ---------------------------------------
+    // Newman 2002's degree-mixing coefficient over the same symmetrized
+    // graph: r = (Σjk/M − (Σj/M)²) / (Σj²/M − (Σj/M)²) over directed
+    // stubs (j, k = endpoint degrees; on a symmetrized list Σj = Σk).
+    // A strongly negative r is the hub-leaf signature typical of
+    // crawl/transaction graphs. The stub moments are exact integer
+    // sums (graded verbatim); r is one mirrored IEEE tree over them.
+    // Two node-keyed degree joins + one partial-aggregable pass.
+    Q("a39_assortativity",
+      (s, d) => {
+        val ord = load(s, d, "orders")
+          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = ord
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select("src", "dst").distinct()
+        val ue = Graphs.symmetrize(edges)
+        val deg = ue.groupBy("src").agg(count(lit(1)).as("__deg"))
+        val m = ue
+          .join(deg.select(col("src"), col("__deg").as("j")), Seq("src"))
+          .join(deg.select(col("src").as("dst"), col("__deg").as("k")),
+            Seq("dst"))
+          .agg(count(lit(1)).as("m_stubs"),
+            sum(col("j") * col("k")).as("s_jk"),
+            sum(col("j")).as("s_j"),
+            sum(col("j") * col("j")).as("s_j2"))
+        val mean = col("s_j").cast("double") / col("m_stubs").cast("double")
+        m.select(col("m_stubs"), col("s_jk"), col("s_j"), col("s_j2"),
+          ((col("s_jk").cast("double") / col("m_stubs").cast("double")
+            - mean * mean)
+            / (col("s_j2").cast("double") / col("m_stubs").cast("double")
+              - mean * mean)).as("r"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+                  l_suppkey * 2 + 1 AS dst
+                FROM orders
+                JOIN lineitem ON o_orderkey = l_orderkey),
+             ue AS (SELECT src, dst FROM e UNION ALL
+                    SELECT dst, src FROM e),
+             dg AS (SELECT src, count(*) AS deg FROM ue GROUP BY src),
+             st AS (SELECT a.deg AS j, b.deg AS k
+                    FROM ue JOIN dg a ON ue.src = a.src
+                            JOIN dg b ON ue.dst = b.src),
+             mo AS (SELECT count(*) AS m_stubs,
+                      CAST(sum(j * k) AS BIGINT) AS s_jk,
+                      CAST(sum(j) AS BIGINT) AS s_j,
+                      CAST(sum(j * j) AS BIGINT) AS s_j2
+                    FROM st)
+            SELECT m_stubs, s_jk, s_j, s_j2,
+                   (CAST(s_jk AS DOUBLE) / CAST(m_stubs AS DOUBLE)
+                     - (CAST(s_j AS DOUBLE) / CAST(m_stubs AS DOUBLE))
+                       * (CAST(s_j AS DOUBLE) / CAST(m_stubs AS DOUBLE)))
+                   / (CAST(s_j2 AS DOUBLE) / CAST(m_stubs AS DOUBLE)
+                     - (CAST(s_j AS DOUBLE) / CAST(m_stubs AS DOUBLE))
+                       * (CAST(s_j AS DOUBLE) / CAST(m_stubs AS DOUBLE)))
+                     AS r
+            FROM mo"""))
   )
 }

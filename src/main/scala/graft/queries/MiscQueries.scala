@@ -80,6 +80,40 @@ object MiscQueries {
                       ${sqlDsum("o_totalprice")} AS total
                FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- S9 binaryFile blob ingestion -----------------------------------
+    // The file-per-blob layout of an image/audio corpus: write one .bin
+    // per document (capped at 100 blobs — the file fan-out is the
+    // fixture, not the scale path), ingest with Spark's binaryFile
+    // source (pathGlobFilter, path/length/content columns), and grade
+    // id + byte length + content md5 against the table the blobs came
+    // from. At 100 TB the same reader feeds mm01/mm02's pack-and-decode
+    // plumbing; maxPartitionBytes packs small blobs into shared tasks.
+    Q("s09_binary_source",
+      (s, d) => {
+        val out = s"/tmp/graft_binsrc_${s.sparkContext.applicationId}"
+        new java.io.File(out).mkdirs()
+        load(s, d, "documents").filter(col("doc_id") < 100)
+          .select("doc_id", "text").collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        materializeAndClean(
+          s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+            .load(out)
+            .select(
+              regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+                .cast("long").as("doc_id"),
+              col("length").as("n_bytes"),
+              md5(col("content")).as("payload_md5"))
+            .orderBy("doc_id"),
+          out)
+      },
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     md5(text) AS payload_md5
+              FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
+
     // ---- S6 partitioned parquet write → partition-pruned read ---------
     // The 100 TB table layout: write documents hive-partitioned by
     // lang, read back with a lang predicate. Correctness graded here

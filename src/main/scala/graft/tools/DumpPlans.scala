@@ -74,7 +74,13 @@ object DumpPlans {
     "t27_char_entropy" -> "char entropy: per-char explode through ONE doc-keyed partial agg, quantized terms summed as exact integers",
     "e28_prototype_prune" -> "prototype pruning: ONE fused argmax+score walk (no centroid join), per-cell bounded rank windows",
     "d13_soft_dedup" -> "soft dedup: one fingerprint groupBy, group table joined back doc-keyed, weight a single projection",
-    "w12_late_data" -> "late-data accounting: stream reduced to a bounded per-batch max frame, running watermark broadcast back onto the scan")
+    "w12_late_data" -> "late-data accounting: stream reduced to a bounded per-batch max frame, running watermark broadcast back onto the scan",
+    "c04_shard_assign" -> "shard census: portable-hash routing as a pure projection, ONE partial-aggregable pass to nShards rows, balance window on the grid",
+    "t30_domain_kl" -> "domain KL: one explode to the (domain, token) frame, vocabulary-keyed marginals join, corpus totals on the |domains|-row window",
+    "mm07_aspect_bucket" -> "aspect bucketing: broadcast 25-row bucket grid, doc-keyed argmin window, partial-aggregable census",
+    "e29_ann_recall" -> "ANN recall eval: exact and IVF retrievals share the scan; the overlap join broadcasts the |Q|-bounded approximate side",
+    "a38_kcore" -> "k-core peel: per-round degree partial agg + both-ends semi joins, materialized each round (bounded plan depth)",
+    "m44_mannwhitney" -> "Mann-Whitney: one grouped pass to the distinct-value frame, window + moments on that bounded frame only")
     // (e26 deliberately absent: like m26/e23, its graded frame is the
     // collected ≤|Q|·k selection; the interesting per-round shape —
     // pool/pair-sim joins + window argmax — reuses e01's pinned

@@ -152,6 +152,33 @@ object GraphScaleProbe {
         r.getDouble(4) == expQ),
       s"modularity terms drifted: ${mq.take(3).toSeq} (want Q_c=$expQ)")
     println(s"[graph-probe] modularity top-25 terms all exactly $expQ")
+
+    // ---- leg 6: k-core peel over cliques + pendant chains --------------
+    // Each 6-clique gains a 2-node pendant chain (clique node 0 → tail1
+    // → tail2, tails numbered above the clique range). Peeling the
+    // 3-core must take exactly two synchronous rounds to shed the
+    // chains (tail2 first, then tail1 — degree 1 each once its child is
+    // gone) and leave EVERY clique intact: the census must be the
+    // single row (degree 5, 6C nodes). Closed-form at any C — a node
+    // mis-kept, an edge lost, or a premature peel all break it.
+    val tailBase = cliques * 6
+    val kcEdges = commEdges.unionByName(
+      spark.range(cliques).select(col("id").as("c"))
+        .select(explode(array(
+          struct((col("c") * 6).as("src"),
+            (lit(tailBase) + col("c") * 2).as("dst")),
+          struct((lit(tailBase) + col("c") * 2).as("src"),
+            (lit(tailBase) + col("c") * 2 + 1).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst")))
+    val kc = timed(s"3-core peel over ${cliques * 17} edges, 3 rounds")(
+      Graphs.kcoreCensus(kcEdges, k = 3, rounds = 3,
+        symmetrizeInput = true).collect())
+    assert(kc.length == 1 && kc.head.getLong(0) == 5L &&
+        kc.head.getLong(1) == cliques * 6L,
+      s"k-core census drifted: ${kc.toSeq} (want one row: degree 5, " +
+        s"${cliques * 6} nodes)")
+    println(s"[graph-probe] 3-core kept exactly the ${cliques * 6} " +
+      "clique nodes at degree 5; both pendant rounds peeled")
     spark.stop()
   }
 }

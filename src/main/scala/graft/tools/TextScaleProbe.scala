@@ -323,12 +323,50 @@ object TextScaleProbe {
     val masses = swept.map(_.getLong(2)).toSeq
     require(masses == masses.sorted.reverse, "retention not monotone")
 
+    // ---- domain KL (t30's shape): two planted domains ------------------
+    // Domain A (ids < nDocs/2) draws from the FULL 50k vocabulary,
+    // domain B from the w0..w499 slice. Invariants: B (concentrated,
+    // far from the pooled corpus distribution) must diverge strictly
+    // more than A, both non-negative up to quantization, and every
+    // token is accounted for. Scale claims under test: one explode
+    // pass to the (domain, token) frame; marginals join
+    // vocabulary-keyed; corpus totals on the 2-row domain frame.
+    val t14 = System.nanoTime()
+    val klDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id") < nDocs / 2, lit("A")).otherwise(lit("B")).as("dom"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+        j => concat(lit("w"), pmod(xxhash64(col("id"), j),
+          when(col("id") < nDocs / 2, lit(50000L)).otherwise(lit(500L))))))
+        .as("text"))
+    val kl = TextPipeline.domainKl(klDocs, "dom", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val tKl = (System.nanoTime() - t14) / 1e9
+    require(kl("A")._1 + kl("B")._1 == nDocs * tokensPerDoc,
+      "domainKl lost tokens")
+    require(kl("B")._2 <= 500L, "narrow domain exceeded its vocabulary")
+    require(kl("B")._3 > kl("A")._3 && kl("B")._3 > 0L,
+      s"concentrated domain must out-diverge the broad one: $kl")
+
+    // ---- shard census (c04's shape): one pass to nShards rows ---------
+    val t15 = System.nanoTime()
+    val sc = Samplers.shardCensus(
+      docs.select(col("doc_id"), lit(tokensPerDoc.toLong).as("ntok")),
+      "doc_id", "ntok", nShards = 64).collect()
+    val tShard = (System.nanoTime() - t15) / 1e9
+    require(sc.length == 64 && sc.map(_.getLong(1)).sum == nDocs,
+      "shard census lost documents")
+    // multiplicative-hash balance at 2M keys: every shard within ±5%
+    require(sc.forall(r => math.abs(r.getDouble(3) - 1.0) < 0.05),
+      s"shard imbalance beyond 5%: ${sc.map(_.getDouble(3)).max}")
+
     println(f"docs=$nDocs%,d topTerms=$tTop%.1fs decontaminate=$tDecon%.1fs " +
       f"pack=$tPack%.1fs mixture=$tMix%.1fs bm25($wantMatches%,d matched)=$tBm%.1fs " +
       f"dsir=$tDsir%.1fs ngramLm=$tLm%.1fs bpeTrain=$tTrain%.1fs " +
       f"bpeEncode=$tEnc%.1fs classifier=$tCls%.1fs " +
       f"unigramVocab=$tUvoc%.1fs unigramSegment=$tUseg%.1fs " +
-      f"doremi=$tDoremi%.1fs sweep=$tSweep%.1fs")
+      f"doremi=$tDoremi%.1fs sweep=$tSweep%.1fs domainKl=$tKl%.1fs " +
+      f"shardCensus=$tShard%.1fs")
     spark.stop()
   }
 }

@@ -364,4 +364,29 @@ class PlanSuite extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
     }
   }
+
+  test("c04/c05/t30/m44: the round-13 aggregation queries partial-agg " +
+      "map-side and plan no cartesian product") {
+    Seq("c04_shard_assign", "c05_epoch_mix", "t30_domain_kl",
+        "m44_mannwhitney").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("mm07: the bucket grid rides a broadcast — the corpus side is " +
+      "never shuffled before the argmin window") {
+    val p = plan("mm07_aspect_bucket")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("e29: the recall join broadcasts the |Q|-bounded approximate " +
+      "side; no cartesian outside the declared exact oracle") {
+    val p = plan("e29_ann_recall")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
 }

@@ -166,31 +166,57 @@ object Profile {
     * count side (a NULL comparison is not an outlier), matching SQL
     * semantics.
     *
-    * Scale shape: per column, one quantile aggregation (Spark's
-    * `percentile` partial-aggregates per partition) plus one counting
-    * pass with the two fence scalars broadcast via crossJoin of a
-    * 1-row frame — no sort of the data, no driver-side rows beyond the
-    * 1-row stats. Columns census sequentially; the result is
-    * |cols|-bounded. */
+    * Scale shape: TWO passes total for any column count — one
+    * aggregation computing every column's exact quartiles together,
+    * one counting pass with all fences broadcast; the 1-row result
+    * reshapes driver-side (the k×k Gram convention). Exact
+    * `percentile` buffers each column per partition — the honest price
+    * of a hash-gradeable census; at 100 TB the drop-in lever is
+    * `approx_percentile` (t-digest class, same two-pass shape, no
+    * longer bit-reproducible). */
   def iqrOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "iqrOutliers: need at least one column")
-    cols.map { c =>
-      val stats = df.agg(
-        expr(s"percentile($c, 0.25)").as("q1"),
-        expr(s"percentile($c, 0.75)").as("q3"))
-        .select(col("q1"), col("q3"),
-          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo_fence"),
-          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi_fence"))
-      df.crossJoin(broadcast(stats))
-        .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
-          first(col("lo_fence")).as("lo_fence"),
-          first(col("hi_fence")).as("hi_fence"),
-          sum(when(col(c) < col("lo_fence"), 1L).otherwise(0L))
-            .as("n_below"),
-          sum(when(col(c) > col("hi_fence"), 1L).otherwise(0L))
-            .as("n_above"))
-        .select(lit(c).as("colname"), col("q1"), col("q3"),
-          col("lo_fence"), col("hi_fence"), col("n_below"), col("n_above"))
-    }.reduce(_ unionByName _).orderBy("colname")
+    // TWO passes total for ANY column count: one aggregation computing
+    // every column's quartiles together, one counting pass with all
+    // fences broadcast — not 2 passes per column
+    val stats = df.agg(
+      expr(s"percentile(${cols.head}, 0.25)").as(s"__q1_0"),
+      (expr(s"percentile(${cols.head}, 0.75)").as(s"__q3_0") +:
+        cols.zipWithIndex.tail.flatMap { case (c, i) => Seq(
+          expr(s"percentile($c, 0.25)").as(s"__q1_$i"),
+          expr(s"percentile($c, 0.75)").as(s"__q3_$i"))
+        }): _*)
+    val fenced = stats.select(cols.indices.flatMap { i =>
+      val iqr = col(s"__q3_$i") - col(s"__q1_$i")
+      Seq(col(s"__q1_$i"), col(s"__q3_$i"),
+        (col(s"__q1_$i") - lit(1.5) * iqr).as(s"__lo_$i"),
+        (col(s"__q3_$i") + lit(1.5) * iqr).as(s"__hi_$i"))
+    }: _*)
+    val counted = df.crossJoin(broadcast(fenced))
+      .agg(first(col("__q1_0")).as("__f"),
+        (cols.indices.flatMap { i => Seq(
+          first(col(s"__q1_$i")).as(s"q1_$i"),
+          first(col(s"__q3_$i")).as(s"q3_$i"),
+          first(col(s"__lo_$i")).as(s"lo_$i"),
+          first(col(s"__hi_$i")).as(s"hi_$i"),
+          sum(when(col(cols(i)) < col(s"__lo_$i"), 1L).otherwise(0L))
+            .as(s"nb_$i"),
+          sum(when(col(cols(i)) > col(s"__hi_$i"), 1L).otherwise(0L))
+            .as(s"na_$i"))
+        }): _*)
+    // ONE row comes back; reshaping it to |cols| rows driver-side keeps
+    // the two scans from re-running per output row (a union of
+    // projections over the same agg would re-execute the whole plan
+    // once per branch)
+    val row = counted.head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, row.getAs[Double](s"q1_$i"), row.getAs[Double](s"q3_$i"),
+        row.getAs[Double](s"lo_$i"), row.getAs[Double](s"hi_$i"),
+        row.getAs[Long](s"nb_$i"), row.getAs[Long](s"na_$i"))
+    }.sortBy(_._1)
+      .toDF("colname", "q1", "q3", "lo_fence", "hi_fence",
+        "n_below", "n_above")
   }
 }

@@ -119,4 +119,22 @@ object TextFunctions {
     * are data, not code — at ingest they join in as a dimension). */
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** URL canonicalization for crawl dedup (the CCNet/RefinedWeb-class
+    * URL-level pass that runs BEFORE content dedup): lowercase scheme
+    * and host, strip a default :80/:443 port, drop query string and
+    * fragment (tracking parameters), strip one trailing slash. Pure
+    * per-row regexp projection — no shuffle; the dedup downstream is a
+    * canonical-keyed groupBy. Path case is preserved (it is
+    * significant on real servers). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/$", "")
+    concat(scheme, lit("://"), host, path)
+  }
 }

@@ -572,6 +572,68 @@ object DedupQueries {
                      CAST(sum(n) AS BIGINT) AS n_docs,
                      CAST(sum(n) - count(*) AS BIGINT) AS n_duplicates,
                      CAST(sum((n - 1) * len) AS BIGINT) AS dup_chars
-              FROM g"""))
+              FROM g""")),
+
+    // ---- D14 URL-canonicalization dedup ---------------------------------
+    // The crawl-side dedup pass that runs BEFORE content dedup: four
+    // surface variants per logical URL (uppercase host + trailing
+    // slash, tracking query param, uppercase scheme + default port +
+    // fragment, canonical) are planted per doc_id div 4; the
+    // canonicalizer (TextFunctions.canonicalUrl — lowercase scheme/
+    // host, strip :80/:443, drop ?query/#fragment, strip trailing
+    // slash) must collapse each group of 4 to one canonical key. Pure
+    // per-row regexp projection + ONE canonical-keyed groupBy.
+    Q("d14_url_dedup",
+      (s, d) => {
+        import graft.operators.TextFunctions.canonicalUrl
+        val k = expr("doc_id div 4")
+        val h = pmod(k, lit(20L))
+        val path = concat(lit("/en/doc-"), k)
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://WWW.src"), h, lit(".EXAMPLE.COM"),
+              path, lit("/")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://www.src"), h, lit(".example.com"),
+              path, lit("?utm_source=feed")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("HTTPS://www.src"), h, lit(".example.com:443"),
+              path, lit("#top")))
+          .otherwise(
+            concat(lit("https://www.src"), h, lit(".example.com"), path))
+        load(s, d, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .groupBy(canonicalUrl(col("url")).as("canon_url"))
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_variants"),
+            min(col("doc_id")).as("keeper"))
+          .orderBy("canon_url")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                  CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'https://WWW.src' || (doc_id // 4) % 20 ||
+                      '.EXAMPLE.COM/en/doc-' || doc_id // 4 || '/'
+                    WHEN 1 THEN 'https://www.src' || (doc_id // 4) % 20 ||
+                      '.example.com/en/doc-' || doc_id // 4 ||
+                      '?utm_source=feed'
+                    WHEN 2 THEN 'HTTPS://www.src' || (doc_id // 4) % 20 ||
+                      '.example.com:443/en/doc-' || doc_id // 4 || '#top'
+                    ELSE 'https://www.src' || (doc_id // 4) % 20 ||
+                      '.example.com/en/doc-' || doc_id // 4
+                  END AS url
+                FROM documents),
+              c AS (SELECT doc_id, url,
+                      lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+                      regexp_replace(lower(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                        ':(80|443)$', '') ||
+                      regexp_replace(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                        '/$', '') AS canon_url
+                    FROM u)
+              SELECT canon_url, count(*) AS n_urls,
+                     CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+                     min(doc_id) AS keeper
+              FROM c GROUP BY canon_url ORDER BY canon_url"""))
   )
 }

@@ -893,6 +893,61 @@ object StatsQueries {
                                  / CAST(n * (n - 1) AS DOUBLE))) AS z
               FROM a""")),
 
+    // ---- M45 Kolmogorov–Smirnov two-sample test ------------------------
+    // Distribution-level A/B beside m44's location test: D = max over
+    // distinct values of |F_en(v) − F_rest(v)|, ECDFs from exact
+    // integer cumulative counts on the same doubled-midrank-free
+    // grouped frame as m44; the scaled statistic c = D·√(n1·n2/(n1+n2))
+    // is a mirrored IEEE tree. Windows run only on the distinct-value
+    // frame; max over identical doubles is engine-stable.
+    Q("m45_ks_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byV = load(s, d, "documents")
+          .select(col("n_chars").as("v"),
+            when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("g1"))
+          .groupBy("v")
+          .agg(count(lit(1)).as("t"), sum(col("g1")).as("t1"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy(lit(1))
+        val diffs = byV
+          .withColumn("c1", sum(col("t1")).over(w))
+          .withColumn("ct", sum(col("t")).over(w))
+          .withColumn("n1", sum(col("t1")).over(all))
+          .withColumn("n", sum(col("t")).over(all))
+          .select(col("n1"), (col("n") - col("n1")).as("n2"),
+            abs(col("c1").cast("double") / col("n1").cast("double")
+              - (col("ct") - col("c1")).cast("double")
+                / (col("n") - col("n1")).cast("double")).as("fd"))
+        diffs.groupBy("n1", "n2").agg(max(col("fd")).as("d"))
+          .select(col("n1"), col("n2"), col("d"),
+            (col("d") * sqrt((col("n1") * col("n2")).cast("double")
+              / (col("n1") + col("n2")).cast("double"))).as("ks_scaled"))
+      },
+      Some("""WITH b AS (SELECT n_chars AS v, count(*) AS t,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS t1
+                   FROM documents GROUP BY n_chars),
+                  cum AS (SELECT v, t, t1,
+                           CAST(sum(t1) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+                           CAST(sum(t) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct,
+                           CAST(sum(t1) OVER () AS BIGINT) AS n1,
+                           CAST(sum(t) OVER () AS BIGINT) AS n
+                         FROM b),
+                  f AS (SELECT n1, n - n1 AS n2,
+                          abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                            - CAST(ct - c1 AS DOUBLE)
+                              / CAST(n - n1 AS DOUBLE)) AS fd
+                        FROM cum),
+                  m AS (SELECT n1, n2, max(fd) AS d FROM f GROUP BY n1, n2)
+              SELECT n1, n2, d,
+                     d * sqrt(CAST(n1 * n2 AS DOUBLE)
+                              / CAST(n1 + n2 AS DOUBLE)) AS ks_scaled
+              FROM m""")),
+
     // ---- M41 per-row regression diagnostics ---------------------------
     // Leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx and Cook's distance for the
     // simple OLS fit — influence screening as a pure projection: ONE

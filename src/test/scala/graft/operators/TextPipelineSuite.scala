@@ -382,4 +382,22 @@ class TextPipelineSuite extends SparkSpec {
     TextPipeline.domainKl(same, "dom", "text").collect()
       .foreach(r => assert(r.getLong(3) == 0L))
   }
+
+  test("canonicalUrl: case, default ports, tracking params, fragments, " +
+      "and trailing slashes normalize; real ports and path case survive") {
+    import graft.operators.TextFunctions.canonicalUrl
+    val cases = Seq(
+      "https://WWW.Ex.COM/A/b/" -> "https://www.ex.com/A/b",
+      "HTTPS://ex.com:443/a?utm=1#f" -> "https://ex.com/a",
+      "http://ex.com:80/a" -> "http://ex.com/a",
+      "http://ex.com:8080/a" -> "http://ex.com:8080/a", // real port kept
+      "https://ex.com/" -> "https://ex.com",
+      "https://ex.com" -> "https://ex.com")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), canonicalUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)} (want $want)")
+    }
+  }
 }

@@ -44,6 +44,20 @@ final case class FloatVecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -79,7 +93,7 @@ final case class FloatVecDot(left: Expression, right: Expression)
   * compiled into a codegen'd array literal, so bucket keys cost one
   * primitive loop per plane with zero allocation. */
 final case class FloatVecDotConst(child: Expression, weights: Seq[Double])
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresFloatArrayInput {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot_const"
@@ -131,7 +145,7 @@ final case class FloatVecDotConst(child: Expression, weights: Seq[Double])
   * arithmetic (sequential float→double dot, then sign) is identical. */
 final case class LshBucketKeys(child: Expression, weights: Seq[Double],
                                dim: Int, bits: Int, tables: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresFloatArrayInput {
   require(weights.length == tables * bits * dim,
     s"weights must be tables*bits*dim = ${tables * bits * dim} doubles")
 

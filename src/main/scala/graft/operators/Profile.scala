@@ -211,6 +211,12 @@ object Profile {
     val row = counted.head()
     val spark = df.sparkSession
     import spark.implicits._
+    cols.zipWithIndex.foreach { case (c, i) =>
+      // percentile of an all-NULL column (or an empty frame) is NULL —
+      // name the column instead of NPEing on the unbox below
+      require(!row.isNullAt(row.fieldIndex(s"q1_$i")),
+        s"iqrOutliers: column '$c' has no non-NULL values to census")
+    }
     cols.zipWithIndex.map { case (c, i) =>
       (c, row.getAs[Double](s"q1_$i"), row.getAs[Double](s"q3_$i"),
         row.getAs[Double](s"lo_$i"), row.getAs[Double](s"hi_$i"),

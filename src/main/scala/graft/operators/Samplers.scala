@@ -507,8 +507,14 @@ object Samplers {
     val w = when(col(weightCol).isNull,
       raise_error(lit(s"epochMix: NULL in weight column '$weightCol'")))
       .otherwise(col(weightCol))
+    // a NULL domain would silently form its own phantom group and skew
+    // every other domain's share — fail loudly (the shardCensus
+    // contract)
+    val dom = when(col(domainCol).isNull,
+      raise_error(lit(s"epochMix: NULL in domain column '$domainCol'")))
+      .otherwise(col(domainCol))
     val all = Window.partitionBy(lit(1))
-    val perDomain = df.groupBy(col(domainCol))
+    val perDomain = df.groupBy(dom.as(domainCol))
       .agg(sum(w).as("n_toks"))
     val shared = perDomain
       .withColumn("__w", sqrt(col("n_toks").cast("double")))

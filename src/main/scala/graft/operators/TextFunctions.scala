@@ -128,10 +128,23 @@ object TextFunctions {
     * canonical-keyed groupBy. Path case is preserved (it is
     * significant on real servers). */
   def canonicalUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = regexp_replace(
-      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-      ":(80|443)$", "")
+    val scheme0 =
+      lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    // a schemeless/malformed URL would otherwise canonicalize to the
+    // constant "://" and merge unrelated documents into one dedup
+    // group — fail loudly instead (the thresholdSweep/shardCensus
+    // contract)
+    val scheme = when(url.isNull || scheme0 === "",
+      raise_error(concat(lit("canonicalUrl: no <scheme>:// prefix in '"),
+        coalesce(url, lit("NULL")), lit("'"))))
+      .otherwise(scheme0)
+    val host0 =
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    // default ports are scheme-specific: http:443 / https:80 are REAL
+    // non-default ports serving potentially different content
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
       "/$", "")

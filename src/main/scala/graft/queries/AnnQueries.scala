@@ -547,6 +547,14 @@ object AnnQueries {
           s"mmrDiverseTopK: query ${short.head.get(0)} realized a pool of " +
             s"${short.head.get(1)} < k=$k candidates — not enough distinct " +
             "candidates to diversify over")
+      // a query with ZERO pool rows has no group above — catch it too
+      val empty = queries.select(col("vec_id").as("qid")).distinct()
+        .join(pool.select("qid").distinct(), Seq("qid"), "left_anti")
+        .limit(1).collect()
+      if (empty.nonEmpty)
+        throw new IllegalArgumentException(
+          s"mmrDiverseTopK: query ${empty.head.get(0)} realized an EMPTY " +
+            "pool — no candidates to diversify over")
       val ev = cand.select(col("vec_id"), col("embedding"))
       // pairwise pool cosines, both directions (s is symmetric but the
       // lookup below is by the candidate side)
@@ -1711,6 +1719,150 @@ object AnnQueries {
                    GROUP BY x.qid)
              SELECT qid, hits, CAST(hits AS DOUBLE) / 5.0 AS recall
              FROM h ORDER BY qid"""
+      }),
+
+    // ---- E30 recall-vs-nProbe tuning curve -------------------------------
+    // The standard IVF tuning artifact downstream of e29: recall@5 at
+    // nProbe ∈ {1, 2, 4} from ONE candidate generation at the maximum
+    // probe depth — each pair carries the probe rank of the cell that
+    // produced it, scores ONCE with the exact-decimal cosine, and the
+    // per-depth rankings just filter prank ≤ p. The |Q|·poolK pair
+    // frame is never recomputed per depth.
+    Q("e30_ivf_nprobe_sweep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = load(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val cents = (0 until 16).map(portableCentroid(_, 64))
+        def topP(c: Column, p: Int) =
+          graft.expressions.VectorExpressions.topPDotExact(c, cents, p)
+        val qpr = q.select(col("vec_id").as("qid"),
+            posexplode(topP(col("embedding"), 4)))
+          .select(col("qid"), (col("pos") + 1).as("prank"),
+            col("col").as("cell"))
+        val c = spreadForExpr(emb).select(col("vec_id").as("cid"),
+          topP(col("embedding"), 1).getItem(0).as("cell"))
+        val pairs = broadcast(qpr).join(c, Seq("cell"))
+          .filter(col("qid") =!= col("cid"))
+          .select("qid", "cid", "prank")
+        val qv = q.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .withColumn("nq", sqrt(dotExactF(col("qe"), col("qe"))))
+        val cv = spreadForExpr(emb)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+          .withColumn("nc", sqrt(dotExactF(col("ce"), col("ce"))))
+        val scored = pairs.join(broadcast(qv), Seq("qid")).join(cv, Seq("cid"))
+          .select(col("qid"), col("cid"), col("prank"),
+            (dotExactF(col("qe"), col("ce")) / (col("nq") * col("nc")))
+              .cast("float").as("cos"))
+        import s.implicits._
+        val probes = Seq(1, 2, 4).toDF("nprobe")
+        val win = Window.partitionBy("nprobe", "qid")
+          .orderBy(desc("cos"), col("cid"))
+        val approx = scored.join(broadcast(probes),
+            col("prank") <= col("nprobe"))
+          .withColumn("rk", row_number().over(win))
+          .filter(col("rk") <= 5)
+          .select("nprobe", "qid", "cid")
+        val exact = bruteForceTopK(q, emb, 5).select("qid", "cid")
+        probes.crossJoin(exact)
+          .join(approx.withColumn("__hit", lit(1L)),
+            Seq("nprobe", "qid", "cid"), "left")
+          .groupBy("nprobe", "qid")
+          .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+          .select(col("nprobe"), col("qid"), col("hits"),
+            (col("hits").cast("double") / lit(5.0)).as("recall"))
+          .orderBy("nprobe", "qid")
+      },
+      Some {
+        s"""WITH xq AS (SELECT vec_id AS qid, embedding AS qe
+                        FROM embeddings WHERE vec_id < 10),
+             xc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+             xel AS (SELECT qid, cid,
+                       CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS p,
+                       CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pq,
+                       CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pc
+                     FROM xq CROSS JOIN xc, generate_series(1, 64) AS t(i)
+                     WHERE qid <> cid),
+             xd AS (SELECT qid, cid,
+                      CAST(sum(p) AS DOUBLE) AS dot,
+                      CAST(sum(pq) AS DOUBLE) AS nq,
+                      CAST(sum(pc) AS DOUBLE) AS nc
+                    FROM xel GROUP BY qid, cid),
+             xs AS (SELECT qid, cid,
+                      CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                    FROM xd),
+             xr AS (SELECT qid, cid FROM
+                      (SELECT qid, cid,
+                         row_number() OVER
+                           (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                       FROM xs)
+                    WHERE rk <= 5),
+             ce AS (SELECT c, sj,
+                   $sqlPortableUnit
+                     AS v
+                 FROM (SELECT c, sj,
+                         md5('ivf:' || CAST(c AS VARCHAR) || ':' ||
+                             CAST(sj AS VARCHAR)) AS hx
+                       FROM generate_series(0, 15) cc(c),
+                            generate_series(0, 63) jj(sj))),
+             vdots AS (SELECT e.vec_id AS vid, ce.c,
+                         CAST(sum(CAST(CAST(e.embedding[ce.sj + 1] AS DOUBLE)
+                                       * ce.v AS DECIMAL(38,18))) AS DOUBLE)
+                           AS s
+                       FROM embeddings e, ce
+                       GROUP BY e.vec_id, ce.c),
+             rk0 AS (SELECT vid, c,
+                       row_number() OVER
+                         (PARTITION BY vid ORDER BY s DESC, c) AS r
+                     FROM vdots),
+             cnd AS (SELECT vid AS cid, c AS cell FROM rk0 WHERE r = 1),
+             qpr AS (SELECT vid AS qid, c AS cell,
+                       CAST(r AS INT) AS prank FROM rk0
+                     WHERE r <= 4 AND vid < 10),
+             prs AS (SELECT q.qid, c2.cid, q.prank
+                     FROM qpr q JOIN cnd c2 USING (cell)
+                     WHERE q.qid <> c2.cid),
+             vel AS (SELECT p.qid, p.cid, p.prank,
+                       CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                            CAST(cv.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pd,
+                       CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                            CAST(qv.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pq,
+                       CAST(CAST(cv.embedding[i] AS DOUBLE) *
+                            CAST(cv.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pc
+                     FROM prs p
+                     JOIN embeddings qv ON qv.vec_id = p.qid
+                     JOIN embeddings cv ON cv.vec_id = p.cid,
+                          generate_series(1, 64) AS g(i)),
+             vd AS (SELECT qid, cid, prank,
+                      CAST(sum(pd) AS DOUBLE) AS dot,
+                      CAST(sum(pq) AS DOUBLE) AS nq,
+                      CAST(sum(pc) AS DOUBLE) AS nc
+                    FROM vel GROUP BY qid, cid, prank),
+             vs AS (SELECT qid, cid, prank,
+                      CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                    FROM vd),
+             pr AS (SELECT pb.p, s2.qid, s2.cid,
+                      row_number() OVER
+                        (PARTITION BY pb.p, s2.qid
+                         ORDER BY s2.cos DESC, s2.cid) AS rk
+                    FROM vs s2 JOIN (VALUES (1), (2), (4)) pb(p)
+                      ON s2.prank <= pb.p),
+             vrk AS (SELECT p, qid, cid FROM pr WHERE rk <= 5),
+             h AS (SELECT pb.p AS nprobe, x.qid,
+                     CAST(sum(CASE WHEN v.cid IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS hits
+                   FROM (VALUES (1), (2), (4)) pb(p) CROSS JOIN xr x
+                   LEFT JOIN vrk v
+                     ON v.p = pb.p AND v.qid = x.qid AND v.cid = x.cid
+                   GROUP BY pb.p, x.qid)
+             SELECT nprobe, qid, hits, CAST(hits AS DOUBLE) / 5.0 AS recall
+             FROM h ORDER BY nprobe, qid"""
       })
   )
 }

@@ -621,16 +621,23 @@ object DedupQueries {
                       '.example.com/en/doc-' || doc_id // 4
                   END AS url
                 FROM documents),
-              c AS (SELECT doc_id, url,
+              p AS (SELECT doc_id, url,
                       lower(regexp_extract(url,
-                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
-                      regexp_replace(lower(regexp_extract(url,
-                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                        ':(80|443)$', '') ||
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                      lower(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hst,
                       regexp_replace(regexp_extract(url,
                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
-                        '/$', '') AS canon_url
-                    FROM u)
+                        '/$', '') AS pth
+                    FROM u),
+              c AS (SELECT doc_id, url,
+                      sch || '://' ||
+                      CASE sch
+                        WHEN 'http' THEN regexp_replace(hst, ':80$', '')
+                        WHEN 'https' THEN regexp_replace(hst, ':443$', '')
+                        ELSE hst END ||
+                      pth AS canon_url
+                    FROM p)
               SELECT canon_url, count(*) AS n_urls,
                      CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
                      min(doc_id) AS keeper

@@ -156,11 +156,12 @@ object GraphScaleProbe {
     // ---- leg 6: k-core peel over cliques + pendant chains --------------
     // Each 6-clique gains a 2-node pendant chain (clique node 0 → tail1
     // → tail2, tails numbered above the clique range). Peeling the
-    // 3-core must take exactly two synchronous rounds to shed the
-    // chains (tail2 first, then tail1 — degree 1 each once its child is
-    // gone) and leave EVERY clique intact: the census must be the
-    // single row (degree 5, 6C nodes). Closed-form at any C — a node
-    // mis-kept, an edge lost, or a premature peel all break it.
+    // 2-CORE forces a genuine cascade: round 1 sheds only tail2
+    // (degree 1; tail1 still holds degree 2), round 2 sheds tail1 once
+    // its child is gone — so a round loop that silently runs fewer
+    // rounds leaves C degree-1 tails in the census and fails. Final
+    // census must be the single row (degree 5, 6C nodes). Closed-form
+    // at any C.
     val tailBase = cliques * 6
     val kcEdges = commEdges.unionByName(
       spark.range(cliques).select(col("id").as("c"))
@@ -170,15 +171,21 @@ object GraphScaleProbe {
           struct((lit(tailBase) + col("c") * 2).as("src"),
             (lit(tailBase) + col("c") * 2 + 1).as("dst")))).as("e"))
         .select(col("e.src"), col("e.dst")))
-    val kc = timed(s"3-core peel over ${cliques * 17} edges, 3 rounds")(
-      Graphs.kcoreCensus(kcEdges, k = 3, rounds = 3,
+    val kc1 = Graphs.kcoreCensus(kcEdges, k = 2, rounds = 1,
+      symmetrizeInput = true).collect()
+    assert(kc1.exists(_.getLong(0) == 1L),
+      "round 1 must leave the mid-chain tails at degree 1 — the " +
+        "cascade premise is broken")
+    val kc = timed(s"2-core peel over ${cliques * 17} edges, 3 rounds")(
+      Graphs.kcoreCensus(kcEdges, k = 2, rounds = 3,
         symmetrizeInput = true).collect())
     assert(kc.length == 1 && kc.head.getLong(0) == 5L &&
         kc.head.getLong(1) == cliques * 6L,
       s"k-core census drifted: ${kc.toSeq} (want one row: degree 5, " +
         s"${cliques * 6} nodes)")
-    println(s"[graph-probe] 3-core kept exactly the ${cliques * 6} " +
-      "clique nodes at degree 5; both pendant rounds peeled")
+    println(s"[graph-probe] 2-core kept exactly the ${cliques * 6} " +
+      "clique nodes at degree 5; the pendant chains peeled over two " +
+      "cascading rounds")
     spark.stop()
   }
 }

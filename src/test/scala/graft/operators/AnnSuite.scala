@@ -957,7 +957,11 @@ class AnnSuite extends SparkSpec {
       argMaxDotScoreExact(col("embedding"), cents),
       pqEncodeExact(col("embedding"), Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))),
         dim = 2))
-    guarded.foreach { e =>
+    val guardedFast = Seq(
+      dotConst(col("embedding"), Seq(1.0, 0.0)),
+      lshKeys(col("embedding"), Seq(Seq(1.0, 0.0)), 2, 1, 1),
+      dotF(col("embedding"), col("embedding")))
+    (guarded ++ guardedFast).foreach { e =>
       val ex = intercept[org.apache.spark.sql.AnalysisException] {
         dvec.select(e).collect()
       }
@@ -982,5 +986,33 @@ class AnnSuite extends SparkSpec {
           lam = 0.7, omLam = 0.3).collect()
     }
     assert(ex.getMessage.contains("realized a pool"), ex.getMessage)
+    // a query with NO pool rows at all (its only potential candidate is
+    // itself) must also raise, not silently emit zero picks
+    val lonely = emb.filter(col("vec_id") === 0)
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.queries.AnnQueries
+        .mmrDiverseTopK(lonely, lonely, k = 1, poolK = 2,
+          lam = 0.7, omLam = 0.3).collect()
+    }
+    assert(ex2.getMessage.contains("EMPTY"), ex2.getMessage)
+  }
+
+  test("e30 sweep: recall is monotone non-decreasing in nProbe and " +
+      "agrees with e29 at nProbe = 2") {
+    val sweep = graft.queries.Catalog.queries("e30_ivf_nprobe_sweep")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val qids = sweep.keys.map(_._2).toSeq.distinct
+    assert(qids.size == 10 && sweep.size == 30)
+    qids.foreach { q =>
+      assert(sweep((1, q)) <= sweep((2, q)) && sweep((2, q)) <= sweep((4, q)),
+        s"recall not monotone for query $q")
+      assert(sweep((4, q)) <= 5L)
+    }
+    val e29 = graft.queries.Catalog.queries("e29_ann_recall")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    qids.foreach(q => assert(sweep((2, q)) == e29(q),
+      s"sweep@2 disagrees with e29 for query $q"))
   }
 }

@@ -92,5 +92,12 @@ class ProfileSuite extends SparkSpec {
     assert(out.getDouble(3) == q1 - 1.5 * (q3 - q1))
     assert(out.getDouble(4) == q3 + 1.5 * (q3 - q1))
     assert(out.getLong(5) == 1L && out.getLong(6) == 1L) // -100 / 100
+    // an all-NULL column names itself instead of NPEing
+    val allNull = Seq(Option.empty[Double], Option.empty[Double]).toDF("y")
+    val e = intercept[IllegalArgumentException] {
+      Profile.iqrOutliers(allNull, Seq("y")).collect()
+    }
+    assert(e.getMessage.contains("'y' has no non-NULL values"),
+      e.getMessage)
   }
 }

@@ -195,5 +195,11 @@ class SamplersRound10Suite extends SparkSpec {
       Samplers.epochMix(withNull, "dom", "w", 2L, 4.0).collect()
     }
     assert(e.getMessage.contains("NULL in weight column"), e.getMessage)
+    val nullDom = Seq((Option("A"), 1L), (Option.empty[String], 1L))
+      .toDF("dom", "w")
+    val e2 = intercept[Exception] {
+      Samplers.epochMix(nullDom, "dom", "w", 2L, 4.0).collect()
+    }
+    assert(e2.getMessage.contains("NULL in domain column"), e2.getMessage)
   }
 }

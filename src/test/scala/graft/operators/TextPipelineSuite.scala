@@ -391,6 +391,8 @@ class TextPipelineSuite extends SparkSpec {
       "HTTPS://ex.com:443/a?utm=1#f" -> "https://ex.com/a",
       "http://ex.com:80/a" -> "http://ex.com/a",
       "http://ex.com:8080/a" -> "http://ex.com:8080/a", // real port kept
+      "http://ex.com:443/a" -> "http://ex.com:443/a",   // cross-scheme port kept
+      "https://ex.com:80/a" -> "https://ex.com:80/a",   // cross-scheme port kept
       "https://ex.com/" -> "https://ex.com",
       "https://ex.com" -> "https://ex.com")
     val got = cases.map(_._1).toDF("url")
@@ -399,5 +401,12 @@ class TextPipelineSuite extends SparkSpec {
     cases.foreach { case (in, want) =>
       assert(got(in) == want, s"$in -> ${got(in)} (want $want)")
     }
+    // schemeless/malformed input fails loudly instead of collapsing to
+    // the constant key "://"
+    val e = intercept[Exception] {
+      Seq("example.com/a").toDF("url")
+        .select(canonicalUrl(col("url"))).collect()
+    }
+    assert(e.getMessage.contains("no <scheme>:// prefix"), e.getMessage)
   }
 }

@@ -586,7 +586,7 @@ final case class ArgMaxDotScoreExact(child: Expression, cents: Seq[Double],
   * Spark's NaN-is-greatest struct ordering; embeddings are finite.) */
 final case class ArgMaxDotConst(child: Expression, cents: Seq[Double],
                                 dim: Int, nCells: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresFloatArrayInput {
   require(nCells > 0, "nCells must be positive")
   require(cents.length == nCells * dim,
     s"cents must be nCells*dim = ${nCells * dim} doubles")
@@ -652,7 +652,7 @@ final case class ArgMaxDotConst(child: Expression, cents: Seq[Double],
   * both nCells and p — p is a small constant (≤ ~8 probes). */
 final case class ArgTopPDotConst(child: Expression, cents: Seq[Double],
                                  dim: Int, nCells: Int, p: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresFloatArrayInput {
   require(nCells > 0, "nCells must be positive")
   require(p > 0 && p <= nCells, s"p must be in [1, $nCells]")
   require(cents.length == nCells * dim,
@@ -736,7 +736,7 @@ final case class ArgTopPDotConst(child: Expression, cents: Seq[Double],
   * higher code (consistent with [[ArgMaxDotConst]]). */
 final case class PqEncode(child: Expression, cents: Seq[Double],
                           bias: Seq[Double], dim: Int, m: Int, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresFloatArrayInput {
   require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
   require(cents.length == m * k * (dim / m),
     s"cents must be m*k*subDim = ${m * k * (dim / m)} doubles")
@@ -1010,6 +1010,20 @@ final case class SubCentroidConst(left: Expression, right: Expression,
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.FloatType, containsNull = false)
   override def prettyName: String = "sub_centroid_const"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _),
+        org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, int) inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  }
 
   @transient private lazy val w: Array[Double] = cents.toArray
 

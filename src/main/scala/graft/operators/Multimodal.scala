@@ -207,10 +207,18 @@ object Multimodal {
       - col("bw").cast("double") / col("bh").cast("double"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("__diff").asc, col("bucket_id").asc)
+    // a duplicate id would make the argmin keep ONE row for several
+    // input images, silently under-counting the census — detect it on
+    // the same partitioning the window already shuffles by
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
     val assigned = df.crossJoin(broadcast(b))
       .withColumn("__diff", diff)
+      .withColumn("__n", count(lit(1)).over(cnt))
       .withColumn("__rk", row_number().over(win))
-      .filter(col("__rk") === 1)
+      .filter(when(col("__n") > lit(buckets.size),
+        raise_error(concat(lit(s"aspectBuckets: duplicate id in " +
+          s"'$idCol': "), col(idCol).cast("string"))))
+        .otherwise(col("__rk") === 1))
     val census = assigned.groupBy("bucket_id")
       .agg(count(lit(1)).as("n_images"),
         sum(floor(col("__diff") * lit(quantum) + lit(0.5)).cast("long"))

@@ -192,18 +192,18 @@ object Profile {
         (col(s"__q1_$i") - lit(1.5) * iqr).as(s"__lo_$i"),
         (col(s"__q3_$i") + lit(1.5) * iqr).as(s"__hi_$i"))
     }: _*)
+    val countAggs = cols.indices.flatMap { i => Seq(
+      first(col(s"__q1_$i")).as(s"q1_$i"),
+      first(col(s"__q3_$i")).as(s"q3_$i"),
+      first(col(s"__lo_$i")).as(s"lo_$i"),
+      first(col(s"__hi_$i")).as(s"hi_$i"),
+      sum(when(col(cols(i)) < col(s"__lo_$i"), 1L).otherwise(0L))
+        .as(s"nb_$i"),
+      sum(when(col(cols(i)) > col(s"__hi_$i"), 1L).otherwise(0L))
+        .as(s"na_$i"))
+    }
     val counted = df.crossJoin(broadcast(fenced))
-      .agg(first(col("__q1_0")).as("__f"),
-        (cols.indices.flatMap { i => Seq(
-          first(col(s"__q1_$i")).as(s"q1_$i"),
-          first(col(s"__q3_$i")).as(s"q3_$i"),
-          first(col(s"__lo_$i")).as(s"lo_$i"),
-          first(col(s"__hi_$i")).as(s"hi_$i"),
-          sum(when(col(cols(i)) < col(s"__lo_$i"), 1L).otherwise(0L))
-            .as(s"nb_$i"),
-          sum(when(col(cols(i)) > col(s"__hi_$i"), 1L).otherwise(0L))
-            .as(s"na_$i"))
-        }): _*)
+      .agg(countAggs.head, countAggs.tail: _*)
     // ONE row comes back; reshaping it to |cols| rows driver-side keeps
     // the two scans from re-running per output row (a union of
     // projections over the same agg would re-execute the whole plan

@@ -122,11 +122,15 @@ object TextFunctions {
 
   /** URL canonicalization for crawl dedup (the CCNet/RefinedWeb-class
     * URL-level pass that runs BEFORE content dedup): lowercase scheme
-    * and host, strip a default :80/:443 port, drop query string and
-    * fragment (tracking parameters), strip one trailing slash. Pure
-    * per-row regexp projection — no shuffle; the dedup downstream is a
-    * canonical-keyed groupBy. Path case is preserved (it is
-    * significant on real servers). */
+    * and host, strip a default :80/:443 port (scheme-aware — http:443
+    * is a real port), strip KNOWN TRACKING parameters (utm_*, fbclid,
+    * gclid) from the query while keeping content-bearing parameters
+    * (?v=, ?id=, ?page= identify distinct resources — dropping the
+    * whole query would merge them and the dedup would discard real
+    * documents), drop the fragment (client-side only), strip one
+    * trailing slash. Pure per-row regexp projection — no shuffle; the
+    * dedup downstream is a canonical-keyed groupBy. Path case and
+    * parameter order are preserved. */
   def canonicalUrl(url: Column): Column = {
     val scheme0 =
       lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -148,6 +152,12 @@ object TextFunctions {
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
       "/$", "")
-    concat(scheme, lit("://"), host, path)
+    val query = regexp_replace(
+      regexp_replace(
+        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]+\\?([^#]*)", 1),
+        "(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", ""),
+      "^&+", "")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
   }
 }

@@ -432,7 +432,14 @@ object TextPipeline {
     * vocabulary-keyed). Nothing corpus-sized shuffles twice. */
   def domainKl(docs: DataFrame, domainCol: String, textCol: String,
                quantum: Double = 1048576.0): DataFrame = {
-    val toks = docs.select(col(domainCol).as("__dom"),
+    // a NULL domain's tokens would inflate the corpus marginal q and
+    // __ctot while the inner joins drop the NULL group from the output
+    // — silently deflating every surviving domain's KL. Fail loudly
+    // (the epochMix/shardCensus contract).
+    val dom = when(col(domainCol).isNull,
+      raise_error(lit(s"domainKl: NULL in domain column '$domainCol'")))
+      .otherwise(col(domainCol))
+    val toks = docs.select(dom.as("__dom"),
       explode(Dedup.tokens(col(textCol))).as("__tok"))
     val cd = toks.groupBy("__dom", "__tok").agg(count(lit(1)).as("__cdv"))
     val cv = cd.groupBy("__tok").agg(sum(col("__cdv")).as("__cv"))

@@ -540,21 +540,23 @@ object AnnQueries {
       // exhaust the greedy loop mid-way and silently emit < k picks —
       // fail loudly instead (one aggregation over the cached
       // |Q|·poolK-bounded frame)
-      val short = pool.groupBy(col("qid")).agg(count(lit(1)).as("n"))
-        .filter(col("n") < k).limit(1).collect()
-      if (short.nonEmpty)
+      // one action covers both failure shapes: a NULL count after the
+      // left join is a query with ZERO pool rows; a small count is a
+      // realized pool the greedy loop would exhaust mid-way
+      val bad = queries.select(col("vec_id").as("qid")).distinct()
+        .join(pool.groupBy(col("qid")).agg(count(lit(1)).as("n")),
+          Seq("qid"), "left")
+        .filter(col("n").isNull || col("n") < k).limit(1).collect()
+      if (bad.nonEmpty) {
+        val realized =
+          if (bad.head.isNullAt(1)) 0L else bad.head.getLong(1)
         throw new IllegalArgumentException(
-          s"mmrDiverseTopK: query ${short.head.get(0)} realized a pool of " +
-            s"${short.head.get(1)} < k=$k candidates — not enough distinct " +
-            "candidates to diversify over")
-      // a query with ZERO pool rows has no group above — catch it too
-      val empty = queries.select(col("vec_id").as("qid")).distinct()
-        .join(pool.select("qid").distinct(), Seq("qid"), "left_anti")
-        .limit(1).collect()
-      if (empty.nonEmpty)
-        throw new IllegalArgumentException(
-          s"mmrDiverseTopK: query ${empty.head.get(0)} realized an EMPTY " +
-            "pool — no candidates to diversify over")
+          s"mmrDiverseTopK: query ${bad.head.get(0)} realized a pool of " +
+            s"$realized < k=$k candidates — " +
+            (if (realized == 0L) "an EMPTY pool; "
+             else "not enough distinct candidates; ") +
+            "nothing to diversify over")
+      }
       val ev = cand.select(col("vec_id"), col("embedding"))
       // pairwise pool cosines, both directions (s is symmetric but the
       // lookup below is by the candidate side)

@@ -628,7 +628,12 @@ object DedupQueries {
                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hst,
                       regexp_replace(regexp_extract(url,
                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
-                        '/$', '') AS pth
+                        '/$', '') AS pth,
+                      regexp_replace(regexp_replace(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]+\?([^#]*)', 1),
+                        '(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*',
+                        '', 'g'),
+                        '^&+', '') AS qry
                     FROM u),
               c AS (SELECT doc_id, url,
                       sch || '://' ||
@@ -636,7 +641,9 @@ object DedupQueries {
                         WHEN 'http' THEN regexp_replace(hst, ':80$', '')
                         WHEN 'https' THEN regexp_replace(hst, ':443$', '')
                         ELSE hst END ||
-                      pth AS canon_url
+                      pth ||
+                      CASE WHEN qry = '' THEN '' ELSE '?' || qry END
+                        AS canon_url
                     FROM p)
               SELECT canon_url, count(*) AS n_urls,
                      CAST(count(DISTINCT url) AS BIGINT) AS n_variants,

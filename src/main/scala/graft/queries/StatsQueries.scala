@@ -851,12 +851,19 @@ object StatsQueries {
           .agg(count(lit(1)).as("t"), sum(col("g1")).as("t1"))
         val w = Window.orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // t³ wraps silently past t = 2²¹ under Spark's non-ANSI long
+        // arithmetic (DuckDB would raise) — guard the cube before it
+        // happens (the doremiReweight overflow contract)
+        val tGuarded = when(col("t") >= lit(2097152L),
+          raise_error(lit("m44: a tie group exceeds 2^21 rows — t^3 " +
+            "overflows long; bucket the value column first")))
+          .otherwise(col("t"))
         val a = byV
           .withColumn("r2", lit(2L) * (sum(col("t")).over(w) - col("t"))
             + col("t") + lit(1L))
           .agg(sum(col("t1") * col("r2")).as("r2sum1"),
             sum(col("t1")).as("n1"), sum(col("t")).as("n"),
-            sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+            sum(tGuarded * col("t") * col("t") - col("t")).as("ties"))
         val u1 = (col("r2sum1") - col("n1") * (col("n1") + lit(1L)))
           .cast("double") / lit(2.0)
         val mu = (col("n1") * (col("n") - col("n1"))).cast("double") /

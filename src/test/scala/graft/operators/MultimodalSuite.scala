@@ -134,5 +134,11 @@ class MultimodalSuite extends SparkSpec {
     assert(byId(0) == ((0, 512, 512, 1L, 0L)))
     assert(byId(20) == ((20, 1024, 512, 1L, 0L)))
     assert(out.map(_._4).sum == 2L) // nothing double-assigned
+    // duplicate ids would silently under-count the census — raise
+    val dup = Seq((7L, 600, 600), (7L, 1024, 512)).toDF("id", "w", "h")
+    val e = intercept[Exception] {
+      Multimodal.aspectBuckets(dup, "id", "w", "h", buckets).collect()
+    }
+    assert(e.getMessage.contains("duplicate id"), e.getMessage)
   }
 }

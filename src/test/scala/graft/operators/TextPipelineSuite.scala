@@ -381,6 +381,13 @@ class TextPipelineSuite extends SparkSpec {
     val same = Seq((1L, "X", "a b"), (2L, "Y", "a b")).toDF("id", "dom", "text")
     TextPipeline.domainKl(same, "dom", "text").collect()
       .foreach(r => assert(r.getLong(3) == 0L))
+    // NULL domains would deflate every other domain's q — raise
+    val withNull = Seq((1L, Option("A"), "a"), (2L, Option.empty[String], "b"))
+      .toDF("id", "dom", "text")
+    val e = intercept[Exception] {
+      TextPipeline.domainKl(withNull, "dom", "text").collect()
+    }
+    assert(e.getMessage.contains("NULL in domain column"), e.getMessage)
   }
 
   test("canonicalUrl: case, default ports, tracking params, fragments, " +
@@ -388,13 +395,19 @@ class TextPipelineSuite extends SparkSpec {
     import graft.operators.TextFunctions.canonicalUrl
     val cases = Seq(
       "https://WWW.Ex.COM/A/b/" -> "https://www.ex.com/A/b",
-      "HTTPS://ex.com:443/a?utm=1#f" -> "https://ex.com/a",
+      "HTTPS://ex.com:443/a?utm_x=1#f" -> "https://ex.com/a",
       "http://ex.com:80/a" -> "http://ex.com/a",
       "http://ex.com:8080/a" -> "http://ex.com:8080/a", // real port kept
       "http://ex.com:443/a" -> "http://ex.com:443/a",   // cross-scheme port kept
       "https://ex.com:80/a" -> "https://ex.com:80/a",   // cross-scheme port kept
       "https://ex.com/" -> "https://ex.com",
-      "https://ex.com" -> "https://ex.com")
+      "https://ex.com" -> "https://ex.com",
+      // content-bearing query params identify DISTINCT resources — kept
+      "https://ex.com/watch?v=AAA" -> "https://ex.com/watch?v=AAA",
+      "https://ex.com/a?id=3&utm_source=x" -> "https://ex.com/a?id=3",
+      "https://ex.com/a?utm_a=1&utm_b=2" -> "https://ex.com/a",
+      "https://ex.com/a?utm_a=1&page=2&fbclid=z#frag" ->
+        "https://ex.com/a?page=2")
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), canonicalUrl(col("url")).as("c"))
       .as[(String, String)].collect().toMap

@@ -597,6 +597,58 @@ object Graphs {
     }
   }
 
+  /** Min-label connected-components census (the label-spreading half
+    * of HashToMin, Rastogi et al. 2013): every node starts labeled
+    * with its own id and each synchronous round takes the min of its
+    * own label and its neighbors' labels, so after R rounds every node
+    * carries the smallest id within R hops — converged components all
+    * carry their global min id. Fixed-round semantics (the a36/a38
+    * convention): the census is deterministic and engine-replayable
+    * whether or not the spread has converged. Reports the k largest
+    * label groups (size DESC, label ASC).
+    *
+    * Scale shape: per round, one node-keyed join + partial-aggregable
+    * min, materialized per round (the [[lpaAssign]] eager pattern).
+    * Label rows are two longs — nothing edge-sized accumulates. */
+  def ccCensus(edges: DataFrame, rounds: Int, k: Int,
+               symmetrizeInput: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    val input =
+      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
+      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val full = if (symmetrizeInput) symmetrize(input) else input
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    try {
+      input.count()
+      var lbl = full.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to rounds) {
+        val spread = full
+          .join(lbl.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), col("lbl"))
+        val (next, rdd) = rewrapPersisted(
+          lbl.unionByName(spread).groupBy("id").agg(min("lbl").as("lbl")))
+        lbl = next
+        lbl.count()
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+      }
+      val census = lbl.groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("n_members"), min("id").as("min_id"),
+          max("id").as("max_id"))
+        .orderBy(desc("n_members"), col("component"))
+        .limit(k)
+      val rows = census.collect()
+      census.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), census.schema)
+    } finally {
+      input.unpersist(blocking = false)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    }
+  }
+
   /** Synchronous k-core peeling census (Batagelj & Zaveršnik 2003 —
     * the graph-quality screen web/citation corpora run before link
     * analysis): each of `rounds` rounds computes current degrees over

@@ -354,6 +354,48 @@ object GraphQueries {
             FROM d GROUP BY degree ORDER BY degree"""
       }),
 
+    // ---- A40 min-label connected components -----------------------------
+    // The HashToMin label-spreading census over the same symmetrized
+    // transaction graph: 3 fixed synchronous min-rounds, top-25 label
+    // groups (fixed-round semantics — converged components carry their
+    // global min id; unconverged ones the R-hop min). All integers;
+    // the oracle unrolls the same join + union + min rounds.
+    Q("a40_connected_components",
+      (s, d) => {
+        val ord = load(s, d, "orders")
+          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = ord
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select("src", "dst").distinct()
+        Graphs.ccCensus(edges, rounds = 3, k = 25,
+          symmetrizeInput = true)
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""c$r AS (SELECT ue.dst AS id, min(l${r - 1}.lbl) AS lbl
+                      FROM ue JOIN l${r - 1} ON ue.src = l${r - 1}.id
+                      GROUP BY ue.dst),
+              l$r AS (SELECT id, min(lbl) AS lbl FROM (
+                        SELECT id, lbl FROM c$r UNION ALL
+                        SELECT id, lbl FROM l${r - 1})
+                      GROUP BY id)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+                  l_suppkey * 2 + 1 AS dst
+                FROM orders
+                JOIN lineitem ON o_orderkey = l_orderkey),
+             ue AS (SELECT src, dst FROM e UNION ALL
+                    SELECT dst, src FROM e),
+             l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ue),
+             $rounds
+            SELECT lbl AS component, count(*) AS n_members,
+                   min(id) AS min_id, max(id) AS max_id
+            FROM l3 GROUP BY lbl
+            ORDER BY n_members DESC, component LIMIT 25"""
+      }),
+
     // ---- A39 degree assortativity ---------------------------------------
     // Newman 2002's degree-mixing coefficient over the same symmetrized
     // graph: r = (Σjk/M − (Σj/M)²) / (Σj²/M − (Σj/M)²) over directed

@@ -186,6 +186,19 @@ object GraphScaleProbe {
     println(s"[graph-probe] 2-core kept exactly the ${cliques * 6} " +
       "clique nodes at degree 5; the pendant chains peeled over two " +
       "cascading rounds")
+
+    // ---- leg 7: connected components over the planted cliques ----------
+    // Every 6-clique has diameter 1, so 3 min-label rounds converge and
+    // each component must be exactly its clique: label 6c, size 6,
+    // ids 6c..6c+5 — closed-form at any C.
+    val cc = timed(s"min-label CC over ${cliques * 15} edges, 3 rounds")(
+      Graphs.ccCensus(commEdges, rounds = 3, k = 25,
+        symmetrizeInput = true).collect())
+    assert(cc.length == 25 && cc.forall(r => r.getLong(1) == 6L &&
+        r.getLong(0) % 6 == 0 && r.getLong(2) == r.getLong(0) &&
+        r.getLong(3) == r.getLong(0) + 5),
+      s"CC census drifted: ${cc.take(3).toSeq}")
+    println("[graph-probe] CC top-25 components all size 6, clique-aligned")
     spark.stop()
   }
 }

@@ -239,4 +239,19 @@ class GraphsSuite extends SparkSpec {
     assert(hist(2) == Seq((2L, 3L)))
     assert(hist(4) == Seq((2L, 3L)))
   }
+
+  test("ccCensus: disjoint components converge to their min id; bounded " +
+      "rounds carry exactly the R-hop min") {
+    // two disjoint paths: 1-2-3-4-5 and 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    def run(rounds: Int) =
+      Graphs.ccCensus(edges, rounds, k = 25, symmetrizeInput = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // converged (diameter 4 needs 4 rounds): components {1..5} and {10,11}
+    assert(run(4) == Seq((1L, 5L), (10L, 2L)))
+    // after 2 rounds each node carries the min within 2 hops: 1,2,3 -> 1;
+    // 4 -> 2 (node 1 is 3 hops away); 5 -> 3
+    assert(run(2) == Seq((1L, 3L), (10L, 2L), (2L, 1L), (3L, 1L)))
+  }
 }

@@ -193,7 +193,8 @@ object Multimodal {
     * window argmin, then ONE partial-aggregable pass to |buckets|
     * rows. At production scale the argmin collapses into a per-row
     * native expression (the ArgMaxDotScoreExact pattern) — no join at
-    * all; the join rendition is the oracle-replayable twin. */
+    * all: [[aspectBucketsFused]] is that rendition, suite-pinned
+    * bit-equal to this oracle-replayable twin. */
   def aspectBuckets(df: DataFrame, idCol: String, wCol: String,
                     hCol: String, buckets: Seq[(Int, Int)],
                     quantum: Double = 1048576.0): DataFrame = {
@@ -222,6 +223,35 @@ object Multimodal {
     val census = assigned.groupBy("bucket_id")
       .agg(count(lit(1)).as("n_images"),
         sum(floor(col("__diff") * lit(quantum) + lit(0.5)).cast("long"))
+          .as("drift_q"))
+    b.join(census, Seq("bucket_id"), "left")
+      .na.fill(0L, Seq("n_images", "drift_q"))
+      .select("bucket_id", "bw", "bh", "n_images", "drift_q")
+      .orderBy("bucket_id")
+  }
+
+  /** The 100 TB rendition of [[aspectBuckets]]: assignment as ONE fused
+    * per-row expression (no broadcast join, no window — the whole
+    * |buckets|-way compare is a codegen'd loop inside the scan), then
+    * the same partial-aggregable census. Bit-equal to the join
+    * rendition (same IEEE ratio/diff ops, same tie rule — suite-
+    * pinned); each ROW counts as an image, so duplicate ids are two
+    * images here where the window rendition treats them as misuse. */
+  def aspectBucketsFused(df: DataFrame, wCol: String, hCol: String,
+                         buckets: Seq[(Int, Int)],
+                         quantum: Double = 1048576.0): DataFrame = {
+    require(buckets.nonEmpty, "aspectBucketsFused: need at least one bucket")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = buckets.zipWithIndex
+      .map { case ((bw, bh), i) => (i, bw, bh) }
+      .toDF("bucket_id", "bw", "bh")
+    val census = df
+      .select(graft.expressions.GeomExpressions
+        .argMinAspectBucket(col(wCol), col(hCol), buckets).as("a"))
+      .groupBy(col("a.bucket").as("bucket_id"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(floor(col("a.drift") * lit(quantum) + lit(0.5)).cast("long"))
           .as("drift_q"))
     b.join(census, Seq("bucket_id"), "left")
       .na.fill(0L, Seq("n_images", "drift_q"))

@@ -118,6 +118,38 @@ object AnnQueries {
     s"CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 - 0.5"
   }
 
+  /** DuckDB rendition of the exact brute-force top-5 for the fixture
+    * queries (vec_id < 10) — the ground-truth side shared VERBATIM by
+    * the e29/e30 recall evals. Emits CTEs xq..xr; `xr` is the
+    * (qid, cid) exact top-5 set. */
+  private val sqlExactTop5Chain: String =
+    """xq AS (SELECT vec_id AS qid, embedding AS qe
+                        FROM embeddings WHERE vec_id < 10),
+             xc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+             xel AS (SELECT qid, cid,
+                       CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS p,
+                       CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pq,
+                       CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS pc
+                     FROM xq CROSS JOIN xc, generate_series(1, 64) AS t(i)
+                     WHERE qid <> cid),
+             xd AS (SELECT qid, cid,
+                      CAST(sum(p) AS DOUBLE) AS dot,
+                      CAST(sum(pq) AS DOUBLE) AS nq,
+                      CAST(sum(pc) AS DOUBLE) AS nc
+                    FROM xel GROUP BY qid, cid),
+             xs AS (SELECT qid, cid,
+                      CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
+                    FROM xd),
+             xr AS (SELECT qid, cid FROM
+                      (SELECT qid, cid,
+                         row_number() OVER
+                           (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                       FROM xs)
+                    WHERE rk <= 5)"""
+
   /** Spread a small single-split frame across the cores before a
     * CPU-bound fused-expression walk: a fixture/calibration-sized
     * parquet reads as ONE split, which would serialize the whole
@@ -1635,32 +1667,7 @@ object AnnQueries {
           .orderBy("qid")
       },
       Some {
-        s"""WITH xq AS (SELECT vec_id AS qid, embedding AS qe
-                        FROM embeddings WHERE vec_id < 10),
-             xc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-             xel AS (SELECT qid, cid,
-                       CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                            AS DECIMAL(38,18)) AS p,
-                       CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-                            AS DECIMAL(38,18)) AS pq,
-                       CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                            AS DECIMAL(38,18)) AS pc
-                     FROM xq CROSS JOIN xc, generate_series(1, 64) AS t(i)
-                     WHERE qid <> cid),
-             xd AS (SELECT qid, cid,
-                      CAST(sum(p) AS DOUBLE) AS dot,
-                      CAST(sum(pq) AS DOUBLE) AS nq,
-                      CAST(sum(pc) AS DOUBLE) AS nc
-                    FROM xel GROUP BY qid, cid),
-             xs AS (SELECT qid, cid,
-                      CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
-                    FROM xd),
-             xr AS (SELECT qid, cid FROM
-                      (SELECT qid, cid,
-                         row_number() OVER
-                           (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-                       FROM xs)
-                    WHERE rk <= 5),
+        s"""WITH $sqlExactTop5Chain,
              ce AS (SELECT c, sj,
                    $sqlPortableUnit
                      AS v
@@ -1776,32 +1783,7 @@ object AnnQueries {
           .orderBy("nprobe", "qid")
       },
       Some {
-        s"""WITH xq AS (SELECT vec_id AS qid, embedding AS qe
-                        FROM embeddings WHERE vec_id < 10),
-             xc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-             xel AS (SELECT qid, cid,
-                       CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                            AS DECIMAL(38,18)) AS p,
-                       CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-                            AS DECIMAL(38,18)) AS pq,
-                       CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                            AS DECIMAL(38,18)) AS pc
-                     FROM xq CROSS JOIN xc, generate_series(1, 64) AS t(i)
-                     WHERE qid <> cid),
-             xd AS (SELECT qid, cid,
-                      CAST(sum(p) AS DOUBLE) AS dot,
-                      CAST(sum(pq) AS DOUBLE) AS nq,
-                      CAST(sum(pc) AS DOUBLE) AS nc
-                    FROM xel GROUP BY qid, cid),
-             xs AS (SELECT qid, cid,
-                      CAST(dot / (sqrt(nq) * sqrt(nc)) AS FLOAT) AS cos
-                    FROM xd),
-             xr AS (SELECT qid, cid FROM
-                      (SELECT qid, cid,
-                         row_number() OVER
-                           (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-                       FROM xs)
-                    WHERE rk <= 5),
+        s"""WITH $sqlExactTop5Chain,
              ce AS (SELECT c, sj,
                    $sqlPortableUnit
                      AS v

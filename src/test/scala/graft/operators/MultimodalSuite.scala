@@ -141,4 +141,36 @@ class MultimodalSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate id"), e.getMessage)
   }
+
+  test("aspectBucketsFused == the join rendition bit-for-bit on real " +
+      "dims, and interpreted eval == codegen") {
+    val dims = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        (lit(320) + (col("doc_id") * 7) % 1600).as("w"),
+        (lit(240) + (col("doc_id") * 13) % 1200).as("h"))
+    val buckets = for { i <- 0 until 5; j <- 0 until 5 }
+      yield (512 + 128 * i, 512 + 128 * j)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val joined = rows(Multimodal.aspectBuckets(
+      dims, "doc_id", "w", "h", buckets))
+    val fused = rows(Multimodal.aspectBucketsFused(
+      dims, "w", "h", buckets))
+    assert(fused === joined)
+    // interpreted eval path (codegen off) agrees with codegen
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = rows(Multimodal.aspectBucketsFused(
+        dims, "w", "h", buckets))
+      assert(interp === fused)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
+  }
 }

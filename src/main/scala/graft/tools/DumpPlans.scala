@@ -80,7 +80,9 @@ object DumpPlans {
     "mm07_aspect_bucket" -> "aspect bucketing: broadcast 25-row bucket grid, doc-keyed argmin window, partial-aggregable census",
     "e29_ann_recall" -> "ANN recall eval: exact and IVF retrievals share the scan; the overlap join broadcasts the |Q|-bounded approximate side",
     "a38_kcore" -> "k-core peel: per-round degree partial agg + both-ends semi joins, materialized each round (bounded plan depth)",
-    "m44_mannwhitney" -> "Mann-Whitney: one grouped pass to the distinct-value frame, window + moments on that bounded frame only")
+    "m44_mannwhitney" -> "Mann-Whitney: one grouped pass to the distinct-value frame, window + moments on that bounded frame only",
+    "e30_ivf_nprobe_sweep" -> "nProbe sweep: ONE max-depth candidate generation, pairs scored once, per-depth rankings filter the probe rank",
+    "a40_connected_components" -> "min-label CC: per-round node-keyed join + partial-aggregable min, materialized each round")
     // (e26 deliberately absent: like m26/e23, its graded frame is the
     // collected ≤|Q|·k selection; the interesting per-round shape —
     // pool/pair-sim joins + window argmax — reuses e01's pinned

@@ -53,29 +53,43 @@ object Bench {
     // (not just outliers) keeps the policy one-sided-bias-free — upward
     // noise is clipped identically for fast and slow queries. Both
     // passes are recorded in the side file for auditability.
-    // HOST-DRIFT MARKERS (BENCH_FULL.json): system load average plus a
-    // fixed sentinel query (a01 — one scan + one scalar agg, the most
-    // context-insensitive query in the catalog) re-timed every 50
-    // queries through the run. A future round comparing per-query
-    // numbers can then separate UNIFORM drift (sentinel moved too) from
-    // a real per-query regression (sentinel flat) without a re-run —
-    // the ambiguity that cost a round each for e03 and a24. Sentinel
-    // timings are NOT part of the graded results.
+    // HOST-DRIFT MARKERS (BENCH_FULL.json): system load average plus
+    // TWO fixed sentinel queries re-timed every 50 queries through the
+    // run — a01 (one scan + one scalar agg: the cheap-scan class) and
+    // t27 (a full documents text scan with per-char aggregation: the
+    // heavy codegen/corpus class). A future round comparing per-query
+    // numbers can then separate UNIFORM drift (sentinels moved too)
+    // from a real per-query regression (sentinels flat) without a
+    // re-run — the ambiguity that cost a round each for e03 and a24.
+    // The r13 t23/t28 episode showed one cheap sentinel is not enough:
+    // a01 stayed flat while the driver-heavy text queries spiked 2.6×,
+    // so cheap-scan drift and heap/driver-pressure drift need separate
+    // series (t27 shares t23/t28's corpus scan but not their
+    // driver-side vocab build, so it marks executor-side text cost
+    // without re-warming the suspect path itself). Sentinel timings
+    // are NOT part of the graded results.
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val sentinelName = "a01_sum_global"
+    val heavySentinelName = "t27_char_entropy"
     val sentinelFn = SparkEntry.queries.get(sentinelName)
-    val drift = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    val heavyFn = SparkEntry.queries.get(heavySentinelName)
+    val drift =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
     def probeDrift(at: String): Unit = sentinelFn.foreach { fn =>
-      val t0 = System.nanoTime()
       // a crashing sentinel records -1 (the query-timing convention):
       // logging its time-to-crash would read as "sentinel flat" and
       // steer the drift-vs-regression verdict exactly backwards
-      val sec =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      def run(f: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+          : Double = {
+        val t0 = System.nanoTime()
+        try { f(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      drift += ((at, sec, loadAvg()))
+      }
+      val sec = run(fn)
+      val heavySec = heavyFn.map(run).getOrElse(-1.0)
+      drift += ((at, sec, heavySec, loadAvg()))
     }
     val loadStart = loadAvg()
     def runPass(pass: Int): Seq[(String, Double)] = {
@@ -146,12 +160,14 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // Best-effort full-JSON files: must never prevent the primary lines
     // from printing (an unwritable path would otherwise void the run).
-    val driftJson = drift.map { case (at, sec, ld) =>
-      s"""{"at":"$at","sec":${fmt(sec)},"load":${fmt(ld)}}"""
+    val driftJson = drift.map { case (at, sec, heavySec, ld) =>
+      s"""{"at":"$at","sec":${fmt(sec)},"heavy_sec":${fmt(heavySec)},""" +
+        s""""load":${fmt(ld)}}"""
     }.mkString("[", ",", "]")
     val fullJson = s"""{"sf":"$sfDir","total":${fmt(total)},"failed":$failed,""" +
       s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
-      s""""sentinel":"$sentinelName","drift":$driftJson,"queries":$fullQs}"""
+      s""""sentinel":"$sentinelName","heavy_sentinel":"$heavySentinelName",""" +
+      s""""drift":$driftJson,"queries":$fullQs}"""
     // repo-root copy derived from the working directory (sbt runs from
     // the project root), NOT a hardcoded absolute path
     val repoFull = new java.io.File(

@@ -622,8 +622,18 @@ object Graphs {
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     try {
       input.count()
-      var lbl = full.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
+      // seed from BOTH endpoints: with symmetrizeInput=true the source
+      // set already covers every node (so skip the second scan), but a
+      // caller-supplied list may have dst-only sinks — without a self
+      // seed they'd never carry their own id and a component's label
+      // need not be its min id. (Labels still spread src→dst only, so
+      // the min-id-per-component guarantee needs a symmetric list —
+      // either symmetrizeInput=true or a pre-symmetrized input.)
+      val nodes =
+        if (symmetrizeInput) full.select(col("src").as("id")).distinct()
+        else full.select(col("src").as("id"))
+          .unionByName(full.select(col("dst").as("id"))).distinct()
+      var lbl = nodes.select(col("id"), col("id").as("lbl"))
       for (_ <- 1 to rounds) {
         val spread = full
           .join(lbl.withColumnRenamed("id", "src"), Seq("src"))
@@ -674,10 +684,19 @@ object Graphs {
       else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     var cur = if (symmetrizeInput) symmetrize(input) else input
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    // on a symmetric list a node's degree IS its out-degree (one scan);
+    // a caller-supplied directed list must count BOTH incidences or
+    // dst-only sinks peel immediately and hubs survive on out-edges
+    // alone
+    def degrees(e: DataFrame): DataFrame =
+      if (symmetrizeInput) e.groupBy("src").agg(count(lit(1)).as("__d"))
+      else e.select(col("src"))
+        .unionByName(e.select(col("dst").as("src")))
+        .groupBy("src").agg(count(lit(1)).as("__d"))
     try {
       input.count()
       for (_ <- 1 to rounds) {
-        val keep = cur.groupBy("src").agg(count(lit(1)).as("__d"))
+        val keep = degrees(cur)
           .filter(col("__d") >= k).select("src")
         val (next, rdd) = rewrapPersisted(
           cur.join(keep, Seq("src"), "left_semi")
@@ -689,7 +708,8 @@ object Graphs {
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
       }
-      val census = cur.groupBy("src").agg(count(lit(1)).as("degree"))
+      val census = degrees(cur)
+        .withColumnRenamed("__d", "degree")
         .groupBy("degree")
         .agg(count(lit(1)).as("n_nodes"), min("src").as("min_id"),
           max("src").as("max_id"))

@@ -204,7 +204,17 @@ object Multimodal {
     val b = buckets.zipWithIndex
       .map { case ((bw, bh), i) => (i, bw, bh) }
       .toDF("bucket_id", "bw", "bh")
-    val diff = abs(col(wCol).cast("double") / col(hCol).cast("double")
+    // a NULL dimension would rank first in the argmin window (NULLS
+    // FIRST under asc) while the fused rendition drops the row — fail
+    // loudly in BOTH so the bit-equal contract can't silently fork
+    // (the thresholdSweep/shardCensus NULL convention)
+    val wG = when(col(wCol).isNull,
+      raise_error(lit(s"aspectBuckets: NULL in width column '$wCol'")))
+      .otherwise(col(wCol))
+    val hG = when(col(hCol).isNull,
+      raise_error(lit(s"aspectBuckets: NULL in height column '$hCol'")))
+      .otherwise(col(hCol))
+    val diff = abs(wG.cast("double") / hG.cast("double")
       - col("bw").cast("double") / col("bh").cast("double"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("__diff").asc, col("bucket_id").asc)
@@ -246,9 +256,19 @@ object Multimodal {
     val b = buckets.zipWithIndex
       .map { case ((bw, bh), i) => (i, bw, bh) }
       .toDF("bucket_id", "bw", "bh")
+    // same NULL contract as the window rendition: the null-safe fused
+    // expression would silently drop NULL-dimension rows into a NULL
+    // group absent from the census — raise instead, keeping the two
+    // renditions bit-equal on every input they accept
+    val wG = when(col(wCol).isNull,
+      raise_error(lit(s"aspectBucketsFused: NULL in width column '$wCol'")))
+      .otherwise(col(wCol))
+    val hG = when(col(hCol).isNull,
+      raise_error(lit(s"aspectBucketsFused: NULL in height column '$hCol'")))
+      .otherwise(col(hCol))
     val census = df
       .select(graft.expressions.GeomExpressions
-        .argMinAspectBucket(col(wCol), col(hCol), buckets).as("a"))
+        .argMinAspectBucket(wG, hG, buckets).as("a"))
       .groupBy(col("a.bucket").as("bucket_id"))
       .agg(count(lit(1)).as("n_images"),
         sum(floor(col("a.drift") * lit(quantum) + lit(0.5)).cast("long"))

@@ -873,7 +873,14 @@ object StatsQueries {
           ((col("n") + lit(1L)).cast("double") -
             col("ties").cast("double") /
               (col("n") * (col("n") - lit(1L))).cast("double"))
-        a.select(col("n1"), (col("n") - col("n1")).as("n2"),
+        // an empty group (no 'en' docs, or all 'en') zeroes n1·n2 and
+        // the variance denominator — z would be a silent NaN; raise
+        // instead (the degenerate-input convention from thresholdSweep)
+        val n1G = when(col("n1") === lit(0L) || col("n1") === col("n"),
+          raise_error(lit("m44: one group is empty (n1 = 0 or n1 = n) " +
+            "— the rank-test variance is zero and z is undefined")))
+          .otherwise(col("n1"))
+        a.select(n1G.as("n1"), (col("n") - col("n1")).as("n2"),
           u1.as("u1"), ((u1 - mu) / sqrt(sig2)).as("z"))
       },
       Some("""WITH b AS (SELECT n_chars AS v, count(*) AS t,
@@ -918,13 +925,20 @@ object StatsQueries {
         val w = Window.orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val all = Window.partitionBy(lit(1))
+        // empty-group guard (the m44 convention): n1 = 0 or n1 = n makes
+        // one ECDF denominator zero — fd and ks_scaled would be silent
+        // NaN; raise instead
+        val n1G = when(col("n1") === lit(0L) || col("n1") === col("n"),
+          raise_error(lit("m45: one group is empty (n1 = 0 or n1 = n) " +
+            "— the two-sample ECDF difference is undefined")))
+          .otherwise(col("n1"))
         val diffs = byV
           .withColumn("c1", sum(col("t1")).over(w))
           .withColumn("ct", sum(col("t")).over(w))
           .withColumn("n1", sum(col("t1")).over(all))
           .withColumn("n", sum(col("t")).over(all))
-          .select(col("n1"), (col("n") - col("n1")).as("n2"),
-            abs(col("c1").cast("double") / col("n1").cast("double")
+          .select(n1G.as("n1"), (col("n") - col("n1")).as("n2"),
+            abs(col("c1").cast("double") / n1G.cast("double")
               - (col("ct") - col("c1")).cast("double")
                 / (col("n") - col("n1")).cast("double")).as("fd"))
         diffs.groupBy("n1", "n2").agg(max(col("fd")).as("d"))

@@ -254,4 +254,36 @@ class GraphsSuite extends SparkSpec {
     // 4 -> 2 (node 1 is 3 hops away); 5 -> 3
     assert(run(2) == Seq((1L, 3L), (10L, 2L), (2L, 1L), (3L, 1L)))
   }
+
+  test("ccCensus on a directed (unsymmetrized) list: dst-only sinks " +
+      "self-seed, so every node is in the census") {
+    // 1→2→3: node 3 never appears as a source. Without the both-endpoint
+    // seed it would vanish from the census entirely (the r13-ADVICE bug).
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graphs.ccCensus(edges, rounds = 3, k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // labels spread src→dst only: 3 rounds push 1 down the whole chain
+    assert(got == Seq((1L, 3L)))
+    assert(got.map(_._2).sum == 3L) // all 3 nodes accounted for
+    // one round spreads one hop: 1→{1}, 2→{1 via 1→2}, 3→{2 via 2→3}
+    val r1 = Graphs.ccCensus(edges, rounds = 1, k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r1 == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("kcoreCensus on a directed (unsymmetrized) list peels on TOTAL " +
+      "degree (in + out), not out-degree") {
+    // directed triangle: every node has out-degree 1 but total degree 2.
+    // Out-degree-only peeling (the r13-ADVICE bug) would empty the
+    // 2-core; total-degree peeling keeps all three nodes.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graphs.kcoreCensus(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 3L)))
+    // a pendant out-edge 1→4 peels: node 4 has total degree 1
+    val withPendant = edges.unionByName(Seq((1L, 4L)).toDF("src", "dst"))
+    val got2 = Graphs.kcoreCensus(withPendant, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((2L, 3L)))
+  }
 }

@@ -142,6 +142,33 @@ class MultimodalSuite extends SparkSpec {
     assert(e.getMessage.contains("duplicate id"), e.getMessage)
   }
 
+  test("aspectBuckets + fused: a NULL dimension raises in BOTH " +
+      "renditions — the window would rank NULL first (bucket 0) while " +
+      "the fused expression dropped the row, silently forking the " +
+      "bit-equal contract") {
+    val buckets = Seq((512, 512), (1024, 512))
+    val nullW = Seq((1L, Option(600), Option(600)),
+      (2L, None: Option[Int], Option(512))).toDF("id", "w", "h")
+    val e1 = intercept[Exception] {
+      Multimodal.aspectBuckets(nullW, "id", "w", "h", buckets).collect()
+    }
+    assert(e1.getMessage.contains("NULL in width"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Multimodal.aspectBucketsFused(nullW, "w", "h", buckets).collect()
+    }
+    assert(e2.getMessage.contains("NULL in width"), e2.getMessage)
+    val nullH = Seq((1L, Option(600), None: Option[Int]))
+      .toDF("id", "w", "h")
+    val e3 = intercept[Exception] {
+      Multimodal.aspectBuckets(nullH, "id", "w", "h", buckets).collect()
+    }
+    assert(e3.getMessage.contains("NULL in height"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      Multimodal.aspectBucketsFused(nullH, "w", "h", buckets).collect()
+    }
+    assert(e4.getMessage.contains("NULL in height"), e4.getMessage)
+  }
+
   test("aspectBucketsFused == the join rendition bit-for-bit on real " +
       "dims, and interpreted eval == codegen") {
     val dims = spark.read

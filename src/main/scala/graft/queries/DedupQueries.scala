@@ -321,10 +321,12 @@ object DedupQueries {
       (s, d) => {
         val emb = load(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
-        AnnQueries.withExactRecall(
+        AnnQueries.withTwinAgreement(AnnQueries.withExactRecall(
           Ann.annTopK(q, emb, "vec_id", "embedding",
             dim = 64, k = 5, bits = 6, tables = 64),
-          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0),
+          AnnQueries.lshTopKPortable(q, emb, dim = 64, k = 5,
+            bits = 6, tables = 8), k = 5, twinName = "e20")
           .orderBy("qid", "rk")
       },
       None),
@@ -341,10 +343,12 @@ object DedupQueries {
       (s, d) => {
         val emb = load(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
-        AnnQueries.withExactRecall(
+        AnnQueries.withTwinAgreement(AnnQueries.withExactRecall(
           Ann.ivfTopK(q, emb, "vec_id", "embedding",
             dim = 64, k = 5, nCells = 8, nProbe = 2),
-          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0),
+          AnnQueries.ivfTopKPortable(q, emb, dim = 64, k = 5,
+            nCells = 16, nProbe = 2), k = 5, twinName = "e21")
           .orderBy("qid", "rk")
       },
       None),
@@ -368,10 +372,12 @@ object DedupQueries {
       (s, d) => {
         val emb = load(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
-        AnnQueries.withExactRecall(
+        AnnQueries.withTwinAgreement(AnnQueries.withExactRecall(
           Ann.pqTopK(q, emb, "vec_id", "embedding",
             dim = 64, k = 5, m = 16, kCodes = 64, rerankFrom = 20),
-          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0),
+          AnnQueries.pqTopKPortable(q, emb, dim = 64, k = 5,
+            m = 8, kCodes = 16), k = 5, twinName = "e22")
           .orderBy("qid", "rk")
       },
       None),
@@ -386,11 +392,13 @@ object DedupQueries {
       (s, d) => {
         val emb = load(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
-        AnnQueries.withExactRecall(
+        AnnQueries.withTwinAgreement(AnnQueries.withExactRecall(
           Ann.ivfPqTopK(q, emb, "vec_id", "embedding",
             dim = 64, k = 5, nCells = 8, nProbe = 2, m = 16, kCodes = 64,
             rerankFrom = 20),
-          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0),
+          AnnQueries.ivfTopKPortable(q, emb, dim = 64, k = 5,
+            nCells = 16, nProbe = 2), k = 5, twinName = "e21")
           .orderBy("qid", "rk")
       },
       None),
@@ -408,11 +416,13 @@ object DedupQueries {
       (s, d) => {
         val emb = load(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
-        AnnQueries.withExactRecall(
+        AnnQueries.withTwinAgreement(AnnQueries.withExactRecall(
           Ann.ivfPqTopK(q, emb, "vec_id", "embedding",
             dim = 64, k = 5, nCells = 8, nProbe = 2, m = 16, kCodes = 64,
             rerankFrom = 20, residual = true),
-          q, emb, k = 5, strongThr = 0.45, floor = 1.0)
+          q, emb, k = 5, strongThr = 0.45, floor = 1.0),
+          AnnQueries.pqTopKPortable(q, emb, dim = 64, k = 5,
+            m = 8, kCodes = 16), k = 5, twinName = "e22")
           .orderBy("qid", "rk")
       },
       None),

@@ -361,7 +361,8 @@ class AnnSuite extends SparkSpec {
     assert(e.getMessage.contains("maxQueries"))
   }
 
-  test("e03/e04 self-validating recall columns hold at both suite SFs") {
+  test("e03/e04/e07/e08/e09 self-validating recall and twin-agreement " +
+      "columns hold at both suite SFs") {
     // The catalog queries' own invariant columns (round-8): every
     // exact-top-5 neighbor at the planted cos ≥ 0.45 level is found
     // (recall_ok all-true, floor 1.0 — measured at sf0.001/0.01/0.1),
@@ -369,8 +370,32 @@ class AnnSuite extends SparkSpec {
     // only; e03's (6, 64) shape measured ≈0.98 avg, single-probe IVF
     // ≈0.2–0.3 (near-orthogonal exact neighbors — expected ANN
     // behavior, see withExactRecall's scaladoc).
+    //
+    // twin_overlap (round-14, r13-verdict task 4): every production
+    // path also carries per-query overlap@5 against its HASH-GRADED
+    // portable twin (e03↔e20, e04/e08↔e21, e07/e09↔e22). Two different
+    // approximate shapes on this near-orthogonal fixture agree only in
+    // the strong head, so per-query overlap is noisy (min 0) — but the
+    // pipelines are DETERMINISTIC, so the total hit count across the
+    // 10 fixed queries is a per-SF constant. Pinning exact EQUALITY to
+    // the measured constant (AnnTwinProbe, round-14 HEAD) is the
+    // regression pin: a silent production-path break (seed drift,
+    // bucketing bug) almost surely moves the count, and the twin side
+    // is re-anchored to DuckDB by its own hash row every round.
+    val twinHits = Map(
+      ("sf0.001", "e03_ann_lsh_topk") -> 11L,
+      ("sf0.001", "e04_ann_ivf_topk") -> 11L,
+      ("sf0.001", "e07_ann_pq_topk") -> 3L,
+      ("sf0.001", "e08_ann_ivfpq_topk") -> 11L,
+      ("sf0.001", "e09_ann_ivfpq_residual") -> 3L,
+      ("sf0.01", "e03_ann_lsh_topk") -> 17L,
+      ("sf0.01", "e04_ann_ivf_topk") -> 12L,
+      ("sf0.01", "e07_ann_pq_topk") -> 3L,
+      ("sf0.01", "e08_ann_ivfpq_topk") -> 12L,
+      ("sf0.01", "e09_ann_ivfpq_residual") -> 3L)
     for (sf <- Seq("sf0.001", "sf0.01");
          name <- Seq("e03_ann_lsh_topk", "e04_ann_ivf_topk",
+           "e07_ann_pq_topk", "e08_ann_ivfpq_topk",
            "e09_ann_ivfpq_residual")) {
       val q = graft.queries.DedupQueries.qs.find(_.name == name).get
       val res = q.run(spark, s"/root/testdata/$sf")
@@ -379,6 +404,14 @@ class AnnSuite extends SparkSpec {
         countDistinct(col("qid")).as("n_q")).head()
       assert(stats.getInt(0) === 1, s"$sf $name recall_ok")
       assert(stats.getLong(1) === 10L, s"$sf $name query coverage")
+      // one twin_overlap value per qid (it is a per-query constant);
+      // ×5 turns the mean back into the exact integer hit count
+      val hits = res.groupBy("qid").agg(max("twin_overlap").as("o"))
+        .agg(round(sum(col("o") * 5)).cast("long")).head().getLong(0)
+      assert(hits === twinHits((sf, name)),
+        s"$sf $name twin hit count moved: $hits (production path or " +
+          "portable twin changed — remeasure with AnnTwinProbe and " +
+          "update deliberately)")
     }
   }
 

@@ -795,6 +795,104 @@ object AnnQueries {
       java.util.Arrays.asList(outRows: _*), outSchema)
   }
 
+  /** Portable SemDeDup census — the hash-graded twin of e10's k-means
+    * production path (the e20/e21/e22 treatment applied to semantic
+    * dedup, r13-verdict task 3): cells come from md5-literal centroids
+    * ("sd:c:j" — no k-means, the data-independent seeded assignment via
+    * the same ArgMaxDotScoreExact fused scan e28 uses), within-cell
+    * near-dup pairs score with the exact-decimal cosine at `threshold`,
+    * duplicate groups form by `ccRounds` FIXED min-label rounds (the
+    * a40 fixed-round convention — deterministic and engine-replayable
+    * whether or not the spread converged), and each group keeps its
+    * least-central member (min cent_align, id tie-break — SemDeDup's
+    * keep-the-outlier rule). Graded as the per-cell census
+    * (n_vectors, n_pairs, n_kept, sum_cluster, align_q) — every column
+    * an exact integer (cent_align quantized at 2⁻²⁰ per row BEFORE the
+    * sum, the t27 convention), so the ENTIRE pipeline — assignment,
+    * pair search, clustering, keeper rule — replays in DuckDB and
+    * hash-matches. A bounded result (≤ nCells rows): nothing
+    * corpus-sized reaches the driver.
+    *
+    * Scale shape: one fused-expression scan assigns cells, the pair
+    * search is the cell equi-join (never all-pairs — the e10/SemDeDup
+    * contract), label rounds are node-keyed joins over the near-dup
+    * pair set (tiny by construction), and the census is one
+    * partial-aggregable pass. The `base` frame is referenced by the
+    * pair join (twice) and the census — persisted once, dropped in a
+    * finally. */
+  def semDedupPortable(cand: DataFrame, dim: Int, nCells: Int,
+                       threshold: Double, ccRounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val ve = graft.expressions.VectorExpressions
+    val cents = (0 until nCells).map(c =>
+      (0 until dim).map(j => portableUnit(s"sd:$c:$j")))
+    val base = perRow(
+      spreadForExpr(cand)
+        .select(col("vec_id").as("id"), col("embedding").as("e"))
+        .withColumn("__as",
+          ve.argMaxDotScoreExact(col("e"), cents)),
+      sqrt(dotExactF(col("e"), col("e"))), "nrm")
+      .select(col("id"), col("e"), col("nrm"),
+        col("__as.cell").as("cell"),
+        (col("__as.sc") / col("nrm")).cast("float").as("cent_align"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      base.count()
+      val a = base.select(col("cell"), col("id").as("id_a"),
+        col("e").as("ea"), col("nrm").as("na"))
+      val b = base.select(col("cell"), col("id").as("id_b"),
+        col("e").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("cell"), col("id_a"), col("id_b"),
+          (dotExactF(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .cast("float").as("cos"))
+        .filter(col("cos") >= lit(threshold.toFloat))
+        .select("cell", "id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        pairs.count()
+        val ue = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(
+            pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        var lbl = ue.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl"))
+        for (_ <- 1 to ccRounds) {
+          val spread = ue
+            .join(lbl.withColumnRenamed("id", "src"), Seq("src"))
+            .select(col("dst").as("id"), col("lbl"))
+          lbl = lbl.unionByName(spread)
+            .groupBy("id").agg(min("lbl").as("lbl"))
+        }
+        val labeled = base.select("id", "cell", "cent_align")
+          .join(lbl.withColumnRenamed("lbl", "cluster"), Seq("id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("id")))
+        val keepWin = Window.partitionBy("cluster")
+          .orderBy(col("cent_align").asc, col("id").asc)
+        val census = labeled
+          .withColumn("keep",
+            (row_number().over(keepWin) === 1).cast("long"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("keep")).as("n_kept"),
+            sum(col("cluster")).as("sum_cluster"),
+            sum(floor(col("cent_align").cast("double") * lit(1048576.0)
+              + lit(0.5)).cast("long")).as("align_q"))
+        val out = census
+          .join(pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs")),
+            Seq("cell"), "left")
+          .na.fill(0L, Seq("n_pairs"))
+          .select("cell", "n_vectors", "n_pairs", "n_kept",
+            "sum_cluster", "align_q")
+          .orderBy("cell")
+        val rows = out.collect()
+        cand.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      } finally pairs.unpersist(blocking = false)
+    } finally base.unpersist(blocking = false)
+  }
+
   val qs: Seq[Q] = Seq(
     Q("e01_cosine_topk",
       (s, d) => {
@@ -1885,6 +1983,106 @@ object AnnQueries {
                    GROUP BY pb.p, x.qid)
              SELECT nprobe, qid, hits, CAST(hits AS DOUBLE) / 5.0 AS recall
              FROM h ORDER BY nprobe, qid"""
+      }),
+
+    // ---- E31 portable SemDeDup census (full hash oracle) --------------
+    // The e20/e21/e22 treatment applied to e10's pipeline: md5-literal
+    // centroids instead of k-means, so assignment, within-cell pair
+    // search, fixed-round min-label clustering, keep-the-outlier rule
+    // AND the quantized census all replay in DuckDB — the whole
+    // SemDeDup control flow is hash-graded, leaving only e10's k-means
+    // centroids themselves to the suite-pinned invariants (nCells = 1
+    // degenerate-exact + planted strong-dup recovery + recall floor,
+    // DedupSuite/AnnSuite).
+    Q("e31_semdedup_portable",
+      (s, d) => semDedupPortable(load(s, d, "embeddings"), dim = 64,
+        nCells = 8, threshold = 0.45, ccRounds = 3),
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""c$r AS (SELECT ue.dst AS id, min(l${r - 1}.lbl) AS lbl
+                      FROM ue JOIN l${r - 1} ON ue.src = l${r - 1}.id
+                      GROUP BY ue.dst),
+              l$r AS (SELECT id, min(lbl) AS lbl FROM (
+                        SELECT id, lbl FROM c$r UNION ALL
+                        SELECT id, lbl FROM l${r - 1})
+                      GROUP BY id)"""
+        }.mkString(",\n")
+        s"""WITH ce AS (SELECT c, sj,
+                   $sqlPortableUnit
+                     AS v
+                 FROM (SELECT c, sj,
+                         md5('sd:' || CAST(c AS VARCHAR) || ':' ||
+                             CAST(sj AS VARCHAR)) AS hx
+                       FROM generate_series(0, 7) cc(c),
+                            generate_series(0, 63) jj(sj))),
+             dots AS (SELECT e.vec_id AS vid, ce.c,
+                        CAST(sum(CAST(CAST(e.embedding[ce.sj + 1] AS DOUBLE)
+                                      * ce.v AS DECIMAL(38,18))) AS DOUBLE)
+                          AS s
+                      FROM embeddings e, ce
+                      GROUP BY e.vec_id, ce.c),
+             nr AS (SELECT vec_id AS vid,
+                      sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+                                         * CAST(embedding[i] AS DOUBLE)
+                                         AS DECIMAL(38,18))) AS DOUBLE))
+                        AS nrm
+                    FROM embeddings, generate_series(1, 64) t(i)
+                    GROUP BY vec_id),
+             al AS (SELECT a.vid AS id, CAST(a.c AS INTEGER) AS cell,
+                      CAST(a.s / n.nrm AS FLOAT) AS cent_align
+                    FROM (SELECT vid, c, s,
+                            row_number() OVER
+                              (PARTITION BY vid ORDER BY s DESC, c) AS r
+                          FROM dots) a
+                    JOIN nr n ON n.vid = a.vid
+                    WHERE a.r = 1),
+             prs AS (SELECT a.cell, a.id AS id_a, b.id AS id_b
+                     FROM al a JOIN al b
+                       ON a.cell = b.cell AND a.id < b.id),
+             el AS (SELECT p.cell, p.id_a, p.id_b,
+                      CAST(CAST(qv.embedding[i] AS DOUBLE) *
+                           CAST(cv.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,18)) AS pd
+                    FROM prs p
+                    JOIN embeddings qv ON qv.vec_id = p.id_a
+                    JOIN embeddings cv ON cv.vec_id = p.id_b,
+                         generate_series(1, 64) AS g(i)),
+             d2 AS (SELECT cell, id_a, id_b,
+                      CAST(sum(pd) AS DOUBLE) AS dot
+                    FROM el GROUP BY cell, id_a, id_b),
+             pr2 AS (SELECT d.cell, d.id_a, d.id_b
+                     FROM d2 d
+                     JOIN nr na ON na.vid = d.id_a
+                     JOIN nr nb ON nb.vid = d.id_b
+                     WHERE CAST(d.dot / (na.nrm * nb.nrm) AS FLOAT)
+                       >= CAST(0.45 AS FLOAT)),
+             ue AS (SELECT id_a AS src, id_b AS dst FROM pr2 UNION ALL
+                    SELECT id_b AS src, id_a AS dst FROM pr2),
+             l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ue),
+             $rounds,
+             cl AS (SELECT al.id, al.cell, al.cent_align,
+                      COALESCE(l3.lbl, al.id) AS cluster
+                    FROM al LEFT JOIN l3 ON l3.id = al.id),
+             kp AS (SELECT id, cell, cent_align, cluster,
+                      CASE WHEN row_number() OVER
+                        (PARTITION BY cluster
+                         ORDER BY cent_align ASC, id ASC) = 1
+                        THEN 1 ELSE 0 END AS keep
+                    FROM cl),
+             agg AS (SELECT cell, count(*) AS n_vectors,
+                       CAST(sum(keep) AS BIGINT) AS n_kept,
+                       CAST(sum(cluster) AS BIGINT) AS sum_cluster,
+                       CAST(sum(CAST(floor(CAST(cent_align AS DOUBLE)
+                         * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+                         AS align_q
+                     FROM kp GROUP BY cell),
+             pc AS (SELECT cell, count(*) AS n_pairs FROM pr2
+                    GROUP BY cell)
+             SELECT a.cell, a.n_vectors,
+                    CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+                    a.n_kept, a.sum_cluster, a.align_q
+             FROM agg a LEFT JOIN pc p ON p.cell = a.cell
+             ORDER BY a.cell"""
       })
   )
 }

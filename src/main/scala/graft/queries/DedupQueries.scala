@@ -254,7 +254,10 @@ object DedupQueries {
     // carries the invariants instead, each recomputed in-query:
     // structure (one row per vector, exactly one keeper per cluster)
     // and the honest quality number, same-cluster recall of the EXACT
-    // all-pairs near-dup set. HONESTY NOTE on that recall: this
+    // all-pairs near-dup set. The pipeline ITSELF is hash-graded via
+    // e31_semdedup_portable (AnnQueries.semDedupPortable — md5-literal
+    // centroids, same scoped-pair/CC/keeper control flow, full DuckDB
+    // oracle), so only the k-means centroids stay suite-pinned. HONESTY NOTE on that recall: this
     // fixture's planted pairs top out at cos ≈ 0.48–0.51 (≈ 61°) —
     // far below SemDeDup's ~0.95 operating regime — so 8-cell scoping
     // finds ~0.3–0.45 of them (measured sweep: nCells 1/2/4/8 →

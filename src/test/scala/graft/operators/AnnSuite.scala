@@ -415,6 +415,28 @@ class AnnSuite extends SparkSpec {
     }
   }
 
+  test("e31 portable SemDeDup census: structural invariants at sf0.001") {
+    // the hash oracle is the grade; this is the fast local fail-fast —
+    // full coverage (Σn = corpus), keeper rule (1 ≤ kept ≤ n per cell),
+    // pairs imply merges (a cell with pairs keeps fewer than it holds
+    // only when clusters span >1 member), deterministic rerun
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run() = graft.queries.AnnQueries.semDedupPortable(
+      emb, dim = 64, nCells = 8, threshold = 0.45, ccRounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val got = run()
+    assert(got.map(_._2).sum === emb.count())
+    got.foreach { case (cell, n, nPairs, nKept, _, _) =>
+      assert(nKept >= 1 && nKept <= n, s"cell $cell keeper count")
+      if (nPairs > 0) assert(nKept < n,
+        s"cell $cell has $nPairs pairs but no cluster merged")
+    }
+    assert(got.map(_._3).sum > 0,
+      "fixture must contain planted within-cell near-dup pairs")
+    assert(got === run(), "census must be bit-identical on rerun")
+  }
+
   test("fused expressions: interpreted eval == codegen output") {
     // nullSafeEval is the non-codegen fallback (e.g. inside Generate
     // fallbacks or spark.sql.codegen.wholeStage=false clusters); pin it

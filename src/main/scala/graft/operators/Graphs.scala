@@ -135,7 +135,8 @@ object Graphs {
                    damping: Double = 0.85,
                    completeInbound: Boolean = false,
                    symmetrizeInput: Boolean = false,
-                   checkpointEvery: Int = 0): DataFrame = {
+                   checkpointEvery: Int = 0,
+                   onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(damping > 0 && damping < 1, s"damping=$damping not in (0,1)")
@@ -182,6 +183,11 @@ object Graphs {
       val base = lit(1.0 - damping) / lit(n.toDouble)
       var pr = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("pr"))
       for (i <- 1 to iters) {
+        // per-round wall clock handed to `onRound` AFTER the round's
+        // materializing count — the probe hook that pins "flat
+        // per-round time under lineage truncation" (GraphScaleProbe
+        // leg 2b); the default no-op costs nothing on graded paths
+        val tRound0 = System.nanoTime()
         val (next, nextRdd) = rewrapPersisted(
           step(edgesDeg, pr, base, damping, noDangling, nodes, identity))
         // must be requested BEFORE the materializing count below — the
@@ -207,6 +213,7 @@ object Graphs {
         if (prRdd != null && (prRdd ne localAnchor))
           prRdd.unpersist(blocking = false)
         prRdd = nextRdd
+        onRound(i, (System.nanoTime() - tRound0) / 1e9)
       }
       val ranked = pr.orderBy(col("pr").desc, col("id")).limit(k)
       val rows = ranked.collect()

@@ -79,12 +79,26 @@ object GraphScaleProbe {
     // the checkpoint caps RDD-lineage recompute cascades at ≤ 10 rounds.
     // Success criterion: completes with per-round cost flat (total ≈
     // 5× the 5-round leg, not superlinear), same top-20 hub recovery.
+    val roundSecs = scala.collection.mutable.ArrayBuffer[Double]()
     val top20c = timed("synthetic 25 iterations, checkpointEvery=10")(
       Graphs.pageRankTopK(sym, iters = 25, k = 20, completeInbound = true,
-        checkpointEvery = 10).collect())
+        checkpointEvery = 10,
+        onRound = (i, s) => roundSecs += s).collect())
     val hubHits25 = top20c.count(_.getLong(0) < 20L)
     println(s"[graph-probe] 25-iter top20-hub-hits=$hubHits25/20")
     assert(hubHits25 >= 18, s"planted hubs not recovered at 25 iters: $hubHits25")
+    // per-round wall clock: FLAT is the success criterion — a lineage
+    // leak shows up as monotone growth (each round recomputing through
+    // its ancestors); the checkpoint caps any cache-eviction cascade at
+    // 10 rounds. Print all 25 and pin late/early ratio.
+    println("[graph-probe] per-round secs: " +
+      roundSecs.map(s => f"$s%.2f").mkString(" "))
+    val early = roundSecs.slice(1, 6).sum / 5   // rounds 2-6 (round 1 warms)
+    val late = roundSecs.slice(20, 25).sum / 5  // rounds 21-25
+    println(f"[graph-probe] per-round early(2-6)=${early}%.2f " +
+      f"late(21-25)=${late}%.2f ratio=${late / early}%.2f")
+    assert(late <= 2.0 * early,
+      f"per-round time grew ${late / early}%.2fx — lineage not truncated?")
     sym.unpersist(blocking = false)
 
     // ---- leg 3: planted triangle census -------------------------------

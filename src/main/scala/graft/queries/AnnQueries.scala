@@ -680,6 +680,10 @@ object AnnQueries {
   private val exactMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int), Array[Row]]()
 
+  /** [[withTwinAgreement]]'s portable-twin pair sets, same lifecycle. */
+  private val twinMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), Set[(Long, Long)]]()
+
   /** Drop all memoized exact-oracle rows. Bench calls this at the start
     * of EACH timing pass so every pass pays the declared validation cost
     * exactly once (otherwise pass 2 is memo-warm and the reported
@@ -687,7 +691,7 @@ object AnnQueries {
     * startup so a long-lived session can never grade fresh results
     * against rows memoized from a since-regenerated fixture (the memo
     * key embeds only the parquet PATHS, not file contents). */
-  def clearExactMemo(): Unit = exactMemo.clear()
+  def clearExactMemo(): Unit = { exactMemo.clear(); twinMemo.clear() }
 
   def withExactRecall(res0: DataFrame, queries: DataFrame, cand: DataFrame,
                       k: Int, strongThr: Double, floor: Double): DataFrame = {
@@ -777,8 +781,16 @@ object AnnQueries {
   def withTwinAgreement(res: DataFrame, twin: DataFrame, k: Int,
                         twinName: String): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, StringType}
-    val twinPairs = twin.select(col("qid"), col("cid")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // e21 backs both e04 and e08 (e22 both e07 and e09): memoize the
+    // twin's pair set per canonicalized plan so a shared twin executes
+    // once per session pass, not once per consumer. Same lifecycle as
+    // exactMemo — Bench clears per pass (each pass pays the declared
+    // twin cost once), Verify clears at startup (no stale-fixture rows).
+    val memoKey = (twin.queryExecution.analyzed.canonicalized.toString,
+      twinName, k)
+    val twinPairs = twinMemo.computeIfAbsent(memoKey, _ =>
+      twin.select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
     val rows = res.collect()
     val schema = res.schema
     val qi = schema.fieldIndex("qid")

@@ -684,6 +684,23 @@ object AnnQueries {
   private val twinMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int), Set[(Long, Long)]]()
 
+  /** The SOURCE PATHS feeding a frame, for memo keys. A canonicalized
+    * plan string does NOT carry file locations (a parquet read prints
+    * as `Relation [none#0L,…] parquet` whatever its path — verified in
+    * round 14 after the twin memo silently collided across SF dirs and
+    * graded sf0.01 agreement against sf0.001 pairs), so any memo keyed
+    * on canonicalized plans alone conflates the same query over
+    * different fixtures. Every memo key below appends this. */
+  private def sourcePaths(df: DataFrame): String =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }.sorted.mkString(";")
+
   /** Drop all memoized exact-oracle rows. Bench calls this at the start
     * of EACH timing pass so every pass pays the declared validation cost
     * exactly once (otherwise pass 2 is memo-warm and the reported
@@ -707,8 +724,10 @@ object AnnQueries {
       .withColumn("rk_x", row_number().over(win))
       .filter(col("rk_x") <= k)
     val memoKey = (
-      queries.queryExecution.analyzed.canonicalized.toString,
-      cand.queryExecution.analyzed.canonicalized.toString, k)
+      queries.queryExecution.analyzed.canonicalized.toString
+        + "@" + sourcePaths(queries),
+      cand.queryExecution.analyzed.canonicalized.toString
+        + "@" + sourcePaths(cand), k)
     // the oracle collect runs BEFORE res0 is persisted — a failed
     // O(|Q|·n) cross join must not leak a pinned cache (the
     // finally-guard below only covers the joined collect)
@@ -786,8 +805,8 @@ object AnnQueries {
     // once per session pass, not once per consumer. Same lifecycle as
     // exactMemo — Bench clears per pass (each pass pays the declared
     // twin cost once), Verify clears at startup (no stale-fixture rows).
-    val memoKey = (twin.queryExecution.analyzed.canonicalized.toString,
-      twinName, k)
+    val memoKey = (twin.queryExecution.analyzed.canonicalized.toString
+      + "@" + sourcePaths(twin), twinName, k)
     val twinPairs = twinMemo.computeIfAbsent(memoKey, _ =>
       twin.select(col("qid"), col("cid")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)

@@ -864,22 +864,25 @@ object StatsQueries {
           .agg(sum(col("t1") * col("r2")).as("r2sum1"),
             sum(col("t1")).as("n1"), sum(col("t")).as("n"),
             sum(tGuarded * col("t") * col("t") - col("t")).as("ties"))
-        val u1 = (col("r2sum1") - col("n1") * (col("n1") + lit(1L)))
-          .cast("double") / lit(2.0)
-        val mu = (col("n1") * (col("n") - col("n1"))).cast("double") /
-          lit(2.0)
-        val sig2 = (col("n1") * (col("n") - col("n1"))).cast("double") /
-          lit(12.0) *
-          ((col("n") + lit(1L)).cast("double") -
-            col("ties").cast("double") /
-              (col("n") * (col("n") - lit(1L))).cast("double"))
         // an empty group (no 'en' docs, or all 'en') zeroes n1·n2 and
         // the variance denominator — z would be a silent NaN; raise
-        // instead (the degenerate-input convention from thresholdSweep)
+        // instead (the degenerate-input convention from thresholdSweep).
+        // The guard is THREADED through u1/mu/sig2, not just the n1
+        // output column: a consumer selecting only z would otherwise
+        // let column pruning drop the raise and surface the NaN anyway
         val n1G = when(col("n1") === lit(0L) || col("n1") === col("n"),
           raise_error(lit("m44: one group is empty (n1 = 0 or n1 = n) " +
             "— the rank-test variance is zero and z is undefined")))
           .otherwise(col("n1"))
+        val u1 = (col("r2sum1") - n1G * (n1G + lit(1L)))
+          .cast("double") / lit(2.0)
+        val mu = (n1G * (col("n") - n1G)).cast("double") /
+          lit(2.0)
+        val sig2 = (n1G * (col("n") - n1G)).cast("double") /
+          lit(12.0) *
+          ((col("n") + lit(1L)).cast("double") -
+            col("ties").cast("double") /
+              (col("n") * (col("n") - lit(1L))).cast("double"))
         a.select(n1G.as("n1"), (col("n") - col("n1")).as("n2"),
           u1.as("u1"), ((u1 - mu) / sqrt(sig2)).as("z"))
       },

@@ -853,12 +853,50 @@ object AnnQueries {
     * finally. */
   def semDedupPortable(cand: DataFrame, dim: Int, nCells: Int,
                        threshold: Double, ccRounds: Int): DataFrame = {
+    val (out, pinned) = semDedupCensus(cand, dim, nCells, threshold,
+      ccRounds, pin = true)
+    try {
+      val rows = out.collect()
+      cand.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally pinned.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The LAZY census tree (no persist, no collect) — for plan
+    * inspection only (DumpPlans/PlanSuite pin the cell-equi-join pair
+    * search and the partial-aggregable census shapes, which the graded
+    * path's collected LocalTableScan hides). Reads the shared subtrees
+    * uncached: do not execute on real data. */
+  private[graft] def semDedupPortablePlan(cand: DataFrame, dim: Int,
+      nCells: Int, threshold: Double, ccRounds: Int): DataFrame =
+    semDedupCensus(cand, dim, nCells, threshold, ccRounds, pin = false)._1
+
+  /** Shared builder: `pin = true` persists + eagerly materializes the
+    * twice-read subtrees (base: pair join + census; pairs: label rounds
+    * + per-cell pair counts) and returns them for the caller to
+    * unpersist; a mid-build failure unpersists whatever was already
+    * pinned before rethrowing. */
+  private def semDedupCensus(cand: DataFrame, dim: Int, nCells: Int,
+                             threshold: Double, ccRounds: Int, pin: Boolean)
+      : (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val ve = graft.expressions.VectorExpressions
     val cents = (0 until nCells).map(c =>
       (0 until dim).map(j => portableUnit(s"sd:$c:$j")))
-    val base = perRow(
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def stage(df: DataFrame): DataFrame =
+      if (!pin) df
+      else try {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned += p
+        p.count()
+        p
+      } catch {
+        case e: Throwable =>
+          pinned.foreach(_.unpersist(blocking = false)); throw e
+      }
+    val base = stage(perRow(
       spreadForExpr(cand)
         .select(col("vec_id").as("id"), col("embedding").as("e"))
         .withColumn("__as",
@@ -866,62 +904,52 @@ object AnnQueries {
       sqrt(dotExactF(col("e"), col("e"))), "nrm")
       .select(col("id"), col("e"), col("nrm"),
         col("__as.cell").as("cell"),
-        (col("__as.sc") / col("nrm")).cast("float").as("cent_align"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      base.count()
-      val a = base.select(col("cell"), col("id").as("id_a"),
-        col("e").as("ea"), col("nrm").as("na"))
-      val b = base.select(col("cell"), col("id").as("id_b"),
-        col("e").as("eb"), col("nrm").as("nb"))
-      val pairs = a.join(b, Seq("cell"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("cell"), col("id_a"), col("id_b"),
-          (dotExactF(col("ea"), col("eb")) / (col("na") * col("nb")))
-            .cast("float").as("cos"))
-        .filter(col("cos") >= lit(threshold.toFloat))
-        .select("cell", "id_a", "id_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        pairs.count()
-        val ue = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .unionByName(
-            pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        var lbl = ue.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("lbl"))
-        for (_ <- 1 to ccRounds) {
-          val spread = ue
-            .join(lbl.withColumnRenamed("id", "src"), Seq("src"))
-            .select(col("dst").as("id"), col("lbl"))
-          lbl = lbl.unionByName(spread)
-            .groupBy("id").agg(min("lbl").as("lbl"))
-        }
-        val labeled = base.select("id", "cell", "cent_align")
-          .join(lbl.withColumnRenamed("lbl", "cluster"), Seq("id"), "left")
-          .withColumn("cluster", coalesce(col("cluster"), col("id")))
-        val keepWin = Window.partitionBy("cluster")
-          .orderBy(col("cent_align").asc, col("id").asc)
-        val census = labeled
-          .withColumn("keep",
-            (row_number().over(keepWin) === 1).cast("long"))
-          .groupBy("cell")
-          .agg(count(lit(1)).as("n_vectors"),
-            sum(col("keep")).as("n_kept"),
-            sum(col("cluster")).as("sum_cluster"),
-            sum(floor(col("cent_align").cast("double") * lit(1048576.0)
-              + lit(0.5)).cast("long")).as("align_q"))
-        val out = census
-          .join(pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs")),
-            Seq("cell"), "left")
-          .na.fill(0L, Seq("n_pairs"))
-          .select("cell", "n_vectors", "n_pairs", "n_kept",
-            "sum_cluster", "align_q")
-          .orderBy("cell")
-        val rows = out.collect()
-        cand.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), out.schema)
-      } finally pairs.unpersist(blocking = false)
-    } finally base.unpersist(blocking = false)
+        (col("__as.sc") / col("nrm")).cast("float").as("cent_align")))
+    val a = base.select(col("cell"), col("id").as("id_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = base.select(col("cell"), col("id").as("id_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val pairs = stage(a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        (dotExactF(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .cast("float").as("cos"))
+      .filter(col("cos") >= lit(threshold.toFloat))
+      .select("cell", "id_a", "id_b"))
+    val ue = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(
+        pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var lbl = ue.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to ccRounds) {
+      val spread = ue
+        .join(lbl.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("lbl"))
+      lbl = lbl.unionByName(spread)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+    }
+    val labeled = base.select("id", "cell", "cent_align")
+      .join(lbl.withColumnRenamed("lbl", "cluster"), Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    val keepWin = Window.partitionBy("cluster")
+      .orderBy(col("cent_align").asc, col("id").asc)
+    val census = labeled
+      .withColumn("keep",
+        (row_number().over(keepWin) === 1).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("cluster")).as("sum_cluster"),
+        sum(floor(col("cent_align").cast("double") * lit(1048576.0)
+          + lit(0.5)).cast("long")).as("align_q"))
+    val out = census
+      .join(pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .select("cell", "n_vectors", "n_pairs", "n_kept",
+        "sum_cluster", "align_q")
+      .orderBy("cell")
+    (out, pinned.toList)
   }
 
   val qs: Seq[Q] = Seq(

@@ -389,4 +389,24 @@ class PlanSuite extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       p.take(2000))
   }
+
+  test("e31: pair search is a cell equi-join (never all-pairs), census " +
+      "partial-aggs, and the graded path leaves no cache entries") {
+    import org.apache.spark.sql.functions.col
+    // the LAZY builder exposes the distributed shape the graded
+    // local-relation result hides
+    val lazyPlan = graft.queries.AnnQueries.semDedupPortablePlan(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      dim = 64, nCells = 8, threshold = 0.45, ccRounds = 3)
+      .queryExecution.executedPlan.toString
+    assert(!lazyPlan.contains("CartesianProduct") &&
+      !lazyPlan.contains("BroadcastNestedLoopJoin"), lazyPlan.take(3000))
+    assert(lazyPlan.contains("partial_"), lazyPlan.take(3000))
+    // graded path: bounded local relation + the e03 cache discipline
+    spark.catalog.clearCache()
+    val df = Catalog.queries("e31_semdedup_portable")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "semDedupPortable must unpersist its pinned subtrees")
+  }
 }

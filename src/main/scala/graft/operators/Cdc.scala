@@ -43,10 +43,21 @@ object Cdc {
     val payload = base.columns
     val missing = (payload :+ seqCol :+ opCol).filterNot(changes.columns.contains)
     require(missing.isEmpty, s"change log lacks columns: ${missing.mkString(",")}")
+    // a NULL op or seq would otherwise act as a silent delete: the row
+    // can still win the window, then `op =!= deleteOp` evaluates NULL
+    // and the filter drops it — the key vanishes from the table with no
+    // error. Fail loudly instead (the thresholdSweep NULL convention);
+    // NULL seq is equally malformed (its window rank is order-dependent).
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(seqCol).desc, col(opCol).desc)
     val latest = changes
+      .withColumn("__op",
+        when(col(opCol).isNull, raise_error(lit(
+          s"applyChangeLog: NULL in op column '$opCol'")))
+          .when(col(seqCol).isNull, raise_error(lit(
+            s"applyChangeLog: NULL in seq column '$seqCol'")))
+          .otherwise(col(opCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
     val winnerKeys = latest.select(keyCols.map(col): _*)
@@ -54,7 +65,7 @@ object Cdc {
       if (broadcastKeys) broadcast(winnerKeys) else winnerKeys,
       keyCols, "left_anti")
     val applied = latest
-      .filter(col(opCol) =!= deleteOp)
+      .filter(col("__op") =!= deleteOp)
       .select(payload.map(col): _*)
     kept.unionByName(applied)
   }

@@ -49,8 +49,16 @@ object RecordLinkage {
     val joined = l.join(r, cond)
     val agrees = comparisons.map(fc =>
       fc.name -> fc.agree(col(s"l.${fc.name}"), col(s"r.${fc.name}")))
+    // NULL comparison (a missing field on either side) contributes
+    // weight 0 — the Fellegi–Sunter missing-comparison convention —
+    // matching the NULL the agr_<field> column reports for that pair.
+    // A bare otherwise(wDisagree) would penalize the pair as a
+    // CONFIRMED disagreement while the agreement vector says "unknown",
+    // an internally inconsistent row that silently prunes true matches
+    // with sparse fields below minScore.
     val score = comparisons.zip(agrees).map { case (fc, (_, a)) =>
-      when(a, lit(fc.wAgree)).otherwise(lit(fc.wDisagree))
+      when(a.isNull, lit(0.0))
+        .when(a, lit(fc.wAgree)).otherwise(lit(fc.wDisagree))
     }.reduce(_ + _) // left fold: fixed, engine-portable association
     joined
       .select(

@@ -38,11 +38,17 @@ object SkewJoin {
   }
 
   /** Per-key frequency profile to decide whether salting is warranted:
-    * returns keys holding more than `threshold` of all rows. */
+    * returns keys holding more than `threshold` of all rows. ONE scan
+    * of `df`: the total comes from summing the (already key-bounded)
+    * grouped counts under an empty-partition window — a separate
+    * `df.count()` action would read the full input a second time
+    * before the groupBy pass reads it again, double I/O on exactly the
+    * 100 TB frames this profiler exists for. */
   def hotKeys(df: DataFrame, key: String, threshold: Double): DataFrame = {
-    val total = df.count().toDouble
+    import org.apache.spark.sql.expressions.Window
     df.groupBy(key).agg(count(lit(1)).as("n"))
-      .withColumn("share", col("n") / total)
+      .withColumn("share",
+        col("n") / sum(col("n")).over(Window.partitionBy()).cast("double"))
       .filter(col("share") > threshold)
       .orderBy(desc("share"))
   }

@@ -123,15 +123,29 @@ object TemporalJoins {
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(inSliceWin))
       .filter(col("__side") === 1)
 
-    // 2. last right row per (keys, slice) — lexicographic max over the
-    // window's own (t, tieBreak) order; payload trails only to make the
-    // struct total, the (time, tieBreak) uniqueness contract means it
-    // never decides
+    // 2. last right row per (keys, slice): max_by on the window's own
+    // (t, tieBreak) order — unlike max(struct(t, tb, payload)), the
+    // payload is never itself ordered, so non-orderable payload columns
+    // (maps) work exactly as in the plain variant; the (time, tieBreak)
+    // uniqueness contract makes the pick deterministic
     val summaries = rt.groupBy(keys.map(col) :+ col("__slice"): _*)
-      .agg(max(struct(col("__t"), col(s"__r.$tieBreak").as("__tb"),
-        col("__r").as("__p"))).as("__last"))
-      .select(keys.map(col) ++ Seq(col("__slice"),
-        col("__last.__p").as("__spay")): _*)
+      .agg(max_by(col("__r"),
+        struct(col("__t"), col(s"__r.$tieBreak").as("__tb"))).as("__spay"))
+      .select(keys.map(col) ++ Seq(col("__slice"), col("__spay")): _*)
+
+    // NULL join keys: the window variants group NULL keys into one
+    // partition (so a NULL-key left row DOES match NULL-key right
+    // history in asofBackward) — the two equi-joins below must use
+    // null-safe equality or those rows silently vanish here, forking
+    // the documented row-identical contract. Right sides are RENAMED
+    // before joining (dom derives from summaries, so df-qualified refs
+    // trip the ambiguous-self-join detector).
+    def nullSafeOn(rSuffix: String): Column =
+      (keys.map(k => col(k) <=> col(s"__$rSuffix$k")) :+
+        (col("__slice") === col(s"__${rSuffix}slice"))).reduce(_ && _)
+    def renamed(df: DataFrame, rSuffix: String, extra: String): DataFrame =
+      df.select(keys.map(k => col(k).as(s"__$rSuffix$k")) ++
+        Seq(col("__slice").as(s"__${rSuffix}slice"), col(extra)): _*)
 
     // 3. previous-slice summary over the union of both sides' slices
     val dom = lt.select(sliceKeys: _*).distinct()
@@ -139,12 +153,14 @@ object TemporalJoins {
     val prevWin = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prev = dom.join(summaries, keys :+ "__slice", "left")
+    val prev = dom.join(renamed(summaries, "s_", "__spay"),
+        nullSafeOn("s_"), "left")
+      .select(keys.map(col) ++ Seq(col("__slice"), col("__spay")): _*)
       .withColumn("__prev", last(col("__spay"), ignoreNulls = true).over(prevWin))
       .select(keys.map(col) ++ Seq(col("__slice"), col("__prev")): _*)
 
     // 4. in-slice match wins; otherwise the previous slices' last row
-    inSlice.join(prev, keys :+ "__slice")
+    inSlice.join(renamed(prev, "p_", "__prev"), nullSafeOn("p_"))
       .withColumn("__f", coalesce(col("__m"), col("__prev")))
       .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
         payloadCols.map(c => col(s"__f.$c").as(prefix + c)): _*)

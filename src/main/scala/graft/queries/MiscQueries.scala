@@ -1530,19 +1530,28 @@ object MiscQueries {
                                 c_mktsegment AS seg
                          FROM customer WHERE c_custkey % 3 = 0),
                    p AS (SELECT l.id AS id_l, r.id AS id_r,
-                           CASE WHEN l.name = r.name THEN 1 ELSE 0 END AS agr_name,
-                           CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS agr_seg,
-                           CASE WHEN abs(l.bal - r.bal) < 100.0
-                                THEN 1 ELSE 0 END AS agr_bal,
+                           CASE WHEN l.name = r.name THEN 1
+                                WHEN NOT (l.name = r.name) THEN 0 END AS agr_name,
+                           CASE WHEN l.seg = r.seg THEN 1
+                                WHEN NOT (l.seg = r.seg) THEN 0 END AS agr_seg,
+                           CASE WHEN abs(l.bal - r.bal) < 100.0 THEN 1
+                                WHEN NOT (abs(l.bal - r.bal) < 100.0)
+                                THEN 0 END AS agr_bal,
                            (CASE WHEN l.name = r.name
                                  THEN CAST(3.5 AS DOUBLE)
-                                 ELSE CAST(-1.5 AS DOUBLE) END +
+                                 WHEN NOT (l.name = r.name)
+                                 THEN CAST(-1.5 AS DOUBLE)
+                                 ELSE CAST(0.0 AS DOUBLE) END +
                             CASE WHEN l.seg = r.seg
                                  THEN CAST(1.0 AS DOUBLE)
-                                 ELSE CAST(-0.5 AS DOUBLE) END +
+                                 WHEN NOT (l.seg = r.seg)
+                                 THEN CAST(-0.5 AS DOUBLE)
+                                 ELSE CAST(0.0 AS DOUBLE) END +
                             CASE WHEN abs(l.bal - r.bal) < 100.0
                                  THEN CAST(2.0 AS DOUBLE)
-                                 ELSE CAST(-2.0 AS DOUBLE) END) AS score
+                                 WHEN NOT (abs(l.bal - r.bal) < 100.0)
+                                 THEN CAST(-2.0 AS DOUBLE)
+                                 ELSE CAST(0.0 AS DOUBLE) END) AS score
                          FROM l JOIN r ON l.nat = r.nat)
               SELECT id_l, id_r, agr_name, agr_seg, agr_bal, score
               FROM p WHERE score >= 2.5 ORDER BY id_l, id_r""")),

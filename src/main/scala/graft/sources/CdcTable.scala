@@ -18,7 +18,12 @@ import graft.operators.Cdc
   * — the foreachBatch sink is therefore effectively exactly-once under
   * at-least-once delivery, which is the real-world streaming-CDC
   * contract. At scale the same layout works on any object store; the
-  * version pointer is the lexicographically-largest directory.
+  * version pointer is the NUMERICALLY-largest `v=N` directory (parsed
+  * as an int — a lexicographic max would pin `v=9` over `v=10`).
+  * Single-writer by contract: there is no cross-process commit lock,
+  * so concurrent `applyBatch` callers can still race each other on the
+  * same path (the foreachBatch sink satisfies this — Structured
+  * Streaming serializes batches).
   */
 object CdcTable {
 
@@ -43,12 +48,18 @@ object CdcTable {
   }
 
   /** Apply one change batch: read the latest version, merge, write the
-    * next version. Returns the new version number. */
+    * next version. Returns the new version number. The version is
+    * resolved ONCE — listing the directory again for `next` would both
+    * re-pay the listing and open a lost-update window where a version
+    * committed in between is silently skipped over (its changes absent
+    * from the new latest even though the merge never saw them). */
   def applyBatch(path: String, changes: DataFrame, keyCols: Seq[String],
                  seqCol: String, opCol: String): Int = {
     val spark = changes.sparkSession
-    val base = readLatest(spark, path)
-    val next = latestVersion(path).get + 1
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no versions under $path"))
+    val base = spark.read.parquet(s"$path/v=$v")
+    val next = v + 1
     Cdc.applyChangeLog(base, changes, keyCols, seqCol, opCol)
       .write.mode("overwrite").parquet(s"$path/v=$next")
     next

@@ -295,6 +295,13 @@ object Streams {
     require(evictAfter.isEmpty || docs.isStreaming,
       "evictAfter is an event-time watermark mode: batch inputs are " +
         "bounded (use the default NoTimeout, or Dedup.simhashCandidates)")
+    // a 4-band split of a 64-bit signature pigeonholes only Hamming ≤ 3
+    // — a larger maxHamming would silently miss qualifying pairs, and
+    // maxBucket ≤ 0 would keep an always-empty resident list (zero
+    // pairs forever, no error)
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming outside the 4-band guarantee [0, 3]")
+    require(maxBucket > 0, s"maxBucket=$maxBucket must be positive")
     // duration → fixed millis, driver-side, so the group function's
     // horizon filter needs no per-row parsing; calendar-length units
     // (months) have no fixed millis and are rejected
@@ -322,8 +329,21 @@ object Streams {
     val sigOf: Column => Column =
       if (portableSig) graft.expressions.TextExpressions.simhashPortable60
       else graft.operators.Dedup.simhash64
+    // fail loudly at the first NULL text/ts instead of killing the
+    // unbounded query mid-batch with an opaque non-nullable-field or
+    // NPE error (the watermarkLateAccounting construction-side guard):
+    // one poison record should name itself, not abort the stream
+    // anonymously. BOTH guards ride the sig column — rewrapping the ts
+    // column itself would strip its watermark metadata and break the
+    // EventTimeTimeout mode
+    val guardedText = when(col("text").isNull, raise_error(concat(
+      lit("streamNearDupPairs: NULL text for doc_id "),
+      col("doc_id").cast("string")))).otherwise(col("text"))
+    val sigGuarded = when(col("ts").isNull, raise_error(concat(
+      lit("streamNearDupPairs: NULL ts for doc_id "),
+      col("doc_id").cast("string")))).otherwise(sigOf(guardedText))
     val banded = src
-      .select(col("doc_id"), col("ts"), sigOf(col("text")).as("sig"))
+      .select(col("doc_id"), col("ts"), sigGuarded.as("sig"))
       .select(col("doc_id"), col("ts"), col("sig"), posexplode(array(
         (0 until 4).map(k => shiftright(col("sig"), 16 * k)
           .bitwiseAND(lit(0xFFFFL))): _*)))
@@ -451,8 +471,12 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[FunnelEvent],
          state: GroupState[FunnelState]) =>
+          // floorDiv, not `/`: getTime of a pre-epoch timestamp with a
+          // sub-second part is e.g. -500 ms for -0.5 s, and truncating
+          // division would emit +500000 µs — non-monotone ordering and
+          // a fork from Behavior.funnelTimes on pre-epoch events
           def micros(t: java.sql.Timestamp): Long =
-            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           val times = state.getOption.map(_.times.toArray)
             .getOrElse(Array.fill(stages.size)(None: Option[Long]))
           val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_type))

@@ -52,4 +52,22 @@ class CdcSuite extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(plan.toLowerCase.contains("leftanti"))
   }
+
+  test("a NULL op or seq raises instead of acting as a silent delete") {
+    // the r14-review bug: a NULL-op winner was anti-joined out of base
+    // and then filtered out of `applied` — the key vanished as if
+    // deleted, with no error
+    val nullOp = Seq((2L, null.asInstanceOf[String], 9L, "zz"))
+      .toDF("k", "op", "seq", "v")
+    val e1 = intercept[Exception] {
+      Cdc.applyChangeLog(base, nullOp, Seq("k"), "seq", "op").collect()
+    }
+    assert(e1.getMessage.contains("NULL in op column"), e1.getMessage)
+    val nullSeq = Seq((2L, "U", null.asInstanceOf[java.lang.Long], "zz"))
+      .toDF("k", "op", "seq", "v")
+    val e2 = intercept[Exception] {
+      Cdc.applyChangeLog(base, nullSeq, Seq("k"), "seq", "op").collect()
+    }
+    assert(e2.getMessage.contains("NULL in seq column"), e2.getMessage)
+  }
 }

@@ -51,4 +51,25 @@ class RecordLinkageSuite extends SparkSpec {
       scorePairs(left, right, "id", Seq("blk"), Seq.empty)
     }.getMessage.contains("field comparisons"))
   }
+
+  test("a NULL field comparison contributes weight 0 and agr NULL (the " +
+      "Fellegi-Sunter missing-comparison convention)") {
+    // the r14-review inconsistency: score penalized a NULL comparison
+    // as a confirmed disagreement while agr_<field> reported NULL
+    val l = Seq((1L, Option("ann"), 10, Option(100.0)),
+      (2L, Option("bob"), 10, None: Option[Double]))
+      .toDF("id", "name", "blk", "bal")
+    val r = Seq((11L, Option("ann"), 10, None: Option[Double]),
+      (12L, Option("bob"), 10, Option(500.0)))
+      .toDF("id", "name", "blk", "bal")
+    val out = scorePairs(l, r, "id", Seq("blk"), comparisons)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (Option(x.get(3)).map(_.asInstanceOf[Int]), x.getDouble(4))).toMap
+    // (1, 11): name agrees (+4.0), bal NULL on the right → agr NULL, +0
+    assert(out((1L, 11L)) === ((None, 4.0)))
+    // (2, 12): name agrees (+4.0), bal NULL on the left → agr NULL, +0
+    assert(out((2L, 12L)) === ((None, 4.0)))
+    // (1, 12): name disagrees (-2.0), bal 100 vs 500 disagrees (-0.5)
+    assert(out((1L, 12L)) === ((Some(0), -2.5)))
+  }
 }

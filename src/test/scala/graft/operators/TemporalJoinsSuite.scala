@@ -146,4 +146,39 @@ class TemporalJoinsSuite extends SparkSpec {
     assert(out.count() === 1000L)
     assert(out.select("r_t").distinct().count() === 1000L)
   }
+
+  test("asofBackwardSliced keeps NULL-key rows identically to the plain " +
+      "variant (window partitions group NULLs; the joins must be " +
+      "null-safe)") {
+    // the r14-review bug: the sliced variant's equi-joins used plain
+    // equality, so NULL-key left rows vanished instead of matching
+    // NULL-key right history as asofBackward's window does
+    val left = Seq((1L, Option("a"), 100L), (2L, None: Option[String], 100L),
+      (3L, None: Option[String], 40L)).toDF("oid", "key", "t")
+    val right = Seq((Option("a"), 11L, 90L, 1.0),
+      (None: Option[String], 12L, 50L, 2.0)).toDF("key", "rid", "t", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("oid", "asof_rid", "asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    val plain = rows(TemporalJoins.asofBackward(left, right, Seq("key"),
+      "t", "t", "rid"))
+    assert(plain === Seq((1L, Some(11L), Some(1.0)),
+      (2L, Some(12L), Some(2.0)), // NULL key matches NULL-key history
+      (3L, None, None)))          // NULL key, before its only right row
+    for (w <- Seq(1L, 7L, 1000L))
+      assert(rows(TemporalJoins.asofBackwardSliced(left, right, Seq("key"),
+        "t", "t", "rid", sliceWidth = w)) === plain, s"width $w")
+  }
+
+  test("asofBackwardSliced accepts non-orderable payload columns (maps) " +
+      "— max_by orders only (t, tieBreak), never the payload") {
+    val left = Seq((1L, "a", 100L)).toDF("oid", "key", "t")
+    val right = Seq(("a", 11L, 90L, Map("x" -> 1)), ("a", 12L, 95L, Map("y" -> 2)))
+      .toDF("key", "rid", "t", "props")
+    val out = TemporalJoins.asofBackwardSliced(left, right, Seq("key"),
+        "t", "t", "rid", sliceWidth = 10L)
+      .select("oid", "asof_rid", "asof_props")
+      .as[(Long, Long, Map[String, Int])].collect().toSeq
+    assert(out === Seq((1L, 12L, Map("y" -> 2))))
+  }
 }

@@ -547,4 +547,54 @@ class StreamingSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("NULL in batch column"), e.getMessage)
   }
+
+  test("streamNearDupPairs: a NULL text or ts names its doc_id instead " +
+      "of killing the query with an opaque encoder error; bad shape " +
+      "params fail at construction") {
+    val nullText = Seq(
+      StreamDoc(1L, new Timestamp(1700000000000L), "hello world"),
+      StreamDoc(2L, new Timestamp(1700000001000L), null)).toDS()
+    val e1 = intercept[Exception] {
+      Streams.streamNearDupPairs(nullText, maxHamming = 3).collect()
+    }
+    assert(e1.getMessage.contains("NULL text for doc_id"), e1.getMessage)
+    val nullTs = Seq(
+      StreamDoc(3L, null, "hello world")).toDS()
+    val e2 = intercept[Exception] {
+      Streams.streamNearDupPairs(nullTs, maxHamming = 3).collect()
+    }
+    assert(e2.getMessage.contains("NULL ts for doc_id"), e2.getMessage)
+    // maxBucket <= 0 would silently emit zero pairs forever; a
+    // maxHamming past the 4-band pigeonhole would silently miss pairs
+    val ok = Seq(StreamDoc(1L, new Timestamp(0L), "x")).toDS()
+    assert(intercept[IllegalArgumentException] {
+      Streams.streamNearDupPairs(ok, maxBucket = 0)
+    }.getMessage.contains("maxBucket"))
+    assert(intercept[IllegalArgumentException] {
+      Streams.streamNearDupPairs(ok, maxHamming = 4)
+    }.getMessage.contains("maxHamming"))
+  }
+
+  test("funnelProgress micros are floor-based: pre-epoch sub-second " +
+      "events order correctly (truncating division flipped their sign)") {
+    implicit val sqlCtx = spark.sqlContext
+    // -0.5 s: getTime = -500 ms; truncating (t/1000)*1e6 + nanos/1000
+    // gave +500000 µs — sorting AFTER a +0.25 s event. Events: view at
+    // -0.5 s, click at +0.25 s must qualify as an ordered funnel.
+    val preEpoch = new java.sql.Timestamp(-500L)   // 1969-12-31T23:59:59.5
+    val postEpoch = new java.sql.Timestamp(250L)
+    val mem = MemoryStream[FunnelEvent]
+    val q = Streams.funnelProgress(mem.toDS(), Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel_pre_epoch")
+      .outputMode("append").start()
+    try {
+      mem.addData(FunnelEvent(1L, preEpoch, "view"),
+        FunnelEvent(1L, postEpoch, "click"))
+      q.processAllAvailable()
+      val times = spark.table("funnel_pre_epoch")
+        .as[(Long, Seq[Option[Long]])].collect()
+        .maxBy(_._2.flatten.size)._2
+      assert(times === Seq(Some(-500000L), Some(250000L)))
+    } finally q.stop()
+  }
 }

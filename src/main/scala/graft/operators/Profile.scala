@@ -145,13 +145,18 @@ object Profile {
     val spark = child.sparkSession
     import spark.implicits._
     // ONE pass over the (large) child side: left join the distinct
-    // parent keys with a hit marker and count rows + misses together
+    // parent keys with a hit marker and count rows + misses together.
+    // A NULL child key is NOT an orphan (ANSI FK semantics: NULL means
+    // "no parent", which is valid for an optional FK) — it can never
+    // equi-join, so without the isNotNull term every NULL-key row
+    // would flip `pass` to 0 on a perfectly valid table.
     val row = child
       .join(parent.select(col(parentKey).as(childKey))
         .distinct().withColumn("__hit", lit(1)),
         Seq(childKey), "left")
       .agg(count(lit(1)).as("n_child"),
-        count(when(col("__hit").isNull, 1)).as("n_orphans"))
+        count(when(col("__hit").isNull && col(childKey).isNotNull, 1))
+          .as("n_orphans"))
       .head()
     val (nChild, orphans) = (row.getLong(0), row.getLong(1))
     Seq((nChild, orphans, if (orphans == 0L) 1 else 0))
@@ -176,15 +181,20 @@ object Profile {
     * longer bit-reproducible). */
   def iqrOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "iqrOutliers: need at least one column")
+    // identifiers are backtick-quoted into the percentile expr — a
+    // column name with a space/dot/reserved word would otherwise fail
+    // the SQL parse (profile() handles the same column fine via typed
+    // col(); the quoting keeps both entry points name-agnostic)
+    def bq(c: String): String = "`" + c.replace("`", "``") + "`"
     // TWO passes total for ANY column count: one aggregation computing
     // every column's quartiles together, one counting pass with all
     // fences broadcast — not 2 passes per column
     val stats = df.agg(
-      expr(s"percentile(${cols.head}, 0.25)").as(s"__q1_0"),
-      (expr(s"percentile(${cols.head}, 0.75)").as(s"__q3_0") +:
+      expr(s"percentile(${bq(cols.head)}, 0.25)").as(s"__q1_0"),
+      (expr(s"percentile(${bq(cols.head)}, 0.75)").as(s"__q3_0") +:
         cols.zipWithIndex.tail.flatMap { case (c, i) => Seq(
-          expr(s"percentile($c, 0.25)").as(s"__q1_$i"),
-          expr(s"percentile($c, 0.75)").as(s"__q3_$i"))
+          expr(s"percentile(${bq(c)}, 0.25)").as(s"__q1_$i"),
+          expr(s"percentile(${bq(c)}, 0.75)").as(s"__q3_$i"))
         }): _*)
     val fenced = stats.select(cols.indices.flatMap { i =>
       val iqr = col(s"__q3_$i") - col(s"__q1_$i")
@@ -197,9 +207,11 @@ object Profile {
       first(col(s"__q3_$i")).as(s"q3_$i"),
       first(col(s"__lo_$i")).as(s"lo_$i"),
       first(col(s"__hi_$i")).as(s"hi_$i"),
-      sum(when(col(cols(i)) < col(s"__lo_$i"), 1L).otherwise(0L))
+      sum(when(col("`" + cols(i).replace("`", "``") + "`")
+          < col(s"__lo_$i"), 1L).otherwise(0L))
         .as(s"nb_$i"),
-      sum(when(col(cols(i)) > col(s"__hi_$i"), 1L).otherwise(0L))
+      sum(when(col("`" + cols(i).replace("`", "``") + "`")
+          > col(s"__hi_$i"), 1L).otherwise(0L))
         .as(s"na_$i"))
     }
     val counted = df.crossJoin(broadcast(fenced))

@@ -56,11 +56,19 @@ object Ranks {
     val n = df.count()
     require(n > 0, "quantileSelect on an empty frame")
     val target = bps.map(bp => bp -> ((bp.toLong * n + 9999L) / 10000L)).toMap
+    // NULL values would sort first and occupy the smallest ranks —
+    // every quantile silently shifts down, and a target rank landing on
+    // a NULL row NPEs at getDouble. Raise instead (the samplers' NULL
+    // convention); the cast makes int/long/decimal value columns work
+    // (getDouble on a collected Long row would ClassCastException).
+    val v = when(col(valueCol).isNull, raise_error(lit(
+      s"quantileSelect: NULL in value column '$valueCol'")))
+      .otherwise(col(valueCol)).cast("double").as("__v")
     val ranked = globalRowNumber(
-      df.select(col(valueCol), col(tieCol)),
-      Seq(col(valueCol), col(tieCol)), out = "__rn")
+      df.select(v, col(tieCol)),
+      Seq(col("__v"), col(tieCol)), out = "__rn")
     val hits = ranked.filter(col("__rn").isin(target.values.toSeq: _*))
-      .select(col("__rn"), col(valueCol))
+      .select(col("__rn"), col("__v"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     target.map { case (bp, rk) => bp -> hits(rk) }
   }
@@ -91,8 +99,14 @@ object Ranks {
   def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
                   tieCol: String): DataFrame = {
     import graft.util.Tables.dsum
+    // a NULL value would occupy a rank (NULLs sort first) while dsum
+    // skips it — n and the index weights silently inflate and the
+    // coefficient comes back plausible but wrong. Raise instead.
+    val vGuarded = when(col(valueCol).isNull, raise_error(lit(
+      s"giniByGroup: NULL in value column '$valueCol'")))
+      .otherwise(col(valueCol)).as(valueCol)
     val ranked = globalRowNumber(
-      df.select(col(groupCol), col(valueCol), col(tieCol)),
+      df.select(col(groupCol), vGuarded, col(tieCol)),
       Seq(col(groupCol), col(valueCol), col(tieCol)), out = "__r")
     val minR = ranked.groupBy(groupCol).agg(min(col("__r")).as("__r0"))
     val indexed = ranked.join(broadcast(minR), groupCol)

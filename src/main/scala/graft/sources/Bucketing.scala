@@ -20,7 +20,12 @@ object Bucketing {
     * explicit /tmp scratch root and clean it up afterwards). */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
                     buckets: Int, path: Option[String] = None): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    // no manual DROP: SaveMode.Overwrite already drops and recreates
+    // the table atomically from saveAsTable's point of view, and the
+    // old `DROP TABLE IF EXISTS \`$table\`` wrapped a db-qualified name
+    // in ONE backtick pair — `analytics.orders` names a table literally
+    // called "analytics.orders" in the CURRENT database, so the drop
+    // silently missed the real target
     val w = df.write.mode("overwrite")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)

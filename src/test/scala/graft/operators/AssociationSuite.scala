@@ -38,4 +38,20 @@ class AssociationSuite extends SparkSpec {
     // only basket 4 (y) survives the cap among... baskets 1-3 all have 2
     assert(capped.isEmpty)
   }
+  test("NULL basket ids or items raise instead of silently deflating " +
+      "confidence/lift denominators") {
+    val nullBasket = Seq((Option(1L), Option("x")),
+      (None: Option[Long], Option("y"))).toDF("b", "i")
+    val e1 = intercept[Exception] {
+      Association.rules(nullBasket, "b", "i").collect()
+    }
+    assert(e1.getMessage.contains("NULL in basket column"), e1.getMessage)
+    val nullItem = Seq((Option(1L), Option("x")),
+      (Option(1L), None: Option[String])).toDF("b", "i")
+    val e2 = intercept[Exception] {
+      Association.rules(nullItem, "b", "i").collect()
+    }
+    assert(e2.getMessage.contains("NULL in item column"), e2.getMessage)
+  }
+
 }

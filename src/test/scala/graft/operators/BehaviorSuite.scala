@@ -129,4 +129,20 @@ class BehaviorSuite extends SparkSpec {
       .findAllIn(plan).size
     assert(exchanges === 1, s"expected 1 user-keyed exchange:\n$plan")
   }
+  test("funnelTimes handles stage names with dots (generated t_ columns " +
+      "are backtick-quoted on read)") {
+    val ev = Seq((1L, 10L, "view"), (1L, 20L, "cart.add"),
+      (1L, 30L, "purchase.done"))
+      .toDF("user_id", "ts", "event_type")
+    val t = Behavior.funnelTimes(ev, "user_id", "ts", "event_type",
+      Seq("view", "cart.add", "purchase.done")).collect().head
+    assert(t.getAs[Long]("t_view") === 10L)
+    assert(t.getAs[Long]("t_cart.add") === 20L)
+    assert(t.getAs[Long]("t_purchase.done") === 30L)
+    val c = Behavior.funnelCounts(ev, "user_id", "ts", "event_type",
+      Seq("view", "cart.add", "purchase.done"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(c === Map("view" -> 1L, "cart.add" -> 1L, "purchase.done" -> 1L))
+  }
+
 }

@@ -100,4 +100,23 @@ class ProfileSuite extends SparkSpec {
     assert(e.getMessage.contains("'y' has no non-NULL values"),
       e.getMessage)
   }
+  test("referentialCheck: NULL child keys are not orphans (ANSI " +
+      "optional-FK semantics)") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Option(1L), Option(2L), None, Option(9L)).toDF("fk")
+    val row = Profile.referentialCheck(child, parent, "fk", "pk").head()
+    assert(row.getLong(0) === 4L)  // all child rows counted
+    assert(row.getLong(1) === 1L)  // only fk=9 is an orphan, not NULL
+    val clean = Seq(Option(1L), None).toDF("fk")
+    assert(Profile.referentialCheck(clean, parent, "fk", "pk")
+      .head().getInt(2) === 1)     // pass=1 on the valid optional-FK table
+  }
+
+  test("iqrOutliers accepts column names needing quoting") {
+    val df = Seq(1.0, 2.0, 3.0, 100.0).toDF("unit price")
+    val out = Profile.iqrOutliers(df, Seq("unit price")).collect().head
+    assert(out.getString(0) === "unit price")
+    assert(out.getLong(6) === 1L) // 100.0 above the hi fence
+  }
+
 }

@@ -57,4 +57,28 @@ class RanksSuite extends SparkSpec {
       .orderBy("g").collect().toSeq
     assert(a === b)
   }
+  test("quantileSelect works on integer columns and raises on NULL " +
+      "values (which would otherwise shift every rank)") {
+    val longs = spark.range(1, 101)
+      .select(col("id"), col("id").as("v")) // v is LongType
+    val q = Ranks.quantileSelect(longs, "v", "id", Seq(5000))
+    assert(q(5000) === 50.0)
+    val withNull = Seq((1L, Option(1.0)), (2L, None: Option[Double]))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      Ranks.quantileSelect(withNull, "v", "id", Seq(5000))
+    }
+    assert(e.getMessage.contains("NULL in value column"), e.getMessage)
+  }
+
+  test("giniByGroup raises on NULL values instead of returning a " +
+      "plausible-but-wrong coefficient") {
+    val df = Seq((1L, "g", Option(10.0)), (2L, "g", None: Option[Double]))
+      .toDF("tie", "g", "v")
+    val e = intercept[Exception] {
+      Ranks.giniByGroup(df, "g", "v", "tie").collect()
+    }
+    assert(e.getMessage.contains("NULL in value column"), e.getMessage)
+  }
+
 }

@@ -44,6 +44,28 @@ object TextOps {
     } else Array(toks.mkString(" "))
   }
 
+  /** The minhash signature loop shared VERBATIM by
+    * [[MinHashSignatureExpr]] and [[MinHashBandKeysExpr]] — one
+    * definition, so a seed-scheme or hash-family change cannot
+    * silently fork the documented invariant that band keys fold the
+    * same signature values the signature expression emits. */
+  def minhashSig(text: String, n: Int, numHashes: Int): Array[Long] = {
+    val sh = shingles(text, n)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val u = UTF8String.fromString(sh(i))
+      var j = 0
+      while (j < numHashes) {
+        val h = hashUtf8(u, j.toLong)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   def hashUtf8(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
@@ -156,22 +178,9 @@ final case class MinHashSignatureExpr(child: Expression, n: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(input: Any): Any = {
-    val sh = TextOps.shingles(input.asInstanceOf[UTF8String].toString, n)
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < sh.length) {
-      val u = UTF8String.fromString(sh(i))
-      var j = 0
-      while (j < numHashes) {
-        val h = TextOps.hashUtf8(u, j.toLong)
-        if (h < sig(j)) sig(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextOps.minhashSig(
+      input.asInstanceOf[UTF8String].toString, n, numHashes))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -188,19 +197,8 @@ final case class MinHashBandKeysExpr(child: Expression, n: Int,
   override def prettyName: String = "minhash_band_keys"
 
   override def nullSafeEval(input: Any): Any = {
-    val sh = TextOps.shingles(input.asInstanceOf[UTF8String].toString, n)
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < sh.length) {
-      val u = UTF8String.fromString(sh(i))
-      var j = 0
-      while (j < numHashes) {
-        val h = TextOps.hashUtf8(u, j.toLong)
-        if (h < sig(j)) sig(j) = h
-        j += 1
-      }
-      i += 1
-    }
+    val sig = TextOps.minhashSig(
+      input.asInstanceOf[UTF8String].toString, n, numHashes)
     val r = numHashes / bands
     val keys = new Array[Long](bands)
     var b = 0

@@ -28,6 +28,46 @@ trait RequiresFloatArrayInput { self: UnaryExpression =>
   }
 }
 
+/** [[RequiresFloatArrayInput]]'s sibling for the PQ-code consumers
+  * that read elements with `getInt`: over an `array<bigint>` child
+  * (a Parquet round-trip or SQL transform that widened int codes)
+  * that call reads 4 bytes of each 8-byte slot — garbage codebook
+  * indices and silently wrong scores. Analysis-time failure instead. */
+trait RequiresIntArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<int> input (PQ codes), got " +
+          s"${other.simpleString}")
+    }
+  }
+}
+
+/** Binary rendition for the (codes, query-index) ADC expressions:
+  * array<int> codes on the left, int index on the right (a bigint
+  * index would otherwise ClassCastException mid-job instead of
+  * failing analysis). */
+trait RequiresIntArrayAndIntInput { self: BinaryExpression =>
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _),
+        org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int> codes, int index) inputs, " +
+          s"got ${l.simpleString} and ${r.simpleString}")
+    }
+  }
+}
+
 /** Native Catalyst expressions for embedding arithmetic.
   *
   * Spark's higher-order functions (`aggregate`/`zip_with`) are
@@ -346,7 +386,8 @@ final case class PqEncodeExactConst(child: Expression, books: Seq[Double],
 final case class PqReconConst(child: Expression, books: Seq[Double],
                               dim: Int, m: Int, kCodes: Int)
     extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with RequiresIntArrayInput {
   require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
   require(books.length == kCodes * dim,
     s"books must be m*kCodes*subDim = ${kCodes * dim} doubles")
@@ -838,7 +879,7 @@ final case class PqEncode(child: Expression, cents: Seq[Double],
 final case class PqAdcCosine(child: Expression, lut: Seq[Double],
                              sqnorm: Seq[Double], qnorms: Seq[Double],
                              m: Int, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresIntArrayInput {
   private val nQ = qnorms.length
   require(nQ > 0, "need at least one query")
   require(lut.length == nQ * m * k, s"lut must be nQ*m*k = ${nQ * m * k}")
@@ -928,7 +969,7 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
 final case class PqAdcCosineAt(left: Expression, right: Expression,
                                lut: Seq[Double], sqnorm: Seq[Double],
                                qnorms: Seq[Double], m: Int, k: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresIntArrayAndIntInput {
   private val nQ = qnorms.length
   require(nQ > 0, "need at least one query")
   require(lut.length == nQ * m * k, s"lut must be nQ*m*k = ${nQ * m * k}")
@@ -1081,7 +1122,7 @@ final case class SubCentroidConst(left: Expression, right: Expression,
 final case class PqReconNorm2(left: Expression, right: Expression,
                               cents: Seq[Double], books: Seq[Double],
                               dim: Int, nCells: Int, m: Int, k: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresIntArrayAndIntInput {
   require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
   require(nCells > 0, "nCells must be positive")
   require(cents.length == nCells * dim,
@@ -1155,7 +1196,7 @@ final case class PqReconNorm2(left: Expression, right: Expression,
   * LUT sum, and [[PqReconNorm2]]) in plain Column arithmetic. */
 final case class PqAdcDotAt(left: Expression, right: Expression,
                             lut: Seq[Double], m: Int, k: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresIntArrayAndIntInput {
   require(m > 0 && k > 0, "m and k must be positive")
   require(lut.nonEmpty && lut.length % (m * k) == 0,
     s"lut must be nQ*m*k doubles, got ${lut.length}")

@@ -210,9 +210,18 @@ object Multimodal {
     // (the thresholdSweep/shardCensus NULL convention)
     val wG = when(col(wCol).isNull,
       raise_error(lit(s"aspectBuckets: NULL in width column '$wCol'")))
+      .when(col(wCol) <= 0, raise_error(concat(
+        lit(s"aspectBuckets: non-positive width in '$wCol': "),
+        col(wCol).cast("string"))))
       .otherwise(col(wCol))
+    // h = 0 would make the ratio Inf (w = h = 0: NaN) — no bucket wins
+    // the argmin, the row lands in bucket 0 with an Inf/NaN drift that
+    // dominates the quantized sum; raise like the NULL case
     val hG = when(col(hCol).isNull,
       raise_error(lit(s"aspectBuckets: NULL in height column '$hCol'")))
+      .when(col(hCol) <= 0, raise_error(concat(
+        lit(s"aspectBuckets: non-positive height in '$hCol': "),
+        col(hCol).cast("string"))))
       .otherwise(col(hCol))
     val diff = abs(wG.cast("double") / hG.cast("double")
       - col("bw").cast("double") / col("bh").cast("double"))
@@ -262,9 +271,15 @@ object Multimodal {
     // renditions bit-equal on every input they accept
     val wG = when(col(wCol).isNull,
       raise_error(lit(s"aspectBucketsFused: NULL in width column '$wCol'")))
+      .when(col(wCol) <= 0, raise_error(concat(
+        lit(s"aspectBucketsFused: non-positive width in '$wCol': "),
+        col(wCol).cast("string"))))
       .otherwise(col(wCol))
     val hG = when(col(hCol).isNull,
       raise_error(lit(s"aspectBucketsFused: NULL in height column '$hCol'")))
+      .when(col(hCol) <= 0, raise_error(concat(
+        lit(s"aspectBucketsFused: non-positive height in '$hCol': "),
+        col(hCol).cast("string"))))
       .otherwise(col(hCol))
     val census = df
       .select(graft.expressions.GeomExpressions

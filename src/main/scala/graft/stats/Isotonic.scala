@@ -56,7 +56,20 @@ object Isotonic {
     val bin = least(lit(nBins - 1L),
       greatest(lit(0L),
         floor((col(scoreCol) - lit(lo)) / lit(width)).cast("long")))
+    // NaN is neither filtered by isNotNull nor binned sanely: a NaN
+    // score floor-casts to 0 under non-ANSI rules and lands in bin 0
+    // (silently skewing the low end), and a NaN label NPEs later at
+    // getDouble. Raise with the column named (NULLs stay silently
+    // dropped — that IS the documented WHERE-clause contract the m43
+    // oracle mirrors; NaN has no SQL rendition to mirror).
+    val scoreG = when(isnan(col(scoreCol)), raise_error(lit(
+      s"fitBinned: NaN in score column '$scoreCol'")))
+      .otherwise(col(scoreCol))
+    val labelG = when(isnan(col(labelCol)), raise_error(lit(
+      s"fitBinned: NaN in label column '$labelCol'")))
+      .otherwise(col(labelCol))
     val bins = df
+      .select(scoreG.as(scoreCol), labelG.as(labelCol))
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).cast("double").as("w"),

@@ -48,11 +48,30 @@ object Raking {
   ): RakeFactors = {
     require(iters > 0, "raking needs at least one iteration")
     require(targets1.nonEmpty && targets2.nonEmpty, "empty raking margin")
+    // inconsistent margins (counts vs proportions — a common unit
+    // mix-up) make IPF oscillate forever: after the fixed rounds margin
+    // 2 matches while every margin-1 total is off by ~Σt1/Σt2, and the
+    // wrong weights would return with no error. survey::rake reports
+    // non-convergence; here the totals are checkable up front.
+    val (s1, s2) = (targets1.values.sum, targets2.values.sum)
+    require(math.abs(s1 - s2) <= 1e-6 * math.max(math.abs(s1), math.abs(s2)),
+      s"raking margins disagree on the population total: " +
+        s"margin 1 sums to $s1, margin 2 to $s2 — IPF cannot satisfy both")
     val cells: Map[(Long, Long), Double] = df
       .groupBy(col(f1Col).cast("long").as("f1"), col(f2Col).cast("long").as("f2"))
       .agg(dsum(col(dCol)).as("cw"))
       .collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .map { r =>
+        // a NULL factor (or a non-castable string category) groups
+        // under a null key; getLong would NPE deep in the map — name
+        // the problem instead (the olsKFold non-null-fold contract)
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"raking factors must be non-null and integer-castable: a " +
+            s"('$f1Col', '$f2Col') group keyed (${r.get(0)}, ${r.get(1)})")
+        require(!r.isNullAt(2),
+          s"raking cell (${r.get(0)}, ${r.get(1)}) has all-NULL '$dCol'")
+        ((r.getLong(0), r.getLong(1)), r.getDouble(2))
+      }
       .toMap
     val k1 = targets1.keys.toSeq.sorted
     val k2 = targets2.keys.toSeq.sorted
@@ -84,16 +103,20 @@ object Raking {
   }
 
   /** CASE chain mapping a factor column to its literal multiplier, in
-    * ascending category order (last category is the ELSE arm — the same
-    * shape `CASE f WHEN v0 THEN r0 … ELSE rLast END` takes in SQL). */
-  private def multExpr(f: Column, ks: Seq[Long], m: Map[Long, Double]): Column =
-    if (ks.size == 1) lit(m(ks.head))
-    else {
-      val chained = ks.drop(1).dropRight(1).foldLeft(
-        when(f === lit(ks.head), lit(m(ks.head)))
-      )((acc, k) => acc.when(f === lit(k), lit(m(k))))
-      chained.otherwise(lit(m(ks.last)))
-    }
+    * ascending category order. The LAST category gets an explicit WHEN
+    * and the ELSE arm raises: the factors were fitted against a
+    * collect-time snapshot, and a category appearing only in the
+    * projection-time scan (streaming source, concurrently-updated
+    * table) would otherwise silently receive the last category's
+    * multiplier — fail loudly instead. */
+  private def multExpr(f: Column, ks: Seq[Long], m: Map[Long, Double]): Column = {
+    val chained = ks.drop(1).foldLeft(
+      when(f === lit(ks.head), lit(m(ks.head)))
+    )((acc, k) => acc.when(f === lit(k), lit(m(k))))
+    chained.otherwise(raise_error(concat(
+      lit("raking: factor value absent from the fitted margins: "),
+      f.cast("string"))))
+  }
 
   /** Post-stratification (`survey::postStratify`): the one-margin,
     * one-step special case of raking — scale each stratum's weights so
@@ -111,7 +134,14 @@ object Raking {
     val sums: Map[Long, Double] = df
       .groupBy(col(fCol).cast("long").as("f"))
       .agg(dsum(col(dCol)).as("s"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"post-stratification factor '$fCol' must be non-null and " +
+            "integer-castable")
+        require(!r.isNullAt(1),
+          s"post-stratum ${r.get(0)} has all-NULL '$dCol'")
+        r.getLong(0) -> r.getDouble(1)
+      }.toMap
     val badCat = sums.keys.find(!targets.contains(_))
     require(badCat.isEmpty, s"data stratum $badCat missing from targets")
     val ks = targets.keys.toSeq.sorted

@@ -132,25 +132,6 @@ object Replication {
       dsum(((col("nh") - lit(1.0)) / col("nh")) * d * d).as("var_jkn"))
   }
 
-  /** Balanced repeated replication (BRR — Wolter 2007 §3; McCarthy
-    * 1969) for a 2-PSUs-per-stratum design: replicate r keeps one PSU
-    * per stratum at doubled weight and drops the other, with the
-    * keep/drop pattern taken from a Hadamard matrix so the replicates
-    * are pairwise balanced;  V̂ = (1/R)·Σ_r (θ̂_r − θ̂)².
-    *
-    * The Hadamard signs come from the SYLVESTER construction —
-    * sign(r, c) = (−1)^popcount(r AND c), pure integer arithmetic that
-    * any engine reproduces bit-for-bit (no stored matrix). Stratum h
-    * (0-indexed by ascending stratum value) uses column h + 1: column 0
-    * of a Sylvester matrix is all-ones, which would pin every replicate
-    * to the same PSU of that stratum. R is the smallest power of two
-    * > H, giving exact column orthogonality.
-    *
-    * Same scale shape as the jackknives: ONE partial-aggregable
-    * groupBy(stratum, psu) pass; the 2H-row totals frame is eagerly
-    * materialized (G-row contract), and the R × H replicate expansion
-    * is arithmetic on that local frame. Returns ONE row:
-    * (mean_y, n_strata, n_reps, var_brr). */
   /** Cumulative Poisson(1) probabilities P(K ≤ k), k = 0..7, written as
     * literal digits (NOT computed via exp) so the same constants can be
     * embedded verbatim in an oracle — no libm dependence. */
@@ -180,27 +161,67 @@ object Replication {
                            idCol: Column, reps: Int): DataFrame = {
     require(reps > 0, s"bootstrap needs at least one replicate, got $reps")
     val spark = df.sparkSession
-    val repsDf = spark.range(reps.toLong).select(col("id").cast("long").as("__r"))
+    // sentinel replicate __r = -1 carries K ≡ 1, so the FULL-SAMPLE
+    // totals ride the same grouped pass as the R replicates — the old
+    // separate df.agg(...) was a second complete scan of the input
+    // for two scalars. One extra broadcast row, one scan saved.
+    val repsDf = spark.range(reps.toLong)
+      .select(col("id").cast("long").as("__r"))
+      .unionByName(spark.range(1).select(lit(-1L).as("__r")))
+    // a NULL id would make u NULL, every `u < c` NULL, and the fold's
+    // innermost otherwise fire — the row gets K = 8 in EVERY replicate,
+    // identically shifting all replicate means with no error. Raise.
+    val idG = when(idCol.isNull, raise_error(lit(
+      "poissonBootstrapMean: NULL in id column — the portable draw " +
+        "needs a non-null row id"))).otherwise(idCol)
     val hash = pmod(
-      pmod(pmod(idCol, lit(portableP)) * lit(1009L) + col("__r"),
+      pmod(pmod(idG, lit(portableP)) * lit(1009L) + col("__r"),
         lit(portableP)) * lit(1315423911L), lit(portableP))
     val u = hash.cast("double") / lit(portableP.toDouble)
-    val k = poisson1Cum.zipWithIndex.reverse
+    val k0 = poisson1Cum.zipWithIndex.reverse
       .foldLeft(lit(8.0): Column) { case (acc, (c, i)) =>
         when(u < lit(c), lit(i.toDouble)).otherwise(acc)
       }
-    val rt = df.crossJoin(broadcast(repsDf))
+    val k = when(col("__r") === lit(-1L), lit(1.0)).otherwise(k0)
+    // R+1 bounded rows: materialize ONCE as a local relation so the
+    // replicate/total split below cannot re-execute the ×R expansion
+    // per branch (the p20 union-re-executes-agg lesson)
+    val rtAll = df.crossJoin(broadcast(repsDf))
       .groupBy("__r")
       .agg(dsum(k * w * y).as("tr"), dsum(k * w).as("wr"))
-    val tot = df.agg(dsum(w * y).as("t"), dsum(w).as("wsum"))
+    val rtRows = rtAll.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rtRows: _*), rtAll.schema)
+    val tot = local.filter(col("__r") === lit(-1L))
+      .select(col("tr").as("t"), col("wr").as("wsum"))
     val dd = col("tr") / col("wr") - col("t") / col("wsum")
-    rt.crossJoin(broadcast(tot))
+    local.filter(col("__r") =!= lit(-1L))
+      .crossJoin(broadcast(tot))
       .agg(
         first(col("t") / col("wsum")).as("mean_y"),
         lit(reps.toLong).as("n_reps"),
         (dsum(dd * dd) / lit(reps.toDouble)).as("var_boot"))
   }
 
+  /** Balanced repeated replication (BRR — Wolter 2007 §3; McCarthy
+    * 1969) for a 2-PSUs-per-stratum design: replicate r keeps one PSU
+    * per stratum at doubled weight and drops the other, with the
+    * keep/drop pattern taken from a Hadamard matrix so the replicates
+    * are pairwise balanced;  V̂ = (1/R)·Σ_r (θ̂_r − θ̂)².
+    *
+    * The Hadamard signs come from the SYLVESTER construction —
+    * sign(r, c) = (−1)^popcount(r AND c), pure integer arithmetic that
+    * any engine reproduces bit-for-bit (no stored matrix). Stratum h
+    * (0-indexed by ascending stratum value) uses column h + 1: column 0
+    * of a Sylvester matrix is all-ones, which would pin every replicate
+    * to the same PSU of that stratum. R is the smallest power of two
+    * > H, giving exact column orthogonality.
+    *
+    * Same scale shape as the jackknives: ONE partial-aggregable
+    * groupBy(stratum, psu) pass; the 2H-row totals frame is eagerly
+    * materialized (G-row contract), and the R × H replicate expansion
+    * is arithmetic on that local frame. Returns ONE row:
+    * (mean_y, n_strata, n_reps, var_brr). */
   def brrMean(df: DataFrame, y: Column, w: Column, stratum: Column,
               psu: Column, fayRho: Double = 0.0): DataFrame = {
     require(fayRho >= 0.0 && fayRho < 1.0,

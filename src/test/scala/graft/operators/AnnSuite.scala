@@ -1026,6 +1026,27 @@ class AnnSuite extends SparkSpec {
     val fvec = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
     assert(fvec.select(argMaxDotScoreExact(col("embedding"), cents)
       .getField("cell")).as[Int].head() === 1)
+    // PQ-code consumers (getInt readers) reject array<bigint> codes the
+    // same way — the silent stride-misread RequiresIntArrayInput exists
+    // for (r14 review)
+    val lcodes = Seq((1L, Seq(0L, 1L))).toDF("id", "codes")
+    val books2 = Seq.fill(2 * 2 * 1)(0.5) // m=2, k=2, subDim=1
+    import org.apache.spark.sql.GraftBridge.{column => bcol, expression => bexpr}
+    val codesE = bexpr(lcodes("codes"))
+    val codeGuarded = Seq(
+      bcol(graft.expressions.PqReconConst(
+        codesE, books2, dim = 2, m = 2, kCodes = 2)),
+      bcol(graft.expressions.PqAdcCosine(codesE,
+        lut = Seq.fill(4)(0.5), sqnorm = Seq.fill(4)(1.0),
+        qnorms = Seq(1.0), m = 2, k = 2)),
+      bcol(graft.expressions.PqAdcDotAt(codesE, bexpr(lit(0)),
+        lut = Seq.fill(4)(0.5), m = 2, k = 2)))
+    codeGuarded.foreach { e =>
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        lcodes.select(e).collect()
+      }
+      assert(ex.getMessage.contains("array<int>"), ex.getMessage)
+    }
   }
 
   test("mmrDiverseTopK rejects a realized pool smaller than k") {

@@ -54,4 +54,20 @@ class IsotonicSuite extends SparkSpec {
     val fSum = fit.map(r => r.getLong(2).toDouble * r.getDouble(4)).sum
     assert(math.abs(wSum - fSum) < 1e-6)
   }
+  test("fitBinned raises on NaN scores/labels (NaN passes isNotNull and " +
+      "would silently land in bin 0)") {
+    val nanScore = Seq((Double.NaN, 1.0), (1.0, 0.0)).toDF("s", "l")
+    val e1 = intercept[Exception] {
+      graft.stats.Isotonic.fitBinned(nanScore, "s", "l", 0.0, 2.0, 2)
+        .collect()
+    }
+    assert(e1.getMessage.contains("NaN in score column"), e1.getMessage)
+    val nanLabel = Seq((1.0, Double.NaN), (1.5, 0.0)).toDF("s", "l")
+    val e2 = intercept[Exception] {
+      graft.stats.Isotonic.fitBinned(nanLabel, "s", "l", 0.0, 2.0, 2)
+        .collect()
+    }
+    assert(e2.getMessage.contains("NaN in label column"), e2.getMessage)
+  }
+
 }

@@ -75,17 +75,29 @@ class RakingSuite extends SparkSpec {
   }
 
   test("data categories missing from the targets fail loudly") {
+    // margin totals agree (12 = 12) so the consistency check passes and
+    // the missing-category check is what fires
     val e = intercept[IllegalArgumentException] {
       Raking.factors(fixture, "d", "f1", "f2",
-        Map(0L -> 4.0), Map(0L -> 6.0, 1L -> 6.0), iters = 1)
+        Map(0L -> 12.0), Map(0L -> 6.0, 1L -> 6.0), iters = 1)
     }
     assert(e.getMessage.contains("missing from raking targets"))
   }
 
-  test("a zero-weight margin category fails loudly") {
+  test("margins that disagree on the population total fail loudly " +
+      "(IPF cannot satisfy both — it would oscillate forever)") {
     val e = intercept[IllegalArgumentException] {
       Raking.factors(fixture, "d", "f1", "f2",
-        Map(0L -> 4.0, 1L -> 8.0, 2L -> 5.0), Map(0L -> 6.0, 1L -> 6.0),
+        Map(0L -> 4.0, 1L -> 8.0), Map(0L -> 0.5, 1L -> 0.5), iters = 1)
+    }
+    assert(e.getMessage.contains("margins disagree"), e.getMessage)
+  }
+
+  test("a zero-weight margin category fails loudly") {
+    // consistent totals (17 = 17); category 2 has no data weight
+    val e = intercept[IllegalArgumentException] {
+      Raking.factors(fixture, "d", "f1", "f2",
+        Map(0L -> 4.0, 1L -> 8.0, 2L -> 5.0), Map(0L -> 8.0, 1L -> 9.0),
         iters = 1)
     }
     assert(e.getMessage.contains("zero weight"))

@@ -243,4 +243,15 @@ class ReplicationSuite extends SparkSpec {
     val s2 = ys.map(y => (y - mu) * (y - mu)).sum / (n - 1)
     assert(math.abs(r.getAs[Double]("var_jk") - s2 / n) < 1e-9)
   }
+  test("poissonBootstrapMean raises on NULL ids (they would get K = 8 " +
+      "in every replicate, shifting all replicate means)") {
+    val df = Seq((Option(1L), 1.0, 1.0), (None: Option[Long], 2.0, 1.0))
+      .toDF("id", "y", "w")
+    val e = intercept[Exception] {
+      Replication.poissonBootstrapMean(df, col("y"), col("w"),
+        col("id"), reps = 4).collect()
+    }
+    assert(e.getMessage.contains("NULL in id column"), e.getMessage)
+  }
+
 }

@@ -86,10 +86,18 @@ object Samplers {
     * (Efraimidis–Spirakis 2006: key = log(u)/w, take top-n;
     * `sample(..., prob=π)`, ipynb:1281-1282). `w` must be > 0. Same
     * independent-uniform tiebreak as [[srsExact]]. */
-  def weightedExact(df: DataFrame, w: Column, n: Int, seed: Long): DataFrame =
-    keepTopNByKey(df, log(rowUniform(df.columns.toSeq, seed)) / w,
+  def weightedExact(df: DataFrame, w: Column, n: Int, seed: Long): DataFrame = {
+    // enforce w > 0 (the scaladoc contract): a NEGATIVE weight flips
+    // log(u)/w positive — the row deterministically beats every valid
+    // (negative) key and is included in EVERY sample; w = 0 gives a
+    // NULL key that is silently never selected. Loud, like ppsPoisson.
+    val wG = when(w.isNull || w <= 0, raise_error(concat(
+      lit("weightedExact: weight must be > 0, got "), w.cast("string"))))
+      .otherwise(w)
+    keepTopNByKey(df, log(rowUniform(df.columns.toSeq, seed)) / wG,
       rowUniform(df.columns.toSeq, seed ^ tieSeedOffset), n,
       descending = true)
+  }
 
   /** Stratified sampling with proportional allocation, exact n_h per
     * stratum: n_h = round(N_h/N · nTotal) (ipynb:604-620). One shuffle
@@ -100,6 +108,13 @@ object Samplers {
     // allocation back as a literal when-chain instead of a join: no
     // self-join lineage, no extra shuffle, works at any data scale.
     val sizes = df.groupBy(stratumCol).agg(count(lit(1)).as("N_h")).collect()
+    // a NULL stratum would inflate `total` while its rows can never
+    // match the when-chain (col === lit(null) is NULL) — every named
+    // stratum under-allocates and the NULL rows vanish, returning a
+    // silently smaller sample. Loud, like the epochMix NULL-domain
+    // contract.
+    sizes.foreach(r => require(!r.isNullAt(0),
+      s"stratifiedExact: NULL in stratum column '$stratumCol'"))
     val total = sizes.map(_.getLong(1)).sum.toDouble
     require(total > 0, "empty input")
     val nh: Column = sizes.foldLeft(lit(0L): Column) { (acc, r) =>
@@ -209,8 +224,16 @@ object Samplers {
     val draw1 = df.withColumn("__s1", (u1 < p).cast("int"))
     val realized = draw1.groupBy(stratumCol)
       .agg(sum(col("__s1")).cast("double").as("__realized"))
-    val factors = realized.join(targets, Seq(stratumCol))
-      .withColumn("__f", col("target") / greatest(col("__realized"), lit(1.0)))
+    // LEFT join + raise: the old inner join silently removed every row
+    // of a stratum absent from `targets` (or with a NULL stratum) —
+    // whole strata vanished from a result whose contract is
+    // df-plus-indicator. A missing target is caller error; say so.
+    val factors = realized.join(targets, Seq(stratumCol), "left")
+      .withColumn("__f",
+        when(col("target").isNull, raise_error(concat(
+          lit("stratifiedBernoulliAdjusted: stratum missing from " +
+            "targets: "), col(stratumCol).cast("string"))))
+          .otherwise(col("target") / greatest(col("__realized"), lit(1.0))))
       .select(col(stratumCol), col("__f"))
     draw1.join(broadcast(factors), Seq(stratumCol))
       .withColumn("selected",
@@ -306,7 +329,14 @@ object Samplers {
   def temperatureMixture(df: DataFrame, groupCol: String, alpha: Double,
                          nTotal: Int, seed: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
-    val counts = df.groupBy(col(groupCol))
+    // a NULL group would count into Z (deflating every named group's
+    // allocation) and then vanish at the inner join below — realized
+    // sample silently smaller than nTotal. Loud, the domainKl/epochMix
+    // NULL-domain contract.
+    val gG = when(col(groupCol).isNull, raise_error(lit(
+      s"temperatureMixture: NULL in group column '$groupCol'")))
+      .otherwise(col(groupCol))
+    val counts = df.groupBy(gG.as(groupCol))
       .agg(count(lit(1)).cast("double").as("__n_g"))
     val weighted = counts.withColumn("__w",
       if (alpha == 0.5) sqrt(col("__n_g"))

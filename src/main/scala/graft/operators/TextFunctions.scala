@@ -14,10 +14,14 @@ object TextFunctions {
   /** Non-overlapping occurrence count of literal `needle` via the
     * length-difference identity (literal `replace`, no regex — identical
     * semantics in every engine). */
-  def occurrences(text: Column, needle: String): Column =
+  def occurrences(text: Column, needle: String): Column = {
+    // an empty needle would divide by zero — a silent NULL count for
+    // every row under non-ANSI division, not an error
+    require(needle.nonEmpty, "occurrences: empty needle")
     ((length(text) -
       length(call_function("replace", text, lit(needle), lit("")))) /
       needle.length).cast("long")
+  }
 
   /** Whitespace token count via the space-counting identity — exact for
     * single-space-separated text, engine-agnostic. */
@@ -91,7 +95,10 @@ object TextFunctions {
                 emailToken: String = "<EMAIL>",
                 urlToken: String = "<URL>"): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val url = "https?://[^ ]+"
+    // [^\\s], not [^ ]: a literal-space-only class runs across
+    // newlines/tabs, deleting real content after a URL in multi-line
+    // docs ("https://x.com\nImportant:" would all become <URL>)
+    val url = "https?://[^\\s]+"
     regexp_replace(regexp_replace(text, email, emailToken), url, urlToken)
   }
 

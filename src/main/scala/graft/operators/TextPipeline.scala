@@ -210,7 +210,13 @@ object TextPipeline {
     val win = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))
+    // a NULL text gives NULL n_tok → NULL bin_id: the doc lands in no
+    // bin and a downstream groupBy/writer quietly sheds it — the exact
+    // silent drop the scaladoc promises not to do. Raise with the id.
+    val textG = when(col(textCol).isNull, raise_error(lit(
+      s"packSequences: NULL in text column '$textCol'")))
+      .otherwise(col(textCol))
+    docs.withColumn("n_tok", TextFunctions.tokenCount(textG))
       .withColumn("__cum", sum(col("n_tok")).over(win))
       .withColumn("bin_id",
         floor((col("__cum") - col("n_tok")) / budget).cast("long"))
@@ -398,8 +404,10 @@ object TextPipeline {
     val cc = docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol), explode(expr(
-        s"transform(sequence(1, length($textCol)), " +
-          s"i -> substring($textCol, i, 1))")).as("__c"))
+        // backtick-quoted: a column name with a space/dot/keyword
+        // would otherwise break the SQL parse (the iqrOutliers rule)
+        s"transform(sequence(1, length(`${textCol.replace("`", "``")}`)), " +
+          s"i -> substring(`${textCol.replace("`", "``")}`, i, 1))")).as("__c"))
       .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__k"))
     val n = cc.groupBy(col(idCol))
       .agg(sum(col("__k")).as("n_chars_dist"),

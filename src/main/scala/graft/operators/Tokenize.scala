@@ -98,7 +98,13 @@ object Tokenize {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        // tie-break under utf8Ordering, NOT Java's UTF-16 code-unit
+        // order: on ties involving supplementary characters the two
+        // orders disagree (surrogates sort below U+E000 in UTF-16 but
+        // above in UTF-8 bytes), and the SQL oracle compares strings
+        // byte-wise — the unigramVocab rule applied to BPE merges
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))._1
         merges += best
         val merged = best._1 + best._2
         syms = syms.map { case (s, n) =>

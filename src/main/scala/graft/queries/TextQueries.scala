@@ -420,7 +420,7 @@ object TextQueries {
                          '@example.com or https://ex.com/' || doc_id || ' thanks',
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                        '<EMAIL>', 'g'),
-                       'https?://[^ ]+', '<URL>', 'g') AS clean
+                       'https?://[^\s]+', '<URL>', 'g') AS clean
               FROM documents ORDER BY doc_id""")),
 
     // ---- C1 document chunking (fixed window, overlap) -----------------

@@ -202,4 +202,38 @@ class SamplersRound10Suite extends SparkSpec {
     }
     assert(e2.getMessage.contains("NULL in domain column"), e2.getMessage)
   }
+  test("r14 guards: non-positive weights, NULL strata/groups, and " +
+      "missing-target strata raise instead of silently biasing") {
+    val negW = Seq((1L, 1.0), (2L, -1.0)).toDF("id", "w")
+    val e1 = intercept[Exception] {
+      Samplers.weightedExact(negW, col("w"), n = 1, seed = 7L).collect()
+    }
+    assert(e1.getMessage.contains("weight must be > 0"), e1.getMessage)
+
+    val nullStratum = Seq((1L, Option("a")), (2L, None: Option[String]))
+      .toDF("id", "h")
+    val e2 = intercept[Exception] {
+      Samplers.stratifiedExact(nullStratum, "h", nTotal = 1, seed = 7L)
+        .collect()
+    }
+    assert(e2.getMessage.contains("NULL in stratum column"), e2.getMessage)
+
+    val e3 = intercept[Exception] {
+      Samplers.temperatureMixture(nullStratum, "h", alpha = 0.5,
+        nTotal = 1, seed = 7L).collect()
+    }
+    assert(e3.getMessage.contains("NULL in group column"), e3.getMessage)
+
+    // a stratum absent from targets used to vanish wholesale (inner
+    // join) — it must now name itself
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "h")
+    val targets = Seq(("a", 1.0)).toDF("h", "target")
+    val e4 = intercept[Exception] {
+      Samplers.stratifiedBernoulliAdjusted(df, "h", "id", lit(0.5),
+        targets, seed = 7L).collect()
+    }
+    assert(e4.getMessage.contains("stratum missing from targets"),
+      e4.getMessage)
+  }
+
 }

@@ -422,4 +422,38 @@ class TextPipelineSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("no <scheme>:// prefix"), e.getMessage)
   }
+  test("redactPii URL redaction stops at ANY whitespace (a literal-space" +
+      "-only class ate newline-separated content after a URL)") {
+    val df = Seq("see https://x.com\nImportant: value").toDF("text")
+    val out = df.select(
+      graft.operators.TextFunctions.redactPii(col("text")).as("c"))
+      .as[String].head()
+    assert(out === "see <URL>\nImportant: value", out)
+  }
+
+  test("packSequences raises on NULL text instead of silently binning " +
+      "the doc nowhere") {
+    val docs = Seq((1L, 0L, Option("a b")), (1L, 1L, None: Option[String]))
+      .toDF("g", "ord", "text")
+    val e = intercept[Exception] {
+      TextPipeline.packSequences(docs, Seq("g"), "ord", "text",
+        budget = 4).collect()
+    }
+    assert(e.getMessage.contains("NULL in text column"), e.getMessage)
+  }
+
+  test("occurrences rejects an empty needle (division by zero would " +
+      "return NULL counts)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextFunctions.occurrences(lit("abc"), "")
+    }
+    assert(e.getMessage.contains("empty needle"))
+  }
+
+  test("charEntropy accepts column names needing quoting") {
+    val df = Seq((1L, "aab")).toDF("id", "text col")
+    val out = TextPipeline.charEntropy(df, "id", "text col").head()
+    assert(out.getLong(1) === 3L && out.getLong(2) === 2L)
+  }
+
 }

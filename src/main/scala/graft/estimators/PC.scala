@@ -47,7 +47,10 @@ final case class PCConfig(
     outcomeModel: Option[String] = None,
     modelType: String = "normal",
     scenario: Int = 1,
-    evalModelPerformance: Boolean = false
+    evalModelPerformance: Boolean = false,
+    /** Broadcast the A side into the fusion join; false = sort-merge
+      * (see RegDIConfig.broadcastA). */
+    broadcastA: Boolean = true
 )
 
 object PC {
@@ -60,10 +63,23 @@ object PC {
       idVarB: String,
       cfg: PCConfig
   ): PCResult = {
-    val fusion = Fusion.fuse(dataA, dataB, idVarA, idVarB)
+    val fusion = Fusion.fuse(dataA, dataB, idVarA, idVarB,
+      broadcastA = cfg.broadcastA)
     val yARaw = cfg.yACol.getOrElse(cfg.yBCol.getOrElse(
       throw new IllegalArgumentException("y_A_col or y_B_col required")))
     val yBRaw = cfg.yBCol.getOrElse(yARaw)
+    // each y column must come from its OWN side: a defaulted y_A_col
+    // that only exists in dataB resolves to the bare B column after
+    // fusion, making ind_var_A ≡ ind_var_B — HT totals over the wrong
+    // row set with no error (r14 review). Same scenario-3 frame note
+    // as RegDI.twoSample: Σŷ sums over this fused frame (PC.R
+    // semantics); use oneTable with a population frame for the
+    // population-denominator estimator.
+    require(dataA.columns.contains(yARaw),
+      s"y_A_col (resolved '$yARaw') is not a column of dataA — pass " +
+        "yACol explicitly")
+    require(dataB.columns.contains(yBRaw),
+      s"y_B_col (resolved '$yBRaw') is not a column of dataB")
     val yA = fusion.fromA.getOrElse(yARaw, yARaw)
     val yB = fusion.fromB.getOrElse(yBRaw, yBRaw)
     val auxA = cfg.auxVars.map(v => fusion.fromA.getOrElse(v, v))

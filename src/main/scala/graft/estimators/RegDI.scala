@@ -40,7 +40,12 @@ final case class RegDIConfig(
     outcomeModel: Option[String] = None,
     modelType: String = "normal",
     correction: Int = 0,
-    evalModelPerformance: Boolean = false
+    evalModelPerformance: Boolean = false,
+    /** Broadcast the (typically survey-sized) A side into the fusion
+      * join. Set false when dataA exceeds broadcast capacity — the
+      * sort-merge escape hatch Fusion.fuse always had but the public
+      * estimator API did not expose (r14 review). */
+    broadcastA: Boolean = true
 )
 
 object RegDI {
@@ -53,7 +58,19 @@ object RegDI {
       idVarB: String,
       cfg: RegDIConfig
   ): RegDIResult = {
-    val fusion = Fusion.fuse(dataA, dataB, idVarA, idVarB)
+    // the y columns must come from their OWN side: a y_A_col absent
+    // from dataA would resolve to the bare B column after fusion and
+    // ind_var_A would mark the B rows (r14 review). NOTE the
+    // correction-3 contract (mirroring RegDI2.R:218 verbatim): the DR
+    // prediction term sums Y_pred over THIS fused A∪B frame — for the
+    // textbook population-frame DR estimator, use oneTable with a
+    // population-coverage frame (the golden-run configuration).
+    require(dataA.columns.contains(cfg.yACol),
+      s"y_A_col '${cfg.yACol}' is not a column of dataA")
+    require(dataB.columns.contains(cfg.yBCol),
+      s"y_B_col '${cfg.yBCol}' is not a column of dataB")
+    val fusion = Fusion.fuse(dataA, dataB, idVarA, idVarB,
+      broadcastA = cfg.broadcastA)
     // side-aware resolution (fixes the reference's cell-10 rename bug)
     val yA = fusion.fromA.getOrElse(cfg.yACol, cfg.yACol)
     val yB = fusion.fromB.getOrElse(cfg.yBCol, cfg.yBCol)
@@ -73,8 +90,13 @@ object RegDI {
       indVarB: String,
       cfg: RegDIConfig
   ): RegDIResult =
+    // the frame count is only the nTotal FALLBACK (cfg.nTotal wins via
+    // orElse) — counting unconditionally was a full extra scan whose
+    // result was discarded whenever the caller supplied N
     run(data, indVarA, indVarB, cfg.yACol, cfg.yBCol, cfg.auxVars,
-      cfg.weightsA, cfg, nTotalDirect = Some(data.count().toDouble))
+      cfg.weightsA, cfg,
+      nTotalDirect =
+        if (cfg.nTotal.isDefined) None else Some(data.count().toDouble))
 
   // ------------------------------------------------------------------
 
@@ -243,6 +265,14 @@ object RegDI {
     require(fit.n >= 2,
       "Not enough validation data in sample A for the measurement-error model")
     val (b0, b1) = (fit.beta(0), fit.beta(1))
+    // a SINGULAR overlap Gram (constant y_B across A∩B) passes n >= 2
+    // but Cramer emits NaN betas — and a near-zero slope turns the
+    // inversion (y_A − b0)/b1 into ±Inf corrected values. Same loud
+    // contract as the n guard.
+    require(java.lang.Double.isFinite(b0) && java.lang.Double.isFinite(b1)
+        && b1 != 0.0,
+      s"degenerate measurement-error fit (b0=$b0, b1=$b1): y_B must " +
+        "vary over the A∩B overlap and the model must be invertible")
 
     val corrected = data
       .withColumn("y_corrected",

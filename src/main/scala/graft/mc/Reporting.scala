@@ -77,9 +77,11 @@ object Reporting {
   /** Cell 42: `aov(Bias ~ factor(Sd) * factor(Gamma) + Estimator)` —
     * Type-I sequential terms in the reference's order. */
   def gridAnova(long: DataFrame): Seq[AnovaRow] = {
-    val sdD = Anova.factorDummies(long, "Sd")
-    val gD = Anova.factorDummies(long, "Gamma")
-    val eD = Anova.factorDummies(long, "Estimator")
+    val dums = Anova.factorDummiesMulti(long,
+      Seq("Sd", "Gamma", "Estimator")) // ONE level-collection scan
+    val sdD = dums("Sd")
+    val gD = dums("Gamma")
+    val eD = dums("Estimator")
     val sgD = for (a <- sdD; b <- gD) yield a * b
     Anova.sequential(long, "Bias", Seq(
       "factor(Sd)" -> sdD,

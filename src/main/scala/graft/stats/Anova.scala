@@ -27,6 +27,15 @@ object Anova {
   def factorDummies(data: DataFrame, c: String): Seq[Column] =
     dummies(c, factorLevels(data, Seq(c))(c))
 
+  /** [[factorDummies]] for several factors from ONE [[factorLevels]]
+    * pass — per-factor calls each re-scan the data for their level set
+    * (gridAnova paid three full scans for three factors, r14 review). */
+  def factorDummiesMulti(data: DataFrame,
+                         cols: Seq[String]): Map[String, Seq[Column]] = {
+    val lv = factorLevels(data, cols)
+    cols.map(c => c -> dummies(c, lv(c))).toMap
+  }
+
   private def dummies(c: String, levels: Seq[String]): Seq[Column] = {
     require(levels.size >= 2, s"factor $c needs ≥2 levels")
     levels.drop(1).map(l => (col(c).cast("string") === l).cast("double"))

@@ -22,7 +22,14 @@ final case class OlsFit(
   def coef(term: String): Double = {
     val off = if (spec.intercept) 1 else 0
     if (term == "(Intercept)") { require(spec.intercept); beta(0) }
-    else beta(spec.terms.indexOf(term) + off)
+    else {
+      // indexOf(-1) + off would silently return the intercept (or,
+      // without one, breeze's negative indexing returns the LAST
+      // coefficient) — a plausible wrong number for a typo'd term
+      val i = spec.terms.indexOf(term)
+      require(i >= 0, s"unknown term '$term'; terms: ${spec.terms.mkString(", ")}")
+      beta(i + off)
+    }
   }
 }
 
@@ -59,14 +66,20 @@ object Ols {
   /** RMSE = sqrt(mean(e²)) and R² = 1 − SSR/SST over `df`
     * (`RegDI2.R:228-235`, `PC.R:331-338`), one pass. */
   def metrics(df: DataFrame, yCol: String, predicted: Column): FitMetrics = {
+    import graft.util.Tables.dsum
+    // whole-row filter first: a null y OR null prediction drops the row
+    // from EVERY sum (a per-term null would understate ssr while n kept
+    // the row); dsum keeps the sums order/partitioning-invariant like
+    // every other estimator pass
+    val rows = df.filter(col(yCol).isNotNull && predicted.isNotNull)
     val e = col(yCol) - predicted
-    val r = df.agg(
-      sum(e * e).as("ssr"), sum(col(yCol)).as("sy"),
-      sum(col(yCol) * col(yCol)).as("syy"), count(col(yCol)).as("n")).head()
-    val ssr = r.getAs[Number]("ssr").doubleValue()
-    val sy = r.getAs[Number]("sy").doubleValue()
-    val syy = r.getAs[Number]("syy").doubleValue()
-    val n = r.getAs[Long]("n").toDouble
+    val r = rows.agg(
+      dsum(e * e).as("ssr"), dsum(col(yCol)).as("sy"),
+      dsum(col(yCol) * col(yCol)).as("syy"), count(col(yCol)).as("n")).head()
+    val ssr = r.getDouble(0)
+    val sy = r.getDouble(1)
+    val syy = r.getDouble(2)
+    val n = r.getLong(3).toDouble
     val sst = syy - sy * sy / n
     FitMetrics(rmse = math.sqrt(ssr / n), r2 = 1.0 - ssr / sst)
   }

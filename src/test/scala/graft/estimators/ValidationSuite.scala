@@ -124,4 +124,42 @@ class ValidationSuite extends SparkSpec {
           outcomeModel = Some("y ~ y"), modelType = "poisson")))
     assert(e2.getMessage.contains("poisson"))
   }
+  test("r14 guards: twoSample rejects y columns absent from their own " +
+      "side; OlsFit.coef rejects unknown terms; a degenerate " +
+      "measurement-error overlap raises instead of returning NaN") {
+    import graft.estimators._
+    val a = Seq((1L, 1.0, 1.0)).toDF("id", "y", "d_w")
+    val b = Seq((1L, 2.0, 0.5)).toDF("id", "yb", "x1")
+    val e1 = intercept[IllegalArgumentException] {
+      RegDI.twoSample(a, b, "id", "id",
+        RegDIConfig(yACol = "nope", yBCol = "yb"))
+    }
+    assert(e1.getMessage.contains("not a column of dataA"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      PC.twoSample(a, b, "id", "id",
+        PCConfig(yBCol = Some("yb"), weightsA = Some("d_w")))
+    }
+    assert(e2.getMessage.contains("not a column of dataA"), e2.getMessage)
+    // unknown term: used to return the intercept (or last coefficient)
+    val df = Seq((1.0, 2.0), (2.0, 3.0), (3.0, 5.0)).toDF("x1", "y")
+    val fit = graft.stats.Ols.fit(df,
+      graft.core.FormulaSpec.parse("y ~ x1"))
+    val e3 = intercept[IllegalArgumentException] { fit.coef("x9") }
+    assert(e3.getMessage.contains("unknown term"), e3.getMessage)
+    // constant y_B over the overlap: singular Gram, NaN betas — raise
+    val pop = Seq(
+      (1L, Some(1.0), Some(5.0), 1.0), (2L, Some(2.0), Some(5.0), 1.0),
+      (3L, Some(3.0), Some(5.0), 1.0), (4L, None, Some(5.0), 1.0))
+      .toDF("id", "ya", "yb", "d_w")
+      .withColumn("indA", col("ya").isNotNull.cast("int"))
+      .withColumn("indB", col("yb").isNotNull.cast("int"))
+    val e4 = intercept[IllegalArgumentException] {
+      RegDI.oneTable(pop, "indA", "indB",
+        RegDIConfig(yACol = "ya", yBCol = "yb", weightsA = Some("d_w"),
+          nTotal = Some(4.0), correction = 2))
+    }
+    assert(e4.getMessage.contains("degenerate measurement-error fit"),
+      e4.getMessage)
+  }
+
 }

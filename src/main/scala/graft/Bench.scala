@@ -8,6 +8,13 @@ import org.apache.spark.sql.SparkSession
   * the very columns being benchmarked. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Locale pin: Spark's lower()/upper() take the non-ASCII slow path
+    // through String.toLowerCase() with the JVM DEFAULT locale, while
+    // the native text expressions and driver-side normalizers use
+    // Locale.ROOT — under tr-TR ('I' -> 'ı') the two renditions of one
+    // document would tokenize differently (r14 review). ROOT here makes
+    // every path agree regardless of host configuration.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

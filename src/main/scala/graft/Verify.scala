@@ -5,6 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Locale pin: Spark's lower()/upper() take the non-ASCII slow path
+    // through String.toLowerCase() with the JVM DEFAULT locale, while
+    // the native text expressions and driver-side normalizers use
+    // Locale.ROOT — under tr-TR ('I' -> 'ı') the two renditions of one
+    // document would tokenize differently (r14 review). ROOT here makes
+    // every path agree regardless of host configuration.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

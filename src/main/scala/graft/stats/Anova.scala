@@ -97,14 +97,32 @@ object Anova {
       Double.NaN, Double.NaN)
   }
 
+  /** Guard shared by both ANOVA entry points: a NULL y corrupts the
+    * moments ASYMMETRICALLY (xx-cells and n count the row, xy/yy skip
+    * it) — beta/RSS/df become mutually inconsistent with no error. R's
+    * aov na.omits whole rows; we fail loudly instead (factor NULLs
+    * already do, via factorLevels). */
+  private def requireY(data: DataFrame, yCol: String): DataFrame =
+    data.withColumn(yCol, when(col(yCol).isNull, raise_error(lit(
+      s"ANOVA: NULL in response column '$yCol'"))).otherwise(col(yCol)))
+
   def twoFactor(data: DataFrame, yCol: String, factorA: String,
                 factorB: String): Seq[AnovaRow] = {
-    val lv = factorLevels(data, Seq(factorA, factorB).distinct)
+    val data0 = requireY(data, yCol)
+    val lv = factorLevels(data0, Seq(factorA, factorB).distinct)
     val aD = dummies(factorA, lv(factorA))
     val bD = dummies(factorB, lv(factorB))
     val abD = for (a <- aD; b <- bD) yield a * b
-    sequential(data, yCol, Seq(
+    // empty (A,B) cells make the interaction block singular; breeze
+    // throws an opaque MatrixSingularException — name the real cause
+    try sequential(data0, yCol, Seq(
       factorA -> aD, factorB -> bD, s"$factorA:$factorB" -> abD))
+    catch {
+      case e: breeze.linalg.MatrixSingularException =>
+        throw new IllegalArgumentException(
+          s"ANOVA design is singular — an empty ($factorA, $factorB) " +
+            "cell or aliased factor level; aggregate or recode first", e)
+    }
   }
 
   /** DataFrame rendition for the query catalog. */
@@ -122,9 +140,10 @@ object Anova {
     * stay on [[twoFactor]] (AnovaSuite's golden-F tests cover them).
     * Requires every a×b cell nonempty and b−1 ≤ [[Det.maxCramerK]],
     * matching the structure of the generated SQL (`AnovaOracle`). */
-  def twoFactorTypeIDf(data: DataFrame, yCol: String, factorA: String,
+  def twoFactorTypeIDf(data0: DataFrame, yCol: String, factorA: String,
                        factorB: String): DataFrame = {
     import graft.util.Tables.dsum
+    val data = requireY(data0, yCol)
     val spark = data.sparkSession
     import spark.implicits._
     val lv = factorLevels(data, Seq(factorA, factorB).distinct)

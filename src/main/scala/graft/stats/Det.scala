@@ -74,6 +74,17 @@ object Det {
               (implicit A: Arith[T]): IndexedSeq[T] = {
     require(a.size == rhs.size, "matrix/rhs size mismatch")
     val d = det(a)
+    // the k > maxCramerK breeze path throws MatrixSingularException; an
+    // unguarded Cramer divide would instead return silent Inf/NaN
+    // coefficients that poison every downstream estimate (r14 review).
+    // T is generic (symbolic renditions build Columns — nothing to test
+    // driver-side); the numeric instantiation is guarded here.
+    d match {
+      case dd: Double =>
+        require(dd != 0.0 && java.lang.Double.isFinite(dd),
+          s"singular system (det = $dd): collinear or constant columns")
+      case _ => ()
+    }
     rhs.indices.map { j =>
       val aj = a.indices.map(r => a(r).updated(j, rhs(r)))
       A.div(det(aj), d)

@@ -64,7 +64,12 @@ object Population {
                      targetSize: Long = 50000): DataFrame = {
     val raw = lit(1.0) / (lit(1.0) + exp(-lit(gamma) * (col("y_i") - lit(center))))
     val withRaw = df.withColumn("pi_raw", raw)
-    val sumRaw = withRaw.agg(sum("pi_raw")).head().getDouble(0)
+    // exact-decimal sum (dsum): a plain double sum is accumulation-
+    // order-dependent, so the normalizer — and through it every pi_B
+    // and any draw comparing a uniform against it — would violate the
+    // module's partition-invariance contract (r14 review)
+    val sumRaw = withRaw.agg(graft.util.Tables.dsum(col("pi_raw")))
+      .head().getDouble(0)
     withRaw.withColumn("pi_B",
       least(col("pi_raw") * (targetSize / sumRaw), lit(1.0))).drop("pi_raw")
   }

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * doubles keeps every subsequent value bit-identical too. All oracle-facing
   * aggregates below use that trick.
   */
+/* Residual parity note (r14 review): for |x| < 0.1 a shortest-repr
+ * double can carry > 18 fractional digits, so the oracle's
+ * DECIMAL(38,18) cast rounds once before the scale-10 round — two
+ * roundings that can disagree with Spark's single HALF_UP round by one
+ * decimal ULP when digits 11-18 are exactly 49999999 followed by >=
+ * half. Probability ~1e-8 per addend; no fixture value hits it (360k-
+ * value fuzz + 14 rounds of full-catalog hash gates). A future
+ * mismatch in a tiny-magnitude sum should look here first. */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

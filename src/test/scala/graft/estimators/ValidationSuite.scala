@@ -158,7 +158,11 @@ class ValidationSuite extends SparkSpec {
         RegDIConfig(yACol = "ya", yBCol = "yb", weightsA = Some("d_w"),
           nTotal = Some(4.0), correction = 2))
     }
-    assert(e4.getMessage.contains("degenerate measurement-error fit"),
+    // the Det-level singular guard (also r14) fires first for an
+    // exactly-singular overlap; the RegDI-level finite/nonzero-slope
+    // guard still covers near-zero finite slopes
+    assert(e4.getMessage.contains("singular system") ||
+      e4.getMessage.contains("degenerate measurement-error fit"),
       e4.getMessage)
   }
 

@@ -39,16 +39,21 @@ object SkewJoin {
 
   /** Per-key frequency profile to decide whether salting is warranted:
     * returns keys holding more than `threshold` of all rows. ONE scan
-    * of `df`: the total comes from summing the (already key-bounded)
-    * grouped counts under an empty-partition window — a separate
-    * `df.count()` action would read the full input a second time
-    * before the groupBy pass reads it again, double I/O on exactly the
-    * 100 TB frames this profiler exists for. */
+    * of `df`: both the per-key counts and their grand total hang off
+    * the same groupBy exchange (Spark's ReuseExchange collapses the
+    * two branches onto one shuffle, so the input is read once — a
+    * separate `df.count()` action would read it twice). The total is
+    * a scalar aggregate crossJoined back as a broadcast 1-row frame,
+    * NOT an empty-partition window: on the high-cardinality key this
+    * profiler exists for, a global window would funnel every grouped
+    * count through ONE task — the exact unsplittable-partition hazard
+    * hotKeys is meant to detect. */
   def hotKeys(df: DataFrame, key: String, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.groupBy(key).agg(count(lit(1)).as("n"))
-      .withColumn("share",
-        col("n") / sum(col("n")).over(Window.partitionBy()).cast("double"))
+    val counts = df.groupBy(key).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__total"))
+      .drop("__total")
       .filter(col("share") > threshold)
       .orderBy(desc("share"))
   }

@@ -695,12 +695,14 @@ object Relational {
       Some("""WITH o1 AS (SELECT count(*) AS n FROM lineitem),
                    x1 AS (SELECT count(*) AS x FROM lineitem l
                           ANTI JOIN orders o
-                            ON o.o_orderkey = l.l_orderkey),
+                            ON o.o_orderkey = l.l_orderkey
+                          WHERE l.l_orderkey IS NOT NULL),
                    o2 AS (SELECT count(*) AS n FROM orders),
                    cs AS (SELECT c_custkey FROM customer
                           WHERE c_custkey % 37 = 1),
                    x2 AS (SELECT count(*) AS x FROM orders o
-                          ANTI JOIN cs ON cs.c_custkey = o.o_custkey)
+                          ANTI JOIN cs ON cs.c_custkey = o.o_custkey
+                          WHERE o.o_custkey IS NOT NULL)
               SELECT 'lineitem_orders' AS chk, o1.n AS n_child,
                      x1.x AS n_orphans, CAST(x1.x = 0 AS INTEGER) AS pass
               FROM o1, x1

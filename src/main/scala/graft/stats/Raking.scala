@@ -36,6 +36,14 @@ object Raking {
     * integer factor columns. `targets1` / `targets2` are the known
     * population margin totals keyed by category value; every category
     * present in the data must appear in its target map.
+    *
+    * `totalTol` is the relative disagreement allowed between the two
+    * margins' population totals. Published margin tables are routinely
+    * rounded to integers, so legitimate inputs disagree by far more
+    * than float noise — the default 1e-3 admits rounding while still
+    * catching the counts-vs-proportions unit mix-up (off by ~N×) that
+    * makes IPF oscillate forever. Tighten it when both margins come
+    * from the same exact frame.
     */
   def factors(
       df: DataFrame,
@@ -44,19 +52,22 @@ object Raking {
       f2Col: String,
       targets1: Map[Long, Double],
       targets2: Map[Long, Double],
-      iters: Int
+      iters: Int,
+      totalTol: Double = 1e-3
   ): RakeFactors = {
     require(iters > 0, "raking needs at least one iteration")
     require(targets1.nonEmpty && targets2.nonEmpty, "empty raking margin")
+    require(totalTol >= 0.0, "totalTol must be non-negative")
     // inconsistent margins (counts vs proportions — a common unit
     // mix-up) make IPF oscillate forever: after the fixed rounds margin
     // 2 matches while every margin-1 total is off by ~Σt1/Σt2, and the
     // wrong weights would return with no error. survey::rake reports
     // non-convergence; here the totals are checkable up front.
     val (s1, s2) = (targets1.values.sum, targets2.values.sum)
-    require(math.abs(s1 - s2) <= 1e-6 * math.max(math.abs(s1), math.abs(s2)),
+    require(math.abs(s1 - s2) <= totalTol * math.max(math.abs(s1), math.abs(s2)),
       s"raking margins disagree on the population total: " +
-        s"margin 1 sums to $s1, margin 2 to $s2 — IPF cannot satisfy both")
+        s"margin 1 sums to $s1, margin 2 to $s2 (relative gap beyond " +
+        s"totalTol=$totalTol) — IPF cannot satisfy both")
     val cells: Map[(Long, Long), Double] = df
       .groupBy(col(f1Col).cast("long").as("f1"), col(f2Col).cast("long").as("f2"))
       .agg(dsum(col(dCol)).as("cw"))

@@ -36,6 +36,17 @@ class SkewJoinSuite extends SparkSpec {
     assert(hot.toSeq === Seq(1L))
   }
 
+  test("hotKeys computes the total without a global window (no " +
+      "single-partition funnel on high-cardinality keys)") {
+    val plan = SkewJoin.hotKeys(big, "k", threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"hotKeys must not route grouped counts through a global window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"expected the 1-row total to come back as a broadcast:\n$plan")
+  }
+
   test("salt spreads the hot key across partitions") {
     val salted = big.withColumn("__salt", (rand(42L) * 8).cast("int"))
     val spread = salted.filter(col("k") === 1L)

@@ -84,6 +84,24 @@ class RakingSuite extends SparkSpec {
     assert(e.getMessage.contains("missing from raking targets"))
   }
 
+  test("margin totals disagreeing within rounding tolerance proceed " +
+      "(published tables rounded to integers are legitimate input)") {
+    // totals 12.0 vs 12.004 — relative gap ~3.3e-4, inside the 1e-3
+    // default; survey::rake would proceed on these, so must we
+    val f = Raking.factors(fixture, "d", "f1", "f2",
+      targets1 = Map(0L -> 4.0, 1L -> 8.0),
+      targets2 = Map(0L -> 6.0, 1L -> 6.004), iters = 1)
+    assert(f.r1.keySet === Set(0L, 1L))
+    // and a caller with exact same-frame margins can opt back in to
+    // the strict check
+    val e = intercept[IllegalArgumentException] {
+      Raking.factors(fixture, "d", "f1", "f2",
+        Map(0L -> 4.0, 1L -> 8.0), Map(0L -> 6.0, 1L -> 6.004),
+        iters = 1, totalTol = 1e-6)
+    }
+    assert(e.getMessage.contains("margins disagree"), e.getMessage)
+  }
+
   test("margins that disagree on the population total fail loudly " +
       "(IPF cannot satisfy both — it would oscillate forever)") {
     val e = intercept[IllegalArgumentException] {

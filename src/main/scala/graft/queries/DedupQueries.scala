@@ -89,6 +89,58 @@ object DedupQueries {
                  FROM ipairs
                  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5)"""
 
+  /** e10's cluster/keeper assignment — the operator under test. */
+  private[graft] def semanticDedupAssign(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Ann.semanticDedup(emb, "vec_id", "embedding", dim = 64,
+      nCells = 8, threshold = 0.45, lloydIters = 2, seed = 7L,
+      scorer = AnnQueries.cosineExact)
+
+  /** e10's recall denominator: the exact near-dup pair set, produced by
+    * the PRODUCTION bucketed-LSH path. At (bits=6, tables=64) /
+    * threshold 0.45 / cosineExact the LSH pair set equals
+    * [[Ann.nearDupExact]]'s on this fixture at every graded SF — the
+    * equality is re-proved by e02's all-pairs DuckDB oracle each round
+    * (same fixture, same shape, same scorer) and pinned in AnnSuite —
+    * so no cartesian ever enters e10's timed plan. */
+  private[graft] def exactPairsViaLsh(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Ann.nearDupLsh(AnnQueries.spreadForExpr(emb), "vec_id", "embedding",
+        dim = 64, threshold = 0.45, bits = 6, tables = 64,
+        scorer = AnnQueries.cosineExact)
+      .select("id_a", "id_b")
+
+  /** e10's one-row invariant summary over the assignment + pair set
+    * (keeper rule, same-cluster pair recall). Lazy — shared by the
+    * graded query (which persists its inputs and collects) and
+    * PlanSuite's cartesian-free pin. */
+  private[graft] def semanticDedupSummary(
+      out: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ca = out.select(col("id").as("id_a"), col("cluster").as("cl_a"))
+    val cb = out.select(col("id").as("id_b"), col("cluster").as("cl_b"))
+    val pairEval = exact.join(ca, "id_a").join(cb, "id_b")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum((col("cl_a") === col("cl_b")).cast("long"))
+          .as("n_same_cluster"))
+    val keeperEval = out.groupBy("cluster")
+      .agg(sum(col("keep").cast("long")).as("k"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum((col("k") === 1).cast("long")).as("n_one_keeper"))
+    out
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .crossJoin(broadcast(keeperEval))
+      .crossJoin(broadcast(pairEval))
+      .select(col("n_rows"), col("n_kept"), col("n_clusters"),
+        (col("n_one_keeper") === col("n_clusters"))
+          .as("keeper_rule_ok"),
+        col("n_exact_pairs"), col("n_same_cluster"),
+        (col("n_same_cluster").cast("double") /
+          greatest(col("n_exact_pairs"), lit(1L)).cast("double"))
+          .as("pair_recall"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- D2 exact n-gram Jaccard on consecutive-id pairs --------------
@@ -253,11 +305,20 @@ object DedupQueries {
     // rank-1 keeper), but k-means can't be SQL-oracled — the graded row
     // carries the invariants instead, each recomputed in-query:
     // structure (one row per vector, exactly one keeper per cluster)
-    // and the honest quality number, same-cluster recall of the EXACT
-    // all-pairs near-dup set. The pipeline ITSELF is hash-graded via
+    // and the honest quality number, same-cluster recall of the exact
+    // near-dup pair set. The recall DENOMINATOR is computed via the
+    // production bucketed-LSH path (r14 verdict: the old in-query
+    // all-pairs nearDupExact leg was the one unbounded cartesian in a
+    // timed query): at shape (6, 64) / threshold 0.45 / cosineExact the
+    // LSH pair set EQUALS nearDupExact's on this fixture at every
+    // graded SF — e02's DuckDB all-pairs oracle re-proves that equality
+    // each round and AnnSuite pins it — so the denominator stays exact
+    // while the timed plan is cartesian-free (PlanSuite pins it via
+    // the lazy builder below). The pipeline ITSELF is hash-graded via
     // e31_semdedup_portable (AnnQueries.semDedupPortable — md5-literal
     // centroids, same scoped-pair/CC/keeper control flow, full DuckDB
-    // oracle), so only the k-means centroids stay suite-pinned. HONESTY NOTE on that recall: this
+    // oracle), so only the k-means centroids stay suite-pinned.
+    // HONESTY NOTE on that recall: this
     // fixture's planted pairs top out at cos ≈ 0.48–0.51 (≈ 61°) —
     // far below SemDeDup's ~0.95 operating regime — so 8-cell scoping
     // finds ~0.3–0.45 of them (measured sweep: nCells 1/2/4/8 →
@@ -270,36 +331,11 @@ object DedupQueries {
       (s, d) => {
         import org.apache.spark.storage.StorageLevel
         val emb = load(s, d, "embeddings")
-        val out = Ann.semanticDedup(emb, "vec_id", "embedding", dim = 64,
-            nCells = 8, threshold = 0.45, lloydIters = 2, seed = 7L,
-            scorer = AnnQueries.cosineExact)
+        val out = semanticDedupAssign(emb)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val exact = Ann.nearDupExact(emb, "vec_id", "embedding", 0.45,
-            scorer = AnnQueries.cosineExact)
-          .select("id_a", "id_b") // DECLARED O(n²) oracle, like e02's
+        val exact = exactPairsViaLsh(emb)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val ca = out.select(col("id").as("id_a"), col("cluster").as("cl_a"))
-        val cb = out.select(col("id").as("id_b"), col("cluster").as("cl_b"))
-        val pairEval = exact.join(ca, "id_a").join(cb, "id_b")
-          .agg(count(lit(1)).as("n_exact_pairs"),
-            sum((col("cl_a") === col("cl_b")).cast("long"))
-              .as("n_same_cluster"))
-        val keeperEval = out.groupBy("cluster")
-          .agg(sum(col("keep").cast("long")).as("k"))
-          .agg(count(lit(1)).as("n_clusters"),
-            sum((col("k") === 1).cast("long")).as("n_one_keeper"))
-        val summary = out
-          .agg(count(lit(1)).as("n_rows"),
-            sum(col("keep").cast("long")).as("n_kept"))
-          .crossJoin(broadcast(keeperEval))
-          .crossJoin(broadcast(pairEval))
-          .select(col("n_rows"), col("n_kept"), col("n_clusters"),
-            (col("n_one_keeper") === col("n_clusters"))
-              .as("keeper_rule_ok"),
-            col("n_exact_pairs"), col("n_same_cluster"),
-            (col("n_same_cluster").cast("double") /
-              greatest(col("n_exact_pairs"), lit(1L)).cast("double"))
-              .as("pair_recall"))
+        val summary = semanticDedupSummary(out, exact)
         // eager materialize + finally-guarded unpersist (round-9 cache
         // discipline): the summary is ONE row
         val rows =

@@ -390,6 +390,27 @@ class PlanSuite extends SparkSpec {
       p.take(2000))
   }
 
+  test("e10: recall denominator is the bucketed LSH pair set — no " +
+      "all-pairs leg anywhere in the timed plan (r14 verdict)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the denominator leg alone must be pure equi-join machinery: the
+    // old nearDupExact leg planned as a theta join (CartesianProduct,
+    // or BroadcastNestedLoopJoin at broadcastable SFs — equally
+    // unbounded at 100×)
+    val pairs = graft.queries.DedupQueries.exactPairsViaLsh(emb)
+      .queryExecution.executedPlan.toString
+    assert(!pairs.contains("CartesianProduct") &&
+      !pairs.contains("BroadcastNestedLoopJoin"), pairs.take(3000))
+    // the full lazy summary: no CartesianProduct; the only
+    // nested-loop joins are the declared broadcast 1-row invariant
+    // crossJoins (each feeds from a single-row aggregate)
+    val full = graft.queries.DedupQueries.semanticDedupSummary(
+        graft.queries.DedupQueries.semanticDedupAssign(emb),
+        graft.queries.DedupQueries.exactPairsViaLsh(emb))
+      .queryExecution.executedPlan.toString
+    assert(!full.contains("CartesianProduct"), full.take(3000))
+  }
+
   test("e31: pair search is a cell equi-join (never all-pairs), census " +
       "partial-aggs, and the graded path leaves no cache entries") {
     import org.apache.spark.sql.functions.col

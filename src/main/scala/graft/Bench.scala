@@ -81,9 +81,14 @@ object Bench {
     val heavySentinelName = "t27_char_entropy"
     val sentinelFn = SparkEntry.queries.get(sentinelName)
     val heavyFn = SparkEntry.queries.get(heavySentinelName)
+    // Each drift entry also carries its GLOBAL position on the run's
+    // query timeline (pass-1 queries occupy [0, n), pass-2 [n, 2n),
+    // the end probe sits at 2n) so per-query normalization below can
+    // linearly interpolate the sentinel level at the moment each
+    // query actually ran.
     val drift =
-      scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
-    def probeDrift(at: String): Unit = sentinelFn.foreach { fn =>
+      scala.collection.mutable.ArrayBuffer[(String, Int, Double, Double, Double)]()
+    def probeDrift(at: String, pos: Int): Unit = sentinelFn.foreach { fn =>
       // a crashing sentinel records -1 (the query-timing convention):
       // logging its time-to-crash would read as "sentinel flat" and
       // steer the drift-vs-regression verdict exactly backwards
@@ -96,9 +101,10 @@ object Bench {
       }
       val sec = run(fn)
       val heavySec = heavyFn.map(run).getOrElse(-1.0)
-      drift += ((at, sec, heavySec, loadAvg()))
+      drift += ((at, pos, sec, heavySec, loadAvg()))
     }
     val loadStart = loadAvg()
+    val nSel = selected.size
     def runPass(pass: Int): Seq[(String, Double)] = {
       // Each pass starts memo-cold: the shared ANN exact oracle
       // (AnnQueries.exactMemo, paid by whichever e-query runs first)
@@ -106,13 +112,13 @@ object Bench {
       // reported min-of-2 understates the declared validation cost.
       graft.queries.AnnQueries.clearExactMemo()
       selected.zipWithIndex.map { case ((name, fn), i) =>
-        if (i % 50 == 0) probeDrift(f"p${pass}_q$i%03d")
+        if (i % 50 == 0) probeDrift(f"p${pass}_q$i%03d", (pass - 1) * nSel + i)
         name -> time(name, fn)
       }
     }
     val firstPass = runPass(1)
     val secondPass = runPass(2)
-    probeDrift("end")
+    probeDrift("end", 2 * nSel)
     val loadEnd = loadAvg()
     val results = firstPass.zip(secondPass).map { case ((name, a), (_, b)) =>
       // A first-pass crash stays -1 even if the rerun succeeds (same
@@ -124,6 +130,56 @@ object Bench {
         System.err.println(f"[bench] $name passes $a%.2fs / $b%.2fs -> reported ${best}%.2fs")
       name -> best
     }
+    // SENTINEL-NORMALIZED SERIES (r14 verdict task 3): two consecutive
+    // graded benches ran under host contention and each cost a
+    // judge/builder cycle re-attributing uniform drift. Alongside every
+    // raw min, record min / f where f is the geometric mean of the two
+    // sentinel ratios (cheap-scan a01, heavy-class t27) linearly
+    // interpolated to the position — within the pass that produced the
+    // min — at which the query ran. At the graded sf0.1 the ratio
+    // denominators are PINNED quiet-session references (round-14
+    // measured minimums: a01 0.23 s, t27 2.51 s), making `total_norm`
+    // comparable across rounds regardless of host load; at other SFs no
+    // pinned reference exists, so the run's own sentinel minimum is the
+    // unit (removes within-run drift only; source is recorded). The
+    // normalization is a LENS, not the grade — raw totals stay primary,
+    // and a ratio can undershoot 1 on a quiet host (not clipped: a
+    // clipped series could only ever flatter the run).
+    def interp(series: IndexedSeq[(Int, Double)], pos: Int): Double = {
+      val right = series.indexWhere(_._1 >= pos)
+      if (right < 0) series.last._2
+      else if (right == 0) series.head._2
+      else {
+        val (p1, v1) = series(right - 1); val (p2, v2) = series(right)
+        if (p2 == p1) v2 else v1 + (v2 - v1) * (pos - p1).toDouble / (p2 - p1)
+      }
+    }
+    val a01Series = drift.collect { case (_, p, s, _, _) if s > 0 => (p, s) }
+      .sortBy(_._1).toIndexedSeq
+    val heavySeries = drift.collect { case (_, p, _, h, _) if h > 0 => (p, h) }
+      .sortBy(_._1).toIndexedSeq
+    val sfName = new java.io.File(sfDir).getName
+    val (a01Ref, heavyRef, refSource) =
+      if (sfName == "sf0.1") (0.23, 2.51, "pinned_r14_quiet")
+      else (a01Series.map(_._2).minOption.getOrElse(1.0),
+        heavySeries.map(_._2).minOption.getOrElse(1.0), "run_min")
+    def sentinelFactor(pos: Int): Double = {
+      val r1 = if (a01Series.nonEmpty && a01Ref > 0)
+        interp(a01Series, pos) / a01Ref else 1.0
+      val r2 = if (heavySeries.nonEmpty && heavyRef > 0)
+        interp(heavySeries, pos) / heavyRef else 1.0
+      math.sqrt(math.max(r1, 1e-9) * math.max(r2, 1e-9))
+    }
+    val normByName: Map[String, Double] = results.zipWithIndex.map {
+      case ((name, v), i) =>
+        if (v < 0) name -> -1.0
+        else {
+          val (a, b) = (firstPass(i)._2, secondPass(i)._2)
+          val minPass = if (a < 0 || b < 0 || a <= b) 1 else 2
+          name -> v / sentinelFactor((minPass - 1) * nSel + i)
+        }
+    }.toMap
+    val totalNorm = normByName.values.filter(_ >= 0).sum
     // The harness that consumes this output keeps only the LAST ~2000
     // chars, and sbt appends its own "[success] Total time" line after
     // ours — a single line carrying all 200 per-query timings (~2400
@@ -160,18 +216,19 @@ object Bench {
     val pass2Map = secondPass.toMap
     val fullQs = results.map { case (k, v) =>
       "\"" + k + "\":{\"min\":" + v + ",\"run1\":" + passMap(k) +
-        ",\"run2\":" + pass2Map(k) + "}"
+        ",\"run2\":" + pass2Map(k) + ",\"norm\":" + normByName(k) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val sfName = new java.io.File(sfDir).getName
     // Best-effort full-JSON files: must never prevent the primary lines
     // from printing (an unwritable path would otherwise void the run).
-    val driftJson = drift.map { case (at, sec, heavySec, ld) =>
-      s"""{"at":"$at","sec":${fmt(sec)},"heavy_sec":${fmt(heavySec)},""" +
-        s""""load":${fmt(ld)}}"""
+    val driftJson = drift.map { case (at, pos, sec, heavySec, ld) =>
+      s"""{"at":"$at","pos":$pos,"sec":${fmt(sec)},""" +
+        s""""heavy_sec":${fmt(heavySec)},"load":${fmt(ld)}}"""
     }.mkString("[", ",", "]")
-    val fullJson = s"""{"sf":"$sfDir","total":${fmt(total)},"failed":$failed,""" +
+    val fullJson = s"""{"sf":"$sfDir","total":${fmt(total)},""" +
+      s""""total_norm":${fmt(totalNorm)},"failed":$failed,""" +
+      s""""norm_ref":{"a01":$a01Ref,"heavy":$heavyRef,"source":"$refSource"},""" +
       s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
       s""""sentinel":"$sentinelName","heavy_sentinel":"$heavySentinelName",""" +
       s""""drift":$driftJson,"queries":$fullQs}"""
@@ -213,7 +270,7 @@ object Bench {
       if (perQuery.length <= 1500) s""""queries":$perQuery"""
       else s""""families":$fams"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"nq":${results.size},$detail$fullField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"norm":${fmt(totalNorm)},"norm_src":"$refSource","unit":"sec","failed":$failed,"nq":${results.size},$detail$fullField,"sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars > 1800 — may be truncated by the harness tail window")
     println(line)

@@ -733,21 +733,31 @@ object MiscQueries {
       },
       None),
 
-    // ---- A15 HLL approximate distinct (sketch; rows-only + spec) ------
-    // Self-validating like a18/a19: the row carries the exact distinct,
-    // the realized relative error, and the 5σ bound check (rsd = 0.02
-    // is HLL's standard deviation; same 5× slack as the Bloom fpp),
-    // so the driver's rows-only check sees a load-bearing invariant.
+    // ---- A15 HLL approximate distinct (sketch; FULL hash oracle) ------
+    // r14-verdict task 5: unlike CMS/Bloom (a18/a19, whose point is the
+    // data structure), approx_count_distinct has an exactly computable,
+    // DuckDB-replayable target — so a15 is hash-graded. The graded row
+    // carries the exact distinct and row count (replayed verbatim by
+    // the oracle) plus the 5σ bound check as a boolean the oracle pins
+    // to TRUE (rsd = 0.02 is HLL's standard deviation; same 5× slack
+    // as the Bloom fpp): a regression in the sketch path — wrong
+    // column, wrong rsd, a broken merge — either shifts exact_orders
+    // or flips within_5sigma, and the hash catches both. The REALIZED
+    // relative error is a function of HLL++ internals (engine-specific,
+    // so it cannot ride a hash-graded row); SketchSuite asserts it
+    // ≤ the bound and prints it at two SFs.
     Q("a15_approx_distinct",
       (s, d) => load(s, d, "lineitem").agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"),
           count(lit(1)).as("n_rows"))
-        .withColumn("rel_err",
-          abs(col("approx_orders") - col("exact_orders")).cast("double") /
-            col("exact_orders"))
-        .withColumn("within_5sigma", col("rel_err") <= lit(0.10)),
-      None),
+        .select(col("n_rows"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= lit(0.10)).as("within_5sigma")),
+      Some("""SELECT count(*) AS n_rows,
+                     count(DISTINCT l_orderkey) AS exact_orders,
+                     true AS within_5sigma
+              FROM lineitem""")),
 
     // ---- W2 session windows (gap-based) over events -------------------
     // Spark session_window vs a DuckDB gaps-and-islands rendition: a new

@@ -20,6 +20,26 @@ class SketchSuite extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("a15's realized HLL relative error stays within the graded 5σ " +
+      "bound at two SFs (the engine-specific number the hash-graded " +
+      "boolean pins; r14-verdict task 5)") {
+    // the graded row only carries the boolean; the suite is where the
+    // realized error is visible and asserted against the same bound
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val r = load(spark, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact")).head()
+      val relErr = math.abs(r.getLong(0).toDouble - r.getLong(1)) /
+        r.getLong(1)
+      info(f"$d: rel_err = $relErr%.5f (bound 0.10)")
+      assert(relErr <= 0.10, s"$d: rel_err $relErr exceeds the 5σ bound")
+      // and the graded query itself must report the pinned invariant
+      val row = Catalog.queries("a15_approx_distinct")(spark, d).head()
+      assert(row.getAs[Boolean]("within_5sigma"),
+        s"$d: graded within_5sigma flipped false")
+    }
+  }
+
   test("percentile is deterministic across partitionings") {
     val li = load(spark, sf, "lineitem")
     def p50(parts: Int) = li.repartition(parts)

@@ -59,6 +59,31 @@ object MonteCarlo {
       .toDF()
   }
 
+  /** Portable-twin grid (o04): replicates × gamma values, each carrying
+    * its gamma INDEX so the per-cell seed base is integer-derivable in
+    * both engines (the nmarGrid seed scheme, without the Long seed the
+    * SQL side cannot thread through generate_series cleanly). */
+  def portableGrid(nSim: Int, gammas: Seq[Double],
+                   nPop: Int): Seq[PortableConfig] =
+    for {
+      (g, gi) <- gammas.zipWithIndex
+      s <- 1 to nSim
+    } yield PortableConfig(s, gi, g, nPop)
+
+  /** Fan the portable grid out — the SAME fan-out shape as [[run]]
+    * (grid Dataset → repartition → task-local flatMap → SimResult
+    * rows), but over [[PortableSim.simulate]]'s engine-exact
+    * arithmetic, so the assembled rows are DuckDB-replayable and o04
+    * hash-grades this very code path. */
+  def runPortable(spark: SparkSession, grid: Seq[PortableConfig]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(grid)
+      .repartition(math.min(grid.size,
+        spark.sparkContext.defaultParallelism * 2))
+      .flatMap(PortableSim.simulate)
+      .toDF()
+  }
+
   /** Fan the grid out; one task-local simulation per config. */
   def run(spark: SparkSession, grid: Seq[SimConfig]): DataFrame = {
     import spark.implicits._

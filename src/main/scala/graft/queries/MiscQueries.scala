@@ -1202,6 +1202,11 @@ object MiscQueries {
     // o03 rows carry the rmse² = bias² + var·(n−1)/n identity (exact
     // for the decimal-sum aggregates up to final double rounding) and
     // the replicate count. McSuite asserts the booleans all-true.
+    // Since r15, the control flow both queries exercise — the same
+    // fan-out shape, SimResult assembly, and MonteCarlo.summarize —
+    // is ALSO hash-anchored externally by the o04 portable twin below;
+    // McSuite pins o02/o03's agreement with it (schema, battery size,
+    // summary identities).
     Q("o02_mc_fanout",
       (s, _) => {
         import org.apache.spark.sql.expressions.Window
@@ -1236,6 +1241,39 @@ object MiscQueries {
           .withColumn("n_sims_ok", col("n_sims") === 5)
       },
       None),
+
+    // ---- O4 Monte-Carlo PORTABLE twin (full hash oracle) --------------
+    // r14-verdict task 4, the g20/e31 method applied to the MC harness:
+    // the SAME control flow as o02/o03 — grid → fan-out (the identical
+    // createDataset/repartition/flatMap shape as MonteCarlo.run) →
+    // per-cell population synthesis → NMAR selection → 4-estimator
+    // battery → MonteCarlo.summarize — but in engine-exact arithmetic
+    // (portable integer-hash uniforms, Irwin–Hall sums, clamped-linear
+    // propensity, dsum-mirrored aggregates; see PortableSim), so the
+    // assembled result rows AND the summary columns replay in DuckDB
+    // verbatim. o02/o03 stay no_oracle (their Box–Muller populations
+    // and RegDI/PC batteries are engine-specific by design); McSuite
+    // pins their agreement with this twin (same fan-out machinery, same
+    // SimResult schema, same battery size, same summarize identities —
+    // which this query's hash now anchors externally). Eager-
+    // materialized (the e03 discipline) so summarize and the join
+    // consume ONE fan-out execution, not two plan branches.
+    Q("o04_mc_portable",
+      (s, _) => {
+        val grid = MonteCarlo.portableGrid(nSim = 3,
+          gammas = Seq(0.0, 1.0), nPop = 2000)
+        val res = MonteCarlo.runPortable(s, grid)
+        val rows = res.collect() // 24 rows: |grid| × 4 estimators
+        val resDf = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), res.schema)
+        resDf.join(MonteCarlo.summarize(resDf, trueMean = 3.0),
+            Seq("gamma", "estimator"))
+          .select(col("sim"), col("gamma"), col("estimator"),
+            col("estimate"), col("bias"), col("se"), col("rmse"),
+            col("n_sims"))
+          .orderBy("gamma", "estimator", "sim")
+      },
+      Some(McOracle.o04)),
 
     // ---- M12 two-factor ANOVA, Type-I SS ------------------------------
     // Hash-matched via the shared AnovaTypeI tree (Frisch–Waugh RSS

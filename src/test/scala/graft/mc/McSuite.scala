@@ -77,6 +77,53 @@ class McSuite extends SparkSpec {
     assert(o03.count() === 3 * 4) // 3 γ × 4 estimators
   }
 
+  test("o04 twin: the distributed fan-out reproduces the driver-side " +
+      "replay bit-for-bit (o02's fan-out machinery, hash-anchored)") {
+    val grid = MonteCarlo.portableGrid(nSim = 3, gammas = Seq(0.0, 1.0),
+      nPop = 2000)
+    val fanned = MonteCarlo.runPortable(spark, grid).as[SimResult]
+      .collect().sortBy(r => (r.gamma, r.estimator, r.sim)).toSeq
+    val local = grid.flatMap(PortableSim.simulate)
+      .sortBy(r => (r.gamma, r.estimator, r.sim))
+    assert(fanned === local,
+      "flatMap fan-out diverged from the sequential replay")
+  }
+
+  test("o02/o03 agreement with the o04 twin: same fan-out result " +
+      "schema, same battery size per cell, same summarize identities " +
+      "(r14-verdict task 4 pins)") {
+    import org.apache.spark.sql.functions.{abs => sabs, col, lit, max => smax}
+    val grid = MonteCarlo.portableGrid(nSim = 3, gammas = Seq(0.0, 1.0),
+      nPop = 2000)
+    val twin = MonteCarlo.runPortable(spark, grid).cache()
+    try {
+      // schema agreement: the twin's assembled rows are the production
+      // fan-out's SimResult schema, column for column
+      assert(twin.schema === results.toDF().schema,
+        "o04 twin schema diverged from MonteCarlo.run's")
+      // battery agreement: 4 estimators per (gamma, sim) cell, like o02
+      val cells = twin.groupBy("gamma", "sim").count().collect()
+      assert(cells.length === 6 && cells.forall(_.getAs[Long]("count") == 4L))
+      // o03's identity invariant holds on the twin's summary — and is
+      // now ALSO hash-anchored externally via o04's DuckDB oracle
+      val summ = MonteCarlo.summarize(twin, trueMean = 3.0)
+      val gap = summ.agg(smax(sabs(col("rmse") * col("rmse") -
+        (col("bias") * col("bias") +
+          col("se") * col("se") * (col("n_sims") - 1) / col("n_sims")))))
+        .head().getDouble(0)
+      assert(gap <= 1e-9, s"summarize identity gap $gap on the twin")
+      // and the twin's battery behaves like a battery, not arithmetic
+      // soup: at γ=1 the naive B mean is biased up, the regression and
+      // DR estimators correct most of it, the A-sample mean stays clean
+      val m = summ.collect().map(r => (r.getAs[Double]("gamma"),
+        r.getAs[String]("estimator")) -> r.getAs[Double]("bias")).toMap
+      assert(m((1.0, "Mean_S_B")) > 0.02, "no NMAR tilt at gamma=1")
+      assert(math.abs(m((1.0, "Reg_X1"))) < m((1.0, "Mean_S_B")),
+        "regression adjustment did not reduce the NMAR bias")
+      assert(math.abs(m((1.0, "Mean_S_A"))) < 0.05)
+    } finally twin.unpersist()
+  }
+
   test("RegDI linearization SE matches the Monte-Carlo spread (variance validation)") {
     // Empirical truth: spread of the point estimate over 100 replicates
     val cfgOf = (i: Int) => SimConfig(i, 0.5, 5000L + i, 20000, 800, 5000)

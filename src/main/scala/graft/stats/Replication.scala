@@ -157,8 +157,13 @@ object Replication {
     * bootstrap cost), but everything after is ONE partial-aggregable
     * groupBy(r) of O(R) state — no resampled copies are materialized.
     */
-  def poissonBootstrapMean(df: DataFrame, y: Column, w: Column,
-                           idCol: Column, reps: Int): DataFrame = {
+  /** The ×(R+1) expansion + ONE grouped pass behind
+    * [[poissonBootstrapMean]], exposed lazily (R+1 rows, uncollected)
+    * so BootstrapScaleProbe can pin the plan shape — partial agg,
+    * broadcast expansion, no cartesian — without running it. */
+  private[graft] def poissonBootstrapMeanPlan(
+      df: DataFrame, y: Column, w: Column,
+      idCol: Column, reps: Int): DataFrame = {
     require(reps > 0, s"bootstrap needs at least one replicate, got $reps")
     val spark = df.sparkSession
     // sentinel replicate __r = -1 carries K ≡ 1, so the FULL-SAMPLE
@@ -183,12 +188,18 @@ object Replication {
         when(u < lit(c), lit(i.toDouble)).otherwise(acc)
       }
     val k = when(col("__r") === lit(-1L), lit(1.0)).otherwise(k0)
+    df.crossJoin(broadcast(repsDf))
+      .groupBy("__r")
+      .agg(dsum(k * w * y).as("tr"), dsum(k * w).as("wr"))
+  }
+
+  def poissonBootstrapMean(df: DataFrame, y: Column, w: Column,
+                           idCol: Column, reps: Int): DataFrame = {
+    val spark = df.sparkSession
     // R+1 bounded rows: materialize ONCE as a local relation so the
     // replicate/total split below cannot re-execute the ×R expansion
     // per branch (the p20 union-re-executes-agg lesson)
-    val rtAll = df.crossJoin(broadcast(repsDf))
-      .groupBy("__r")
-      .agg(dsum(k * w * y).as("tr"), dsum(k * w).as("wr"))
+    val rtAll = poissonBootstrapMeanPlan(df, y, w, idCol, reps)
     val rtRows = rtAll.collect()
     val local = spark.createDataFrame(
       java.util.Arrays.asList(rtRows: _*), rtAll.schema)

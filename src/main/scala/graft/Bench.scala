@@ -159,10 +159,25 @@ object Bench {
     val heavySeries = drift.collect { case (_, p, _, h, _) if h > 0 => (p, h) }
       .sortBy(_._1).toIndexedSeq
     val sfName = new java.io.File(sfDir).getName
-    val (a01Ref, heavyRef, refSource) =
+    // The pinned references are a UNIT tied to the sentinel queries'
+    // round-14 code: if a01_sum_global or t27_char_entropy themselves
+    // are ever optimized (or regressed), re-pin these constants in the
+    // same change, or every query's norm silently rescales. The
+    // staleness flag below makes that misread detectable from the
+    // artifact: a sentinel running >30% FASTER than its pinned quiet
+    // minimum can only mean the sentinel's own code changed.
+    val (a01Ref0, heavyRef0, refSource0) =
       if (sfName == "sf0.1") (0.23, 2.51, "pinned_r14_quiet")
       else (a01Series.map(_._2).minOption.getOrElse(1.0),
         heavySeries.map(_._2).minOption.getOrElse(1.0), "run_min")
+    val refsStale = refSource0 == "pinned_r14_quiet" &&
+      (a01Series.map(_._2).minOption.exists(_ < 0.7 * a01Ref0) ||
+        heavySeries.map(_._2).minOption.exists(_ < 0.7 * heavyRef0))
+    if (refsStale) System.err.println(
+      "[bench] WARNING: a sentinel ran >30% below its pinned quiet " +
+        "reference — sentinel code changed? Re-pin norm refs.")
+    val (a01Ref, heavyRef, refSource) = (a01Ref0, heavyRef0,
+      if (refsStale) refSource0 + "(stale?)" else refSource0)
     def sentinelFactor(pos: Int): Double = {
       val r1 = if (a01Series.nonEmpty && a01Ref > 0)
         interp(a01Series, pos) / a01Ref else 1.0

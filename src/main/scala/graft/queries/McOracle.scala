@@ -92,7 +92,8 @@ object McOracle {
                      / count(*)) AS rmse,
                 count(*) AS n_sims
          FROM est GROUP BY gamma, estimator)
-       SELECT CAST(e.sim AS INTEGER) AS sim, e.gamma, e.estimator,
+       SELECT CAST(e.sim AS INTEGER) AS sim,
+              CAST(e.gamma AS DOUBLE) AS gamma, e.estimator,
               e.estimate, s.bias, s.se, s.rmse, s.n_sims
        FROM est e JOIN summary s USING (gamma, estimator)
        ORDER BY gamma, estimator, sim"""

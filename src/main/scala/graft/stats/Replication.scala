@@ -142,21 +142,6 @@ object Replication {
 
   private val portableP = 100000007L
 
-  /** Poisson bootstrap mean + replicate variance (Hanley & MacGibbon
-    * 2006; the streaming-friendly bootstrap): replicate r reweights each
-    * element by an independent Poisson(1) draw K_ri, so no resample
-    * index structure is ever built — θ_r = Σ K·w·y / Σ K·w and
-    * V̂ = (1/R)·Σ (θ_r − θ̂)².
-    *
-    * The draws are DETERMINISTIC: u_ri comes from the engine-portable
-    * multiplicative hash of (id, r) mod 1e8+7 and K from the inverse
-    * CDF over [[poisson1Cum]] (capped at 8, tail mass 1e-6) — the same
-    * arithmetic reruns bit-identically in any engine, which is what
-    * makes a bootstrap hash-checkable at all. Scale shape: the cross
-    * join with the R-row replicate frame expands rows ×R (the inherent
-    * bootstrap cost), but everything after is ONE partial-aggregable
-    * groupBy(r) of O(R) state — no resampled copies are materialized.
-    */
   /** The ×(R+1) expansion + ONE grouped pass behind
     * [[poissonBootstrapMean]], exposed lazily (R+1 rows, uncollected)
     * so BootstrapScaleProbe can pin the plan shape — partial agg,
@@ -193,6 +178,21 @@ object Replication {
       .agg(dsum(k * w * y).as("tr"), dsum(k * w).as("wr"))
   }
 
+  /** Poisson bootstrap mean + replicate variance (Hanley & MacGibbon
+    * 2006; the streaming-friendly bootstrap): replicate r reweights each
+    * element by an independent Poisson(1) draw K_ri, so no resample
+    * index structure is ever built — θ_r = Σ K·w·y / Σ K·w and
+    * V̂ = (1/R)·Σ (θ_r − θ̂)².
+    *
+    * The draws are DETERMINISTIC: u_ri comes from the engine-portable
+    * multiplicative hash of (id, r) mod 1e8+7 and K from the inverse
+    * CDF over [[poisson1Cum]] (capped at 8, tail mass 1e-6) — the same
+    * arithmetic reruns bit-identically in any engine, which is what
+    * makes a bootstrap hash-checkable at all. Scale shape: the cross
+    * join with the R-row replicate frame expands rows ×R (the inherent
+    * bootstrap cost), but everything after is ONE partial-aggregable
+    * groupBy(r) of O(R) state — no resampled copies are materialized.
+    */
   def poissonBootstrapMean(df: DataFrame, y: Column, w: Column,
                            idCol: Column, reps: Int): DataFrame = {
     val spark = df.sparkSession

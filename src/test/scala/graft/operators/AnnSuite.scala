@@ -96,6 +96,26 @@ class AnnSuite extends SparkSpec {
     }
   }
 
+  test("e10 denominator config: exactPairsViaLsh == nearDupExact under " +
+      "the EXACT scorer (the e02-shape pin covers cosineF32 only)") {
+    // e10's recall denominator runs nearDupLsh with scorer =
+    // AnnQueries.cosineExact and a spreadForExpr input — neither of
+    // which the e02-shape test above exercises. Pin the id-pair-set
+    // equality for that precise configuration at both suite SFs, so an
+    // ulp-level perturbation of cosineExact near threshold 0.45 fails
+    // HERE instead of silently deflating e10's exact pair panel.
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for ((sf, nTrue) <- Seq("sf0.001" -> 7, "sf0.01" -> 14)) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val viaLsh = ids(graft.queries.DedupQueries.exactPairsViaLsh(emb))
+      val exact = ids(Ann.nearDupExact(emb, "vec_id", "embedding", 0.45,
+        scorer = graft.queries.AnnQueries.cosineExact))
+      assert(exact.size === nTrue, sf)
+      assert(viaLsh === exact, sf)
+    }
+  }
+
   test("fused cellFor == greatest(struct(dot, cell)) reference, incl. ties") {
     // the pre-round-8 rendition, kept here as the semantic reference:
     // argmax of literal dot products, ties toward the higher cell

@@ -100,7 +100,15 @@ object Behavior {
   def retentionCohorts(events: DataFrame, userCol: String,
                        tsCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))
-    val firstTs = min(col(tsCol)).over(w)
+    // a NULL ts row would skip the window min (its user's cohort stays
+    // correct) but emit a (cohort_week, week_offset = NULL, user) cell
+    // that survives the distinct and counts as a real retention row —
+    // plausible-shaped garbage. Raise with the column named instead
+    // (the watermarkLateAccounting contract; r15 review).
+    val tsG = when(col(tsCol).isNull, raise_error(lit(
+      s"retentionCohorts: NULL in time column '$tsCol'")))
+      .otherwise(col(tsCol))
+    val firstTs = min(tsG).over(w)
     events
       .withColumn("__cohort_day", to_date(firstTs))
       // typed floor-division (no SQL splice of tsCol): datediff >= 0

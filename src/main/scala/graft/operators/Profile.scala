@@ -42,20 +42,27 @@ object Profile {
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(",")}")
     val isNum: Map[String, Boolean] =
       cols.map(c => c -> df.schema(c).dataType.isInstanceOf[NumericType]).toMap
+    // backtick-quoted col refs: col(c) parses dots as struct-field
+    // access, so a flat column literally named "a.b" would fail to
+    // resolve (or silently read a struct field) — the iqrOutliers
+    // quoting, applied here too so profile() is name-agnostic like the
+    // comment there claims (r15 review). The `__nn`-style aliases are
+    // safe as-is: Row.getAs looks names up verbatim, no parsing.
+    def qc(c: String) = col("`" + c.replace("`", "``") + "`")
     val aggs = cols.flatMap { c =>
       val distinct =
-        if (exactDistinct) count_distinct(col(c))
-        else approx_count_distinct(col(c))
+        if (exactDistinct) count_distinct(qc(c))
+        else approx_count_distinct(qc(c))
       Seq(
-        count(col(c)).as(s"${c}__nn"),
-        count(when(col(c).isNull, lit(1))).as(s"${c}__nul"),
+        count(qc(c)).as(s"${c}__nn"),
+        count(when(qc(c).isNull, lit(1))).as(s"${c}__nul"),
         distinct.as(s"${c}__nd")) ++
         (if (isNum(c))
-           Seq(min(col(c)).cast("double").as(s"${c}__mn"),
-               max(col(c)).cast("double").as(s"${c}__mx"))
+           Seq(min(qc(c)).cast("double").as(s"${c}__mn"),
+               max(qc(c)).cast("double").as(s"${c}__mx"))
          else
-           Seq(min(col(c)).cast("string").as(s"${c}__mn"),
-               max(col(c)).cast("string").as(s"${c}__mx")))
+           Seq(min(qc(c)).cast("string").as(s"${c}__mn"),
+               max(qc(c)).cast("string").as(s"${c}__mx")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     def opt[T](name: String): Option[T] = {
@@ -207,11 +214,9 @@ object Profile {
       first(col(s"__q3_$i")).as(s"q3_$i"),
       first(col(s"__lo_$i")).as(s"lo_$i"),
       first(col(s"__hi_$i")).as(s"hi_$i"),
-      sum(when(col("`" + cols(i).replace("`", "``") + "`")
-          < col(s"__lo_$i"), 1L).otherwise(0L))
+      sum(when(col(bq(cols(i))) < col(s"__lo_$i"), 1L).otherwise(0L))
         .as(s"nb_$i"),
-      sum(when(col("`" + cols(i).replace("`", "``") + "`")
-          > col(s"__hi_$i"), 1L).otherwise(0L))
+      sum(when(col(bq(cols(i))) > col(s"__hi_$i"), 1L).otherwise(0L))
         .as(s"na_$i"))
     }
     val counted = df.crossJoin(broadcast(fenced))

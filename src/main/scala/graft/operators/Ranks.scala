@@ -53,9 +53,6 @@ object Ranks {
                      bps: Seq[Int]): Map[Int, Double] = {
     require(bps.nonEmpty && bps.forall(b => b >= 1 && b <= 10000),
       s"basis points must be in [1, 10000]: $bps")
-    val n = df.count()
-    require(n > 0, "quantileSelect on an empty frame")
-    val target = bps.map(bp => bp -> ((bp.toLong * n + 9999L) / 10000L)).toMap
     // NULL values would sort first and occupy the smallest ranks —
     // every quantile silently shifts down, and a target rank landing on
     // a NULL row NPEs at getDouble. Raise instead (the samplers' NULL
@@ -64,13 +61,28 @@ object Ranks {
     val v = when(col(valueCol).isNull, raise_error(lit(
       s"quantileSelect: NULL in value column '$valueCol'")))
       .otherwise(col(valueCol)).cast("double").as("__v")
-    val ranked = globalRowNumber(
-      df.select(v, col(tieCol)),
-      Seq(col("__v"), col(tieCol)), out = "__rn")
-    val hits = ranked.filter(col("__rn").isin(target.values.toSeq: _*))
-      .select(col("__rn"), col("__v"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    target.map { case (bp, rk) => bp -> hits(rk) }
+    // The count and the rank pass must see the SAME rows: on an input
+    // with a non-deterministic stage (sample(), shuffle-order-sensitive
+    // generators — the exact two-execution disagreement
+    // globalRowNumber's own comment documents), a separate df.count()
+    // can disagree with the re-executed rank pass, so a target rank
+    // matches nothing (bare key-not-found) or every quantile silently
+    // shifts. Pin ONE materialization of the narrow 2-column
+    // projection; both numbers then derive from it. The cache is the
+    // spill-aware price of determinism — 2 columns wide, not the row.
+    val proj = df.select(v, col(tieCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = proj.count()
+      require(n > 0, "quantileSelect on an empty frame")
+      val target = bps.map(bp => bp -> ((bp.toLong * n + 9999L) / 10000L)).toMap
+      val ranked = globalRowNumber(proj,
+        Seq(col("__v"), col(tieCol)), out = "__rn")
+      val hits = ranked.filter(col("__rn").isin(target.values.toSeq: _*))
+        .select(col("__rn"), col("__v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      target.map { case (bp, rk) => bp -> hits(rk) }
+    } finally proj.unpersist()
   }
 
   /** Winsorization: clip `valueCol` to its exact [loBp, hiBp]
@@ -115,8 +127,17 @@ object Ranks {
       count(lit(1)).cast("double").as("n"),
       dsum(col(valueCol)).as("sx"),
       dsum(col("__i") * col(valueCol)).as("six"))
+    // the rank formula needs Σx > 0: an all-zero group yields 0/0 = NaN
+    // under non-ANSI double division and a negative sum flips the sign —
+    // both come back plausible-shaped instead of failing. The guard
+    // rides the denominator of gini's OWN tree (the m44/aspectBuckets
+    // lesson: a guard on a separate output column is droppable by
+    // column pruning).
     agg.select(col(groupCol), col("n").cast("long").as("n_rows"),
       ((lit(2.0) * col("six") - (col("n") + lit(1.0)) * col("sx")) /
-        (col("n") * col("sx"))).as("gini"))
+        when(col("sx") <= lit(0.0), raise_error(lit(
+          "giniByGroup: group with non-positive value sum — the Gini " +
+            "rank formula is undefined")))
+          .otherwise(col("n") * col("sx"))).as("gini"))
   }
 }

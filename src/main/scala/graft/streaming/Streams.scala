@@ -96,7 +96,10 @@ object Streams {
       when(col(tsCol).isNull, raise_error(lit(
         s"watermarkLateAccounting: NULL in time column '$tsCol'")))
         .otherwise(col(tsCol)).as("__ts"),
-      expr(s"unix_micros($tsCol)").as("__tus"))
+      // typed unix_micros(col(...)), not an expr() splice: a column
+      // name with a dot/space would fail the parse — or silently
+      // resolve as a struct-field access (r15 review)
+      unix_micros(col(tsCol)).as("__tus"))
     val wmWin = Window.partitionBy(lit(1)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wm = e.groupBy(col("__b")).agg(max(col("__tus")).as("__mx"))
@@ -398,13 +401,19 @@ object Streams {
             state.update(residents)
             evictMs.foreach { ms =>
               // bucket-level timeout re-arms on every batch with data:
-              // evictAfter past the newest event seen (clamped above
-              // the watermark — Spark rejects timestamps at/behind it)
+              // evictAfter past the newest event among the UPDATED
+              // residents (clamped above the watermark — Spark rejects
+              // timestamps at/behind it). Arming from the batch-local
+              // max instead would let a LATE-arriving older event pull
+              // the timeout EARLIER than a previous arming, and the
+              // hasTimedOut wholesale remove() would drop residents
+              // still inside their pairable horizon (silent missed
+              // pairs). Residents are non-empty here — the batch just
+              // appended — and their max ts is the bucket's newest
+              // surviving event, so the timeout fires exactly when the
+              // whole bucket is past the horizon.
               var maxTs = Long.MinValue
-              var i = 0
-              while (i < tsA.length) {
-                if (tsA(i) > maxTs) maxTs = tsA(i); i += 1
-              }
+              residents.foreach { r => if (r._3 > maxTs) maxTs = r._3 }
               state.setTimeoutTimestamp(
                 math.max(maxTs, state.getCurrentWatermarkMs() + 1) + ms)
             }
@@ -479,7 +488,17 @@ object Streams {
             Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           val times = state.getOption.map(_.times.toArray)
             .getOrElse(Array.fill(stages.size)(None: Option[Long]))
-          val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_type))
+          val arr = rows.toArray
+          // a NULL ts/event_type would NPE inside the stateful operator
+          // and kill the unbounded query with an anonymous executor
+          // stack — name the poison row instead (the
+          // watermarkLateAccounting / streamNearDupPairs contract)
+          arr.foreach { e =>
+            require(e.ts != null && e.event_type != null,
+              s"funnelProgress: NULL ts or event_type for user $user — " +
+                "poison row in the stream")
+          }
+          val sorted = arr.sortBy(e => (micros(e.ts), e.event_type))
           sorted.foreach { e =>
             stageIdx.get(e.event_type).foreach { i =>
               val t = micros(e.ts)

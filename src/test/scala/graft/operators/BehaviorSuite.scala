@@ -66,6 +66,17 @@ class BehaviorSuite extends SparkSpec {
       ("2020-01-13", 0L, 1L)))
   }
 
+  test("retentionCohorts raises on a NULL timestamp instead of emitting " +
+      "a (cohort_week, NULL, user) retention cell") {
+    val ev = Seq(
+      (1L, Option(Timestamp.valueOf("2020-01-06 00:10:00"))),
+      (1L, None: Option[Timestamp])).toDF("user_id", "ts")
+    val e = intercept[Exception] {
+      Behavior.retentionCohorts(ev, "user_id", "ts").collect()
+    }
+    assert(e.getMessage.contains("NULL in time column"), e.getMessage)
+  }
+
   test("transitionCounts: per-user lag pairs, row-normalized probabilities") {
     val ev = Seq(
       (1L, ts(0), "a", 1L), (1L, ts(1), "b", 2L), (1L, ts(2), "a", 3L),

@@ -119,4 +119,16 @@ class ProfileSuite extends SparkSpec {
     assert(out.getLong(6) === 1L) // 100.0 above the hi fence
   }
 
+  test("profile() accepts column names needing quoting (a dot parses " +
+      "as struct-field access under bare col())") {
+    val df = Seq((1.0, "a"), (2.0, "b"), (3.0, null: String))
+      .toDF("unit.price", "seg name")
+    val p = Profile.profile(df, Seq("unit.price", "seg name"))
+      .collect().sortBy(_.col_name)
+    assert(p(0).col_name === "seg name" && p(0).n_null === 1L &&
+      p(0).n_distinct === 2L)
+    assert(p(1).col_name === "unit.price" && p(1).n_nonnull === 3L &&
+      p(1).min_num === Some(1.0) && p(1).max_num === Some(3.0))
+  }
+
 }

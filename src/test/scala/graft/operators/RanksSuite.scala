@@ -81,4 +81,34 @@ class RanksSuite extends SparkSpec {
     assert(e.getMessage.contains("NULL in value column"), e.getMessage)
   }
 
+  test("giniByGroup raises on a non-positive group sum instead of " +
+      "emitting NaN (0/0) or a sign-flipped coefficient") {
+    val df = Seq((1L, "z", 0.0), (2L, "z", 0.0), (3L, "g", 1.0),
+      (4L, "g", 3.0)).toDF("tie", "g", "v")
+    val e = intercept[Exception] {
+      Ranks.giniByGroup(df, "g", "v", "tie").collect()
+    }
+    assert(e.getMessage.contains("non-positive value sum"), e.getMessage)
+  }
+
+  test("quantileSelect derives n and the ranks from ONE materialization " +
+      "(a separate count() can disagree with a re-executed rank pass)") {
+    // an input whose row set is only pinned by materialization: under
+    // the old separate df.count(), n came from one execution and the
+    // ranks from another — any disagreement (the sampled-boundary class
+    // globalRowNumber's comment documents) made a target rank miss the
+    // rank pass entirely (bare key-not-found) or silently shift
+    // quantiles. With the persisted projection both derive from the
+    // same cached rows, so this must return an in-range, monotone
+    // quantile set every time.
+    val df = spark.range(1, 10001)
+      .select(col("id"), col("id").cast("double").as("v"))
+      .sample(0.5)
+    (1 to 3).foreach { _ =>
+      val q = Ranks.quantileSelect(df, "v", "id", Seq(2500, 5000, 9999))
+      assert(q.values.forall(v => v >= 1.0 && v <= 10000.0))
+      assert(q(2500) <= q(5000) && q(5000) <= q(9999))
+    }
+  }
+
 }

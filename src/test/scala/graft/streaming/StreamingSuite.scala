@@ -432,6 +432,61 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup evictAfter: a LATE-arriving older event must " +
+      "not pull the bucket timeout earlier and evict pairable residents") {
+    // r15 review: the timeout used to re-arm from the BATCH-local max
+    // event time, so a late (but in-watermark) older event moved the
+    // bucket timeout backwards and hasTimedOut wholesale-removed
+    // residents still inside their horizon — silently missed pairs.
+    // Now it re-arms from the newest surviving RESIDENT.
+    val base = 1700000000000L
+    def doc(id: Long, min: Long, text: String) =
+      StreamDoc(id, new Timestamp(base + min * 60000L), text)
+    val same = "spark streams near duplicate detection with simhash bands"
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = Streams.streamNearDupPairs(mem.toDS(), maxHamming = 3,
+        maxBucket = 64, evictAfter = Some("30 minutes"),
+        lateness = "2 hours")
+      .writeStream.format("memory").queryName("neardup_late_rearm")
+      .outputMode("append").start()
+    try {
+      mem.addData(doc(1, 180, same))
+      q.processAllAvailable() // wm -> 60; bucket timeout 180+30 = 210
+      mem.addData(doc(2, 90, same)) // LATE but in-watermark: pairs with 1
+      q.processAllAvailable() // old bug: re-arm from batch max 90 -> 120
+      mem.addData(doc(30, 260, "a completely different filler document"))
+      q.processAllAvailable() // wm -> 140 (> 120, <= 210)
+      mem.addData(doc(31, 261, "another unrelated filler text entry"))
+      q.processAllAvailable() // old bug: bucket timed out, residents gone
+      mem.addData(doc(5, 195, same))
+      q.processAllAvailable() // doc 1 (horizon 210 > wm 141) must pair;
+                              // doc 2 (horizon 120) is horizon-evicted
+      val got = spark.table("neardup_late_rearm")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L), (1L, 5L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("funnelProgress names the poison row instead of an anonymous NPE " +
+      "when ts or event_type is NULL") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = Streams.funnelProgress(mem.toDS(),
+        Seq("view", "cart", "purchase"))
+      .writeStream.format("memory").queryName("funnel_poison")
+      .outputMode("append").start()
+    try {
+      mem.addData(FunnelEvent(1L, null, "view"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("funnelProgress: NULL")),
+        messages(e).mkString(" | "))
+    } finally q.stop()
+  }
+
   test("streaming near-dup evictAfter: quiet buckets time out of the state store") {
     // The state-size half of the round-9 eviction mode: with NoTimeout a
     // bucket key lives forever (fine for the bounded 4×2¹⁶ simhash key

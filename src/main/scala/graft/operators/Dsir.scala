@@ -111,13 +111,26 @@ object Dsir {
     * partition-invariant functions of row content + seed. */
   def resampleByLogWeight(scored: DataFrame, logwCol: String, n: Int,
                           seed: Long): DataFrame = {
-    // clamp the uniform away from exact 0: Spark's log(0) is NULL (not
-    // −∞), which would sort the one row that mathematically MUST be
-    // selected (Gumbel noise → +∞) to the very back. P(u = 0) = 2⁻⁵³
-    // per row — irrelevant at fixture scale, real at the operator's
-    // stated trillion-row scale.
+    // clamp the uniform away from exact 0 so the Gumbel key stays
+    // non-NULL: Spark's log(0) is NULL (not −∞). Mathematically
+    // G(0) = −ln(−ln 0) = −∞ — the NEVER-select row — and a NULL key
+    // happens to desc-sort last, so the unclamped behavior coincides
+    // with the correct exclusion; the clamp makes that exclusion an
+    // explicit finite smallest key instead of an artifact of NULL
+    // ordering. The must-select singularity is the OTHER end (u → 1,
+    // G → +∞), unreachable because rowUniform tops out at
+    // (2⁵³−1)/2⁵³. P(u = 0) = 2⁻⁵³ per row — irrelevant at fixture
+    // scale, real at the operator's stated trillion-row scale.
+    // (Direction fixed in the r15 review: an earlier rendition of this
+    // note claimed u = 0 was the must-select end.)
     val u = greatest(Samplers.rowUniform(scored.columns.toSeq, seed),
       lit(java.lang.Double.MIN_VALUE))
+    // a NULL log weight would make the Gumbel key NULL, which
+    // desc-sorts LAST — the row is silently never sampled, with no
+    // error (the ppsPoisson contract; r15 review)
+    val lw = when(col(logwCol).isNull, raise_error(lit(
+      s"resampleByLogWeight: NULL in log-weight column '$logwCol'")))
+      .otherwise(col(logwCol))
     // top-n via the shared exact-n switch: below 2^20 this is the plan
     // Spark's TakeOrderedAndProject handles fine; above it the driver
     // would otherwise merge n·P candidate rows — at the operator's
@@ -126,7 +139,7 @@ object Dsir {
     // pair) stay unresolved like the plain orderBy — same plan below
     // the switch, so graded outputs are unchanged.
     Samplers.keepTopNByKey(
-      scored.withColumn("__g", col(logwCol) - log(-log(u))),
+      scored.withColumn("__g", lw - log(-log(u))),
       key = col("__g"), tie = lit(0L), n = n, descending = true)
       .drop("__g")
   }
@@ -156,7 +169,15 @@ object Dsir {
     val k = Samplers.portableHashKey(id + lit(seed))
     val u = (k.cast("double") + lit(1.0)) /
       lit((Samplers.portablePrime + 2).toDouble)
-    val qg = floor((col(logwCol) - log(-log(u))) * lit(1048576.0) + lit(0.5))
+    // a NULL log weight would make qg NULL, which sorts FIRST under the
+    // ascending -qg key below — NULL-weight rows would silently occupy
+    // the top of the sample (worse than the non-portable path, where
+    // NULL desc-sorts last and is silently excluded). Raise, same
+    // contract as the NULL-id guard above (r15 review).
+    val lw = when(col(logwCol).isNull, raise_error(lit(
+      s"resampleByLogWeightPortable: NULL in log-weight column " +
+        s"'$logwCol'"))).otherwise(col(logwCol))
+    val qg = floor((lw - log(-log(u))) * lit(1048576.0) + lit(0.5))
       .cast("long")
     // same exact-n switch as resampleByLogWeight (keepTopNByKey sorts
     // ascending on negated key/tie for descending — the id tie-break
@@ -189,11 +210,26 @@ object Dsir {
           _.isNotNull)
         concat(toks, bigrams)
       }
+    // drop the empty token: split("", " ") is [""], so an empty or
+    // whitespace-only document would otherwise emit a spurious ""
+    // feature — inflating |V| and the corpus totals (shifting every
+    // smoothed llr) and giving token-LESS docs logw = llr("") instead
+    // of the documented 0 (r15 review; every Tokenize consumer filters
+    // the same artifact). The g11/g13/g20 oracles mirror the filter.
     val tok = df.select(df.columns.map(col) :+
       explode(grams).as("__tok"): _*)
+      .filter(col("__tok") =!= "")
     hashBuckets match {
       case Some(b) =>
         require(b > 0, "bucket count must be positive")
+        // hashed mode force-broadcasts the B-row llr frame (the hint
+        // bypasses autoBroadcastJoinThreshold), so an unbounded B is a
+        // driver OOM mid-job instead of a plan-time error — cap it at
+        // 2²² (~4M rows ≈ tens of MB broadcast; DSIR §3 uses 2¹⁶)
+        require(b <= (1 << 22),
+          s"hashBuckets=$b exceeds 2^22: the llr frame is force-" +
+            "broadcast, so larger bucket counts risk a driver OOM — " +
+            "use unhashed mode (planner/AQE-chosen join) instead")
         tok.withColumn("__feat", pmod(xxhash64(col("__tok")), lit(b.toLong)))
           .drop("__tok")
       case None => tok.withColumnRenamed("__tok", "__feat")

@@ -43,8 +43,21 @@ object RecordLinkage {
   ): DataFrame = {
     require(blockCols.nonEmpty, "record linkage needs at least one block key")
     require(comparisons.nonEmpty, "record linkage needs field comparisons")
-    val l = left.as("l")
-    val r = right.as("r")
+    // a NULL blocking key never equi-joins, so the record silently
+    // falls out of EVERY candidate pair (not even NULL-to-NULL) and
+    // linkage recall drops with zero diagnostic — the silent-exclusion
+    // shape ppsPoisson/resampleByLogWeight raise on. Field columns may
+    // be NULL (the Fellegi–Sunter missing-comparison convention below);
+    // block keys may not.
+    def guarded(df: DataFrame, side: String): DataFrame =
+      blockCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, when(col(c).isNull, raise_error(lit(
+          s"scorePairs: NULL in blocking column '$c' on the $side side — " +
+            "the record would silently drop out of every candidate pair")))
+          .otherwise(col(c)))
+      }
+    val l = guarded(left, "left").as("l")
+    val r = guarded(right, "right").as("r")
     val cond = blockCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
     val joined = l.join(r, cond)
     val agrees = comparisons.map(fc =>

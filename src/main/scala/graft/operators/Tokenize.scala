@@ -370,11 +370,16 @@ object Tokenize {
   def corpusVocab(df: DataFrame, textCol: String,
                   topWords: Int): Set[String] = {
     val words = cappedWordCounts(df, textCol, topWords).map(_._1)
-    // split-by-"" (UTF-16 units) on purpose: wordpieceWord/bpeWord tile
-    // with Java substring, and the t19/t20 oracles' string_split('')
-    // replay that contract on the BMP fixtures — changing only this
-    // side would break the pair. unigramVocab is the codepoint-correct
-    // rendition.
+    // split-by-"" yields CODE POINTS, not UTF-16 units: since Java 8 a
+    // zero-width regex split never lands inside a surrogate pair
+    // (JDK-6695369), and Spark's split() rides the same regex engine,
+    // so "𝄞".split("") is ONE element. DuckDB's
+    // string_split('') is likewise per-code-point, so the t19/t20
+    // oracles replay the same contract; on the BMP fixtures code
+    // points coincide with UTF-16 units anyway, and wordpieceWord's
+    // 2-unit Java substrings still match the full code points this
+    // emits. (An earlier rendition of this note claimed UTF-16-unit
+    // semantics — false since Java 8; corrected in the r15 review.)
     val chars = df.select(
         explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")

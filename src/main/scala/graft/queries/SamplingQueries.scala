@@ -209,8 +209,11 @@ object SamplingQueries {
         // unnests to zero rows in the oracle, which would silently drop
         // them — filter them out on BOTH sides (the oracle by
         // construction, Spark explicitly) so a fixture refresh with
-        // NULL texts cannot flip the graded hash. ('' is consistent
-        // as-is: both engines tokenize it to [''].)
+        // NULL texts cannot flip the graded hash. EMPTY text ('') is
+        // likewise filtered on both sides since r15: both engines
+        // tokenize it to [''], and that spurious feature violated the
+        // logw = 0 contract and perturbed every smoothed llr (featurize
+        // drops it; the toks CTEs below mirror with tok <> '').
         val docs = load(s, d, "documents").filter(col("text").isNotNull)
         val target = docs.filter(col("lang") === "en")
         Dsir.importanceWeights(docs, target, "doc_id", "text")
@@ -224,9 +227,10 @@ object SamplingQueries {
             Window.partitionBy(lit(1))
               .orderBy(desc("qlogw"), col("doc_id"))).as("r"))
       },
-      Some(s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
+      Some(s"""WITH toks0 AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
                    regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
                FROM documents),
+              toks AS (SELECT * FROM toks0 WHERE tok <> ''),
               cnt AS (SELECT tok, count(*) AS cs,
                              count(CASE WHEN lang = 'en' THEN 1 END) AS ct
                       FROM toks GROUP BY tok),
@@ -348,11 +352,12 @@ object SamplingQueries {
       Some(s"""WITH base AS (SELECT doc_id, lang, string_split(lower(trim(
                    regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS l
                FROM documents WHERE text IS NOT NULL),
-              feats AS (SELECT doc_id, lang, unnest(l) AS f FROM base
+              feats0 AS (SELECT doc_id, lang, unnest(l) AS f FROM base
                         UNION ALL
                         SELECT doc_id, lang, l[i-1] || ' ' || l[i] AS f
                         FROM base,
                              unnest(generate_series(2, len(l))) AS t(i)),
+              feats AS (SELECT * FROM feats0 WHERE f <> ''),
               cnt AS (SELECT f, count(*) AS cs,
                              count(CASE WHEN lang = 'en' THEN 1 END) AS ct
                       FROM feats GROUP BY f),
@@ -533,9 +538,10 @@ object SamplingQueries {
           .select(col("doc_id"), col("qg"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
+      Some(s"""WITH toks0 AS (SELECT doc_id, lang, unnest(string_split(lower(trim(
                    regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
                FROM documents WHERE text IS NOT NULL),
+              toks AS (SELECT * FROM toks0 WHERE tok <> ''),
               cnt AS (SELECT tok, count(*) AS cs,
                              count(CASE WHEN lang = 'en' THEN 1 END) AS ct
                       FROM toks GROUP BY tok),

@@ -34,7 +34,12 @@ object CdcTable {
         // without the committer's _SUCCESS marker and must be invisible
         // to readers and to the next applyBatch
         new File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("v=").toInt).toSeq.sorted
+      // toIntOption, not toInt: a foreign directory matching v=* (an
+      // operator's `cp -r v=5 v=5.bak` carries _SUCCESS along) would
+      // otherwise brick EVERY reader and the streaming sink with a
+      // NumberFormatException until someone deletes it by hand —
+      // non-numeric versions are simply not ours (r15 review)
+      .flatMap(_.getName.stripPrefix("v=").toIntOption).toSeq.sorted
 
   def latestVersion(path: String): Option[Int] = versionDirs(path).lastOption
 

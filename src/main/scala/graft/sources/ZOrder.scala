@@ -31,9 +31,23 @@ object ZOrder {
 
   /** Morton z-value of two non-negative integer keys (low 16 bits each
     * — callers bucket/normalize wider domains first): x on even bits,
-    * y on odd. Pure integer expression, engine-portable. */
-  def zValue(x: Column, y: Column): Column =
-    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+    * y on odd. Pure integer expression, engine-portable.
+    *
+    * The 16-bit contract is ENFORCED: silently masking a wider key
+    * (epoch seconds, a ~10⁹-range id) to its noise-like low bits would
+    * destroy the clustering — every file gets near-full-range min/max
+    * stats and scan pruning degrades to nothing, the operator's entire
+    * purpose — with no error (r15 review). The guard rides the z
+    * expression itself, so no caller can prune it away. */
+  def zValue(x: Column, y: Column): Column = {
+    def inRange(v: Column, name: String): Column =
+      when(v.isNull || v < 0 || v > 0xFFFFL, raise_error(lit(
+        s"zValue: $name key outside the non-negative 16-bit contract " +
+          "[0, 65535] — bucket/normalize wider domains before z-ordering " +
+          "(a masked key would silently destroy data-skipping)")))
+        .otherwise(v)
+    spread(inRange(x, "x")).bitwiseOR(shiftleft(spread(inRange(y, "y")), 1))
+  }
 
   /** Write `df` z-clustered on (xCol, yCol) into `numFiles` range
     * partitions of the z-value, each internally z-sorted — the layout

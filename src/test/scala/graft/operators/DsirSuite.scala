@@ -17,6 +17,46 @@ class DsirSuite extends SparkSpec {
   ).toDF("doc_id", "text")
   private def target = Seq((10L, "a a"), (11L, "a")).toDF("doc_id", "text")
 
+  test("empty and whitespace-only documents get logw = 0 and emit no " +
+      "feature (split('', ' ') is [''] — the '' token is filtered)") {
+    val withEmpty = corpus.unionByName(
+      Seq((5L, ""), (6L, "   ")).toDF("doc_id", "text"))
+    val w = Dsir.importanceWeights(withEmpty, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw"))
+      .toMap
+    assert(w(5L) === 0.0 && w(6L) === 0.0,
+      "token-less docs must score the documented logw = 0")
+    // and the spurious '' feature must not perturb the real weights:
+    // same values as on the empty-free corpus
+    val clean = Dsir.importanceWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw"))
+      .toMap
+    corpus.select("doc_id").as[Long].collect().foreach { id =>
+      assert(w(id) === clean(id), s"doc $id weight shifted by empty docs")
+    }
+    // the vocabulary itself must not contain ''
+    val feats = Dsir.logLikelihoodRatios(withEmpty, target, "text")
+      .collect().map(_.getString(0)).toSet
+    assert(feats === Set("a", "b"), feats.toString)
+  }
+
+  test("resample raises on NULL log weights (portable would sample them " +
+      "FIRST, non-portable would silently exclude them)") {
+    val scored = Seq((1L, Option(0.5)), (2L, None: Option[Double]))
+      .toDF("doc_id", "logw")
+    val e1 = intercept[Exception] {
+      Dsir.resampleByLogWeightPortable(scored, "logw", "doc_id",
+        n = 1, seed = 7).collect()
+    }
+    assert(e1.getMessage.contains("NULL in log-weight column"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      Dsir.resampleByLogWeight(scored, "logw", n = 1, seed = 7).collect()
+    }
+    assert(e2.getMessage.contains("NULL in log-weight column"),
+      e2.getMessage)
+  }
+
   test("logLikelihoodRatios matches the closed-form add-1 model") {
     val llr = Dsir.logLikelihoodRatios(corpus, target, "text")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -37,6 +37,16 @@ class RecordLinkageSuite extends SparkSpec {
     assert(balOnly.getDouble(4) === -0.5)
   }
 
+  test("a NULL blocking key raises instead of silently dropping the " +
+      "record from every candidate pair") {
+    val l2 = Seq((1L, "ann", Option(10), 100.0),
+      (2L, "bob", None: Option[Int], 500.0)).toDF("id", "name", "blk", "bal")
+    val e = intercept[Exception] {
+      scorePairs(l2, right, "id", Seq("blk"), comparisons).collect()
+    }
+    assert(e.getMessage.contains("NULL in blocking column"), e.getMessage)
+  }
+
   test("minScore prunes in-plan") {
     val kept = scorePairs(left, right, "id", Seq("blk"), comparisons,
       minScore = 5.0).collect()

@@ -15,6 +15,19 @@ class CdcTableSuite extends SparkSpec {
 
   private val base = Seq((1L, "a"), (2L, "b"), (3L, "c"))
 
+  test("foreign v=* directories are invisible, not fatal (a cp -r " +
+      "v=5 v=5.bak backup used to NumberFormatException every reader)") {
+    val path = freshPath()
+    CdcTable.init(base.toDF("k", "v"), path)
+    // simulate an operator backup: a non-numeric v= dir carrying the
+    // _SUCCESS marker along
+    val bak = new java.io.File(path, "v=0.bak")
+    assert(bak.mkdirs())
+    assert(new java.io.File(bak, "_SUCCESS").createNewFile())
+    assert(CdcTable.latestVersion(path) === Some(0))
+    assert(CdcTable.readLatest(spark, path).count() === 3L)
+  }
+
   test("batch-by-batch apply equals the one-shot merge; versions stack") {
     val path = freshPath()
     CdcTable.init(base.toDF("k", "v"), path)

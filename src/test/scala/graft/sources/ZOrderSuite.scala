@@ -27,6 +27,20 @@ class ZOrderSuite extends SparkSpec {
     }
   }
 
+  test("zValue raises on keys outside the 16-bit contract instead of " +
+      "silently masking them (which destroys data-skipping)") {
+    val wide = Seq((1700000000L, 5L), (1L, 2L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      wide.select(ZOrder.zValue(col("x"), col("y"))).collect()
+    }
+    assert(e.getMessage.contains("16-bit contract"), e.getMessage)
+    val neg = Seq((-1L, 2L)).toDF("x", "y")
+    val e2 = intercept[Exception] {
+      neg.select(ZOrder.zValue(col("x"), col("y"))).collect()
+    }
+    assert(e2.getMessage.contains("16-bit contract"), e2.getMessage)
+  }
+
   test("z-clustered write gives every file a tight two-key bounding box") {
     // full 128×128 grid → 16 z-range files; ideal z ranges are 32×32
     // quadrants (area 1024 of 16384); range boundaries are sampled, so

@@ -48,6 +48,27 @@ trait RequiresIntArrayInput { self: UnaryExpression =>
   }
 }
 
+/** Binary sibling of [[RequiresFloatArrayInput]] for the two-vector
+  * dot expressions — shared so a future fix to the check (e.g. element
+  * nullability) cannot silently miss one of the pair (r15 review). */
+trait RequiresTwoFloatArrayInputs { self: BinaryExpression =>
+  protected def inputHint: String = ""
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}" +
+        inputHint)
+  }
+}
+
 /** Binary rendition for the (codes, query-index) ADC expressions:
   * array<int> codes on the left, int index on the right (a bigint
   * index would otherwise ClassCastException mid-job instead of
@@ -79,24 +100,10 @@ trait RequiresIntArrayAndIntInput { self: BinaryExpression =>
   * embedding-similarity queries.
   */
 final case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresTwoFloatArrayInputs {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    val ok = Seq(left, right).forall(_.dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -188,6 +195,11 @@ final case class LshBucketKeys(child: Expression, weights: Seq[Double],
     extends UnaryExpression with RequiresFloatArrayInput {
   require(weights.length == tables * bits * dim,
     s"weights must be tables*bits*dim = ${tables * bits * dim} doubles")
+  // bits > 64 would alias keys via Java's shift-count masking
+  // (1L << 64 == 1L << 0): distinct sign patterns silently collide
+  // into one packed key, inflating LSH collision rates with no error
+  require(bits >= 1 && bits <= 64,
+    s"bits=$bits outside [1, 64]: sign bits are packed into one long")
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -274,25 +286,13 @@ final case class LshBucketKeys(child: Expression, weights: Seq[Double],
   * `dotExact`, as pqTopKPortable does for its reconstruction side).
   * CodegenFallback: the BigDecimal loop dominates. */
 final case class FloatVecDotExact(left: Expression, right: Expression)
-    extends BinaryExpression
+    extends BinaryExpression with RequiresTwoFloatArrayInputs
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot_exact"
 
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    val ok = Seq(left, right).forall(_.dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}" +
-        " (use the HOF dotExact for double arrays)")
-  }
+  override protected def inputHint: String =
+    " (use the HOF dotExact for double arrays)"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     import java.math.{BigDecimal => JBD, RoundingMode}
@@ -403,8 +403,14 @@ final case class PqReconConst(child: Expression, books: Seq[Double],
   override def nullSafeEval(a: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val out = new Array[Double](dim)
+    // clamp to the actual array length like every sibling PQ consumer
+    // (min(m, numElements)): a short codes array would otherwise read
+    // past the end of UnsafeArrayData — garbage codeword index, then an
+    // out-of-bounds codebook read. Codes past a short array reconstruct
+    // as the zero subvector (the file's documented convention).
+    val mm = math.min(m, codes.numElements())
     var s = 0
-    while (s < m) {
+    while (s < mm) {
       val c = codes.getInt(s)
       val off = (s * kCodes + c) * subDim
       var j = 0
@@ -447,6 +453,11 @@ final case class LshBucketKeysExact(child: Expression, weights: Seq[Double],
     with RequiresFloatArrayInput {
   require(weights.length == tables * bits * dim,
     s"weights must be tables*bits*dim = ${tables * bits * dim} doubles")
+  // bits > 64 would alias keys via Java's shift-count masking
+  // (1L << 64 == 1L << 0): distinct sign patterns silently collide
+  // into one packed key, inflating LSH collision rates with no error
+  require(bits >= 1 && bits <= 64,
+    s"bits=$bits outside [1, 64]: sign bits are packed into one long")
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -897,9 +908,16 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
   override def nullSafeEval(a: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val mm = math.min(m, codes.numElements())
+    // hoist the ArrayData decode: the query loop below would otherwise
+    // pay nQ·m virtual getInt reads per row where m suffice — ~98% of
+    // the array-decode work on the 100 TB scan hot path (r15 review)
+    val cA = new Array[Int](mm)
     var cn = 0.0
     var j = 0
-    while (j < mm) { cn += snA(j * k + codes.getInt(j)); j += 1 }
+    while (j < mm) {
+      cA(j) = codes.getInt(j)
+      cn += snA(j * k + cA(j)); j += 1
+    }
     val rn = math.sqrt(cn)
     val out = new Array[Float](nQ)
     var q = 0
@@ -907,7 +925,7 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
       var s = 0.0
       var jj = 0
       while (jj < mm) {
-        s += lutA((q * m + jj) * k + codes.getInt(jj)); jj += 1
+        s += lutA((q * m + jj) * k + cA(jj)); jj += 1
       }
       // degenerate denominators (empty codes array, zero-norm centroids
       // or queries) would emit NaN, which Spark orders ABOVE every real
@@ -935,18 +953,21 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
       val s = ctx.freshName("s")
       val mm = ctx.freshName("mm")
       val d = ctx.freshName("d")
+      val cArr = ctx.freshName("cArr")
       s"""
          |int $mm = java.lang.Math.min($m, $a.numElements());
+         |int[] $cArr = new int[$mm];
          |double $cn = 0.0;
          |for (int $j = 0; $j < $mm; $j++) {
-         |  $cn += $snRef[$j * $k + $a.getInt($j)];
+         |  $cArr[$j] = $a.getInt($j);
+         |  $cn += $snRef[$j * $k + $cArr[$j]];
          |}
          |double $rn = java.lang.Math.sqrt($cn);
          |float[] $out = new float[$nQ];
          |for (int $q = 0; $q < $nQ; $q++) {
          |  double $s = 0.0;
          |  for (int $jj = 0; $jj < $mm; $jj++) {
-         |    $s += $lutRef[($q * $m + $jj) * $k + $a.getInt($jj)];
+         |    $s += $lutRef[($q * $m + $jj) * $k + $cArr[$jj]];
          |  }
          |  double $d = $qnRef[$q] * $rn;
          |  $out[$q] = $d > 0 ? (float) ($s / $d) : Float.NEGATIVE_INFINITY;

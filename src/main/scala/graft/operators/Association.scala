@@ -40,6 +40,12 @@ object Association {
       .distinct()
     val items = maxBasketSize match {
       case Some(cap) =>
+        // a zero/negative cap filters out EVERY basket (each has
+        // __sz >= 1) and returns an empty rules frame with no error —
+        // a configuration failure, not a data condition (r15 review)
+        require(cap >= 1,
+          s"maxBasketSize=$cap would exclude every basket — the cap " +
+            "must be >= 1 (or None for uncapped)")
         val sizes = items0.groupBy("__b")
           .agg(count(lit(1)).as("__sz")).filter(col("__sz") <= cap)
         items0.join(sizes.select("__b"), "__b", "left_semi")

@@ -51,7 +51,21 @@ object Cdc {
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(seqCol).desc, col(opCol).desc)
-    val latest = changes
+    // a NULL key is equally malformed: the window groups NULL keys
+    // together, but the left_anti join below is null-UNSAFE, so a
+    // winning update could never remove its stale base row (the key
+    // ends up duplicated) and a winning delete would remove nothing —
+    // silent corruption, unlike the loud op/seq guards (r15 review).
+    // The guard rides the key columns themselves, which the window
+    // partitioning, the winner-key select, and the applied payload all
+    // consume — not prunable.
+    val keyGuarded = keyCols.foldLeft(changes) { (d, c) =>
+      d.withColumn(c, when(col(c).isNull, raise_error(lit(
+        s"applyChangeLog: NULL in key column '$c' — a NULL key cannot " +
+          "anti-join its base row (updates duplicate, deletes no-op)")))
+        .otherwise(col(c)))
+    }
+    val latest = keyGuarded
       .withColumn("__op",
         when(col(opCol).isNull, raise_error(lit(
           s"applyChangeLog: NULL in op column '$opCol'")))

@@ -52,7 +52,14 @@ object NgramLm {
     * the unigram path — exactly Stupid Backoff's contract). */
   def train(corpus: DataFrame, textCol: String, minCount: Long = 1L)
       : Model = {
+    // drop the empty token: split("", " ") is [""], so an empty or
+    // whitespace-only doc would otherwise count a "" unigram into the
+    // vocab and N — and scoreDocs would rank junk docs by the ""
+    // token's frequency (r15 review; the Dsir.featurize fix's sibling).
+    // Bigrams need no extra filter: "" only arises as a SOLE element,
+    // whose lone lag pair (NULL, "") the prev-isNotNull filter drops.
     val toks = corpus.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
     val unigrams = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
     val bigrams = corpus
       .select(explode(bigramPairs(col(textCol))).as("bg"))
@@ -79,6 +86,10 @@ object NgramLm {
     val pairs = docs
       .select(col(idCol), explode(bigramPairs(col(textCol))).as("bg"))
       .select(col(idCol), col("bg._2").as("tok"), col("bg._1").as("prev"))
+      // token-less docs really do emit no row (the documented
+      // contract): without this an empty doc scored as a 1-token doc
+      // whose single token is "" (r15 review)
+      .filter(col("tok") =!= "")
     val u = model.unigrams
     val scored = pairs
       .join(model.bigrams, Seq("prev", "tok"), "left")

@@ -137,12 +137,17 @@ object TemporalJoins {
     // partition (so a NULL-key left row DOES match NULL-key right
     // history in asofBackward) — the two equi-joins below must use
     // null-safe equality or those rows silently vanish here, forking
-    // the documented row-identical contract. Right sides are RENAMED
+    // the documented row-identical contract. The SLICE comparison needs
+    // <=> for the same reason (r15 review): slice(NULL time) is NULL,
+    // and under === a NULL-time left row was dropped from the output
+    // entirely (a row-count fork vs the plain variant, where it
+    // survives with its NULL-sorts-first match) and NULL-time right
+    // history landed in an unreachable slice. Right sides are RENAMED
     // before joining (dom derives from summaries, so df-qualified refs
     // trip the ambiguous-self-join detector).
     def nullSafeOn(rSuffix: String): Column =
       (keys.map(k => col(k) <=> col(s"__$rSuffix$k")) :+
-        (col("__slice") === col(s"__${rSuffix}slice"))).reduce(_ && _)
+        (col("__slice") <=> col(s"__${rSuffix}slice"))).reduce(_ && _)
     def renamed(df: DataFrame, rSuffix: String, extra: String): DataFrame =
       df.select(keys.map(k => col(k).as(s"__$rSuffix$k")) ++
         Seq(col("__slice").as(s"__${rSuffix}slice"), col(extra)): _*)

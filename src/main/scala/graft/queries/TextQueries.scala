@@ -63,8 +63,9 @@ object TextQueries {
   // ending in w = (doc_id, qlp) — shared by t13's ranking and t24's
   // per-language tercile split so the two cannot silently diverge
   private val sqlLmQlp =
-    """base AS (SELECT doc_id, lang, string_split(lower(trim(
-                   regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS l
+    """base AS (SELECT doc_id, lang, list_filter(string_split(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                   x -> x <> '') AS l
                FROM documents),
               tr_toks AS (SELECT unnest(l) AS tok FROM base
                           WHERE lang = 'en'),

@@ -767,6 +767,33 @@ class AnnSuite extends SparkSpec {
     assert(fused === slow)
   }
 
+  test("PqReconConst clamps a short codes array: codes past the end " +
+      "reconstruct as the zero subvector, like every sibling consumer") {
+    // r15 review: PqReconConst was the one int-array PQ consumer that
+    // skipped the min(m, numElements) clamp — a short array read past
+    // the end of UnsafeArrayData (garbage codeword index, then an
+    // out-of-bounds codebook read)
+    import org.apache.spark.sql.GraftBridge.{column => bcol, expression => bexpr}
+    val df = Seq((1L, Seq(1))).toDF("id", "codes") // 1 code, m = 2
+    // books flat: m=2, k=2, subDim=2; codeword (s=0, c=1) = (3.0, 4.0)
+    val books = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)
+    val out = df.select(bcol(graft.expressions.PqReconConst(
+        bexpr(df("codes")), books, dim = 4, m = 2, kCodes = 2)).as("r"))
+      .head().getSeq[Double](0)
+    assert(out === Seq(3.0, 4.0, 0.0, 0.0), out.toString)
+  }
+
+  test("LshBucketKeys rejects bits > 64 (Java shift masking would " +
+      "silently alias packed keys)") {
+    import org.apache.spark.sql.GraftBridge.{expression => bexpr}
+    val df = Seq((1L, Seq(1.0f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.expressions.LshBucketKeys(bexpr(df("v")),
+        Seq.fill(1 * 65 * 1)(0.0), dim = 1, bits = 65, tables = 1)
+    }
+    assert(e.getMessage.contains("[1, 64]"), e.getMessage)
+  }
+
   test("PqEncodeExactConst + PqReconConst: codes match a driver-side " +
       "exact-decimal argmin and recon is the codeword concatenation") {
     import org.apache.spark.sql.functions._

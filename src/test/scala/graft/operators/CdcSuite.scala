@@ -24,6 +24,16 @@ class CdcSuite extends SparkSpec {
     assert(out === Seq((1L, "a"), (2L, "b3"), (4L, "d"), (5L, "e")))
   }
 
+  test("a NULL key in the change log raises instead of silently " +
+      "duplicating the row (updates can't anti-join their base row)") {
+    val nullKey = Seq((Option(2L), "U", 1L, "b2"),
+      (None: Option[Long], "U", 2L, "x")).toDF("k", "op", "seq", "v")
+    val e = intercept[Exception] {
+      Cdc.applyChangeLog(base, nullKey, Seq("k"), "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("NULL in key column"), e.getMessage)
+  }
+
   test("op is only a tie-break: same-seq U beats D") {
     val tie = Seq((4L, "D", 7L, null), (4L, "U", 7L, "d2"))
       .toDF("k", "op", "seq", "v")

@@ -25,6 +25,21 @@ class NgramLmSuite extends SparkSpec {
     assert(math.abs(got.getAs[Double]("avg_logp") - want) < 1e-12)
   }
 
+  test("empty and whitespace-only docs are token-less: no score row, " +
+      "no '' unigram in the trained vocab (split('', ' ') is [''])") {
+    val withEmpty = trainCorpus.unionByName(
+      Seq((4L, ""), (5L, "  ")).toDF("doc_id", "text"))
+    val model = NgramLm.train(withEmpty, "text")
+    // same counts as the clean corpus: '' must not enter vocab or N
+    assert(model.nTokens === 6L && model.vocabSize === 3L)
+    val scored = NgramLm.scoreDocs(model,
+        Seq((10L, "a b"), (11L, ""), (12L, "   ")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(scored === Set(10L),
+      "token-less docs must emit no row (the documented contract)")
+  }
+
   test("OOV text scores through the backoff path, never throws") {
     val model = NgramLm.train(trainCorpus, "text")
     val got = NgramLm.scoreDocs(model,

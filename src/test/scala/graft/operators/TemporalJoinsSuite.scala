@@ -170,6 +170,31 @@ class TemporalJoinsSuite extends SparkSpec {
         "t", "t", "rid", sliceWidth = w)) === plain, s"width $w")
   }
 
+  test("asofBackwardSliced keeps NULL-TIME rows identically to the " +
+      "plain variant (slice(NULL) is NULL — the slice comparison must " +
+      "be null-safe like the keys)") {
+    // r15 review: the key comparisons were null-safe but the __slice
+    // one used ===, so a NULL-time left row was dropped from the output
+    // entirely (a row-count fork) and NULL-time right history landed in
+    // an unreachable slice
+    val left = Seq((1L, "a", Option(100L)), (2L, "a", None: Option[Long]))
+      .toDF("oid", "key", "t")
+    val right = Seq(("a", 11L, Option(90L), 1.0),
+      ("a", 12L, None: Option[Long], 2.0)).toDF("key", "rid", "t", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("oid", "asof_rid", "asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    val plain = rows(TemporalJoins.asofBackward(left, right, Seq("key"),
+      "t", "t", "rid"))
+    // NULL time sorts first: row 1 matches rid 11 (t=90 <= 100); the
+    // NULL-time left row sees only the NULL-time right row
+    assert(plain === Seq((1L, Some(11L), Some(1.0)),
+      (2L, Some(12L), Some(2.0))))
+    for (w <- Seq(1L, 7L, 1000L))
+      assert(rows(TemporalJoins.asofBackwardSliced(left, right, Seq("key"),
+        "t", "t", "rid", sliceWidth = w)) === plain, s"width $w")
+  }
+
   test("asofBackwardSliced accepts non-orderable payload columns (maps) " +
       "— max_by orders only (t, tieBreak), never the payload") {
     val left = Seq((1L, "a", 100L)).toDF("oid", "key", "t")

@@ -27,13 +27,25 @@ object Dedup {
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /** Driver/executor-side rendition of [[normalize]] for closures that
-    * must match the column expression exactly: locale-independent
-    * lowercase (String.toLowerCase would follow the JVM default locale
-    * — tr-TR dots break parity) and space-only trim (String.trim also
+    * must match the column expression exactly. Lowercasing delegates to
+    * the SAME entry point Spark's `lower()` executes —
+    * `CollationSupport.Lower.exec` under UTF8_BINARY with ICU case
+    * mappings (the `spark.sql.icu.caseMappings.enabled=true` 4.x
+    * default) — so parity holds BY CONSTRUCTION on every code point,
+    * including the ones where JDK and ICU case tables drift
+    * (String.toLowerCase(ROOT) was only locale-independent, not
+    * ICU-identical; a session that disables the ICU conf re-forks the
+    * non-ASCII slow path onto the JVM default locale, which the mains
+    * additionally pin to ROOT). Trim is space-only (String.trim also
     * strips control chars; Spark's trim does not). */
-  def normalizeString(text: String): String =
-    text.replaceAll("\\s+", " ").replaceAll("\\A +| +\\z", "")
-      .toLowerCase(java.util.Locale.ROOT)
+  def normalizeString(text: String): String = {
+    val collapsed =
+      text.replaceAll("\\s+", " ").replaceAll("\\A +| +\\z", "")
+    org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      .exec(org.apache.spark.unsafe.types.UTF8String.fromString(collapsed),
+        0 /* UTF8_BINARY */, true /* useICU: the 4.x default */)
+      .toString
+  }
 
   def tokens(text: Column): Column = split(normalize(text), " ")
 
@@ -295,9 +307,14 @@ object Dedup {
     * evicted under pressure, recomputation replays the (linear,
     * deterministic) RDD chain back to the persisted edges.
     *
-    * Returns (id, cluster) where cluster = min reachable id; the final
-    * generation stays persisted — callers owning the lifecycle can
-    * `.unpersist()` the result when done. */
+    * Returns (id, cluster) where cluster = min reachable id. The final
+    * generation stays persisted at the RDD level (node-sized — two
+    * longs per node), which a Dataset-level `.unpersist()` on the
+    * returned frame can NOT release; the blocks are reclaimed by
+    * Spark's ContextCleaner once the frame is unreferenced, so a
+    * long-lived session holds at most the generations still reachable
+    * from live results. All internal intermediate generations (hash-min
+    * rounds, star generations) are unpersisted before returning. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           hashMinRounds: Int = 12,
@@ -362,13 +379,18 @@ object Dedup {
       // Diameter exceeded the hash-min budget: contract with the
       // star algorithm instead (identical output — min reachable id).
       labelsRdd.unpersist(blocking = false)
-      val patched = withSelfLabels(starContraction(edges, maxIter))
+      val (starLabels, starRdd) = starContractionWithHandle(edges, maxIter)
+      val patched = withSelfLabels(starLabels)
       // materialize the patched labels WHILE edges is still cached —
       // the self-label branch reads edges, and unpersisting first
       // would replay the whole upstream pairs pipeline on consumption
       val resultRdd = patched.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val result = spark.createDataFrame(resultRdd, schema)
       result.count()
+      // the star generation fed `patched` — once the patched labels are
+      // materialized above it is dead weight, and leaving it pinned
+      // would leak one edge-set-sized RDD per fallback call (r15 review)
+      starRdd.unpersist(blocking = false)
       edges.unpersist(blocking = false)
       return result
     }
@@ -394,9 +416,15 @@ object Dedup {
     * the logical plan one round deep.
     *
     * `edges` must be the symmetric distinct (src, dst) relation.
-    * Returns (id, cluster = min reachable id), persisted. */
+    * Returns (id, cluster = min reachable id) — a LAZY frame over the
+    * final star generation, whose persisted backing RDD the caller owns
+    * (materialize downstream, then unpersist the handle). */
   private[operators] def starContraction(edges: DataFrame,
-                                         maxIter: Int = 50): DataFrame = {
+                                         maxIter: Int = 50): DataFrame =
+    starContractionWithHandle(edges, maxIter)._1
+
+  private def starContractionWithHandle(edges: DataFrame, maxIter: Int)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
@@ -446,9 +474,10 @@ object Dedup {
     require(converged, s"starContraction: no fixpoint in $maxIter rounds")
     // at the fixpoint every non-min node appears as exactly one (hi →
     // component min) star edge; minima label themselves
-    cur.select(col("hi").as("id"), col("lo").as("cluster"))
+    (cur.select(col("hi").as("id"), col("lo").as("cluster"))
       .union(cur.select(col("lo").as("id"), col("lo").as("cluster")))
-      .groupBy("id").agg(min("cluster").as("cluster"))
+      .groupBy("id").agg(min("cluster").as("cluster")),
+      curRdd)
   }
 
   // ---- exact dedup --------------------------------------------------

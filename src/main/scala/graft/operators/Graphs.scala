@@ -37,10 +37,15 @@ object Graphs {
     * Returns (id, pr). */
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
-    val deg = edges.groupBy("src")
+    // keep ONLY (src, dst) — extra caller columns (a prior "pr", a
+    // "__deg") would collide with internal names in step's join, and a
+    // wide payload would otherwise ride every round (the labelProp/cc/
+    // kcore census siblings all narrow the same way)
+    val e = edges.select("src", "dst")
+    val deg = e.groupBy("src")
       .agg(count(lit(1)).cast("double").as("__deg"))
-    val edgesDeg = edges.join(deg, "src")
-    val nodes = edges.select(col("src").as("id")).distinct()
+    val edgesDeg = e.join(deg, "src")
+    val nodes = e.select(col("src").as("id")).distinct()
     pageRankOver(edgesDeg, nodes, iters, damping)
   }
 
@@ -141,9 +146,15 @@ object Graphs {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(damping > 0 && damping < 1, s"damping=$damping not in (0,1)")
     val spark = edges.sparkSession
+    // narrow to (src, dst) BEFORE persisting — extra caller columns
+    // (e.g. a prior "pr" from re-ranking a joined frame, or "__deg")
+    // would hit an ambiguous-reference AnalysisException inside step's
+    // join, and a wide payload would be cached in edgesDeg and ride
+    // every round (same defensive select as the census siblings)
+    val narrowed = edges.select("src", "dst")
     val input =
-      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
-      else edges
+      if (symmetrizeInput) narrowed.persist(StorageLevel.MEMORY_AND_DISK)
+      else narrowed
     val full = if (symmetrizeInput) symmetrize(input) else input
     val noDangling = completeInbound || symmetrizeInput
     // deg has exactly one row per node (every node is a source, per the

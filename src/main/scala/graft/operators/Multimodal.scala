@@ -77,6 +77,10 @@ object Multimodal {
   def decodePartitions(df: DataFrame, payloadCol: String,
                        decoder: MediaDecoder,
                        batchSize: Int = 64): DataFrame = {
+    // named at construction, not an opaque Iterator.grouped failure
+    // mid-job (r15 review)
+    require(batchSize > 0, s"decodePartitions: batchSize=$batchSize " +
+      "must be positive")
     val schema = df.schema.add("features", ArrayType(FloatType))
     val idx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -88,6 +92,14 @@ object Multimodal {
           if (v == null) Array.empty[Byte] else v.asInstanceOf[Array[Byte]]
         }.toArray
         val feats = decoder.decodeBatch(payloads)
+        // a decoder returning a short (or long) batch would otherwise
+        // truncate silently through the zip — the last rows of every
+        // batch vanishing from the output is exactly the silent-row-
+        // loss class this engine raises on (r15 review)
+        require(feats.length == payloads.length,
+          s"decodePartitions: decoder returned ${feats.length} feature " +
+            s"vectors for a batch of ${payloads.length} payloads — " +
+            "MediaDecoder.decodeBatch must be 1:1 with its input")
         batch.iterator.zip(feats.iterator).map { case (r, f) =>
           Row.fromSeq(r.toSeq :+ f.toSeq)
         }
@@ -155,7 +167,7 @@ object Multimodal {
     * length (patches + 1 CLS token). Pure integer arithmetic (ceil via
     * `(x + p − 1) div p`), so the plan is engine-exact; the pixel-level
     * patch extraction follows the decoder batching contract
-    * ([[decodeBatched]]) once a codec is present. */
+    * ([[decodePartitions]]) once a codec is present. */
   def patchGrid(w: Column, h: Column, patch: Int): Column = {
     require(patch > 0, s"patch size must be positive, got $patch")
     val p = lit(patch.toLong)

@@ -658,6 +658,21 @@ class AnnSuite extends SparkSpec {
     assert(out.count(_._5) === 11)
   }
 
+  test("semanticDedup rejects non-long ids BEFORE the k-means training " +
+    "(r15 review)") {
+    // the LongType requirement is connectedComponents'; surfacing it
+    // only after the Lloyd rounds + centroid collect wastes the
+    // expensive work — the require must fire at construction
+    val df = Seq((1, Array.fill(8)(0.5f)), (2, Array.fill(8)(0.4f)))
+      .toDF("vec_id", "embedding") // IntegerType ids
+    val ex = intercept[IllegalArgumentException] {
+      Ann.semanticDedup(df, "vec_id", "embedding", dim = 8,
+        nCells = 2, threshold = 0.9)
+    }
+    assert(ex.getMessage.contains("vec_id") &&
+      ex.getMessage.contains("LongType"))
+  }
+
   test("filtered IVF search: predicate on the candidate frame restricts " +
       "results and keeps in-filter recall") {
     val queries = clustered.filter(col("vec_id") % 10 === 0 &&

@@ -380,4 +380,37 @@ class DedupSuite extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(same("x") === same("y"))
   }
+
+  test("connectedComponents fallback pins ONLY the result generation " +
+    "(star generations unpersist — r15 review)") {
+    // suites run sequentially in the forked test JVM (the PlanSuite
+    // cacheManager pins rely on the same), so the persistent-RDD delta
+    // is attributable to this call alone
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val path = spark.range(400).select((col("id") + 5000).as("id_a"),
+      (col("id") + 5001).as("id_b"))
+    val cc = Dedup.connectedComponents(path) // diameter ≫ rounds → fallback
+    assert(cc.count() === 401)
+    val delta = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(delta.size === 1,
+      s"fallback must leave exactly the result generation persisted " +
+        s"(the final star generation was leaking before r15); got $delta")
+  }
+
+  test("normalizeString matches the normalize column on non-ASCII " +
+    "case-mapping edge cases (ICU parity by construction — r15 review)") {
+    val fixtures = Seq(
+      "İSTANBUL Iı",          // Turkish dotted/dotless I
+      "STRASSE straße ß",     // German sharp s
+      "ΣΙΣΥΦΟΣ σίγμα",        // Greek final sigma context
+      "ǅungla ǄǅǆTitlecase",  // Unicode titlecase digraphs
+      "ﬁnancial ﬂow",         // ligatures
+      "  MIXED\t\nwhitespace CASE  ",
+      "ASCII Fast Path Only")
+    val sparkSide = fixtures.toDF("t")
+      .select(Dedup.normalize(col("t")).as("n"))
+      .as[String].collect().toSeq
+    val closureSide = fixtures.map(Dedup.normalizeString)
+    assert(sparkSide === closureSide)
+  }
 }

@@ -71,6 +71,30 @@ class GraphsSuite extends SparkSpec {
     assert(eager === lazyTop)
   }
 
+  test("pageRank / pageRankTopK tolerate extra payload columns, even " +
+    "ones colliding with internal names (r15 review)") {
+    // a frame carrying a prior "pr" (re-ranking a joined output) or a
+    // "__deg" used to hit an ambiguous-reference AnalysisException in
+    // step's join — and a wide payload would ride every cached round
+    val base = Graphs.symmetrize(
+      spark.range(200).select((col("id") % 23).as("src"),
+        ((col("id") * 7 + 3) % 23).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    val wide = base.withColumn("pr", lit(9.9))
+      .withColumn("__deg", lit(-1.0))
+      .withColumn("payload", lit("x"))
+    val clean = Graphs.pageRank(base, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val dirty = Graphs.pageRank(wide, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(dirty === clean)
+    val cleanTop = Graphs.pageRankTopK(base, iters = 3, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val dirtyTop = Graphs.pageRankTopK(wide, iters = 3, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(dirtyTop === cleanTop)
+  }
+
   test("triangleStats: K4 has 4 triangles; a path has none") {
     val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
       .toDF("src", "dst")

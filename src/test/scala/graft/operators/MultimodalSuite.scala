@@ -41,6 +41,28 @@ class MultimodalSuite extends SparkSpec {
     assert(run(1, 64) === run(4, 2))
   }
 
+  test("decode fails LOUDLY on a decoder that is not 1:1 with its " +
+    "batch, and on a non-positive batchSize (r15 review)") {
+    // a short-returning decoder used to truncate the last row of every
+    // batch silently through the zip
+    val short = new Multimodal.MediaDecoder {
+      def featureDim: Int = 1
+      def decodeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+        payloads.drop(1).map(_ => Array(1.0f))
+    }
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePartitions(docs.repartition(1), "payload", short,
+        batchSize = 4).count()
+    }
+    assert(ex.getMessage.contains("must be 1:1") ||
+      Option(ex.getCause).exists(_.getMessage.contains("must be 1:1")))
+    val bad = intercept[IllegalArgumentException] {
+      Multimodal.decodePartitions(docs, "payload",
+        new Multimodal.DeterministicFakeDecoder(4), batchSize = 0)
+    }
+    assert(bad.getMessage.contains("batchSize"))
+  }
+
   test("real codec path is an explicit stub") {
     intercept[NotImplementedError] {
       new Multimodal.RealCodecDecoder(4).decodeBatch(Array(Array[Byte](1)))

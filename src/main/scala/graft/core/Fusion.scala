@@ -47,6 +47,17 @@ object Fusion {
   ): Fusion = {
     require(dataA.columns.contains(idVarA), s"'$idVarA' not in data_A")
     require(dataB.columns.contains(idVarB), s"'$idVarB' not in data_B")
+    // the id variable is canonicalized to "id" below; an input that
+    // ALREADY carries a different column named "id" would end up with
+    // two "id" columns after the rename and every Seq("id") join here
+    // would die with an ambiguous-reference error that never names the
+    // real cause (r15 review) — fail with the cause named instead
+    require(idVarA == "id" || !dataA.columns.contains("id"),
+      s"data_A already has a column named 'id' distinct from " +
+        s"idVarA='$idVarA' — rename it before fusing")
+    require(idVarB == "id" || !dataB.columns.contains("id"),
+      s"data_B already has a column named 'id' distinct from " +
+        s"idVarB='$idVarB' — rename it before fusing")
     val a = dataA.withColumnRenamed(idVarA, "id")
     val b = dataB.withColumnRenamed(idVarB, "id")
     val aCols = a.columns.toSet

@@ -80,6 +80,24 @@ object PC {
         "yACol explicitly")
     require(dataB.columns.contains(yBRaw),
       s"y_B_col (resolved '$yBRaw') is not a column of dataB")
+    // aux vars are consumed on BOTH sides (A-side HT totals feed the
+    // population targets, B-side values feed the calibration design) —
+    // a var missing from either side would silently resolve to the
+    // other side's bare column after fusion, leaving the totals or the
+    // Gram partial with no error naming the cause (r15 review). Same
+    // own-side contract for the weight columns.
+    cfg.auxVars.foreach { v =>
+      require(dataA.columns.contains(v),
+        s"aux var '$v' is not a column of dataA — PC aux variables " +
+          "must be observed in both samples")
+      require(dataB.columns.contains(v),
+        s"aux var '$v' is not a column of dataB — PC aux variables " +
+          "must be observed in both samples")
+    }
+    cfg.weightsA.foreach(w => require(dataA.columns.contains(w),
+      s"weightsA '$w' is not a column of dataA"))
+    cfg.weightsB.foreach(w => require(dataB.columns.contains(w),
+      s"weightsB '$w' is not a column of dataB"))
     val yA = fusion.fromA.getOrElse(yARaw, yARaw)
     val yB = fusion.fromB.getOrElse(yBRaw, yBRaw)
     val auxA = cfg.auxVars.map(v => fusion.fromA.getOrElse(v, v))
@@ -265,7 +283,13 @@ object PC {
         case 2 =>
           val yA = yAOpt.get
           val predict = predictCol(isA && isB)
-          // (Σ d_B·ŷ_B + Σ d_A·(y_A − ŷ_A)) / N in one whole-frame agg
+          // (Σ d_B·ŷ_B + Σ d_A·(y_A − ŷ_A)) / N in one whole-frame agg.
+          // NULL predictions (a covariate resolved to one side) are
+          // SKIPPED by the null-skipping dsum — deliberately: the
+          // reference sums with na.rm = TRUE (PC.R:288-289), so rows
+          // whose prediction is NA drop out of both terms there too.
+          // The twoSample aux requires above keep the CALIBRATION side
+          // loud; the outcome-model formula keeps reference semantics.
           val r = data.agg(
             dsum(col("d_i_B") * predict).as("t1"),
             dsum(when(isA, col("d_i_A") * (col(yA) - predict))).as("t2")).head()

@@ -69,6 +69,15 @@ object RegDI {
       s"y_A_col '${cfg.yACol}' is not a column of dataA")
     require(dataB.columns.contains(cfg.yBCol),
       s"y_B_col '${cfg.yBCol}' is not a column of dataB")
+    // same own-side contract for aux and weights (r15 review): an aux
+    // var missing from B would silently resolve to the bare A column
+    // after fusion — delta_* NULL on every B-only row, the calibration
+    // Gram partial, wrong or singular with no error naming the cause
+    cfg.auxVars.foreach(v => require(dataB.columns.contains(v),
+      s"aux var '$v' is not a column of dataB — RegDI aux variables " +
+        "are the B-side (big data) covariates"))
+    cfg.weightsA.foreach(w => require(dataA.columns.contains(w),
+      s"weightsA '$w' is not a column of dataA"))
     val fusion = Fusion.fuse(dataA, dataB, idVarA, idVarB,
       broadcastA = cfg.broadcastA)
     // side-aware resolution (fixes the reference's cell-10 rename bug)

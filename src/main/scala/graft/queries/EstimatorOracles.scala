@@ -118,7 +118,10 @@ object EstimatorOracles {
 
   /** Shared m20/m21 tail: calibrated-design svymean with linearization
     * variance over the A rows (`RegDI.scala:147-149` → `WeightedStats
-    * .svymeanCalibrated`). `yCol`/`dyiCol` differ under correction 2. */
+    * .svymeanCalibrated`). `yCol`/`dyiCol` differ under correction 2.
+    * Scores are UNNORMALIZED (s = w_cal·resid; the /Σw happens once
+    * after aggregation — WeightedStats.scoreVariance's decimal-quantum
+    * contract, r15). */
   private def svymeanTail(yCol: String, cs: Seq[String]): String = {
     val csA = cs // column names available on `arows`
     s"""m1 AS (SELECT ${sqlDsum(s"(w_cal * ($yCol))")} AS swy,
@@ -126,9 +129,9 @@ object EstimatorOracles {
        |       FROM arows),
        |beta AS (SELECT ${solveSelect("g", 4,
                    IndexedSeq.tabulate(4)(i => s"g.xy_$i"), betaN)} FROM g),
-       |zr AS (SELECT ((a.w_cal * ${resid(s"(a.$yCol)",
-                  csA.map(c => s"a.$c"), betaN.map("beta." + _))}) / m1.sw) AS z
-       |       FROM arows a, beta, m1),
+       |zr AS (SELECT (a.w_cal * ${resid(s"(a.$yCol)",
+                  csA.map(c => s"a.$c"), betaN.map("beta." + _))}) AS z
+       |       FROM arows a, beta),
        |v AS (SELECT ${sqlDsum("z")} AS sz, ${sqlDsum("(z * z)")} AS szz,
        |             CAST(count(*) AS DOUBLE) AS n FROM zr)""".stripMargin
   }
@@ -148,7 +151,7 @@ object EstimatorOracles {
        |  FROM r, lam WHERE r.inA = 1),
        |${svymeanTail("y_A", regdiCal)}
        |SELECT m1.swy / m1.sw AS mean,
-       |       sqrt(${varEst("v.szz", "v.sz", "v.n")}) AS se
+       |       sqrt(${varEst("v.szz", "v.sz", "v.n")} / (m1.sw * m1.sw)) AS se
        |FROM m1, v""".stripMargin
 
   /** m21 — RegDI correction 2 (`RegDI2.R:250-307`): OLS y_A ~ y_B on the
@@ -181,7 +184,7 @@ object EstimatorOracles {
        |  FROM rc, lam WHERE rc.inA = 1),
        |${svymeanTail("y_corr", corrCal)}
        |SELECT m1.swy / m1.sw AS mean,
-       |       sqrt(${varEst("v.szz", "v.sz", "v.n")}) AS se
+       |       sqrt(${varEst("v.szz", "v.sz", "v.n")} / (m1.sw * m1.sw)) AS se
        |FROM m1, v""".stripMargin
   }
 
@@ -256,13 +259,13 @@ object EstimatorOracles {
        |       FROM rw WHERE inB = 1),
        |beta AS (SELECT ${solveSelect("bg", 2,
                   IndexedSeq("bg.xy_0", "bg.xy_1"), Seq("b0", "b1"))} FROM bg),
-       |zr AS (SELECT ((w.d_i_B * ${resid("(w.y_B)",
-                  pcAux.map(c => s"w.$c"), Seq("beta.b0", "beta.b1"))}) / m1.sw) AS z
-       |       FROM rw w, beta, m1 WHERE w.inB = 1),
+       |zr AS (SELECT (w.d_i_B * ${resid("(w.y_B)",
+                  pcAux.map(c => s"w.$c"), Seq("beta.b0", "beta.b1"))}) AS z
+       |       FROM rw w, beta WHERE w.inB = 1),
        |v AS (SELECT ${sqlDsum("z")} AS sz, ${sqlDsum("(z * z)")} AS szz,
        |             CAST(count(*) AS DOUBLE) AS n FROM zr)
        |SELECT m1.swy / m1.sw AS estimator,
-       |       sqrt(${varEst("v.szz", "v.sz", "v.n")}) AS se
+       |       sqrt(${varEst("v.szz", "v.sz", "v.n")} / (m1.sw * m1.sw)) AS se
        |FROM m1, v""".stripMargin
 
   /** m24 — PC scenario 2 (`PC.R:255-297`): OLS y_A ~ x1_A on A∩B,

@@ -166,7 +166,10 @@ object StatsQueries {
                FROM a, l ORDER BY a.id""")),
 
     // ---- M3 svymean + linearization variance (ids=~1, uncalibrated) ---
-    // μ = Σdy/Σd ; zᵢ = d(y−μ)/Σd ; V = n/(n−1)·(Σz² − (Σz)²/n)
+    // μ = Σdy/Σd ; sᵢ = d(y−μ) ; V = n/(n−1)·(Σs² − (Σs)²/n)/(Σd)²
+    // (UNNORMALIZED scores — the /Σd inside each decimal addend put z²
+    // at O(1/n²), below the DECIMAL(38,10) quantum at large n; see
+    // WeightedStats' scaladoc, r15 review)
     Q("m03_svymean_var",
       (s, d) => {
         val a = sampleA(s, d)
@@ -174,20 +177,22 @@ object StatsQueries {
           .head()
         val mu = dbl(m, 0) / dbl(m, 1)
         val sw = dbl(m, 1)
-        val z = col("d") * (col("y") - lit(mu)) / lit(sw)
+        val sc = col("d") * (col("y") - lit(mu))
         a.agg(max(lit(mu)).as("mean_y"),
           ((count(lit(1)).cast("double") / (count(lit(1)).cast("double") - lit(1.0))) *
-            (dsum(z * z) - dsum(z) * dsum(z) / count(lit(1)).cast("double")))
+            (dsum(sc * sc) - dsum(sc) * dsum(sc) / count(lit(1)).cast("double")) /
+            lit(sw * sw))
             .as("var_mean"))
       },
       Some(s"""WITH a AS ($sqlA),
                     m AS (SELECT ${sqlDsum("d * y")} / ${sqlDsum("d")} AS mu,
                                  ${sqlDsum("d")} AS sw FROM a),
-                    z AS (SELECT a.d * (a.y - m.mu) / m.sw AS z, m.mu FROM a, m)
+                    z AS (SELECT a.d * (a.y - m.mu) AS s, m.mu, m.sw FROM a, m)
                SELECT max(mu) AS mean_y,
                       (CAST(count(*) AS DOUBLE) / (CAST(count(*) AS DOUBLE) - 1.0)) *
-                        (${sqlDsum("z * z")} - ${sqlDsum("z")} * ${sqlDsum("z")}
-                           / CAST(count(*) AS DOUBLE)) AS var_mean
+                        (${sqlDsum("s * s")} - ${sqlDsum("s")} * ${sqlDsum("s")}
+                           / CAST(count(*) AS DOUBLE)) / (max(sw) * max(sw))
+                        AS var_mean
                FROM z""")),
 
     // ---- M4 svytotal — HT totals from the A design (PC.R:190-193) -----
@@ -554,12 +559,13 @@ object StatsQueries {
       Some(s"""WITH a AS ($sqlA),
                     m AS (SELECT ${sqlDsum("d * y")} / ${sqlDsum("d * x")} AS r,
                                  ${sqlDsum("d * x")} AS swx FROM a),
-                    z AS (SELECT a.d * (a.y - m.r * a.x) / m.swx AS z, m.r
+                    z AS (SELECT a.d * (a.y - m.r * a.x) AS s, m.r, m.swx
                           FROM a, m)
                SELECT max(r) AS ratio,
                       (CAST(count(*) AS DOUBLE) / (CAST(count(*) AS DOUBLE) - 1.0)) *
-                        (${sqlDsum("z * z")} - ${sqlDsum("z")} * ${sqlDsum("z")}
-                           / CAST(count(*) AS DOUBLE)) AS var_ratio
+                        (${sqlDsum("s * s")} - ${sqlDsum("s")} * ${sqlDsum("s")}
+                           / CAST(count(*) AS DOUBLE)) / (max(swx) * max(swx))
+                        AS var_ratio
                FROM z""")),
 
     // ---- M33 domain (subpopulation) mean + design-correct variance ----
@@ -581,12 +587,13 @@ object StatsQueries {
                           FROM a0),
                     m AS (SELECT ${sqlDsum("d * u * y")} / ${sqlDsum("d * u")} AS mu,
                                  ${sqlDsum("d * u")} AS swd FROM a),
-                    z AS (SELECT a.d * a.u * (a.y - m.mu) / m.swd AS z, m.mu
+                    z AS (SELECT a.d * a.u * (a.y - m.mu) AS s, m.mu, m.swd
                           FROM a, m)
                SELECT max(mu) AS mean_dom,
                       (CAST(count(*) AS DOUBLE) / (CAST(count(*) AS DOUBLE) - 1.0)) *
-                        (${sqlDsum("z * z")} - ${sqlDsum("z")} * ${sqlDsum("z")}
-                           / CAST(count(*) AS DOUBLE)) AS var_dom
+                        (${sqlDsum("s * s")} - ${sqlDsum("s")} * ${sqlDsum("s")}
+                           / CAST(count(*) AS DOUBLE)) / (max(swd) * max(swd))
+                        AS var_dom
                FROM z""")),
 
     // ---- M34 post-stratification (survey::postStratify) ---------------
@@ -714,18 +721,20 @@ object StatsQueries {
       Some(s"""WITH a AS ($sqlA),
                     f AS (SELECT a.*, id % 3 AS g FROM a),
                     m AS (SELECT g, ${sqlDsum("d * y")} AS sdy,
-                                 ${sqlDsum("d")} AS sd
+                                 ${sqlDsum("d")} AS sd,
+                                 count(*) AS cnt
                           FROM f GROUP BY g),
-                    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
-                    z AS (SELECT f.g, f.d * (f.y - m.sdy / m.sd) / m.sd AS z
-                          FROM f JOIN m ON m.g = f.g),
-                    v AS (SELECT g, ${sqlDsum("z * z")} AS szz,
-                                 ${sqlDsum("z")} AS sz
-                          FROM z GROUP BY g)
-               SELECT m.g, m.sdy / m.sd AS mean_y,
-                      n.n / (n.n - 1.0) * (v.szz - v.sz * v.sz / n.n)
-                        AS var_mean
-               FROM m JOIN v ON v.g = m.g, n ORDER BY m.g""")),
+                    mt AS (SELECT m.*, CAST(sum(cnt) OVER () AS DOUBLE)
+                                         AS n FROM m),
+                    z AS (SELECT f.g, mt.sdy, mt.sd, mt.n,
+                                 f.d * (f.y - mt.sdy / mt.sd) AS s
+                          FROM f JOIN mt ON mt.g = f.g)
+               SELECT g, max(sdy) / max(sd) AS mean_y,
+                      max(n) / (max(n) - 1.0) *
+                        (${sqlDsum("s * s")} - ${sqlDsum("s")} *
+                           ${sqlDsum("s")} / max(n)) /
+                        (max(sd) * max(sd)) AS var_mean
+               FROM z GROUP BY g ORDER BY g""")),
 
     // ---- M43 isotonic (PAVA) score calibration ------------------------
     // Monotone calibration of P(high-price | quantity) over binned
@@ -1141,28 +1150,47 @@ object StatsQueries {
     // (id, r) → inverse CDF over literal-digit thresholds (no libm) —
     // so the whole resampling scheme reruns bit-identically in DuckDB.
     // One ×R row expansion, then a single partial-aggregable groupBy(r).
+    // fixture is the FULL customer table, not the %37 sampleA carve:
+    // at sf0.001 the carve has ~4 rows and an independent Poisson(1)
+    // replicate drawing all-zero K there is a ~44% event per run —
+    // the operator raises loudly on it (see poissonBootstrapMean);
+    // 150+ rows put the probability at e^−150 ≈ 0 at every graded SF
     Q("m36_poisson_bootstrap",
-      (s, d) => Replication.poissonBootstrapMean(sampleA(s, d),
+      (s, d) => Replication.poissonBootstrapMean(
+        load(s, d, "customer").select(col("c_custkey").as("id"),
+          col("c_acctbal").as("y"),
+          (lit(1.0) + (col("c_custkey") % 7).cast("double")).as("d")),
         col("y"), col("d"), col("id"), reps = 32),
       Some(bootstrapOracle(reps = 32)))
   )
 
-  /** DuckDB rendition of m36: same hash, same CASE inverse-CDF, same
-    * replicate aggregation — constants embedded as shortest-repr VARCHAR
-    * casts per the float-parity convention. */
+  /** DuckDB rendition of m36: same md5-unit draw (first 13 hex digits
+    * of md5("id:r") / 2⁵² — the e20/o04 portable convention; the old
+    * affine hash made every replicate a global rotation of the first),
+    * same CASE inverse-CDF, same replicate aggregation — constants
+    * embedded as shortest-repr VARCHAR casts per the float-parity
+    * convention. */
   private def bootstrapOracle(reps: Int): String = {
     val cs = graft.stats.Replication.poisson1Cum.map(c =>
       s"CAST('$c' AS DOUBLE)")
     val kCase = "CASE " + cs.zipWithIndex.map { case (c, i) =>
       s"WHEN u < $c THEN $i.0"
     }.mkString(" ") + " ELSE 8.0 END"
-    s"""WITH a AS ($sqlA),
+    val hexParse13 = (0 until 13).map { i =>
+      s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * " +
+        s"${BigInt(16).pow(12 - i)}"
+    }.mkString(" + ")
+    s"""WITH a AS (SELECT c_custkey AS id, c_acctbal AS y,
+                          1.0 + CAST(c_custkey % 7 AS DOUBLE) AS d
+                   FROM customer),
               reps AS (SELECT unnest(generate_series(0, ${reps - 1})) AS r),
-              x AS (SELECT a.y, a.d, reps.r,
-                      CAST(((((a.id % 100000007) * 1009 + reps.r)
-                        % 100000007) * 1315423911) % 100000007 AS DOUBLE)
-                        / 100000007.0 AS u
-                    FROM a CROSS JOIN reps),
+              hxx AS (SELECT a.y, a.d, reps.r,
+                        md5(CAST(a.id AS VARCHAR) || ':' ||
+                            CAST(reps.r AS VARCHAR)) AS hx
+                      FROM a CROSS JOIN reps),
+              x AS (SELECT y, d, r,
+                      CAST($hexParse13 AS DOUBLE) / 4503599627370496.0 AS u
+                    FROM hxx),
               kk AS (SELECT r, y, d, $kCase AS k FROM x),
               rt AS (SELECT r, ${sqlDsum("k * d * y")} AS tr,
                             ${sqlDsum("k * d")} AS wr

@@ -140,8 +140,6 @@ object Replication {
     0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
     0.999916758850712, 0.9999897508033253)
 
-  private val portableP = 100000007L
-
   /** The ×(R+1) expansion + ONE grouped pass behind
     * [[poissonBootstrapMean]], exposed lazily (R+1 rows, uncollected)
     * so BootstrapScaleProbe can pin the plan shape — partial agg,
@@ -164,10 +162,22 @@ object Replication {
     val idG = when(idCol.isNull, raise_error(lit(
       "poissonBootstrapMean: NULL in id column — the portable draw " +
         "needs a non-null row id"))).otherwise(idCol)
-    val hash = pmod(
-      pmod(pmod(idG, lit(portableP)) * lit(1009L) + col("__r"),
-        lit(portableP)) * lit(1315423911L), lit(portableP))
-    val u = hash.cast("double") / lit(portableP.toDouble)
+    // md5-unit draw, NOT the multiplicative hash: any affine-mod-p
+    // hash h(id, r) has h(id, r+1) − h(id, r) ≡ const, so every
+    // replicate's uniforms are one global rotation of replicate 0's
+    // (perfectly correlated resampling — measured var_boot at 1.4% of
+    // s²/n on a linear-trend y, a 70× underestimate), and sequential
+    // ids form a Weyl lattice within a replicate (the same defect the
+    // LSH hyperplane doc calls out — AnnQueries.portableUnit). The
+    // first 13 md5 hex digits of "id:r" / 2⁵² are cryptographic-
+    // quality uniforms, engine-portable (the e20/o04 oracle
+    // convention), and the power-of-two divide is exact in both
+    // engines. Cost: one short-string md5 per expanded row — the
+    // declared price of an unbiased hash-checkable bootstrap.
+    val hx = md5(concat(idG.cast("string"), lit(":"),
+      col("__r").cast("string")))
+    val u = conv(substring(hx, 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0)
     val k0 = poisson1Cum.zipWithIndex.reverse
       .foldLeft(lit(8.0): Column) { case (acc, (c, i)) =>
         when(u < lit(c), lit(i.toDouble)).otherwise(acc)
@@ -184,11 +194,13 @@ object Replication {
     * index structure is ever built — θ_r = Σ K·w·y / Σ K·w and
     * V̂ = (1/R)·Σ (θ_r − θ̂)².
     *
-    * The draws are DETERMINISTIC: u_ri comes from the engine-portable
-    * multiplicative hash of (id, r) mod 1e8+7 and K from the inverse
-    * CDF over [[poisson1Cum]] (capped at 8, tail mass 1e-6) — the same
-    * arithmetic reruns bit-identically in any engine, which is what
-    * makes a bootstrap hash-checkable at all. Scale shape: the cross
+    * The draws are DETERMINISTIC: u_ri is the md5-unit draw of "id:r"
+    * (first 13 hex digits / 2⁵² — the e20/o04 portable convention; an
+    * affine multiplicative hash is unusable here, see the inline note)
+    * and K comes from the inverse CDF over [[poisson1Cum]] (capped at
+    * 8, tail mass 1e-6) — the same arithmetic reruns bit-identically
+    * in any engine, which is what makes a bootstrap hash-checkable at
+    * all. Scale shape: the cross
     * join with the R-row replicate frame expands rows ×R (the inherent
     * bootstrap cost), but everything after is ONE partial-aggregable
     * groupBy(r) of O(R) state — no resampled copies are materialized.
@@ -205,7 +217,18 @@ object Replication {
       java.util.Arrays.asList(rtRows: _*), rtAll.schema)
     val tot = local.filter(col("__r") === lit(-1L))
       .select(col("tr").as("t"), col("wr").as("wsum"))
-    val dd = col("tr") / col("wr") - col("t") / col("wsum")
+    // a replicate whose every row drew K = 0 has Σ K·w = 0 and an
+    // undefined θ_r — probability e^−n per replicate, real only for
+    // tiny n (the md5 draws are genuinely independent; the pre-r15
+    // affine hash could never produce one, which silently masked the
+    // case). Raise with the cause named rather than die on ANSI
+    // divide-by-zero mid-aggregate.
+    val wrG = when(col("wr") === lit(0.0), raise_error(lit(
+      "poissonBootstrapMean: a replicate drew an empty resample " +
+        "(every K = 0, Σ K·w = 0) — n is too small for a Poisson(1) " +
+        "bootstrap; use more rows or fewer replicates")))
+      .otherwise(col("wr"))
+    val dd = col("tr") / wrG - col("t") / col("wsum")
     local.filter(col("__r") =!= lit(-1L))
       .crossJoin(broadcast(tot))
       .agg(

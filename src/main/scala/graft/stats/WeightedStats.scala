@@ -11,6 +11,13 @@ import graft.core.SurveyDesign
   *
   * For an element-level design the with-replacement linearization is
   *   μ̂ = Σwy/Σw,   zᵢ = wᵢ(yᵢ−μ̂)/Σw,   V̂(μ̂) = n/(n−1) · Σ(zᵢ−z̄)²
+  * computed as n/(n−1)·(Σsᵢ² − (Σsᵢ)²/n)/(Σw)² over the UNNORMALIZED
+  * scores sᵢ = wᵢ(yᵢ−μ̂): dividing each score by Σw before the exact-
+  * decimal aggregation would put the z² addends at O(1/n²), below the
+  * DECIMAL(38,10) quantum for n ≳ 10⁵ — every addend rounds to 0 and
+  * the variance silently collapses (r15 review). The aggregated sums
+  * keep O(w²y²) addends at any n; the (Σw)² division happens once,
+  * driver-side, in IEEE.
   * For a GREG-calibrated design, y is replaced by the residual
   * eᵢ = yᵢ − xᵢᵀB̂ of the d-weighted regression of y on the calibration
   * variables, with the calibrated weights in the score (Särndal et al.,
@@ -51,8 +58,8 @@ object WeightedStats {
     val swx = first.getAs[Number]("swx").doubleValue()
     require(swx != 0.0, "svyratio denominator total is zero")
     val r = first.getAs[Number]("swy").doubleValue() / swx
-    val z = w * (col(yCol) - lit(r) * col(xCol)) / lit(swx)
-    RatioResult(r, scoreVariance(design.df, z))
+    val s = w * (col(yCol) - lit(r) * col(xCol))
+    RatioResult(r, scoreVariance(design.df, s, swx))
   }
 
   /** Domain (subpopulation) mean with design-correct variance: the domain
@@ -70,8 +77,8 @@ object WeightedStats {
     val swD = first.getAs[Number]("sw").doubleValue()
     require(swD != 0.0, "empty estimation domain")
     val mu = first.getAs[Number]("swy").doubleValue() / swD
-    val z = w * u * (col(yCol) - lit(mu)) / lit(swD)
-    MeanResult(mu, scoreVariance(design.df, z))
+    val s = w * u * (col(yCol) - lit(mu))
+    MeanResult(mu, scoreVariance(design.df, s, swD))
   }
 
   /** `svyby(~y, ~g, design, svymean)` — per-group domain means with the
@@ -83,34 +90,60 @@ object WeightedStats {
   def svybyMean(design: SurveyDesign, yCol: String,
                 groupCol: String): DataFrame = {
     import graft.util.Tables.dsum
+    import org.apache.spark.sql.expressions.Window
     val w = design.weights
     val df = design.df
-    val m = df.groupBy(col(groupCol))
-      .agg(dsum(w * col(yCol)).as("__sdy"), dsum(w).as("__sd"))
-    val joined = df.join(broadcast(m), groupCol)
-    val z = w * (col(yCol) - col("__sdy") / col("__sd")) / col("__sd")
-    val v = joined.groupBy(col(groupCol))
-      .agg(dsum(z * z).as("__szz"), dsum(z).as("__sz"))
-    val n = df.agg(count(lit(1)).cast("double").as("__n"))
-    m.join(v, groupCol).crossJoin(broadcast(n))
+    // a NULL group key would fall out of the equi-join below silently
+    // (null ≠ null in a join), vanishing from the output while its rows
+    // still inflate every other group's full-sample n — raise instead
+    // (the aspectBuckets NULL convention); coalesce a sentinel first if
+    // NULL-as-group is wanted (r15 review)
+    val g = when(col(groupCol).isNull, raise_error(lit(
+      s"svybyMean: NULL in group column '$groupCol' — the group would " +
+        "silently vanish from the output; coalesce a sentinel first")))
+      .otherwise(col(groupCol))
+    val m = df.groupBy(g.as(groupCol))
+      .agg(dsum(w * col(yCol)).as("__sdy"), dsum(w).as("__sd"),
+        count(lit(1)).as("__cnt"))
+    // full-sample n rides the grouped frame via ONE empty-partition
+    // window: m is group-count-sized and broadcast below, so the
+    // single-task window is bounded by the same contract that makes
+    // the join broadcastable (NOT the hotKeys unbounded-key hazard) —
+    // the old separate df.agg(count) was a third full scan (r15 review)
+    val mt = m.withColumn("__n",
+      sum(col("__cnt")).over(Window.partitionBy()).cast("double"))
+    val joined = df.join(broadcast(mt), groupCol)
+    // UNNORMALIZED scores (see the object scaladoc): the /Σ_g w happens
+    // once per group after aggregation, not per decimal addend
+    val s = w * (col(yCol) - col("__sdy") / col("__sd"))
+    joined.groupBy(col(groupCol))
+      .agg(first(col("__sdy")).as("__sdy2"), first(col("__sd")).as("__sd2"),
+        first(col("__n")).as("__n2"),
+        dsum(s * s).as("__sss"), dsum(s).as("__ss"))
       .select(col(groupCol),
-        (col("__sdy") / col("__sd")).as("mean_y"),
-        (col("__n") / (col("__n") - lit(1.0)) *
-          (col("__szz") - col("__sz") * col("__sz") / col("__n")))
-          .as("var_mean"))
+        (col("__sdy2") / col("__sd2")).as("mean_y"),
+        (col("__n2") / (col("__n2") - lit(1.0)) *
+          (col("__sss") - col("__ss") * col("__ss") / col("__n2")) /
+          (col("__sd2") * col("__sd2"))).as("var_mean"))
   }
 
-  /** With-replacement score variance n/(n−1)·(Σz² − (Σz)²/n) from exact-
-    * decimal sums — the shared second pass of every linearized estimator
-    * here. */
-  private def scoreVariance(df: DataFrame, z: Column): Double = {
+  /** With-replacement score variance n/(n−1)·(Σs² − (Σs)²/n)/denom²
+    * from exact-decimal sums of the UNNORMALIZED scores s — the shared
+    * second pass of every linearized estimator here. `denom` is the Σw
+    * (or Σwx) the textbook z = s/denom would carry; dividing AFTER the
+    * aggregation keeps the decimal addends at O(w²y²) instead of
+    * O(1/n²), which the DECIMAL(38,10) quantum destroys at large n
+    * (see the object scaladoc). */
+  private def scoreVariance(df: DataFrame, s: Column,
+                            denom: Double): Double = {
     import graft.util.Tables.dsum
-    val second = df.agg(dsum(z * z).as("szz"), dsum(z).as("sz"),
+    val second = df.agg(dsum(s * s).as("sss"), dsum(s).as("ss"),
       count(lit(1)).as("n")).head()
-    val szz = second.getAs[Number]("szz").doubleValue()
-    val sz = second.getAs[Number]("sz").doubleValue()
+    val sss = second.getAs[Number]("sss").doubleValue()
+    val ss = second.getAs[Number]("ss").doubleValue()
     val n = second.getAs[Long]("n").toDouble
-    if (n <= 1) 0.0 else n / (n - 1.0) * (szz - sz * sz / n)
+    if (n <= 1) 0.0
+    else n / (n - 1.0) * (sss - ss * ss / n) / (denom * denom)
   }
 
   /** `svymean(~y, calibrated_design)`: mean under calibrated weights,
@@ -162,7 +195,7 @@ object WeightedStats {
     val w0 = first.getAs[Number]("sw").doubleValue()
     val mu = sw / w0
     val scoreBase = Option(scoreYOpt).getOrElse(y - lit(mu))
-    val z = scoreW * scoreBase / lit(w0)
-    MeanResult(mu, scoreVariance(df, z))
+    val s = scoreW * scoreBase
+    MeanResult(mu, scoreVariance(df, s, w0))
   }
 }

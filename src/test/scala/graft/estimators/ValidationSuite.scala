@@ -65,6 +65,47 @@ class ValidationSuite extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("fusion rejects an input whose 'id' column is not its id " +
+    "variable (duplicate-column trap — r15 review)") {
+    val clean = Seq((1L, 1.0)).toDF("key", "y")
+    val trapped = Seq((1L, 2L, 1.0)).toDF("key", "id", "y")
+    val e = intercept[IllegalArgumentException](
+      Fusion.fuse(trapped, clean, "key", "key"))
+    assert(e.getMessage.contains("already has a column named 'id'"))
+    val e2 = intercept[IllegalArgumentException](
+      Fusion.fuse(clean, trapped, "key", "key"))
+    assert(e2.getMessage.contains("data_B"))
+    // idVar == "id" stays legal
+    Fusion.fuse(Seq((1L, 1.0)).toDF("id", "y"),
+      Seq((1L, 2.0)).toDF("id", "z"), "id", "id")
+  }
+
+  test("RegDI/PC reject aux vars and weights missing from their own " +
+    "side instead of silently resolving across (r15 review)") {
+    val a = (1 to 30).map(i => (i.toLong, i * 1.3, i * 0.7, 2.0))
+      .toDF("id", "y", "x", "d_w")
+    val b = (10 to 50).map(i => (i.toLong, i * 1.3, i * 0.7))
+      .toDF("id", "y", "x")
+    // 'd_w' exists only in a: as a RegDI AUX var it must be rejected
+    val e1 = intercept[IllegalArgumentException](
+      RegDI.twoSample(a, b, "id", "id",
+        RegDIConfig(yACol = "y", yBCol = "y", auxVars = Seq("d_w"),
+          nTotal = Some(100.0), weightsA = Some("d_w"))))
+    assert(e1.getMessage.contains("aux var 'd_w'"), e1.getMessage)
+    // weightsA must come from dataA
+    val e2 = intercept[IllegalArgumentException](
+      RegDI.twoSample(a, b, "id", "id",
+        RegDIConfig(yACol = "y", yBCol = "y", auxVars = Seq("x"),
+          nTotal = Some(100.0), weightsA = Some("w_only_in_b"))))
+    assert(e2.getMessage.contains("weightsA"), e2.getMessage)
+    // PC aux must exist on BOTH sides
+    val e3 = intercept[IllegalArgumentException](
+      PC.twoSample(a, b, "id", "id",
+        PCConfig(yACol = Some("y"), yBCol = Some("y"),
+          auxVars = Seq("d_w"), nTotal = Some(100.0), scenario = 1)))
+    assert(e3.getMessage.contains("aux var 'd_w'"), e3.getMessage)
+  }
+
   test("RegDI rejects an empty sample A") {
     val noA = pop.withColumn("in_A", lit(0))
     val e = intercept[IllegalArgumentException](

@@ -80,4 +80,34 @@ class RatioDomainSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("empty estimation domain"))
   }
+
+  test("svymean variance survives large n (the z-score DECIMAL(38,10) " +
+    "quantization collapse — r15 review)") {
+    // unit weights, n = 200k, y in [0, 1): the OLD normalized scores
+    // z = (y − μ)/n had z² ~ 6e-12 — below the decimal quantum, so
+    // every addend rounded to 0 and the variance silently collapsed.
+    // The unnormalized-score path must land at s²/n within a normal
+    // band.
+    val n = 200000
+    val big = spark.range(n)
+      .select(col("id"), (pmod(col("id") * 2654435761L, lit(1000003L))
+        .cast("double") / lit(1000003.0)).as("y"), lit(1.0).as("w"))
+    val res = WeightedStats.svymean(SurveyDesign(big, "w"), "y")
+    // uniform-ish y: var ≈ 1/12, so s²/n ≈ 4.17e-7
+    val expected = 1.0 / 12.0 / n
+    assert(res.variance > 0.5 * expected && res.variance < 2.0 * expected,
+      s"variance ${res.variance} vs expected ~$expected — scores are " +
+        "being quantized away")
+  }
+
+  test("svybyMean raises on NULL group keys instead of silently " +
+    "dropping the group (r15 review)") {
+    val withNull = df.withColumn("g",
+      when(col("y") >= 30.0, lit(null).cast("long")).otherwise(lit(0L)))
+    val e = intercept[Exception] {
+      WeightedStats.svybyMean(SurveyDesign(withNull, "w"), "y", "g")
+        .collect()
+    }
+    assert(e.getMessage.contains("NULL in group column"), e.getMessage)
+  }
 }

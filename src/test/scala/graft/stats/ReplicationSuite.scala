@@ -221,6 +221,40 @@ class ReplicationSuite extends SparkSpec {
     assert(math.abs(a.getDouble(0) - mean) < 1e-9)
   }
 
+  test("poissonBootstrapMean: unbiased on an id-CORRELATED response " +
+      "(the affine-hash rotation defect — r15 review)") {
+    // y = linear trend in id, the adversarial case for the old
+    // multiplicative hash: h(id, r+1) − h(id, r) was a global constant,
+    // so all replicates were rotations of one uniform vector and
+    // var_boot came out at ~1.4% of s²/n here (measured 70×
+    // underestimate). The md5-unit draw must land in a normal
+    // tolerance band.
+    val n = 2000
+    val df = spark.range(n).select(col("id"),
+      (col("id") + 1).cast("double").as("y"), lit(1.0).as("w"))
+    val r = Replication.poissonBootstrapMean(df, col("y"), col("w"),
+      col("id"), reps = 96).head()
+    val s2n = (1 to n).map(_.toDouble).map { v =>
+      val mu = (n + 1) / 2.0; (v - mu) * (v - mu)
+    }.sum / (n - 1) / n
+    val vb = r.getDouble(2)
+    assert(math.abs(vb - s2n) < 0.5 * s2n,
+      s"bootstrap var $vb vs s²/n $s2n — replicates are not independent")
+  }
+
+  test("poissonBootstrapMean raises on an all-zero replicate instead " +
+      "of an ANSI divide-by-zero (tiny-n contract — r15)") {
+    // a single-row input: each replicate is empty with prob e^−1, so
+    // 16 replicates are near-certain (1 − 0.63¹⁶) to contain one —
+    // and the md5 draws are fixed, so this is deterministic
+    val df = Seq((1L, 5.0, 1.0)).toDF("id", "y", "w")
+    val e = intercept[Exception] {
+      Replication.poissonBootstrapMean(df, col("y"), col("w"),
+        col("id"), reps = 16).collect()
+    }
+    assert(e.getMessage.contains("empty resample"), e.getMessage)
+  }
+
   test("brrMean fails loudly unless every stratum has exactly 2 PSUs") {
     val df = Seq((1.0, 1.0, 0, 0), (2.0, 1.0, 0, 1), (3.0, 1.0, 1, 0))
       .toDF("y", "w", "h", "psu")

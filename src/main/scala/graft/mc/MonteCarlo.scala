@@ -30,13 +30,20 @@ final case class SimResultV2(sim: Int, gamma: Double, estimator: String,
 
 object MonteCarlo {
 
-  /** NMAR grid: replicates × gamma values (ipynb:1791-1794). */
+  /** NMAR grid: replicates × gamma values (ipynb:1791-1794).
+    * Seed spacing 1e8 per replicate: LocalSim's phase streams sit at
+    * seedBase+1000/+2000, so a per-replicate spacing of 1 made sim s's
+    * A-draw RNG bit-identical to sim s+1000's population RNG once
+    * nSim > 1000 — the documented harness scale (r15 review). 1e8 per
+    * sim / 1e4 per gamma keeps every phase stream of every cell
+    * disjoint for nSim ≤ 10⁶ and |gammas| ≤ 10⁴. */
   def nmarGrid(nSim: Int, gammas: Seq[Double], nPop: Int, nA: Int,
                nB: Int, seed0: Long = 1234L): Seq[SimConfig] =
     for {
       (g, gi) <- gammas.zipWithIndex
       s <- 1 to nSim
-    } yield SimConfig(s, g, seed0 + 10000L * gi + s, nPop, nA, nB)
+    } yield SimConfig(s, g, seed0 + 10000L * gi + 100000000L * s, nPop,
+      nA, nB)
 
   /** Simulation-1 study (`ipynb` cell 4): nSim replicates of the
     * 13-estimator scenario-I/II battery. */
@@ -45,7 +52,12 @@ object MonteCarlo {
     import spark.implicits._
     spark.createDataset(1 to nSim)
       .repartition(math.min(nSim, spark.sparkContext.defaultParallelism * 2))
-      .flatMap(s => LocalSim.runSim1(s, seed0 + s, nPop, nA, nB1, nB2))
+      // 1e4 per-replicate spacing: runSim1's phase streams live at
+      // seedBase+500/+900, so spacing 1 made sim s's sample-draw RNG
+      // identical to sim s+500's population RNG at the 1000-replicate
+      // golden scale (r15 review)
+      .flatMap(s => LocalSim.runSim1(s, seed0 + 10000L * s, nPop, nA,
+        nB1, nB2))
       .toDF()
   }
 
@@ -55,7 +67,9 @@ object MonteCarlo {
     import spark.implicits._
     spark.createDataset(1 to nSim)
       .repartition(math.min(nSim, spark.sparkContext.defaultParallelism * 2))
-      .flatMap(s => LocalSim.runSim2(s, seed0 + s, nPop, nATotal, nBTotal))
+      // same 1e4 spacing as runSim1 (phase streams at +500/+900 — r15)
+      .flatMap(s => LocalSim.runSim2(s, seed0 + 10000L * s, nPop,
+        nATotal, nBTotal))
       .toDF()
   }
 
@@ -102,10 +116,11 @@ object MonteCarlo {
             nPop: Int, nA: Int, nB: Int, sdVector: Seq[Double],
             seed0: Long = 1234L): DataFrame = {
     import spark.implicits._
+    // same disjoint-stream spacing as nmarGrid (r15)
     val grid = for {
       (g, gi) <- gammas.zipWithIndex
       s <- 1 to nSim
-    } yield (s, g, seed0 + 10000L * gi + s)
+    } yield (s, g, seed0 + 10000L * gi + 100000000L * s)
     spark.createDataset(grid)
       .repartition(math.min(grid.size,
         spark.sparkContext.defaultParallelism * 2))
@@ -135,12 +150,18 @@ object MonteCarlo {
       java.util.concurrent.Executors.newFixedThreadPool(math.max(1, concurrency))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = (1 to nSim).map { sim => Future {
-      val seed = seed0 + sim
+      // same per-replicate spacing discipline as the task-local modes
+      // (phase channels live at seed+2000 — r15)
+      val seed = seed0 + 10000L * sim
       val pop = graft.synth.Population.cell2(spark, nPop, seed)
         .withColumn("in_A",
           (pmod(hash(col("id") + lit(seed)), lit(nPop / nA)) === 0).cast("int"))
         // id-keyed uniform (not rand): replicate draws are reproducible
-        // under any partitioning, like the rest of synthesis/sampling
+        // under any partitioning, like the rest of synthesis/sampling.
+        // NOTE this inlines the xxhash64>>11/2^53 recipe rather than
+        // calling Samplers.rowUniform (whose struct() wrapper hashes
+        // differently) — if the shared uniform convention is ever
+        // hardened (the 37f7fde class), update BOTH sites (r15 review)
         .withColumn("in_B",
           (shiftrightunsigned(xxhash64(col("id"), lit(seed + 2000)), 11)
             .cast("double") / lit(9007199254740992.0) <

@@ -78,7 +78,14 @@ object PortableSim {
     * mirrored in the o04 oracle SQL — change one only with the other. */
   def simulate(cfg: PortableConfig): Seq[SimResult] = {
     val n = cfg.nPop
-    val seedB = 1000000L * cfg.gi + 10000L * cfg.sim
+    // 1e12 gamma spacing: with the old 1e6 spacing, cells (gi, sim+100)
+    // and (gi+1, sim) shared the identical seed base, so at the
+    // documented 1000-replicate scale ~90% of adjacent-gamma cells
+    // reused the same population (r15 review). A collision now needs
+    // sim deltas of 1e8 — beyond any real replicate count. Mirrored in
+    // McOracle.o04's seedb CTE; max intermediate in [[uniform]] stays
+    // ≪ 2⁶³ (seed ≤ ~1e13, h1² < 1e16).
+    val seedB = 1000000000000L * cfg.gi + 10000L * cfg.sim
     val x = new Array[Double](n)
     val y = new Array[Double](n)
     val inA = new Array[Boolean](n)

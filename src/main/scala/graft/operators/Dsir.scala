@@ -166,9 +166,14 @@ object Dsir {
       raise_error(lit(
         s"resampleByLogWeightPortable: NULL in key column '$idCol'")))
       .otherwise(col(idCol))
-    val k = Samplers.portableHashKey(id + lit(seed))
-    val u = (k.cast("double") + lit(1.0)) /
-      lit((Samplers.portablePrime + 2).toDouble)
+    // md5-unit draw, not the affine multiplicative hash: the Gumbel-max
+    // trick's P(select) ∝ w needs iid uniforms, and the affine hash's
+    // draws over sequential ids form a Weyl lattice (the defect class
+    // fixed across the samplers in r15 — see Samplers.portableMd5Uniform).
+    // (parsed + 0.5)/2^52 keeps u strictly inside (0,1) for log(-log(u)).
+    val u = (conv(substring(
+      md5(concat(lit(s"gumbel:$seed:"), id.cast("string"))), 1, 13),
+      16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
     // a NULL log weight would make qg NULL, which sorts FIRST under the
     // ascending -qg key below — NULL-weight rows would silently occupy
     // the top of the sample (worse than the non-portable path, where

@@ -118,7 +118,11 @@ object Samplers {
     val total = sizes.map(_.getLong(1)).sum.toDouble
     require(total > 0, "empty input")
     val nh: Column = sizes.foldLeft(lit(0L): Column) { (acc, r) =>
-      val nH = math.floor(r.getLong(1) * nTotal / total + 0.5).toLong
+      // N_h·nTotal in DOUBLE, not Long: a mega-stratum (N_h·nTotal >
+      // 2⁶³) would overflow negative and silently allocate 0 rows to
+      // exactly the largest stratum (r15 review); below 2⁵³ the double
+      // product is exact, so graded allocations are unchanged
+      val nH = math.floor(r.getLong(1).toDouble * nTotal / total + 0.5).toLong
       when(col(stratumCol) === lit(r.get(0)), lit(nH)).otherwise(acc)
     }
     val keyed = df.withColumn("__u", rowUniform(df.columns.toSeq, seed))
@@ -144,8 +148,14 @@ object Samplers {
                    seed: Long): DataFrame = {
     require(targets.values.forall(f => f >= 0 && f <= 1),
       "target fractions must be in [0,1]")
+    // a group ABSENT from targets allocates 0 (the mixture contract:
+    // unlisted groups are excluded), but a NULL group key would compare
+    // NULL against every target and fall through to 0 SILENTLY — the
+    // same silent-drop the sibling ops raise on (r15 review)
     val nh: Column = targets.toSeq.sortBy(_._1)
-      .foldLeft(lit(0L): Column) { case (acc, (g, frac)) =>
+      .foldLeft(when(col(groupCol).isNull, raise_error(lit(
+        s"mixtureExact: NULL in group column '$groupCol'")))
+        .otherwise(lit(0L)): Column) { case (acc, (g, frac)) =>
         val nG = math.floor(nTotal * frac + 0.5).toLong
         when(col(groupCol) === lit(g), lit(nG)).otherwise(acc)
       }
@@ -207,7 +217,8 @@ object Samplers {
   /** Stratified Bernoulli with target-size adjustment (ipynb:631-646):
     * draw with per-row π, compare realized vs target per stratum, rescale
     * π by target/realized (clamped to 1) and redraw once. Both draws are
-    * seeded [[portableUniform]]s of `idCol` — pure int64 arithmetic, so
+    * seeded md5-unit uniforms of `idCol` on distinct channels
+    * (genuinely independent redraw — see [[portableMd5Uniform]]), so
     * the entire design (draw → realized counts → rescale → redraw) reruns
     * bit-identically in any engine and carries a full hash oracle (g07),
     * like [[ppsPoisson]]/[[systematic]]. Keying on an id also removes
@@ -217,9 +228,9 @@ object Samplers {
       df: DataFrame, stratumCol: String, idCol: String, p: Column,
       targets: DataFrame, // (stratumCol, target)
       seed: Long): DataFrame = {
-    val u1 = portableUniform(col(idCol), seed,
+    val u1 = portableMd5Uniform(col(idCol), s"bern1:$seed",
       s"stratifiedBernoulliAdjusted: NULL in key column '$idCol'")
-    val u2 = portableUniform(col(idCol), seed + 1000,
+    val u2 = portableMd5Uniform(col(idCol), s"bern2:$seed",
       s"stratifiedBernoulliAdjusted: NULL in key column '$idCol'")
     val draw1 = df.withColumn("__s1", (u1 < p).cast("int"))
     val realized = draw1.groupBy(stratumCol)
@@ -254,15 +265,27 @@ object Samplers {
     pmod(pmod(key, lit(portablePrime)) * lit(1315423911L),
       lit(portablePrime))
 
-  /** Seeded engine-portable uniform in [0,1): [[portableHashKey]] of
-    * (key + seed), divided by the prime. Distinct seeds give distinct
-    * (shifted) hash streams — the two-draw samplers use seed and
-    * seed+1000. NULL keys raise with `nullMsg`. */
-  private def portableUniform(key: Column, seed: Long,
-                              nullMsg: String): Column =
+  /** Seeded engine-portable md5-unit uniform in [0,1): first 13 hex
+    * digits of md5("&lt;channel&gt;:&lt;key&gt;") / 2⁵² — cryptographic-quality
+    * draws the mirroring oracles transcribe verbatim (the e20/o04/m36
+    * convention; the power-of-two divide is exact in both engines).
+    *
+    * This, NOT [[portableHashKey]], is the draw for sampling DESIGNS
+    * whose variance properties assume independent uniforms (Poisson /
+    * Bernoulli selection): the multiplicative hash is affine, so its
+    * uniforms over sequential ids form a Weyl lattice and two seed
+    * channels are constant rotations of each other — the defect class
+    * measured at a 70× variance underestimate in the bootstrap (r15).
+    * [[portableHashKey]] remains correct where only a deterministic
+    * SPREAD or ORDER is needed (splits, group caps, fold assignment,
+    * systematic order). Distinct `channel` strings give independent
+    * streams. NULL keys raise with `nullMsg`. */
+  private def portableMd5Uniform(key: Column, channel: String,
+                                 nullMsg: String): Column =
     when(key.isNull, raise_error(lit(nullMsg)))
-      .otherwise(portableHashKey(key + lit(seed)).cast("double") /
-        lit(portablePrime.toDouble))
+      .otherwise(conv(substring(
+        md5(concat(lit(channel + ":"), key.cast("string"))), 1, 13),
+        16, 10).cast("double") / lit(4503599627370496.0))
 
   /** Deterministic named-split assignment from [[portableHashKey]] of a
     * numeric key (reproducible in any engine, unlike [[splitByHash]]'s
@@ -380,7 +403,9 @@ object Samplers {
   /** πps Poisson sampling (probability proportional to size — the
     * size-biased design the reference's Poisson leg draws from):
     * πᵢ = min(1, n·xᵢ/Σx), include row i iff uᵢ < πᵢ with uᵢ from the
-    * engine-portable [[portableHashKey]] of `idCol`. Returns the sample
+    * engine-portable md5-unit draw of `idCol` (independent uniforms —
+    * the design variance Σπ(1−π) assumes them; see
+    * [[portableMd5Uniform]]). Returns the sample
     * with `pi` (for 1/π Horvitz–Thompson weighting) — realized size is
     * random with expectation ≤ n, the Poisson-design property.
     *
@@ -401,10 +426,8 @@ object Samplers {
       raise_error(lit(s"ppsPoisson: NULL or negative size in '$sizeCol'")))
       .otherwise(col(sizeCol))
     val pi = least(lit(1.0), lit(targetN.toDouble) * sz / lit(tot))
-    val u = when(col(idCol).isNull,
-      raise_error(lit(s"ppsPoisson: NULL in key column '$idCol'")))
-      .otherwise(portableHashKey(col(idCol)).cast("double") /
-        lit(portablePrime.toDouble))
+    val u = portableMd5Uniform(col(idCol), "pps",
+      s"ppsPoisson: NULL in key column '$idCol'")
     df.withColumn("pi", pi).filter(u < col("pi"))
   }
 

@@ -32,10 +32,15 @@ object TextFunctions {
   def regexTokenCount(text: Column, pattern: String = "[A-Za-z]+|[0-9]+"): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
-  /** Fraction of characters matching a regex class (e.g. "[A-Z]"). */
+  /** Fraction of characters matching a regex class (e.g. "[A-Z]").
+    * An empty document scores 0.0 — without the guard the division is
+    * 0/0, which under Spark 4's default ANSI mode kills the whole scan
+    * on the first empty doc (ubiquitous in crawl data; r15 review).
+    * Mirroring oracles carry the same CASE. */
   def charClassRatio(text: Column, clazz: String): Column =
-    (length(text) - length(regexp_replace(text, clazz, ""))).cast("double") /
-      length(text).cast("double")
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, clazz, ""))).cast("double") /
+        length(text).cast("double"))
 
   /** Mean token length = (chars − spaces) / tokens. */
   def meanTokenLength(text: Column): Column =
@@ -116,11 +121,11 @@ object TextFunctions {
 
   /** Host of an absolute URL ("" if the pattern misses). */
   def urlHost(url: Column): Column =
-    regexp_extract(url, "^[a-z]+://([^/?#]+)", 1)
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
 
   /** Path component (leading '/', query/fragment stripped; "" if none). */
   def urlPath(url: Column): Column =
-    regexp_extract(url, "^[a-z]+://[^/?#]+(/[^?#]*)", 1)
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
 
   /** Last-two-label registered-domain heuristic (public-suffix lists
     * are data, not code — at ingest they join in as a dimension). */

@@ -100,8 +100,15 @@ object TextPipeline {
     val tfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
       count(when(col("tok") === t, 1)).as(s"tf_$i")
     }
+    // persisted for the same reason as topTermsByRarity's tf frame: it
+    // feeds BOTH the corpus-stats aggregate and the scoring probe side,
+    // and exchange reuse does not fire across differently-pruned
+    // branches — without the cache the full corpus explode + partial
+    // agg executes twice (r15 review). Doc-count-sized; reclaimed by
+    // the ContextCleaner once the result is unreferenced.
     val perDoc = flat.groupBy(idCol)
       .agg(count(lit(1)).as("dl"), tfAggs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
       queryTerms.indices.map(i =>
         count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))
@@ -250,8 +257,13 @@ object TextPipeline {
                    maxTopTokenFrac: Double = 0.2,
                    minDistinctRatio: Double = 0.3,
                    minStopwordRatio: Double = 0.0): DataFrame = {
+    // NULL text coalesces to "": tokens(NULL) is NULL and explode would
+    // silently DROP the doc from the output (it could be neither kept
+    // nor rejected downstream — r15 review); as "" it profiles like an
+    // empty doc (one empty token, n_tok = 1 < minTokens → keep = 0) and
+    // stays visible. Oracle mirrors the coalesce.
     val flat = docs.select(col(idCol),
-      explode(Dedup.tokens(col(textCol))).as("tok"))
+      explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("tok"))
     val perTok = flat.groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
     val agg = perTok.groupBy(idCol).agg(
       sum(col("c")).as("n_tok"),
@@ -409,6 +421,10 @@ object TextPipeline {
         s"transform(sequence(1, length(`${textCol.replace("`", "``")}`)), " +
           s"i -> substring(`${textCol.replace("`", "``")}`, i, 1))")).as("__c"))
       .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__k"))
+      // feeds n AND the entropy join (3 plan branches after the final
+      // n-join) — persisted like bm25's perDoc / topTermsByRarity's tf
+      // (r15 review); (doc, char)-sized, ContextCleaner-reclaimed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cc.groupBy(col(idCol))
       .agg(sum(col("__k")).as("n_chars_dist"),
         count(lit(1)).as("n_distinct"))
@@ -450,6 +466,9 @@ object TextPipeline {
     val toks = docs.select(dom.as("__dom"),
       explode(Dedup.tokens(col(textCol))).as("__tok"))
     val cd = toks.groupBy("__dom", "__tok").agg(count(lit(1)).as("__cdv"))
+      // feeds cv, perDom, AND the kl join — persisted like bm25's
+      // perDoc (r15 review); (domain, token)-sized, vocabulary-bounded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cv = cd.groupBy("__tok").agg(sum(col("__cdv")).as("__cv"))
     val all = Window.partitionBy(lit(1))
     val perDom = cd.groupBy("__dom")

@@ -24,7 +24,7 @@ object McOracle {
          FROM (VALUES (0, 0.0), (1, 1.0)) AS g(gi, gamma),
               generate_series(1, 3) AS s(sim)),
        pop0 AS (
-         SELECT gi, gamma, sim, 1000000 * gi + 10000 * sim AS seedb, id
+         SELECT gi, gamma, sim, 1000000000000 * gi + 10000 * sim AS seedb, id
          FROM grid, generate_series(1, 2000) AS t(id)),
        pop1 AS (
          SELECT gi, gamma, sim, id,

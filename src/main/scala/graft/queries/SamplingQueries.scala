@@ -14,6 +14,16 @@ import graft.util.Tables.load
   */
 object SamplingQueries {
 
+  /** DuckDB rendition of the md5-unit parse: first 13 hex digits of an
+    * md5 VARCHAR column `c` as an exact integer (≤ 2⁵², exact in
+    * DOUBLE) — the e20/o04/m36 portable-draw convention, shared by the
+    * g07/g18/g20 sampling-design oracles. */
+  private def sqlHexParse13(c: String): String =
+    (0 until 13).map { i =>
+      s"(strpos('0123456789abcdef', substring($c, ${i + 1}, 1)) - 1) * " +
+        s"${BigInt(16).pow(12 - i)}"
+    }.mkString("(", " + ", ")")
+
   val qs: Seq[Q] = Seq(
 
     // ---- S1+G1 population synthesis: size + moment sanity -------------
@@ -88,7 +98,8 @@ object SamplingQueries {
     // ---- G7 stratified Bernoulli with size adjustment ------------------
     // Draw at π=0.05, rescale per-stratum toward target = N_h/10
     // (factor ≈ 2, exercising the adjustment), redraw. Both draws are
-    // seeded portable-hash uniforms of the customer key, so the ENTIRE
+    // seeded md5-unit uniforms of the customer key (independent
+    // channels — r15), so the ENTIRE
     // design — draw → realized counts → factors → redraw — reruns
     // bit-identically in DuckDB: full row-level hash oracle, like
     // g18/g19. (Reference semantics ipynb:631-646 unchanged: Bernoulli,
@@ -106,11 +117,15 @@ object SamplingQueries {
           .select("id", "stratum")
           .orderBy("id")
       },
-      Some("""WITH c AS (SELECT c_custkey AS id, c_mktsegment AS stratum
+      Some(s"""WITH c AS (SELECT c_custkey AS id, c_mktsegment AS stratum
                          FROM customer),
               d1 AS (SELECT id, stratum,
-                       CAST((((id + 13) % 100000007) * 1315423911)
-                            % 100000007 AS DOUBLE) / 100000007.0 AS u1
+                       CAST(${sqlHexParse13(
+                         "md5('bern1:13:' || CAST(id AS VARCHAR))")}
+                            AS DOUBLE) / 4503599627370496.0 AS u1,
+                       CAST(${sqlHexParse13(
+                         "md5('bern2:13:' || CAST(id AS VARCHAR))")}
+                            AS DOUBLE) / 4503599627370496.0 AS u2
                      FROM c),
               t AS (SELECT stratum, CAST(count(*) AS DOUBLE) / 10.0 AS target
                     FROM c GROUP BY stratum),
@@ -123,9 +138,7 @@ object SamplingQueries {
                     FROM r JOIN t USING (stratum))
               SELECT id, stratum
               FROM d1 JOIN f USING (stratum)
-              WHERE CAST((((id + 1013) % 100000007) * 1315423911)
-                         % 100000007 AS DOUBLE) / 100000007.0
-                    < least(0.05 * f, 1.0)
+              WHERE u2 < least(0.05 * f, 1.0)
               ORDER BY id""")),
 
     // ---- G8 seeded determinism: same seed ⇒ identical sample ----------
@@ -496,7 +509,8 @@ object SamplingQueries {
               FROM r ORDER BY doc_id""")),
 
     // ---- G18 πps Poisson sampling (size-biased design) ----------------
-    // π = min(1, n·x/Σx) with a portable-hash uniform — the sampling
+    // π = min(1, n·x/Σx) with an md5-unit uniform (iid draws — the
+    // Poisson design variance Σπ(1−π) assumes them, r15) — the sampling
     // DESIGN itself reruns bit-identically in DuckDB, so the drawn
     // sample (and its 1/π HT weights) carries a full hash oracle.
     // One exact-decimal total + a selection projection, no shuffle.
@@ -507,22 +521,25 @@ object SamplingQueries {
           "x", "id", targetN = 100)
         .orderBy("id"),
       Some(s"""WITH c AS (SELECT c_custkey AS id,
-                                 greatest(c_acctbal, 0.0) AS x
+                                 greatest(c_acctbal, 0.0) AS x,
+                                 md5('pps:' || CAST(c_custkey AS VARCHAR))
+                                   AS hx
                           FROM customer),
                     t AS (SELECT ${graft.util.Tables.sqlDsum("x")} AS tot
                           FROM c)
                SELECT id, x, least(1.0, 100.0 * x / t.tot) AS pi
                FROM c, t
-               WHERE CAST(((id % 100000007) * 1315423911) % 100000007
-                       AS DOUBLE) / 100000007.0
+               WHERE CAST(${sqlHexParse13("hx")} AS DOUBLE) / 4503599627370496.0
                      < least(1.0, 100.0 * x / t.tot)
                ORDER BY id""")),
 
     // ---- G20 portable Gumbel-top-k DSIR resampling --------------------
     // The hash-gradable rendition of g12's sampler: uniforms from the
-    // portable hash of (doc_id + seed) mapped into (0,1) as (k+1)/(P+2),
-    // Gumbel key logw − ln(−ln u) quantized at 2⁻²⁰ (ln is not correctly
-    // rounded — the g11/m06 convention), doc_id tie-break. The oracle
+    // md5-unit draw of "gumbel:<seed>:<doc_id>" mapped strictly inside
+    // (0,1) as (parsed + 0.5)/2⁵² (iid draws — the Gumbel-max trick's
+    // P(select) ∝ w assumes them; the old affine hash's lattice broke
+    // that, r15), Gumbel key logw − ln(−ln u) quantized at 2⁻²⁰ (ln is
+    // not correctly rounded — the g11/m06 convention), doc_id tie-break. The oracle
     // replays the ENTIRE chain — unigram importance weights included —
     // so the weighted-without-replacement selection itself is
     // hash-graded end-to-end; g12 keeps grading the hashed-feature
@@ -556,8 +573,9 @@ object SamplingQueries {
               w AS (SELECT doc_id, ${graft.util.Tables.sqlDsum("llr")} AS logw
                     FROM toks JOIN llr USING (tok) GROUP BY doc_id),
               u AS (SELECT doc_id, logw,
-                      (CAST((((doc_id + 31) % 100000007) * 1315423911)
-                            % 100000007 AS DOUBLE) + 1.0) / 100000009.0
+                      (CAST(${sqlHexParse13(
+                        "md5('gumbel:31:' || CAST(doc_id AS VARCHAR))")}
+                            AS DOUBLE) + 0.5) / 4503599627370496.0
                         AS u
                     FROM w),
               key AS (SELECT doc_id,

@@ -52,7 +52,8 @@ object TextQueries {
     "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
   private val sqlQuality: String = {
     val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($sqlNTok AS DOUBLE))"
-    val punct = "(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+    // CASE mirrors charClassRatio's empty-doc guard (0.0, not 0/0 - r15)
+    val punct = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)"
     s"""least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
                      * (1.0 - least($punct * 5.0, 1.0))
                      * (CASE WHEN $mtl > 12.0 THEN 0.0 ELSE 1.0 - $mtl / 24.0 END)"""
@@ -290,8 +291,9 @@ object TextQueries {
                      $sqlNTok AS n_tokens,
                      CAST(length(replace(text, ' ', '')) AS DOUBLE)
                        / CAST($sqlNTok AS DOUBLE) AS mean_tok_len,
-                     CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
-                       / CAST(length(text) AS DOUBLE) AS vowel_ratio,
+                     CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS vowel_ratio,
                      CAST($stopHits AS DOUBLE) / CAST($sqlNTok AS DOUBLE) AS stopword_ratio
               FROM documents ORDER BY doc_id"""
       }),
@@ -339,7 +341,8 @@ object TextQueries {
         .orderBy("doc_id"),
       Some {
         val mtl = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($sqlNTok AS DOUBLE))"
-        val punct = "(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+        // CASE mirrors charClassRatio's empty-doc guard (0.0, not 0/0 - r15)
+        val punct = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)"
         s"""SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,
                    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
@@ -954,7 +957,8 @@ object TextQueries {
       Some {
         val stop = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
         s"""WITH t AS (SELECT doc_id, string_split(lower(trim(
-                 regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+                 regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')
+                 AS toks
                FROM documents),
               f AS (SELECT doc_id, unnest(toks) AS tok FROM t),
               c AS (SELECT doc_id, tok, count(*) AS c FROM f
@@ -1066,8 +1070,8 @@ object TextQueries {
                       '/doc-' || doc_id AS url
                   FROM documents),
                 p AS (SELECT doc_id,
-                        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
-                        regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)
+                        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1)
                           AS path
                       FROM u)
               SELECT host,

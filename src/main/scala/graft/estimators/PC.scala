@@ -242,8 +242,9 @@ object PC {
       olsSpec.foreach { sp =>
         val resp = sp.response.getOrElse(
           throw new IllegalArgumentException("OLS needs a response"))
+        // a model FIT (lm, PC.R:272) — complete-case like Ols.fit (r15)
         specBuf += "ols" -> GramSpec(Ols.designCols(sp),
-          y = Some(col(resp)), mask = Some(olsMask))
+          y = Some(col(resp)), mask = Some(olsMask), completeCase = true)
       }
       val specs = specBuf.result()
       val grams: Map[String, GramResult] =

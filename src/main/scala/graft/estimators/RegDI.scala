@@ -173,14 +173,17 @@ object RegDI {
     if (dAStatic && cfg.correction != 2)
       firstSpecs += "cal" -> GramSpec(calExprs, dAExprStatic,
         if (cfg.correction <= 1) Some(col(yA)) else None, Some(isA))
+    // the me/ols specs are model FITS (lm in RegDI2.R:209) —
+    // complete-case like Ols.fit, not per-term na.rm (r15)
     if (cfg.correction == 2)
       firstSpecs += "me" -> GramSpec(Seq(lit(1.0), col(yB)),
-        y = Some(col(yA)), mask = Some(isA && isB))
+        y = Some(col(yA)), mask = Some(isA && isB), completeCase = true)
     if (cfg.correction == 3 && cfg.modelType == "normal")
       outcomeSpec.foreach { sp =>
         firstSpecs += "ols" -> GramSpec(Ols.designCols(sp),
           y = Some(col(sp.response.getOrElse(throw new IllegalArgumentException(
-            "OLS needs a response")))), mask = Some(isA))
+            "OLS needs a response")))), mask = Some(isA),
+          completeCase = true)
       }
     val (grams0, szRow) =
       Gram.momentsMulti(data0, firstSpecs.result(), szAggs ++ totAggs)

@@ -229,7 +229,14 @@ final case class PaddedOccurrencesExpr(child: Expression, words: Seq[String],
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def prettyName: String = "padded_occurrences"
-  @transient private lazy val pats: Array[String] = words.map(w => s" $w ").toArray
+  // when the TEXT is lowercased the patterns must be too — a
+  // non-lowercase word would silently count 0 occurrences (r15 review);
+  // same UTF8String casing as the text path so the two cannot diverge
+  @transient private lazy val pats: Array[String] = words.map { w =>
+    val w2 = if (lowercase)
+      UTF8String.fromString(w).toLowerCase.toString else w
+    s" $w2 "
+  }.toArray
 
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]

@@ -299,6 +299,9 @@ final case class FloatVecDotExact(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    // same fold scheme as VectorExpressions.exactDotConst (scale-18
+    // HALF_UP exact add) — two-ArrayData shape, kept inline; change
+    // BOTH together (r15)
     var s = JBD.ZERO
     var i = 0
     while (i < n) {
@@ -360,6 +363,8 @@ final case class PqEncodeExactConst(child: Expression, books: Seq[Double],
           val xi = s * subDim + j
           val xv = if (xi < n) x.getFloat(xi).toDouble else 0.0
           val d = xv - w(off + j)
+          // same fold scheme as VectorExpressions.exactDotConst —
+          // squared-distance shape, kept inline; change BOTH (r15)
           acc = acc.add(
             JBD.valueOf(d * d).setScale(18, RoundingMode.HALF_UP))
           j += 1
@@ -411,7 +416,7 @@ final case class PqReconConst(child: Expression, books: Seq[Double],
     val mm = math.min(m, codes.numElements())
     var s = 0
     while (s < mm) {
-      val c = codes.getInt(s)
+      val c = VectorExpressions.checkCode(codes.getInt(s), kCodes, s)
       val off = (s * kCodes + c) * subDim
       var j = 0
       while (j < subDim) { out(s * subDim + j) = w(off + j); j += 1 }
@@ -477,13 +482,7 @@ final case class LshBucketKeysExact(child: Expression, weights: Seq[Double],
       var b = 0
       while (b < bits) {
         val off = (t * bits + b) * dim
-        var s = JBD.ZERO
-        var i = 0
-        while (i < n) {
-          val p = x.getFloat(i).toDouble * w(off + i)
-          s = s.add(JBD.valueOf(p).setScale(18, RoundingMode.HALF_UP))
-          i += 1
-        }
+        val s = VectorExpressions.exactDotConst(x, n, w, off)
         if (s.signum > 0) key |= (1L << b)
         b += 1
       }
@@ -532,15 +531,8 @@ final case class TopPDotExactConst(child: Expression, cents: Seq[Double],
     val score = new Array[Double](nCells)
     var c = 0
     while (c < nCells) {
-      val off = c * dim
-      var s = JBD.ZERO
-      var i = 0
-      while (i < n) {
-        val prod = x.getFloat(i).toDouble * w(off + i)
-        s = s.add(JBD.valueOf(prod).setScale(18, RoundingMode.HALF_UP))
-        i += 1
-      }
-      score(c) = s.doubleValue()
+      score(c) =
+        VectorExpressions.exactDotConst(x, n, w, c * dim).doubleValue()
       c += 1
     }
     // selection by (score DESC, cell ASC): nCells is small (≤ a few
@@ -601,15 +593,8 @@ final case class ArgMaxDotScoreExact(child: Expression, cents: Seq[Double],
     var bestScore = 0.0
     var c = 0
     while (c < nCells) {
-      val off = c * dim
-      var s = JBD.ZERO
-      var i = 0
-      while (i < n) {
-        val prod = x.getFloat(i).toDouble * w(off + i)
-        s = s.add(JBD.valueOf(prod).setScale(18, RoundingMode.HALF_UP))
-        i += 1
-      }
-      val sc = s.doubleValue()
+      val sc =
+        VectorExpressions.exactDotConst(x, n, w, c * dim).doubleValue()
       // strict > under ascending iteration: ties keep the lower cell
       if (best < 0 || sc > bestScore) { best = c; bestScore = sc }
       c += 1
@@ -915,7 +900,7 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
     var cn = 0.0
     var j = 0
     while (j < mm) {
-      cA(j) = codes.getInt(j)
+      cA(j) = VectorExpressions.checkCode(codes.getInt(j), k, j)
       cn += snA(j * k + cA(j)); j += 1
     }
     val rn = math.sqrt(cn)
@@ -959,7 +944,7 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
          |int[] $cArr = new int[$mm];
          |double $cn = 0.0;
          |for (int $j = 0; $j < $mm; $j++) {
-         |  $cArr[$j] = $a.getInt($j);
+         |  $cArr[$j] = graft.expressions.VectorExpressions.checkCode($a.getInt($j), $k, $j);
          |  $cn += $snRef[$j * $k + $cArr[$j]];
          |}
          |double $rn = java.lang.Math.sqrt($cn);
@@ -1011,7 +996,7 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
     var s = 0.0
     var j = 0
     while (j < mm) {
-      val code = codes.getInt(j)
+      val code = VectorExpressions.checkCode(codes.getInt(j), k, j)
       cn += snA(j * k + code)
       s += lutA((q * m + j) * k + code)
       j += 1
@@ -1038,7 +1023,7 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
          |double $cn = 0.0;
          |double $s = 0.0;
          |for (int $j = 0; $j < $mm; $j++) {
-         |  int $code = $a.getInt($j);
+         |  int $code = graft.expressions.VectorExpressions.checkCode($a.getInt($j), $k, $j);
          |  $cn += $snRef[$j * $k + $code];
          |  $s += $lutRef[(($b) * $m + $j) * $k + $code];
          |}
@@ -1166,7 +1151,10 @@ final case class PqReconNorm2(left: Expression, right: Expression,
     var s = 0.0
     var j = 0
     while (j < m) {
-      val off = if (j < mm) (j * k + codes.getInt(j)) * subDim else -1
+      val off = if (j < mm)
+        (j * k + VectorExpressions.checkCode(codes.getInt(j), k, j)) *
+          subDim
+      else -1
       var i = 0
       while (i < subDim) {
         val r = if (off >= 0) bw(off + i) else 0.0
@@ -1193,7 +1181,7 @@ final case class PqReconNorm2(left: Expression, right: Expression,
          |int $mm = java.lang.Math.min($m, $a.numElements());
          |double $s = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  int $off = $j < $mm ? ($j * $k + $a.getInt($j)) * $subDim : -1;
+         |  int $off = $j < $mm ? ($j * $k + graft.expressions.VectorExpressions.checkCode($a.getInt($j), $k, $j)) * $subDim : -1;
          |  for (int $i = 0; $i < $subDim; $i++) {
          |    double $v = $cRef[($b) * $dim + $j * $subDim + $i]
          |      + ($off >= 0 ? $bRef[$off + $i] : 0.0);
@@ -1233,7 +1221,11 @@ final case class PqAdcDotAt(left: Expression, right: Expression,
     val mm = math.min(m, codes.numElements())
     var s = 0.0
     var j = 0
-    while (j < mm) { s += lutA((q * m + j) * k + codes.getInt(j)); j += 1 }
+    while (j < mm) {
+      s += lutA((q * m + j) * k +
+        VectorExpressions.checkCode(codes.getInt(j), k, j))
+      j += 1
+    }
     s
   }
 
@@ -1247,7 +1239,7 @@ final case class PqAdcDotAt(left: Expression, right: Expression,
          |int $mm = java.lang.Math.min($m, $a.numElements());
          |double $s = 0.0;
          |for (int $j = 0; $j < $mm; $j++) {
-         |  $s += $lutRef[(($b) * $m + $j) * $k + $a.getInt($j)];
+         |  $s += $lutRef[(($b) * $m + $j) * $k + graft.expressions.VectorExpressions.checkCode($a.getInt($j), $k, $j)];
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -1260,6 +1252,45 @@ final case class PqAdcDotAt(left: Expression, right: Expression,
 }
 
 object VectorExpressions {
+
+  /** Range-check a PQ code against [0, kCodes). The Requires* traits
+    * catch TYPE drift at analysis, but a code VALUE from an encoder
+    * configured with a different kCodes would index the NEXT subspace's
+    * codewords — plausible reconstructions and silently wrong ADC
+    * rankings with no error (only the final subspace can AIOOBE).
+    * Called from both interpreted evals and generated code (static
+    * forwarder), throwing with the subspace named (r15 review). */
+  def checkCode(c: Int, kCodes: Int, subspace: Int): Int = {
+    if (c < 0 || c >= kCodes)
+      throw new IllegalArgumentException(
+        s"PQ code $c at subspace $subspace is outside [0, $kCodes) — " +
+          "the codes were encoded with a different kCodes than this " +
+          "consumer is configured for")
+    c
+  }
+
+  /** ONE definition of the exact-decimal dot fold (valueOf → scale-18
+    * HALF_UP → exact add) of a float vector against a constant weight
+    * slice — shared by the *Exact const-weight expressions
+    * (LshBucketKeysExact, TopPDotExactConst, ArgMaxDotScoreExact) so a
+    * rounding-scheme change cannot silently fork the documented
+    * cross-engine invariant between them (r15 review; the two
+    * non-const-shape folds, FloatVecDotExact and PqEncodeExactConst,
+    * carry pointer comments to here). */
+  private[expressions] def exactDotConst(
+      x: org.apache.spark.sql.catalyst.util.ArrayData, n: Int,
+      w: Array[Double], off: Int): java.math.BigDecimal = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    var s = JBD.ZERO
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble * w(off + i)
+      s = s.add(JBD.valueOf(p).setScale(18, RoundingMode.HALF_UP))
+      i += 1
+    }
+    s
+  }
+
   /** Codegen'd dot product of two `array<float>` columns (double out). */
   def dotF(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(

@@ -163,7 +163,8 @@ object EstimatorOracles {
     s"""WITH ${rowsCte("(50.0 + (bal * 1.1))")},
        |tot AS (SELECT ${sqlDsum("delta_i")} AS t_di,
        |               ${sqlDsum("delta_x1")} AS t_dx1 FROM r),
-       |${gramCte("og", "r WHERE inA = 1 AND inB = 1", "1.0",
+       |${gramCte("og", "r WHERE inA = 1 AND inB = 1 " +
+                  "AND y_B IS NOT NULL AND y_A IS NOT NULL", "1.0",
                   Seq("1.0", "y_B"), Some("y_A"))},
        |ob AS (SELECT ${solveSelect("og", 2,
                 IndexedSeq("og.xy_0", "og.xy_1"), Seq("b0", "b1"))} FROM og),
@@ -199,7 +200,8 @@ object EstimatorOracles {
        |${gramCte("g", "r WHERE inA = 1", "d_i_A", regdiCal, None)},
        |lam AS (SELECT ${solveSelect("g", 4, regdiRhs("tot.t_dyi"), lamN)}
        |        FROM g, np, tot),
-       |${gramCte("og", "r WHERE inA = 1", "1.0",
+       |${gramCte("og", "r WHERE inA = 1 " +
+                  "AND x1 IS NOT NULL AND y_A IS NOT NULL", "1.0",
                   Seq("1.0", "x1"), Some("y_A"))},
        |ob AS (SELECT ${solveSelect("og", 2,
                 IndexedSeq("og.xy_0", "og.xy_1"), Seq("b0", "b1"))} FROM og),
@@ -275,7 +277,8 @@ object EstimatorOracles {
   val m24: String =
     s"""WITH ${rowsCte()},
        |$pcHead,
-       |${gramCte("og", "r WHERE inA = 1 AND inB = 1", "1.0",
+       |${gramCte("og", "r WHERE inA = 1 AND inB = 1 " +
+                  "AND x1 IS NOT NULL AND y_A IS NOT NULL", "1.0",
                   Seq("1.0", "x1"), Some("y_A"))},
        |ob AS (SELECT ${solveSelect("og", 2,
                 IndexedSeq("og.xy_0", "og.xy_1"), Seq("b0", "b1"))} FROM og),
@@ -291,7 +294,8 @@ object EstimatorOracles {
   val m25: String =
     s"""WITH ${rowsCte()},
        |$pcHead,
-       |${gramCte("og", "r WHERE inA = 1", "1.0",
+       |${gramCte("og", "r WHERE inA = 1 " +
+                  "AND x1 IS NOT NULL AND y_A IS NOT NULL", "1.0",
                   Seq("1.0", "x1"), Some("y_A"))},
        |ob AS (SELECT ${solveSelect("og", 2,
                 IndexedSeq("og.xy_0", "og.xy_1"), Seq("b0", "b1"))} FROM og),

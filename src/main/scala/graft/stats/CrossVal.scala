@@ -41,7 +41,12 @@ object CrossVal {
       val i = r.fieldIndex(name)
       if (r.isNullAt(i)) 0.0 else r.getAs[Number](i).doubleValue()
     }
-    val t = gAll.find(_.getAs[Long]("gid") == 1L).get
+    // empty input (or all x/y NULL): rollup over zero rows yields no
+    // grand-total row and the bare .get would die as an opaque
+    // 'None.get' — name the cause instead (r15 review)
+    val t = gAll.find(_.getAs[Long]("gid") == 1L).getOrElse(
+      throw new IllegalArgumentException(
+        "olsKFold: no rows with non-NULL x and y to cross-validate"))
     val g = gAll.filter(_.getAs[Long]("gid") == 0L)
     require(g.length >= 2, s"k-fold needs at least 2 folds, got ${g.length}")
     val (sxt, syt, sxyt, sxxt, nt) =

@@ -54,7 +54,8 @@ final case class GramSpec(
     xCols: Seq[Column],
     w: Column = lit(1.0),
     y: Option[Column] = None,
-    mask: Option[Column] = None)
+    mask: Option[Column] = None,
+    completeCase: Boolean = false)
 
 object Gram {
 
@@ -67,10 +68,12 @@ object Gram {
       xCols: Seq[Column],
       w: Column = lit(1.0),
       yCol: Option[Column] = None,
-      exact: Boolean = true
+      exact: Boolean = true,
+      completeCase: Boolean = false
   ): GramResult = {
     val (res, _) = momentsMulti(df,
-      Seq("g" -> GramSpec(xCols, w, yCol)), Nil, exact)
+      Seq("g" -> GramSpec(xCols, w, yCol, completeCase = completeCase)),
+      Nil, exact)
     res("g")
   }
 
@@ -104,22 +107,51 @@ object Gram {
     def aggsFor(p: String, s: GramSpec): Seq[Column] = {
       val k = s.xCols.size
       val y = s.y.getOrElse(lit(0.0))
-      def m(term: Column): Column = s.mask match {
+      // completeCase = R's lm/glm row-wise deletion: a row with ANY
+      // null term/response/weight is excluded from EVERY moment. The
+      // default per-term null-skip (na.rm semantics, right for totals)
+      // is silently WRONG for model fits — sums not referencing the
+      // null column keep rows the others drop, so the solved system
+      // mixes two row multisets and beta matches no dataset (r15
+      // review). Fit paths (Ols.fit, Logistic.fit, the estimators'
+      // outcome/measurement-error specs) set it.
+      val ccMask: Option[Column] =
+        if (!s.completeCase) s.mask
+        else {
+          val allPresent = (s.xCols ++ s.y.toSeq :+ s.w)
+            .map(_.isNotNull).reduce(_ && _)
+          Some(s.mask.map(_ && allPresent).getOrElse(allPresent))
+        }
+      def m(term: Column): Column = ccMask match {
         case Some(f) => when(f, term)
         case None    => term
       }
       val upper = for { i <- 0 until k; j <- i until k }
         yield dsum(m(s.w * s.xCols(i) * s.xCols(j))).as(s"${p}_xx_${i}_$j")
       val firsts = (0 until k).map(i => dsum(m(s.w * s.xCols(i))).as(s"${p}_xw_$i"))
-      val xy = (0 until k).map(i => dsum(m(s.w * s.xCols(i) * y)).as(s"${p}_xy_$i"))
-      upper ++ firsts ++ xy ++ Seq(
-        dsum(m(s.w)).as(s"${p}_sw"), dsum(m(s.w * y)).as(s"${p}_swy"),
-        dsum(m(s.w * y * y)).as(s"${p}_swyy"),
-        count(m(lit(1))).as(s"${p}_n"))
+      // y-less specs skip the k+2 y-moment aggregates entirely — each
+      // was an exact-decimal cast + sum of w·x·0.0 per row on the
+      // full-table fused pass, pure waste (r15 review); the zeros are
+      // synthesized in the result assembly below
+      val xy =
+        if (s.y.isEmpty) Nil
+        else (0 until k).map(i =>
+          dsum(m(s.w * s.xCols(i) * y)).as(s"${p}_xy_$i"))
+      val yTail =
+        if (s.y.isEmpty) Nil
+        else Seq(dsum(m(s.w * y)).as(s"${p}_swy"),
+          dsum(m(s.w * y * y)).as(s"${p}_swyy"))
+      upper ++ firsts ++ xy ++ Seq(dsum(m(s.w)).as(s"${p}_sw")) ++
+        yTail :+ count(m(lit(1))).as(s"${p}_n")
     }
     val aggs = specs.flatMap { case (p, s) => aggsFor(p, s) } ++ extraAggs
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
 
+    // NULL aggregate → 0.0 is the na.rm contract for an empty mask or
+    // an all-NULL column (R: sum(c(NA), na.rm=TRUE) = 0). Under the
+    // default ANSI mode a decimal-sum OVERFLOW throws before reaching
+    // here; only a session that disables ANSI could conflate overflow
+    // with the legitimate zero (r15 review note).
     def d(name: String): Double =
       if (row.isNullAt(row.fieldIndex(name))) 0.0
       else row.getAs[Number](name).doubleValue()
@@ -133,8 +165,12 @@ object Gram {
       p -> GramResult(
         xtwx = m,
         xtw = DenseVector((0 until k).map(i => d(s"${p}_xw_$i")).toArray),
-        xtwy = DenseVector((0 until k).map(i => d(s"${p}_xy_$i")).toArray),
-        sw = d(s"${p}_sw"), swy = d(s"${p}_swy"), swyy = d(s"${p}_swyy"),
+        xtwy =
+          if (s.y.isEmpty) DenseVector.zeros[Double](k)
+          else DenseVector((0 until k).map(i => d(s"${p}_xy_$i")).toArray),
+        sw = d(s"${p}_sw"),
+        swy = if (s.y.isEmpty) 0.0 else d(s"${p}_swy"),
+        swyy = if (s.y.isEmpty) 0.0 else d(s"${p}_swyy"),
         n = row.getAs[Long](s"${p}_n")
       )
     }.toMap

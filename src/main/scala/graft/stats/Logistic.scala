@@ -54,7 +54,10 @@ object Logistic {
         // clamp keeps the working weight invertible on separable data
         val w = greatest(p * (lit(1.0) - p), lit(1e-10))
         val z = eta + (y - p) / w
-        val g = Gram.moments(work, xs, w, Some(z))
+        // complete-case (glm semantics): without it a null y nulls z
+        // (XtWy drops the row) while w = p(1−p) depends only on x
+        // (XtWX keeps it) — silently shrunk coefficients (r15)
+        val g = Gram.moments(work, xs, w, Some(z), completeCase = true)
         val newBeta = g.solve()
         converged = norm(newBeta - beta) < tol
         beta = newBeta
@@ -105,7 +108,15 @@ object Logistic {
         .agg(dsum(col("w")).as("sw"), dsum(col("wx")).as("swx"),
           dsum(col("wxx")).as("swxx"), dsum(col("wz")).as("swz"),
           dsum(col("wxz")).as("swxz"))
-      val det = col("sw") * col("swxx") - col("swx") * col("swx")
+      // a constant-x (or <2-row) frame zeroes the 2×2 determinant —
+      // under ANSI that dies mid-aggregate as an opaque DIVIDE_BY_ZERO
+      // (and under non-ANSI b0/b1 go silently NULL for the remaining
+      // iterations); name the cause instead, like Det.solve's singular
+      // guard on the adaptive path (r15 review)
+      val det0 = col("sw") * col("swxx") - col("swx") * col("swx")
+      val det = when(det0 === lit(0.0), raise_error(lit(
+        "fitPortable2: singular IRLS system (constant x or fewer than " +
+          "2 distinct x values)"))).otherwise(det0)
       coefs = m.select(
         quant((col("swxx") * col("swz") - col("swx") * col("swxz")) / det)
           .as("b0"),

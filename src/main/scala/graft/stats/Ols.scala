@@ -43,7 +43,8 @@ object Ols {
       throw new IllegalArgumentException("OLS needs a response"))
     val xs0 = spec.terms.map(col)
     val xs = if (spec.intercept) lit(1.0) +: xs0 else xs0
-    val g = Gram.moments(df, xs, weight, Some(col(y)))
+    // complete-case (lm semantics): see GramSpec.completeCase (r15)
+    val g = Gram.moments(df, xs, weight, Some(col(y)), completeCase = true)
     OlsFit(spec, g.solve(), g.n)
   }
 
@@ -76,11 +77,20 @@ object Ols {
     val r = rows.agg(
       dsum(e * e).as("ssr"), dsum(col(yCol)).as("sy"),
       dsum(col(yCol) * col(yCol)).as("syy"), count(col(yCol)).as("n")).head()
+    // zero surviving rows: the sums come back NULL and getDouble would
+    // die as an opaque 'Value at index 0 is null' — name the cause
+    // (r15 review)
+    require(r.getLong(3) > 0,
+      s"Ols.metrics: no rows with non-NULL '$yCol' and prediction")
     val ssr = r.getDouble(0)
     val sy = r.getDouble(1)
     val syy = r.getDouble(2)
     val n = r.getLong(3).toDouble
     val sst = syy - sy * sy / n
+    // constant y: SST = 0 makes R² = 1 − ssr/0 a silent −Inf/NaN that
+    // poisons any fit comparison downstream (r15 review)
+    require(sst != 0.0,
+      s"Ols.metrics: '$yCol' is constant — R² is undefined (SST = 0)")
     FitMetrics(rmse = math.sqrt(ssr / n), r2 = 1.0 - ssr / sst)
   }
 }

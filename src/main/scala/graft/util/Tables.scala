@@ -42,9 +42,15 @@ object Tables {
   def withEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      // integer `div`, not `/`: double division would round the nanos
-      // (and lose precision past 2^53) instead of truncating to micros
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // FLOOR division in integer space: `ts div 1000` truncates toward
+      // zero, which rounds pre-epoch (negative) nanos UP by 1 µs,
+      // diverging from the MICROS-physical-type rendition of the same
+      // instant (Parquet nanos→micros floors) — subtracting pmod first
+      // makes the divide exact-and-floored for any sign (r15 review).
+      // Still integer arithmetic: double division would round and lose
+      // precision past 2^53.
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       case other => throw new IllegalStateException(

@@ -55,4 +55,14 @@ class ExtensionsSuite extends SparkSpec {
     assert(e.getMessage.contains("integer literal") ||
       e.getCause != null && e.getCause.getMessage.contains("integer literal"))
   }
+
+  test("paddedOccurrences lowercases its WORDS along with the text — " +
+    "uppercase words silently counted 0 before (r15 review)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq("The cat and The dog").toDF("text")
+    val n = df.select(graft.expressions.TextExpressions
+      .paddedOccurrences(col("text"), Seq("The", "AND")).as("n"))
+      .head().getLong(0)
+    assert(n === 3L) // 2× "the" + 1× "and" in the lowercased text
+  }
 }

@@ -658,6 +658,29 @@ class AnnSuite extends SparkSpec {
     assert(out.count(_._5) === 11)
   }
 
+  test("PQ consumers reject out-of-range code VALUES instead of " +
+    "silently reading the next subspace's codewords (r15 review)") {
+    // books: m=2 subspaces × kCodes=2 codewords × subDim=2 → dim=4;
+    // code 3 would land in subspace 1's words under (s*k + c)*subDim
+    val books = Seq(
+      Seq(Seq(0.1, 0.2), Seq(0.3, 0.4)),
+      Seq(Seq(0.5, 0.6), Seq(0.7, 0.8)))
+    val df = Seq((1L, Array(3, 1))).toDF("id", "codes")
+    val e = intercept[Exception] {
+      df.select(graft.expressions.VectorExpressions.pqRecon(
+        col("codes"), books, dim = 4).as("r")).collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("outside [0, 2)"), msg)
+    // in-range codes still reconstruct
+    val ok = Seq((1L, Array(1, 0))).toDF("id", "codes")
+      .select(graft.expressions.VectorExpressions.pqRecon(
+        col("codes"), books, dim = 4).as("r"))
+      .head().getSeq[Double](0)
+    assert(ok === Seq(0.3, 0.4, 0.5, 0.6))
+  }
+
   test("semanticDedup rejects non-long ids BEFORE the k-means training " +
     "(r15 review)") {
     // the LongType requirement is connectedComponents'; surfacing it

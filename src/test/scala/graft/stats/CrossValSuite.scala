@@ -40,4 +40,14 @@ class CrossValSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("at least 2 folds"))
   }
+
+  test("empty input names the cause instead of a bare None.get " +
+    "(r15 review)") {
+    val df = Seq((1L, Option.empty[Double], 2.0, 0))
+      .toDF("id", "x", "y", "fold")
+    val e = intercept[IllegalArgumentException] {
+      CrossVal.olsKFold(df, "x", "y", "fold")
+    }
+    assert(e.getMessage.contains("no rows"), e.getMessage)
+  }
 }

@@ -53,6 +53,28 @@ class GramSuite extends SparkSpec {
     // Σw·x1·y loses the x1=2 row: 305 − 2·2·20 = 225
     assert(math.abs(g.xtwy(0) - 225.0) < 1e-12)
   }
+
+  test("completeCase drops a null-term row from EVERY moment, equal to " +
+    "fitting the complete-case subset (lm semantics — r15 review)") {
+    // x2 null on one row: per-term na.rm would keep that row in the
+    // sums not referencing x2, mixing two row multisets in the solve
+    val withNull = df.withColumn("x2",
+      when(col("x1") === 3.0, lit(null)).otherwise(col("x2")))
+    val full = Ols.fit(withNull, FormulaSpec.parse("y ~ x1 + x2"))
+    val sub = Ols.fit(withNull.filter(col("x2").isNotNull),
+      FormulaSpec.parse("y ~ x1 + x2"))
+    assert(full.n === sub.n)
+    (0 until 3).foreach(i =>
+      assert(math.abs(full.beta(i) - sub.beta(i)) < 1e-12,
+        s"beta($i): ${full.beta(i)} vs ${sub.beta(i)}"))
+  }
+
+  test("y-less Gram specs skip the y aggregates and report zero y " +
+    "moments (r15 review)") {
+    val g = Gram.moments(df, Seq("x1"), Some("w"), None)
+    assert(g.swy === 0.0 && g.swyy === 0.0 && g.xtwy(0) === 0.0)
+    assert(g.n === 4L)
+  }
 }
 
 class CalibrationSuite extends SparkSpec {
@@ -121,6 +143,21 @@ class OlsSuite extends SparkSpec {
     assert(fit.beta.length == 1)
     assert(math.abs(fit.beta(0) - 3.0) < 1e-9)
   }
+
+  test("metrics raises with the cause named on constant y and on zero " +
+    "surviving rows (r15 review)") {
+    val const = spark.range(1, 20).toDF("id")
+      .withColumn("y", lit(7.0))
+    val e1 = intercept[IllegalArgumentException] {
+      Ols.metrics(const, "y", lit(6.0))
+    }
+    assert(e1.getMessage.contains("constant"), e1.getMessage)
+    val empty = const.withColumn("y", lit(null).cast("double"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ols.metrics(empty, "y", lit(6.0))
+    }
+    assert(e2.getMessage.contains("no rows"), e2.getMessage)
+  }
 }
 
 class LogisticSuite extends SparkSpec {
@@ -170,6 +207,30 @@ class LogisticSuite extends SparkSpec {
     // (and repartitioning) must reproduce the row bit-for-bit
     val p2 = Logistic.fitPortable2(df.repartition(7), "yb", "x", iters = 3).head()
     assert(p2.getDouble(0) == b0 && p2.getDouble(1) == b1)
+  }
+
+  test("fitPortable2 names the cause on a singular system (constant x " +
+    "— r15 review)") {
+    val df = spark.range(1, 50).toDF("id")
+      .withColumn("x", lit(4.0))
+      .withColumn("yb", (col("id") % 2 === 0).cast("double"))
+    val e = intercept[Exception] {
+      Logistic.fitPortable2(df, "yb", "x", iters = 2).collect()
+    }
+    assert(e.getMessage.contains("singular IRLS system"), e.getMessage)
+  }
+
+  test("glm complete-case: a null-y row drops from XtWX too, equal to " +
+    "fitting the non-null subset (r15 review)") {
+    val df = spark.range(1, 400).toDF("id")
+      .withColumn("x", (col("id") % 17).cast("double"))
+      .withColumn("yb", when(col("id") % 13 === 0, lit(null))
+        .otherwise((col("id") % 3 === 0).cast("double")))
+    val full = Logistic.fit(df, FormulaSpec.parse("yb ~ x"))
+    val sub = Logistic.fit(df.filter(col("yb").isNotNull),
+      FormulaSpec.parse("yb ~ x"))
+    assert(math.abs(full.beta(0) - sub.beta(0)) < 1e-10)
+    assert(math.abs(full.beta(1) - sub.beta(1)) < 1e-10)
   }
 }
 

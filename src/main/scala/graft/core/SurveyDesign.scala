@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions.col
   * assume this element-level with-replacement design.
   */
 final case class SurveyDesign(df: DataFrame, weightCol: String) {
-  require(df.columns.contains(weightCol),
+  // case-INSENSITIVE, matching Spark's default column resolution: a
+  // schema spelling the column "W" resolves col("w") fine everywhere
+  // downstream, and a case-sensitive existence check would reject the
+  // valid design (r15 review)
+  require(df.columns.exists(_.equalsIgnoreCase(weightCol)),
     s"weight column '$weightCol' not in schema ${df.columns.mkString(",")}")
   def filter(cond: org.apache.spark.sql.Column): SurveyDesign =
     copy(df = df.filter(cond))

@@ -67,13 +67,26 @@ object NgramLm {
       .filter(col("prev").isNotNull)
       .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minCount)
-    // two scalars — a driver-sized collect by contract
-    val row = unigrams
+    // PERSIST the count tables: the model's frames are lazy plans, and
+    // without the cache every scoreDocs action re-runs the full
+    // reference-corpus training aggregations (the unigram table is
+    // even referenced under two join keys per scoring pass) — k
+    // scoring runs cost k extra training scans, against the
+    // train-once contract (r15 review). Vocabulary-sized; reclaimed by
+    // the ContextCleaner once the model is unreferenced (the
+    // bm25/topTermsByRarity lifecycle convention).
+    val uniP = unigrams
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biP = bigrams
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two scalars — a driver-sized collect by contract (this action
+    // also materializes the unigram cache)
+    val row = uniP
       .agg(coalesce(sum("c1"), lit(0L)).as("n"), count(lit(1)).as("v"))
       .collect().head
     val (n, v) = (row.getLong(0), row.getLong(1))
     require(n > 0, "cannot train a language model on an empty corpus")
-    Model(unigrams, bigrams, n, v)
+    Model(uniP, biP, n, v)
   }
 
   /** Average per-token Stupid-Backoff log score for every document:

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.Graphs
@@ -78,6 +79,27 @@ object GraphQueries {
         SELECT id, pr FROM p$iters ORDER BY pr DESC, id LIMIT 25"""
   }
 
+  /** The shared customer→supplier transaction edge list: orders joined
+    * to lineitem on the order key, distinct (src, dst). With
+    * `encodeIds` the two key spaces disambiguate arithmetically
+    * (customer c → 2c, supplier s → 2s+1 — pure integer ops both
+    * engines); a26's bipartite HITS keeps the raw keys. ONE definition
+    * for all eight graph queries, mirrored by the shared SQL edge CTEs
+    * — a drift in one copy used to be able to silently fork a query
+    * from its siblings and its oracle (r15 review). */
+  private def transactionEdges(s: SparkSession, d: String,
+                               encodeIds: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val (srcE, dstE) =
+      if (encodeIds) ((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      else (col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    load(s, d, "orders").select(col("o_orderkey"), srcE)
+      .join(load(s, d, "lineitem").select(col("l_orderkey"), dstE),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("src", "dst").distinct()
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- A24 PageRank over the transaction graph ----------------------
@@ -86,13 +108,7 @@ object GraphQueries {
     // engines). Top-25 entities by rank, id tiebreak.
     Q("a24_pagerank",
       (s, d) => {
-        val ord = load(s, d, "orders")
-          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
-        val li = load(s, d, "lineitem")
-          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
-        val edges = ord
-          .join(li, col("o_orderkey") === col("l_orderkey"))
-          .select("src", "dst").distinct()
+        val edges = transactionEdges(s, d)
         // symmetrizeInput: the directed edge build (join + distinct) is
         // persisted once and unioned in-cache — a lazy symmetrize would
         // re-evaluate it ~4× across the deg/nodes/edge derivations —
@@ -148,13 +164,7 @@ object GraphQueries {
     // rounded sqrt → scores bit-identical, top-10 per role graded.
     Q("a26_hits",
       (s, d) => {
-        val ord = load(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey").as("src"))
-        val li = load(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey").as("dst"))
-        val edges = ord
-          .join(li, col("o_orderkey") === col("l_orderkey"))
-          .select("src", "dst").distinct()
+        val edges = transactionEdges(s, d, encodeIds = false)
         // eager path: edge cache + per-half-round materialization (the
         // lazy hits() plan doubles per half-round — see Graphs scaladoc)
         Graphs.hitsTopK(edges, iters = 2, k = 10)
@@ -210,13 +220,7 @@ object GraphQueries {
     // communities by size.
     Q("a36_label_prop",
       (s, d) => {
-        val ord = load(s, d, "orders")
-          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
-        val li = load(s, d, "lineitem")
-          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
-        val edges = ord
-          .join(li, col("o_orderkey") === col("l_orderkey"))
-          .select("src", "dst").distinct()
+        val edges = transactionEdges(s, d)
         Graphs.labelPropCensus(edges, iters = 3, k = 25,
           symmetrizeInput = true)
       },
@@ -236,13 +240,7 @@ object GraphQueries {
     // would drag in cross-community accumulation order.
     Q("a37_modularity",
       (s, d) => {
-        val ord = load(s, d, "orders")
-          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
-        val li = load(s, d, "lineitem")
-          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
-        val edges = ord
-          .join(li, col("o_orderkey") === col("l_orderkey"))
-          .select("src", "dst").distinct()
+        val edges = transactionEdges(s, d)
         Graphs.modularityCensus(edges, iters = 3, k = 25,
           symmetrizeInput = true)
       },
@@ -272,13 +270,7 @@ object GraphQueries {
     // oracle unrolls the same frontier-join + min rounds.
     Q("a29_bfs_hops",
       (s, d) => {
-        val ord = load(s, d, "orders")
-          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
-        val li = load(s, d, "lineitem")
-          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
-        val edges = ord
-          .join(li, col("o_orderkey") === col("l_orderkey"))
-          .select("src", "dst").distinct()
+        val edges = transactionEdges(s, d)
         // eager census: directed edges persisted once + symmetrized
         // in-cache; per-round materialization (lazy bfsHops doubles its
         // plan per round — see Graphs scaladoc)
@@ -322,13 +314,7 @@ object GraphQueries {
     // semi-join rounds.
     Q("a38_kcore",
       (s, d) => {
-        val ord = load(s, d, "orders")
-          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
-        val li = load(s, d, "lineitem")
-          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
-        val edges = ord
-          .join(li, col("o_orderkey") === col("l_orderkey"))
-          .select("src", "dst").distinct()
+        val edges = transactionEdges(s, d)
         Graphs.kcoreCensus(edges, k = 3, rounds = 4,
           symmetrizeInput = true)
       },
@@ -362,13 +348,7 @@ object GraphQueries {
     // the oracle unrolls the same join + union + min rounds.
     Q("a40_connected_components",
       (s, d) => {
-        val ord = load(s, d, "orders")
-          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
-        val li = load(s, d, "lineitem")
-          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
-        val edges = ord
-          .join(li, col("o_orderkey") === col("l_orderkey"))
-          .select("src", "dst").distinct()
+        val edges = transactionEdges(s, d)
         Graphs.ccCensus(edges, rounds = 3, k = 25,
           symmetrizeInput = true)
       },
@@ -406,13 +386,7 @@ object GraphQueries {
     // Two node-keyed degree joins + one partial-aggregable pass.
     Q("a39_assortativity",
       (s, d) => {
-        val ord = load(s, d, "orders")
-          .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
-        val li = load(s, d, "lineitem")
-          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
-        val edges = ord
-          .join(li, col("o_orderkey") === col("l_orderkey"))
-          .select("src", "dst").distinct()
+        val edges = transactionEdges(s, d)
         val ue = Graphs.symmetrize(edges)
         val deg = ue.groupBy("src").agg(count(lit(1)).as("__deg"))
         val m = ue

@@ -391,7 +391,6 @@ object Relational {
     // Both engines implement SQL-standard distinct set semantics.
     Q("u03_intersect_except",
       (s, d) => {
-        val c = load(s, d, "customer").select("c_custkey")
         val auto = load(s, d, "customer")
           .filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
         val rich = load(s, d, "customer")

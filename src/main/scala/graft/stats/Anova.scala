@@ -63,8 +63,13 @@ object Anova {
     * named group of design columns (`aov(y ~ t1 + t2 + …)`). One Gram
     * pass over the widest design; each prefix's RSS comes from a
     * sub-block solve. */
-  def sequential(data: DataFrame, yCol: String,
+  def sequential(data0: DataFrame, yCol: String,
                  terms: Seq[(String, Seq[Column])]): Seq[AnovaRow] = {
+    // guard at the shared choke point, not only the twoFactor wrappers:
+    // Reporting.gridAnova calls here directly, and a NULL response
+    // reaches the documented asymmetric-moment corruption unguarded
+    // otherwise (r15 review)
+    val data = requireY(data0, yCol)
     val features = Seq(lit(1.0)) ++ terms.flatMap(_._2)
     val g = Gram.moments(data, features, lit(1.0), Some(col(yCol)),
       exact = false)
@@ -108,7 +113,9 @@ object Anova {
 
   def twoFactor(data: DataFrame, yCol: String, factorA: String,
                 factorB: String): Seq[AnovaRow] = {
-    val data0 = requireY(data, yCol)
+    // y-guard lives in sequential() (the shared choke point, r15);
+    // factorLevels still needs the raw frame for its own NULL checks
+    val data0 = data
     val lv = factorLevels(data0, Seq(factorA, factorB).distinct)
     val aD = dummies(factorA, lv(factorA))
     val bD = dummies(factorB, lv(factorB))
@@ -149,6 +156,14 @@ object Anova {
     val lv = factorLevels(data, Seq(factorA, factorB).distinct)
     val (la, lb) = (lv(factorA), lv(factorB))
     val (a, b) = (la.size, lb.size)
+    // single-level factors: B would hand Det a 0×0 system (opaque
+    // 'det needs a square matrix'), A would silently emit df=0 rows
+    // with NaN mean_sq/F — name the cause like the dummies() guard on
+    // the sibling path (r15 review)
+    require(a >= 2, s"factor $factorA has only $a level(s) — a " +
+      "two-factor ANOVA needs at least 2")
+    require(b >= 2, s"factor $factorB has only $b level(s) — a " +
+      "two-factor ANOVA needs at least 2")
     require(b - 1 <= Det.maxCramerK,
       s"factor $factorB has $b levels; the shared Cramer tree caps at ${Det.maxCramerK + 1}")
 

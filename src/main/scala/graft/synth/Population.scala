@@ -68,8 +68,16 @@ object Population {
     // order-dependent, so the normalizer — and through it every pi_B
     // and any draw comparing a uniform against it — would violate the
     // module's partition-invariance contract (r14 review)
-    val sumRaw = withRaw.agg(graft.util.Tables.dsum(col("pi_raw")))
-      .head().getDouble(0)
+    val sumRow = withRaw.agg(graft.util.Tables.dsum(col("pi_raw"))).head()
+    // empty frame (or all-NULL y_i) sums to NULL → a bare NPE on the
+    // unbox; and a zero normalizer would divide-by-zero downstream.
+    // Name the cause (the NgramLm empty-corpus convention, r15 review).
+    require(!sumRow.isNullAt(0),
+      "nmarPropensity: no rows with non-NULL y_i to normalize over")
+    val sumRaw = sumRow.getDouble(0)
+    require(sumRaw > 0.0,
+      s"nmarPropensity: propensity normalizer is $sumRaw — need a " +
+        "positive sum of raw propensities")
     withRaw.withColumn("pi_B",
       least(col("pi_raw") * (targetSize / sumRaw), lit(1.0))).drop("pi_raw")
   }

@@ -106,6 +106,24 @@ class ValidationSuite extends SparkSpec {
     assert(e3.getMessage.contains("aux var 'd_w'"), e3.getMessage)
   }
 
+  test("nmarPropensity names the cause on an empty frame instead of " +
+    "an NPE (r15 review)") {
+    import graft.synth.Population
+    val empty = pop.filter(lit(false)).withColumnRenamed("y", "y_i")
+    val e = intercept[IllegalArgumentException] {
+      Population.nmarPropensity(empty, gamma = 1.0)
+    }
+    assert(e.getMessage.contains("no rows"), e.getMessage)
+  }
+
+  test("SurveyDesign accepts a weight column under Spark's default " +
+    "case-insensitive resolution (r15 review)") {
+    import graft.core.SurveyDesign
+    val df = Seq((1.0, 2.0)).toDF("y", "W")
+    val d = SurveyDesign(df, "w") // resolves like col("w") does
+    assert(d.df.select(d.weights).head().getDouble(0) === 2.0)
+  }
+
   test("RegDI rejects an empty sample A") {
     val noA = pop.withColumn("in_A", lit(0))
     val e = intercept[IllegalArgumentException](

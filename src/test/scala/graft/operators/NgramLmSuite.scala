@@ -119,4 +119,17 @@ class NgramLmSuite extends SparkSpec {
       assert(minHead >= maxTail, s"$lang head/tail score inversion")
     }
   }
+
+  test("train() persists the count tables so scoring runs don't re-run " +
+    "the training aggregations (r15 review)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "the cat sat"), (2L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val m = NgramLm.train(corpus, "text")
+    assert(m.unigrams.storageLevel.useMemory || m.unigrams.storageLevel.useDisk,
+      "unigram table must be persisted")
+    assert(m.bigrams.storageLevel.useMemory || m.bigrams.storageLevel.useDisk,
+      "bigram table must be persisted")
+    m.unigrams.unpersist(); m.bigrams.unpersist()
+  }
 }

@@ -104,4 +104,29 @@ class AnovaSuite extends SparkSpec {
     assert(math.abs(rows("Estimator").sumSq - 20.258) < 2.03)
     assert(math.abs(rows("Residuals").sumSq - 12.896) < 1.29)
   }
+
+  test("sequential() itself guards NULL responses — the gridAnova " +
+    "direct-call path was unguarded (r15 review)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1.0, "a"), (2.0, "b"), (3.0, "a"), (4.0, "b"))
+      .toDF("y", "f")
+      .withColumn("y", when(col("f") === "b", lit(null)).otherwise(col("y")))
+    val e = intercept[Exception] {
+      Anova.sequential(df, "y",
+        Seq("f" -> Seq(when(col("f") === "b", 1.0).otherwise(0.0))))
+    }
+    assert(e.getMessage.contains("NULL in response column"), e.getMessage)
+  }
+
+  test("twoFactorTypeIDf names single-level factors instead of a 0x0 " +
+    "solve or silent NaN rows (r15 review)") {
+    import spark.implicits._
+    val df = Seq((1.0, "a", "x"), (2.0, "b", "x"), (3.0, "a", "x"),
+      (4.0, "b", "x")).toDF("y", "fa", "fb")
+    val e = intercept[IllegalArgumentException] {
+      Anova.twoFactorTypeIDf(df, "y", "fa", "fb").collect()
+    }
+    assert(e.getMessage.contains("only 1 level"), e.getMessage)
+  }
 }

@@ -167,10 +167,14 @@ object Bench {
     // artifact: a sentinel running >30% FASTER than its pinned quiet
     // minimum can only mean the sentinel's own code changed.
     val (a01Ref0, heavyRef0, refSource0) =
-      if (sfName == "sf0.1") (0.23, 2.51, "pinned_r14_quiet")
+      // re-pinned r15: t27 (charEntropy) got ~1.7× faster when its cc
+      // frame gained the multi-branch persist, so the r14 pin (2.51)
+      // tripped its own staleness guard; quiet minimum re-measured via
+      // the in-run drift samples (1.24 under load ≈ 5 → ~1.20 quiet)
+      if (sfName == "sf0.1") (0.23, 1.20, "pinned_r15_quiet")
       else (a01Series.map(_._2).minOption.getOrElse(1.0),
         heavySeries.map(_._2).minOption.getOrElse(1.0), "run_min")
-    val refsStale = refSource0 == "pinned_r14_quiet" &&
+    val refsStale = refSource0 == "pinned_r15_quiet" &&
       (a01Series.map(_._2).minOption.exists(_ < 0.7 * a01Ref0) ||
         heavySeries.map(_._2).minOption.exists(_ < 0.7 * heavyRef0))
     if (refsStale) System.err.println(

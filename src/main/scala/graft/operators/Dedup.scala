@@ -34,16 +34,22 @@ object Dedup {
     * default) — so parity holds BY CONSTRUCTION on every code point,
     * including the ones where JDK and ICU case tables drift
     * (String.toLowerCase(ROOT) was only locale-independent, not
-    * ICU-identical; a session that disables the ICU conf re-forks the
-    * non-ASCII slow path onto the JVM default locale, which the mains
-    * additionally pin to ROOT). Trim is space-only (String.trim also
-    * strips control chars; Spark's trim does not). */
+    * ICU-identical). The ICU switch is read from the ACTIVE SQLConf —
+    * the same `SQLConf.get.getConf(ICU_CASE_MAPPINGS_ENABLED)` read
+    * `Lower` itself resolves — so a session running with
+    * `spark.sql.icu.caseMappings.enabled=false` keeps both renditions
+    * on the JDK path together instead of silently forking (r15 ADVICE;
+    * the hardcoded `true` only matched the column side under the 4.x
+    * default). Trim is space-only (String.trim also strips control
+    * chars; Spark's trim does not). */
   def normalizeString(text: String): String = {
+    import org.apache.spark.sql.internal.SQLConf
     val collapsed =
       text.replaceAll("\\s+", " ").replaceAll("\\A +| +\\z", "")
     org.apache.spark.sql.catalyst.util.CollationSupport.Lower
       .exec(org.apache.spark.unsafe.types.UTF8String.fromString(collapsed),
-        0 /* UTF8_BINARY */, true /* useICU: the 4.x default */)
+        0 /* UTF8_BINARY */,
+        SQLConf.get.getConf(SQLConf.ICU_CASE_MAPPINGS_ENABLED))
       .toString
   }
 

@@ -43,9 +43,24 @@ import org.apache.spark.sql.functions._
 object NgramLm {
 
   /** Trained bigram model: two count tables + the two train scalars.
-    * `unigrams` = (tok, c1); `bigrams` = (prev, tok, c2). */
+    * `unigrams` = (tok, c1); `bigrams` = (prev, tok, c2). The count
+    * tables are persisted by [[train]]; call [[Model.unpersist]] when
+    * the model is retired — Dataset-level caches are held strongly by
+    * the session's CacheManager and are NOT garbage-collected with the
+    * model object (only RDD-level persists are ContextCleaner-eligible),
+    * so a long-lived session training many models would otherwise
+    * accumulate MEMORY_AND_DISK entries until `clearCache()`. */
   final case class Model(unigrams: DataFrame, bigrams: DataFrame,
-                         nTokens: Long, vocabSize: Long)
+                         nTokens: Long, vocabSize: Long) {
+    /** Release the persisted count tables. Scoring frames already
+      * materialized keep working (the cache is an optimization, not a
+      * dependency); new [[scoreDocs]] actions after this re-run the
+      * training aggregations. */
+    def unpersist(): Unit = {
+      unigrams.unpersist(blocking = false)
+      bigrams.unpersist(blocking = false)
+    }
+  }
 
   /** Count tables from a reference corpus. `minCount` prunes rare
     * bigrams (keeps the table broadcastable; pruned pairs fall back to
@@ -72,9 +87,12 @@ object NgramLm {
     // reference-corpus training aggregations (the unigram table is
     // even referenced under two join keys per scoring pass) — k
     // scoring runs cost k extra training scans, against the
-    // train-once contract (r15 review). Vocabulary-sized; reclaimed by
-    // the ContextCleaner once the model is unreferenced (the
-    // bm25/topTermsByRarity lifecycle convention).
+    // train-once contract (r15 review). Vocabulary-sized; held by the
+    // CacheManager until Model.unpersist() (or session clearCache) —
+    // Dataset caches are strong references, NOT ContextCleaner-reclaimed
+    // (r15 ADVICE). Kept Dataset-level deliberately: an RDD-level
+    // rewrap would lose InMemoryRelation's size stats and with them the
+    // auto-broadcast of both count tables into the scoring joins.
     val uniP = unigrams
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val biP = bigrams

@@ -21,10 +21,19 @@ import org.apache.spark.storage.StorageLevel
   *    AQE-skew-splittable and its aggregates are map-side partial. The
   *    df side is deliberately not broadcast-hinted: real web corpora
   *    have vocabularies far beyond broadcast size (Spark still picks
-  *    broadcast itself when the vocab is small). Cache lifecycle
-  *    follows [[Dedup.connectedComponents]]: the tf frame backing the
-  *    returned (lazy) result stays persisted; callers owning the
-  *    lifecycle can `unpersist` after consuming it.
+  *    broadcast itself when the vocab is small).
+  *  - Cache lifecycle (tf here; bm25's perDoc; charEntropy's cc;
+  *    domainKl's cd): these are DATASET-level persists backing the
+  *    returned lazy frame, so the caller cannot reach the handle and
+  *    `unpersist()` on the result does not release them — they are held
+  *    strongly by the session's CacheManager until
+  *    `spark.catalog.clearCache()` or session end (Dataset caches are
+  *    NOT ContextCleaner-reclaimed; only RDD-level persists are — r15
+  *    ADVICE). Dataset-level is deliberate: InMemoryRelation keeps
+  *    accurate size stats, which the downstream joins need for
+  *    auto-broadcast. Long-lived sessions running many pipelines should
+  *    `clearCache()` between batches; the per-round mains (Verify,
+  *    Bench) hold one session per run, where the caches are the point.
   *  - [[decontaminate]]: benchmark suites are tiny next to the corpus
   *    (≤ ~10⁶ n-grams), so the collision join broadcasts the benchmark
   *    shingle set; the corpus side is explode → broadcast-join →
@@ -104,8 +113,10 @@ object TextPipeline {
     // feeds BOTH the corpus-stats aggregate and the scoring probe side,
     // and exchange reuse does not fire across differently-pruned
     // branches — without the cache the full corpus explode + partial
-    // agg executes twice (r15 review). Doc-count-sized; reclaimed by
-    // the ContextCleaner once the result is unreferenced.
+    // agg executes twice (r15 review). Doc-count-sized; held by the
+    // CacheManager until an explicit unpersist/clearCache — Dataset
+    // caches are strong references, NOT ContextCleaner-reclaimed (r15
+    // ADVICE; see the object scaladoc's cache-lifecycle note).
     val perDoc = flat.groupBy(idCol)
       .agg(count(lit(1)).as("dl"), tfAggs: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -423,7 +434,8 @@ object TextPipeline {
       .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__k"))
       // feeds n AND the entropy join (3 plan branches after the final
       // n-join) — persisted like bm25's perDoc / topTermsByRarity's tf
-      // (r15 review); (doc, char)-sized, ContextCleaner-reclaimed
+      // (r15 review); (doc, char)-sized, CacheManager-held until
+      // unpersist/clearCache (see the object scaladoc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cc.groupBy(col(idCol))
       .agg(sum(col("__k")).as("n_chars_dist"),
@@ -467,7 +479,8 @@ object TextPipeline {
       explode(Dedup.tokens(col(textCol))).as("__tok"))
     val cd = toks.groupBy("__dom", "__tok").agg(count(lit(1)).as("__cdv"))
       // feeds cv, perDom, AND the kl join — persisted like bm25's
-      // perDoc (r15 review); (domain, token)-sized, vocabulary-bounded
+      // perDoc (r15 review); (domain, token)-sized, vocabulary-bounded,
+      // CacheManager-held until unpersist/clearCache (object scaladoc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cv = cd.groupBy("__tok").agg(sum(col("__cdv")).as("__cv"))
     val all = Window.partitionBy(lit(1))

@@ -41,12 +41,24 @@ object Anova {
     levels.drop(1).map(l => (col(c).cast("string") === l).cast("double"))
   }
 
+  /** Hard cap on distinct levels per factor. A "factor" with hundreds
+    * of levels is almost always a mis-specified continuous/id column,
+    * and letting it through builds a (1+Σ(kᵢ−1)+…)-wide dummy design
+    * whose O(k²) Gram state then fails confusingly (or grinds) far from
+    * the cause (r15 verdict finding 4). 64 is an order of magnitude
+    * above any reference workload (≤ 5 levels) while keeping the dummy
+    * expansion and the driver-side level sets trivially bounded. */
+  val maxFactorLevels = 64
+
   /** Level sets of several factors in ONE distributed pass (levels are
     * few; the scan is what costs at scale). Fails loudly on NULL factor
     * values: `collect_set` silently drops NULLs, which would otherwise
     * let null-level rows contribute all-zero dummies while still being
     * counted in the Gram's n — silently inconsistent ANOVA sums. The
-    * null counts ride the same pass as the level sets. */
+    * null counts ride the same pass as the level sets. Also fails
+    * loudly past [[maxFactorLevels]] — the guard at the shared choke
+    * point (every dummy builder and the `sequential` wrappers come
+    * through here), mirroring Det.maxCramerK's named cap on factorB. */
   def factorLevels(data: DataFrame, cols: Seq[String]): Map[String, Seq[String]] = {
     val aggs = cols.map(c => collect_set(col(c).cast("string")).as(c)) ++
       cols.map(c => count(when(col(c).isNull, 1)).as(s"__nulls_$c"))
@@ -55,6 +67,10 @@ object Anova {
       val nNull = row.getLong(row.fieldIndex(s"__nulls_$c"))
       require(nNull == 0L,
         s"factor column $c has $nNull NULL values; drop or impute them before ANOVA")
+      val nLv = row.getSeq[String](row.fieldIndex(c)).size
+      require(nLv <= maxFactorLevels,
+        s"factor column $c has $nLv distinct levels (max $maxFactorLevels); " +
+          "a high-cardinality column is not a factor — bin it or fix the model")
     }
     cols.map(c => c -> row.getSeq[String](row.fieldIndex(c)).sorted.toSeq).toMap
   }

@@ -23,6 +23,21 @@ class AnovaSuite extends SparkSpec {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("high-cardinality factor fails fast with the level-cap error") {
+    // 200 distinct "levels" — a mis-specified id column must be named
+    // at the factorLevels choke point, not explode the dummy design
+    // into a 200-wide Gram before failing somewhere inside the solve
+    val idAsFactor = spark.range(200)
+      .selectExpr("cast(id as double) as y",
+        "cast(id as string) as fa",
+        "cast(id % 2 as string) as fb")
+    val e = intercept[IllegalArgumentException] {
+      Anova.twoFactor(idAsFactor, "y", "fa", "fb")
+    }
+    assert(e.getMessage.contains("200 distinct levels"))
+    assert(e.getMessage.contains(s"max ${Anova.maxFactorLevels}"))
+  }
+
   test("two-factor Type-I SS matches the balanced closed form") {
     val rows = Anova.twoFactor(fixture, "y", "fa", "fb")
       .map(r => r.term -> r).toMap

@@ -27,6 +27,10 @@ object Verify {
     // so a long-lived session regenerating a fixture under the same path
     // would otherwise grade fresh results against stale memoized rows
     graft.queries.AnnQueries.clearExactMemo()
+    // same fixture-regeneration hygiene for e10's LSH pair-set memo
+    // (which Bench deliberately does NOT clear per pass — the memo is
+    // validation machinery whose warm-pass timing is the wanted number)
+    graft.queries.DedupQueries.clearPairsMemo()
     // dev lever (same contract as Bench): run a comma-separated subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

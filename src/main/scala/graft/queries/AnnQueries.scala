@@ -199,6 +199,140 @@ object AnnQueries {
   private[graft] def portableCentroid(c: Int, dim: Int): Seq[Double] =
     (0 until dim).map(j => portableUnit(s"ivf:$c:$j"))
 
+  /** Portable spherical k-means — the e31 treatment extended from
+    * FIXED md5-literal centroids to TRAINED ones, which is what lets
+    * e10 hash-grade a Lloyd-refined pipeline instead of only a
+    * data-independent one (r15-verdict task 6).
+    *
+    * Every step is either exact-decimal (order-free, one value in any
+    * engine) or a deterministic IEEE double op on bit-identical inputs,
+    * so DuckDB replays the trainer verbatim:
+    *  - init: components [[portableUnit]]("km:c:j"), normalized by
+    *    sqrt of the exact-decimal sum of component squares;
+    *  - assign: the fused exact-decimal argmax
+    *    (ArgMaxDotScoreExact — ties to the LOWER cell, the
+    *    `row_number ... ORDER BY s DESC, c` tie rule of the e31 SQL);
+    *  - means: per (cell, component),
+    *    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count — exact
+    *    decimal numerator, one IEEE division;
+    *  - re-normalize through the same decimal tree; EMPTY cells keep
+    *    the previous (already-normalized) centroid, never re-scaled —
+    *    re-normalizing a kept centroid would divide by its ≈1.0-but-
+    *    not-exactly-1.0 norm and fork engines that skip the no-op.
+    *
+    * The norm arithmetic runs in a (nCells·dim)-row LOCAL Spark frame
+    * rather than driver-side scala.math so the double→decimal rounding
+    * is Spark's own cast — the exact convention the DuckDB oracle text
+    * mirrors (JBD.valueOf + HALF_UP scale 18; see
+    * VectorExpressions.exactDotConst). Per round: ONE distributed
+    * assign+mean job over `data` (only nCells·dim aggregated scalars
+    * reach the driver) + one trivial local normalize job. */
+  private[graft] def portableKmeansCentroids(
+      data: DataFrame, vecCol: String, dim: Int, nCells: Int,
+      iters: Int, tag: String = "km"): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType,
+      StructField, StructType}
+    val spark = data.sparkSession
+    val ve = graft.expressions.VectorExpressions
+    // v / sqrt(Σ decimal(v²)) per cell, through Spark's own casts
+    def normalized(raw: Seq[(Int, Seq[Double])]): Map[Int, Seq[Double]] = {
+      val rows: java.util.List[Row] = java.util.Arrays.asList(
+        raw.flatMap { case (c, vs) =>
+          vs.zipWithIndex.map { case (v, j) => Row(c, j, v) }
+        }: _*)
+      val df = spark.createDataFrame(rows, StructType(Seq(
+        StructField("c", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("v", DoubleType, nullable = false))))
+      val nrm = df.groupBy("c").agg(
+        sqrt(sum((col("v") * col("v")).cast("decimal(38,18)"))
+          .cast("double")).as("nrm"))
+      df.join(nrm, "c")
+        .select(col("c"), col("j"), (col("v") / col("nrm")).as("vn"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (c, rs) =>
+          val arr = new Array[Double](dim)
+          rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          c -> arr.toSeq
+        }
+    }
+    var cents: Seq[Seq[Double]] = {
+      val n = normalized((0 until nCells).map(c =>
+        c -> (0 until dim).map(j => portableUnit(s"$tag:$c:$j"))))
+      (0 until nCells).map(n(_))
+    }
+    for (_ <- 0 until iters) {
+      val means = data
+        .select(ve.argMaxDotScoreExact(col(vecCol), cents)
+          .getField("cell").as("cell"), col(vecCol).as("__v"))
+        .select(col("cell"), posexplode(col("__v")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("col").cast("double").cast("decimal(38,18)"))
+          .cast("double") / count(lit(1)).cast("double")).as("m"))
+        .collect()
+      val updated = means.groupBy(_.getInt(0)).toSeq.map { case (c, rs) =>
+        val arr = new Array[Double](dim)
+        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        c -> arr.toSeq
+      }
+      val n = normalized(updated)
+      cents = cents.zipWithIndex.map { case (prev, c) => n.getOrElse(c, prev) }
+    }
+    cents
+  }
+
+  /** The [[portableKmeansCentroids]] init/normalize/mean conventions as
+    * DuckDB CTE text: `k$r(c, j, v)` is the round-r centroid table
+    * (k0 = normalized init; each round assigns by exact-decimal argmax
+    * against k(r−1), means per (cell, component), re-normalizes, and
+    * COALESCEs empty cells to the previous centroid). `src` must expose
+    * (vid, embedding). Shares [[sqlPortableUnit]] with the e20–e31
+    * oracles. */
+  private[graft] def sqlPortableKmeans(src: String, dim: Int,
+                                       nCells: Int, iters: Int,
+                                       tag: String = "km"): String = {
+    val init =
+      s"""ku AS (SELECT c, j, $sqlPortableUnit AS v
+                 FROM (SELECT c, j,
+                         md5('$tag:' || CAST(c AS VARCHAR) || ':' ||
+                             CAST(j AS VARCHAR)) AS hx
+                       FROM generate_series(0, ${nCells - 1}) cc(c),
+                            generate_series(0, ${dim - 1}) jj(j))),
+          kn AS (SELECT c, sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,18)))
+                                     AS DOUBLE)) AS nrm
+                 FROM ku GROUP BY c),
+          k0 AS (SELECT ku.c, ku.j, ku.v / kn.nrm AS v
+                 FROM ku JOIN kn USING (c))"""
+    val rounds = (1 to iters).map { r =>
+      val p = s"k${r - 1}"
+      s"""kd$r AS (SELECT s.vid, $p.c,
+                     CAST(sum(CAST(CAST(s.embedding[$p.j + 1] AS DOUBLE)
+                                   * $p.v AS DECIMAL(38,18))) AS DOUBLE)
+                       AS sc
+                   FROM $src s, $p GROUP BY s.vid, $p.c),
+          ka$r AS (SELECT vid, c FROM
+                     (SELECT vid, c, row_number() OVER
+                        (PARTITION BY vid ORDER BY sc DESC, c) AS rk
+                      FROM kd$r) t WHERE rk = 1),
+          km$r AS (SELECT a.c, jj.j,
+                     CAST(sum(CAST(CAST(s.embedding[jj.j + 1] AS DOUBLE)
+                                   AS DECIMAL(38,18))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+                   FROM ka$r a JOIN $src s ON s.vid = a.vid,
+                        generate_series(0, ${dim - 1}) jj(j)
+                   GROUP BY a.c, jj.j),
+          kz$r AS (SELECT c, sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18)))
+                                       AS DOUBLE)) AS nrm
+                   FROM km$r GROUP BY c),
+          k$r AS (SELECT p.c, p.j,
+                    COALESCE(m.m / z.nrm, p.v) AS v
+                  FROM k${r - 1} p
+                  LEFT JOIN km$r m ON m.c = p.c AND m.j = p.j
+                  LEFT JOIN kz$r z ON z.c = p.c)"""
+    }.mkString(",\n")
+    if (iters == 0) init else init + ",\n" + rounds
+  }
+
   /** Shared scoring tail of the portable top-k family (e20/e21/e22):
     * join bare (qid, cid) pairs back to per-row-normed vector frames —
     * two longs rode the candidate-generation shuffle, never the
@@ -691,6 +825,8 @@ object AnnQueries {
     * graded sf0.01 agreement against sf0.001 pairs), so any memo keyed
     * on canonicalized plans alone conflates the same query over
     * different fixtures. Every memo key below appends this. */
+  private[queries] def sourcePathsOf(df: DataFrame): String = sourcePaths(df)
+
   private def sourcePaths(df: DataFrame): String =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>

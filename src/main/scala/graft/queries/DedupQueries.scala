@@ -89,12 +89,27 @@ object DedupQueries {
                  FROM ipairs
                  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5)"""
 
-  /** e10's cluster/keeper assignment — the operator under test. */
+  /** e10's cluster/keeper assignment — the operator under test
+    * (Ann.semanticDedup's own pair join / prefilter / CC / keeper code
+    * path), run under the cross-engine parity discipline graded queries
+    * inject: centroids from the PORTABLE trained k-means
+    * (AnnQueries.portableKmeansCentroids — md5-unit init, exact-decimal
+    * Lloyd rounds) instead of the Gaussian-seeded trainer, and the
+    * exact-decimal cell argmax instead of the double one. That is what
+    * upgraded e10 from invariant-graded to FULL-hash-graded (r15-verdict
+    * task 6): every downstream summary quantity is a function of the
+    * cell partition + exact pair predicates + graph connectivity, all of
+    * which DuckDB now replays. The Gaussian trainer stays the operator
+    * default and keeps its own pins (nCells=1 degenerate-exact,
+    * planted-strong-dup recovery — DedupSuite/AnnSuite). */
   private[graft] def semanticDedupAssign(
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     Ann.semanticDedup(emb, "vec_id", "embedding", dim = 64,
-      nCells = 8, threshold = 0.45, lloydIters = 2, seed = 7L,
-      scorer = AnnQueries.cosineExact)
+      nCells = 8, threshold = 0.45,
+      scorer = AnnQueries.cosineExact,
+      centsOverride = Some(AnnQueries.portableKmeansCentroids(
+        emb, "embedding", dim = 64, nCells = 8, iters = 2)),
+      exactAssign = true)
 
   /** e10's recall denominator: the exact near-dup pair set, produced by
     * the PRODUCTION bucketed-LSH path. At (bits=6, tables=64) /
@@ -109,6 +124,35 @@ object DedupQueries {
         dim = 64, threshold = 0.45, bits = 6, tables = 64,
         scorer = AnnQueries.cosineExact)
       .select("id_a", "id_b")
+
+  /** Session memo for [[exactPairsViaLsh]]'s collected pair set —
+    * validation machinery (e10's recall DENOMINATOR), not the operator.
+    * Unlike AnnQueries' exact/twin memos this one is NOT cleared per
+    * Bench pass (r15-verdict task 4 sanctions exactly that): with the
+    * memo warm, the min-of-2 reports e10's operator-only cost, which is
+    * the number the round-over-round series should track — the
+    * denominator's one-time cost still shows in run1 of the side file,
+    * so nothing is hidden. Verify clears it at startup for the same
+    * fixture-regeneration reason as clearExactMemo (keys embed parquet
+    * PATHS, not contents). Size: the fixture's near-dup pair count
+    * (tens of rows per SF). */
+  private val lshPairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[org.apache.spark.sql.Row]]()
+
+  def clearPairsMemo(): Unit = lshPairsMemo.clear()
+
+  /** [[exactPairsViaLsh]] through the memo, rebuilt as a local relation
+    * (broadcasts into the summary joins like AnnQueries' exact-oracle
+    * rows). */
+  private def exactPairsMemoized(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lazyPairs = exactPairsViaLsh(emb)
+    val key = lazyPairs.queryExecution.analyzed.canonicalized.toString +
+      "@" + AnnQueries.sourcePathsOf(emb)
+    val rows = lshPairsMemo.computeIfAbsent(key, _ => lazyPairs.collect())
+    emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), lazyPairs.schema)
+  }
 
   /** e10's one-row invariant summary over the assignment + pair set
     * (keeper rule, same-cluster pair recall). Lazy — shared by the
@@ -298,53 +342,142 @@ object DedupQueries {
               FROM dots WHERE CAST(dot / (sqrt(na) * sqrt(nb)) AS FLOAT) >= 0.45
               ORDER BY id_a, id_b""")),
 
-    // ---- E10 SemDeDup: cluster-scoped semantic dedup ------------------
+    // ---- E10 SemDeDup: cluster-scoped semantic dedup (FULL hash) ------
     // k-means cells bound the pair search (Abbas et al. 2023); duplicate
-    // groups keep their least-centroid-like member. Randomless and
-    // deterministic end-to-end (bit-stable k-means, hash-min CC,
-    // rank-1 keeper), but k-means can't be SQL-oracled — the graded row
-    // carries the invariants instead, each recomputed in-query:
-    // structure (one row per vector, exactly one keeper per cluster)
-    // and the honest quality number, same-cluster recall of the exact
-    // near-dup pair set. The recall DENOMINATOR is computed via the
-    // production bucketed-LSH path (r14 verdict: the old in-query
-    // all-pairs nearDupExact leg was the one unbounded cartesian in a
-    // timed query): at shape (6, 64) / threshold 0.45 / cosineExact the
-    // LSH pair set EQUALS nearDupExact's on this fixture at every
-    // graded SF — e02's DuckDB all-pairs oracle re-proves that equality
-    // each round and AnnSuite pins it — so the denominator stays exact
-    // while the timed plan is cartesian-free (PlanSuite pins it via
-    // the lazy builder below). The pipeline ITSELF is hash-graded via
-    // e31_semdedup_portable (AnnQueries.semDedupPortable — md5-literal
-    // centroids, same scoped-pair/CC/keeper control flow, full DuckDB
-    // oracle), so only the k-means centroids stay suite-pinned.
-    // HONESTY NOTE on that recall: this
-    // fixture's planted pairs top out at cos ≈ 0.48–0.51 (≈ 61°) —
-    // far below SemDeDup's ~0.95 operating regime — so 8-cell scoping
-    // finds ~0.3–0.45 of them (measured sweep: nCells 1/2/4/8 →
-    // 14/9/8/6 of 14 at sf0.01). The paper's trade, reported, not
-    // hidden. The two anchors that make the operator trustworthy are
-    // suite-pinned instead: nCells = 1 reproduces the exact pair set
-    // verbatim (DedupSuite), and genuinely-strong dups (cos ≥ 0.9
-    // planted groups) are recovered 100% UNDER scoping (AnnSuite).
+    // groups keep their least-centroid-like member. FULL-hash-graded
+    // since round 16 (r15-verdict task 6): the graded pipeline is
+    // Ann.semanticDedup itself — its pair join, double prefilter, CC and
+    // keeper code paths — under the parity discipline graded queries
+    // inject (portable TRAINED k-means centroids + exact-decimal
+    // assignment + cosineExact pair scorer), and the oracle below
+    // replays the ENTIRE thing in DuckDB: the 2-round Lloyd trainer
+    // (AnnQueries.sqlPortableKmeans), the final argmax assignment, the
+    // within-cell exact-cosine pair search, connected components to
+    // FIXPOINT (min reachable id, a recursive CTE — Spark's converged
+    // hash-min CC computes the same partition, and every summary column
+    // is partition-level, independent of label spelling or keeper
+    // choice), the keeper census, and the recall panel. The recall
+    // DENOMINATOR stays the production bucketed-LSH path on the Spark
+    // side (cartesian-free, r14 verdict) — at shape (6, 64) /
+    // threshold 0.45 / cosineExact its pair set EQUALS nearDupExact's
+    // on this fixture (AnnSuite pin) — while the ORACLE computes the
+    // same set all-pairs (the e02 oracle pattern), so the hash now
+    // RE-PROVES the LSH=exact equality inside e10's own grading. The
+    // collected pair set is memoized across Bench passes (r15-verdict
+    // task 4 — see lshPairsMemo; it is validation machinery, not the
+    // operator). The Gaussian-seeded default trainer keeps its own
+    // anchors: nCells = 1 reproduces the exact pair set verbatim
+    // (DedupSuite) and planted strong dups (cos ≥ 0.9) are recovered
+    // 100% under scoping (AnnSuite).
+    // HONESTY NOTE on the recall value: this fixture's planted pairs
+    // top out at cos ≈ 0.48–0.51 (≈ 61°) — far below SemDeDup's ~0.95
+    // operating regime — so 8-cell scoping finds only a fraction of
+    // them. The paper's trade, reported, not hidden — and now pinned
+    // by hash instead of only by suite.
     Q("e10_semantic_dedup",
       (s, d) => {
         import org.apache.spark.storage.StorageLevel
         val emb = load(s, d, "embeddings")
         val out = semanticDedupAssign(emb)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val exact = exactPairsViaLsh(emb)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // memoized local relation — broadcasts into the summary joins
+        val exact = exactPairsMemoized(emb)
         val summary = semanticDedupSummary(out, exact)
         // eager materialize + finally-guarded unpersist (round-9 cache
         // discipline): the summary is ONE row
         val rows =
           try summary.collect()
-          finally { out.unpersist(); exact.unpersist() }
+          finally out.unpersist()
         s.createDataFrame(java.util.Arrays.asList(rows: _*),
           summary.schema)
       },
-      None),
+      Some {
+        s"""WITH RECURSIVE
+             emb AS (SELECT vec_id AS vid, embedding FROM embeddings),
+             ${AnnQueries.sqlPortableKmeans("emb", dim = 64, nCells = 8,
+                iters = 2)},
+             nr AS (SELECT vid,
+                      sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+                                         * CAST(embedding[i] AS DOUBLE)
+                                         AS DECIMAL(38,18))) AS DOUBLE))
+                        AS nrm
+                    FROM emb, generate_series(1, 64) t(i)
+                    GROUP BY vid),
+             fd AS (SELECT s.vid, k2.c,
+                      CAST(sum(CAST(CAST(s.embedding[k2.j + 1] AS DOUBLE)
+                                    * k2.v AS DECIMAL(38,18))) AS DOUBLE)
+                        AS sc
+                    FROM emb s, k2 GROUP BY s.vid, k2.c),
+             af AS (SELECT vid, c AS cell FROM
+                      (SELECT vid, c, row_number() OVER
+                         (PARTITION BY vid ORDER BY sc DESC, c) AS rk
+                       FROM fd) t WHERE rk = 1),
+             wel AS (SELECT a.vid AS ia, b.vid AS ib,
+                       CAST(CAST(ea.embedding[i] AS DOUBLE)
+                            * CAST(eb.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS p
+                     FROM af a JOIN af b
+                       ON a.cell = b.cell AND a.vid < b.vid
+                     JOIN emb ea ON ea.vid = a.vid
+                     JOIN emb eb ON eb.vid = b.vid,
+                          generate_series(1, 64) g(i)),
+             wd AS (SELECT ia, ib, CAST(sum(p) AS DOUBLE) AS dot
+                    FROM wel GROUP BY ia, ib),
+             wp AS (SELECT w.ia, w.ib
+                    FROM wd w JOIN nr na ON na.vid = w.ia
+                              JOIN nr nb ON nb.vid = w.ib
+                    WHERE CAST(w.dot / (na.nrm * nb.nrm) AS FLOAT)
+                      >= CAST(0.45 AS FLOAT)),
+             ue AS (SELECT ia AS src, ib AS dst FROM wp UNION ALL
+                    SELECT ib AS src, ia AS dst FROM wp),
+             lp AS (SELECT src AS id, src AS lbl FROM ue
+                    UNION
+                    SELECT ue.dst AS id, lp.lbl
+                    FROM lp JOIN ue ON ue.src = lp.id),
+             cc AS (SELECT id, min(lbl) AS cluster FROM lp GROUP BY id),
+             lab AS (SELECT e.vid AS id,
+                       COALESCE(cc.cluster, e.vid) AS cluster
+                     FROM emb e LEFT JOIN cc ON cc.id = e.vid),
+             kk AS (SELECT cluster,
+                      CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS k
+                    FROM (SELECT cluster, row_number() OVER
+                            (PARTITION BY cluster ORDER BY id) AS rk
+                          FROM lab) t
+                    GROUP BY cluster),
+             ke AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+                      CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_one_keeper,
+                      CAST(sum(k) AS BIGINT) AS n_kept
+                    FROM kk),
+             xel AS (SELECT a.vid AS ia, b.vid AS ib,
+                       CAST(CAST(a.embedding[i] AS DOUBLE)
+                            * CAST(b.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,18)) AS p
+                     FROM emb a JOIN emb b ON a.vid < b.vid,
+                          generate_series(1, 64) t(i)),
+             xd AS (SELECT ia, ib, CAST(sum(p) AS DOUBLE) AS dot
+                    FROM xel GROUP BY ia, ib),
+             xp AS (SELECT d.ia, d.ib
+                    FROM xd d JOIN nr na ON na.vid = d.ia
+                              JOIN nr nb ON nb.vid = d.ib
+                    WHERE CAST(d.dot / (na.nrm * nb.nrm) AS FLOAT)
+                      >= CAST(0.45 AS FLOAT)),
+             pe AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                      CAST(sum(CASE WHEN la.cluster = lb.cluster
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_same_cluster
+                    FROM xp JOIN lab la ON la.id = xp.ia
+                            JOIN lab lb ON lb.id = xp.ib)
+             SELECT (SELECT CAST(count(*) AS BIGINT) FROM emb) AS n_rows,
+                    ke.n_kept, ke.n_clusters,
+                    (ke.n_one_keeper = ke.n_clusters) AS keeper_rule_ok,
+                    pe.n_exact_pairs, pe.n_same_cluster,
+                    CAST(pe.n_same_cluster AS DOUBLE)
+                      / CAST(greatest(pe.n_exact_pairs, 1) AS DOUBLE)
+                      AS pair_recall
+             FROM ke, pe"""
+      }),
 
     // ---- E3 LSH-bucketed ANN top-k (the scale path) -------------------
     // Self-validating (round-8): rows carry exact-top-5 membership,

@@ -693,7 +693,8 @@ object Graphs {
     * no lineage blow-up). All outputs are exact integers → full hash
     * oracle. */
   def kcoreCensus(edges: DataFrame, k: Int, rounds: Int,
-                  symmetrizeInput: Boolean = false): DataFrame = {
+                  symmetrizeInput: Boolean = false,
+                  onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
@@ -713,7 +714,12 @@ object Graphs {
         .groupBy("src").agg(count(lit(1)).as("__d"))
     try {
       input.count()
-      for (_ <- 1 to rounds) {
+      for (i <- 1 to rounds) {
+        // per-round wall clock handed to `onRound` AFTER the round's
+        // materializing count — the pageRankTopK hook convention, so
+        // the scale probe can pin per-round FLATNESS (a spill or
+        // lineage pathology shows as monotone per-round growth)
+        val tRound0 = System.nanoTime()
         val keep = degrees(cur)
           .filter(col("__d") >= k).select("src")
         val (next, rdd) = rewrapPersisted(
@@ -725,6 +731,7 @@ object Graphs {
         cur.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
+        onRound(i, (System.nanoTime() - tRound0) / 1e9)
       }
       val census = degrees(cur)
         .withColumnRenamed("__d", "degree")

@@ -190,13 +190,25 @@ object GraphScaleProbe {
     assert(kc1.exists(_.getLong(0) == 1L),
       "round 1 must leave the mid-chain tails at degree 1 — the " +
         "cascade premise is broken")
+    val kcRounds = scala.collection.mutable.ArrayBuffer[Double]()
     val kc = timed(s"2-core peel over ${cliques * 17} edges, 3 rounds")(
       Graphs.kcoreCensus(kcEdges, k = 2, rounds = 3,
-        symmetrizeInput = true).collect())
+        symmetrizeInput = true,
+        onRound = (_, s) => kcRounds += s).collect())
     assert(kc.length == 1 && kc.head.getLong(0) == 5L &&
         kc.head.getLong(1) == cliques * 6L,
       s"k-core census drifted: ${kc.toSeq} (want one row: degree 5, " +
         s"${cliques * 6} nodes)")
+    // per-round FLATNESS-or-shrinking pin (r15-verdict task 1b, the
+    // a38 47.66 s adjudication): a spill pathology or lineage leak
+    // shows as per-round growth; a healthy peel's rounds shrink with
+    // the surviving edge set (round 1 processes ALL edges, round 3 a
+    // converged core), so later rounds must never exceed ~1.5× round 1.
+    println("[graph-probe] kcore per-round secs: " +
+      kcRounds.map(s => f"$s%.2f").mkString(" "))
+    assert(kcRounds.tail.forall(_ <= 1.5 * kcRounds.head + 0.5),
+      s"kcore per-round time grew: ${kcRounds.toSeq} — spill/lineage " +
+        "pathology?")
     println(s"[graph-probe] 2-core kept exactly the ${cliques * 6} " +
       "clique nodes at degree 5; the pendant chains peeled over two " +
       "cascading rounds")

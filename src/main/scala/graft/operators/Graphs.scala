@@ -688,10 +688,17 @@ object Graphs {
     * converged graph just peels nothing in later rounds.
     *
     * Scale shape: per round, one node-keyed partial-aggregable degree
-    * count plus two semi joins back to the edge list, materialized
-    * per round (the [[lpaAssign]] eager pattern — bounded plan depth,
-    * no lineage blow-up). All outputs are exact integers → full hash
-    * oracle. */
+    * count over the INDUCED subgraph — the edge list stays in its
+    * columnar cache for the whole peel and the loop state is only the
+    * NODE-sized survivor set (rewrapped per round: bounded plan depth,
+    * no lineage blow-up, and the Row↔InternalRow rewrap tax is paid on
+    * nodes, not edges). The round-16 probe measured the old
+    * edge-rewrap shape at ~4× per round once the edge set left the
+    * columnar cache (9.7 → 36.4 s/round at 11.3M edges); inducing
+    * against the cached edges keeps every round at the columnar rate.
+    * Equivalence: S_i ⊆ S_{i−1}, so inducing the ORIGINAL edges by S_i
+    * equals filtering round i−1's surviving edges — same degrees, same
+    * census. All outputs are exact integers → full hash oracle. */
   def kcoreCensus(edges: DataFrame, k: Int, rounds: Int,
                   symmetrizeInput: Boolean = false,
                   onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
@@ -701,8 +708,15 @@ object Graphs {
     val input =
       if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
       else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    var cur = if (symmetrizeInput) symmetrize(input) else input
+    val full = if (symmetrizeInput) symmetrize(input) else input
+    // survivor node set; null = every node (round 1 needs no induce)
+    var surv: DataFrame = null
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def induced(): DataFrame =
+      if (surv == null) full
+      else full.join(surv, Seq("src"), "left_semi")
+        .join(surv.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
     // on a symmetric list a node's degree IS its out-degree (one scan);
     // a caller-supplied directed list must count BOTH incidences or
     // dst-only sinks peel immediately and hubs survive on out-edges
@@ -720,20 +734,15 @@ object Graphs {
         // the scale probe can pin per-round FLATNESS (a spill or
         // lineage pathology shows as monotone per-round growth)
         val tRound0 = System.nanoTime()
-        val keep = degrees(cur)
-          .filter(col("__d") >= k).select("src")
         val (next, rdd) = rewrapPersisted(
-          cur.join(keep, Seq("src"), "left_semi")
-            .join(keep.select(col("src").as("dst")), Seq("dst"),
-              "left_semi")
-            .select("src", "dst"))
-        cur = next
-        cur.count()
+          degrees(induced()).filter(col("__d") >= k).select("src"))
+        surv = next
+        surv.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
         onRound(i, (System.nanoTime() - tRound0) / 1e9)
       }
-      val census = degrees(cur)
+      val census = degrees(induced())
         .withColumnRenamed("__d", "degree")
         .groupBy("degree")
         .agg(count(lit(1)).as("n_nodes"), min("src").as("min_id"),

@@ -167,14 +167,21 @@ object Bench {
     // artifact: a sentinel running >30% FASTER than its pinned quiet
     // minimum can only mean the sentinel's own code changed.
     val (a01Ref0, heavyRef0, refSource0) =
-      // re-pinned r15: t27 (charEntropy) got ~1.7× faster when its cc
-      // frame gained the multi-branch persist, so the r14 pin (2.51)
-      // tripped its own staleness guard; quiet minimum re-measured via
-      // the in-run drift samples (1.24 under load ≈ 5 → ~1.20 quiet)
-      if (sfName == "sf0.1") (0.23, 1.20, "pinned_r15_quiet")
+      // re-pinned r16 (r15 ADVICE): the r15 heavy pin (1.20) was
+      // extrapolated from in-run drift samples under ~5× load; the r16
+      // quiet full-catalog run (2026-08-16, external load 1.4–2.5 at
+      // the boundaries, 243 queries, r15 tree) measured t27's graded
+      // min-of-2 at 1.38 s — pinned HERE as the quiet reference. The
+      // measurement is IN-CATALOG deliberately: an isolated 2-query
+      // session reports 4.1 s (cold JIT + cold page cache), so the pin
+      // must come from the same warm-session regime the drift samples
+      // it normalizes are taken in. a01 unchanged at 0.23 (its r16
+      // quiet samples sat 0.29–0.49 with graded min consistent with
+      // the pin; no staleness signal in either direction).
+      if (sfName == "sf0.1") (0.23, 1.38, "pinned_r16_quiet")
       else (a01Series.map(_._2).minOption.getOrElse(1.0),
         heavySeries.map(_._2).minOption.getOrElse(1.0), "run_min")
-    val refsStale = refSource0 == "pinned_r15_quiet" &&
+    val refsStale = refSource0 == "pinned_r16_quiet" &&
       (a01Series.map(_._2).minOption.exists(_ < 0.7 * a01Ref0) ||
         heavySeries.map(_._2).minOption.exists(_ < 0.7 * heavyRef0))
     if (refsStale) System.err.println(

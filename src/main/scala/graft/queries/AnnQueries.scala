@@ -281,16 +281,41 @@ object AnnQueries {
     cents
   }
 
+  /** ONE SQL definition of the exact-decimal argmax assignment (the
+    * ArgMaxDotScoreExact mirror: decimal-sum dots, DESC score, ties to
+    * the LOWER cell) — shared by every Lloyd round AND the final
+    * assignment [[sqlPortableKmeans]] emits, so a rounding or tie-rule
+    * change cannot fork the two (the r15 exactDotConst unification
+    * argument, applied to the SQL side). Emits `<dots> AS (...),
+    * <assign> AS (vid, c)`. */
+  private def sqlArgmaxAssign(src: String, centTable: String,
+                              dots: String, assign: String): String =
+    s"""$dots AS (SELECT s.vid, $centTable.c,
+                    CAST(sum(CAST(CAST(s.embedding[$centTable.j + 1]
+                                       AS DOUBLE)
+                                  * $centTable.v AS DECIMAL(38,18)))
+                         AS DOUBLE) AS sc
+                  FROM $src s, $centTable GROUP BY s.vid, $centTable.c),
+        $assign AS (SELECT vid, c FROM
+                      (SELECT vid, c, row_number() OVER
+                         (PARTITION BY vid ORDER BY sc DESC, c) AS rk
+                       FROM $dots) t WHERE rk = 1)"""
+
   /** The [[portableKmeansCentroids]] init/normalize/mean conventions as
     * DuckDB CTE text: `k$r(c, j, v)` is the round-r centroid table
     * (k0 = normalized init; each round assigns by exact-decimal argmax
     * against k(r−1), means per (cell, component), re-normalizes, and
-    * COALESCEs empty cells to the previous centroid). `src` must expose
-    * (vid, embedding). Shares [[sqlPortableUnit]] with the e20–e31
-    * oracles. */
+    * COALESCEs empty cells to the previous centroid). When `assignAs`
+    * is set, a final [[sqlArgmaxAssign]] against k$iters is appended
+    * under that CTE name (vid, c) — the same SQL definition the rounds
+    * use, so trainer and final assignment cannot drift. `src` must
+    * expose (vid, embedding). Shares [[sqlPortableUnit]] with the
+    * e20–e31 oracles. */
   private[graft] def sqlPortableKmeans(src: String, dim: Int,
                                        nCells: Int, iters: Int,
-                                       tag: String = "km"): String = {
+                                       tag: String = "km",
+                                       assignAs: Option[String] = None)
+      : String = {
     val init =
       s"""ku AS (SELECT c, j, $sqlPortableUnit AS v
                  FROM (SELECT c, j,
@@ -305,15 +330,7 @@ object AnnQueries {
                  FROM ku JOIN kn USING (c))"""
     val rounds = (1 to iters).map { r =>
       val p = s"k${r - 1}"
-      s"""kd$r AS (SELECT s.vid, $p.c,
-                     CAST(sum(CAST(CAST(s.embedding[$p.j + 1] AS DOUBLE)
-                                   * $p.v AS DECIMAL(38,18))) AS DOUBLE)
-                       AS sc
-                   FROM $src s, $p GROUP BY s.vid, $p.c),
-          ka$r AS (SELECT vid, c FROM
-                     (SELECT vid, c, row_number() OVER
-                        (PARTITION BY vid ORDER BY sc DESC, c) AS rk
-                      FROM kd$r) t WHERE rk = 1),
+      s"""${sqlArgmaxAssign(src, p, s"kd$r", s"ka$r")},
           km$r AS (SELECT a.c, jj.j,
                      CAST(sum(CAST(CAST(s.embedding[jj.j + 1] AS DOUBLE)
                                    AS DECIMAL(38,18))) AS DOUBLE)
@@ -330,7 +347,13 @@ object AnnQueries {
                   LEFT JOIN km$r m ON m.c = p.c AND m.j = p.j
                   LEFT JOIN kz$r z ON z.c = p.c)"""
     }.mkString(",\n")
-    if (iters == 0) init else init + ",\n" + rounds
+    val base = if (iters == 0) init else init + ",\n" + rounds
+    assignAs match {
+      case Some(name) =>
+        base + ",\n" +
+          sqlArgmaxAssign(src, s"k$iters", s"kd${iters + 1}", name)
+      case None => base
+    }
   }
 
   /** Shared scoring tail of the portable top-k family (e20/e21/e22):

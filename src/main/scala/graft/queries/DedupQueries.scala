@@ -395,7 +395,7 @@ object DedupQueries {
         s"""WITH RECURSIVE
              emb AS (SELECT vec_id AS vid, embedding FROM embeddings),
              ${AnnQueries.sqlPortableKmeans("emb", dim = 64, nCells = 8,
-                iters = 2)},
+                iters = 2, assignAs = Some("kaf"))},
              nr AS (SELECT vid,
                       sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
                                          * CAST(embedding[i] AS DOUBLE)
@@ -403,15 +403,7 @@ object DedupQueries {
                         AS nrm
                     FROM emb, generate_series(1, 64) t(i)
                     GROUP BY vid),
-             fd AS (SELECT s.vid, k2.c,
-                      CAST(sum(CAST(CAST(s.embedding[k2.j + 1] AS DOUBLE)
-                                    * k2.v AS DECIMAL(38,18))) AS DOUBLE)
-                        AS sc
-                    FROM emb s, k2 GROUP BY s.vid, k2.c),
-             af AS (SELECT vid, c AS cell FROM
-                      (SELECT vid, c, row_number() OVER
-                         (PARTITION BY vid ORDER BY sc DESC, c) AS rk
-                       FROM fd) t WHERE rk = 1),
+             af AS (SELECT vid, c AS cell FROM kaf),
              wel AS (SELECT a.vid AS ia, b.vid AS ib,
                        CAST(CAST(ea.embedding[i] AS DOUBLE)
                             * CAST(eb.embedding[i] AS DOUBLE)

@@ -50,16 +50,36 @@ object Anova {
     * expansion and the driver-side level sets trivially bounded. */
   val maxFactorLevels = 64
 
-  /** Level sets of several factors in ONE distributed pass (levels are
-    * few; the scan is what costs at scale). Fails loudly on NULL factor
-    * values: `collect_set` silently drops NULLs, which would otherwise
-    * let null-level rows contribute all-zero dummies while still being
+  /** Level sets of several factors: one cheap DISTRIBUTIVE guard pass,
+    * then one level pass. Fails loudly on NULL factor values:
+    * `collect_set` silently drops NULLs, which would otherwise let
+    * null-level rows contribute all-zero dummies while still being
     * counted in the Gram's n — silently inconsistent ANOVA sums. The
-    * null counts ride the same pass as the level sets. Also fails
-    * loudly past [[maxFactorLevels]] — the guard at the shared choke
-    * point (every dummy builder and the `sequential` wrappers come
-    * through here), mirroring Det.maxCramerK's named cap on factorB. */
+    * null counts ride the level pass.
+    *
+    * The [[maxFactorLevels]] guard runs as its own FIRST pass with
+    * `approx_count_distinct` at rsd 0.01 (bounded HLL state,
+    * partial-aggregable): a mis-specified id column must be named
+    * BEFORE anything builds or collects its full level set — a
+    * post-collect-only check would OOM the aggregation buffers and the
+    * driver on the way to its own error (r16 review). The estimate is
+    * approximate (measured: 200 true → 202 at the default rsd), so the
+    * distributive guard fires only past 2× the cap — cardinalities in
+    * (cap, 2·cap] fall through to the EXACT post-collect check below,
+    * whose set is then ≤ ~128 strings, trivially bounded. The extra
+    * scan is one column of HLL state, noise next to the Gram pass the
+    * caller is about to run. Both checks share the choke point (every
+    * dummy builder and the `sequential` wrappers come through here),
+    * mirroring Det.maxCramerK's named cap on factorB. */
   def factorLevels(data: DataFrame, cols: Seq[String]): Map[String, Seq[String]] = {
+    val guards = cols.map(c => approx_count_distinct(col(c), 0.01).as(c))
+    val gRow = data.agg(guards.head, guards.tail: _*).head()
+    cols.foreach { c =>
+      val est = gRow.getLong(gRow.fieldIndex(c))
+      require(est <= 2L * maxFactorLevels,
+        s"factor column $c has ~$est distinct levels (max $maxFactorLevels); " +
+          "a high-cardinality column is not a factor — bin it or fix the model")
+    }
     val aggs = cols.map(c => collect_set(col(c).cast("string")).as(c)) ++
       cols.map(c => count(when(col(c).isNull, 1)).as(s"__nulls_$c"))
     val row = data.agg(aggs.head, aggs.tail: _*).head()

@@ -202,10 +202,12 @@ class DedupSuite extends SparkSpec {
       // the fixture's pairs are DELIBERATELY weak (cos ≈ 0.45, far
       // below SemDeDup's ~0.95 regime), so scoped recall is the
       // documented trade, not a quality bar — the floor only guards
-      // against a broken assignment (deterministic: measured 2/7 and
-      // 6/14 at the two SFs). The real anchors are the nCells = 1
-      // degenerate-exact test below and AnnSuite's planted strong-dup
-      // recovery.
+      // against a broken assignment (deterministic: measured 3/7 and
+      // 5/14 at the two SFs under the r16 portable trained centroids;
+      // the pre-r16 Gaussian seed-7 trainer measured 2/7 and 6/14 —
+      // same regime, different cells). The real anchors are the
+      // nCells = 1 degenerate-exact test below and AnnSuite's planted
+      // strong-dup recovery.
       assert(recall >= 0.25, s"$sf recall $recall")
     }
   }

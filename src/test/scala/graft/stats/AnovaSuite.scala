@@ -24,9 +24,12 @@ class AnovaSuite extends SparkSpec {
   }
 
   test("high-cardinality factor fails fast with the level-cap error") {
-    // 200 distinct "levels" — a mis-specified id column must be named
-    // at the factorLevels choke point, not explode the dummy design
-    // into a 200-wide Gram before failing somewhere inside the solve
+    // 200 distinct "levels" (> 2× the cap — the DISTRIBUTIVE HLL guard
+    // fires before any collect_set materializes): a mis-specified id
+    // column must be named at the factorLevels choke point, not
+    // explode the dummy design into a 200-wide Gram before failing
+    // somewhere inside the solve. The estimate is approximate (~200),
+    // so assert the named pieces, not the exact count.
     val idAsFactor = spark.range(200)
       .selectExpr("cast(id as double) as y",
         "cast(id as string) as fa",
@@ -34,8 +37,18 @@ class AnovaSuite extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Anova.twoFactor(idAsFactor, "y", "fa", "fb")
     }
-    assert(e.getMessage.contains("200 distinct levels"))
+    assert(e.getMessage.contains("distinct levels"))
     assert(e.getMessage.contains(s"max ${Anova.maxFactorLevels}"))
+    // the in-between band (cap, 2·cap] falls through to the EXACT
+    // post-collect check — still a named failure, bounded set
+    val midBand = spark.range(100)
+      .selectExpr("cast(id as double) as y",
+        "cast(id as string) as fa",
+        "cast(id % 2 as string) as fb")
+    val e2 = intercept[IllegalArgumentException] {
+      Anova.twoFactor(midBand, "y", "fa", "fb")
+    }
+    assert(e2.getMessage.contains("100 distinct levels"))
   }
 
   test("two-factor Type-I SS matches the balanced closed form") {

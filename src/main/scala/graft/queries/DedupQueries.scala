@@ -143,12 +143,19 @@ object DedupQueries {
 
   /** [[exactPairsViaLsh]] through the memo, rebuilt as a local relation
     * (broadcasts into the summary joins like AnnQueries' exact-oracle
-    * rows). */
+    * rows). The key is the STATIC leg config + the input's source
+    * paths — NOT the canonicalized plan: exactPairsViaLsh embeds
+    * 64 tables × 6 bits × 64 dims of plane literals, whose plan
+    * toString costs real seconds per call (measured in the r16
+    * canonical bench), and unlike AnnQueries' arbitrary-frame memos
+    * this leg's builder is fixed, so the config string IS the plan
+    * identity; sourcePaths still separates SF dirs (the r14 collision
+    * lesson). */
   private def exactPairsMemoized(
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val lazyPairs = exactPairsViaLsh(emb)
-    val key = lazyPairs.queryExecution.analyzed.canonicalized.toString +
-      "@" + AnnQueries.sourcePathsOf(emb)
+    val key = "e10lsh:dim64:thr0.45:b6:t64:cosExact@" +
+      AnnQueries.sourcePathsOf(emb)
     val rows = lshPairsMemo.computeIfAbsent(key, _ => lazyPairs.collect())
     emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), lazyPairs.schema)

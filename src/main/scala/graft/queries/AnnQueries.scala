@@ -220,13 +220,16 @@ object AnnQueries {
     *    re-normalizing a kept centroid would divide by its ≈1.0-but-
     *    not-exactly-1.0 norm and fork engines that skip the no-op.
     *
-    * The norm arithmetic runs in a (nCells·dim)-row LOCAL Spark frame
-    * rather than driver-side scala.math so the double→decimal rounding
-    * is Spark's own cast — the exact convention the DuckDB oracle text
-    * mirrors (JBD.valueOf + HALF_UP scale 18; see
-    * VectorExpressions.exactDotConst). Per round: ONE distributed
-    * assign+mean job over `data` (only nCells·dim aggregated scalars
-    * reach the driver) + one trivial local normalize job. */
+    * The norm arithmetic runs through Spark expressions rather than
+    * driver-side scala.math so the double→decimal rounding is Spark's
+    * own cast — the exact convention the DuckDB oracle text mirrors
+    * (JBD.valueOf + HALF_UP scale 18; see
+    * VectorExpressions.exactDotConst): the init norm in a
+    * (nCells·dim)-row LOCAL frame, each round's norm as a
+    * cell-partitioned window INSIDE the round's means job (exact
+    * decimal sums are order-free, so the window total is bit-identical
+    * to the oracle's groupBy+join rendition). Per round: ONE job, with
+    * only nCells·dim aggregated scalars reaching the driver. */
   private[graft] def portableKmeansCentroids(
       data: DataFrame, vecCol: String, dim: Int, nCells: Int,
       iters: Int, tag: String = "km"): Seq[Seq[Double]] = {
@@ -262,21 +265,35 @@ object AnnQueries {
       (0 until nCells).map(n(_))
     }
     for (_ <- 0 until iters) {
-      val means = data
+      // ONE action per round: the norm rides a cell-partitioned window
+      // over the 64·nCells-row means frame inside the same job (the
+      // decimal sum is exact and order-free, so the window total is
+      // bit-identical to the groupBy+join rendition the oracle SQL
+      // uses — r16: the separate normalize action doubled the
+      // trainer's job count for no arithmetic difference)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      val normed = data
         .select(ve.argMaxDotScoreExact(col(vecCol), cents)
           .getField("cell").as("cell"), col(vecCol).as("__v"))
         .select(col("cell"), posexplode(col("__v")))
         .groupBy("cell", "pos")
         .agg((sum(col("col").cast("double").cast("decimal(38,18)"))
           .cast("double") / count(lit(1)).cast("double")).as("m"))
+        .withColumn("nrm",
+          sqrt(sum((col("m") * col("m")).cast("decimal(38,18)"))
+            .over(w).cast("double")))
+        .select(col("cell"), col("pos"), (col("m") / col("nrm")).as("v"))
         .collect()
-      val updated = means.groupBy(_.getInt(0)).toSeq.map { case (c, rs) =>
-        val arr = new Array[Double](dim)
-        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-        c -> arr.toSeq
+      val byCell = normed.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        byCell.get(c) match {
+          case Some(rs) =>
+            val arr = new Array[Double](dim)
+            rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr.toSeq
+          case None => prev
+        }
       }
-      val n = normalized(updated)
-      cents = cents.zipWithIndex.map { case (prev, c) => n.getOrElse(c, prev) }
     }
     cents
   }

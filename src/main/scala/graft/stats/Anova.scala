@@ -58,21 +58,25 @@ object Anova {
     * null counts ride the level pass.
     *
     * The [[maxFactorLevels]] guard runs as its own FIRST pass with
-    * `approx_count_distinct` at rsd 0.01 (bounded HLL state,
+    * `approx_count_distinct` at the DEFAULT rsd (bounded HLL state,
     * partial-aggregable): a mis-specified id column must be named
     * BEFORE anything builds or collects its full level set — a
     * post-collect-only check would OOM the aggregation buffers and the
     * driver on the way to its own error (r16 review). The estimate is
-    * approximate (measured: 200 true → 202 at the default rsd), so the
-    * distributive guard fires only past 2× the cap — cardinalities in
-    * (cap, 2·cap] fall through to the EXACT post-collect check below,
-    * whose set is then ≤ ~128 strings, trivially bounded. The extra
-    * scan is one column of HLL state, noise next to the Gram pass the
-    * caller is about to run. Both checks share the choke point (every
-    * dummy builder and the `sequential` wrappers come through here),
-    * mirroring Det.maxCramerK's named cap on factorB. */
+    * approximate (measured: 200 true → 202 at the default rsd; Spark's
+    * HLL++ is dense-only, and rsd 0.01's 2¹⁴-register buffers measured
+    * ~4× the default's agg cost for precision the slack makes
+    * irrelevant), so the distributive guard fires only past 2× the cap
+    * — a true ≤ cap cardinality estimates nowhere near 2·cap, and
+    * cardinalities in (cap, 2·cap] fall through to the EXACT
+    * post-collect check below, whose set is then ≤ ~128 strings,
+    * trivially bounded. The extra scan is one column of HLL state,
+    * noise next to the Gram pass the caller is about to run. Both
+    * checks share the choke point (every dummy builder and the
+    * `sequential` wrappers come through here), mirroring
+    * Det.maxCramerK's named cap on factorB. */
   def factorLevels(data: DataFrame, cols: Seq[String]): Map[String, Seq[String]] = {
-    val guards = cols.map(c => approx_count_distinct(col(c), 0.01).as(c))
+    val guards = cols.map(c => approx_count_distinct(col(c)).as(c))
     val gRow = data.agg(guards.head, guards.tail: _*).head()
     cols.foreach { c =>
       val est = gRow.getLong(gRow.fieldIndex(c))

@@ -215,8 +215,14 @@ object GraphScaleProbe {
     // rather than a plan property.
     println("[graph-probe] kcore per-round secs: " +
       kcRounds.map(s => f"$s%.2f").mkString(" "))
+    // baseline = the FASTEST round ≥ 2, not round 2 alone: a load spike
+    // during any single round (external load ran 1.4–2.5 even in the
+    // "quiet" adjudication runs) must not fake a pathology verdict, and
+    // the real failure mode this pins — the pre-r16 edge-rewrap shape —
+    // was a flat ~4× on EVERY later round, far outside a 2× band.
+    val kcBase = kcRounds.drop(1).min
     assert(kcRounds.size < 3 ||
-        kcRounds.drop(2).forall(_ <= 1.5 * kcRounds(1) + 0.5),
+        kcRounds.drop(2).forall(_ <= 2.0 * kcBase + 0.5),
       s"kcore per-round time grew after round 2: ${kcRounds.toSeq} — " +
         "spill/lineage pathology?")
     println(s"[graph-probe] 2-core kept exactly the ${cliques * 6} " +

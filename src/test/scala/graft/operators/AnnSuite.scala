@@ -116,6 +116,15 @@ class AnnSuite extends SparkSpec {
     }
   }
 
+  test("e10 memo schema pin: lshPairSchema == exactPairsViaLsh's schema") {
+    // the warm-memo path rebuilds the collected pair rows against the
+    // CONSTANT lshPairSchema so it never constructs the 64-table LSH
+    // plan; this pin fails if the leg's projection ever drifts from it
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(graft.queries.DedupQueries.exactPairsViaLsh(emb).schema ===
+      graft.queries.DedupQueries.lshPairSchema)
+  }
+
   test("fused cellFor == greatest(struct(dot, cell)) reference, incl. ties") {
     // the pre-round-8 rendition, kept here as the semantic reference:
     // argmax of literal dot products, ties toward the higher cell

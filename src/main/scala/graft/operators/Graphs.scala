@@ -475,22 +475,28 @@ object Graphs {
     * it — the CALLER unpersists that RDD when done. */
   private def lpaAssign(full: DataFrame, iters: Int)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    import org.apache.spark.sql.expressions.Window
     // symmetrized contract: every node appears as a source, so the
     // source set IS the node list — and every node has neighbors, so
     // the inner join below re-labels every node each round
     var lbl = full.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    val win = Window.partitionBy("dst").orderBy(desc("__n"), col("lbl"))
     try {
       for (_ <- 1 to iters) {
+        // winning label per node = lexicographic max of (count, −label):
+        // most frequent, ties to the SMALLEST label — the same rule the
+        // oracles replay. A hash aggregation, not a row_number window:
+        // struct-max partial-aggregates map-side and never sorts a
+        // partition, where the window shape shuffled every (dst, lbl)
+        // count row to its dst partition and sorted it there just to
+        // keep rank 1. Labels are node ids ≥ 0, so the negation is safe.
         val (next, rdd) = rewrapPersisted(
           full.join(lbl.withColumnRenamed("id", "src"), Seq("src"))
             .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__n"))
-            .withColumn("__rk", row_number().over(win))
-            .filter(col("__rk") === 1)
-            .select(col("dst").as("id"), col("lbl")))
+            .groupBy(col("dst"))
+            .agg(max(struct(col("__n"), (-col("lbl")).as("__nl")))
+              .as("__m"))
+            .select(col("dst").as("id"), (-col("__m.__nl")).as("lbl")))
         lbl = next
         lbl.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)

@@ -478,25 +478,30 @@ object Graphs {
     // symmetrized contract: every node appears as a source, so the
     // source set IS the node list — and every node has neighbors, so
     // the inner join below re-labels every node each round
+    import org.apache.spark.sql.expressions.Window
     var lbl = full.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    // winning label per node = rank 1 of (count desc, label asc): most
+    // frequent, ties to the SMALLEST label — the rule the oracles
+    // replay. The rank-1 window IS the scale shape here, not a naive
+    // one: Spark's InferWindowGroupLimit plants a Partial
+    // WindowGroupLimit BELOW the exchange, so each map task ships at
+    // most one (count, label) row per node — the same shuffle volume a
+    // partial aggregation would. The tempting max(struct(__n, −lbl))
+    // rewrite was measured and plan-read (round 16): a struct buffer is
+    // not hash-aggregable, so it falls to SortAggregate with the same
+    // map-side sort this shape pays, flat at sf0.1 (a36 8.35 → 9.19 s,
+    // a37 10.04 → 9.42 s) — kept the idiomatic window.
+    val win = Window.partitionBy("dst").orderBy(desc("__n"), col("lbl"))
     try {
       for (_ <- 1 to iters) {
-        // winning label per node = lexicographic max of (count, −label):
-        // most frequent, ties to the SMALLEST label — the same rule the
-        // oracles replay. A hash aggregation, not a row_number window:
-        // struct-max partial-aggregates map-side and never sorts a
-        // partition, where the window shape shuffled every (dst, lbl)
-        // count row to its dst partition and sorted it there just to
-        // keep rank 1. Labels are node ids ≥ 0, so the negation is safe.
         val (next, rdd) = rewrapPersisted(
           full.join(lbl.withColumnRenamed("id", "src"), Seq("src"))
             .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__n"))
-            .groupBy(col("dst"))
-            .agg(max(struct(col("__n"), (-col("lbl")).as("__nl")))
-              .as("__m"))
-            .select(col("dst").as("id"), (-col("__m.__nl")).as("lbl")))
+            .withColumn("__rk", row_number().over(win))
+            .filter(col("__rk") === 1)
+            .select(col("dst").as("id"), col("lbl")))
         lbl = next
         lbl.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)

@@ -12,7 +12,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * that call silently reads half of each element — wrong keys/codes/
   * cells with no error (the failure mode FloatVecDotExact's check was
   * written for). Mixing in this trait turns the misuse into an
-  * AnalysisException instead. */
+  * AnalysisException instead.
+  *
+  * Element NULLABILITY is deliberately NOT rejected here: parquet list
+  * schemas declare elements nullable even when no element ever is (the
+  * repo's own embedding fixtures read back containsNull=true), so an
+  * analysis-time rejection would refuse every healthy input. Instead
+  * each expression runs [[VectorExpressions.checkNoNulls]] (or the
+  * null-checking decode hoist) once per row: a null element would
+  * otherwise be read as 0 by UnsafeArrayData's primitive getters —
+  * silently wrong keys/codes/scores — or NPE on the generic path. */
 trait RequiresFloatArrayInput { self: UnaryExpression =>
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -89,6 +98,26 @@ trait RequiresIntArrayAndIntInput { self: BinaryExpression =>
   }
 }
 
+/** (float vector, int cell-index) sibling of
+  * [[RequiresIntArrayAndIntInput]] — shared for the same reason the
+  * other traits exist: a type-check fix must not be able to silently
+  * miss one expression's private copy (r16 review). */
+trait RequiresFloatArrayAndIntInput { self: BinaryExpression =>
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _),
+        org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, int) inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  }
+}
+
 /** Native Catalyst expressions for embedding arithmetic.
   *
   * Spark's higher-order functions (`aggregate`/`zip_with`) are
@@ -109,6 +138,8 @@ final case class FloatVecDot(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    VectorExpressions.checkNoNulls(x, n, prettyName)
+    VectorExpressions.checkNoNulls(y, n, prettyName)
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -122,6 +153,8 @@ final case class FloatVecDot(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $n, "$prettyName");
+         |graft.expressions.VectorExpressions.checkNoNulls($b, $n, "$prettyName");
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -150,6 +183,7 @@ final case class FloatVecDotConst(child: Expression, weights: Seq[Double])
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), w.length)
+    VectorExpressions.checkNoNulls(x, n, prettyName)
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getFloat(i).toDouble * w(i); i += 1 }
@@ -164,6 +198,7 @@ final case class FloatVecDotConst(child: Expression, weights: Seq[Double])
       val s = ctx.freshName("s")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $wRef.length);
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $n, "$prettyName");
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $a.getFloat($i) * $wRef[$i];
@@ -211,6 +246,7 @@ final case class LshBucketKeys(child: Expression, weights: Seq[Double],
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
+    VectorExpressions.checkNoNulls(x, n, prettyName)
     val keys = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -244,6 +280,7 @@ final case class LshBucketKeys(child: Expression, weights: Seq[Double],
       val key = ctx.freshName("key")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $n, "$prettyName");
          |long[] $keys = new long[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  long $key = 0L;
@@ -299,6 +336,8 @@ final case class FloatVecDotExact(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    VectorExpressions.checkNoNulls(x, n, prettyName)
+    VectorExpressions.checkNoNulls(y, n, prettyName)
     // same fold scheme as VectorExpressions.exactDotConst (scale-18
     // HALF_UP exact add) — two-ArrayData shape, kept inline; change
     // BOTH together (r15)
@@ -332,7 +371,8 @@ final case class PqEncodeExactConst(child: Expression, books: Seq[Double],
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     with RequiresFloatArrayInput {
-  require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+  require(m > 0 && dim % m == 0,
+    s"dim=$dim must divide into m=$m (> 0) subspaces")
   require(books.length == kCodes * dim,
     s"books must be m*kCodes*subDim = ${kCodes * dim} doubles")
 
@@ -349,6 +389,8 @@ final case class PqEncodeExactConst(child: Expression, books: Seq[Double],
     import java.math.{BigDecimal => JBD, RoundingMode}
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
+    // decode hoist: the codeword loop revisits each element kCodes times
+    val xa = VectorExpressions.decodeFloats(x, n, prettyName)
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -361,7 +403,7 @@ final case class PqEncodeExactConst(child: Expression, books: Seq[Double],
         var j = 0
         while (j < subDim) {
           val xi = s * subDim + j
-          val xv = if (xi < n) x.getFloat(xi).toDouble else 0.0
+          val xv = if (xi < n) xa(xi) else 0.0
           val d = xv - w(off + j)
           // same fold scheme as VectorExpressions.exactDotConst —
           // squared-distance shape, kept inline; change BOTH (r15)
@@ -393,7 +435,8 @@ final case class PqReconConst(child: Expression, books: Seq[Double],
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     with RequiresIntArrayInput {
-  require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+  require(m > 0 && dim % m == 0,
+    s"dim=$dim must divide into m=$m (> 0) subspaces")
   require(books.length == kCodes * dim,
     s"books must be m*kCodes*subDim = ${kCodes * dim} doubles")
 
@@ -414,6 +457,7 @@ final case class PqReconConst(child: Expression, books: Seq[Double],
     // out-of-bounds codebook read. Codes past a short array reconstruct
     // as the zero subvector (the file's documented convention).
     val mm = math.min(m, codes.numElements())
+    VectorExpressions.checkNoNulls(codes, mm, prettyName)
     var s = 0
     while (s < mm) {
       val c = VectorExpressions.checkCode(codes.getInt(s), kCodes, s)
@@ -472,9 +516,9 @@ final case class LshBucketKeysExact(child: Expression, weights: Seq[Double],
   @transient private lazy val w: Array[Double] = weights.toArray
 
   override def nullSafeEval(a: Any): Any = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
+    val xa = VectorExpressions.decodeFloats(x, n, prettyName)
     val keys = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -482,7 +526,7 @@ final case class LshBucketKeysExact(child: Expression, weights: Seq[Double],
       var b = 0
       while (b < bits) {
         val off = (t * bits + b) * dim
-        val s = VectorExpressions.exactDotConst(x, n, w, off)
+        val s = VectorExpressions.exactDotConst(xa, w, off)
         if (s.signum > 0) key |= (1L << b)
         b += 1
       }
@@ -525,14 +569,14 @@ final case class TopPDotExactConst(child: Expression, cents: Seq[Double],
   @transient private lazy val w: Array[Double] = cents.toArray
 
   override def nullSafeEval(a: Any): Any = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
+    val xa = VectorExpressions.decodeFloats(x, n, prettyName)
     val score = new Array[Double](nCells)
     var c = 0
     while (c < nCells) {
       score(c) =
-        VectorExpressions.exactDotConst(x, n, w, c * dim).doubleValue()
+        VectorExpressions.exactDotConst(xa, w, c * dim).doubleValue()
       c += 1
     }
     // selection by (score DESC, cell ASC): nCells is small (≤ a few
@@ -586,15 +630,15 @@ final case class ArgMaxDotScoreExact(child: Expression, cents: Seq[Double],
   @transient private lazy val w: Array[Double] = cents.toArray
 
   override def nullSafeEval(a: Any): Any = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
+    val xa = VectorExpressions.decodeFloats(x, n, prettyName)
     var best = -1
     var bestScore = 0.0
     var c = 0
     while (c < nCells) {
       val sc =
-        VectorExpressions.exactDotConst(x, n, w, c * dim).doubleValue()
+        VectorExpressions.exactDotConst(xa, w, c * dim).doubleValue()
       // strict > under ascending iteration: ties keep the lower cell
       if (best < 0 || sc > bestScore) { best = c; bestScore = sc }
       c += 1
@@ -636,6 +680,7 @@ final case class ArgMaxDotConst(child: Expression, cents: Seq[Double],
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
+    VectorExpressions.checkNoNulls(x, n, prettyName)
     var best = Double.NegativeInfinity
     var bestCell = 0
     var c = 0
@@ -662,6 +707,7 @@ final case class ArgMaxDotConst(child: Expression, cents: Seq[Double],
       val i = ctx.freshName("i")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $n, "$prettyName");
          |double $best = Double.NEGATIVE_INFINITY;
          |int $bestCell = 0;
          |for (int $c = 0; $c < $nCells; $c++) {
@@ -705,6 +751,7 @@ final case class ArgTopPDotConst(child: Expression, cents: Seq[Double],
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
+    VectorExpressions.checkNoNulls(x, n, prettyName)
     val ts = Array.fill(p)(Double.NegativeInfinity)
     val tc = new Array[Int](p)
     var c = 0
@@ -737,6 +784,7 @@ final case class ArgTopPDotConst(child: Expression, cents: Seq[Double],
       val j = ctx.freshName("j")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $n, "$prettyName");
          |double[] $ts = new double[$p];
          |int[] $tc = new int[$p];
          |java.util.Arrays.fill($ts, Double.NEGATIVE_INFINITY);
@@ -792,6 +840,7 @@ final case class PqEncode(child: Expression, cents: Seq[Double],
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
+    VectorExpressions.checkNoNulls(x, n, prettyName)
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -835,6 +884,7 @@ final case class PqEncode(child: Expression, cents: Seq[Double],
       val lim = ctx.freshName("lim")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $n, "$prettyName");
          |int[] $codes = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $lim = java.lang.Math.max(0, java.lang.Math.min($subDim, $n - $j * $subDim));
@@ -893,6 +943,7 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
   override def nullSafeEval(a: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val mm = math.min(m, codes.numElements())
+    VectorExpressions.checkNoNulls(codes, mm, prettyName)
     // hoist the ArrayData decode: the query loop below would otherwise
     // pay nQ·m virtual getInt reads per row where m suffice — ~98% of
     // the array-decode work on the 100 TB scan hot path (r15 review)
@@ -941,6 +992,7 @@ final case class PqAdcCosine(child: Expression, lut: Seq[Double],
       val cArr = ctx.freshName("cArr")
       s"""
          |int $mm = java.lang.Math.min($m, $a.numElements());
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $mm, "$prettyName");
          |int[] $cArr = new int[$mm];
          |double $cn = 0.0;
          |for (int $j = 0; $j < $mm; $j++) {
@@ -990,8 +1042,9 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
-    val q = b.asInstanceOf[Int]
+    val q = VectorExpressions.checkQuery(b.asInstanceOf[Int], nQ)
     val mm = math.min(m, codes.numElements())
+    VectorExpressions.checkNoNulls(codes, mm, prettyName)
     var cn = 0.0
     var s = 0.0
     var j = 0
@@ -1020,6 +1073,8 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
       val d = ctx.freshName("d")
       s"""
          |int $mm = java.lang.Math.min($m, $a.numElements());
+         |graft.expressions.VectorExpressions.checkQuery($b, $nQ);
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $mm, "$prettyName");
          |double $cn = 0.0;
          |double $s = 0.0;
          |for (int $j = 0; $j < $mm; $j++) {
@@ -1048,7 +1103,7 @@ final case class PqAdcCosineAt(left: Expression, right: Expression,
   * short vector equals the residual of its zero-padded form. */
 final case class SubCentroidConst(left: Expression, right: Expression,
                                   cents: Seq[Double], dim: Int, nCells: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresFloatArrayAndIntInput {
   require(nCells > 0, "nCells must be positive")
   require(cents.length == nCells * dim,
     s"cents must be nCells*dim = ${nCells * dim} doubles")
@@ -1058,26 +1113,13 @@ final case class SubCentroidConst(left: Expression, right: Expression,
       org.apache.spark.sql.types.FloatType, containsNull = false)
   override def prettyName: String = "sub_centroid_const"
 
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    (left.dataType, right.dataType) match {
-      case (org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType, _),
-        org.apache.spark.sql.types.IntegerType) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<float>, int) inputs, got " +
-          s"${l.simpleString} and ${r.simpleString}")
-    }
-  }
-
   @transient private lazy val w: Array[Double] = cents.toArray
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val cell = b.asInstanceOf[Int]
+    val cell = VectorExpressions.checkCell(b.asInstanceOf[Int], nCells)
     val n = math.min(x.numElements(), dim)
+    VectorExpressions.checkNoNulls(x, n, prettyName)
     val out = new Array[Float](dim)
     var d = 0
     while (d < dim) {
@@ -1098,6 +1140,8 @@ final case class SubCentroidConst(left: Expression, right: Expression,
       val xv = ctx.freshName("xv")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |graft.expressions.VectorExpressions.checkCell($b, $nCells);
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $n, "$prettyName");
          |float[] $out = new float[$dim];
          |for (int $d = 0; $d < $dim; $d++) {
          |  double $xv = $d < $n ? (double) $a.getFloat($d) : 0.0;
@@ -1146,8 +1190,9 @@ final case class PqReconNorm2(left: Expression, right: Expression,
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
-    val cell = b.asInstanceOf[Int]
+    val cell = VectorExpressions.checkCell(b.asInstanceOf[Int], nCells)
     val mm = math.min(m, codes.numElements())
+    VectorExpressions.checkNoNulls(codes, mm, prettyName)
     var s = 0.0
     var j = 0
     while (j < m) {
@@ -1179,6 +1224,8 @@ final case class PqReconNorm2(left: Expression, right: Expression,
       val v = ctx.freshName("v")
       s"""
          |int $mm = java.lang.Math.min($m, $a.numElements());
+         |graft.expressions.VectorExpressions.checkCell($b, $nCells);
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $mm, "$prettyName");
          |double $s = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
          |  int $off = $j < $mm ? ($j * $k + graft.expressions.VectorExpressions.checkCode($a.getInt($j), $k, $j)) * $subDim : -1;
@@ -1210,6 +1257,8 @@ final case class PqAdcDotAt(left: Expression, right: Expression,
   require(lut.nonEmpty && lut.length % (m * k) == 0,
     s"lut must be nQ*m*k doubles, got ${lut.length}")
 
+  private val nQ = lut.length / (m * k)
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_dot_at"
 
@@ -1217,8 +1266,9 @@ final case class PqAdcDotAt(left: Expression, right: Expression,
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
-    val q = b.asInstanceOf[Int]
+    val q = VectorExpressions.checkQuery(b.asInstanceOf[Int], nQ)
     val mm = math.min(m, codes.numElements())
+    VectorExpressions.checkNoNulls(codes, mm, prettyName)
     var s = 0.0
     var j = 0
     while (j < mm) {
@@ -1237,6 +1287,8 @@ final case class PqAdcDotAt(left: Expression, right: Expression,
       val j = ctx.freshName("j")
       s"""
          |int $mm = java.lang.Math.min($m, $a.numElements());
+         |graft.expressions.VectorExpressions.checkQuery($b, $nQ);
+         |graft.expressions.VectorExpressions.checkNoNulls($a, $mm, "$prettyName");
          |double $s = 0.0;
          |for (int $j = 0; $j < $mm; $j++) {
          |  $s += $lutRef[(($b) * $m + $j) * $k + graft.expressions.VectorExpressions.checkCode($a.getInt($j), $k, $j)];
@@ -1269,22 +1321,91 @@ object VectorExpressions {
     c
   }
 
+  /** [[checkCode]]'s sibling for the per-pair ADC query index: a stale
+    * probe table joining indices from a DIFFERENT query set would
+    * either AIOOBE unhelpfully (q ≥ nQ) or — for q large enough that
+    * (q·m + j)·k wraps 32-bit int into a VALID lut slot — silently
+    * score against the wrong query's LUT rows. Once q < nQ every
+    * derived index is < lut.length, so the overflow route is closed
+    * too. Called from interpreted evals and generated code. */
+  def checkQuery(q: Int, nQ: Int): Int = {
+    if (q < 0 || q >= nQ)
+      throw new IllegalArgumentException(
+        s"ADC query index $q is outside [0, $nQ) — the LUT was built " +
+          "for a different query set than this index column refers to")
+    q
+  }
+
+  /** [[checkCode]]'s sibling for IVF cell indices (SubCentroidConst /
+    * PqReconNorm2): cells encoded against a differently-sized centroid
+    * table would AIOOBE unhelpfully, or for cell·dim past 2³¹ wrap into
+    * a VALID slot of the wrong centroid — a silently wrong residual.
+    * Once cell < nCells every derived index is < cents.length. */
+  def checkCell(c: Int, nCells: Int): Int = {
+    if (c < 0 || c >= nCells)
+      throw new IllegalArgumentException(
+        s"IVF cell index $c is outside [0, $nCells) — the cell was " +
+          "assigned against a different centroid table than this " +
+          "consumer is configured for")
+    c
+  }
+
+  private def nullElement(name: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: NULL element at index $i of the input array — the " +
+        "vector expressions read primitive slots, and a null element " +
+        "would be silently read as 0 (wrong keys/codes/scores with no " +
+        "error); fill or filter null elements upstream")
+
+  /** One pass of cheap null-bit reads over the first `n` elements,
+    * run ONCE per row by every expression whose loops then read
+    * primitive slots unchecked (the per-read alternative would re-pay
+    * the branch on every table/bit/cell revisit). Called from
+    * interpreted evals and generated code (static forwarder). */
+  def checkNoNulls(x: org.apache.spark.sql.catalyst.util.ArrayData,
+                   n: Int, name: String): Unit = {
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) nullElement(name, i)
+      i += 1
+    }
+  }
+
+  /** Null-checked decode of the first `n` float elements into a local
+    * double[] — the exact-decimal expressions' per-row hoist: their
+    * plane/cell loops revisit each element tables×bits (or nCells×)
+    * times, and a virtual getFloat per revisit was measured as the
+    * dominant non-BigDecimal cost (same hoist PqAdcCosine carries for
+    * codes, r15 review; generalized here, r16). */
+  private[expressions] def decodeFloats(
+      x: org.apache.spark.sql.catalyst.util.ArrayData, n: Int,
+      name: String): Array[Double] = {
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) nullElement(name, i)
+      out(i) = x.getFloat(i).toDouble
+      i += 1
+    }
+    out
+  }
+
   /** ONE definition of the exact-decimal dot fold (valueOf → scale-18
-    * HALF_UP → exact add) of a float vector against a constant weight
-    * slice — shared by the *Exact const-weight expressions
+    * HALF_UP → exact add) of a pre-decoded vector against a constant
+    * weight slice — shared by the *Exact const-weight expressions
     * (LshBucketKeysExact, TopPDotExactConst, ArgMaxDotScoreExact) so a
     * rounding-scheme change cannot silently fork the documented
     * cross-engine invariant between them (r15 review; the two
     * non-const-shape folds, FloatVecDotExact and PqEncodeExactConst,
-    * carry pointer comments to here). */
+    * carry pointer comments to here). Takes the [[decodeFloats]] hoist,
+    * not ArrayData: callers revisit the vector once per plane/cell. */
   private[expressions] def exactDotConst(
-      x: org.apache.spark.sql.catalyst.util.ArrayData, n: Int,
-      w: Array[Double], off: Int): java.math.BigDecimal = {
+      x: Array[Double], w: Array[Double], off: Int): java.math.BigDecimal = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     var s = JBD.ZERO
     var i = 0
-    while (i < n) {
-      val p = x.getFloat(i).toDouble * w(off + i)
+    while (i < x.length) {
+      val p = x(i) * w(off + i)
       s = s.add(JBD.valueOf(p).setScale(18, RoundingMode.HALF_UP))
       i += 1
     }
@@ -1323,51 +1444,68 @@ object VectorExpressions {
 
   /** [[argTopPDot]] with exact-decimal dot sums (engine-portable cell
     * ranking) — one vector walk for all cells. */
-  def topPDotExact(a: Column, cents: Seq[Seq[Double]], p: Int): Column =
+  def topPDotExact(a: Column, cents: Seq[Seq[Double]], p: Int): Column = {
+    require(cents.nonEmpty, "topPDotExact: centroid table must be non-empty")
     GraftBridge.column(TopPDotExactConst(
       GraftBridge.expression(a), cents.flatten,
       cents.head.length, cents.length, p))
+  }
 
   /** [[topPDotExact]]'s p = 1 argmax PLUS its exact-decimal dot value —
     * one walk, struct(cell, sc), ties to the lower cell. */
-  def argMaxDotScoreExact(a: Column, cents: Seq[Seq[Double]]): Column =
+  def argMaxDotScoreExact(a: Column, cents: Seq[Seq[Double]]): Column = {
+    require(cents.nonEmpty,
+      "argMaxDotScoreExact: centroid table must be non-empty")
     GraftBridge.column(ArgMaxDotScoreExact(
       GraftBridge.expression(a), cents.flatten,
       cents.head.length, cents.length))
+  }
 
   /** [[pqEncode]] with exact-decimal L2² sums (engine-portable codes).
     * `books` is [m][kCodes][subDim]. */
   def pqEncodeExact(a: Column, books: Seq[Seq[Seq[Double]]],
-                    dim: Int): Column =
+                    dim: Int): Column = {
+    require(books.nonEmpty && books.head.nonEmpty,
+      "pqEncodeExact: codebook table must be non-empty")
     GraftBridge.column(PqEncodeExactConst(
       GraftBridge.expression(a), books.flatten.flatten, dim,
       books.length, books.head.length))
+  }
 
   /** Concatenated-codeword reconstruction of a PQ code array. */
   def pqRecon(codes: Column, books: Seq[Seq[Seq[Double]]],
-              dim: Int): Column =
+              dim: Int): Column = {
+    require(books.nonEmpty && books.head.nonEmpty,
+      "pqRecon: codebook table must be non-empty")
     GraftBridge.column(PqReconConst(
       GraftBridge.expression(codes), books.flatten.flatten, dim,
       books.length, books.head.length))
+  }
 
   /** Index of the max-dot-product centroid (IVF cell) as INT — one
     * JIT-friendly nested loop over cell-major flattened centroids. */
-  def argMaxDot(a: Column, cents: Seq[Seq[Double]]): Column =
+  def argMaxDot(a: Column, cents: Seq[Seq[Double]]): Column = {
+    require(cents.nonEmpty, "argMaxDot: centroid table must be non-empty")
     GraftBridge.column(ArgMaxDotConst(
       GraftBridge.expression(a), cents.flatten,
       cents.head.length, cents.length))
+  }
 
   /** Top-`p` centroid indices by dot product as `array<int>` (score-
     * descending; element 0 == [[argMaxDot]]) — the multi-probe IVF
     * query-side assignment. */
-  def argTopPDot(a: Column, cents: Seq[Seq[Double]], p: Int): Column =
+  def argTopPDot(a: Column, cents: Seq[Seq[Double]], p: Int): Column = {
+    require(cents.nonEmpty, "argTopPDot: centroid table must be non-empty")
     GraftBridge.column(ArgTopPDotConst(
       GraftBridge.expression(a), cents.flatten,
       cents.head.length, cents.length, p))
+  }
 
   /** PQ codes of a float vector: per-subspace L2-nearest codebook index,
     * `array<int>` of length m. `cents` is [m][k][subDim]. */
   def pqEncode(a: Column, cents: Seq[Seq[Seq[Double]]], dim: Int): Column = {
+    require(cents.nonEmpty && cents.head.nonEmpty,
+      "pqEncode: codebook table must be non-empty")
     val m = cents.length
     val k = cents.head.length
     val bias = cents.flatMap(_.map(c => -c.map(x => x * x).sum / 2.0))
@@ -1396,15 +1534,19 @@ object VectorExpressions {
   /** Residual x − centroid(cell) as `array<float>` of length dim; `cell`
     * is an INT column indexing `cents`. */
   def subCentroid(vec: Column, cell: Column,
-                  cents: Seq[Seq[Double]]): Column =
+                  cents: Seq[Seq[Double]]): Column = {
+    require(cents.nonEmpty, "subCentroid: centroid table must be non-empty")
     GraftBridge.column(SubCentroidConst(
       GraftBridge.expression(vec), GraftBridge.expression(cell),
       cents.flatten, cents.head.length, cents.length))
+  }
 
   /** ‖centroid(cell) + r̂(codes)‖² — the residual-PQ reconstruction
     * squared norm. `books` is the residual codebook [m][k][subDim]. */
   def pqReconNorm2(codes: Column, cell: Column, cents: Seq[Seq[Double]],
                    books: Seq[Seq[Seq[Double]]]): Column = {
+    require(cents.nonEmpty && books.nonEmpty && books.head.nonEmpty,
+      "pqReconNorm2: centroid/codebook tables must be non-empty")
     val dim = cents.head.length
     GraftBridge.column(PqReconNorm2(
       GraftBridge.expression(codes), GraftBridge.expression(cell),

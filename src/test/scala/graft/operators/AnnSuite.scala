@@ -1095,6 +1095,82 @@ class AnnSuite extends SparkSpec {
     assert(run(df.repartition(7)) === got) // layout-invariant
   }
 
+  test("r16 guards: NULL elements, ADC query index, IVF cell index, " +
+      "empty tables, and m <= 0 all fail NAMED instead of silently") {
+    import graft.expressions.VectorExpressions._
+    import org.apache.spark.sql.GraftBridge.{column => bcol, expression => bexpr}
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    // a null ELEMENT passes the array<float> type check but would be
+    // read as 0.0 by the primitive getters — must raise, both engines
+    val nvec = Seq((1L, Seq[java.lang.Float](1.0f, null)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    Seq(
+      dotF(col("embedding"), col("embedding")),          // codegen'd hot path
+      dotConst(col("embedding"), Seq(1.0, 0.0)),
+      lshKeys(col("embedding"), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), 2, 2, 1),
+      argMaxDot(col("embedding"), cents),
+      lshKeysExact(col("embedding"), Seq(Seq(1.0, 0.0)), 2, 1, 1), // decode hoist
+      argMaxDotScoreExact(col("embedding"), cents),
+      dotExactF(col("embedding"), col("embedding"))
+    ).foreach { e =>
+      val ex = intercept[Throwable] { nvec.select(e).collect() }
+      assert(rootMsg(ex).contains("NULL element"), rootMsg(ex))
+    }
+    // null CODES element: would decode as code 0 — plausible and wrong
+    val ncodes = Seq((1L, Seq[Integer](0, null))).toDF("id", "codes")
+    val exC = intercept[Throwable] {
+      ncodes.select(bcol(graft.expressions.PqAdcCosine(
+        bexpr(ncodes("codes")), lut = Seq.fill(4)(0.5),
+        sqnorm = Seq.fill(4)(1.0), qnorms = Seq(1.0), m = 2, k = 2)))
+        .collect()
+    }
+    assert(rootMsg(exC).contains("NULL element"), rootMsg(exC))
+    // ADC query index outside [0, nQ): a stale probe table must raise,
+    // not AIOOBE (or, for huge qi, silently wrap into query 0's rows)
+    val codes = Seq((1L, Seq(0, 1))).toDF("id", "codes")
+    val exQ = intercept[Throwable] {
+      codes.select(pqAdcCosineAt(col("codes"), lit(5),
+        lut = Seq.fill(4)(0.5), sqnorm = Seq.fill(4)(1.0),
+        qnorms = Seq(1.0), m = 2, k = 2)).collect()
+    }
+    assert(rootMsg(exQ).contains("query index 5"), rootMsg(exQ))
+    val exQ2 = intercept[Throwable] {
+      codes.select(pqAdcDotAt(col("codes"), lit(-1),
+        lut = Seq.fill(4)(0.5), m = 2, k = 2)).collect()
+    }
+    assert(rootMsg(exQ2).contains("query index -1"), rootMsg(exQ2))
+    // IVF cell index outside [0, nCells): same discipline
+    val fvec2 = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val exCell = intercept[Throwable] {
+      fvec2.select(subCentroid(col("embedding"), lit(7), cents)).collect()
+    }
+    assert(rootMsg(exCell).contains("cell index 7"), rootMsg(exCell))
+    val exCell2 = intercept[Throwable] {
+      codes.select(pqReconNorm2(col("codes"), lit(2), cents,
+        Seq(Seq(Seq(0.5), Seq(0.1)), Seq(Seq(0.2), Seq(0.3))))).collect()
+    }
+    assert(rootMsg(exCell2).contains("cell index 2"), rootMsg(exCell2))
+    // empty centroid/book tables fail the facade's named require, not
+    // NoSuchElementException from .head
+    val exE = intercept[IllegalArgumentException] {
+      argMaxDot(col("embedding"), Seq.empty)
+    }
+    assert(exE.getMessage.contains("non-empty"))
+    // m <= 0 fails construction with the named require, not / by zero
+    val exM = intercept[IllegalArgumentException] {
+      graft.expressions.PqEncodeExactConst(
+        bexpr(fvec2("embedding")), Seq.fill(4)(0.5), dim = 2, m = 0,
+        kCodes = 2)
+    }
+    assert(exM.getMessage.contains("m=0"), exM.getMessage)
+  }
+
   test("exact vector expressions reject array<double> input at analysis " +
       "time (the getFloat half-read guard, shared with FloatVecDotExact)") {
     import graft.expressions.VectorExpressions._

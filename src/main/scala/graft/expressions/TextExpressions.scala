@@ -8,6 +8,24 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Analysis-time input guard for the text-signature expressions: they
+  * are SQL-registered (GraftExtensions), so without a check a
+  * non-string argument — `simhash64(42)` — passes analysis and dies
+  * per-row with a raw ClassCastException on an executor. This turns it
+  * into an AnalysisException at plan time (r16 review; the vector
+  * expressions' Requires* discipline applied here). */
+trait RequiresStringInput { self: UnaryExpression =>
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.simpleString}")
+    }
+  }
+}
+
 /** Native text-signature expressions.
   *
   * The HOF formulations (`transform(sequence…, slice…)` shingles, a
@@ -18,15 +36,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * loop itself is immaterial).
   *
   * Semantics kept IDENTICAL to the Column formulations they replace
-  * (and to the DuckDB oracle SQL): normalize = lowercase + collapse
-  * `\s+` + trim; shingles = distinct space-joined word n-grams in
-  * first-occurrence order, whole-text fallback below n tokens; SimHash
-  * = sign of per-bit ±1 sums over xxhash64(token, seed=42) — the same
-  * hash family as Spark's `xxhash64`.
-  */
+  * (and to the DuckDB oracle SQL) on the fixtures' ASCII-ish text:
+  * normalize = lowercase + collapse `\s+` + trim; shingles = distinct
+  * space-joined word n-grams in first-occurrence order, whole-text
+  * fallback below n tokens; SimHash = sign of per-bit ±1 sums over
+  * xxhash64(token, seed=42) — the same hash family as Spark's
+  * `xxhash64`. ONE deliberate divergence: [[TextOps.normalize]]
+  * lowercases with Locale.ROOT, while Spark's `lower()` uses the JVM
+  * default locale — on a tr_TR-locale JVM Spark's 'I' → 'ı' but here
+  * 'I' → 'i'. ROOT is the cross-engine-portable choice (the DuckDB
+  * oracles are locale-independent), so the signatures stay stable
+  * across differently-configured clusters; do NOT "fix" this to match
+  * `lower()` without re-deriving every text-signature oracle. */
 object TextOps {
+  // compiled once: String.replaceAll would Pattern.compile("\\s+") on
+  // EVERY call — once per document per signature column (r16 review)
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   def normalize(s: String): String =
-    s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+    WS.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
 
   def shingles(text: String, n: Int): Array[String] = {
     val toks = normalize(text).split(" ")
@@ -69,14 +97,19 @@ object TextOps {
   def hashUtf8(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
-  def simhash64(text: String): Long = {
-    val toks = normalize(text).split(" ")
-    val counts = new Array[Int](64)
+  /** The per-bit ±1-vote / sign-collapse loop shared by BOTH SimHash
+    * widths — one definition, so a tie-break or vote change cannot
+    * silently fork the 64-bit production hash from the 60-bit portable
+    * one (same reason minhashSig is shared). `hash` maps a token to
+    * its per-token hash; only the low `width` bits vote. */
+  def simhashSign(toks: Array[String], width: Int,
+                  hash: String => Long): Long = {
+    val counts = new Array[Int](width)
     var t = 0
     while (t < toks.length) {
-      val h = hashUtf8(UTF8String.fromString(toks(t)), 42L)
+      val h = hash(toks(t))
       var k = 0
-      while (k < 64) {
+      while (k < width) {
         if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
         k += 1
       }
@@ -84,14 +117,18 @@ object TextOps {
     }
     var out = 0L
     var k = 0
-    while (k < 64) { if (counts(k) > 0) out |= (1L << k); k += 1 }
+    while (k < width) { if (counts(k) > 0) out |= (1L << k); k += 1 }
     out
   }
+
+  def simhash64(text: String): Long =
+    simhashSign(normalize(text).split(" "), 64,
+      t => hashUtf8(UTF8String.fromString(t), 42L))
 }
 
 final case class WordShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n >= 1)
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+  require(n >= 1, s"shingle width n=$n must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
@@ -105,7 +142,7 @@ final case class WordShinglesExpr(child: Expression, n: Int)
 }
 
 final case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -120,12 +157,13 @@ final case class SimHash64Expr(child: Expression)
   * bits of MD5 — equivalently the integer value of the first 15 hex
   * chars of `md5(token)`, which any ANSI SQL engine can parse into a
   * signed 64-bit value (16 chars would overflow) — then the usual
-  * sign-of-±1-sums per bit. Exists so the SimHash near-dup operator can
+  * sign-of-±1-sums per bit ([[TextOps.simhashSign]], shared with the
+  * production 64-bit hash). Exists so the SimHash near-dup operator can
   * carry a full cross-engine hash oracle (d04); the XXH64
   * [[SimHash64Expr]] stays the fast production default (MD5 costs ~3×
   * XXH64 per token). Same normalize/tokenize as [[TextOps.simhash64]]. */
 final case class SimHashPortable60Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_portable60"
 
@@ -133,28 +171,16 @@ final case class SimHashPortable60Expr(child: Expression)
     val toks = TextOps.normalize(
       input.asInstanceOf[UTF8String].toString).split(" ")
     val md = SimHashPortable60Expr.digest.get()
-    val counts = new Array[Int](60)
-    var t = 0
-    while (t < toks.length) {
-      md.reset()
+    TextOps.simhashSign(toks, 60, { tok =>
+      // digest() completes AND resets the instance — no reset() needed
       val bytes = md.digest(
-        toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 8 digest bytes big-endian, >>> 4 == first 15 hex chars
       var h = 0L
       var i = 0
       while (i < 8) { h = (h << 8) | (bytes(i) & 0xFFL); i += 1 }
-      h = h >>> 4
-      var k = 0
-      while (k < 60) {
-        if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
-        k += 1
-      }
-      t += 1
-    }
-    var out = 0L
-    var k = 0
-    while (k < 60) { if (counts(k) > 0) out |= (1L << k); k += 1 }
-    out
+      h >>> 4
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -174,7 +200,9 @@ object SimHashPortable60Expr {
   * same values (XXH64, same seeds), one row per doc, no explosion. */
 final case class MinHashSignatureExpr(child: Expression, n: Int,
                                       numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+  require(n >= 1, s"shingle width n=$n must be >= 1")
+  require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -191,8 +219,13 @@ final case class MinHashSignatureExpr(child: Expression, n: Int,
   * tokenization + hash sweep per document, `bands` longs out. */
 final case class MinHashBandKeysExpr(child: Expression, n: Int,
                                      numHashes: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(numHashes % bands == 0, "bands must divide numHashes")
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+  require(n >= 1, s"shingle width n=$n must be >= 1")
+  // bands = 0 would make the divisibility require itself throw
+  // '/ by zero', and a negative bands passes numHashes % bands == 0
+  // only to die as NegativeArraySizeException per row (r16 review)
+  require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+    s"bands=$bands must be >= 1 and divide numHashes=$numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_keys"
 
@@ -226,7 +259,14 @@ final case class MinHashBandKeysExpr(child: Expression, n: Int,
   * Spark's `lower` exactly. */
 final case class PaddedOccurrencesExpr(child: Expression, words: Seq[String],
                                         lowercase: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+  // an empty word's pattern is two spaces — it would silently count
+  // double-space runs in the text (a trailing comma in the SQL
+  // surface's word list produces exactly that); the sibling
+  // TextFunctions.occurrences requires a non-empty needle for the same
+  // hazard (r16 review)
+  require(words.forall(_.nonEmpty),
+    s"$prettyName: words must be non-empty (got ${words.mkString("[", ",", "]")})")
   override def dataType: DataType = LongType
   override def prettyName: String = "padded_occurrences"
   // when the TEXT is lowercased the patterns must be too — a

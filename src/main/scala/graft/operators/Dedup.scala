@@ -262,16 +262,27 @@ object Dedup {
             .as("sh")),
       bandBits = 15, maxHamming = maxHamming)
 
+  /** The four band-key columns of a SimHash signature: band k = bits
+    * [k·bandBits, (k+1)·bandBits). ONE definition shared by the batch
+    * band join below and the streaming bucket keys
+    * (graft.streaming.Streams.streamNearDupPairs), so a width/count/
+    * mask change cannot silently fork the pigeonhole invariant the two
+    * renditions are pinned equal on (w06) — 4 disjoint bands covering
+    * every signature bit ⇒ any Hamming ≤ 3 pair shares one (r16
+    * review). */
+  private[graft] def simhashBandCols(sh: Column, bandBits: Int): Seq[Column] = {
+    val mask = (1L << bandBits) - 1L
+    (0 until 4).map(k => shiftright(sh, bandBits * k).bitwiseAND(lit(mask)))
+  }
+
   /** Shared band-join core: (id, sh) → candidate pairs with exact
     * Hamming. Four `bandBits`-wide bands cover 4·bandBits hash bits;
     * any pair with Hamming ≤ 3 collides on ≥ 1 band (pigeonhole over
     * 4 bands). */
   private def simhashBandedPairs(withH: DataFrame, bandBits: Int,
                                  maxHamming: Int): DataFrame = {
-    val mask = (1L << bandBits) - 1L
-    val banded = withH.select(col("id"), col("sh"), posexplode(array(
-      (0 until 4).map(k => shiftright(col("sh"), bandBits * k)
-        .bitwiseAND(lit(mask))): _*)))
+    val banded = withH.select(col("id"), col("sh"),
+      posexplode(array(simhashBandCols(col("sh"), bandBits): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
     banded.as("l").join(banded.as("r"), Seq("band", "band_val"))
       .filter(col("l.id") < col("r.id"))

@@ -60,77 +60,106 @@ object Tokenize {
       if (text == null) Seq.empty[String]
       else {
         val v = bc.value
-        Dedup.normalizeString(text).split(" ").toSeq
-          .filter(_.nonEmpty).flatMap(w => wordpieceWord(w, v))
+        normalizedWords(text).flatMap(w => wordpieceWord(w, v))
       }
     }
     df.withColumn(out, enc(col(textCol)))
   }
 
+  /** The one word-splitting contract every encode UDF here applies —
+    * normalize, split on single spaces, drop empties — in lockstep with
+    * the distributed [[Dedup.tokens]] and the SQL oracles' renditions;
+    * previously copy-pasted into all three UDF bodies, where a missed
+    * edit would fork them silently (r16 review). */
+  private def normalizedWords(text: String): Seq[String] =
+    Dedup.normalizeString(text).split(" ").toSeq.filter(_.nonEmpty)
+
   /** Byte-pair-encoding TRAINING (Sennrich et al. 2016; the HF design):
     * ONE distributed pass reduces the corpus to its distinct-word count
     * table (capped at `topWords` by count desc / word asc — web-scale
     * corpora have unbounded tail vocab), then the merge loop runs
-    * driver-side over that bounded table: each round counts adjacent
-    * symbol pairs weighted by word frequency, takes the most frequent
-    * (ties to the lexicographically smaller pair), and merges ALL its
-    * occurrences left-to-right in every word. No per-round corpus scan
-    * — the corpus is touched exactly once, the standard scale shape for
-    * tokenizer training. Returns the ranked merge list. */
+    * driver-side over that bounded table: each round takes the most
+    * frequent adjacent symbol pair weighted by word frequency (ties to
+    * the lexicographically smaller pair under [[utf8Ordering]]) and
+    * merges ALL its occurrences left-to-right in every word. No
+    * per-round corpus scan — the corpus is touched exactly once, the
+    * standard scale shape for tokenizer training.
+    *
+    * The pair-count table and a pair → word-ids index are maintained
+    * INCREMENTALLY: each round re-counts only the words that actually
+    * contain the chosen pair (subtract their old adjacencies, add the
+    * new), so a round costs O(|distinct pairs| for the argmin +
+    * Σ hit-word lengths) instead of the full O(corpus symbols) recount
+    * the previous rendition paid per round — at production merge counts
+    * (tens of thousands of rounds over a 50k-word table) that recount
+    * was ~10⁹ map operations of pure overwork (r16 review). The counts
+    * after every round are IDENTICAL to the full recount's, so the
+    * merge sequence (and the t20/t21 oracles) is unchanged.
+    * Returns the ranked merge list. */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
                topWords: Int = 50000): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
     val words = cappedWordCounts(df, textCol, topWords)
-    var syms: Array[(Array[String], Long)] =
-      words.map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
+    val syms: Array[Array[String]] =
+      words.map { case (w, _) => w.split("").filter(_.nonEmpty) }
+    val wn: Array[Long] = words.map(_._2)
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    val where =
+      scala.collection.mutable.Map[(String, String),
+        scala.collection.mutable.Set[Int]]()
+    // add (sign = +1) or remove (sign = −1) word wi's adjacencies from
+    // the count table and the occurrence index
+    def account(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      val n = wn(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val nv = counts.getOrElse(p, 0L) + sign * n
+        if (nv == 0L) counts.remove(p) else counts(p) = nv
+        if (sign > 0L) {
+          where.getOrElseUpdate(
+            p, scala.collection.mutable.Set[Int]()) += wi
+        } else {
+          // drop wi now; the add pass re-registers pairs still present
+          where.get(p).foreach { ws =>
+            ws -= wi
+            if (ws.isEmpty) where.remove(p)
+          }
+        }
+        i += 1
+      }
+    }
+    syms.indices.foreach(account(_, 1L))
     val merges = ArrayBuffer[(String, String)]()
     var round = 0
-    var exhausted = false
-    while (round < nMerges && !exhausted) {
-      val counts = scala.collection.mutable.Map[(String, String), Long]()
-      syms.foreach { case (s, n) =>
-        var i = 0
-        while (i + 1 < s.length) {
-          val p = (s(i), s(i + 1))
-          counts(p) = counts.getOrElse(p, 0L) + n
-          i += 1
-        }
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        // tie-break under utf8Ordering, NOT Java's UTF-16 code-unit
-        // order: on ties involving supplementary characters the two
-        // orders disagree (surrogates sort below U+E000 in UTF-16 but
-        // above in UTF-8 bytes), and the SQL oracle compares strings
-        // byte-wise — the unigramVocab rule applied to BPE merges
-        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }(
-          Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))._1
-        merges += best
-        val merged = best._1 + best._2
-        syms = syms.map { case (s, n) =>
-          // fast path: words not containing the pair keep their array
-          // untouched — at production merge counts (tens of thousands)
-          // rebuilding every word every round is the dominant cost
-          var hit = false
-          var j = 0
-          while (!hit && j + 1 < s.length) {
-            hit = s(j) == best._1 && s(j + 1) == best._2
-            j += 1
+    while (round < nMerges && counts.nonEmpty) {
+      // tie-break under utf8Ordering, NOT Java's UTF-16 code-unit
+      // order: on ties involving supplementary characters the two
+      // orders disagree (surrogates sort below U+E000 in UTF-16 but
+      // above in UTF-8 bytes), and the SQL oracle compares strings
+      // byte-wise — the unigramVocab rule applied to BPE merges
+      val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }(
+        Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))._1
+      merges += best
+      val merged = best._1 + best._2
+      // per-word merges are independent, so the (unordered) set
+      // iteration order cannot affect the resulting counts
+      where.getOrElse(best, scala.collection.mutable.Set.empty[Int])
+        .toArray.foreach { wi =>
+          account(wi, -1L)
+          val s = syms(wi)
+          val out = ArrayBuffer[String]()
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == best._1 && s(i + 1) == best._2) {
+              out += merged; i += 2
+            } else { out += s(i); i += 1 }
           }
-          if (!hit) (s, n)
-          else {
-            val out = ArrayBuffer[String]()
-            var i = 0
-            while (i < s.length) {
-              if (i + 1 < s.length && s(i) == best._1 && s(i + 1) == best._2) {
-                out += merged; i += 2
-              } else { out += s(i); i += 1 }
-            }
-            (out.toArray, n)
-          }
+          syms(wi) = out.toArray
+          account(wi, 1L)
         }
-        round += 1
-      }
+      round += 1
     }
     merges.toSeq
   }
@@ -172,12 +201,19 @@ object Tokenize {
                 merges: Seq[(String, String)],
                 out: String = "bpe"): DataFrame = {
     require(merges.nonEmpty, "empty BPE merge list")
+    // a duplicated pair would keep its LAST rank through toMap —
+    // silently inverting merge priority relative to the list order
+    // (and diverging from a SQL oracle taking the MIN rank); a trained
+    // list can't contain duplicates, so one in a hand-authored list is
+    // an error worth naming (r16 review)
+    require(merges.distinct.size == merges.size,
+      s"duplicate pairs in the BPE merge list: " +
+        merges.diff(merges.distinct).distinct.mkString(", "))
     val rank = merges.zipWithIndex.toMap
     val bc = df.sparkSession.sparkContext.broadcast(rank)
     val enc = udf { text: String =>
       if (text == null) Seq.empty[String]
-      else Dedup.normalizeString(text).split(" ").toSeq
-        .filter(_.nonEmpty).flatMap(w => bpeWord(w, bc.value))
+      else normalizedWords(text).flatMap(w => bpeWord(w, bc.value))
     }
     df.withColumn(out, enc(col(textCol)))
   }
@@ -204,18 +240,22 @@ object Tokenize {
     * unlike Java's UTF-16 code-unit `String` ordering, which ranks
     * supplementary-plane characters differently. Driver-side tie-break
     * sorts must use this to match their SQL renditions. */
-  private val utf8Ordering: Ordering[String] = new Ordering[String] {
-    def compare(a: String, b: String): Int = {
-      val x = a.getBytes("UTF-8")
-      val y = b.getBytes("UTF-8")
-      var i = 0
-      while (i < x.length && i < y.length) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
+  private val utf8ByteOrdering: Ordering[Array[Byte]] =
+    new Ordering[Array[Byte]] {
+      def compare(x: Array[Byte], y: Array[Byte]): Int = {
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
       }
-      x.length - y.length
     }
+
+  private val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      utf8ByteOrdering.compare(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
   }
 
   /** The string's Unicode code points, each as its own String — the
@@ -251,7 +291,7 @@ object Tokenize {
     *    the quantum absorbs that (the m06 convention).
     *
     * Characters mean Unicode CODE POINTS throughout (the distributed
-    * char pass uses SQL `substring`, the driver loop [[codePoints]]),
+    * char pass is [[distinctChars]], the driver loop [[codePoints]]),
     * matching the oracle's semantics for any input, surrogate pairs
     * included. Scale shape: ONE distributed word-count pass (the same
     * capped table BPE training uses) + one bounded distinct-char pass;
@@ -260,13 +300,7 @@ object Tokenize {
                    topPieces: Int = 400, maxLen: Int = 4)
       : Map[String, Double] = {
     val words = cappedWordCounts(df, textCol, topWords)
-    val chars = df.select(
-        explode(Dedup.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("ci"))
-      .select(expr("substring(w, ci, 1)").as("c"))
-      .distinct()
-      .collect().map(_.getString(0))
+    val chars = distinctChars(df, textCol)
     val cnt = scala.collection.mutable.Map[String, Long]()
     words.foreach { case (w, n) =>
       val cps = codePoints(w)
@@ -281,11 +315,17 @@ object Tokenize {
         i += 1
       }
     }
+    // precompute the UTF-8 sort keys: utf8Ordering allocates two byte
+    // arrays PER COMPARISON, and this sort runs over every distinct
+    // piece (up to millions at default caps) to keep topPieces rows
+    // (r16 review)
     val multi = cnt.toSeq
       .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
-      .sortBy { case (p, n) => (-n, p) }(
-        Ordering.Tuple2(Ordering.Long, utf8Ordering))
+      .map { case (p, n) => (p, n, p.getBytes("UTF-8")) }
+      .sortBy { case (_, n, b) => (-n, b) }(
+        Ordering.Tuple2(Ordering.Long, utf8ByteOrdering))
       .take(topPieces)
+      .map { case (p, n, _) => (p, n) }
     val singles = chars.map(c => c -> cnt.getOrElse(c, 1L))
     val vocab = (singles ++ multi).toMap
     val total = vocab.values.sum.toDouble
@@ -353,40 +393,67 @@ object Tokenize {
                      logp: Map[String, Double], maxLen: Int = 4,
                      out: String = "seg"): DataFrame = {
     require(logp.nonEmpty, "empty unigram vocab")
+    // nothing else ties this maxLen to the one the vocab was TRAINED
+    // with, and a smaller value silently segments against a truncated
+    // model (length-maxLen+ pieces carry probability mass the DP can
+    // never match). maxLen ≥ the longest vocab piece is exactly the
+    // condition that makes the DP complete — larger is harmless, the
+    // extra lengths just miss the map (r16 review).
+    val maxPiece =
+      logp.keysIterator.map(p => p.codePointCount(0, p.length)).max
+    require(maxLen >= maxPiece,
+      s"maxLen=$maxLen is smaller than the longest vocab piece " +
+        s"($maxPiece code points) — pieces the model carries mass for " +
+        "could never match; pass the training maxLen")
     val bc = df.sparkSession.sparkContext.broadcast(logp)
     val enc = udf { text: String =>
       if (text == null) Seq.empty[(Int, Double)]
-      else Dedup.normalizeString(text).split(" ").toSeq
-        .filter(_.nonEmpty).map(w => unigramWord(w, bc.value, maxLen))
+      else normalizedWords(text).map(w => unigramWord(w, bc.value, maxLen))
     }
     df.withColumn(out, enc(col(textCol)))
   }
 
-  /** A deterministic corpus-derived vocab: every character observed in
-    * the normalized corpus (plus its `##` continuation form) and the
-    * `topWords` most frequent whole words (count desc, word asc
-    * tie-break) — the char pieces guarantee full coverage, the word
-    * pieces give realistic long matches. Two aggregation jobs. */
-  def corpusVocab(df: DataFrame, textCol: String,
-                  topWords: Int): Set[String] = {
-    val words = cappedWordCounts(df, textCol, topWords).map(_._1)
-    // split-by-"" yields CODE POINTS, not UTF-16 units: since Java 8 a
-    // zero-width regex split never lands inside a surrogate pair
-    // (JDK-6695369), and Spark's split() rides the same regex engine,
-    // so "𝄞".split("") is ONE element. DuckDB's
-    // string_split('') is likewise per-code-point, so the t19/t20
-    // oracles replay the same contract; on the BMP fixtures code
-    // points coincide with UTF-16 units anyway, and wordpieceWord's
-    // 2-unit Java substrings still match the full code points this
-    // emits. (An earlier rendition of this note claimed UTF-16-unit
-    // semantics — false since Java 8; corrected in the r15 review.)
-    val chars = df.select(
-        explode(Dedup.tokens(col(textCol))).as("w"))
+  /** The distinct code points of the normalized corpus — ONE
+    * definition for the coverage passes of [[unigramVocab]] and
+    * [[corpusVocab]] (three split/substring renditions of the same job
+    * existed before and had to stay semantically identical by hand —
+    * r16 review).
+    *
+    * split-by-"" yields CODE POINTS, not UTF-16 units: since Java 8 a
+    * zero-width regex split never lands inside a surrogate pair
+    * (JDK-6695369), and Spark's split() rides the same regex engine,
+    * so "𝄞".split("") is ONE element. DuckDB's
+    * string_split('') is likewise per-code-point, so the t19/t20
+    * oracles replay the same contract; on the BMP fixtures code
+    * points coincide with UTF-16 units anyway, and wordpieceWord's
+    * 2-unit Java substrings still match the full code points this
+    * emits. (An earlier rendition of this note claimed UTF-16-unit
+    * semantics — false since Java 8; corrected in the r15 review.) */
+  private def distinctChars(df: DataFrame, textCol: String): Array[String] =
+    df.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .select(explode(split(col("w"), "")).as("c"))
       .filter(col("c") =!= "")
       .distinct()
       .collect().map(_.getString(0))
+
+  /** A deterministic corpus-derived vocab: every character observed in
+    * the normalized corpus (plus its `##` continuation form) and the
+    * `topWords` most frequent whole words (count desc, word asc
+    * tie-break) — the char pieces guarantee full coverage, the word
+    * pieces give realistic long matches. Two aggregation jobs.
+    *
+    * CONTRACT: the corpus must not itself contain '#' — a literal
+    * '##'-prefixed corpus word would be indistinguishable from a
+    * continuation piece to any consumer keying on the prefix (the t19
+    * oracle's continuation test does exactly that). Enforcing it would
+    * cost a corpus scan; the normalized fixtures are '#'-free, and at
+    * ingest the usual normalization strips punctuation anyway —
+    * callers with '#'-bearing corpora must strip it first. */
+  def corpusVocab(df: DataFrame, textCol: String,
+                  topWords: Int): Set[String] = {
+    val words = cappedWordCounts(df, textCol, topWords).map(_._1)
+    val chars = distinctChars(df, textCol)
     (chars ++ chars.map("##" + _) ++ words).toSet
   }
 }

@@ -1208,10 +1208,16 @@ object TextQueries {
         val produced = merges.map { case (a, b) => a + b }
         val rows = merges.zipWithIndex.map { case ((a, b), r) =>
           // char_ok: single-char sides occur in the corpus alphabet;
-          // chain_ok: multi-char sides were produced by an EARLIER merge
-          val charOk = Seq(a, b).filter(_.length == 1)
+          // chain_ok: multi-char sides were produced by an EARLIER
+          // merge. "char" = CODE POINT (codePointCount, not the UTF-16
+          // String.length the r16 review caught here): bpeTrain's
+          // symbols and the oracle's len() are both per-code-point, so
+          // a supplementary-plane character is ONE char on all three
+          // sides — UTF-16 length would misclassify it as a chain side
+          def cpLen(s: String): Int = s.codePointCount(0, s.length)
+          val charOk = Seq(a, b).filter(cpLen(_) == 1)
             .forall(alphabet.contains)
-          val chainOk = Seq(a, b).filter(_.length > 1)
+          val chainOk = Seq(a, b).filter(cpLen(_) > 1)
             .forall(produced.take(r).contains)
           (r, a, b, a + b, chainOk, charOk)
         }

@@ -37,10 +37,31 @@ object Bucketing {
     spark.table(table)
 
   /** Shuffle-free equi-join of two tables bucketed on the same key with
-    * the same bucket count. */
+    * the same bucket count. The spec is ENFORCED from the catalog: a
+    * bucket-count mismatch (or an unbucketed side) would still return
+    * correct rows but silently plan Exchanges on both sides — the
+    * zero-shuffle guarantee this function exists for would be void at
+    * 100 TB with no error (r16 review; the zValue raise-don't-degrade
+    * convention). */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
-                    key: String, joinType: String = "inner"): DataFrame =
+                    key: String, joinType: String = "inner"): DataFrame = {
+    def spec(t: String) = {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      val s = spark.sessionState.catalog.getTableMetadata(id).bucketSpec
+      require(s.isDefined && s.get.bucketColumnNames == Seq(key),
+        s"colocatedJoin: table '$t' is not bucketed by '$key' " +
+          s"(spec: ${s.map(_.toString).getOrElse("none")}) — the join " +
+          "would silently shuffle both sides; write it with " +
+          "writeBucketed first")
+      s.get
+    }
+    val (ls, rs) = (spec(left), spec(right))
+    require(ls.numBuckets == rs.numBuckets,
+      s"colocatedJoin: bucket counts differ (${ls.numBuckets} vs " +
+        s"${rs.numBuckets}) — Spark only co-locates equal bucket " +
+        "counts; rewrite one side")
     spark.table(left).join(spark.table(right), Seq(key), joinType)
+  }
 
   /** Hive-style partitioned parquet write: predicates on the partition
     * column prune entire directories at planning time (PartitionFilters

@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.io.File
-
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Cdc
@@ -11,15 +10,18 @@ import graft.operators.Cdc
   *
   * Every applied batch writes a NEW immutable version directory
   * (`v=N`), sidestepping the read-while-overwrite hazard and giving
-  * readers snapshot isolation for free (they pin the latest complete
-  * version); old versions are retained for time travel until
-  * [[vacuum]]. Because `applyChangeLog` is latest-(seq, op)-wins,
-  * re-applying a redelivered batch reproduces the same version content
-  * — the foreachBatch sink is therefore effectively exactly-once under
-  * at-least-once delivery, which is the real-world streaming-CDC
-  * contract. At scale the same layout works on any object store; the
-  * version pointer is the NUMERICALLY-largest `v=N` directory (parsed
-  * as an int — a lexicographic max would pin `v=9` over `v=10`).
+  * readers snapshot isolation (they pin the latest complete version);
+  * old versions are retained for time travel until [[vacuum]]. Because
+  * `applyChangeLog` is latest-(seq, op)-wins, re-applying a redelivered
+  * batch reproduces the same version content — the foreachBatch sink is
+  * therefore effectively exactly-once under at-least-once delivery,
+  * which is the real-world streaming-CDC contract. All path operations
+  * go through the Hadoop FileSystem API resolved from the session's
+  * conf — java.io.File only resolves driver-local bare paths, so the
+  * previous rendition was write-only on hdfs://, s3a://, and even
+  * file:/ URIs (r16 review); the version pointer is the
+  * NUMERICALLY-largest `v=N` directory (parsed as an int — a
+  * lexicographic max would pin `v=9` over `v=10`).
   * Single-writer by contract: there is no cross-process commit lock,
   * so concurrent `applyBatch` callers can still race each other on the
   * same path (the foreachBatch sink satisfies this — Structured
@@ -27,24 +29,48 @@ import graft.operators.Cdc
   */
 object CdcTable {
 
-  private def versionDirs(path: String): Seq[Int] =
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+  private def fsAndRoot(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  private def versionDirs(spark: SparkSession, path: String): Seq[Int] = {
+    val (fs, root) = fsAndRoot(spark, path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
         // only COMPLETE snapshots count: a crashed write leaves v=N
         // without the committer's _SUCCESS marker and must be invisible
         // to readers and to the next applyBatch
-        new File(f, "_SUCCESS").exists())
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
       // toIntOption, not toInt: a foreign directory matching v=* (an
       // operator's `cp -r v=5 v=5.bak` carries _SUCCESS along) would
       // otherwise brick EVERY reader and the streaming sink with a
       // NumberFormatException until someone deletes it by hand —
       // non-numeric versions are simply not ours (r15 review)
-      .flatMap(_.getName.stripPrefix("v=").toIntOption).toSeq.sorted
+      .flatMap(_.getPath.getName.stripPrefix("v=").toIntOption).sorted
+  }
 
-  def latestVersion(path: String): Option[Int] = versionDirs(path).lastOption
+  /** Largest complete version, resolved via the ACTIVE session's Hadoop
+    * conf (the signature predates the FS migration; every caller has a
+    * session on the thread). */
+  def latestVersion(path: String): Option[Int] =
+    versionDirs(SparkSession.active, path).lastOption
 
-  def init(df: DataFrame, path: String): Unit =
+  /** (Re-)initialize the table at `path` with `df` as version 0. Any
+    * EXISTING complete versions are deleted first: init means "this is
+    * the table now" — the previous rendition only overwrote v=0 and
+    * left v=1.. intact, so readLatest kept serving the stale highest
+    * version and the new data never became visible (r16 review). */
+  def init(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val (fs, root) = fsAndRoot(spark, path)
+    versionDirs(spark, path).foreach { v =>
+      fs.delete(new Path(root, s"v=$v"), true)
+    }
     df.write.mode("overwrite").parquet(s"$path/v=0")
+  }
 
   def readLatest(spark: SparkSession, path: String): DataFrame = {
     val v = latestVersion(path).getOrElse(
@@ -71,18 +97,34 @@ object CdcTable {
   }
 
   /** foreachBatch body for a streaming CDC source:
-    * `stream.writeStream.foreachBatch(CdcTable.sink(path, keys, seq, op))`. */
+    * `stream.writeStream.foreachBatch(CdcTable.sink(path, keys, seq, op))`.
+    * The batch is persisted for the trigger: the isEmpty probe plus the
+    * two plan branches in applyChangeLog (winner keys, applied payload)
+    * would otherwise re-read the source up to three times per trigger —
+    * the exact case Spark's foreachBatch docs call out for persist. */
   def sink(path: String, keyCols: Seq[String], seqCol: String,
            opCol: String): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) { applyBatch(path, batch, keyCols, seqCol, opCol); () }
+    (batch: DataFrame, _: Long) => {
+      batch.persist()
+      try {
+        if (!batch.isEmpty) { applyBatch(path, batch, keyCols, seqCol, opCol); () }
+      } finally batch.unpersist(blocking = false)
+    }
 
-  /** Drop all versions older than the latest. */
-  def vacuum(path: String): Unit = {
-    val vs = versionDirs(path)
-    vs.dropRight(1).foreach { v =>
-      org.apache.commons.io.FileUtils
-        .deleteDirectory(new File(s"$path/v=$v"))
+  /** Drop old versions, keeping the newest `keepLast` (default 1).
+    *
+    * CAVEAT — vacuum vs in-flight readers: a reader that pinned v=N via
+    * [[readLatest]] holds a LAZY plan; if vacuum deletes v=N before the
+    * reader's action runs, that action fails with FileNotFoundException
+    * (there is no reference counting — same operational contract as
+    * lakehouse VACUUM retention). Run vacuum only beyond the longest
+    * reader horizon, or keep extra versions via `keepLast`. */
+  def vacuum(path: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, s"keepLast=$keepLast must be >= 1")
+    val spark = SparkSession.active
+    val (fs, root) = fsAndRoot(spark, path)
+    versionDirs(spark, path).dropRight(keepLast).foreach { v =>
+      fs.delete(new Path(root, s"v=$v"), true)
     }
   }
 }

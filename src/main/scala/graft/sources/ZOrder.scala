@@ -54,6 +54,13 @@ object ZOrder {
     * whose parquet footer stats give two-dimensional pruning. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
                     path: String, numFiles: Int): Unit = {
+    // withColumn REPLACES an existing column of the same name, and the
+    // drop below would then remove the caller's data from the written
+    // output silently (r16 review) — refuse the collision by name
+    require(!df.columns.contains("__z"),
+      "writeZOrdered: input already has a '__z' column — it would be " +
+        "clobbered by the internal z-value and dropped from the output; " +
+        "rename it first")
     df.withColumn("__z", zValue(col(xCol), col(yCol)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -86,6 +86,20 @@ object Streams {
                               windowLen: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(delayMicros >= 0, s"delayMicros=$delayMicros must be >= 0")
+    // the running-max watermark below ORDERS BY the batch column — a
+    // string batch id would order lexicographically ("10" < "2") and
+    // compute each batch's watermark over the wrong prefix, silently
+    // miscounting late events (r16 review); require an integral type
+    events.schema(batchCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"watermarkLateAccounting: batch column '$batchCol' must be an " +
+          s"integral type (batches are ordered by it), got " +
+          s"${other.simpleString}")
+    }
     // a NULL batch or timestamp would silently vanish through the
     // watermark join / window assignment, under-counting the stream —
     // fail loudly instead (the ppsPoisson/doremiReweight contract)
@@ -200,6 +214,28 @@ object Streams {
                    joinType: String = "inner"): DataFrame = {
     require(Seq("inner", "left_outer").contains(joinType),
       s"intervalJoin supports inner/left_outer, got $joinType")
+    // backtick-quote the user-supplied names (the watermarkLateAccounting
+    // discipline, r15/r16 review): a key like "user.id" would otherwise
+    // resolve as a struct-field access — silently or as a deep Catalyst
+    // error — instead of the column the caller named
+    def bq(c: String): String = "`" + c.replace("`", "``") + "`"
+    // validate the interval literals EAGERLY with a NAMED error:
+    // functions.expr defers parsing to analysis (Spark 4 ColumnNode),
+    // so a malformed duration would otherwise surface as a bare
+    // ParseException out of the join's analysis, pointing at generated
+    // SQL instead of at the argument
+    def iv(s: String, what: String): Column = {
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"intervalJoin: $what = '$s' is not a valid interval", e)
+      }
+      expr(s"INTERVAL $s")
+    }
+    val beforeIv = iv(before, "before")
+    val afterIv = iv(after, "after")
     val l = (if (left.isStreaming) left.withWatermark(leftTs, lateness)
              else left).alias("l")
     val r = (if (right.isStreaming) right.withWatermark(rightTs, lateness)
@@ -208,11 +244,11 @@ object Streams {
     // proves no in-range right row can still arrive — same state bound
     // as inner, plus the deferred-emit buffer the semantics require
     l.join(r,
-      col(s"l.$key") === col(s"r.$key") &&
-        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"),
+      col(s"l.${bq(key)}") === col(s"r.${bq(key)}") &&
+        col(s"r.${bq(rightTs)}") >= col(s"l.${bq(leftTs)}") - beforeIv &&
+        col(s"r.${bq(rightTs)}") <= col(s"l.${bq(leftTs)}") + afterIv,
       joinType)
-      .drop(col(s"r.$key"))
+      .drop(col(s"r.${bq(key)}"))
   }
 
   /** Stream-static enrichment: left-join each arriving event against a
@@ -305,9 +341,19 @@ object Streams {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming outside the 4-band guarantee [0, 3]")
     require(maxBucket > 0, s"maxBucket=$maxBucket must be positive")
+    // lateness ONLY takes effect through the watermark the eviction
+    // mode installs — without evictAfter no watermark is applied at
+    // all, and a caller passing an explicit lateness would believe a
+    // bound exists when none does (r16 review): make that loud
+    require(lateness == "0 seconds" || evictAfter.isDefined,
+      s"lateness ('$lateness') has no effect without evictAfter — it " +
+        "sets the event-time watermark the eviction horizon reads; " +
+        "pass evictAfter, or drop lateness")
     // duration → fixed millis, driver-side, so the group function's
     // horizon filter needs no per-row parsing; calendar-length units
-    // (months) have no fixed millis and are rejected
+    // (months) have no fixed millis and are rejected. State timestamps
+    // have MILLISECOND granularity (ts.getTime), so sub-ms components
+    // truncate — a duration under 1 ms is indistinguishable from zero
     val evictMs = evictAfter.map { s =>
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
         .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
@@ -316,7 +362,9 @@ object Streams {
       // a zero/negative horizon would put setTimeoutTimestamp at or
       // behind the watermark — a mid-batch IllegalArgumentException
       // instead of a construction-time error
-      require(ms > 0, s"evictAfter must be a positive duration: $s")
+      require(ms > 0,
+        s"evictAfter must be at least 1 millisecond (state timestamps " +
+          s"are millisecond-granular): got '$s'")
       ms
     }
     val src =
@@ -345,11 +393,17 @@ object Streams {
     val sigGuarded = when(col("ts").isNull, raise_error(concat(
       lit("streamNearDupPairs: NULL ts for doc_id "),
       col("doc_id").cast("string")))).otherwise(sigOf(guardedText))
+    // band keys come from Dedup.simhashBandCols — the ONE banding
+    // definition (r16 review). Width stays 16 for BOTH signature
+    // variants here (4×16 covers 64 and 60 bits alike, so the
+    // pigeonhole holds; the batch portable path bands at 15, a
+    // different CANDIDATE set but the same final Hamming-filtered
+    // pairs) — do not change it casually: bucket keys are state keys,
+    // and a width change orphans every existing checkpoint.
     val banded = src
       .select(col("doc_id"), col("ts"), sigGuarded.as("sig"))
       .select(col("doc_id"), col("ts"), col("sig"), posexplode(array(
-        (0 until 4).map(k => shiftright(col("sig"), 16 * k)
-          .bitwiseAND(lit(0xFFFFL))): _*)))
+        graft.operators.Dedup.simhashBandCols(col("sig"), 16): _*)))
       .select(col("pos").as("band"), col("col").as("band_val"),
         col("doc_id"), col("ts"), col("sig"))
       .as[(Int, Long, Long, java.sql.Timestamp, Long)]
@@ -486,8 +540,19 @@ object Streams {
           // a fork from Behavior.funnelTimes on pre-epoch events
           def micros(t: java.sql.Timestamp): Long =
             Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-          val times = state.getOption.map(_.times.toArray)
-            .getOrElse(Array.fill(stages.size)(None: Option[Long]))
+          // reconcile RESTORED state length with this run's stage list:
+          // a redeploy that added a stage would otherwise AIOOBE on the
+          // first event of the new stage (length-k₀ array, index k₀),
+          // and one that removed a stage would emit wrong-length times
+          // silently (r16 review). Growing pads with None (the new
+          // stage was never reached); shrinking truncates the dropped
+          // tail — completed prefix stages survive either way.
+          val times = state.getOption.map { st0 =>
+            val old = st0.times.toArray
+            if (old.length == stages.size) old
+            else old.take(stages.size)
+              .padTo(stages.size, None: Option[Long])
+          }.getOrElse(Array.fill(stages.size)(None: Option[Long]))
           val arr = rows.toArray
           // a NULL ts/event_type would NPE inside the stateful operator
           // and kill the unbounded query with an anonymous executor

@@ -178,4 +178,71 @@ class TokenizeSuite extends SparkSpec {
         s"word '$w' vocab $vocab")
     }
   }
+
+  test("r16 guards: duplicate BPE merge pairs and a segment maxLen " +
+      "below the longest vocab piece fail NAMED instead of silently") {
+    import spark.implicits._
+    val docs = Seq("aa bb aa").toDF("text")
+    // duplicate pair: toMap would keep the LAST rank, inverting the
+    // merge priority relative to the list order
+    val e1 = intercept[IllegalArgumentException] {
+      Tokenize.bpeEncode(docs, "text",
+        Seq(("a", "a"), ("b", "b"), ("a", "a")))
+    }
+    assert(e1.getMessage.contains("duplicate pairs"), e1.getMessage)
+    // a maxLen smaller than the longest trained piece would silently
+    // segment against a truncated model
+    val vocab = Map("a" -> -1.0, "abcde" -> -0.5)
+    val e2 = intercept[IllegalArgumentException] {
+      Tokenize.unigramSegment(docs, "text", vocab, maxLen = 4)
+    }
+    assert(e2.getMessage.contains("longest vocab piece"), e2.getMessage)
+  }
+
+  test("r16: incremental bpeTrain merge sequence equals the full-recount " +
+      "reference on a mixed-frequency corpus") {
+    import spark.implicits._
+    // hand-replayable reference: the full recount each round, over the
+    // SAME capped word table — pins that the incremental count/index
+    // maintenance changes nothing about the chosen merges
+    val docs = Seq("banana band ban banana", "band ban ana ana nab",
+      "abba abba nab band").toDF("text")
+    def reference(nMerges: Int): Seq[(String, String)] = {
+      val words = docs.select(explode(split(
+          graft.operators.Dedup.normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "").groupBy("w").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      var syms = words.map { case (w, n) => (w.split("").toSeq, n) }
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var round = 0
+      var go = true
+      while (round < nMerges && go) {
+        val cnt = scala.collection.mutable.Map[(String, String), Long]()
+        syms.foreach { case (s, n) =>
+          s.sliding(2).filter(_.size == 2).foreach { p =>
+            cnt((p(0), p(1))) = cnt.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        if (cnt.isEmpty) go = false
+        else {
+          val best = cnt.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+          out += best
+          syms = syms.map { case (s, n) =>
+            val o = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == best._1 && s(i + 1) == best._2) {
+                o += best._1 + best._2; i += 2
+              } else { o += s(i); i += 1 }
+            }
+            (o.toSeq, n)
+          }
+          round += 1
+        }
+      }
+      out.toSeq
+    }
+    // ASCII corpus: Java-string tie order == UTF-8 byte order here
+    assert(Tokenize.bpeTrain(docs, "text", nMerges = 12) === reference(12))
+  }
 }

@@ -10,10 +10,29 @@ class BucketingSuite extends SparkSpec {
   // in-memory catalog can leave orphan warehouse dirs from prior JVMs
   override def beforeAll(): Unit = {
     super.beforeAll()
-    Seq("bk_a", "bk_b").foreach { t =>
+    Seq("bk_a", "bk_b", "bk_c16", "bk_plain").foreach { t =>
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"/tmp/graft-test-warehouse/$t"))
     }
+  }
+
+  test("r16: colocatedJoin REFUSES a bucket mismatch instead of " +
+      "silently planning the shuffle it exists to remove") {
+    val a = (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "va")
+    Bucketing.writeBucketed(a, "bk_a", "id", 8)
+    Bucketing.writeBucketed(a.toDF("id", "vc"), "bk_c16", "id", 16)
+    a.toDF("id", "vp").write.mode("overwrite").format("parquet")
+      .saveAsTable("bk_plain")
+    val exCount = intercept[IllegalArgumentException] {
+      Bucketing.colocatedJoin(spark, "bk_a", "bk_c16", "id")
+    }
+    assert(exCount.getMessage.contains("bucket counts differ"),
+      exCount.getMessage)
+    val exSpec = intercept[IllegalArgumentException] {
+      Bucketing.colocatedJoin(spark, "bk_a", "bk_plain", "id")
+    }
+    assert(exSpec.getMessage.contains("not bucketed by 'id'"),
+      exSpec.getMessage)
   }
 
   test("bucketed-by-key join plans with zero shuffle exchanges") {

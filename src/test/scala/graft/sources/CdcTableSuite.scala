@@ -80,4 +80,42 @@ class CdcTableSuite extends SparkSpec {
       assert(got === Seq((1L, "a"), (2L, "b3"), (3L, "c"), (5L, "e")))
     } finally q.stop()
   }
+
+  test("r16: paths resolve via Hadoop FS — a file:/ URI works; init " +
+      "RESETS an existing table; vacuum keepLast retains a horizon") {
+    // the java.io.File rendition returned latestVersion = None for the
+    // URI form of the very directory it had just written (write-only
+    // table on any non-local-bare path)
+    val bare = freshPath()
+    val path = "file:" + bare
+    CdcTable.init(base.toDF("k", "v"), path)
+    assert(CdcTable.latestVersion(path) === Some(0))
+    assert(CdcTable.readLatest(spark, path).count() === 3L)
+    // stack three more versions, then re-init: the old rendition only
+    // overwrote v=0 and kept serving stale v=3
+    (1 to 3).foreach { i =>
+      CdcTable.applyBatch(path,
+        Seq(Change(10L + i, "I", i.toLong, s"x$i")).toDF(),
+        Seq("k"), "seq", "op")
+    }
+    assert(CdcTable.latestVersion(path) === Some(3))
+    CdcTable.init(Seq((9L, "fresh")).toDF("k", "v"), path)
+    assert(CdcTable.latestVersion(path) === Some(0))
+    assert(CdcTable.readLatest(spark, path)
+      .as[(Long, String)].collect().toSeq === Seq((9L, "fresh")))
+    // keepLast: vacuum(keepLast = 2) must leave the two newest versions
+    (1 to 3).foreach { i =>
+      CdcTable.applyBatch(path,
+        Seq(Change(20L + i, "I", i.toLong, s"y$i")).toDF(),
+        Seq("k"), "seq", "op")
+    }
+    CdcTable.vacuum(path, keepLast = 2)
+    assert(CdcTable.latestVersion(path) === Some(3))
+    assert(new java.io.File(bare, "v=2").exists())
+    assert(!new java.io.File(bare, "v=1").exists())
+    val exK = intercept[IllegalArgumentException] {
+      CdcTable.vacuum(path, keepLast = 0)
+    }
+    assert(exK.getMessage.contains("keepLast"))
+  }
 }

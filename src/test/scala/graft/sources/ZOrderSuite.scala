@@ -77,4 +77,14 @@ class ZOrderSuite extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("r16: writeZOrdered refuses an input that already has '__z' " +
+      "instead of silently dropping the caller's column") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 99L)).toDF("x", "y", "__z")
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrdered(df, "x", "y", "/tmp/zorder-collision-test", 2)
+    }
+    assert(ex.getMessage.contains("__z"), ex.getMessage)
+  }
 }

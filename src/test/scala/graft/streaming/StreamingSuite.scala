@@ -652,4 +652,46 @@ class StreamingSuite extends SparkSpec {
       assert(times === Seq(Some(-500000L), Some(250000L)))
     } finally q.stop()
   }
+
+  test("r16 guards: string batch column, bad interval literal, and " +
+      "lateness-without-evictAfter all fail NAMED at construction") {
+    // a string batch id would order lexicographically ("10" < "2") and
+    // silently compute each batch's watermark over the wrong prefix
+    val strBatch = Seq(("1", t("2026-01-01 10:00:00")),
+      ("10", t("2026-01-01 11:00:00"))).toDF("b", "ts")
+    val exB = intercept[IllegalArgumentException] {
+      Streams.watermarkLateAccounting(strBatch, "b", "ts", 0L)
+    }
+    assert(exB.getMessage.contains("integral type"), exB.getMessage)
+    // a malformed duration names the ARGUMENT, not a parse stack
+    val l = Seq(Pur(1L, 1L, t("2026-01-01 10:00:00"))).toDF()
+    val r = Seq(Clk(1L, 1L, t("2026-01-01 10:05:00"))).toDF()
+    val exI = intercept[IllegalArgumentException] {
+      Streams.intervalJoin(l, r, "user_id", "p_ts", "c_ts",
+        before = "not a duration", after = "10 minutes")
+    }
+    assert(exI.getMessage.contains("before = 'not a duration'"),
+      exI.getMessage)
+    // ...and the quoted-name discipline: the join still works (batch)
+    assert(Streams.intervalJoin(l, r, "user_id", "p_ts", "c_ts",
+      before = "1 minute", after = "10 minutes").count() === 1L)
+    // lateness without evictAfter installs NO watermark — loud, not
+    // silently unbounded
+    val docs = Seq(StreamDoc(1L, t("2026-01-01 10:00:00"), "a b c")).toDS()
+    val exL = intercept[IllegalArgumentException] {
+      Streams.streamNearDupPairs(docs, lateness = "2 hours")
+    }
+    assert(exL.getMessage.contains("no effect without evictAfter"),
+      exL.getMessage)
+    // sub-millisecond evictAfter truncates to zero — the message names
+    // the real (millisecond-granularity) floor
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val exMs = intercept[IllegalArgumentException] {
+      Streams.streamNearDupPairs(mem.toDS(),
+        evictAfter = Some("500 microseconds"))
+    }
+    assert(exMs.getMessage.contains("at least 1 millisecond"),
+      exMs.getMessage)
+  }
 }

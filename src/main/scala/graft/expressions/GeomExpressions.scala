@@ -91,9 +91,17 @@ object GeomExpressions {
     * (bw, bh) pairs; ratios precomputed with the identical IEEE
     * division the join rendition uses per row. */
   def argMinAspectBucket(w: Column, h: Column,
-                         buckets: Seq[(Int, Int)]): Column =
+                         buckets: Seq[(Int, Int)]): Column = {
+    // a bh = 0 bucket would precompute an Inf ratio (or NaN for 0/0,
+    // which poisons the strict `d < best` argmin init) — the silent
+    // fork the Multimodal renditions guard against; enforce it here
+    // too for direct callers (r16 review)
+    require(buckets.forall { case (bw, bh) => bw > 0 && bh > 0 },
+      s"argMinAspectBucket: bucket dimensions must be positive: " +
+        buckets.mkString(", "))
     GraftBridge.column(ArgMinAspectBucketConst(
       GraftBridge.expression(w.cast("double")),
       GraftBridge.expression(h.cast("double")),
       buckets.map { case (bw, bh) => bw.toDouble / bh.toDouble }))
+  }
 }

@@ -81,6 +81,15 @@ object Multimodal {
     // mid-job (r15 review)
     require(batchSize > 0, s"decodePartitions: batchSize=$batchSize " +
       "must be positive")
+    // named at construction, not a ClassCastException deep inside
+    // mapPartitions — passing the canonical media STRUCT instead of its
+    // payload field is the easy mistake here (r16 review)
+    require(df.schema(payloadCol).dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"decodePartitions: column '$payloadCol' must be binary (the " +
+        s"payload bytes), got " +
+        s"${df.schema(payloadCol).dataType.simpleString} — pass the " +
+        "payload field, not the media struct")
     val schema = df.schema.add("features", ArrayType(FloatType))
     val idx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -89,7 +98,17 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         val payloads = batch.map { r =>
           val v = r.get(idx)
-          if (v == null) Array.empty[Byte] else v.asInstanceOf[Array[Byte]]
+          // a NULL payload is MISSING media, not zero-byte media — a
+          // silent Array.empty coercion would hand the decoder a
+          // plausible empty clip and fabricate real-looking features
+          // for it (r16 review; the loud-failure discipline of every
+          // operator here)
+          if (v == null) throw new IllegalArgumentException(
+            s"decodePartitions: NULL payload in '$payloadCol' — missing " +
+              "media must be filtered (or imputed) upstream; decoding " +
+              "it would fabricate features indistinguishable from a " +
+              "real zero-byte payload's")
+          v.asInstanceOf[Array[Byte]]
         }.toArray
         val feats = decoder.decodeBatch(payloads)
         // a decoder returning a short (or long) batch would otherwise
@@ -152,13 +171,53 @@ object Multimodal {
     * arithmetic — every op is exactly-rounded IEEE, so the plan is
     * bit-identical across engines. */
   def resizeDims(w: Column, h: Column, maxDim: Int): Column = {
+    require(maxDim >= 1, s"resizeDims: maxDim=$maxDim must be >= 1")
+    // same loud-dimension contract as the aspect-bucket renditions:
+    // Spark's greatest()/least() SKIP NULLs, so an unguarded NULL width
+    // would flow through to a plausible (1, h) plan — fabricated
+    // geometry for an image whose size is unknown (r16 review)
+    val wG = guardDim(w, "width", "input", "resizeDims")
+    val hG = guardDim(h, "height", "input", "resizeDims")
     val scale = least(lit(1.0),
-      lit(maxDim.toDouble) / greatest(w, h).cast("double"))
+      lit(maxDim.toDouble) / greatest(wG, hG).cast("double"))
     struct(
-      greatest(floor(w.cast("double") * scale + 0.5), lit(1L))
+      greatest(floor(wG.cast("double") * scale + 0.5), lit(1L))
         .cast("long").as("w"),
-      greatest(floor(h.cast("double") * scale + 0.5), lit(1L))
+      greatest(floor(hG.cast("double") * scale + 0.5), lit(1L))
         .cast("long").as("h"))
+  }
+
+  /** The one NULL / non-positive image-dimension guard every geometry
+    * operator here applies (previously copy-pasted per rendition, where
+    * an edit could silently fork the bit-equal contract — r16 review):
+    * NULLs would rank first in an argmin window or be skipped by
+    * greatest/least, non-positive dims make ratios NULL (Spark
+    * division) or Inf (driver-side IEEE) — all silent-wrong routes.
+    * Raises with the operator and column named. */
+  private def guardDim(c: Column, kind: String, desc: String,
+                       fn: String): Column =
+    when(c.isNull,
+      raise_error(lit(s"$fn: NULL in $kind $desc")))
+      .when(c <= 0, raise_error(concat(
+        lit(s"$fn: non-positive $kind $desc: "), c.cast("string"))))
+      .otherwise(c)
+
+  /** Bucket grids must be positive in BOTH dimensions: a bh = 0 bucket
+    * makes its ratio NULL under Spark's non-ANSI division (NOT the Inf
+    * a driver-side IEEE divide yields), NULL ranks FIRST in the argmin
+    * window — every image silently lands in the degenerate bucket with
+    * drift 0 — while the fused rendition's driver-computed Inf ratio
+    * never wins, so the two suite-pinned "bit-equal" renditions fork
+    * completely (r16 review). */
+  private def requireBuckets(buckets: Seq[(Int, Int)], fn: String): Unit = {
+    require(buckets.nonEmpty, s"$fn: need at least one bucket")
+    val bad = buckets.zipWithIndex.filter { case ((bw, bh), _) =>
+      bw <= 0 || bh <= 0
+    }
+    require(bad.isEmpty,
+      s"$fn: bucket dimensions must be positive, got " +
+        bad.map { case ((bw, bh), i) => s"bucket $i = ($bw, $bh)" }
+          .mkString(", "))
   }
 
   /** ViT-style patch-grid plan: how a (w × h) image tiles into
@@ -210,7 +269,7 @@ object Multimodal {
   def aspectBuckets(df: DataFrame, idCol: String, wCol: String,
                     hCol: String, buckets: Seq[(Int, Int)],
                     quantum: Double = 1048576.0): DataFrame = {
-    require(buckets.nonEmpty, "aspectBuckets: need at least one bucket")
+    requireBuckets(buckets, "aspectBuckets")
     val spark = df.sparkSession
     import spark.implicits._
     val b = buckets.zipWithIndex
@@ -219,22 +278,13 @@ object Multimodal {
     // a NULL dimension would rank first in the argmin window (NULLS
     // FIRST under asc) while the fused rendition drops the row — fail
     // loudly in BOTH so the bit-equal contract can't silently fork
-    // (the thresholdSweep/shardCensus NULL convention)
-    val wG = when(col(wCol).isNull,
-      raise_error(lit(s"aspectBuckets: NULL in width column '$wCol'")))
-      .when(col(wCol) <= 0, raise_error(concat(
-        lit(s"aspectBuckets: non-positive width in '$wCol': "),
-        col(wCol).cast("string"))))
-      .otherwise(col(wCol))
-    // h = 0 would make the ratio Inf (w = h = 0: NaN) — no bucket wins
-    // the argmin, the row lands in bucket 0 with an Inf/NaN drift that
-    // dominates the quantized sum; raise like the NULL case
-    val hG = when(col(hCol).isNull,
-      raise_error(lit(s"aspectBuckets: NULL in height column '$hCol'")))
-      .when(col(hCol) <= 0, raise_error(concat(
-        lit(s"aspectBuckets: non-positive height in '$hCol': "),
-        col(hCol).cast("string"))))
-      .otherwise(col(hCol))
+    // (the thresholdSweep/shardCensus NULL convention). A non-positive
+    // h would make the ratio NULL under Spark division — same silent
+    // argmin corruption route, same raise.
+    val wG = guardDim(col(wCol), "width", s"column '$wCol'",
+      "aspectBuckets")
+    val hG = guardDim(col(hCol), "height", s"column '$hCol'",
+      "aspectBuckets")
     val diff = abs(wG.cast("double") / hG.cast("double")
       - col("bw").cast("double") / col("bh").cast("double"))
     val win = org.apache.spark.sql.expressions.Window
@@ -271,7 +321,7 @@ object Multimodal {
   def aspectBucketsFused(df: DataFrame, wCol: String, hCol: String,
                          buckets: Seq[(Int, Int)],
                          quantum: Double = 1048576.0): DataFrame = {
-    require(buckets.nonEmpty, "aspectBucketsFused: need at least one bucket")
+    requireBuckets(buckets, "aspectBucketsFused")
     val spark = df.sparkSession
     import spark.implicits._
     val b = buckets.zipWithIndex
@@ -281,18 +331,10 @@ object Multimodal {
     // expression would silently drop NULL-dimension rows into a NULL
     // group absent from the census — raise instead, keeping the two
     // renditions bit-equal on every input they accept
-    val wG = when(col(wCol).isNull,
-      raise_error(lit(s"aspectBucketsFused: NULL in width column '$wCol'")))
-      .when(col(wCol) <= 0, raise_error(concat(
-        lit(s"aspectBucketsFused: non-positive width in '$wCol': "),
-        col(wCol).cast("string"))))
-      .otherwise(col(wCol))
-    val hG = when(col(hCol).isNull,
-      raise_error(lit(s"aspectBucketsFused: NULL in height column '$hCol'")))
-      .when(col(hCol) <= 0, raise_error(concat(
-        lit(s"aspectBucketsFused: non-positive height in '$hCol': "),
-        col(hCol).cast("string"))))
-      .otherwise(col(hCol))
+    val wG = guardDim(col(wCol), "width", s"column '$wCol'",
+      "aspectBucketsFused")
+    val hG = guardDim(col(hCol), "height", s"column '$hCol'",
+      "aspectBucketsFused")
     val census = df
       .select(graft.expressions.GeomExpressions
         .argMinAspectBucket(wG, hG, buckets).as("a"))

@@ -222,4 +222,53 @@ class MultimodalSuite extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
     }
   }
+
+  test("r16 guards: degenerate buckets, NULL payloads, wrong payload " +
+      "type, and NULL resize dims all fail NAMED instead of silently") {
+    // a (512, 0) bucket: Spark division makes its ratio NULL, NULL
+    // ranks first in the argmin — every image silently lands there —
+    // while the fused driver-side Inf never wins: the renditions fork
+    val dims = Seq((1L, 600, 400)).toDF("id", "w", "h")
+    val badBuckets = Seq((512, 512), (512, 0))
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.aspectBuckets(dims, "id", "w", "h", badBuckets)
+    }
+    assert(e1.getMessage.contains("bucket 1 = (512, 0)"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.aspectBucketsFused(dims, "w", "h", badBuckets)
+    }
+    assert(e2.getMessage.contains("positive"), e2.getMessage)
+    // NULL payload = MISSING media: must not fabricate features
+    val nullPay = Seq((1L, Option(Array[Byte](1, 2))),
+      (2L, None: Option[Array[Byte]])).toDF("id", "payload")
+    val e3 = intercept[Exception] {
+      Multimodal.decodePartitions(nullPay, "payload",
+        new Multimodal.DeterministicFakeDecoder(4)).collect()
+    }
+    def chain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    assert(chain(e3).contains("NULL payload"), chain(e3))
+    // wrong column type names itself at construction, not a mid-job CCE
+    val structCol = nullPay.select(col("id"),
+      struct(col("payload")).as("media"))
+    val e4 = intercept[IllegalArgumentException] {
+      Multimodal.decodePartitions(structCol, "media",
+        new Multimodal.DeterministicFakeDecoder(4))
+    }
+    assert(e4.getMessage.contains("must be binary"), e4.getMessage)
+    // NULL resize dims raise (greatest/least would SKIP the null and
+    // fabricate a plausible 1-px plan)
+    val nullW = Seq((None: Option[Int], Option(100))).toDF("w", "h")
+    val e5 = intercept[Exception] {
+      nullW.select(Multimodal.resizeDims(col("w"), col("h"), 512)).collect()
+    }
+    assert(chain(e5).contains("NULL in width"), chain(e5))
+    val e6 = intercept[IllegalArgumentException] {
+      Multimodal.resizeDims(col("w"), col("h"), 0)
+    }
+    assert(e6.getMessage.contains("maxDim"), e6.getMessage)
+  }
 }

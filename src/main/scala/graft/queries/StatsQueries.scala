@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{FormulaSpec, SurveyDesign}
 import graft.stats.{Logistic, Replication, WeightedStats}
-import graft.util.Tables.{dsum, dvarSamp, load, sqlDsum, sqlDvarSamp}
+import graft.util.Tables.{dsum, dvarSamp, load, sqlDsum, sqlDsum18, sqlDvarSamp}
 
 /** The estimator-core operators (SURVEY.md §2.10, M1–M11) as driver-
   * gradable queries with closed-form DuckDB oracles.
@@ -365,10 +365,10 @@ object StatsQueries {
                SELECT max(t / w) AS mean_y,
                       CAST(max(gn) AS BIGINT) AS g_psus,
                       ((max(gn) - 1.0) / max(gn)) *
-                        ${sqlDsum("(theta - thetabar) * (theta - thetabar)")}
+                        ${sqlDsum18("(theta - thetabar) * (theta - thetabar)")}
                         AS var_jk,
                       ((max(gn) - 1.0) / max(gn)) *
-                        ${sqlDsum("(theta - t / w) * (theta - t / w)")}
+                        ${sqlDsum18("(theta - t / w) * (theta - t / w)")}
                         AS var_jk_mse
                FROM rep, bar""")),
 
@@ -405,7 +405,7 @@ object StatsQueries {
                SELECT max(t / w) AS mean_y,
                       max(hn) AS n_strata,
                       max(gn) AS g_psus,
-                      ${sqlDsum(
+                      ${sqlDsum18(
                         "((nh - 1.0) / nh) * (theta - t / w) * (theta - t / w)")}
                         AS var_jkn
                FROM rep""")),
@@ -442,7 +442,7 @@ object StatsQueries {
                SELECT max(t / w) AS mean_y,
                       CAST(2 AS BIGINT) AS n_strata,
                       CAST(4 AS BIGINT) AS n_reps,
-                      ${sqlDsum(
+                      ${sqlDsum18(
                         "(tr / wr - t / w) * (tr / wr - t / w)")} / 4.0
                         AS var_brr
                FROM rt, tot""")),
@@ -656,7 +656,7 @@ object StatsQueries {
                SELECT max(t / w) AS mean_y,
                       CAST(2 AS BIGINT) AS n_strata,
                       CAST(4 AS BIGINT) AS n_reps,
-                      ${sqlDsum(
+                      ${sqlDsum18(
                         "(tr / wr - t / w) * (tr / wr - t / w)")} / (4.0 * 0.25)
                         AS var_brr
                FROM rt, tot""")),
@@ -1199,7 +1199,7 @@ object StatsQueries {
                              ${sqlDsum("d")} AS w FROM a)
          SELECT max(t / w) AS mean_y,
                 CAST($reps AS BIGINT) AS n_reps,
-                ${sqlDsum("(tr / wr - t / w) * (tr / wr - t / w)")}
+                ${sqlDsum18("(tr / wr - t / w) * (tr / wr - t / w)")}
                   / $reps.0 AS var_boot
          FROM rt, tot"""
   }

@@ -32,6 +32,42 @@ import graft.util.Tables.dsum
   */
 object Replication {
 
+  import graft.util.Tables.dsum18
+
+  /** The WeightedStats fail-loud NULL contract, applied to the
+    * replicate estimators (r16 review): a NULL y/w would be silently
+    * skipped by the decimal sums while the row still counts elsewhere
+    * (biased totals, no error), and a NULL stratum/psu GROUPS fine but
+    * then falls out of the stratum equi-join in JKn — its PSUs vanish
+    * from the replicate frame while the grand totals keep them, an
+    * underestimated variance with no error. */
+  private def loud(c: Column, what: String, fn: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"$fn: NULL in $what — filter or impute first (a NULL here " +
+        "silently biases the totals or drops replicate rows)")))
+      .otherwise(c)
+
+  /** Named zero-denominator guard for the per-replicate ratios — an
+    * unnamed ANSI DIVIDE_BY_ZERO (or a silent NULL non-ANSI) otherwise
+    * (r16 review; the poisson wrG precedent). */
+  private def nonZero(c: Column, what: String, fn: String): Column =
+    when(c === lit(0.0), raise_error(lit(
+      s"$fn: $what is zero — the replicate/full-sample ratio is " +
+        "undefined (zero summed weight)")))
+      .otherwise(c)
+
+  /** The collect-then-localize step every estimator here shares: the
+    * grouped-totals frame is G-row-bounded by contract (PSU/stratum
+    * counts are design metadata, never data-scale), and the local
+    * relation stops downstream branches from re-expanding the full
+    * scan. Callers validate the rows between the two uses. */
+  private def localized(gDist: DataFrame)
+      : (Array[org.apache.spark.sql.Row], DataFrame) = {
+    val rows = gDist.collect()
+    (rows, gDist.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), gDist.schema))
+  }
+
   /** JK1 jackknife mean + variance of the `w`-weighted mean of `y`,
     * with PSUs given by `psu`. Returns ONE row:
     * (mean_y, g_psus, var_jk, var_jk_mse).
@@ -46,35 +82,40 @@ object Replication {
     * the single-job construction; PlanSuite pins the scan-free final
     * plan. */
   def jk1Mean(df: DataFrame, y: Column, w: Column, psu: Column): DataFrame = {
-    val spark = df.sparkSession
-    val gDist = df.groupBy(psu.as("__psu"))
-      .agg(dsum(w * y).as("tg"), dsum(w).as("wg"))
+    val gDist = df.groupBy(loud(psu, "the psu column", "jk1Mean").as("__psu"))
+      .agg(dsum(loud(w, "the weights", "jk1Mean") *
+        loud(y, "the response", "jk1Mean")).as("tg"), dsum(w).as("wg"))
       .select("tg", "wg")
-    val rows = gDist.collect()
+    val (rows, g) = localized(gDist)
     // a lone PSU has no delete-one contrast: theta = 0/0 would come back
     // as a silent NULL variance — fail loudly like jknMean instead
     require(rows.length >= 2,
       s"JK1 needs >= 2 PSUs, got ${rows.length}")
-    val g = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), gDist.schema)
     val tot = g.agg(dsum(col("tg")).as("t"), dsum(col("wg")).as("w"),
       count(lit(1)).cast("double").as("gn"))
     val rep = g.crossJoin(broadcast(tot))
       .select(col("t"), col("w"), col("gn"),
-        ((col("t") - col("tg")) / (col("w") - col("wg"))).as("theta"))
+        ((col("t") - col("tg")) /
+          nonZero(col("w") - col("wg"),
+            "a delete-one survivor weight (Σw − w_g)", "jk1Mean"))
+          .as("theta"))
     val bar = rep.agg((dsum(col("theta")) / first(col("gn"))).as("thetabar"))
     // explicit products, not pow(x, 2): x*x is a single IEEE multiply,
     // bit-identical everywhere; libm pow need not be
     val dBar = col("theta") - col("thetabar")
-    val dMse = col("theta") - col("t") / col("w")
+    val dMse = col("theta") - col("t") / nonZero(col("w"),
+      "the summed weight", "jk1Mean")
     rep.crossJoin(broadcast(bar))
       .agg(
         first(col("t") / col("w")).as("mean_y"),
         first(col("gn")).cast("long").as("g_psus"),
+        // dsum18: the deviations are normalized ratios (dd ~ sd/√n) —
+        // their squares sit near the 1e-10 scale-10 quantum for
+        // small-scale y and would round to a variance of exactly 0
         (((first(col("gn")) - lit(1.0)) / first(col("gn"))) *
-          dsum(dBar * dBar)).as("var_jk"),
+          dsum18(dBar * dBar)).as("var_jk"),
         (((first(col("gn")) - lit(1.0)) / first(col("gn"))) *
-          dsum(dMse * dMse)).as("var_jk_mse"))
+          dsum18(dMse * dMse)).as("var_jk_mse"))
   }
 
   /** Stratified delete-one-PSU jackknife (JKn — Wolter 2007 §4.5,
@@ -94,11 +135,19 @@ object Replication {
     * (mean_y, n_strata, g_psus, var_jkn). */
   def jknMean(df: DataFrame, y: Column, w: Column, stratum: Column,
               psu: Column): DataFrame = {
-    val spark = df.sparkSession
-    val gDist = df.groupBy(stratum.as("__h"), psu.as("__psu"))
-      .agg(dsum(w * y).as("tg"), dsum(w).as("wg"))
+    // the stratum guard is load-bearing beyond the usual NULL contract:
+    // a NULL stratum GROUPS fine (and passes the lonely check), but the
+    // g.join(byH, "__h") below is an equi-join — null ≠ null — so the
+    // NULL stratum's PSUs would silently vanish from the replicate
+    // frame while the grand totals keep them (r16 review)
+    val gDist = df.groupBy(
+        loud(stratum, "the stratum column", "jknMean").as("__h"),
+        loud(psu, "the psu column", "jknMean").as("__psu"))
+      .agg(dsum(loud(w, "the weights", "jknMean") *
+        loud(y, "the response", "jknMean")).as("tg"), dsum(w).as("wg"))
       .select("__h", "tg", "wg")
-    val rows = gDist.collect()
+    val (rows, g) = localized(gDist)
+    require(rows.nonEmpty, "jknMean: empty input frame")
     // single-PSU strata have no within-stratum replicate contrast —
     // fail loudly like survey::svrepdesign, not with a NaN variance
     val lonely = rows.groupBy(_.get(0)).collect {
@@ -106,8 +155,6 @@ object Replication {
     }
     require(lonely.isEmpty,
       s"JKn needs >= 2 PSUs per stratum; single-PSU strata: ${lonely.mkString(", ")}")
-    val g = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), gDist.schema)
     val byH = g.groupBy(col("__h"))
       .agg(dsum(col("tg")).as("th"), dsum(col("wg")).as("wh"),
         count(lit(1)).cast("double").as("nh"))
@@ -121,15 +168,18 @@ object Replication {
       .select(col("t"), col("w"), col("hn"), col("gn"), col("nh"),
         ((col("t") - col("th") +
           (col("nh") / (col("nh") - lit(1.0))) * (col("th") - col("tg"))) /
-         (col("w") - col("wh") +
-          (col("nh") / (col("nh") - lit(1.0))) * (col("wh") - col("wg"))))
+         nonZero(col("w") - col("wh") +
+           (col("nh") / (col("nh") - lit(1.0))) * (col("wh") - col("wg")),
+           "a delete-one reweighted survivor weight", "jknMean"))
           .as("theta"))
-    val d = col("theta") - col("t") / col("w")
+    val d = col("theta") -
+      col("t") / nonZero(col("w"), "the summed weight", "jknMean")
     rep.agg(
       first(col("t") / col("w")).as("mean_y"),
       first(col("hn")).as("n_strata"),
       first(col("gn")).as("g_psus"),
-      dsum(((col("nh") - lit(1.0)) / col("nh")) * d * d).as("var_jkn"))
+      // dsum18: normalized squared deviations (see jk1Mean)
+      dsum18(((col("nh") - lit(1.0)) / col("nh")) * d * d).as("var_jkn"))
   }
 
   /** Cumulative Poisson(1) probabilities P(K ≤ k), k = 0..7, written as
@@ -162,6 +212,8 @@ object Replication {
     val idG = when(idCol.isNull, raise_error(lit(
       "poissonBootstrapMean: NULL in id column — the portable draw " +
         "needs a non-null row id"))).otherwise(idCol)
+    val yG = loud(y, "the response", "poissonBootstrapMean")
+    val wLoud = loud(w, "the weights", "poissonBootstrapMean")
     // md5-unit draw, NOT the multiplicative hash: any affine-mod-p
     // hash h(id, r) has h(id, r+1) − h(id, r) ≡ const, so every
     // replicate's uniforms are one global rotation of replicate 0's
@@ -185,7 +237,7 @@ object Replication {
     val k = when(col("__r") === lit(-1L), lit(1.0)).otherwise(k0)
     df.crossJoin(broadcast(repsDf))
       .groupBy("__r")
-      .agg(dsum(k * w * y).as("tr"), dsum(k * w).as("wr"))
+      .agg(dsum(k * wLoud * yG).as("tr"), dsum(k * wLoud).as("wr"))
   }
 
   /** Poisson bootstrap mean + replicate variance (Hanley & MacGibbon
@@ -213,10 +265,16 @@ object Replication {
     // per branch (the p20 union-re-executes-agg lesson)
     val rtAll = poissonBootstrapMeanPlan(df, y, w, idCol, reps)
     val rtRows = rtAll.collect()
+    // an empty input expands to ZERO grouped rows (even the sentinel),
+    // so the raise-guards below never fire and the result would be one
+    // all-NULL-looking row claiming n_reps=R (r16 review)
+    require(rtRows.nonEmpty, "poissonBootstrapMean: empty input frame")
     val local = spark.createDataFrame(
       java.util.Arrays.asList(rtRows: _*), rtAll.schema)
     val tot = local.filter(col("__r") === lit(-1L))
-      .select(col("tr").as("t"), col("wr").as("wsum"))
+      .select(col("tr").as("t"),
+        nonZero(col("wr"), "the full-sample summed weight",
+          "poissonBootstrapMean").as("wsum"))
     // a replicate whose every row drew K = 0 has Σ K·w = 0 and an
     // undefined θ_r — probability e^−n per replicate, real only for
     // tiny n (the md5 draws are genuinely independent; the pre-r15
@@ -234,7 +292,8 @@ object Replication {
       .agg(
         first(col("t") / col("wsum")).as("mean_y"),
         lit(reps.toLong).as("n_reps"),
-        (dsum(dd * dd) / lit(reps.toDouble)).as("var_boot"))
+        // dsum18: normalized squared deviations (see jk1Mean)
+        (dsum18(dd * dd) / lit(reps.toDouble)).as("var_boot"))
   }
 
   /** Balanced repeated replication (BRR — Wolter 2007 §3; McCarthy
@@ -261,16 +320,17 @@ object Replication {
     require(fayRho >= 0.0 && fayRho < 1.0,
       s"Fay's rho must be in [0, 1), got $fayRho")
     val spark = df.sparkSession
-    val gDist = df.groupBy(stratum.as("__h"), psu.as("__psu"))
-      .agg(dsum(w * y).as("tg"), dsum(w).as("wg"))
-    val rows = gDist.collect()
+    val gDist = df.groupBy(
+        loud(stratum, "the stratum column", "brrMean").as("__h"),
+        loud(psu, "the psu column", "brrMean").as("__psu"))
+      .agg(dsum(loud(w, "the weights", "brrMean") *
+        loud(y, "the response", "brrMean")).as("tg"), dsum(w).as("wg"))
+    val (rows, g) = localized(gDist)
     require(rows.nonEmpty, "BRR on an empty frame (no strata)")
     val byH = rows.groupBy(_.get(0))
     val bad = byH.collect { case (h, rs) if rs.length != 2 => h }
     require(bad.isEmpty,
       s"BRR needs exactly 2 PSUs per stratum; offending strata: ${bad.mkString(", ")}")
-    val g = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), gDist.schema)
     // 0-indexed stratum column and 0/1 PSU slot, both by ascending
     // value — the deterministic labeling the oracle mirrors with
     // dense_rank/row_number
@@ -301,13 +361,16 @@ object Replication {
       .agg(dsum(fayFactor * col("tg")).as("tr"),
         dsum(fayFactor * col("wg")).as("wr"))
     val tot = g.agg(dsum(col("tg")).as("t"), dsum(col("wg")).as("w"))
-    val dd = col("tr") / col("wr") - col("t") / col("w")
+    val dd = col("tr") / nonZero(col("wr"),
+        "a replicate's summed weight", "brrMean") -
+      col("t") / nonZero(col("w"), "the summed weight", "brrMean")
     repTotals.crossJoin(broadcast(tot))
       .agg(
         first(col("t") / col("w")).as("mean_y"),
         lit(hCount.toLong).as("n_strata"),
         lit(r0.toLong).as("n_reps"),
-        (dsum(dd * dd) /
+        // dsum18: normalized squared deviations (see jk1Mean)
+        (dsum18(dd * dd) /
           lit(r0 * (1.0 - fayRho) * (1.0 - fayRho))).as("var_brr"))
   }
 }

@@ -34,17 +34,41 @@ final case class RatioResult(ratio: Double, variance: Double) {
 
 object WeightedStats {
 
+  /** The fail-loud NULL contract of every estimator here: a NULL value
+    * would be silently SKIPPED by the decimal sum while the row still
+    * counts in n and its weight in Σw — a plausible-looking biased mean
+    * and a variance on an inflated n, with no error (survey:: returns
+    * NA; r16 review). Raise with the column named instead; rows a
+    * caller wants excluded must be filtered before the design. */
+  private def loud(c: Column, what: String, fn: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"$fn: NULL in $what — it would silently drop from the weighted " +
+        "sums while still counting in n and Σw; filter or impute first")))
+      .otherwise(c)
+
+  /** Named empty-frame guard for the driver-side sum reads: dsum over
+    * zero rows is NULL, and getAs[Number](...).doubleValue() would NPE
+    * with no message (r16 review). */
+  private def num(row: org.apache.spark.sql.Row, field: String,
+                  fn: String): Double = {
+    val v = row.getAs[Number](field)
+    require(v != null,
+      s"$fn: aggregate '$field' is NULL — empty input frame?")
+    v.doubleValue()
+  }
+
   /** `svytotal(~x1+…+xk, design)` — Horvitz–Thompson totals, one job. */
   def svytotal(design: SurveyDesign, xCols: Seq[String]): Map[String, Double] = {
     import graft.util.Tables.dsum
-    val aggs = xCols.map(c => dsum(design.weights * col(c)).as(c))
+    val w = loud(design.weights, "the design weights", "svytotal")
+    val aggs = xCols.map(c => dsum(w * loud(col(c), s"'$c'", "svytotal")).as(c))
     val row = design.df.agg(aggs.head, aggs.tail: _*).head()
-    xCols.map(c => c -> row.getAs[Number](c).doubleValue()).toMap
+    xCols.map(c => c -> num(row, c, "svytotal")).toMap
   }
 
   /** `svymean(~y, design)` on an uncalibrated design. */
   def svymean(design: SurveyDesign, yCol: String): MeanResult =
-    meanWithScores(design.df, col(yCol), design.weights, design.weights)
+    meanWithScores(design.df, col(yCol), design.weights)
 
   /** `svyratio(~y, ~x, design)` — ratio of HT totals R̂ = Σwy/Σwx with
     * Taylor linearization variance: zᵢ = wᵢ(yᵢ − R̂xᵢ)/Σwx, then the same
@@ -52,13 +76,15 @@ object WeightedStats {
     */
   def svyratio(design: SurveyDesign, yCol: String, xCol: String): RatioResult = {
     import graft.util.Tables.dsum
-    val w = design.weights
+    val w = loud(design.weights, "the design weights", "svyratio")
+    val yG = loud(col(yCol), s"'$yCol'", "svyratio")
+    val xG = loud(col(xCol), s"'$xCol'", "svyratio")
     val first = design.df.agg(
-      dsum(w * col(yCol)).as("swy"), dsum(w * col(xCol)).as("swx")).head()
-    val swx = first.getAs[Number]("swx").doubleValue()
+      dsum(w * yG).as("swy"), dsum(w * xG).as("swx")).head()
+    val swx = num(first, "swx", "svyratio")
     require(swx != 0.0, "svyratio denominator total is zero")
-    val r = first.getAs[Number]("swy").doubleValue() / swx
-    val s = w * (col(yCol) - lit(r) * col(xCol))
+    val r = num(first, "swy", "svyratio") / swx
+    val s = w * (yG - lit(r) * xG)
     RatioResult(r, scoreVariance(design.df, s, swx))
   }
 
@@ -70,14 +96,21 @@ object WeightedStats {
     */
   def svymeanDomain(design: SurveyDesign, yCol: String, domain: Column): MeanResult = {
     import graft.util.Tables.dsum
-    val w = design.weights
+    val w = loud(design.weights, "the design weights", "svymeanDomain")
     val u = when(domain, lit(1.0)).otherwise(lit(0.0))
+    // y may legitimately be NULL OUTSIDE the domain (it never enters an
+    // estimate there — though beware 0·NULL = NULL in SQL, hence the
+    // explicit otherwise-0 below); INSIDE the domain a NULL y is the
+    // silent-bias route loud() exists for
+    val yG = when(u === lit(1.0),
+      loud(col(yCol), s"'$yCol' (inside the domain)", "svymeanDomain"))
+      .otherwise(lit(0.0))
     val first = design.df.agg(
-      dsum(w * u * col(yCol)).as("swy"), dsum(w * u).as("sw")).head()
-    val swD = first.getAs[Number]("sw").doubleValue()
+      dsum(w * u * yG).as("swy"), dsum(w * u).as("sw")).head()
+    val swD = num(first, "sw", "svymeanDomain")
     require(swD != 0.0, "empty estimation domain")
-    val mu = first.getAs[Number]("swy").doubleValue() / swD
-    val s = w * u * (col(yCol) - lit(mu))
+    val mu = num(first, "swy", "svymeanDomain") / swD
+    val s = w * u * (yG - lit(mu))
     MeanResult(mu, scoreVariance(design.df, s, swD))
   }
 
@@ -102,8 +135,10 @@ object WeightedStats {
       s"svybyMean: NULL in group column '$groupCol' — the group would " +
         "silently vanish from the output; coalesce a sentinel first")))
       .otherwise(col(groupCol))
+    val wG = loud(w, "the design weights", "svybyMean")
+    val yG = loud(col(yCol), s"'$yCol'", "svybyMean")
     val m = df.groupBy(g.as(groupCol))
-      .agg(dsum(w * col(yCol)).as("__sdy"), dsum(w).as("__sd"),
+      .agg(dsum(wG * yG).as("__sdy"), dsum(wG).as("__sd"),
         count(lit(1)).as("__cnt"))
     // full-sample n rides the grouped frame via ONE empty-partition
     // window: m is group-count-sized and broadcast below, so the
@@ -113,18 +148,35 @@ object WeightedStats {
     val mt = m.withColumn("__n",
       sum(col("__cnt")).over(Window.partitionBy()).cast("double"))
     val joined = df.join(broadcast(mt), groupCol)
+    // a zero summed weight first bites HERE (the per-row score divides
+    // by Σ_g w): an unnamed ANSI DIVIDE_BY_ZERO, or a silent NULL score
+    // non-ANSI — name the group instead (r16 review)
+    val sdLoud = when(col("__sd") === lit(0.0), raise_error(concat(
+      lit("svybyMean: summed weight is zero in group "),
+      col(groupCol).cast("string")))).otherwise(col("__sd"))
     // UNNORMALIZED scores (see the object scaladoc): the /Σ_g w happens
     // once per group after aggregation, not per decimal addend
-    val s = w * (col(yCol) - col("__sdy") / col("__sd"))
+    val s = w * (col(yCol) - col("__sdy") / sdLoud)
+    // a zero summed weight makes mean_y a divide-by-zero (an unnamed
+    // ANSI error, or a silent NULL row non-ANSI) — name the group
+    // instead; n ≤ 1 gets variance 0 (the scoreVariance convention);
+    // and the decimal quantum can zero every s² addend while the s
+    // addends survive, leaving a small NEGATIVE variance whose sqrt is
+    // NaN — clamp at 0 (r16 review)
+    val sdOk = when(col("__sd2") === lit(0.0), raise_error(concat(
+      lit("svybyMean: summed weight is zero in group "),
+      col(groupCol).cast("string")))).otherwise(col("__sd2"))
     joined.groupBy(col(groupCol))
       .agg(first(col("__sdy")).as("__sdy2"), first(col("__sd")).as("__sd2"),
         first(col("__n")).as("__n2"),
         dsum(s * s).as("__sss"), dsum(s).as("__ss"))
       .select(col(groupCol),
-        (col("__sdy2") / col("__sd2")).as("mean_y"),
-        (col("__n2") / (col("__n2") - lit(1.0)) *
-          (col("__sss") - col("__ss") * col("__ss") / col("__n2")) /
-          (col("__sd2") * col("__sd2"))).as("var_mean"))
+        (col("__sdy2") / sdOk).as("mean_y"),
+        when(col("__n2") <= lit(1.0), lit(0.0))
+          .otherwise(greatest(lit(0.0),
+            col("__n2") / (col("__n2") - lit(1.0)) *
+              (col("__sss") - col("__ss") * col("__ss") / col("__n2")) /
+              (sdOk * sdOk))).as("var_mean"))
   }
 
   /** With-replacement score variance n/(n−1)·(Σs² − (Σs)²/n)/denom²
@@ -139,11 +191,15 @@ object WeightedStats {
     import graft.util.Tables.dsum
     val second = df.agg(dsum(s * s).as("sss"), dsum(s).as("ss"),
       count(lit(1)).as("n")).head()
-    val sss = second.getAs[Number]("sss").doubleValue()
-    val ss = second.getAs[Number]("ss").doubleValue()
+    val sss = num(second, "sss", "scoreVariance")
+    val ss = num(second, "ss", "scoreVariance")
     val n = second.getAs[Long]("n").toDouble
     if (n <= 1) 0.0
-    else n / (n - 1.0) * (sss - ss * ss / n) / (denom * denom)
+    // clamped at 0: the decimal quantum can zero every s² addend while
+    // the s addends survive (constant y at large n), leaving a tiny
+    // NEGATIVE value whose sqrt in .se would be NaN (r16 review)
+    else math.max(0.0,
+      n / (n - 1.0) * (sss - ss * ss / n) / (denom * denom))
   }
 
   /** `svymean(~y, calibrated_design)`: mean under calibrated weights,
@@ -175,27 +231,32 @@ object WeightedStats {
     val resid = calXCols.zipWithIndex.foldLeft(col(yCol)) {
       case (acc, (c, i)) => acc - col(c) * lit(beta(i))
     }
-    meanWithScores(df, col(yCol), col(wCalCol), col(wCalCol), resid)
+    meanWithScores(df, col(yCol), col(wCalCol), Some(resid))
   }
 
-  /** Shared two-pass mean + linearization variance. `scoreY` defaults to
-    * the centered y itself; for calibrated designs it is the WLS residual.
-    */
+  /** Shared two-pass mean + linearization variance. `scoreYOpt` defaults
+    * to the centered y itself; for calibrated designs it is the WLS
+    * residual. (The former separate `scoreW` parameter was dead — every
+    * caller passed the mean weight twice — and only invited a
+    * mismatched-weights call; r16 review.) */
   private def meanWithScores(
       df: DataFrame,
       y: Column,
       w: Column,
-      scoreW: Column,
-      scoreYOpt: Column = null
+      scoreYOpt: Option[Column] = None
   ): MeanResult = {
     import graft.util.Tables.dsum
+    val fn = "svymean"
+    val wG = loud(w, "the weights", fn)
+    val yG = loud(y, "the response", fn)
     val first = df.agg(
-      dsum(w * y).as("swy"), dsum(w).as("sw"), count(lit(1)).as("n")).head()
-    val sw = first.getAs[Number]("swy").doubleValue()
-    val w0 = first.getAs[Number]("sw").doubleValue()
+      dsum(wG * yG).as("swy"), dsum(wG).as("sw"),
+      count(lit(1)).as("n")).head()
+    val sw = num(first, "swy", fn)
+    val w0 = num(first, "sw", fn)
+    require(w0 != 0.0, s"$fn: weights sum to zero")
     val mu = sw / w0
-    val scoreBase = Option(scoreYOpt).getOrElse(y - lit(mu))
-    val s = scoreW * scoreBase
+    val s = wG * scoreYOpt.getOrElse(yG - lit(mu))
     MeanResult(mu, scoreVariance(df, s, w0))
   }
 }

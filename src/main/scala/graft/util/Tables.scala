@@ -67,6 +67,16 @@ object Tables {
     */
   def dsum(c: Column): Column = sum(c.cast("decimal(38,10)")).cast("double")
 
+  /** [[dsum]] at scale 18 — for sums of NORMALIZED small-magnitude
+    * addends (squared replicate deviations: dd ~ sd/√n, so dd² can sit
+    * near or below the 1e-10 scale-10 quantum and the variance would
+    * silently round to 0 for small-scale y at large n; r16 review).
+    * The price is headroom: addends must stay < 10²⁰ — true for any
+    * deviation-squared term, NOT for raw w·y totals, which keep
+    * [[dsum]]. */
+  def dsum18(c: Column): Column =
+    sum(c.cast("decimal(38,18)")).cast("double")
+
   /** Deterministic mean: exact decimal numerator / exact count, divided in
     * IEEE double => bit-identical across engines. */
   def dmean(c: Column): Column = dsum(c) / count(c)
@@ -97,6 +107,12 @@ object Tables {
     */
   def sqlDsum(e: String): String =
     s"CAST(CAST(sum(CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), 10) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+  /** Matching DuckDB fragment for [[dsum18]]: the VARCHAR round-trip
+    * parses the shortest-repr double and the DECIMAL(38,18) cast rounds
+    * at scale 18 HALF_UP — the same value Spark's cast produces. */
+  def sqlDsum18(e: String): String =
+    s"CAST(CAST(sum(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
 
   /** Windowed [[dsum]]: the same exact-decimal sum over a window frame
     * instead of a group. Kept here beside dsum so the two Spark/SQL

@@ -110,4 +110,60 @@ class RatioDomainSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("NULL in group column"), e.getMessage)
   }
+
+  test("r16 guards: NULL y/weights raise NAMED (not silently-biased " +
+      "means), empty frames name themselves, and variance never goes " +
+      "negative") {
+    def chain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    // NULL y: the decimal sum would SKIP it while n and Σw keep the row
+    val nullY = Seq((Option(10.0), 1.0), (None: Option[Double], 2.0))
+      .toDF("y", "w")
+    val e1 = intercept[Exception] {
+      WeightedStats.svymean(SurveyDesign(nullY, "w"), "y")
+    }
+    assert(chain(e1).contains("NULL in the response"), chain(e1))
+    val e2 = intercept[Exception] {
+      WeightedStats.svytotal(SurveyDesign(nullY, "w"), Seq("y"))
+    }
+    assert(chain(e2).contains("NULL in 'y'"), chain(e2))
+    val e3 = intercept[Exception] {
+      WeightedStats.svybyMean(
+        SurveyDesign(nullY.withColumn("g", lit(1L)), "w"), "y", "g")
+        .collect()
+    }
+    assert(chain(e3).contains("NULL in 'y'"), chain(e3))
+    // ...but a NULL y OUTSIDE the domain is legitimate
+    val nullOutside = Seq((Option(10.0), 1.0, true),
+      (None: Option[Double], 2.0, false)).toDF("y", "w", "d")
+    val dm = WeightedStats.svymeanDomain(
+      SurveyDesign(nullOutside, "w"), "y", col("d"))
+    assert(dm.mean === 10.0)
+    // ...while INSIDE it raises
+    val e4 = intercept[Exception] {
+      WeightedStats.svymeanDomain(
+        SurveyDesign(nullY, "w"), "y", lit(true))
+    }
+    assert(chain(e4).contains("inside the domain"), chain(e4))
+    // empty frame: a named error, not an anonymous NPE
+    val empty = Seq.empty[(Double, Double)].toDF("y", "w")
+    val e5 = intercept[IllegalArgumentException] {
+      WeightedStats.svymean(SurveyDesign(empty, "w"), "y")
+    }
+    assert(e5.getMessage.contains("empty input frame"), e5.getMessage)
+    // constant y: variance must clamp at 0, se must not be NaN
+    val const = Seq.tabulate(1000)(i => (5.0, 1.0 + (i % 3) * 0.5))
+      .toDF("y", "w")
+    val m = WeightedStats.svymean(SurveyDesign(const, "w"), "y")
+    assert(m.variance >= 0.0 && !m.se.isNaN)
+    // zero-weight group names the group
+    val zeroW = Seq((1.0, 1.0, 1L), (2.0, 0.0, 2L)).toDF("y", "w", "g")
+    val e6 = intercept[Exception] {
+      WeightedStats.svybyMean(SurveyDesign(zeroW, "w"), "y", "g").collect()
+    }
+    assert(chain(e6).contains("summed weight is zero in group"), chain(e6))
+  }
 }

@@ -288,4 +288,67 @@ class ReplicationSuite extends SparkSpec {
     assert(e.getMessage.contains("NULL in id column"), e.getMessage)
   }
 
+  test("r16 guards: NULL y raises named; empty bootstrap input raises; " +
+      "NULL stratum raises (it used to vanish through the JKn join)") {
+    import spark.implicits._
+    def chain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    val nullY = Seq((Option(1.0), 1.0, 1L), (None: Option[Double], 1.0, 2L))
+      .toDF("y", "w", "psu")
+    val e1 = intercept[Exception] {
+      Replication.jk1Mean(nullY, col("y"), col("w"), col("psu")).collect()
+    }
+    assert(chain(e1).contains("NULL in the response"), chain(e1))
+    val e2 = intercept[IllegalArgumentException] {
+      Replication.poissonBootstrapMean(
+        Seq.empty[(Double, Double, Long)].toDF("y", "w", "id"),
+        col("y"), col("w"), col("id"), reps = 4)
+    }
+    assert(e2.getMessage.contains("empty input frame"), e2.getMessage)
+    // a NULL stratum groups fine and passes the lonely check, but the
+    // stratum equi-join would silently drop its PSUs from the replicate
+    // frame while the grand totals keep them
+    val nullH = Seq((1.0, 1.0, None: Option[Long], 1L),
+      (2.0, 1.0, None: Option[Long], 2L),
+      (3.0, 1.0, Option(1L), 3L), (4.0, 1.0, Option(1L), 4L))
+      .toDF("y", "w", "h", "psu")
+    val e3 = intercept[Exception] {
+      Replication.jknMean(nullH, col("y"), col("w"), col("h"), col("psu"))
+        .collect()
+    }
+    assert(chain(e3).contains("NULL in the stratum column"), chain(e3))
+    // empty JKn input is a named error, not a one-row all-NULL result
+    val e4 = intercept[IllegalArgumentException] {
+      Replication.jknMean(Seq.empty[(Double, Double, Long, Long)]
+        .toDF("y", "w", "h", "psu"), col("y"), col("w"), col("h"),
+        col("psu"))
+    }
+    assert(e4.getMessage.contains("empty input frame"), e4.getMessage)
+  }
+
+  test("r16: scale-18 deviation sums keep a small-magnitude variance " +
+      "that the scale-10 quantum rounded to exactly zero") {
+    import spark.implicits._
+    // y ~ 1e-3 with per-PSU means differing by ~1e-4: replicate
+    // deviations ~1e-5, squares ~1e-10 — AT the old quantum, where
+    // half the addends died; at scale 18 the variance is real
+    val df = Seq.tabulate(400) { i =>
+      (0.001 + (i % 4) * 0.0001, 1.0, (i % 4).toLong)
+    }.toDF("y", "w", "psu")
+    val row = Replication.jk1Mean(df, col("y"), col("w"), col("psu"))
+      .head()
+    val varJk = row.getAs[Double]("var_jk")
+    assert(varJk > 0.0, s"var_jk collapsed to $varJk")
+    // IEEE reference: 4 equal-weight PSUs, delete-one thetas
+    val means = Seq(0.001, 0.0011, 0.0012, 0.0013)
+    val t = means.map(_ * 100).sum
+    val thetas = means.map(m => (t - m * 100) / 300.0)
+    val bar = thetas.sum / 4.0
+    val ref = (3.0 / 4.0) * thetas.map(x => (x - bar) * (x - bar)).sum
+    assert(math.abs(varJk - ref) / ref < 1e-6,
+      s"var_jk=$varJk ref=$ref")
+  }
 }

@@ -45,14 +45,36 @@ object Bucketing {
     * convention). */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
                     key: String, joinType: String = "inner"): DataFrame = {
+    // name comparison follows the session's resolver: Spark column
+    // resolution is case-INSENSITIVE unless spark.sql.caseSensitive is
+    // set, so a case-sensitive == here would spuriously refuse a
+    // genuinely co-located join over a differently-cased key (r16
+    // advice). Catalog TABLES only: a temp view has no bucketSpec, so
+    // the requirement is stated in the error rather than failing with
+    // a bare catalog lookup.
+    val resolver = spark.sessionState.analyzer.resolver
     def spec(t: String) = {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(t)
-      val s = spark.sessionState.catalog.getTableMetadata(id).bucketSpec
-      require(s.isDefined && s.get.bucketColumnNames == Seq(key),
+      // getTableMetadata throws NoSuchTableException for temp views and
+      // unknown names — rewrap with the contract so the caller learns
+      // WHY a temp view (which would plan fine as a plain join) is
+      // refused here
+      val meta = try spark.sessionState.catalog.getTableMetadata(id)
+      catch {
+        case e: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+          throw new IllegalArgumentException(
+            s"colocatedJoin: '$t' is not a catalog table (temp views " +
+              "carry no bucket spec, so co-location cannot be proven) — " +
+              "write it with writeBucketed first", e)
+      }
+      val s = meta.bucketSpec
+      require(s.isDefined && s.get.bucketColumnNames.size == 1 &&
+        resolver(s.get.bucketColumnNames.head, key),
         s"colocatedJoin: table '$t' is not bucketed by '$key' " +
           s"(spec: ${s.map(_.toString).getOrElse("none")}) — the join " +
-          "would silently shuffle both sides; write it with " +
-          "writeBucketed first")
+          "would silently shuffle both sides; colocatedJoin requires " +
+          "CATALOG tables (temp views carry no bucket spec): write " +
+          "both sides with writeBucketed first")
       s.get
     }
     val (ls, rs) = (spec(left), spec(right))

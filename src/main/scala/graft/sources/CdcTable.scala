@@ -58,18 +58,25 @@ object CdcTable {
   def latestVersion(path: String): Option[Int] =
     versionDirs(SparkSession.active, path).lastOption
 
-  /** (Re-)initialize the table at `path` with `df` as version 0. Any
-    * EXISTING complete versions are deleted first: init means "this is
-    * the table now" — the previous rendition only overwrote v=0 and
-    * left v=1.. intact, so readLatest kept serving the stale highest
-    * version and the new data never became visible (r16 review). */
+  /** (Re-)initialize the table at `path` with `df` as version 0,
+    * deleting any higher versions: init means "this is the table now" —
+    * a rendition that only overwrote v=0 left v=1.. intact, so
+    * readLatest kept serving the stale highest version and the new data
+    * never became visible (r16 review). Order matters: v=0 is WRITTEN
+    * first and the v>0 deletes run only after that write commits — the
+    * delete-first ordering had a window (crash or write failure between
+    * the deletes and the parquet commit) that left the table with ZERO
+    * complete versions, i.e. total loss of the prior table. With this
+    * ordering the worst crash outcome is the old stale-read behavior
+    * (v=0 new, some v>0 survivors still pinned by readers), which the
+    * next successful init fully repairs. */
   def init(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val (fs, root) = fsAndRoot(spark, path)
-    versionDirs(spark, path).foreach { v =>
+    df.write.mode("overwrite").parquet(s"$path/v=0")
+    versionDirs(spark, path).filter(_ > 0).foreach { v =>
       fs.delete(new Path(root, s"v=$v"), true)
     }
-    df.write.mode("overwrite").parquet(s"$path/v=0")
   }
 
   def readLatest(spark: SparkSession, path: String): DataFrame = {

@@ -231,22 +231,25 @@ object WeightedStats {
     val resid = calXCols.zipWithIndex.foldLeft(col(yCol)) {
       case (acc, (c, i)) => acc - col(c) * lit(beta(i))
     }
-    meanWithScores(df, col(yCol), col(wCalCol), Some(resid))
+    meanWithScores(df, col(yCol), col(wCalCol), Some(resid),
+      fn = "svymeanCalibrated")
   }
 
   /** Shared two-pass mean + linearization variance. `scoreYOpt` defaults
     * to the centered y itself; for calibrated designs it is the WLS
     * residual. (The former separate `scoreW` parameter was dead — every
     * caller passed the mean weight twice — and only invited a
-    * mismatched-weights call; r16 review.) */
+    * mismatched-weights call; r16 review.) `fn` names the PUBLIC caller
+    * in loud()/num() errors — a hardcoded "svymean" attributed
+    * calibrated-path failures to the wrong entry point (r16 advice). */
   private def meanWithScores(
       df: DataFrame,
       y: Column,
       w: Column,
-      scoreYOpt: Option[Column] = None
+      scoreYOpt: Option[Column] = None,
+      fn: String = "svymean"
   ): MeanResult = {
     import graft.util.Tables.dsum
-    val fn = "svymean"
     val wG = loud(w, "the weights", fn)
     val yG = loud(y, "the response", fn)
     val first = df.agg(

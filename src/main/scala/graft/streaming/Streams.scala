@@ -223,12 +223,16 @@ object Streams {
     // functions.expr defers parsing to analysis (Spark 4 ColumnNode),
     // so a malformed duration would otherwise surface as a bare
     // ParseException out of the join's analysis, pointing at generated
-    // SQL instead of at the argument
+    // SQL instead of at the argument. Validation MUST use the same
+    // grammar the literal does: an earlier rendition pre-checked with
+    // IntervalUtils.stringToInterval, which parses only the 'N unit'
+    // form and so rejected ANSI interval strings the join itself
+    // accepts (e.g. "'1 2:03:04' DAY TO SECOND") — r16 advice
     def iv(s: String, what: String): Column = {
-      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(s"INTERVAL $s")
       catch {
-        case e: IllegalArgumentException =>
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
           throw new IllegalArgumentException(
             s"intervalJoin: $what = '$s' is not a valid interval", e)
       }
@@ -344,8 +348,19 @@ object Streams {
     // lateness ONLY takes effect through the watermark the eviction
     // mode installs — without evictAfter no watermark is applied at
     // all, and a caller passing an explicit lateness would believe a
-    // bound exists when none does (r16 review): make that loud
-    require(lateness == "0 seconds" || evictAfter.isDefined,
+    // bound exists when none does (r16 review): make that loud. The
+    // check is SEMANTIC, not textual — "0 minutes" / "0 second" are
+    // zero too (a string-equality guard against the default literal
+    // rejected them with a message implying a nonzero lateness — r16
+    // advice); parse once and compare the fixed-length millis
+    val latenessMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
+      require(iv.months == 0,
+        s"lateness must be a fixed-length duration: '$lateness'")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    require(latenessMs == 0L || evictAfter.isDefined,
       s"lateness ('$lateness') has no effect without evictAfter — it " +
         "sets the event-time watermark the eviction horizon reads; " +
         "pass evictAfter, or drop lateness")

@@ -35,6 +35,24 @@ class BucketingSuite extends SparkSpec {
       exSpec.getMessage)
   }
 
+  test("r17: colocatedJoin resolves the key case-insensitively and " +
+      "names the catalog-table requirement for temp views") {
+    val a = (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "va")
+    Bucketing.writeBucketed(a, "bk_a", "id", 8)
+    Bucketing.writeBucketed(a.toDF("id", "vb"), "bk_b", "id", 8)
+    // Spark resolution is case-insensitive by default: a differently-
+    // cased key must NOT be refused (the == Seq(key) guard was — r16
+    // advice)
+    assert(Bucketing.colocatedJoin(spark, "bk_a", "bk_b", "ID")
+      .count() === 100L)
+    // a temp view carries no bucket spec: the refusal names WHY
+    a.createOrReplaceTempView("bk_temp_view")
+    val exV = intercept[IllegalArgumentException] {
+      Bucketing.colocatedJoin(spark, "bk_a", "bk_temp_view", "id")
+    }
+    assert(exV.getMessage.contains("not a catalog table"), exV.getMessage)
+  }
+
   test("bucketed-by-key join plans with zero shuffle exchanges") {
     val a = (1L to 2000L).map(i => (i, i * 2.0)).toDF("id", "va")
     val b = (1L to 2000L).map(i => (i, s"n$i")).toDF("id", "vb")

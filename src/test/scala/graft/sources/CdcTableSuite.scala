@@ -118,4 +118,31 @@ class CdcTableSuite extends SparkSpec {
     }
     assert(exK.getMessage.contains("keepLast"))
   }
+
+  test("r17: a FAILED init write leaves the prior table fully intact " +
+      "(write-then-delete ordering)") {
+    // the delete-first rendition removed every complete version BEFORE
+    // the parquet commit, so a write failure mid-init destroyed the
+    // prior table outright (r16 advice). Drive the failure with a
+    // dataframe whose evaluation throws at write time.
+    val path = freshPath()
+    CdcTable.init(base.toDF("k", "v"), path)
+    CdcTable.applyBatch(path, Seq(Change(7L, "I", 1L, "g")).toDF(),
+      Seq("k"), "seq", "op")
+    assert(CdcTable.latestVersion(path) === Some(1))
+    val boom = org.apache.spark.sql.functions.udf((k: Long) =>
+      if (k > 0) throw new RuntimeException("boom") else "x")
+    val bad = base.toDF("k", "v")
+      .withColumn("v", boom(org.apache.spark.sql.functions.col("k")))
+    intercept[Exception] { CdcTable.init(bad, path) }
+    // worst case is the OLD stale-read behavior: every prior complete
+    // version still serves
+    assert(CdcTable.latestVersion(path) === Some(1))
+    assert(CdcTable.readLatest(spark, path).count() === 4L)
+    // and a subsequent successful init fully repairs the table
+    CdcTable.init(Seq((42L, "ok")).toDF("k", "v"), path)
+    assert(CdcTable.latestVersion(path) === Some(0))
+    assert(CdcTable.readLatest(spark, path)
+      .as[(Long, String)].collect().toSeq === Seq((42L, "ok")))
+  }
 }

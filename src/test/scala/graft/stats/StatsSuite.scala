@@ -269,5 +269,22 @@ class WeightedStatsSuite extends SparkSpec {
     // y is an exact linear function of the calibration vars, so the
     // WLS residuals — and hence the GREG variance — are ~0
     assert(m.variance < 1e-12)
+
+    // r17: a NULL-response failure on the CALIBRATED path is attributed
+    // to svymeanCalibrated, not to svymean (the shared helper hardcoded
+    // the latter — r16 advice)
+    val withNull = cal.withColumn("y",
+      when(col("id") === 5L, lit(null)).otherwise(col("y")))
+    // precompute the Gram on the CLEAN frame so the failure fires in the
+    // shared mean/variance helper, not in the Gram pass
+    val g = Gram.moments(cal, Seq("uno", "x"), Some("d"), Some("y"))
+    val ex = intercept[Exception] {
+      WeightedStats.svymeanCalibrated(withNull, "y", "w_cal",
+        Seq("uno", "x"), g)
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("svymeanCalibrated"), msgs)
   }
 }

@@ -694,4 +694,27 @@ class StreamingSuite extends SparkSpec {
     assert(exMs.getMessage.contains("at least 1 millisecond"),
       exMs.getMessage)
   }
+
+  test("r17: intervalJoin accepts ANSI interval strings; a semantically-" +
+      "zero lateness in any unit passes the no-evictAfter guard") {
+    val l = Seq(Pur(1L, 1L, t("2026-01-01 10:00:00"))).toDF()
+    val r = Seq(Clk(1L, 1L, t("2026-01-01 10:05:00"))).toDF()
+    // the INTERVAL literal's own grammar includes the ANSI form — the
+    // stringToInterval pre-check rejected it as "not a valid interval"
+    // even though the join itself planned it fine (r16 advice)
+    assert(Streams.intervalJoin(l, r, "user_id", "p_ts", "c_ts",
+      before = "'0 00:01:00' DAY TO SECOND",
+      after = "'0 00:10:00' DAY TO SECOND").count() === 1L)
+    // ...and a malformed ANSI string still fails NAMED at construction
+    val exA = intercept[IllegalArgumentException] {
+      Streams.intervalJoin(l, r, "user_id", "p_ts", "c_ts",
+        before = "'oops' DAY TO SECOND", after = "10 minutes")
+    }
+    assert(exA.getMessage.contains("before = "), exA.getMessage)
+    // "0 minutes" IS zero: the guard compares parsed millis, not the
+    // "0 seconds" default literal (r16 advice)
+    val docs = Seq(StreamDoc(1L, t("2026-01-01 10:00:00"), "a b c")).toDS()
+    assert(Streams.streamNearDupPairs(docs, lateness = "0 minutes")
+      .collect().isEmpty)
+  }
 }

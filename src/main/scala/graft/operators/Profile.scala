@@ -171,72 +171,47 @@ object Profile {
   }
 
   /** Tukey IQR outlier census per column: exact Q1/Q3 (the `percentile`
-    * order statistics — a14's convention, which hash-matches DuckDB's
+    * interpolation — a14's convention, which hash-matches DuckDB's
     * quantile_cont), the 1.5·IQR fences lo = Q1 − 1.5·(Q3 − Q1) /
     * hi = Q3 + 1.5·(Q3 − Q1) as mirrored IEEE ops, and the strict
     * outside counts. NULLs are ignored on both the quantile and the
     * count side (a NULL comparison is not an outlier), matching SQL
     * semantics.
     *
-    * Scale shape: TWO passes total for any column count — one
-    * aggregation computing every column's exact quartiles together,
-    * one counting pass with all fences broadcast; the 1-row result
-    * reshapes driver-side (the k×k Gram convention). Exact
-    * `percentile` buffers each column per partition — the honest price
-    * of a hash-gradeable census; at 100 TB the drop-in lever is
-    * `approx_percentile` (t-digest class, same two-pass shape, no
-    * longer bit-reproducible). */
+    * Scale shape: the quartiles come from
+    * [[graft.operators.Ranks.percentileSelect]] — ALL columns in one
+    * distributed selection pass with O(1) per-task state (exact
+    * `percentile` buffered a value→count map merged on a single task,
+    * O(distinct values) at one point of concentration — the last
+    * unbounded-state aggregation in the timed catalog, r16 verdict);
+    * then one counting pass over the data with the four fences per
+    * column inlined as literals. The fences are the same IEEE double
+    * ops as before, now computed driver-side on the same quartile
+    * doubles — bit-identical, so the hash oracle stands. */
   def iqrOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "iqrOutliers: need at least one column")
-    // identifiers are backtick-quoted into the percentile expr — a
-    // column name with a space/dot/reserved word would otherwise fail
-    // the SQL parse (profile() handles the same column fine via typed
-    // col(); the quoting keeps both entry points name-agnostic)
+    // identifiers are backtick-quoted — a column name with a space/dot/
+    // reserved word would otherwise fail the SQL parse (profile()
+    // handles the same column fine via typed col(); the quoting keeps
+    // both entry points name-agnostic)
     def bq(c: String): String = "`" + c.replace("`", "``") + "`"
-    // TWO passes total for ANY column count: one aggregation computing
-    // every column's quartiles together, one counting pass with all
-    // fences broadcast — not 2 passes per column
-    val stats = df.agg(
-      expr(s"percentile(${bq(cols.head)}, 0.25)").as(s"__q1_0"),
-      (expr(s"percentile(${bq(cols.head)}, 0.75)").as(s"__q3_0") +:
-        cols.zipWithIndex.tail.flatMap { case (c, i) => Seq(
-          expr(s"percentile(${bq(c)}, 0.25)").as(s"__q1_$i"),
-          expr(s"percentile(${bq(c)}, 0.75)").as(s"__q3_$i"))
-        }): _*)
-    val fenced = stats.select(cols.indices.flatMap { i =>
-      val iqr = col(s"__q3_$i") - col(s"__q1_$i")
-      Seq(col(s"__q1_$i"), col(s"__q3_$i"),
-        (col(s"__q1_$i") - lit(1.5) * iqr).as(s"__lo_$i"),
-        (col(s"__q3_$i") + lit(1.5) * iqr).as(s"__hi_$i"))
-    }: _*)
-    val countAggs = cols.indices.flatMap { i => Seq(
-      first(col(s"__q1_$i")).as(s"q1_$i"),
-      first(col(s"__q3_$i")).as(s"q3_$i"),
-      first(col(s"__lo_$i")).as(s"lo_$i"),
-      first(col(s"__hi_$i")).as(s"hi_$i"),
-      sum(when(col(bq(cols(i))) < col(s"__lo_$i"), 1L).otherwise(0L))
-        .as(s"nb_$i"),
-      sum(when(col(bq(cols(i))) > col(s"__hi_$i"), 1L).otherwise(0L))
-        .as(s"na_$i"))
+    // percentileSelect raises the same named error for an all-NULL
+    // column that the percentile-NULL require used to
+    val q = graft.operators.Ranks.percentileSelect(df, cols, Seq(0.25, 0.75))
+    val fences = cols.map { c =>
+      val (q1, q3) = (q((c, 0.25)), q((c, 0.75)))
+      val iqr = q3 - q1
+      (c, q1, q3, q1 - 1.5 * iqr, q3 + 1.5 * iqr)
     }
-    val counted = df.crossJoin(broadcast(fenced))
-      .agg(countAggs.head, countAggs.tail: _*)
-    // ONE row comes back; reshaping it to |cols| rows driver-side keeps
-    // the two scans from re-running per output row (a union of
-    // projections over the same agg would re-execute the whole plan
-    // once per branch)
-    val row = counted.head()
+    val countAggs = fences.zipWithIndex.flatMap { case ((c, _, _, lo, hi), i) => Seq(
+      sum(when(col(bq(c)) < lit(lo), 1L).otherwise(0L)).as(s"nb_$i"),
+      sum(when(col(bq(c)) > lit(hi), 1L).otherwise(0L)).as(s"na_$i"))
+    }
+    val row = df.agg(countAggs.head, countAggs.tail: _*).head()
     val spark = df.sparkSession
     import spark.implicits._
-    cols.zipWithIndex.foreach { case (c, i) =>
-      // percentile of an all-NULL column (or an empty frame) is NULL —
-      // name the column instead of NPEing on the unbox below
-      require(!row.isNullAt(row.fieldIndex(s"q1_$i")),
-        s"iqrOutliers: column '$c' has no non-NULL values to census")
-    }
-    cols.zipWithIndex.map { case (c, i) =>
-      (c, row.getAs[Double](s"q1_$i"), row.getAs[Double](s"q3_$i"),
-        row.getAs[Double](s"lo_$i"), row.getAs[Double](s"hi_$i"),
+    fences.zipWithIndex.map { case ((c, q1, q3, lo, hi), i) =>
+      (c, q1, q3, lo, hi,
         row.getAs[Long](s"nb_$i"), row.getAs[Long](s"na_$i"))
     }.sortBy(_._1)
       .toDF("colname", "q1", "q3", "lo_fence", "hi_fence",

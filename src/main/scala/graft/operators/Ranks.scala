@@ -85,6 +85,90 @@ object Ranks {
     } finally proj.unpersist()
   }
 
+  /** Exact INTERPOLATED percentiles — SQL `percentile` / DuckDB
+    * `quantile_cont` semantics — for several columns in ONE distributed
+    * selection pass with bounded state everywhere.
+    *
+    * Spark's exact `percentile` buffers a value→count map per partition
+    * and merges the maps on a SINGLE task — O(distinct values) memory at
+    * one point of concentration, the last unbounded-state aggregation
+    * shape in the catalog (r16 verdict). This replaces it with
+    * selection: interpolated percentiles are a weighted pair of
+    * ADJACENT ORDER STATISTICS, and order statistics come from a
+    * range-partitioned sort + [[globalRowNumber]] — a distributed
+    * shuffle with O(1) per-task state — plus an O(|cols|·|ps|) rank
+    * filter back to the driver.
+    *
+    * One scan fans the k columns into (column-index, value) rows
+    * (`stack` — NULLs drop, matching SQL percentile's NULL handling);
+    * the global sort is on (index, value), so each column's ranks form
+    * a CONTIGUOUS block whose start is the running sum of the earlier
+    * columns' non-NULL counts — no second pass to locate blocks. Ties
+    * need no tie-break column here: equal values occupy a contiguous
+    * rank run, so the value AT a rank is the k-th order statistic no
+    * matter how the run permutes (unlike rank-PER-ROW uses of
+    * globalRowNumber, which require a total order).
+    *
+    * Bit parity: the driver-side interpolation replicates
+    * `Percentile.getPercentile`'s arithmetic exactly — position =
+    * (n−1)·p as Long·Double, floor/ceil ranks, the equal-key shortcut
+    * (the two-product form can differ from the key by 1 ulp when both
+    * keys are equal), and (higher−pos)·lo + (pos−lower)·hi — so results
+    * hash-match Spark `percentile` and (transitively, a14's standing
+    * parity) DuckDB `quantile_cont`. */
+  def percentileSelect(df: DataFrame, cols: Seq[String],
+                       ps: Seq[Double]): Map[(String, Double), Double] = {
+    require(cols.nonEmpty, "percentileSelect: need at least one column")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentages must be in [0, 1]: $ps")
+    def bq(c: String): String = "`" + c.replace("`", "``") + "`"
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"$i, cast(${bq(c)} as double)" }.mkString(", ")
+    // pin ONE materialization of the narrow 2-column fan-out: the count
+    // pass and the rank pass must see the same rows (the quantileSelect
+    // two-execution discipline)
+    val proj = df
+      .selectExpr(s"stack(${cols.size}, $stackArgs) as (__i, __v)")
+      .filter(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = proj.groupBy("__i").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      cols.zipWithIndex.foreach { case (c, i) =>
+        require(counts.contains(i),
+          s"percentileSelect: column '$c' has no non-NULL values")
+      }
+      // block starts: ranks are assigned over the (index, value) sort,
+      // so column i's ranks are [r0(i), r0(i)+n(i)) with r0 cumulative
+      val r0 = cols.indices.scanLeft(1L)((acc, i) => acc + counts(i))
+      val ranked = globalRowNumber(proj,
+        Seq(col("__i"), col("__v")), out = "__rn")
+      val ranksNeeded = (for {
+        i <- cols.indices
+        p <- ps
+        pos = (counts(i) - 1).toDouble * p
+        r <- Seq(pos.floor.toLong, pos.ceil.toLong)
+      } yield r0(i) + r).distinct
+      val hits = ranked.filter(col("__rn").isin(ranksNeeded: _*))
+        .select(col("__rn"), col("__v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (for { (c, i) <- cols.zipWithIndex; p <- ps } yield {
+        val pos = (counts(i) - 1).toDouble * p
+        val lower = pos.floor.toLong
+        val higher = pos.ceil.toLong
+        val lowerKey = hits(r0(i) + lower)
+        val v =
+          if (higher == lower) lowerKey
+          else {
+            val higherKey = hits(r0(i) + higher)
+            if (higherKey == lowerKey) lowerKey
+            else (higher - pos) * lowerKey + (pos - lower) * higherKey
+          }
+        (c, p) -> v
+      }).toMap
+    } finally proj.unpersist()
+  }
+
   /** Winsorization: clip `valueCol` to its exact [loBp, hiBp]
     * selection quantiles (basis points). The clip itself is a pure
     * projection with two broadcast scalar literals — the data is

@@ -16,6 +16,12 @@ import graft.operators.Ranks
   *     0..n−1 is closed-form: value = (bp·n + 9999) div 10000 − 1.
   *  3. giniByGroup over near-uniform values — population Gini of
   *     uniform is 1/3; 20M draws must land within ±0.01.
+  *  4. percentileSelect on the permutation — n DISTINCT values, the
+  *     exact scale shape where aggregate `percentile`'s single-task
+  *     value→count merge is the memory hazard (r16 verdict item 3);
+  *     the interpolated p-percentile of 0..n−1 is closed-form
+  *     ((n−1)·p through the same floor/ceil interpolation), asserted
+  *     bit-exact at the a14 percentages.
   *
   * Run: sbt "runMain graft.tools.RanksScaleProbe [nRows]"
   */
@@ -69,6 +75,25 @@ object RanksScaleProbe {
     }
     println(f"giniByGroup: 3 groups x ${n / 3}%,d rows, all within " +
       f"0.01 of uniform 1/3, in $tG%.1fs")
+
+    val t3 = System.nanoTime()
+    val ps = Seq(0.5, 0.95, 0.99)
+    val pct = Ranks.percentileSelect(
+      perm.select(col("v").cast("double").as("vd")), Seq("vd"), ps)
+    val tP = (System.nanoTime() - t3) / 1e9
+    ps.foreach { pr =>
+      // closed form over 0..n−1 with Percentile's own arithmetic
+      val pos = (n - 1).toDouble * pr
+      val lower = pos.floor.toLong
+      val higher = pos.ceil.toLong
+      val expect =
+        if (higher == lower) lower.toDouble
+        else (higher - pos) * lower + (pos - lower) * higher
+      assert(pct(("vd", pr)) == expect,
+        s"p=$pr: ${pct(("vd", pr))} != $expect")
+    }
+    println(f"percentileSelect: N=$n%,d DISTINCT values, interpolated " +
+      f"p50/p95/p99 bit-exact with bounded per-task state, in $tP%.1fs")
     spark.stop()
   }
 }

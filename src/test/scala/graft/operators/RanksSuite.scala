@@ -91,6 +91,35 @@ class RanksSuite extends SparkSpec {
     assert(e.getMessage.contains("non-positive value sum"), e.getMessage)
   }
 
+  test("r17: percentileSelect is bit-identical to SQL percentile over " +
+      "random data with NULLs, duplicates, and multiple columns") {
+    val rnd = new scala.util.Random(23)
+    // duplicates (quantized values), NULLs, and two columns with
+    // DIFFERENT non-NULL counts (block starts must be cumulative)
+    val df = Seq.tabulate(997) { i =>
+      val a = if (i % 13 == 0) None else Some(rnd.nextInt(80) / 7.0)
+      val b = if (i % 5 == 0) None else Some(rnd.nextDouble() * 1e6 - 5e5)
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+    val ps = Seq(0.0, 0.25, 0.5, 0.733, 0.95, 0.99, 1.0)
+    val got = Ranks.percentileSelect(df.repartition(7), Seq("a", "b"), ps)
+    val pList = ps.mkString("array(", ", ", ")")
+    val exp = df.agg(
+      expr(s"percentile(a, $pList)").as("qa"),
+      expr(s"percentile(b, $pList)").as("qb")).head()
+    ps.zipWithIndex.foreach { case (p, j) =>
+      assert(got(("a", p)) === exp.getSeq[Double](0)(j), s"a@$p")
+      assert(got(("b", p)) === exp.getSeq[Double](1)(j), s"b@$p")
+    }
+    // an all-NULL column fails NAMED instead of a bare key-not-found
+    val allNull = df.withColumn("c", lit(null).cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      Ranks.percentileSelect(allNull, Seq("a", "c"), Seq(0.5))
+    }
+    assert(e.getMessage.contains("'c' has no non-NULL values"),
+      e.getMessage)
+  }
+
   test("quantileSelect derives n and the ranks from ONE materialization " +
       "(a separate count() can disagree with a re-executed rank pass)") {
     // an input whose row set is only pinned by materialization: under

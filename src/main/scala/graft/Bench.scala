@@ -50,6 +50,14 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       }
+      // drop the run's leased caches (trained LM count tables,
+      // TextPipeline internals) OUTSIDE the timed window: every timed
+      // run then carries its own training cost — uniform attribution
+      // (t24/t25 previously graded warm off t13's resident model) — and
+      // a full pass ends with zero model caches resident (r16 verdict
+      // finding 1). The release itself is driver-side bookkeeping,
+      // deliberately not timed.
+      finally graft.util.QueryLeases.releaseAll()
     }
     // UNIFORM min-of-2: every query runs twice and reports the per-query
     // min. A stop-the-world GC pause on a 100+ GiB heap, or first-touch
@@ -98,6 +106,9 @@ object Bench {
         try { f(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+        // the heavy sentinel (t27) leases a cache per probe run — same
+        // untimed drain as the graded runs
+        finally graft.util.QueryLeases.releaseAll()
       }
       val sec = run(fn)
       val heavySec = heavyFn.map(run).getOrElse(-1.0)
@@ -300,6 +311,12 @@ object Bench {
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars > 1800 — may be truncated by the harness tail window")
     println(line)
+    // cache-leak tripwire (r16 verdict finding 1's done-condition): the
+    // per-run QueryLeases drain must leave the pass with ZERO resident
+    // dataset caches — anything still here is an unleased persist
+    System.err.println("[bench] resident dataset caches at end: " +
+      (if (spark.sharedState.cacheManager.isEmpty) "none"
+       else "LEAK — some persist site is not leased"))
     spark.stop()
   }
 }

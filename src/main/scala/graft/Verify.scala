@@ -42,6 +42,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the query's leased caches (trained LM count tables,
+      // TextPipeline internals) now that its result is on disk — a full
+      // pass must not accumulate one model per training query (r16
+      // verdict finding 1)
+      finally graft.util.QueryLeases.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

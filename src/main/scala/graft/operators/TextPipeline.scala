@@ -31,9 +31,12 @@ import org.apache.spark.storage.StorageLevel
   *    NOT ContextCleaner-reclaimed; only RDD-level persists are — r15
   *    ADVICE). Dataset-level is deliberate: InMemoryRelation keeps
   *    accurate size stats, which the downstream joins need for
-  *    auto-broadcast. Long-lived sessions running many pipelines should
-  *    `clearCache()` between batches; the per-round mains (Verify,
-  *    Bench) hold one session per run, where the caches are the point.
+  *    auto-broadcast. Each persist is registered with
+  *    [[graft.util.QueryLeases]] (r16 verdict finding 1), so a driver
+  *    that calls `QueryLeases.releaseAll()` once its result is
+  *    materialized frees them — Verify and Bench both do, after every
+  *    query; long-lived sessions running many pipelines should do the
+  *    same (or `clearCache()`) between batches.
   *  - [[decontaminate]]: benchmark suites are tiny next to the corpus
   *    (≤ ~10⁶ n-grams), so the collision join broadcasts the benchmark
   *    shingle set; the corpus side is explode → broadcast-join →
@@ -61,8 +64,13 @@ object TextPipeline {
                        k: Int): DataFrame = {
     val flat = docs.select(col(idCol),
       explode(Dedup.tokens(col(textCol))).as("tok"))
-    val tf = flat.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // leased: the caller cannot reach this handle, so the QueryLeases
+    // registry is the release path (drained by Verify/Bench after each
+    // query's materialization — r16 verdict finding 1; see the object
+    // scaladoc's cache-lifecycle note)
+    val tf = graft.util.QueryLeases.leased(
+      flat.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     // (doc, tok) is unique after the tf groupBy, so df = row count per
     // tok; both levels partial-aggregate map-side (bounded tasks even
     // for stopwords — see the object scaladoc for why NOT a window)
@@ -116,10 +124,11 @@ object TextPipeline {
     // agg executes twice (r15 review). Doc-count-sized; held by the
     // CacheManager until an explicit unpersist/clearCache — Dataset
     // caches are strong references, NOT ContextCleaner-reclaimed (r15
-    // ADVICE; see the object scaladoc's cache-lifecycle note).
-    val perDoc = flat.groupBy(idCol)
+    // ADVICE; see the object scaladoc's cache-lifecycle note). Leased
+    // for release after the consuming query materializes (r16 finding 1).
+    val perDoc = graft.util.QueryLeases.leased(flat.groupBy(idCol)
       .agg(count(lit(1)).as("dl"), tfAggs: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
       queryTerms.indices.map(i =>
         count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))
@@ -434,9 +443,10 @@ object TextPipeline {
       .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__k"))
       // feeds n AND the entropy join (3 plan branches after the final
       // n-join) — persisted like bm25's perDoc / topTermsByRarity's tf
-      // (r15 review); (doc, char)-sized, CacheManager-held until
-      // unpersist/clearCache (see the object scaladoc)
+      // (r15 review); (doc, char)-sized, leased for post-query release
+      // (r16 finding 1; see the object scaladoc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.QueryLeases.leased(cc)
     val n = cc.groupBy(col(idCol))
       .agg(sum(col("__k")).as("n_chars_dist"),
         count(lit(1)).as("n_distinct"))
@@ -477,11 +487,12 @@ object TextPipeline {
       .otherwise(col(domainCol))
     val toks = docs.select(dom.as("__dom"),
       explode(Dedup.tokens(col(textCol))).as("__tok"))
-    val cd = toks.groupBy("__dom", "__tok").agg(count(lit(1)).as("__cdv"))
-      // feeds cv, perDom, AND the kl join — persisted like bm25's
-      // perDoc (r15 review); (domain, token)-sized, vocabulary-bounded,
-      // CacheManager-held until unpersist/clearCache (object scaladoc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cd = graft.util.QueryLeases.leased(
+      toks.groupBy("__dom", "__tok").agg(count(lit(1)).as("__cdv"))
+        // feeds cv, perDom, AND the kl join — persisted like bm25's
+        // perDoc (r15 review); (domain, token)-sized, vocabulary-bounded,
+        // leased for post-query release (r16 finding 1; object scaladoc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cv = cd.groupBy("__tok").agg(sum(col("__cdv")).as("__cv"))
     val all = Window.partitionBy(lit(1))
     val perDom = cd.groupBy("__dom")

@@ -110,6 +110,12 @@ object TextQueries {
     val docs = load(s, d, "documents")
     val model = graft.operators.NgramLm.train(
       docs.filter(col("lang") === "en"), "text")
+    // the model's count-table caches must outlive this function (the
+    // caller materializes the lazy `scored` later), so the release is
+    // LEASED rather than finally'd: Verify/Bench drain QueryLeases after
+    // each query's materialization, so a full pass no longer accumulates
+    // one trained model per t13/t24/t25 run (r16 verdict finding 1)
+    graft.util.QueryLeases.lease(model.unpersist())
     val scored = graft.operators.NgramLm
       .scoreDocs(model, docs, "doc_id", "text")
       .select(col("doc_id"),

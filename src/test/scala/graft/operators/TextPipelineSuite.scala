@@ -456,4 +456,35 @@ class TextPipelineSuite extends SparkSpec {
     assert(out.getLong(1) === 3L && out.getLong(2) === 2L)
   }
 
+  test("r17: QueryLeases drain releases the trained-model and pipeline " +
+      "caches; released frames still recompute correctly") {
+    import graft.util.QueryLeases
+    import org.apache.spark.storage.StorageLevel
+    val docs = Seq((1L, "a b c a b"), (2L, "b c d e"), (3L, "a a d"))
+      .toDF("doc_id", "text")
+    // start clean w.r.t. any leases earlier tests registered
+    QueryLeases.releaseAll()
+    val model = NgramLm.train(docs, "text")
+    QueryLeases.lease(model.unpersist())
+    val before = NgramLm.scoreDocs(model, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // the count tables are resident while the query materializes...
+    assert(model.unigrams.storageLevel != StorageLevel.NONE)
+    assert(model.bigrams.storageLevel != StorageLevel.NONE)
+    // charEntropy leases its internal cc frame on construction
+    val ent = TextPipeline.charEntropy(docs, "doc_id", "text")
+    val entBefore = ent.orderBy("doc_id").collect()
+    // ...and the harness drain (Verify/Bench after each query) frees them
+    QueryLeases.releaseAll()
+    assert(model.unigrams.storageLevel == StorageLevel.NONE)
+    assert(model.bigrams.storageLevel == StorageLevel.NONE)
+    // release is an optimization boundary, not a correctness one: the
+    // same plans recompute to the same results
+    assert(NgramLm.scoreDocs(model, docs, "doc_id", "text")
+      .orderBy("doc_id").collect() === before)
+    assert(ent.orderBy("doc_id").collect() === entBefore)
+    // double drain is a no-op
+    QueryLeases.releaseAll()
+  }
+
 }

@@ -116,6 +116,55 @@ object Bench {
     }
     val loadStart = loadAvg()
     val nSel = selected.size
+    val sfName = new java.io.File(sfDir).getName
+    // QUIET GATE (r16 verdict finding 2): two consecutive rounds had a
+    // graded run start under heavy external load — min-of-2 absorbed it
+    // in r16, but r15's a38 fiasco was both runs loaded, and each episode
+    // cost a judge/builder adjudication cycle. Before each graded pass,
+    // spin-wait (bounded, logged, recorded in BENCH_FULL) until EITHER
+    // the 1-min load average drops below 2·cores/16 OR the a01 sentinel
+    // lands within 1.5× its pinned quiet value — the sentinel early-exit
+    // matters because the load average includes OUR OWN just-finished
+    // pass and decays over ~minutes, while an actual a01 run measures
+    // the thing the gate protects (achievable query latency, CPU
+    // availability) directly. Gated only at the graded sf0.1, where the
+    // pinned sentinel reference exists; other SFs are local profiling
+    // runs where 3 minutes of dead time buys nothing.
+    val gates = scala.collection.mutable.ArrayBuffer[
+      (String, Double, Double, Double, Double, Boolean)]()
+    def quietGate(label: String): Unit = {
+      if (sfName != "sf0.1") return
+      val threshold = 2.0 * cpus.toDouble / 16.0
+      val a01Quiet = 1.5 * 0.23 // the pinned_r16_quiet a01 reference
+      val deadlineMs = System.currentTimeMillis() + 180000L
+      val l0 = loadAvg()
+      var l = l0
+      var lastSentinel = -1.0
+      var open = l <= threshold
+      def trySentinel(): Unit = sentinelFn.foreach { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          lastSentinel = (System.nanoTime() - t0) / 1e9
+          if (lastSentinel <= a01Quiet) open = true
+        } catch { case _: Throwable => () }
+        finally graft.util.QueryLeases.releaseAll()
+      }
+      if (!open) trySentinel()
+      while (!open && System.currentTimeMillis() < deadlineMs) {
+        Thread.sleep(10000)
+        l = loadAvg()
+        if (l <= threshold) open = true else trySentinel()
+      }
+      val timedOut = !open
+      val waited = (180000L - math.max(0L,
+        deadlineMs - System.currentTimeMillis())) / 1e3
+      if (waited >= 1.0 || timedOut) System.err.println(
+        f"[bench] quiet gate '$label': load $l0%.2f -> $l%.2f, " +
+          f"sentinel ${lastSentinel}%.2fs, waited ${waited}%.0fs" +
+          (if (timedOut) " (TIMEOUT — proceeding loaded)" else ""))
+      gates += ((label, l0, l, lastSentinel, waited, timedOut))
+    }
     def runPass(pass: Int): Seq[(String, Double)] = {
       // Each pass starts memo-cold: the shared ANN exact oracle
       // (AnnQueries.exactMemo, paid by whichever e-query runs first)
@@ -127,7 +176,9 @@ object Bench {
         name -> time(name, fn)
       }
     }
+    quietGate("pass1")
     val firstPass = runPass(1)
+    quietGate("pass2")
     val secondPass = runPass(2)
     probeDrift("end", 2 * nSel)
     val loadEnd = loadAvg()
@@ -169,7 +220,6 @@ object Bench {
       .sortBy(_._1).toIndexedSeq
     val heavySeries = drift.collect { case (_, p, _, h, _) if h > 0 => (p, h) }
       .sortBy(_._1).toIndexedSeq
-    val sfName = new java.io.File(sfDir).getName
     // The pinned references are a UNIT tied to the sentinel queries'
     // round-14 code: if a01_sum_global or t27_char_entropy themselves
     // are ever optimized (or regressed), re-pin these constants in the
@@ -263,12 +313,20 @@ object Bench {
       s"""{"at":"$at","pos":$pos,"sec":${fmt(sec)},""" +
         s""""heavy_sec":${fmt(heavySec)},"load":${fmt(ld)}}"""
     }.mkString("[", ",", "]")
+    // gate outcomes make a loaded start VISIBLE in the artifact (the
+    // verdict's done-condition: either the spread shrinks or the gate
+    // timeout shows here)
+    val gatesJson = gates.map { case (at, l0, l1, sent, waited, timedOut) =>
+      s"""{"at":"$at","load_before":${fmt(l0)},"load_after":${fmt(l1)},""" +
+        s""""sentinel_sec":${fmt(sent)},"waited_sec":${fmt(waited)},""" +
+        s""""timed_out":$timedOut}"""
+    }.mkString("[", ",", "]")
     val fullJson = s"""{"sf":"$sfDir","total":${fmt(total)},""" +
       s""""total_norm":${fmt(totalNorm)},"failed":$failed,""" +
       s""""norm_ref":{"a01":$a01Ref,"heavy":$heavyRef,"source":"$refSource"},""" +
       s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
       s""""sentinel":"$sentinelName","heavy_sentinel":"$heavySentinelName",""" +
-      s""""drift":$driftJson,"queries":$fullQs}"""
+      s""""gates":$gatesJson,"drift":$driftJson,"queries":$fullQs}"""
     // repo-root copy derived from the working directory (sbt runs from
     // the project root), NOT a hardcoded absolute path
     val repoFull = new java.io.File(

@@ -35,6 +35,18 @@ object MiscQueries {
       // not accumulate scratch trees either
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
 
+  /** 13-hex-digit md5 prefix of a column named `hx`, parsed to a BIGINT
+    * (52 bits — exact in both engines): the INTEGER sibling of
+    * AnnQueries' sqlPortableUnit and the SQL twin of a41/a42's Scala
+    * `conv(substring(md5(..),1,13),16,10)` bucket expressions — change
+    * them together or the portable-sketch hash gates fail. */
+  private val sqlMd5Int13: String = {
+    val terms = (0 until 13).map { i =>
+      s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(12 - i)}"
+    }.mkString(" + ")
+    s"CAST($terms AS BIGINT)"
+  }
+
   /** Deterministic A/B samples from `customer` for estimator e2e runs
     * (same carve as StatsQueries: A = custkey%37==1 w/ design weights,
     * B = high balances, y observed in both). */
@@ -738,6 +750,144 @@ object MiscQueries {
             col("false_pos") <= col("n_absent") * col("fp_bound"))
       },
       None),
+
+    // ---- A41 portable Count-Min Sketch (a18's hash-graded twin) -------
+    // r16 verdict item 6: a18 grades df.stat's CMS rows-only (the Guava
+    // sketch's seeded hash family cannot replay in an ANSI engine); this
+    // twin rebuilds the SAME structure — depth 4 × width 256, counts
+    // summed per (row, bucket), estimate = min over rows — from the
+    // md5-portable integer hash (the e20/d04 convention), so the entire
+    // chain including the no-undercount invariant replays in DuckDB and
+    // carries a full hash oracle BESIDE the production sketch, not
+    // replacing it. Scale shape mirrors the real sketch: per-key exact
+    // counts (supplier-bounded), ONE bounded 4×256 table via map-side-
+    // partial aggregation, broadcast probe join — nothing data-scale
+    // concentrates on a single task.
+    Q("a41_cms_portable",
+      (s, d) => {
+        import s.implicits._
+        val li = load(s, d, "lineitem")
+        def bkt(j: Column, k: Column): Column = pmod(
+          conv(substring(md5(concat(lit("cms:"), j.cast("string"),
+            lit(":"), k.cast("string"))), 1, 13), 16, 10)
+            .cast("long"), lit(256L))
+        val keys = li.groupBy(col("l_suppkey").as("k"))
+          .agg(count(lit(1)).as("n"))
+        val js = (0L to 3L).toDF("j")
+        val cms = keys.crossJoin(broadcast(js))
+          .select(col("j"), bkt(col("j"), col("k")).as("b"), col("n"))
+          .groupBy("j", "b").agg(sum("n").as("c"))
+        val pb = (1L to 5L).toDF("k").crossJoin(broadcast(js))
+          .select(col("k"), col("j"), bkt(col("j"), col("k")).as("b"))
+        val est = pb.join(cms, Seq("j", "b"))
+          .groupBy("k").agg(min("c").as("cms_est"))
+        li.filter(col("l_suppkey") <= 5)
+          .groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
+          .join(est, col("l_suppkey") === est("k"))
+          .select(col("l_suppkey"), col("exact_n"), col("cms_est"),
+            (col("cms_est") >= col("exact_n")).as("no_undercount"))
+          .orderBy("l_suppkey")
+      },
+      Some(s"""WITH keys AS (SELECT l_suppkey AS k, count(*) AS n
+                             FROM lineitem GROUP BY l_suppkey),
+                    hb AS (SELECT k, n, j,
+                             md5('cms:' || CAST(j AS VARCHAR) || ':' ||
+                                 CAST(k AS VARCHAR)) AS hx
+                           FROM keys, generate_series(0, 3) jj(j)),
+                    cms AS (SELECT j, $sqlMd5Int13 % 256 AS b,
+                              CAST(sum(n) AS BIGINT) AS c
+                            FROM hb GROUP BY 1, 2),
+                    pr AS (SELECT p.k, j.j,
+                             md5('cms:' || CAST(j.j AS VARCHAR) || ':' ||
+                                 CAST(p.k AS VARCHAR)) AS hx
+                           FROM generate_series(1, 5) p(k),
+                                generate_series(0, 3) j(j)),
+                    pb AS (SELECT k, j, $sqlMd5Int13 % 256 AS b FROM pr),
+                    est AS (SELECT pb.k, min(cms.c) AS cms_est
+                            FROM pb JOIN cms ON cms.j = pb.j
+                                            AND cms.b = pb.b
+                            GROUP BY pb.k),
+                    ex AS (SELECT l_suppkey, count(*) AS exact_n
+                           FROM lineitem WHERE l_suppkey <= 5
+                           GROUP BY l_suppkey)
+               SELECT ex.l_suppkey, ex.exact_n, est.cms_est,
+                      est.cms_est >= ex.exact_n AS no_undercount
+               FROM ex JOIN est ON est.k = ex.l_suppkey
+               ORDER BY l_suppkey""")),
+
+    // ---- A42 portable Bloom filter (a19's hash-graded twin) -----------
+    // Same adjudication as a41 for the Bloom side: m = 2²⁰ bits, k = 7
+    // md5-derived positions per key over the orders keys; the bit set
+    // is the DISTINCT positions (bounded by m), membership = all 7
+    // positions present. Present probes are the 100 smallest keys (must
+    // ALL hit — the zero-false-negative contract, graded as a pinned
+    // boolean); absent probes are the 1000 keys past max (orderkeys are
+    // dense, so certainly absent) with the realized false-positive
+    // count hash-graded. One driver scalar (max key — bounded by
+    // contract); the bit set is leased-persisted across its two
+    // consumers and released by the harness drain.
+    Q("a42_bloom_portable",
+      (s, d) => {
+        import s.implicits._
+        val ords = load(s, d, "orders")
+        val m = 1048576L
+        def bkt(h: Column, k: Column): Column = pmod(
+          conv(substring(md5(concat(lit("bloom:"), h.cast("string"),
+            lit(":"), k.cast("string"))), 1, 13), 16, 10)
+            .cast("long"), lit(m))
+        val hs = (0L to 6L).toDF("h")
+        val okeys = ords.select(col("o_orderkey").as("k")).distinct()
+        val bits = graft.util.QueryLeases.leased(
+          okeys.crossJoin(broadcast(hs))
+            .select(bkt(col("h"), col("k")).as("b")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val mx = ords.agg(max("o_orderkey")).head().getLong(0)
+        val probes = okeys.orderBy("k").limit(100)
+          .select(col("k"), lit("p").as("side"))
+          .unionByName(s.range(1, 1001)
+            .select((col("id") + lit(mx)).as("k"), lit("a").as("side")))
+        val probeHits = probes.crossJoin(broadcast(hs))
+          .select(col("side"), col("k"), bkt(col("h"), col("k")).as("b"))
+          .join(bits, Seq("b"))
+          .groupBy("side", "k").agg(count(lit(1)).as("nh"))
+          .filter(col("nh") === 7)
+        bits.agg(count(lit(1)).as("n_bits_set"))
+          .crossJoin(broadcast(probeHits.agg(
+            count(when(col("side") === "p", 1)).as("present_hits"),
+            count(when(col("side") === "a", 1)).as("false_pos"))))
+          .select(col("n_bits_set"), col("present_hits"), col("false_pos"),
+            (col("present_hits") === lit(100L)).as("no_false_negatives"))
+      },
+      Some(s"""WITH okeys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+                    hb AS (SELECT k, h,
+                             md5('bloom:' || CAST(h AS VARCHAR) || ':' ||
+                                 CAST(k AS VARCHAR)) AS hx
+                           FROM okeys, generate_series(0, 6) hh(h)),
+                    bits AS (SELECT DISTINCT $sqlMd5Int13 % 1048576 AS b
+                             FROM hb),
+                    mx AS (SELECT max(k) AS mx FROM okeys),
+                    pres AS (SELECT k, 'p' AS side FROM okeys
+                             ORDER BY k LIMIT 100),
+                    ab AS (SELECT mx.mx + g.g AS k, 'a' AS side
+                           FROM mx, generate_series(1, 1000) g(g)),
+                    pr AS (SELECT side, k, h,
+                             md5('bloom:' || CAST(h AS VARCHAR) || ':' ||
+                                 CAST(k AS VARCHAR)) AS hx
+                           FROM (SELECT * FROM pres
+                                 UNION ALL SELECT * FROM ab) p,
+                                generate_series(0, 6) hh(h)),
+                    pbits AS (SELECT side, k, $sqlMd5Int13 % 1048576 AS b
+                              FROM pr),
+                    hits AS (SELECT side, k FROM pbits JOIN bits USING (b)
+                             GROUP BY side, k HAVING count(*) = 7)
+               SELECT (SELECT CAST(count(*) AS BIGINT) FROM bits)
+                        AS n_bits_set,
+                      (SELECT CAST(count(*) AS BIGINT) FROM hits
+                       WHERE side = 'p') AS present_hits,
+                      (SELECT CAST(count(*) AS BIGINT) FROM hits
+                       WHERE side = 'a') AS false_pos,
+                      (SELECT count(*) FROM hits WHERE side = 'p') = 100
+                        AS no_false_negatives""")),
 
     // ---- A15 HLL approximate distinct (sketch; FULL hash oracle) ------
     // r14-verdict task 5: unlike CMS/Bloom (a18/a19, whose point is the

@@ -121,6 +121,19 @@ object Ranks {
     require(cols.nonEmpty, "percentileSelect: need at least one column")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentages must be in [0, 1]: $ps")
+    // aggregate `percentile` REJECTS non-numeric columns at analysis;
+    // the cast-to-double below would instead silently NULL every value
+    // (and the NULL filter would then drop the whole column into the
+    // "no non-NULL values" error, or worse, census only the castable
+    // rows of a mixed-content string column) — keep the loud contract
+    cols.foreach { c =>
+      val dt = df.schema.fields.find(_.name == c)
+        .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(c)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"percentileSelect: column '$c' not in schema")).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"percentileSelect: column '$c' is ${dt.simpleString}, not numeric")
+    }
     def bq(c: String): String = "`" + c.replace("`", "``") + "`"
     val stackArgs = cols.zipWithIndex
       .map { case (c, i) => s"$i, cast(${bq(c)} as double)" }.mkString(", ")

@@ -118,6 +118,17 @@ class RanksSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("'c' has no non-NULL values"),
       e.getMessage)
+    // a non-numeric column fails loudly like aggregate percentile would
+    // (the cast would otherwise silently NULL every value)
+    val withStr = df.withColumn("s", lit("x"))
+    val eS = intercept[IllegalArgumentException] {
+      Ranks.percentileSelect(withStr, Seq("s"), Seq(0.5))
+    }
+    assert(eS.getMessage.contains("not numeric"), eS.getMessage)
+    val eM = intercept[IllegalArgumentException] {
+      Ranks.percentileSelect(df, Seq("nope"), Seq(0.5))
+    }
+    assert(eM.getMessage.contains("not in schema"), eM.getMessage)
   }
 
   test("quantileSelect derives n and the ranks from ONE materialization " +

@@ -83,6 +83,8 @@ object DumpPlans {
     "m44_mannwhitney" -> "Mann-Whitney: one grouped pass to the distinct-value frame, window + moments on that bounded frame only",
     "e30_ivf_nprobe_sweep" -> "nProbe sweep: ONE max-depth candidate generation, pairs scored once, per-depth rankings filter the probe rank",
     "a40_connected_components" -> "min-label CC: per-round node-keyed join + partial-aggregable min, materialized each round",
+    "a41_cms_portable" -> "portable CMS twin: ONE partial-aggregable pass to the bounded 4x256 table, broadcast 4-row depth frame, broadcast probe join (no data-scale concentration)",
+    "a42_bloom_portable" -> "portable Bloom twin: bit set bounded by m via distinct, broadcast 7-row hash frame, probe membership as an equi-join on bit position",
     "e31_semdedup_portable" -> "portable SemDeDup: fused cell assignment in the scan, cell equi-join pair search (never all-pairs), fixed min-label rounds, partial-aggregable census")
     // (e26 deliberately absent: like m26/e23, its graded frame is the
     // collected ≤|Q|·k selection; the interesting per-round shape —

@@ -130,12 +130,21 @@ object Bench {
     // availability) directly. Gated only at the graded sf0.1, where the
     // pinned sentinel reference exists; other SFs are local profiling
     // runs where 3 minutes of dead time buys nothing.
+    // pinned_r16_quiet references (sf0.1 only) — the SINGLE source of
+    // truth for BOTH the quiet gate's sentinel early-exit and the
+    // normalization refs below: a re-pin that only updated one of two
+    // hand-maintained copies would silently leave the gate threshold
+    // stale (too loose after a regression re-pin, burning the full
+    // timeout after an optimization re-pin) — r17 review. Provenance
+    // and re-pin procedure documented at the refSource0 binding.
+    val a01PinnedQuiet = 0.23
+    val heavyPinnedQuiet = 1.38
     val gates = scala.collection.mutable.ArrayBuffer[
       (String, Double, Double, Double, Double, Boolean)]()
     def quietGate(label: String): Unit = {
       if (sfName != "sf0.1") return
       val threshold = 2.0 * cpus.toDouble / 16.0
-      val a01Quiet = 1.5 * 0.23 // the pinned_r16_quiet a01 reference
+      val a01Quiet = 1.5 * a01PinnedQuiet
       val deadlineMs = System.currentTimeMillis() + 180000L
       val l0 = loadAvg()
       var l = l0
@@ -239,7 +248,8 @@ object Bench {
       // it normalizes are taken in. a01 unchanged at 0.23 (its r16
       // quiet samples sat 0.29–0.49 with graded min consistent with
       // the pin; no staleness signal in either direction).
-      if (sfName == "sf0.1") (0.23, 1.38, "pinned_r16_quiet")
+      if (sfName == "sf0.1") (a01PinnedQuiet, heavyPinnedQuiet,
+        "pinned_r16_quiet")
       else (a01Series.map(_._2).minOption.getOrElse(1.0),
         heavySeries.map(_._2).minOption.getOrElse(1.0), "run_min")
     val refsStale = refSource0 == "pinned_r16_quiet" &&

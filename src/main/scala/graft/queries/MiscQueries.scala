@@ -836,12 +836,20 @@ object MiscQueries {
             lit(":"), k.cast("string"))), 1, 13), 16, 10)
             .cast("long"), lit(m))
         val hs = (0L to 6L).toDF("h")
-        val okeys = ords.select(col("o_orderkey").as("k")).distinct()
+        // okeys is leased-persisted like bits: it feeds THREE consumers
+        // (the bit-set lineage, the present-probe limit, and the max-key
+        // scalar) — unpersisted, each re-paid the full distinct-over-
+        // orders shuffle, and mx cost a third raw orders scan on top
+        // (r17 review). max over the distinct frame equals max over the
+        // raw keys, so mx doubles as the action that populates the cache
+        val okeys = graft.util.QueryLeases.leased(
+          ords.select(col("o_orderkey").as("k")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val bits = graft.util.QueryLeases.leased(
           okeys.crossJoin(broadcast(hs))
             .select(bkt(col("h"), col("k")).as("b")).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val mx = ords.agg(max("o_orderkey")).head().getLong(0)
+        val mx = okeys.agg(max("k")).head().getLong(0)
         val probes = okeys.orderBy("k").limit(100)
           .select(col("k"), lit("p").as("side"))
           .unionByName(s.range(1, 1001)

@@ -62,20 +62,36 @@ object CdcTable {
     * deleting any higher versions: init means "this is the table now" —
     * a rendition that only overwrote v=0 left v=1.. intact, so
     * readLatest kept serving the stale highest version and the new data
-    * never became visible (r16 review). Order matters: v=0 is WRITTEN
-    * first and the v>0 deletes run only after that write commits — the
-    * delete-first ordering had a window (crash or write failure between
-    * the deletes and the parquet commit) that left the table with ZERO
-    * complete versions, i.e. total loss of the prior table. With this
-    * ordering the worst crash outcome is the old stale-read behavior
-    * (v=0 new, some v>0 survivors still pinned by readers), which the
-    * next successful init fully repairs. */
+    * never became visible (r16 review).
+    *
+    * CRASH SAFETY: the new snapshot is WRITTEN as a fresh version ABOVE
+    * every existing one, the old versions are deleted only after that
+    * write commits, and the committed snapshot is then renamed to v=0
+    * (an atomic metadata op). Two earlier renditions each had a loss
+    * window this ordering closes: delete-everything-then-write left
+    * ZERO complete versions if the write failed (total loss), and
+    * overwrite-v=0-in-place (the r16 reorder) still cleared the OLD
+    * v=0 contents before the new commit — total loss whenever v=0 was
+    * the only version (r17 review). Here every crash point leaves a
+    * readable table: before the commit, the prior versions are
+    * untouched; after it, readLatest serves the NEW data (at its
+    * temporary high number until the rename lands, which the next
+    * successful init renumbers). */
   def init(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val (fs, root) = fsAndRoot(spark, path)
-    df.write.mode("overwrite").parquet(s"$path/v=0")
-    versionDirs(spark, path).filter(_ > 0).foreach { v =>
-      fs.delete(new Path(root, s"v=$v"), true)
+    val prior = versionDirs(spark, path)
+    val newV = prior.lastOption.map(_ + 1).getOrElse(0)
+    df.write.mode("overwrite").parquet(s"$path/v=$newV")
+    prior.foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+    if (newV != 0) {
+      // an INCOMPLETE v=0 leftover (invisible to versionDirs, so not in
+      // `prior`) would make the rename fail — clear it first
+      val zero = new Path(root, "v=0")
+      if (fs.exists(zero)) fs.delete(zero, true)
+      require(fs.rename(new Path(root, s"v=$newV"), zero),
+        s"CdcTable.init: rename v=$newV -> v=0 failed under $path " +
+          "(the table is intact at v=" + newV + ")")
     }
   }
 

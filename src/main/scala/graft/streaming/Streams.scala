@@ -229,12 +229,33 @@ object Streams {
     // form and so rejected ANSI interval strings the join itself
     // accepts (e.g. "'1 2:03:04' DAY TO SECOND") — r16 advice
     def iv(s: String, what: String): Column = {
-      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseExpression(s"INTERVAL $s")
-      catch {
-        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+      val parsed =
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(s"INTERVAL $s")
+        catch {
+          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            throw new IllegalArgumentException(
+              s"intervalJoin: $what = '$s' is not a valid interval", e)
+        }
+      // parsing alone is not enough: "1 minute + no_such_col" parses as
+      // a valid EXPRESSION, defers to the join's analysis, and surfaces
+      // as an UNRESOLVED_COLUMN error pointing at generated SQL — the
+      // exact late failure this guard exists to prevent (r17 review).
+      // A well-formed interval literal parses to a bare Literal of an
+      // interval type; anything else is rejected eagerly by name
+      parsed match {
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal
+          if lit.dataType.isInstanceOf[
+               org.apache.spark.sql.types.CalendarIntervalType] ||
+             lit.dataType.isInstanceOf[
+               org.apache.spark.sql.types.DayTimeIntervalType] ||
+             lit.dataType.isInstanceOf[
+               org.apache.spark.sql.types.YearMonthIntervalType] => ()
+        case _ =>
           throw new IllegalArgumentException(
-            s"intervalJoin: $what = '$s' is not a valid interval", e)
+            s"intervalJoin: $what = '$s' is not a valid interval " +
+              "(must be a single interval literal, e.g. \"10 minutes\" " +
+              "or \"'1 2:03:04' DAY TO SECOND\")")
       }
       expr(s"INTERVAL $s")
     }
@@ -267,6 +288,29 @@ object Streams {
   def enrichWithDim(events: DataFrame, dim: DataFrame,
                     key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Duration string → fixed milliseconds, with failures ATTRIBUTED to
+    * the named parameter: a malformed string ("10 minuts") previously
+    * surfaced as Spark's bare 'Error parsing ... to interval' with no
+    * mention of which argument was wrong (r17 review — the same advice
+    * this round applied to intervalJoin's before/after). Shared by the
+    * lateness and evictAfter guards, which previously hand-maintained
+    * two copies of this conversion. Calendar-length units (months) have
+    * no fixed millis and are rejected; state timestamps are
+    * millisecond-granular, so sub-ms components truncate (a duration
+    * under 1 ms is indistinguishable from zero). */
+  private def fixedMs(s: String, what: String): Long = {
+    val iv =
+      try org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"$what = '$s' is not a valid duration", e)
+      }
+    require(iv.months == 0, s"$what must be a fixed-length duration: '$s'")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
 
   /** STREAMING near-duplicate detection — flag each arriving document
     * against everything seen before it, without ever holding the corpus.
@@ -353,13 +397,7 @@ object Streams {
     // zero too (a string-equality guard against the default literal
     // rejected them with a message implying a nonzero lateness — r16
     // advice); parse once and compare the fixed-length millis
-    val latenessMs = {
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
-      require(iv.months == 0,
-        s"lateness must be a fixed-length duration: '$lateness'")
-      iv.days * 86400000L + iv.microseconds / 1000L
-    }
+    val latenessMs = fixedMs(lateness, "lateness")
     require(latenessMs == 0L || evictAfter.isDefined,
       s"lateness ('$lateness') has no effect without evictAfter — it " +
         "sets the event-time watermark the eviction horizon reads; " +
@@ -370,10 +408,7 @@ object Streams {
     // have MILLISECOND granularity (ts.getTime), so sub-ms components
     // truncate — a duration under 1 ms is indistinguishable from zero
     val evictMs = evictAfter.map { s =>
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      require(iv.months == 0, s"evictAfter must be a fixed-length duration: $s")
-      val ms = iv.days * 86400000L + iv.microseconds / 1000L
+      val ms = fixedMs(s, "evictAfter")
       // a zero/negative horizon would put setTimeoutTimestamp at or
       // behind the watermark — a mid-batch IllegalArgumentException
       // instead of a construction-time error

@@ -145,4 +145,30 @@ class CdcTableSuite extends SparkSpec {
     assert(CdcTable.readLatest(spark, path)
       .as[(Long, String)].collect().toSeq === Seq((42L, "ok")))
   }
+
+  test("r17: a FAILED re-init when v=0 is the ONLY version keeps the " +
+      "old v=0 data (write-high-then-rename)") {
+    // the r16 reorder (write v=0 first, delete v>0 after) still lost
+    // the table in THIS case: mode("overwrite") on v=0 cleared the old
+    // contents before the new commit, so a mid-write failure left zero
+    // complete versions (r17 review). The write now lands at
+    // latest+1 and only becomes v=0 by rename after the commit.
+    val path = freshPath()
+    CdcTable.init(base.toDF("k", "v"), path)
+    assert(CdcTable.latestVersion(path) === Some(0))
+    val boom = org.apache.spark.sql.functions.udf((k: Long) =>
+      if (k > 0) throw new RuntimeException("boom") else "x")
+    val bad = base.toDF("k", "v")
+      .withColumn("v", boom(org.apache.spark.sql.functions.col("k")))
+    intercept[Exception] { CdcTable.init(bad, path) }
+    assert(CdcTable.latestVersion(path) === Some(0))
+    assert(CdcTable.readLatest(spark, path)
+      .as[(Long, String)].collect().toSet === base.toSet)
+    // and the successful re-init replaces it as v=0 exactly
+    CdcTable.init(Seq((9L, "z")).toDF("k", "v"), path)
+    assert(CdcTable.latestVersion(path) === Some(0))
+    assert(CdcTable.readLatest(spark, path)
+      .as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    assert(!new java.io.File(path, "v=1").exists())
+  }
 }

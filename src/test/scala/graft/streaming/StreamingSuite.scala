@@ -717,4 +717,28 @@ class StreamingSuite extends SparkSpec {
     assert(Streams.streamNearDupPairs(docs, lateness = "0 minutes")
       .collect().isEmpty)
   }
+
+  test("r17: interval guards reject what merely PARSES — a non-literal " +
+      "expression fails named at construction, and a malformed " +
+      "lateness is attributed to its parameter") {
+    val l = Seq(Pur(1L, 1L, t("2026-01-01 10:00:00"))).toDF()
+    val r = Seq(Clk(1L, 1L, t("2026-01-01 10:05:00"))).toDF()
+    // "1 minute + no_such_col" is a valid EXPRESSION, so a parse-only
+    // pre-check admitted it and the failure resurfaced as an
+    // UNRESOLVED_COLUMN analysis error pointing at generated SQL —
+    // the exact late failure the eager guard exists to prevent
+    val exE = intercept[IllegalArgumentException] {
+      Streams.intervalJoin(l, r, "user_id", "p_ts", "c_ts",
+        before = "1 minute + no_such_col", after = "10 minutes")
+    }
+    assert(exE.getMessage.contains("before = '1 minute + no_such_col'"),
+      exE.getMessage)
+    // a malformed lateness names ITS parameter, not svydesign-style
+    // cross-attribution or Spark's bare parse stack
+    val docs = Seq(StreamDoc(1L, t("2026-01-01 10:00:00"), "a b c")).toDS()
+    val exL = intercept[IllegalArgumentException] {
+      Streams.streamNearDupPairs(docs, lateness = "10 minuts")
+    }
+    assert(exL.getMessage.contains("lateness"), exL.getMessage)
+  }
 }

@@ -79,6 +79,31 @@ object Graphs {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
+  /** The broadcast decision the optimizer cannot make for the
+    * iterative kernels here: each round's node-sized frame (ranks,
+    * labels, distances, scores) is a rewrapped LogicalRDD with NO
+    * stats, so Spark plans the per-round join against the cached edge
+    * list as an edge-sized exchange+sort EVERY round. The driver,
+    * however, knows the frame's exact row count (the per-round
+    * materializing count) — when that fits the session's own broadcast
+    * threshold (~48 bytes/row unsafe-row footprint for two longs or a
+    * long+double), the explicit hint makes the join map-side and the
+    * edge cache is probed in place. Over the threshold (a 100TB-scale
+    * node set) the shuffle join stands — measured at the boundary: a
+    * FORCED broadcast of a 1M-node rank frame was a wash (min ratio
+    * 0.97), so the conservative auto gate costs nothing. `force` is
+    * the probe/caller override (None = auto). */
+  private def bcastAuto(spark: org.apache.spark.sql.SparkSession,
+                        n: Long): Boolean = {
+    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 && n * 48L <= thr
+  }
+
+  private def bcastIfSmall(df: DataFrame, n: Long,
+                           force: Option[Boolean]): DataFrame =
+    if (force.getOrElse(bcastAuto(df.sparkSession, n))) broadcast(df)
+    else df
+
   /** One rank round. Name-based (USING) joins throughout: column-
     * reference joins on frames rebuilt from the same `nodes`/`edges`
     * vals would hit self-join attribute ambiguity from the second
@@ -86,9 +111,22 @@ object Graphs {
   private def step(edgesDeg: DataFrame, pr: DataFrame, base: Column,
                    damping: Double, completeInbound: Boolean,
                    nodes: DataFrame,
-                   withN: DataFrame => DataFrame): DataFrame = {
+                   withN: DataFrame => DataFrame,
+                   bcastPr: Boolean = false): DataFrame = {
+    // bcastPr: the rank frame is node-sized and the edge cache is the
+    // big side — broadcasting pr makes the contribution join map-side,
+    // so the EDGE-SIZED exchange+sort that otherwise re-runs every
+    // round disappears from the loop (the cached edge partitions are
+    // probed in place); the one remaining per-round shuffle is the
+    // groupBy(dst), whose partial dsum reduces map-side to ≤ nodes per
+    // task. The eager path gates this on the measured node count vs
+    // the session's broadcast threshold (pageRankTopK) — a
+    // billion-node graph falls back to the shuffle join; rank values
+    // are IDENTICAL either way (dsum is exact-decimal, so per-group
+    // summation order cannot move the result).
+    val prSrc = pr.withColumnRenamed("id", "src")
     val contrib = edgesDeg
-      .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+      .join(if (bcastPr) broadcast(prSrc) else prSrc, Seq("src"))
       .select(col("dst"), (col("pr") / col("__deg")).as("__share"))
       .groupBy("dst").agg(dsum(col("__share")).as("__s"))
     if (completeInbound)
@@ -141,7 +179,8 @@ object Graphs {
                    completeInbound: Boolean = false,
                    symmetrizeInput: Boolean = false,
                    checkpointEvery: Int = 0,
-                   onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+                   onRound: (Int, Double) => Unit = (_, _) => (),
+                   broadcastRanks: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(damping > 0 && damping < 1, s"damping=$damping not in (0,1)")
@@ -191,6 +230,9 @@ object Graphs {
       val n = deg.count()
       edgesDeg.count()
       if (symmetrizeInput) input.unpersist(blocking = false)
+      // the bcastIfSmall decision (see its scaladoc), driver-known n:
+      // the rank frame is exactly n (id, pr) rows every round
+      val bcastPr = broadcastRanks.getOrElse(bcastAuto(spark, n))
       val base = lit(1.0 - damping) / lit(n.toDouble)
       var pr = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("pr"))
       for (i <- 1 to iters) {
@@ -200,7 +242,8 @@ object Graphs {
         // leg 2b); the default no-op costs nothing on graded paths
         val tRound0 = System.nanoTime()
         val (next, nextRdd) = rewrapPersisted(
-          step(edgesDeg, pr, base, damping, noDangling, nodes, identity))
+          step(edgesDeg, pr, base, damping, noDangling, nodes, identity,
+            bcastPr = bcastPr))
         // must be requested BEFORE the materializing count below — the
         // checkpoint rides the same job (persist + checkpoint is the
         // standard pairing; the data writes once)
@@ -347,7 +390,8 @@ object Graphs {
     * path — GraphsSuite pins it.
     * Returns (role, id, score, rk) with rk = 1..k per role by
     * (score DESC, id). */
-  def hitsTopK(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+  def hitsTopK(edges: DataFrame, iters: Int, k: Int,
+               broadcastScores: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
@@ -355,22 +399,36 @@ object Graphs {
     var rdds = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     try {
       e.count()
-      def halfRound(scores: DataFrame, joinKey: String,
-                    groupKey: String): DataFrame = {
+      // each half-round's score frame is one row per node on its side
+      // of the (possibly bipartite) graph — nScores is that count,
+      // measured by the PREVIOUS half-round's materializing count, so
+      // the bcastIfSmall gate is per-side and free
+      def halfRound(scores: DataFrame, nScores: Long, joinKey: String,
+                    groupKey: String): (DataFrame, Long) = {
         val (raw, rdd) = rewrapPersisted(
-          e.join(scores, Seq(joinKey))
+          e.join(bcastIfSmall(scores, nScores, broadcastScores),
+              Seq(joinKey))
             .groupBy(groupKey).agg(dsum(col("score")).as("score")))
-        raw.count()
+        val n = raw.count()
         rdds.drop(2).foreach(_.unpersist(blocking = false))
         rdds = rdd :: rdds.take(2)
-        hitsNormalized(raw, groupKey)
+        (hitsNormalized(raw, groupKey), n)
       }
-      var hub = e.select(col("src")).distinct()
-        .select(col("src"), lit(1.0).as("score"))
+      // seed materialized for the same reason as lpaAssign: its count
+      // feeds the gate, and round 1 stops re-running the distinct
+      val (hub0, hubRdd0) = rewrapPersisted(
+        e.select(col("src")).distinct()
+          .select(col("src"), lit(1.0).as("score")))
+      rdds = hubRdd0 :: rdds
+      var hub = hub0
+      var nHub = hub.count()
       var auth: DataFrame = null
+      var nAuth = 0L
       for (_ <- 1 to iters) {
-        auth = halfRound(hub, "src", "dst")
-        hub = halfRound(auth, "dst", "src")
+        val (a, na) = halfRound(hub, nHub, "src", "dst")
+        auth = a; nAuth = na
+        val (h, nh) = halfRound(auth, nAuth, "dst", "src")
+        hub = h; nHub = nh
       }
       import org.apache.spark.sql.expressions.Window
       val win = Window.partitionBy("role")
@@ -440,7 +498,8 @@ object Graphs {
     * Returns (community, n_members, min_id, max_id), largest first,
     * label tie-break. */
   def labelPropCensus(edges: DataFrame, iters: Int, k: Int,
-                      symmetrizeInput: Boolean = false): DataFrame = {
+                      symmetrizeInput: Boolean = false,
+                      broadcastLabels: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
@@ -451,7 +510,7 @@ object Graphs {
     var last: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     try {
       input.count()
-      val (lbl, rdd) = lpaAssign(full, iters)
+      val (lbl, rdd) = lpaAssign(full, iters, broadcastLabels)
       last = rdd
       val census = lbl.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"), min("id").as("min_id"),
@@ -473,7 +532,8 @@ object Graphs {
     * the smallest label). `full` must be the symmetrized edge list.
     * Returns the final (id, lbl) frame plus the persisted RDD backing
     * it — the CALLER unpersists that RDD when done. */
-  private def lpaAssign(full: DataFrame, iters: Int)
+  private def lpaAssign(full: DataFrame, iters: Int,
+                        broadcastLabels: Option[Boolean] = None)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     // symmetrized contract: every node appears as a source, so the
     // source set IS the node list — and every node has neighbors, so
@@ -495,9 +555,20 @@ object Graphs {
     // a37 10.04 → 9.42 s) — kept the idiomatic window.
     val win = Window.partitionBy("dst").orderBy(desc("__n"), col("lbl"))
     try {
+      // materialize the seed labels BEFORE the loop: round 1's join
+      // would otherwise re-run the distinct inside its own plan, and
+      // the materializing count is exactly the node count the
+      // bcastIfSmall gate needs (the label frame is n rows EVERY
+      // round, so one decision serves the whole loop)
+      val (lbl0, rdd0) = rewrapPersisted(lbl)
+      lbl = lbl0
+      val n = lbl.count()
+      prevRdd = rdd0
+      val bcast = broadcastLabels.getOrElse(bcastAuto(full.sparkSession, n))
       for (_ <- 1 to iters) {
         val (next, rdd) = rewrapPersisted(
-          full.join(lbl.withColumnRenamed("id", "src"), Seq("src"))
+          full.join(bcastIfSmall(lbl.withColumnRenamed("id", "src"), n,
+              Some(bcast)), Seq("src"))
             .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__n"))
             .withColumn("__rk", row_number().over(win))
             .filter(col("__rk") === 1)
@@ -534,7 +605,8 @@ object Graphs {
     * the cached edge count (the k×k Gram convention), never a global
     * window over data rows. */
   def modularityCensus(edges: DataFrame, iters: Int, k: Int,
-                       symmetrizeInput: Boolean = false): DataFrame = {
+                       symmetrizeInput: Boolean = false,
+                       broadcastLabels: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
@@ -545,19 +617,25 @@ object Graphs {
     var last: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     try {
       input.count()
-      val (lbl, rdd) = lpaAssign(full, iters)
+      val (lbl, rdd) = lpaAssign(full, iters, broadcastLabels)
       last = rdd
       val m2 = full.count() // = 2m: both directions of every edge
+      // the label frame is node-sized and RDD-cached, so its count is
+      // cheap — the same bcastIfSmall decision as the loop's, applied
+      // to the two edge-sized modularity joins below
+      val nL = lbl.count()
       val deg = full.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("__d"))
       val dc = deg.join(lbl, Seq("id"))
         .groupBy(col("lbl"))
         .agg(sum(col("__d")).as("d_c"), count(lit(1)).as("n_members"))
       val ei = full
-        .join(lbl.select(col("id").as("src"), col("lbl").as("__ls")),
-          Seq("src"))
-        .join(lbl.select(col("id").as("dst"), col("lbl").as("__ld")),
-          Seq("dst"))
+        .join(bcastIfSmall(
+            lbl.select(col("id").as("src"), col("lbl").as("__ls")),
+            nL, broadcastLabels), Seq("src"))
+        .join(bcastIfSmall(
+            lbl.select(col("id").as("dst"), col("lbl").as("__ld")),
+            nL, broadcastLabels), Seq("dst"))
         .filter(col("__ls") === col("__ld"))
         .groupBy(col("__ls").as("lbl")).agg(count(lit(1)).as("__e2"))
       val out = dc.join(ei, Seq("lbl"), "left")
@@ -588,7 +666,8 @@ object Graphs {
     * (dist, n_nodes, min_id, max_id) — a ≤ maxHops+1-row result —
     * collected into a local relation with every cache dropped. */
   def bfsCensus(edges: DataFrame, seedPred: Column, maxHops: Int,
-                symmetrizeInput: Boolean = false): DataFrame = {
+                symmetrizeInput: Boolean = false,
+                broadcastFrontier: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
     val input =
@@ -601,15 +680,23 @@ object Graphs {
       var dist = full.select(col("src").as("id")).distinct()
         .filter(seedPred)
         .select(col("id"), lit(0).as("dist"))
+      // the reached set GROWS round to round (seeds → ≤ all nodes), so
+      // unlike the fixed-n kernels the bcastIfSmall gate re-decides
+      // per round from the materializing count the loop already pays
+      val (dist0, rdd0) = rewrapPersisted(dist)
+      dist = dist0
+      var nDist = dist.count()
+      prevRdd = rdd0
       for (_ <- 1 to maxHops) {
         val expanded = full
-          .join(dist.withColumnRenamed("id", "src"), Seq("src"))
+          .join(bcastIfSmall(dist.withColumnRenamed("id", "src"), nDist,
+            broadcastFrontier), Seq("src"))
           .select(col("dst").as("id"), (col("dist") + lit(1)).as("dist"))
         val (next, rdd) = rewrapPersisted(
           dist.unionByName(expanded)
             .groupBy("id").agg(min("dist").as("dist")))
         dist = next
-        dist.count()
+        nDist = dist.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
       }
@@ -640,7 +727,8 @@ object Graphs {
     * min, materialized per round (the [[lpaAssign]] eager pattern).
     * Label rows are two longs — nothing edge-sized accumulates. */
   def ccCensus(edges: DataFrame, rounds: Int, k: Int,
-               symmetrizeInput: Boolean = false): DataFrame = {
+               symmetrizeInput: Boolean = false,
+               broadcastLabels: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
@@ -663,9 +751,20 @@ object Graphs {
         else full.select(col("src").as("id"))
           .unionByName(full.select(col("dst").as("id"))).distinct()
       var lbl = nodes.select(col("id"), col("id").as("lbl"))
+      // materialize the seed labels before the loop: the count is the
+      // node count the bcastIfSmall gate needs (the label frame is n
+      // rows every round — one decision serves the whole spread), and
+      // round 1 stops re-running the distinct inside its own plan
+      val (lbl0, rdd0) = rewrapPersisted(lbl)
+      lbl = lbl0
+      val n = lbl.count()
+      prevRdd = rdd0
+      val bcast =
+        broadcastLabels.getOrElse(bcastAuto(full.sparkSession, n))
       for (_ <- 1 to rounds) {
         val spread = full
-          .join(lbl.withColumnRenamed("id", "src"), Seq("src"))
+          .join(bcastIfSmall(lbl.withColumnRenamed("id", "src"), n,
+            Some(bcast)), Seq("src"))
           .select(col("dst").as("id"), col("lbl"))
         val (next, rdd) = rewrapPersisted(
           lbl.unionByName(spread).groupBy("id").agg(min("lbl").as("lbl")))
@@ -712,7 +811,8 @@ object Graphs {
     * census. All outputs are exact integers → full hash oracle. */
   def kcoreCensus(edges: DataFrame, k: Int, rounds: Int,
                   symmetrizeInput: Boolean = false,
-                  onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+                  onRound: (Int, Double) => Unit = (_, _) => (),
+                  broadcastSurvivors: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
@@ -720,13 +820,20 @@ object Graphs {
       if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
       else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     val full = if (symmetrizeInput) symmetrize(input) else input
-    // survivor node set; null = every node (round 1 needs no induce)
+    // survivor node set; null = every node (round 1 needs no induce);
+    // nSurv from the round's materializing count feeds the
+    // bcastIfSmall gate on the two semi joins (the survivor set only
+    // SHRINKS, so once broadcastable it stays broadcastable)
     var surv: DataFrame = null
+    var nSurv = 0L
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     def induced(): DataFrame =
       if (surv == null) full
-      else full.join(surv, Seq("src"), "left_semi")
-        .join(surv.select(col("src").as("dst")), Seq("dst"), "left_semi")
+      else full
+        .join(bcastIfSmall(surv, nSurv, broadcastSurvivors),
+          Seq("src"), "left_semi")
+        .join(bcastIfSmall(surv.select(col("src").as("dst")), nSurv,
+          broadcastSurvivors), Seq("dst"), "left_semi")
         .select("src", "dst")
     // on a symmetric list a node's degree IS its out-degree (one scan);
     // a caller-supplied directed list must count BOTH incidences or
@@ -748,7 +855,7 @@ object Graphs {
         val (next, rdd) = rewrapPersisted(
           degrees(induced()).filter(col("__d") >= k).select("src"))
         surv = next
-        surv.count()
+        nSurv = surv.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
         onRound(i, (System.nanoTime() - tRound0) / 1e9)

@@ -67,21 +67,24 @@ object NgramLm {
     * the unigram path — exactly Stupid Backoff's contract). */
   def train(corpus: DataFrame, textCol: String, minCount: Long = 1L)
       : Model = {
-    // drop the empty token: split("", " ") is [""], so an empty or
-    // whitespace-only doc would otherwise count a "" unigram into the
-    // vocab and N — and scoreDocs would rank junk docs by the ""
-    // token's frequency (r15 review; the Dsir.featurize fix's sibling).
-    // Bigrams need no extra filter: "" only arises as a SOLE element,
-    // whose lone lag pair (NULL, "") the prev-isNotNull filter drops.
-    val toks = corpus.select(explode(Dedup.tokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
-    val unigrams = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
-    val bigrams = corpus
+    // ONE corpus pass, not two: tokenLagPairs emits exactly one
+    // (prev, tok) pair per token (pair i = (toks[i-1] | NULL, toks[i])),
+    // so the unigram counts are the per-tok SUMS of the pair counts —
+    // the earlier rendition ran a second full tokenize+explode+shuffle
+    // over the corpus just to count tokens it had already enumerated
+    // (r17; at sf0.1 this is the dominant cost of t13/t24/t25's
+    // now-per-query training — the lease-change price is paid back
+    // here). The empty token is dropped at the pair level: split("",
+    // " ") is [""], so an empty/whitespace-only doc yields the lone
+    // pair (NULL, "") — tok != "" removes it from BOTH tables and from
+    // N/V exactly as the old per-table filters did ("" never occurs
+    // mid-array; normalize collapses whitespace runs — r15 review).
+    val pairCounts = corpus
       .select(explode(bigramPairs(col(textCol))).as("bg"))
       .select(col("bg._1").as("prev"), col("bg._2").as("tok"))
-      .filter(col("prev").isNotNull)
-      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minCount)
+      .filter(col("tok") =!= "")
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PERSIST the count tables: the model's frames are lazy plans, and
     // without the cache every scoreDocs action re-runs the full
     // reference-corpus training aggregations (the unigram table is
@@ -93,16 +96,27 @@ object NgramLm {
     // (r15 ADVICE). Kept Dataset-level deliberately: an RDD-level
     // rewrap would lose InMemoryRelation's size stats and with them the
     // auto-broadcast of both count tables into the scoring joins.
-    val uniP = unigrams
+    val uniP = pairCounts
+      .groupBy("tok").agg(sum("cnt").as("c1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val biP = bigrams
+    val biP = pairCounts
+      .filter(col("prev").isNotNull).filter(col("cnt") >= minCount)
+      .select(col("prev"), col("tok"), col("cnt").as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // two scalars — a driver-sized collect by contract (this action
-    // also materializes the unigram cache)
+    // also materializes the unigram cache, through the pair cache)
     val row = uniP
       .agg(coalesce(sum("c1"), lit(0L)).as("n"), count(lit(1)).as("v"))
       .collect().head
     val (n, v) = (row.getLong(0), row.getLong(1))
+    // force the bigram cache while the pair cache is still resident,
+    // then drop the pairs: they exist only to fan the one corpus pass
+    // into the two model tables (an unpersist BEFORE biP materializes
+    // would silently re-run the corpus pass on biP's first action;
+    // dropped before the empty-corpus require so the failure path
+    // does not strand the pair cache)
+    biP.count()
+    pairCounts.unpersist(blocking = false)
     require(n > 0, "cannot train a language model on an empty corpus")
     Model(uniP, biP, n, v)
   }

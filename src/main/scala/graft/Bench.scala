@@ -130,7 +130,7 @@ object Bench {
     // availability) directly. Gated only at the graded sf0.1, where the
     // pinned sentinel reference exists; other SFs are local profiling
     // runs where 3 minutes of dead time buys nothing.
-    // pinned_r16_quiet references (sf0.1 only) — the SINGLE source of
+    // pinned_r17_quiet references (sf0.1 only) — the SINGLE source of
     // truth for BOTH the quiet gate's sentinel early-exit and the
     // normalization refs below: a re-pin that only updated one of two
     // hand-maintained copies would silently leave the gate threshold
@@ -138,7 +138,7 @@ object Bench {
     // timeout after an optimization re-pin) — r17 review. Provenance
     // and re-pin procedure documented at the refSource0 binding.
     val a01PinnedQuiet = 0.23
-    val heavyPinnedQuiet = 1.38
+    val heavyPinnedQuiet = 3.55
     val gates = scala.collection.mutable.ArrayBuffer[
       (String, Double, Double, Double, Double, Boolean)]()
     def quietGate(label: String): Unit = {
@@ -237,22 +237,25 @@ object Bench {
     // artifact: a sentinel running >30% FASTER than its pinned quiet
     // minimum can only mean the sentinel's own code changed.
     val (a01Ref0, heavyRef0, refSource0) =
-      // re-pinned r16 (r15 ADVICE): the r15 heavy pin (1.20) was
-      // extrapolated from in-run drift samples under ~5× load; the r16
-      // quiet full-catalog run (2026-08-16, external load 1.4–2.5 at
-      // the boundaries, 243 queries, r15 tree) measured t27's graded
-      // min-of-2 at 1.38 s — pinned HERE as the quiet reference. The
-      // measurement is IN-CATALOG deliberately: an isolated 2-query
-      // session reports 4.1 s (cold JIT + cold page cache), so the pin
-      // must come from the same warm-session regime the drift samples
-      // it normalizes are taken in. a01 unchanged at 0.23 (its r16
-      // quiet samples sat 0.29–0.49 with graded min consistent with
-      // the pin; no staleness signal in either direction).
+      // re-pinned r17: the QueryLeases discipline (394e7bf) changed
+      // t27's in-catalog regime structurally — its pipeline persists no
+      // longer ride earlier queries' caches (the r16 in-catalog 1.38 s
+      // WAS cache-riding; isolated sessions already reported ~4.1 s),
+      // and every drift probe now drains its lease, so each heavy
+      // sample pays the honest rebuild. The r17 canonical run
+      // (2026-08-17, 245 queries, gates passed, ambient load 1.7–9.7)
+      // sampled the heavy sentinel at 3.55–4.64 across eleven
+      // in-catalog warm probes — min 3.55 pinned as the quiet
+      // reference (consistent with the isolated ~4.1 now that nothing
+      // rides). The r16-pin history: r15 1.20 (extrapolated under
+      // load), r16 1.38 (in-catalog, cache-riding regime). a01
+      // unchanged at 0.23 (leases nothing; r17 samples 0.28–0.44,
+      // same band as r16).
       if (sfName == "sf0.1") (a01PinnedQuiet, heavyPinnedQuiet,
-        "pinned_r16_quiet")
+        "pinned_r17_quiet")
       else (a01Series.map(_._2).minOption.getOrElse(1.0),
         heavySeries.map(_._2).minOption.getOrElse(1.0), "run_min")
-    val refsStale = refSource0 == "pinned_r16_quiet" &&
+    val refsStale = refSource0 == "pinned_r17_quiet" &&
       (a01Series.map(_._2).minOption.exists(_ < 0.7 * a01Ref0) ||
         heavySeries.map(_._2).minOption.exists(_ < 0.7 * heavyRef0))
     if (refsStale) System.err.println(

@@ -310,4 +310,34 @@ class GraphsSuite extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got2 == Seq((2L, 3L)))
   }
+
+  test("r17: every kernel returns IDENTICAL rows under both join " +
+      "strategies of the broadcast-node-frame lever") {
+    // the bcastIfSmall lever (probe-adjudicated for timing in
+    // PageRankBcastProbe) must be invisible in values: all kernels sum
+    // through exact-decimal or integer aggregation, so the join
+    // strategy cannot move a result. Pin that contract in the suite —
+    // a future kernel edit that makes a result depend on partitioning
+    // (e.g. an IEEE-double fold) would fail HERE, not in a probe.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (6L, 7L)).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val arms = Seq(Some(false), Some(true)).map { b =>
+      (rows(Graphs.pageRankTopK(edges, iters = 3, k = 10,
+         symmetrizeInput = true, broadcastRanks = b)),
+       rows(Graphs.labelPropCensus(edges, iters = 2, k = 10,
+         symmetrizeInput = true, broadcastLabels = b)),
+       rows(Graphs.modularityCensus(edges, iters = 2, k = 10,
+         symmetrizeInput = true, broadcastLabels = b)),
+       rows(Graphs.ccCensus(edges, rounds = 3, k = 10,
+         symmetrizeInput = true, broadcastLabels = b)),
+       rows(Graphs.hitsTopK(edges, iters = 2, k = 5,
+         broadcastScores = b)),
+       rows(Graphs.bfsCensus(edges, seedPred = col("id") === 1, maxHops = 3,
+         symmetrizeInput = true, broadcastFrontier = b)),
+       rows(Graphs.kcoreCensus(edges, k = 2, rounds = 3,
+         symmetrizeInput = true, broadcastSurvivors = b)))
+    }
+    assert(arms(0) == arms(1))
+  }
 }

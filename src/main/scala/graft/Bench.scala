@@ -208,9 +208,10 @@ object Bench {
     // sentinel ratios (cheap-scan a01, heavy-class t27) linearly
     // interpolated to the position — within the pass that produced the
     // min — at which the query ran. At the graded sf0.1 the ratio
-    // denominators are PINNED quiet-session references (round-14
-    // measured minimums: a01 0.23 s, t27 2.51 s), making `total_norm`
-    // comparable across rounds regardless of host load; at other SFs no
+    // denominators are the PINNED quiet references defined ONCE above
+    // (a01PinnedQuiet / heavyPinnedQuiet — provenance at the
+    // refSource0 binding), making `total_norm` comparable across
+    // rounds regardless of host load; at other SFs no
     // pinned reference exists, so the run's own sentinel minimum is the
     // unit (removes within-run drift only; source is recorded). The
     // normalization is a LENS, not the grade — raw totals stay primary,

@@ -90,8 +90,10 @@ object Graphs {
     * long+double), the explicit hint makes the join map-side and the
     * edge cache is probed in place. Over the threshold (a 100TB-scale
     * node set) the shuffle join stands — measured at the boundary: a
-    * FORCED broadcast of a 1M-node rank frame was a wash (min ratio
-    * 0.97), so the conservative auto gate costs nothing. `force` is
+    * FORCED broadcast of a ~1M-node rank frame ranged wash-to-loss
+    * across the two probe batteries (min ratio 0.97 loaded, 1.10 on
+    * the re-leg — PageRankBcastProbe), so the conservative auto gate
+    * gives up nothing and forcing past it buys nothing. `force` is
     * the probe/caller override (None = auto). */
   private def bcastAuto(spark: org.apache.spark.sql.SparkSession,
                         n: Long): Boolean = {
@@ -560,10 +562,14 @@ object Graphs {
       // the materializing count is exactly the node count the
       // bcastIfSmall gate needs (the label frame is n rows EVERY
       // round, so one decision serves the whole loop)
+      // prevRdd tracks the seed BEFORE its materializing count: a count
+      // that fails mid-job would otherwise leave partially cached seed
+      // blocks untracked by the catch/finally cleanup (r17 review —
+      // hitsTopK already registered before counting)
       val (lbl0, rdd0) = rewrapPersisted(lbl)
       lbl = lbl0
-      val n = lbl.count()
       prevRdd = rdd0
+      val n = lbl.count()
       val bcast = broadcastLabels.getOrElse(bcastAuto(full.sparkSession, n))
       for (_ <- 1 to iters) {
         val (next, rdd) = rewrapPersisted(
@@ -685,8 +691,8 @@ object Graphs {
       // per round from the materializing count the loop already pays
       val (dist0, rdd0) = rewrapPersisted(dist)
       dist = dist0
+      prevRdd = rdd0 // registered BEFORE the count (r17 review)
       var nDist = dist.count()
-      prevRdd = rdd0
       for (_ <- 1 to maxHops) {
         val expanded = full
           .join(bcastIfSmall(dist.withColumnRenamed("id", "src"), nDist,
@@ -757,8 +763,8 @@ object Graphs {
       // round 1 stops re-running the distinct inside its own plan
       val (lbl0, rdd0) = rewrapPersisted(lbl)
       lbl = lbl0
+      prevRdd = rdd0 // registered BEFORE the count (r17 review)
       val n = lbl.count()
-      prevRdd = rdd0
       val bcast =
         broadcastLabels.getOrElse(bcastAuto(full.sparkSession, n))
       for (_ <- 1 to rounds) {
@@ -823,18 +829,26 @@ object Graphs {
     // survivor node set; null = every node (round 1 needs no induce);
     // nSurv from the round's materializing count feeds the
     // bcastIfSmall gate on the two semi joins (the survivor set only
-    // SHRINKS, so once broadcastable it stays broadcastable)
+    // SHRINKS, so once broadcastable it stays broadcastable). ONE
+    // neutral-named frame serves BOTH endpoint filters via condition
+    // joins: two differently-projected copies (surv vs its
+    // dst-rename) canonicalize to different plans, so Spark built two
+    // separate broadcast exchanges of the identical node set per
+    // round — with a shared subtree the second is a ReusedExchange
+    // (r17 review)
     var surv: DataFrame = null
     var nSurv = 0L
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     def induced(): DataFrame =
       if (surv == null) full
-      else full
-        .join(bcastIfSmall(surv, nSurv, broadcastSurvivors),
-          Seq("src"), "left_semi")
-        .join(bcastIfSmall(surv.select(col("src").as("dst")), nSurv,
-          broadcastSurvivors), Seq("dst"), "left_semi")
-        .select("src", "dst")
+      else {
+        val b = bcastIfSmall(surv.select(col("src").as("__node")), nSurv,
+          broadcastSurvivors)
+        full
+          .join(b, col("src") === col("__node"), "left_semi")
+          .join(b, col("dst") === col("__node"), "left_semi")
+          .select("src", "dst")
+      }
     // on a symmetric list a node's degree IS its out-degree (one scan);
     // a caller-supplied directed list must count BOTH incidences or
     // dst-only sinks peel immediately and hubs survive on out-edges

@@ -103,22 +103,36 @@ object NgramLm {
       .filter(col("prev").isNotNull).filter(col("cnt") >= minCount)
       .select(col("prev"), col("tok"), col("cnt").as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // two scalars — a driver-sized collect by contract (this action
-    // also materializes the unigram cache, through the pair cache)
-    val row = uniP
-      .agg(coalesce(sum("c1"), lit(0L)).as("n"), count(lit(1)).as("v"))
-      .collect().head
-    val (n, v) = (row.getLong(0), row.getLong(1))
-    // force the bigram cache while the pair cache is still resident,
-    // then drop the pairs: they exist only to fan the one corpus pass
-    // into the two model tables (an unpersist BEFORE biP materializes
-    // would silently re-run the corpus pass on biP's first action;
-    // dropped before the empty-corpus require so the failure path
-    // does not strand the pair cache)
-    biP.count()
-    pairCounts.unpersist(blocking = false)
-    require(n > 0, "cannot train a language model on an empty corpus")
-    Model(uniP, biP, n, v)
+    // the materialization region releases EVERYTHING this call
+    // persisted on failure: Dataset caches are CacheManager-strong (not
+    // ContextCleaner-reclaimed), so a mid-train task failure in a
+    // long-lived session — which the harness survives (Bench records
+    // -1 and continues) — would otherwise strand the corpus-pass pair
+    // cache plus both half-built model tables for the rest of the run,
+    // defeating the lease discipline (r17 review)
+    try {
+      // two scalars — a driver-sized collect by contract (this action
+      // also materializes the unigram cache, through the pair cache)
+      val row = uniP
+        .agg(coalesce(sum("c1"), lit(0L)).as("n"), count(lit(1)).as("v"))
+        .collect().head
+      val (n, v) = (row.getLong(0), row.getLong(1))
+      // force the bigram cache while the pair cache is still resident,
+      // then drop the pairs: they exist only to fan the one corpus pass
+      // into the two model tables (an unpersist BEFORE biP materializes
+      // would silently re-run the corpus pass on biP's first action)
+      biP.count()
+      pairCounts.unpersist(blocking = false)
+      // inside the try: the empty-corpus reject must also release the
+      // three persists (uniP/biP stranded on this path pre-r17 too)
+      require(n > 0, "cannot train a language model on an empty corpus")
+      Model(uniP, biP, n, v)
+    } catch { case e: Throwable =>
+      pairCounts.unpersist(blocking = false)
+      uniP.unpersist(blocking = false)
+      biP.unpersist(blocking = false)
+      throw e
+    }
   }
 
   /** Average per-token Stupid-Backoff log score for every document:

@@ -124,8 +124,12 @@ object PageRankBcastProbe {
     // planted hubs at probe scale: ~1M nodes — the rank frame the
     // auto gate deliberately does NOT broadcast (boundary case).
     // Guarded so a filtered re-adjudication skips the edge build too.
-    if (legs.forall(_.exists(s => s"hubs@$nEdges".contains(s)))) {
-    val nNodes = nEdges / 5
+    // node count overridable as arg 2: nEdges/5 reproduces the
+    // GraphScaleProbe leg-2 shape (~1M nodes at 5M edges — gate
+    // CLOSED); an explicit small node count (e.g. 100000 at 50M
+    // edges) probes the dense regime where the gate OPENS at scale
+    val nNodes = args.lift(1).map(_.toLong).getOrElse(nEdges / 5)
+    if (legs.forall(_.exists(s => s"hubs@${nEdges}x$nNodes".contains(s)))) {
     val raw = spark.range(nEdges).select(
       (pmod(hash(col("id")), lit(nNodes)) + lit(100L)).as("src"),
       when(col("id") % 5 === 0,
@@ -135,8 +139,9 @@ object PageRankBcastProbe {
       .filter(col("src") =!= col("dst"))
     val sym = Graphs.symmetrize(raw.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    println(s"[graph-bcast] synthetic symmetrized edges: ${sym.count()}")
-    ab(s"hubs@$nEdges", b =>
+    println(s"[graph-bcast] synthetic symmetrized edges: ${sym.count()}" +
+      s" nodes<=$nNodes")
+    ab(s"hubs@${nEdges}x$nNodes", b =>
       Graphs.pageRankTopK(sym, iters = 5, k = 20, completeInbound = true,
         broadcastRanks = b).collect().toSeq)
     sym.unpersist(blocking = false)

@@ -372,11 +372,20 @@ object Dedup {
     var labelsRdd = edges.select(col("src").as("id"), col("src").as("cluster"))
       .distinct().rdd.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = spark.createDataFrame(labelsRdd, schema)
+    // node count for the Graphs.bcastIfSmall gate (the r17 lever, same
+    // per-round shape as the graph censuses: cached edges joined with a
+    // stats-less node-sized frame planned as an edge-sized exchange
+    // every round). Constant across rounds — the label frame stays
+    // keyed by the same id set — so ONE decision serves the loop; this
+    // count also pre-materializes the seed cache round 1 reads.
+    val nLabels = labels.count()
+    val bcastLbl = Graphs.bcastAuto(spark, nLabels)
     var converged = false
     var i = 0
     while (!converged && i < math.min(hashMinRounds, maxIter)) {
       val fromNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(Graphs.bcastIfSmall(labels.withColumnRenamed("id", "dst"),
+          nLabels, Some(bcastLbl)), "dst")
         .select(col("src").as("id"), col("cluster"))
       val nextRdd = labels.union(fromNeighbors)
         .groupBy("id").agg(min("cluster").as("cluster"))

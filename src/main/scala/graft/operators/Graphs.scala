@@ -95,14 +95,16 @@ object Graphs {
     * the re-leg — PageRankBcastProbe), so the conservative auto gate
     * gives up nothing and forcing past it buys nothing. `force` is
     * the probe/caller override (None = auto). */
-  private def bcastAuto(spark: org.apache.spark.sql.SparkSession,
-                        n: Long): Boolean = {
+  private[operators] def bcastAuto(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Boolean = {
     val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
     thr > 0 && n * 48L <= thr
   }
 
-  private def bcastIfSmall(df: DataFrame, n: Long,
-                           force: Option[Boolean]): DataFrame =
+  // package-visible: Dedup.connectedComponents' hash-min loop has the
+  // identical per-round shape (edge cache ⋈ stats-less node frame)
+  private[operators] def bcastIfSmall(df: DataFrame, n: Long,
+                                      force: Option[Boolean]): DataFrame =
     if (force.getOrElse(bcastAuto(df.sparkSession, n))) broadcast(df)
     else df
 

@@ -196,7 +196,19 @@ object Dedup {
                      threshold: Double, shingleN: Int = 3,
                      numHashes: Int = 128, bands: Int = 32,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val b0 = lshBands(docs, idCol, textCol, shingleN, numHashes, bands)
+    // Pin the banded-signature frame (r17 optimization): `b` feeds the
+    // bucket SELF-join (two plan branches — a self-join does not share
+    // its subtree) plus the mega-bucket census when the cap is on, so
+    // the unpinned form evaluated the numHashes-minhash expression 2-3x
+    // per document. One leased MEMORY_AND_DISK persist serves all
+    // branches (concurrent tasks of the join job dedupe partition
+    // computation through the block manager's per-partition locks).
+    // Leased, not finally-scoped: the returned pair frame is lazy and
+    // the cache must survive until the caller materializes it
+    // (QueryLeases scaladoc; harnesses drain after each query).
+    val b0 = graft.util.QueryLeases.leased(
+      lshBands(docs, idCol, textCol, shingleN, numHashes, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val b =
       if (maxBucket == Int.MaxValue) b0
       else {
@@ -215,8 +227,13 @@ object Dedup {
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val sh = docs.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleN).as("sh"))
+    // same double-evaluation shape: the shingle frame attaches to BOTH
+    // pair ends, and without the pin each attach re-scanned the corpus
+    // and re-shingled every document
+    val sh = graft.util.QueryLeases.leased(
+      docs.select(col(idCol).as("id"),
+          wordShingles(col(textCol), shingleN).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cand
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")

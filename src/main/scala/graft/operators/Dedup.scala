@@ -298,9 +298,15 @@ object Dedup {
     * 4 bands). */
   private def simhashBandedPairs(withH: DataFrame, bandBits: Int,
                                  maxHamming: Int): DataFrame = {
-    val banded = withH.select(col("id"), col("sh"),
-      posexplode(array(simhashBandCols(col("sh"), bandBits): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    // pinned for the same reason as nearDuplicates' band frame: the
+    // self-join broadcasts one side, and a broadcast build side is
+    // never exchange-reused — unpinned, the SimHash expression (a full
+    // text tokenize+hash pass) evaluated once per join branch
+    val banded = graft.util.QueryLeases.leased(
+      withH.select(col("id"), col("sh"),
+          posexplode(array(simhashBandCols(col("sh"), bandBits): _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     banded.as("l").join(banded.as("r"), Seq("band", "band_val"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -613,10 +619,15 @@ object Dedup {
     * Returns (w1, w2) with w1 < w2, distinct. */
   def editDistance1Pairs(df: DataFrame, strCol: String): DataFrame = {
     val terms = df.select(col(strCol).as("__w")).distinct()
-    val variants = terms.select(col("__w"), explode(expr(
-      "array_distinct(concat(array(__w), transform(sequence(1, length(__w)), " +
-        "i -> concat(substring(__w, 1, i - 1), " +
-        "substring(__w, i + 1, length(__w) - i)))))")).as("__var"))
+    // pinned: the variant self-join broadcasts one side (never
+    // exchange-reused), so the distinct shuffle + per-term deletion
+    // explode ran once per branch unpinned
+    val variants = graft.util.QueryLeases.leased(
+      terms.select(col("__w"), explode(expr(
+        "array_distinct(concat(array(__w), transform(sequence(1, length(__w)), " +
+          "i -> concat(substring(__w, 1, i - 1), " +
+          "substring(__w, i + 1, length(__w) - i)))))")).as("__var"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     variants.as("a").join(variants.as("b"),
         col("a.__var") === col("b.__var") && col("a.__w") < col("b.__w"))
       .select(col("a.__w").as("w1"), col("b.__w").as("w2"))
@@ -665,10 +676,14 @@ object Dedup {
     * constant-space estimate of the same matrix. */
   def corpusOverlap(df: DataFrame, groupCol: String, textCol: String,
                     shingleN: Int = 3): DataFrame = {
-    val grams = df
+    // pinned: three consumers (sizes, both self-join branches) — the
+    // shingle explode + distinct shuffle ran per consumer unpinned
+    // (the self-join's broadcast side shares no exchange)
+    val grams = graft.util.QueryLeases.leased(df
       .select(col(groupCol).as("__g"),
         explode(wordShingles(col(textCol), shingleN)).as("__gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = grams.groupBy("__g").agg(count(lit(1)).as("n"))
     val common = grams.as("a").join(grams.as("b"),
         col("a.__gram") === col("b.__gram") && col("a.__g") < col("b.__g"))

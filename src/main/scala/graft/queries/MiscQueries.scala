@@ -1825,12 +1825,19 @@ object MiscQueries {
     Q("a35_rfm",
       (s, d) => {
         import graft.operators.Ranks.quantileSelect
-        val per = load(s, d, "orders")
+        // pinned (r17): the per-customer frame feeds three EAGER
+        // quantileSelect calls (each fills its own internal projection
+        // cache from this subtree) plus the graded projection — four
+        // executions of the orders scan + groupBy unpinned. Leased so
+        // the cache survives until the caller materializes the lazy
+        // graded frame; harnesses drain it per query.
+        val per = graft.util.QueryLeases.leased(load(s, d, "orders")
           .groupBy(col("o_custkey").as("cust"))
           .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
               .cast("double").as("r"),
             count(lit(1)).cast("double").as("f"),
             dsum(col("o_totalprice")).as("m"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         def codes(vCol: String): Column = {
           val q = quantileSelect(per, vCol, "cust", Seq(2500, 5000, 7500))
           lit(1) + (col(vCol) > lit(q(2500))).cast("int") +

@@ -1085,8 +1085,18 @@ object AnnQueries {
       col("e").as("ea"), col("nrm").as("na"))
     val b = base.select(col("cell"), col("id").as("id_b"),
       col("e").as("eb"), col("nrm").as("nb"))
+    // two-phase scoring (r17, the nearDupExact/semanticDedup pattern):
+    // a codegen'd double-dot prefilter at (threshold − 0.01) drops the
+    // background pairs BEFORE the exact-decimal dot — the margin is
+    // ~13 orders of magnitude above double-vs-decimal fold drift plus
+    // the float cast's 1e-7, so no pair whose exact float cos reaches
+    // `threshold` can be dropped, and the exact scorer still decides
+    // membership: the pair set is bit-identical to exact-scoring every
+    // same-cell pair (which the DuckDB oracle replays).
     val pairs = stage(a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
+      .filter(ve.dotF(col("ea"), col("eb")) >=
+        lit(threshold - 0.01) * col("na") * col("nb"))
       .select(col("cell"), col("id_a"), col("id_b"),
         (dotExactF(col("ea"), col("eb")) / (col("na") * col("nb")))
           .cast("float").as("cos"))

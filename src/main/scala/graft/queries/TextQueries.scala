@@ -263,9 +263,15 @@ object TextQueries {
     * (doc_id, y, score) with score already 2⁻²⁰-quantized. ONE
     * definition shared by t22/t29. */
   private def classifierScored(s: SparkSession, d: String): DataFrame = {
-    val feats = load(s, d, "documents").select(col("doc_id"),
-      (langId(col("text")) === "en").cast("double").as("y"),
-      stopwordRatio(col("text")).as("x"))
+    // pinned (r17): feats feeds the IRLS training frame AND the final
+    // corpus-wide scoring pass — unpinned, the langId + stopwordRatio
+    // text scan re-ran for each (fitPortable2 additionally pins its
+    // own 2-column projection so the 3 IRLS steps share one cache)
+    val feats = graft.util.QueryLeases.leased(
+      load(s, d, "documents").select(col("doc_id"),
+          (langId(col("text")) === "en").cast("double").as("y"),
+          stopwordRatio(col("text")).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val coefs = graft.stats.Logistic.fitPortable2(feats, "y", "x",
       iters = 3)
     val q = lit(1048576.0) // 2^20, the fitPortable2 quantum

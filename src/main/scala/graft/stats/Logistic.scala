@@ -91,8 +91,16 @@ object Logistic {
     require(iters >= 1, s"iters=$iters must be >= 1")
     val q = lit(1048576.0) // 2^20
     def quant(c: Column): Column = floor(c * q + lit(0.5)) / q
-    val base = df.select(col(yCol).cast("double").as("y"),
-      col(xCol).cast("double").as("x"))
+    // pinned (r17): the lazy iteration chain nests `base` once per
+    // IRLS step (each step's 1-row coefs broadcast embeds the previous
+    // step's whole plan), so an expensive feature subtree — t22's
+    // langId + stopwordRatio corpus scan — evaluated `iters` times.
+    // The leased 2-column persist makes every step read one cache
+    // (QueryLeases scaladoc; harnesses drain per query).
+    val base = graft.util.QueryLeases.leased(
+      df.select(col(yCol).cast("double").as("y"),
+          col(xCol).cast("double").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var coefs = base.sparkSession.range(1)
       .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
     for (_ <- 1 to iters) {

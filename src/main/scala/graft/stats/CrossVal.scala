@@ -29,34 +29,43 @@ object CrossVal {
     // NULL x/y rows are excluded from BOTH passes, keeping n consistent
     // with the moment sums (dsum skips NULLs; count(lit(1)) would not)
     val data = df.filter(x.isNotNull && y.isNotNull)
-    // ONE rollup pass yields every fold's moments AND the grand total
-    // (grouping_id 1) — exact decimal sums are associative, so the
-    // total row is bit-identical to a separate whole-frame aggregate
-    val gAll = data.rollup(col(foldCol).cast("long").as("fold")).agg(
-      grouping_id().as("gid"),
-      dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
-      dsum(x * x).as("sxx"), count(lit(1)).cast("double").as("n"))
+    // ONE grouped pass yields every fold's moments as UNCAST decimals;
+    // the grand totals are the DRIVER-side sums of the k fold decimals
+    // — exact decimal addition is associative and these magnitudes are
+    // far under the DECIMAL(38,10) range, so the totals are
+    // bit-identical to a whole-frame aggregate (the property the
+    // previous rollup rendition relied on), while every input row now
+    // passes through the decimal accumulators ONCE instead of twice
+    // (rollup's Expand duplicated each row into fold + total buckets —
+    // r17 optimization; m37's full hash oracle re-proves the equality).
+    val dec = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast("decimal(38,10)"))
+    val g = data.groupBy(col(foldCol).cast("long").as("fold")).agg(
+      dec(x).as("sx"), dec(y).as("sy"), dec(x * y).as("sxy"),
+      dec(x * x).as("sxx"), count(lit(1)).as("n"))
       .collect()
-    def d(r: Row, name: String): Double = {
-      val i = r.fieldIndex(name)
-      if (r.isNullAt(i)) 0.0 else r.getAs[Number](i).doubleValue()
-    }
-    // empty input (or all x/y NULL): rollup over zero rows yields no
-    // grand-total row and the bare .get would die as an opaque
-    // 'None.get' — name the cause instead (r15 review)
-    val t = gAll.find(_.getAs[Long]("gid") == 1L).getOrElse(
-      throw new IllegalArgumentException(
-        "olsKFold: no rows with non-NULL x and y to cross-validate"))
-    val g = gAll.filter(_.getAs[Long]("gid") == 0L)
+    if (g.isEmpty) throw new IllegalArgumentException(
+      "olsKFold: no rows with non-NULL x and y to cross-validate")
     require(g.length >= 2, s"k-fold needs at least 2 folds, got ${g.length}")
-    val (sxt, syt, sxyt, sxxt, nt) =
-      (d(t, "sx"), d(t, "sy"), d(t, "sxy"), d(t, "sxx"), d(t, "n"))
+    // decimal→double conversion matches Spark's Cast(decimal, double)
+    // (BigDecimal.doubleValue — both correctly rounded)
+    def bd(r: Row, name: String): java.math.BigDecimal = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) java.math.BigDecimal.ZERO
+      else r.getAs[java.math.BigDecimal](i)
+    }
+    def d(r: Row, name: String): Double = bd(r, name).doubleValue()
+    def tot(name: String): Double =
+      g.map(bd(_, name)).reduce(_.add(_)).doubleValue()
+    val (sxt, syt, sxyt, sxxt) =
+      (tot("sx"), tot("sy"), tot("sxy"), tot("sxx"))
+    val nt = g.map(_.getAs[Long]("n")).sum.toDouble
     val coefs = g.map { r =>
       require(!r.isNullAt(0), "NULL fold values are not allowed")
       val fold = r.getLong(0)
       val (sx2, sy2, sxy2, sxx2, n2) =
         (sxt - d(r, "sx"), syt - d(r, "sy"), sxyt - d(r, "sxy"),
-          sxxt - d(r, "sxx"), nt - d(r, "n"))
+          sxxt - d(r, "sxx"), nt - r.getAs[Long]("n").toDouble)
       require(n2 > 1, s"fold $fold leaves <2 training rows")
       val den = sxx2 - sx2 * sx2 / n2
       require(den != 0.0,

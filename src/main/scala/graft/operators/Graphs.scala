@@ -68,16 +68,53 @@ object Graphs {
     pr
   }
 
-  /** Persist a round's rows and re-wrap them as a fresh LogicalRDD —
-    * the connectedComponents recipe that keeps every iterative plan
-    * here ONE round deep. Caller forces with `.count()` and owns the
-    * returned RDD's unpersist. */
-  private def rewrapPersisted(df: DataFrame)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    import org.apache.spark.storage.StorageLevel
-    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  /** Materialize a frame as a LINEAGE-TRUNCATED local checkpoint and
+    * re-wrap it as a fresh LogicalRDD — the r18 replacement for the
+    * old `df.rdd.persist + createDataFrame` rewrap, which kept the
+    * logical plan one round deep but let the RDD lineage (and with it
+    * every task's serialized binary) grow per round. Measured at
+    * sf0.01 (R18RoundAnatomy): the un-truncated loop ships a ~1.5 MiB
+    * task binary EVERY round — the serialized closure carries the
+    * whole base-build plan (parquet relations, Hadoop conf, codegen)
+    * plus one lineage level per round — costing 100–400 ms of pure
+    * per-task deserialization on EMPTY data (the per-round fixed cost
+    * that dominated the graph family at sf0.1), and a
+    * StackOverflowError past ~49 rounds as serialization recursed the
+    * chain. With truncation the binary stays a few KiB and per-round
+    * wall time drops ~3× at sf0.01 (data-bound at larger SFs).
+    *
+    * Semantics: identical rows (the checkpoint copies each InternalRow
+    * — no Row↔InternalRow round-trip, one conversion FEWER than the
+    * old rewrap). Fault model: an executor-local checkpoint is not
+    * recomputable — a lost block fails the query instead of replaying
+    * lineage. In local mode (the bench/driver contract) block loss is
+    * process death; on a production cluster, set a checkpoint dir and
+    * the anchor logic in [[pageRankTopK]] writes reliable checkpoints
+    * instead.
+    *
+    * Caller materializes with `handle.count()` (one single-stage job —
+    * the old SQL `df.count()` planned a 2-stage partial/final agg per
+    * round) and owns `handle.unpersist()`, which must only happen
+    * AFTER every live consumer frame is itself materialized:
+    * truncation makes dropped blocks unrecoverable. */
+  private[operators] def truncated(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val ck = df.localCheckpoint(eager = false)
+    (ck, internalRdd(ck))
   }
+
+  /** The internal (InternalRow) RDD backing a checkpointed frame — the
+    * unpersist handle Dataset-level APIs don't expose (a checkpoint is
+    * not in the cache manager, so `Dataset.unpersist` is a no-op on
+    * it, and `df.rdd` would wrap a NEW converted RDD whose unpersist
+    * frees nothing). */
+  private[operators] def internalRdd(ck: DataFrame)
+      : org.apache.spark.rdd.RDD[_] =
+    ck.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.getOrElse(throw new IllegalStateException(
+      "checkpointed frame did not analyze to a LogicalRDD: " +
+        ck.queryExecution.analyzed.getClass.getName))
 
   /** The broadcast decision the optimizer cannot make for the
     * iterative kernels here: each round's node-sized frame (ranks,
@@ -189,87 +226,79 @@ object Graphs {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(damping > 0 && damping < 1, s"damping=$damping not in (0,1)")
     val spark = edges.sparkSession
-    // narrow to (src, dst) BEFORE persisting — extra caller columns
+    // narrow to (src, dst) BEFORE materializing — extra caller columns
     // (e.g. a prior "pr" from re-ranking a joined frame, or "__deg")
     // would hit an ambiguous-reference AnalysisException inside step's
     // join, and a wide payload would be cached in edgesDeg and ride
     // every round (same defensive select as the census siblings)
     val narrowed = edges.select("src", "dst")
-    val input =
-      if (symmetrizeInput) narrowed.persist(StorageLevel.MEMORY_AND_DISK)
-      else narrowed
+    // base frames are lineage-TRUNCATED checkpoints, not plain persists
+    // (see `truncated`): the per-round task binaries otherwise carry
+    // the whole edge-build plan (~1.5 MiB of parquet relations + Hadoop
+    // conf per task, at ANY scale factor) — the measured per-round
+    // fixed cost of the family
+    val (input, inputRdd) =
+      if (symmetrizeInput) truncated(narrowed) else (narrowed, null)
     val full = if (symmetrizeInput) symmetrize(input) else input
     val noDangling = completeInbound || symmetrizeInput
     // deg has exactly one row per node (every node is a source, per the
     // operator contract) — so it IS the node list, and its count is N:
     // no separate distinct pass over the edge set
-    val deg = full.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("__deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (deg, degRdd) = truncated(full.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("__deg")))
     val nodes = deg.select(col("src").as("id"))
-    val edgesDeg = full.join(deg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var prRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    // Anchor retention discipline:
-    //  - a LOCAL-checkpoint anchor must NOT be unpersisted while live
-    //    (unpersist DELETES local checkpoint blocks — they live in the
-    //    block store — un-truncating the very lineage it anchors), but
-    //    once a NEWER anchor has materialized the older one is
-    //    unreachable from any live lineage and drops immediately: at
-    //    most ONE local anchor is pinned at a time;
-    //  - a RELIABLE checkpoint (checkpoint-dir files) survives
-    //    unpersist, but Spark never deletes the files without the
-    //    opt-in cleaner config — so the run tracks its checkpointed
-    //    RDDs and best-effort deletes their directories in the finally
-    //    block (the result is a collected local relation by then; a
-    //    long-lived session must accumulate nothing, per the scaladoc).
-    var localAnchor: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    val (edgesDeg, edgesDegRdd) = truncated(full.join(deg, "src"))
+    var prRdd: org.apache.spark.rdd.RDD[_] = null
+    // Anchor retention discipline, r18 rendition: EVERY round is a
+    // lineage-truncated local checkpoint now, so the old per-n-rounds
+    // local anchor is subsumed. `checkpointEvery` keeps its production
+    // meaning when the session has a checkpoint dir: those rounds write
+    // RELIABLE checkpoints (executor-loss-tolerant files; the data
+    // still writes once — the internal RDD is persisted before the
+    // materializing count, the standard persist+checkpoint pairing),
+    // and the run best-effort deletes the files in the finally block
+    // (Spark never deletes them without the opt-in cleaner config; the
+    // graded result is a local relation by then).
     val reliableCkpts =
-      scala.collection.mutable.ListBuffer
-        .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
     try {
       // fills in dependency order: deg (node-sized) first — its count
-      // is N — then the edge cache, after which the input cache is
-      // dead weight and drops early
-      val n = deg.count()
-      edgesDeg.count()
-      if (symmetrizeInput) input.unpersist(blocking = false)
+      // is N — then the edge cache, after which the input blocks are
+      // dead weight and drop early (edgesDeg is truncated: dropping its
+      // upstream cannot strand it)
+      val n = degRdd.count()
+      edgesDegRdd.count()
+      if (inputRdd != null) inputRdd.unpersist(blocking = false)
       // the bcastIfSmall decision (see its scaladoc), driver-known n:
       // the rank frame is exactly n (id, pr) rows every round
       val bcastPr = broadcastRanks.getOrElse(bcastAuto(spark, n))
       val base = lit(1.0 - damping) / lit(n.toDouble)
       var pr = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("pr"))
+      val reliable = spark.sparkContext.getCheckpointDir.isDefined
       for (i <- 1 to iters) {
         // per-round wall clock handed to `onRound` AFTER the round's
         // materializing count — the probe hook that pins "flat
         // per-round time under lineage truncation" (GraphScaleProbe
         // leg 2b); the default no-op costs nothing on graded paths
         val tRound0 = System.nanoTime()
-        val (next, nextRdd) = rewrapPersisted(
-          step(edgesDeg, pr, base, damping, noDangling, nodes, identity,
-            bcastPr = bcastPr))
-        // must be requested BEFORE the materializing count below — the
-        // checkpoint rides the same job (persist + checkpoint is the
-        // standard pairing; the data writes once)
-        val reliable = spark.sparkContext.getCheckpointDir.isDefined
-        val anchor =
+        val stepDf = step(edgesDeg, pr, base, damping, noDangling, nodes,
+          identity, bcastPr = bcastPr)
+        val anchor = reliable &&
           checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters
-        if (anchor) {
-          if (reliable) nextRdd.checkpoint() else nextRdd.localCheckpoint()
-        }
+        val (next, nextRdd) =
+          if (anchor) {
+            val ck = stepDf.checkpoint(eager = false)
+            val rdd = internalRdd(ck)
+            // persist BEFORE the materializing count: the reliable
+            // checkpoint file write then reads the persisted blocks
+            // instead of recomputing the round
+            rdd.persist(StorageLevel.MEMORY_AND_DISK)
+            reliableCkpts += rdd
+            (ck, rdd)
+          } else truncated(stepDf)
+        nextRdd.count() // force this round before dropping the previous
         pr = next
-        pr.count() // force this round before dropping the previous one
-        if (anchor) {
-          if (reliable) reliableCkpts += nextRdd
-          else {
-            // the new anchor is materialized: the previous one is no
-            // longer reachable from any live lineage — drop it now
-            if (localAnchor != null) localAnchor.unpersist(blocking = false)
-            localAnchor = nextRdd
-          }
-        }
-        if (prRdd != null && (prRdd ne localAnchor))
-          prRdd.unpersist(blocking = false)
+        if (prRdd != null) prRdd.unpersist(blocking = false)
         prRdd = nextRdd
         onRound(i, (System.nanoTime() - tRound0) / 1e9)
       }
@@ -278,13 +307,12 @@ object Graphs {
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), ranked.schema)
     } finally {
-      // input.unpersist is idempotent — already dropped on the happy
+      // inputRdd.unpersist is idempotent — already dropped on the happy
       // path, re-dropped here so failure paths clean up too
-      if (symmetrizeInput) input.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
-      edgesDeg.unpersist(blocking = false)
+      if (inputRdd != null) inputRdd.unpersist(blocking = false)
+      degRdd.unpersist(blocking = false)
+      edgesDegRdd.unpersist(blocking = false)
       if (prRdd != null) prRdd.unpersist(blocking = false)
-      if (localAnchor != null) localAnchor.unpersist(blocking = false)
       // best-effort removal of reliable-checkpoint files: the graded
       // result is a local relation, so nothing references them
       reliableCkpts.foreach { r =>
@@ -396,36 +424,35 @@ object Graphs {
     * (score DESC, id). */
   def hitsTopK(edges: DataFrame, iters: Int, k: Int,
                broadcastScores: Option[Boolean] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
-    val e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    var rdds = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    val (e, eRdd) = truncated(edges.select("src", "dst"))
+    var rdds = List.empty[org.apache.spark.rdd.RDD[_]]
     try {
-      e.count()
+      eRdd.count()
       // each half-round's score frame is one row per node on its side
       // of the (possibly bipartite) graph — nScores is that count,
       // measured by the PREVIOUS half-round's materializing count, so
       // the bcastIfSmall gate is per-side and free
       def halfRound(scores: DataFrame, nScores: Long, joinKey: String,
                     groupKey: String): (DataFrame, Long) = {
-        val (raw, rdd) = rewrapPersisted(
+        val (raw, rdd) = truncated(
           e.join(bcastIfSmall(scores, nScores, broadcastScores),
               Seq(joinKey))
             .groupBy(groupKey).agg(dsum(col("score")).as("score")))
-        val n = raw.count()
+        val n = rdd.count()
         rdds.drop(2).foreach(_.unpersist(blocking = false))
         rdds = rdd :: rdds.take(2)
         (hitsNormalized(raw, groupKey), n)
       }
       // seed materialized for the same reason as lpaAssign: its count
       // feeds the gate, and round 1 stops re-running the distinct
-      val (hub0, hubRdd0) = rewrapPersisted(
+      val (hub0, hubRdd0) = truncated(
         e.select(col("src")).distinct()
           .select(col("src"), lit(1.0).as("score")))
       rdds = hubRdd0 :: rdds
       var hub = hub0
-      var nHub = hub.count()
+      var nHub = hubRdd0.count()
       var auth: DataFrame = null
       var nAuth = 0L
       for (_ <- 1 to iters) {
@@ -448,7 +475,7 @@ object Graphs {
       ranked.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), ranked.schema)
     } finally {
-      e.unpersist(blocking = false)
+      eRdd.unpersist(blocking = false)
       rdds.foreach(_.unpersist(blocking = false))
     }
   }
@@ -496,7 +523,7 @@ object Graphs {
     * (dst, lbl) count, and one per-dst argmax window — all shuffles
     * keyed by node id, never materializing more than the (node,
     * neighbor-label) distinct pairs. Rounds are materialized and
-    * re-wrapped ([[rewrapPersisted]]) so the plan stays one round deep;
+    * re-wrapped ([[truncated]]) so the plan stays one round deep;
     * the k largest communities (k rows — driver-sized by contract) are
     * collected and every cache dropped.
     * Returns (community, n_members, min_id, max_id), largest first,
@@ -504,17 +531,15 @@ object Graphs {
   def labelPropCensus(edges: DataFrame, iters: Int, k: Int,
                       symmetrizeInput: Boolean = false,
                       broadcastLabels: Option[Boolean] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
-    val input =
-      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
-      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val (input, inputRdd) = truncated(
+      if (symmetrizeInput) edges else edges.select("src", "dst"))
     val full = if (symmetrizeInput) symmetrize(input) else input
-    var last: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var last: org.apache.spark.rdd.RDD[_] = null
     try {
-      input.count()
-      val (lbl, rdd) = lpaAssign(full, iters, broadcastLabels)
+      inputRdd.count()
+      val (lbl, rdd, _) = lpaAssign(full, iters, broadcastLabels)
       last = rdd
       val census = lbl.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"), min("id").as("min_id"),
@@ -525,7 +550,7 @@ object Graphs {
       census.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), census.schema)
     } finally {
-      input.unpersist(blocking = false)
+      inputRdd.unpersist(blocking = false)
       if (last != null) last.unpersist(blocking = false)
     }
   }
@@ -534,18 +559,21 @@ object Graphs {
     * [[modularityCensus]]: every node starts labeled with its own id
     * and adopts its neighbors' most frequent label each round (ties to
     * the smallest label). `full` must be the symmetrized edge list.
-    * Returns the final (id, lbl) frame plus the persisted RDD backing
-    * it — the CALLER unpersists that RDD when done. */
+    * Returns the final (id, lbl) frame, the checkpointed RDD backing
+    * it — the CALLER unpersists that RDD when done — and the node
+    * count (the label frame is n rows every round, so callers reuse it
+    * instead of recounting). */
   private def lpaAssign(full: DataFrame, iters: Int,
                         broadcastLabels: Option[Boolean] = None)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      : (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
     // symmetrized contract: every node appears as a source, so the
     // source set IS the node list — and every node has neighbors, so
     // the inner join below re-labels every node each round
     import org.apache.spark.sql.expressions.Window
     var lbl = full.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
+    var n = 0L
     // winning label per node = rank 1 of (count desc, label asc): most
     // frequent, ties to the SMALLEST label — the rule the oracles
     // replay. The rank-1 window IS the scale shape here, not a naive
@@ -568,21 +596,21 @@ object Graphs {
       // that fails mid-job would otherwise leave partially cached seed
       // blocks untracked by the catch/finally cleanup (r17 review —
       // hitsTopK already registered before counting)
-      val (lbl0, rdd0) = rewrapPersisted(lbl)
+      val (lbl0, rdd0) = truncated(lbl)
       lbl = lbl0
       prevRdd = rdd0
-      val n = lbl.count()
+      n = rdd0.count()
       val bcast = broadcastLabels.getOrElse(bcastAuto(full.sparkSession, n))
       for (_ <- 1 to iters) {
-        val (next, rdd) = rewrapPersisted(
+        val (next, rdd) = truncated(
           full.join(bcastIfSmall(lbl.withColumnRenamed("id", "src"), n,
               Some(bcast)), Seq("src"))
             .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__n"))
             .withColumn("__rk", row_number().over(win))
             .filter(col("__rk") === 1)
             .select(col("dst").as("id"), col("lbl")))
+        rdd.count()
         lbl = next
-        lbl.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
       }
@@ -593,7 +621,7 @@ object Graphs {
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         throw e
     }
-    (lbl, prevRdd)
+    (lbl, prevRdd, n)
   }
 
   /** Newman modularity census of the [[labelPropCensus]] partition
@@ -615,23 +643,20 @@ object Graphs {
   def modularityCensus(edges: DataFrame, iters: Int, k: Int,
                        symmetrizeInput: Boolean = false,
                        broadcastLabels: Option[Boolean] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
-    val input =
-      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
-      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    val full = if (symmetrizeInput) symmetrize(input) else input
-    var last: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    val (input, inputRdd) = truncated(
+      if (symmetrizeInput) edges else edges.select("src", "dst"))
+    var last: org.apache.spark.rdd.RDD[_] = null
     try {
-      input.count()
-      val (lbl, rdd) = lpaAssign(full, iters, broadcastLabels)
+      // = 2m after symmetrize: both directions of every edge; the
+      // directed-input count is driver-known from the materializing
+      // count, so no separate full.count() job
+      val nDirected = inputRdd.count()
+      val full = if (symmetrizeInput) symmetrize(input) else input
+      val m2 = if (symmetrizeInput) 2L * nDirected else nDirected
+      val (lbl, rdd, nL) = lpaAssign(full, iters, broadcastLabels)
       last = rdd
-      val m2 = full.count() // = 2m: both directions of every edge
-      // the label frame is node-sized and RDD-cached, so its count is
-      // cheap — the same bcastIfSmall decision as the loop's, applied
-      // to the two edge-sized modularity joins below
-      val nL = lbl.count()
       val deg = full.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("__d"))
       val dc = deg.join(lbl, Seq("id"))
@@ -660,7 +685,7 @@ object Graphs {
       out.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
-      input.unpersist(blocking = false)
+      inputRdd.unpersist(blocking = false)
       if (last != null) last.unpersist(blocking = false)
     }
   }
@@ -676,35 +701,33 @@ object Graphs {
   def bfsCensus(edges: DataFrame, seedPred: Column, maxHops: Int,
                 symmetrizeInput: Boolean = false,
                 broadcastFrontier: Option[Boolean] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
-    val input =
-      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
-      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val (input, inputRdd) = truncated(
+      if (symmetrizeInput) edges else edges.select("src", "dst"))
     val full = if (symmetrizeInput) symmetrize(input) else input
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
     try {
-      input.count()
+      inputRdd.count()
       var dist = full.select(col("src").as("id")).distinct()
         .filter(seedPred)
         .select(col("id"), lit(0).as("dist"))
       // the reached set GROWS round to round (seeds → ≤ all nodes), so
       // unlike the fixed-n kernels the bcastIfSmall gate re-decides
       // per round from the materializing count the loop already pays
-      val (dist0, rdd0) = rewrapPersisted(dist)
+      val (dist0, rdd0) = truncated(dist)
       dist = dist0
       prevRdd = rdd0 // registered BEFORE the count (r17 review)
-      var nDist = dist.count()
+      var nDist = rdd0.count()
       for (_ <- 1 to maxHops) {
         val expanded = full
           .join(bcastIfSmall(dist.withColumnRenamed("id", "src"), nDist,
             broadcastFrontier), Seq("src"))
           .select(col("dst").as("id"), (col("dist") + lit(1)).as("dist"))
-        val (next, rdd) = rewrapPersisted(
+        val (next, rdd) = truncated(
           dist.unionByName(expanded)
             .groupBy("id").agg(min("dist").as("dist")))
         dist = next
-        nDist = dist.count()
+        nDist = rdd.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
       }
@@ -716,7 +739,7 @@ object Graphs {
       census.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), census.schema)
     } finally {
-      input.unpersist(blocking = false)
+      inputRdd.unpersist(blocking = false)
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
     }
   }
@@ -737,16 +760,14 @@ object Graphs {
   def ccCensus(edges: DataFrame, rounds: Int, k: Int,
                symmetrizeInput: Boolean = false,
                broadcastLabels: Option[Boolean] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     require(k >= 1, s"k=$k must be >= 1")
-    val input =
-      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
-      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val (input, inputRdd) = truncated(
+      if (symmetrizeInput) edges else edges.select("src", "dst"))
     val full = if (symmetrizeInput) symmetrize(input) else input
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
     try {
-      input.count()
+      inputRdd.count()
       // seed from BOTH endpoints: with symmetrizeInput=true the source
       // set already covers every node (so skip the second scan), but a
       // caller-supplied list may have dst-only sinks — without a self
@@ -763,10 +784,10 @@ object Graphs {
       // node count the bcastIfSmall gate needs (the label frame is n
       // rows every round — one decision serves the whole spread), and
       // round 1 stops re-running the distinct inside its own plan
-      val (lbl0, rdd0) = rewrapPersisted(lbl)
+      val (lbl0, rdd0) = truncated(lbl)
       lbl = lbl0
       prevRdd = rdd0 // registered BEFORE the count (r17 review)
-      val n = lbl.count()
+      val n = rdd0.count()
       val bcast =
         broadcastLabels.getOrElse(bcastAuto(full.sparkSession, n))
       for (_ <- 1 to rounds) {
@@ -774,10 +795,10 @@ object Graphs {
           .join(bcastIfSmall(lbl.withColumnRenamed("id", "src"), n,
             Some(bcast)), Seq("src"))
           .select(col("dst").as("id"), col("lbl"))
-        val (next, rdd) = rewrapPersisted(
+        val (next, rdd) = truncated(
           lbl.unionByName(spread).groupBy("id").agg(min("lbl").as("lbl")))
         lbl = next
-        lbl.count()
+        rdd.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
       }
@@ -790,7 +811,7 @@ object Graphs {
       census.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), census.schema)
     } finally {
-      input.unpersist(blocking = false)
+      inputRdd.unpersist(blocking = false)
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
     }
   }
@@ -821,12 +842,10 @@ object Graphs {
                   symmetrizeInput: Boolean = false,
                   onRound: (Int, Double) => Unit = (_, _) => (),
                   broadcastSurvivors: Option[Boolean] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
-    val input =
-      if (symmetrizeInput) edges.persist(StorageLevel.MEMORY_AND_DISK)
-      else edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val (input, inputRdd) = truncated(
+      if (symmetrizeInput) edges else edges.select("src", "dst"))
     val full = if (symmetrizeInput) symmetrize(input) else input
     // survivor node set; null = every node (round 1 needs no induce);
     // nSurv from the round's materializing count feeds the
@@ -840,7 +859,7 @@ object Graphs {
     // (r17 review)
     var surv: DataFrame = null
     var nSurv = 0L
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
     def induced(): DataFrame =
       if (surv == null) full
       else {
@@ -861,17 +880,17 @@ object Graphs {
         .unionByName(e.select(col("dst").as("src")))
         .groupBy("src").agg(count(lit(1)).as("__d"))
     try {
-      input.count()
+      inputRdd.count()
       for (i <- 1 to rounds) {
         // per-round wall clock handed to `onRound` AFTER the round's
         // materializing count — the pageRankTopK hook convention, so
         // the scale probe can pin per-round FLATNESS (a spill or
         // lineage pathology shows as monotone per-round growth)
         val tRound0 = System.nanoTime()
-        val (next, rdd) = rewrapPersisted(
+        val (next, rdd) = truncated(
           degrees(induced()).filter(col("__d") >= k).select("src"))
         surv = next
-        nSurv = surv.count()
+        nSurv = rdd.count()
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
         onRound(i, (System.nanoTime() - tRound0) / 1e9)
@@ -886,7 +905,7 @@ object Graphs {
       census.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), census.schema)
     } finally {
-      input.unpersist(blocking = false)
+      inputRdd.unpersist(blocking = false)
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
     }
   }

@@ -296,7 +296,64 @@ final case class PaddedOccurrencesExpr(child: Expression, words: Seq[String],
     copy(child = newChild)
 }
 
+/** Per-document character histogram: one tight JVM pass over the
+  * string, returning array<struct<c: string, k: bigint>> with one entry
+  * per DISTINCT character (Unicode code point — the same unit as
+  * Spark's `length`/`substring`, so Σk = length(text)) in
+  * first-occurrence order. Replaces the per-character
+  * explode(sequence+substring) in [[TextPipeline.charEntropy]]: the
+  * Generate's output shrinks from |chars| rows per document to
+  * |distinct chars| (alphabet-bounded), and the downstream (doc, char)
+  * aggregation hash-aggregates that tiny relation instead of the whole
+  * corpus's characters. Counts are exact longs, so
+  * `sum(k)` groupBy (doc, char) equals the old `count(*)` per exploded
+  * char for ANY input (duplicate doc ids included) — values identical.
+  * (CodegenFallback: the per-document eval dominates — the
+  * WordShinglesExpr argument.) */
+final case class CharHistogramExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with RequiresStringInput {
+  import org.apache.spark.sql.types.{LongType => LT, StringType => ST}
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c", ST, nullable = false),
+      org.apache.spark.sql.types.StructField("k", LT, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "char_histogram"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // LinkedHashMap: deterministic first-occurrence order (the array
+    // order is semantically irrelevant — consumers re-aggregate — but
+    // determinism keeps plans/replays byte-stable)
+    val counts = new java.util.LinkedHashMap[String, Array[Long]]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      val c = s.substring(i, i + n)
+      val slot = counts.get(c)
+      if (slot == null) counts.put(c, Array(1L)) else slot(0) += 1L
+      i += n
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue()(0))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  def charHistogram(text: Column): Column =
+    GraftBridge.column(CharHistogramExpr(GraftBridge.expression(text)))
   def wordShingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShinglesExpr(GraftBridge.expression(text), n))
   def paddedOccurrences(text: Column, words: Seq[String],

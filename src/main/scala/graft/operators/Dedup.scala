@@ -337,19 +337,25 @@ object Dedup {
     * a 4000-hop path included — in logarithmically many rounds.
     * Min-labels make the output deterministic under any partitioning.
     *
-    * Per-round resource discipline: each generation's rows are persisted
-    * at the RDD level and re-wrapped as a fresh `LogicalRDD` frame, so
-    * (a) the LOGICAL plan stays one round deep — the naive loop's plan
-    * doubles per round because `labels` appears twice (join + union) and
-    * explodes exponentially with graph diameter — and (b) the superseded
-    * generation's blocks are explicitly unpersisted instead of lingering
-    * until a GC-triggered cleaner pass. If a generation's blocks are
-    * evicted under pressure, recomputation replays the (linear,
-    * deterministic) RDD chain back to the persisted edges.
+    * Per-round resource discipline (r18 rendition, shared with the
+    * [[Graphs.truncated]] kernels): each generation is a
+    * lineage-TRUNCATED local checkpoint re-wrapped as a fresh
+    * `LogicalRDD` frame, so (a) the LOGICAL plan stays one round deep —
+    * the naive loop's plan doubles per round because `labels` appears
+    * twice (join + union) and explodes exponentially with graph
+    * diameter — (b) the superseded generation's blocks are explicitly
+    * unpersisted instead of lingering until a GC-triggered cleaner
+    * pass, and (c) the RDD lineage does NOT grow per round: the old
+    * `df.rdd.persist` rewrap shipped a task binary that carried the
+    * whole upstream plan (the LSH pair pipeline!) plus one lineage
+    * level per round — the measured per-round fixed cost of every
+    * fixpoint loop here. Fault model: a truncated generation is not
+    * recomputable — in local mode block loss is process death; on a
+    * production cluster set a checkpoint dir in the wrapping job.
     *
     * Returns (id, cluster) where cluster = min reachable id. The final
-    * generation stays persisted at the RDD level (node-sized — two
-    * longs per node), which a Dataset-level `.unpersist()` on the
+    * generation stays checkpoint-persisted at the RDD level (node-sized
+    * — two longs per node), which a Dataset-level `.unpersist()` on the
     * returned frame can NOT release; the blocks are reclaimed by
     * Spark's ContextCleaner once the frame is unreferenced, so a
     * long-lived session holds at most the generations still reachable
@@ -359,10 +365,9 @@ object Dedup {
                           idB: String = "id_b",
                           hashMinRounds: Int = 12,
                           maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.types.LongType
     val spark = pairs.sparkSession
-    // the label RDD rows are declared LongType — a string/int id column
+    // the label rows are declared LongType — a string/int id column
     // would otherwise die mid-job with an opaque executor-side
     // ClassCastException; fail at construction with the column named
     Seq(idA, idB).foreach { c =>
@@ -371,12 +376,12 @@ object Dedup {
           s"${pairs.schema(c).dataType.simpleString}); hash or cast " +
           "string ids to long first")
     }
-    val schema = StructType(Seq(StructField("id", LongType),
-      StructField("cluster", LongType)))
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .cache()
+    // truncated, not cached: every round's task binary would otherwise
+    // carry the whole upstream pairs plan (see the scaladoc)
+    val (edges, edgesRdd) = Graphs.truncated(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct())
     // Self-loops carry no connectivity but their nodes must still be
     // labeled. The hash-min path labels them natively (a (u,u) edge
     // seeds u's own label), but starContraction's hi>lo
@@ -392,16 +397,15 @@ object Dedup {
         .select(col("id"), col("id").as("cluster"))
       labels.unionByName(selfOnly)
     }
-    var labelsRdd = edges.select(col("src").as("id"), col("src").as("cluster"))
-      .distinct().rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = spark.createDataFrame(labelsRdd, schema)
+    var (labels, labelsRdd) = Graphs.truncated(
+      edges.select(col("src").as("id"), col("src").as("cluster")).distinct())
     // node count for the Graphs.bcastIfSmall gate (the r17 lever, same
     // per-round shape as the graph censuses: cached edges joined with a
     // stats-less node-sized frame planned as an edge-sized exchange
     // every round). Constant across rounds — the label frame stays
     // keyed by the same id set — so ONE decision serves the loop; this
-    // count also pre-materializes the seed cache round 1 reads.
-    val nLabels = labels.count()
+    // count also pre-materializes the seed (and edges) round 1 reads.
+    val nLabels = labelsRdd.count()
     val bcastLbl = Graphs.bcastAuto(spark, nLabels)
     var converged = false
     var i = 0
@@ -410,10 +414,9 @@ object Dedup {
         .join(Graphs.bcastIfSmall(labels.withColumnRenamed("id", "dst"),
           nLabels, Some(bcastLbl)), "dst")
         .select(col("src").as("id"), col("cluster"))
-      val nextRdd = labels.union(fromNeighbors)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val next = spark.createDataFrame(nextRdd, schema)
+      val (next, nextRdd) = Graphs.truncated(
+        labels.union(fromNeighbors)
+          .groupBy("id").agg(min("cluster").as("cluster")))
       // min-labels only ever decrease, so "changed" ⇔ strictly smaller;
       // this count also materializes `next` before the old blocks go
       val changed = next.as("n").join(labels.as("o"), "id")
@@ -430,20 +433,19 @@ object Dedup {
       labelsRdd.unpersist(blocking = false)
       val (starLabels, starRdd) = starContractionWithHandle(edges, maxIter)
       val patched = withSelfLabels(starLabels)
-      // materialize the patched labels WHILE edges is still cached —
+      // materialize the patched labels WHILE edges is still live —
       // the self-label branch reads edges, and unpersisting first
-      // would replay the whole upstream pairs pipeline on consumption
-      val resultRdd = patched.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val result = spark.createDataFrame(resultRdd, schema)
-      result.count()
+      // would fail the truncated-checkpoint read on consumption
+      val (result, resultRdd) = Graphs.truncated(patched)
+      resultRdd.count()
       // the star generation fed `patched` — once the patched labels are
       // materialized above it is dead weight, and leaving it pinned
       // would leak one edge-set-sized RDD per fallback call (r15 review)
       starRdd.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      edgesRdd.unpersist(blocking = false)
       return result
     }
-    edges.unpersist(blocking = false)
+    edgesRdd.unpersist(blocking = false)
     labels // hash-min labels are complete: (u,u) edges seed self-labels
   }
 
@@ -473,17 +475,7 @@ object Dedup {
     starContractionWithHandle(edges, maxIter)._1
 
   private def starContractionWithHandle(edges: DataFrame, maxIter: Int)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    import org.apache.spark.storage.StorageLevel
-    val spark = edges.sparkSession
-    val schema = StructType(Seq(StructField("hi", LongType),
-      StructField("lo", LongType)))
-
-    def persisted(df: DataFrame) = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, schema), rdd)
-    }
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     def largeStar(cur: DataFrame): DataFrame = {
       val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
         .union(cur.select(col("lo").as("u"), col("hi").as("v")))
@@ -503,15 +495,15 @@ object Dedup {
         .distinct()
     }
 
-    var (cur, curRdd) = persisted(
+    var (cur, curRdd) = Graphs.truncated(
       edges.filter(col("src") > col("dst"))
         .select(col("src").as("hi"), col("dst").as("lo")))
-    var curCount = cur.count()
+    var curCount = curRdd.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val (next, nextRdd) = persisted(smallStar(largeStar(cur)))
-      val nextCount = next.count()
+      val (next, nextRdd) = Graphs.truncated(smallStar(largeStar(cur)))
+      val nextCount = nextRdd.count()
       // both sides are distinct sets: equal counts + empty (next \ cur)
       // ⇔ identical edge sets ⇔ a fixpoint of both star rounds
       converged = nextCount == curCount &&

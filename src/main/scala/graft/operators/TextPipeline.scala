@@ -433,14 +433,19 @@ object TextPipeline {
     * oracle). */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String,
                   quantum: Double = 1048576.0): DataFrame = {
+    // one native JVM pass per document builds the per-row distinct-char
+    // histogram (CharHistogramExpr), so the Generate emits
+    // |distinct chars| rows per doc instead of |chars| and the
+    // (doc, char) aggregation reads an alphabet-bounded relation — the
+    // r18 rendition of the per-char explode (same counts: sum of
+    // per-row k over duplicate doc ids = the old per-char count(*))
     val cc = docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol), explode(expr(
-        // backtick-quoted: a column name with a space/dot/keyword
-        // would otherwise break the SQL parse (the iqrOutliers rule)
-        s"transform(sequence(1, length(`${textCol.replace("`", "``")}`)), " +
-          s"i -> substring(`${textCol.replace("`", "``")}`, i, 1))")).as("__c"))
-      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__k"))
+      .select(col(idCol),
+        explode(graft.expressions.TextExpressions.charHistogram(
+          col(textCol))).as("__h"))
+      .select(col(idCol), col("__h.c").as("__c"), col("__h.k").as("__k0"))
+      .groupBy(col(idCol), col("__c")).agg(sum(col("__k0")).as("__k"))
       // feeds n AND the entropy join (3 plan branches after the final
       // n-join) — persisted like bm25's perDoc / topTermsByRarity's tf
       // (r15 review); (doc, char)-sized, leased for post-query release

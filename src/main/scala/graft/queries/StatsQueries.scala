@@ -55,6 +55,70 @@ object StatsQueries {
   private def dbl(r: Row, i: Int): Double =
     if (r.isNullAt(i)) 0.0 else r.getAs[Number](i).doubleValue()
 
+  /** Distributed INCLUSIVE cumulative sums of (t, t1) over the grouped
+    * distinct-value frame `byV(v, t, t1)`, ordered by v — the two-pass
+    * rendition (guide §2) of
+    * `Window.orderBy(v).rowsBetween(unboundedPreceding, currentRow)`,
+    * which plans a "No Partition Defined" WindowExec that moves EVERY
+    * row to ONE task. The frame is |distinct v|-bounded, so that was
+    * bounded state — but at 100 TB "distinct document lengths" can be
+    * millions of rows on one task (r17 verdict finding 3).
+    *
+    * The partitioning key is DETERMINISTIC bucketing, not a range
+    * exchange: bucket __b = v >> 16 (arithmetic shift = floor
+    * division — order-preserving for any sign). A width-2^16 integer
+    * interval holds at most 2^16 distinct v values, so the
+    * within-bucket cumsum window — PARTITIONED by __b, so no
+    * single-task WindowExec — holds ≤ 65536 rows per task at ANY
+    * corpus size. Each bucket's EXCLUSIVE prefix offset comes from the
+    * bucket-totals frame — ≤ (value-range / 2^16) + 1 rows, e.g. ≤ 32
+    * for documents up to 2 M chars — collected and prefix-summed in
+    * exact Long arithmetic on the driver (the k×k Gram / m37
+    * fold-decimals convention for provably bounded frames) and joined
+    * back as a broadcast LOCAL relation, which costs no build job. No
+    * repartitionByRange (its range-boundary sampling is a full extra
+    * evaluation of the input), no spark_partition_id coupling between
+    * branches — bucket ids are pure functions of v. All sums are exact
+    * longs, so `ct`/`c1` are IDENTICAL to the single-task window's
+    * values under any partitioning. The bucket collect is EAGER (one
+    * tiny job at construction), like semanticDedup's cells count.
+    *
+    * Returns (cum, (n, n1)): `cum` = byV's columns + ct/c1 (inclusive
+    * cumsums of t/t1); (n, n1) = the exact grand totals of t/t1 — they
+    * are the prefix sums' final values, already on the driver for
+    * free, so callers needing totals skip a whole aggregation pass.
+    * Internally byV is lease-pinned so the documents scan underneath
+    * runs once across the bucket-totals and windowed passes. */
+  private def withCumSums(byV: DataFrame): (DataFrame, (Long, Long)) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = graft.util.QueryLeases.leased(
+      byV.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val vb = base.withColumn("__b", shiftright(col("v").cast("long"), 16))
+    val w1 = Window.partitionBy("__b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bt = vb.groupBy("__b")
+      .agg(sum(col("t")).as("__st"), sum(col("t1")).as("__s1"))
+      .orderBy("__b").collect()
+    var ot = 0L
+    var o1 = 0L
+    val offRows: Seq[Row] = bt.toSeq.map { r =>
+      val row = Row(r.getLong(0), ot, o1)
+      ot += r.getLong(1)
+      o1 += r.getLong(2)
+      row
+    }
+    val off = byV.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      StructType(Seq(StructField("__b", LongType),
+        StructField("__ot", LongType), StructField("__o1", LongType))))
+    val cum = vb.join(broadcast(off), Seq("__b"))
+      .withColumn("ct", col("__ot") + sum(col("t")).over(w1))
+      .withColumn("c1", col("__o1") + sum(col("t1")).over(w1))
+      .drop("__b", "__ot", "__o1")
+    (cum, (ot, o1))
+  }
+
   /** Closed-form simple OLS y ~ 1 + x over `df` — returns (b0, b1, n).
     * Exact-decimal sums then double arithmetic: bit-identical to the SQL
     * rendition in [[sqlOlsCoefs]]. */
@@ -842,6 +906,8 @@ object StatsQueries {
                FROM w ORDER BY event_type""")),
 
     // ---- M44 Mann–Whitney U (two-sample rank test) ---------------------
+    // (cumulative sums via the two-pass `withCumSums` below, not a
+    // global-order window — see its scaladoc)
     // Nonparametric A/B of document length between English and the rest
     // — the rank-based alternative to m38's Welch t. All rank
     // arithmetic stays in exact integers by carrying DOUBLED midranks
@@ -852,14 +918,11 @@ object StatsQueries {
     // |distinct values|-bounded frame, then a window over that frame.
     Q("m44_mannwhitney",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val byV = load(s, d, "documents")
           .select(col("n_chars").as("v"),
             when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("g1"))
           .groupBy("v")
           .agg(count(lit(1)).as("t"), sum(col("g1")).as("t1"))
-        val w = Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // t³ wraps silently past t = 2²¹ under Spark's non-ANSI long
         // arithmetic (DuckDB would raise) — guard the cube before it
         // happens (the doremiReweight overflow contract)
@@ -867,8 +930,9 @@ object StatsQueries {
           raise_error(lit("m44: a tie group exceeds 2^21 rows — t^3 " +
             "overflows long; bucket the value column first")))
           .otherwise(col("t"))
-        val a = byV
-          .withColumn("r2", lit(2L) * (sum(col("t")).over(w) - col("t"))
+        val (cum, _) = withCumSums(byV)
+        val a = cum
+          .withColumn("r2", lit(2L) * (col("ct") - col("t"))
             + col("t") + lit(1L))
           .agg(sum(col("t1") * col("r2")).as("r2sum1"),
             sum(col("t1")).as("n1"), sum(col("t")).as("n"),
@@ -928,15 +992,11 @@ object StatsQueries {
     // frame; max over identical doubles is engine-stable.
     Q("m45_ks_test",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val byV = load(s, d, "documents")
           .select(col("n_chars").as("v"),
             when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("g1"))
           .groupBy("v")
           .agg(count(lit(1)).as("t"), sum(col("g1")).as("t1"))
-        val w = Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val all = Window.partitionBy(lit(1))
         // empty-group guard (the m44 convention): n1 = 0 or n1 = n makes
         // one ECDF denominator zero — fd and ks_scaled would be silent
         // NaN; raise instead
@@ -944,11 +1004,13 @@ object StatsQueries {
           raise_error(lit("m45: one group is empty (n1 = 0 or n1 = n) " +
             "— the two-sample ECDF difference is undefined")))
           .otherwise(col("n1"))
-        val diffs = byV
-          .withColumn("c1", sum(col("t1")).over(w))
-          .withColumn("ct", sum(col("t")).over(w))
-          .withColumn("n1", sum(col("t1")).over(all))
-          .withColumn("n", sum(col("t")).over(all))
+        val (cum, (nTot, n1Tot)) = withCumSums(byV)
+        // grand totals are the cumsum prefixes' driver-side final
+        // values — exact integer sums, identical to the old
+        // Window.partitionBy(lit(1)) values without moving every row
+        // to one task or running a second aggregation
+        val diffs = cum
+          .withColumn("n", lit(nTot)).withColumn("n1", lit(n1Tot))
           .select(n1G.as("n1"), (col("n") - col("n1")).as("n2"),
             abs(col("c1").cast("double") / n1G.cast("double")
               - (col("ct") - col("c1")).cast("double")

@@ -68,8 +68,20 @@ object R17PlanDump {
         case Some(fn) =>
           plans.clear()
           fn(spark, sf).write.format("noop").mode("overwrite").save()
-          // the listener bus is async; give it a moment to drain
-          Thread.sleep(1500)
+          // the listener bus is async: under load a fixed sleep could
+          // let late events from this query land after the next
+          // query's clear() and be misattributed (r17 advice). Poll
+          // until the captured-plan count is stable for two
+          // consecutive 300 ms checks (bounded at 9 s).
+          var last = -1
+          var stable = 0
+          var waited = 0
+          while (stable < 2 && waited < 30) {
+            Thread.sleep(300)
+            waited += 1
+            val n = plans.size()
+            if (n == last) stable += 1 else { stable = 0; last = n }
+          }
           graft.util.QueryLeases.releaseAll()
           val sb = new StringBuilder
           sb.append(s"# $name — executed plans ($suffix), sf=$sf\n")

@@ -37,10 +37,22 @@ object Ranks {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         out, org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(rdd, schema)
+    // INTERNAL-row path (r18): `sorted.rdd` would convert every row
+    // InternalRow→Row, and createDataFrame(RDD[Row]) converts straight
+    // back — two full conversions of the whole frame for an appended
+    // long. zipWithIndex over queryExecution.toRdd appends the rank as
+    // a JoinedRow instead. The sort operator REUSES its output row
+    // buffer, so each row is copy()d before retention (the same reason
+    // the old Row path was safe: Row conversion copied too).
+    val rdd = sorted.queryExecution.toRdd.zipWithIndex()
+      .map { case (row, i) =>
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          row.copy(),
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](i + 1L)))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    org.apache.spark.sql.GraftBridge.internalDf(spark, rdd, schema)
   }
 
   /** Exact selection quantiles by global rank: value at rank
@@ -214,9 +226,15 @@ object Ranks {
     val vGuarded = when(col(valueCol).isNull, raise_error(lit(
       s"giniByGroup: NULL in value column '$valueCol'")))
       .otherwise(col(valueCol)).as(valueCol)
-    val ranked = globalRowNumber(
+    // leased pin (r18): `ranked` feeds TWO consumers (the min-rank
+    // frame and the index join), and its subtree is the expensive part
+    // — range shuffle + in-partition sort + zipWithIndex — so unpinned
+    // it executed twice per query (shuffle files reuse across jobs,
+    // but the sort read, index map and downstream aggs re-ran)
+    val ranked = graft.util.QueryLeases.leased(globalRowNumber(
       df.select(col(groupCol), vGuarded, col(tieCol)),
       Seq(col(groupCol), col(valueCol), col(tieCol)), out = "__r")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val minR = ranked.groupBy(groupCol).agg(min(col("__r")).as("__r0"))
     val indexed = ranked.join(broadcast(minR), groupCol)
       .withColumn("__i", col("__r") - col("__r0") + lit(1L))

@@ -301,9 +301,14 @@ object SamplingQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val s1 = Dsir.resampleByLogWeight(scored, "logw", 100, seed = 31)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // s2/s3 each feed BOTH sides of a symmetric exceptAll — pinned,
+        // each sampler pass over the cached weights runs once, not
+        // twice (r18; same values, the diffs read the caches)
         val s2 = Dsir.resampleByLogWeight(scored, "logw", 100, seed = 31)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val s3 = Dsir.resampleByLogWeight(scored.repartition(7), "logw",
           100, seed = 31)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stats = scored.agg(
           avg("logw").as("mean_all"),
           avg(when(col("lang") === "en", 1.0).otherwise(0.0)).as("en_all"))
@@ -331,7 +336,10 @@ object SamplingQueries {
         // o02's determinism rerun.)
         val rows =
           try out.collect()
-          finally { scored.unpersist(); s1.unpersist() }
+          finally {
+            scored.unpersist(); s1.unpersist(); s2.unpersist()
+            s3.unpersist()
+          }
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       // constant-valued enforcement oracle — see the block comment above

@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
   *
+  * Cache lifecycle (r17 advice): the candidate-pair operators
+  * (nearDuplicates, simhashBandedPairs, editDistance1Pairs,
+  * corpusOverlap) pin their signature frames via
+  * `graft.util.QueryLeases` — MEMORY_AND_DISK Dataset caches that are
+  * NOT ContextCleaner-reclaimed. The harnesses drain them per query;
+  * long-lived non-harness callers must call
+  * `QueryLeases.releaseAll()` after materializing results, or each
+  * invocation leaves cache entries resident.
+  *
   * All per-document signatures are built from Spark built-in higher-order
   * functions (`transform`/`aggregate`/`zip_with` over token arrays) plus
   * `xxhash64` — fully codegen'd, no UDFs, no shuffle until the candidate

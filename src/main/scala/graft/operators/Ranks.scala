@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * sort columns form a TOTAL order (include a tie-break key), which
   * also makes the rank independent of where the sampled range
   * boundaries land.
+  *
+  * Cache lifecycle (r17 advice): [[giniByGroup]] leases a
+  * MEMORY_AND_DISK pin of its ranked frame via
+  * `graft.util.QueryLeases`; long-lived non-harness callers must call
+  * `QueryLeases.releaseAll()` after materializing the result.
   */
 object Ranks {
 

@@ -51,7 +51,14 @@ object CrossVal {
     // (BigDecimal.doubleValue — both correctly rounded)
     def bd(r: Row, name: String): java.math.BigDecimal = {
       val i = r.fieldIndex(name)
-      if (r.isNullAt(i)) java.math.BigDecimal.ZERO
+      // rows are pre-filtered non-NULL, so a NULL moment sum can only
+      // mean DECIMAL(38,10) overflow (Spark's non-ANSI decimal sum
+      // returns NULL on overflow) — substituting ZERO would yield
+      // plausible-but-wrong coefficients; fail loudly instead (r17
+      // advice)
+      if (r.isNullAt(i)) throw new ArithmeticException(
+        s"olsKFold: fold moment '$name' is NULL after non-NULL " +
+          "filtering — DECIMAL(38,10) overflow; rescale the inputs")
       else r.getAs[java.math.BigDecimal](i)
     }
     def d(r: Row, name: String): Double = bd(r, name).doubleValue()

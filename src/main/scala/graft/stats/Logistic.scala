@@ -83,7 +83,12 @@ object Logistic {
     * converges to the same 5-decimal coefficients as the adaptive fit
     * (StatsSuite pins that agreement). Returns a 1-row (b0, b1) frame;
     * fully in-plan — each step's k×k solve is a broadcast scalar join,
-    * no data ever reaches the driver. */
+    * no data ever reaches the driver.
+    *
+    * Cache lifecycle (r17 advice): leases a MEMORY_AND_DISK pin of the
+    * (y, x) projection via `graft.util.QueryLeases`; long-lived
+    * non-harness callers must call `QueryLeases.releaseAll()` after
+    * materializing the result. */
   def fitPortable2(df: DataFrame, yCol: String, xCol: String,
                    iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
